@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token counting, quality scoring, stopword/ratio
+  * features, fingerprinting, language profiling. All expressions stay
+  * inside whole-stage codegen (no UDFs); divisions are single ops over
+  * exact integer counts so the DuckDB oracle matches bit-for-bit.
+  */
+object Text {
+
+  // Tokens = maximal [a-z]+ runs of the lowercased text; the same regex
+  // evaluates identically in Spark (Java regex) and DuckDB (RE2).
+  private val tokensExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+  private val sqlTokens = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_token_count",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"size($tokensExpr)").as("n_tokens"),
+          length(col("text")).as("len_chars"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len($sqlTokens) AS n_tokens,
+          length(text) AS len_chars
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("t_word_freq_top20",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(expr(tokensExpr)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20),
+      Some(s"""SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest($sqlTokens) AS word FROM documents) q
+        GROUP BY word ORDER BY n DESC, word LIMIT 20""")),
+
+    // Quality features: token count, mean token length, stopword ratio.
+    // Ratios are one exact-int division → bitwise deterministic.
+    QueryDef("t_quality_score",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("toks", expr(tokensExpr))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          (expr("aggregate(toks, 0L, (a, w) -> a + length(w))").cast("double") /
+            size(col("toks"))).as("mean_tok_len"),
+          (expr("size(filter(toks, w -> w IN ('the','a','and','of','to')))")
+            .cast("double") / size(col("toks"))).as("stopword_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len(toks) AS n_tokens,
+          (CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+            / len(toks)) AS mean_tok_len,
+          (CAST(len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) AS DOUBLE)
+            / len(toks)) AS stopword_ratio
+        FROM (SELECT doc_id, $sqlTokens AS toks FROM documents) q
+        ORDER BY doc_id""")),
+
+    // Document fingerprint: md5 of whitespace-normalized lowercase text
+    // (rolling-hash stand-in that both engines share bit-for-bit).
+    QueryDef("t_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+            .as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
+    // Language profile: per-language corpus stats (exact ints).
+    QueryDef("t_lang_profile",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+          (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*)) AS mean_chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Heuristic language ID from text features alone (no `lang` input):
+    // deterministic rule over stopword families. The point is the
+    // pipeline shape — a codegen'd scoring expression — not linguistics.
+    QueryDef("t_lang_id_heuristic",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("toks", expr(tokensExpr))
+        .select(col("doc_id"),
+          when(expr("size(filter(toks, w -> w IN ('the','of','and')))") > 2, "en")
+            .when(expr("size(filter(toks, w -> w IN ('der','die','das','und')))") > 0, "de")
+            .when(expr("size(filter(toks, w -> w IN ('el','la','de','que')))") > 0, "es")
+            .otherwise("unknown").as("lang_guess"))
+        .groupBy("lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang_guess"),
+      Some("""SELECT lang_guess, COUNT(*) AS n FROM (
+          SELECT CASE
+            WHEN len(list_filter(toks, w -> w IN ('the','of','and'))) > 2 THEN 'en'
+            WHEN len(list_filter(toks, w -> w IN ('der','die','das','und'))) > 0 THEN 'de'
+            WHEN len(list_filter(toks, w -> w IN ('el','la','de','que'))) > 0 THEN 'es'
+            ELSE 'unknown' END AS lang_guess
+          FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+                FROM documents) t) q
+        GROUP BY lang_guess ORDER BY lang_guess""")),
+
+    // Multimodal plumbing: opaque binary column + typed metadata. The
+    // bytes here are the utf8 text (the container has no image libs —
+    // decode stays a stub, see graft.functions.Multimodal); the Spark
+    // side of the pipeline (binary schema, length, prefix) is real.
+    QueryDef("t_binary_meta",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          hex(substring(col("text"), 1, 4).cast("binary")).as("magic"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+          upper(hex(encode(substring(text, 1, 4)))) AS magic
+        FROM documents ORDER BY doc_id"""))
+  )
+}
