@@ -1,0 +1,151 @@
+package graft.connector
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NamespaceAlreadyExistsException, TableAlreadyExistsException}
+import graft.core.TableSchema
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Filesystem warehouse catalog ≙ reference `Catalog.create({'warehouse':
+  * dir})` (`pypaimon/api/catalog.py:24-45`): databases are `<db>.db/`
+  * directories, tables are subdirectories owning schema/snapshot/
+  * manifest/data files. Registered via
+  * `spark.sql.catalog.<name>=graft.connector.GraftCatalog` +
+  * `spark.sql.catalog.<name>.warehouse=<dir>`.
+  *
+  * Primary keys (a concept Spark DDL lacks) arrive as the table property
+  * `primary-key` (comma-separated), matching the reference's
+  * `Schema(primary_keys=[...])`.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null, s"Catalog $name requires option 'warehouse'")
+    warehouse = Paths.get(wh)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def dbDir(ns: Array[String]): Path = {
+    require(ns.length == 1, s"Only single-level namespaces supported, got ${ns.mkString(".")}")
+    warehouse.resolve(ns(0) + ".db")
+  }
+
+  private def tableDir(ident: Identifier): Path =
+    dbDir(ident.namespace()).resolve(ident.name())
+
+  // ----- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.endsWith(".db"))
+      .map(p => Array(p.getFileName.toString.stripSuffix(".db")))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && Files.isDirectory(dbDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dbDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = dbDir(namespace)
+    val hasTables = Files.list(dir).iterator().asScala.nonEmpty
+    if (hasTables && !cascade)
+      throw new IllegalStateException(s"Namespace ${namespace.mkString(".")} is not empty")
+    deleteRecursively(dir)
+    true
+  }
+
+  // ----- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dbDir(namespace)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    TableSchema.load(dir) match {
+      case Some(schema) => new GraftTable(ident, dir, schema)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
+    if (TableSchema.load(dir).isDefined) throw new TableAlreadyExistsException(ident)
+    val partitionKeys = partitions.map { t =>
+      require(t.name() == "identity",
+        s"Only identity partition transforms supported, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }.toSeq
+    val props = properties.asScala.toMap
+    val primaryKeys = props.get("primary-key").orElse(props.get("primary_keys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val options = props -- Seq("primary-key", "primary_keys", "comment",
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+    val ts = TableSchema(0L, schema, partitionKeys, primaryKeys, options,
+      props.get(TableCatalog.PROP_COMMENT)).validate()
+    Files.createDirectories(dir)
+    TableSchema.save(dir, ts)
+    new GraftTable(ident, dir, ts)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable not supported yet")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (TableSchema.load(dir).isEmpty) return false
+    deleteRecursively(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (TableSchema.load(tableDir(oldIdent)).isEmpty) throw new NoSuchTableException(oldIdent)
+    if (TableSchema.load(tableDir(newIdent)).isDefined) throw new TableAlreadyExistsException(newIdent)
+    Files.move(tableDir(oldIdent), tableDir(newIdent))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

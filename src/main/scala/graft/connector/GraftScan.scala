@@ -1,0 +1,243 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import graft.core.{RowKind, TableSchema}
+import graft.format.{DataFileMeta, ParquetIO, SnapshotManager}
+import java.nio.file.{Path, Paths}
+import scala.collection.mutable
+
+/** Scan-side of the connector — ≙ `ReadBuilder → TableScan.plan() →
+  * splits` (`pypaimon/api/table_scan.py:24-37`) + the pynative reader
+  * stack (SURVEY §2.4), re-expressed as DSv2:
+  *
+  *  - `pushFilters` keeps every conjunct as a post-scan filter (the
+  *    reference's pushdown is best-effort too: "it is not guaranteed
+  *    that it is a complete filter", `pypaimon/api/read_builder.py:30-34`)
+  *    and uses them for *pruning only*: partition values exactly,
+  *    key-column min/max per file, and bucket pruning when every
+  *    trimmed-pk field is equality-constrained. Pruning on NON-key
+  *    columns of PK tables is deliberately absent — that would
+  *    resurrect overwritten rows (`predicate_utils.py:22-56`).
+  *  - `pushLimit` is split-granular: planning stops adding append-table
+  *    splits once their row count covers the limit; Spark's own
+  *    GlobalLimit trims exactly (`test_pynative_reader.py:166-181`).
+  *  - One [[InputPartition]] per (partition, bucket) for PK tables (the
+  *    merge unit), per data file for append tables.
+  */
+class GraftScanBuilder(tableDir: Path, schema: TableSchema)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var filters: Array[Filter] = Array.empty
+  private var required: StructType = schema.fields
+  private var limit: Option[Int] = None
+
+  override def pushFilters(f: Array[Filter]): Array[Filter] = {
+    filters = f
+    f // every filter is re-evaluated by Spark post-scan (defense in depth)
+  }
+
+  override def pushedFilters(): Array[Filter] = {
+    // Report the prunable subset (partition / key references only).
+    val prunable = (schema.partitionKeys ++ schema.trimmedPrimaryKeys).toSet
+    filters.filter(_.references.forall(prunable.contains))
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def build(): Scan =
+    new GraftScan(tableDir, schema, required, filters, limit)
+}
+
+final case class GraftInputPartition(
+    filePaths: Array[String], // absolute
+    partitionValues: Array[String],
+    bucket: Int) extends InputPartition
+
+class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
+    filters: Array[Filter], limit: Option[Int]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val snap = new SnapshotManager(tableDir).latestSnapshotId.getOrElse(-1L)
+    s"GraftScan(snapshot=$snap, pruneBy=[${filters.mkString(", ")}], limit=$limit)"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val sm = new SnapshotManager(tableDir)
+    val files = sm.liveFilesLatest
+    val pTypes = schema.partitionKeys
+      .map(k => k -> schema.fields(schema.fields.fieldIndex(k)).dataType).toMap
+
+    // 1. partition pruning (exact evaluation on partition values)
+    val afterPartition = files.filter { f =>
+      val value: String => Option[Any] = c =>
+        schema.partitionKeys.indexOf(c) match {
+          case -1 => None
+          case i => Some(Values.parse(pTypes(c), f.partition(i)))
+        }
+      filters.forall(flt =>
+        Values.evalExact(flt, pTypes.get, value).getOrElse(true))
+    }
+
+    // 2. key-stats pruning (PK tables; sound only on key columns)
+    val keyTypes = schema.trimmedPrimaryKeys
+      .map(k => k -> schema.fields(schema.fields.fieldIndex(k)).dataType).toMap
+    val afterStats = afterPartition.filter { f =>
+      filters.forall(flt =>
+        Values.evalRange(flt, keyTypes.get,
+          c => f.keyStats.get(c)).getOrElse(true))
+    }
+
+    // 3. bucket pruning: all trimmed-pk fields fixed by EqualTo conjuncts
+    val eqs = topLevelEqualities(filters)
+    val targetBucket: Option[Int] =
+      if (schema.isPrimaryKeyTable &&
+        schema.trimmedPrimaryKeys.forall(eqs.contains)) {
+        val keyStrs = schema.trimmedPrimaryKeys.map { k =>
+          Values.encode(keyTypes(k), Values.toInternal(keyTypes(k), eqs(k)))
+        }
+        Some(Values.bucketOf(keyStrs, schema.numBuckets))
+      } else None
+    val afterBucket = targetBucket match {
+      case Some(b) => afterStats.filter(_.bucket == b)
+      case None => afterStats
+    }
+
+    def abs(f: DataFileMeta): String = tableDir.resolve(f.fileName).toString
+
+    if (schema.isPrimaryKeyTable) {
+      afterBucket.groupBy(f => (f.partition, f.bucket)).map {
+        case ((part, bucket), fs) =>
+          GraftInputPartition(fs.map(abs).toArray, part.toArray, bucket)
+      }.toArray
+    } else {
+      // split-granular limit: keep whole files until rows cover n
+      val selected = limit match {
+        case Some(n) =>
+          var acc = 0L
+          afterBucket.takeWhile { f =>
+            val keep = acc < n; acc += f.rowCount; keep
+          }
+        case None => afterBucket
+      }
+      selected.map(f =>
+        GraftInputPartition(Array(abs(f)), f.partition.toArray, f.bucket)).toArray
+    }
+  }
+
+  private def topLevelEqualities(fs: Array[Filter]): Map[String, Any] =
+    fs.collect { case org.apache.spark.sql.sources.EqualTo(c, v) => c -> v }.toMap
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(schema.fields.json, schema.partitionKeys,
+      schema.trimmedPrimaryKeys, schema.isPrimaryKeyTable, required.json)
+}
+
+/** Executor-side reader ≙ the pynative operator pipeline: concat of
+  * per-file readers, KV merge (last-write-wins by sequence), drop-delete,
+  * partition-constant injection, projection
+  * (SURVEY §2.4; `sort_merge_reader.py`, `drop_delete_reader.py`,
+  * `data_file_record_reader.py`).
+  */
+final case class GraftReaderFactory(
+    fieldsJson: String,
+    partitionKeys: Seq[String],
+    trimmedPk: Seq[String],
+    isPk: Boolean,
+    requiredJson: String) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftInputPartition]
+    val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    // data files hold non-partition fields (+ seq/kind for PK tables)
+    val dataFields = StructType(fields.fields.filterNot(f => partitionKeys.contains(f.name)))
+    val kvFileSchema = if (isPk) StructType(
+      StructField("_SEQUENCE_NUMBER", LongType, nullable = false) +:
+        StructField("_VALUE_KIND", IntegerType, nullable = false) +:
+        dataFields.fields) else dataFields
+
+    // columns we must read: required ∩ dataFields, plus key/seq/kind for merge
+    val requiredData = dataFields.fields.map(_.name)
+      .filter(n => required.fieldNames.contains(n) ||
+        (isPk && trimmedPk.contains(n)))
+    val readSchema = if (isPk) StructType(
+      kvFileSchema.fields.filter(f => f.name == "_SEQUENCE_NUMBER" ||
+        f.name == "_VALUE_KIND" || requiredData.contains(f.name)))
+    else StructType(dataFields.fields.filter(f => requiredData.contains(f.name)))
+
+    val rows: Iterator[InternalRow] =
+      if (isPk) mergeOnRead(part, kvFileSchema, readSchema)
+      else part.filePaths.iterator.flatMap(f =>
+        new ParquetIO.RowReader(Paths.get(f), dataFields, readSchema))
+
+    // output assembly: required order; partition constants spliced in
+    val pTypes = partitionKeys.zipWithIndex.map { case (k, i) =>
+      k -> Values.parse(fields(fields.fieldIndex(k)).dataType, part.partitionValues(i))
+    }.toMap
+    val assemblers: Array[InternalRow => Any] = required.fields.map { f =>
+      if (pTypes.contains(f.name)) { (_: InternalRow) => pTypes(f.name) }
+      else {
+        val i = readSchema.fieldIndex(f.name)
+        val dt = f.dataType
+        (r: InternalRow) => if (r.isNullAt(i)) null else r.get(i, dt)
+      }
+    }
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) {
+          val r = rows.next()
+          val out = new GenericInternalRow(assemblers.length)
+          var i = 0
+          while (i < assemblers.length) { out.update(i, assemblers(i)(r)); i += 1 }
+          current = out
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  /** Bucket-local hash merge: max-sequence wins per trimmed-pk tuple,
+    * then non-add kinds dropped. No shuffle — the bucket IS the merge
+    * unit, so this scales with bucket size, not table size.
+    */
+  private def mergeOnRead(part: GraftInputPartition, kvFileSchema: StructType,
+      readSchema: StructType): Iterator[InternalRow] = {
+    val seqIdx = readSchema.fieldIndex("_SEQUENCE_NUMBER")
+    val kindIdx = readSchema.fieldIndex("_VALUE_KIND")
+    val keyIdx = trimmedPk.map(readSchema.fieldIndex)
+    val keyTypes = trimmedPk.map(k => readSchema(readSchema.fieldIndex(k)).dataType)
+
+    val best = mutable.HashMap.empty[Seq[String], (Long, InternalRow)]
+    part.filePaths.foreach { f =>
+      val it = new ParquetIO.RowReader(Paths.get(f), kvFileSchema, readSchema)
+      it.foreach { r =>
+        val key = keyIdx.zip(keyTypes).map { case (i, dt) =>
+          Values.encodeField(r, i, dt)
+        }
+        val seq = r.getLong(seqIdx)
+        best.get(key) match {
+          case Some((s, _)) if s >= seq => ()
+          case _ => best.update(key, (seq, r))
+        }
+      }
+    }
+    best.valuesIterator.collect {
+      case (_, row) if RowKind.isAdd(row.getInt(kindIdx).toByte) => row
+    }
+  }
+}

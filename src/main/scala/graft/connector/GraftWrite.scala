@@ -1,0 +1,229 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, Filter}
+import org.apache.spark.sql.types._
+import graft.core.{RowKind, TableSchema}
+import graft.format._
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.mutable
+
+/** Write-side of the connector ≙ `BatchWriteBuilder → BatchTableWrite →
+  * prepare_commit → BatchTableCommit.commit` (SURVEY §2.7, §3.3):
+  * executors route rows to (partition, bucket), write one sorted
+  * parquet file per pair, and ship [[DataFileMeta]] back as the commit
+  * message; the driver publishes one snapshot.
+  *
+  * Overwrite modes ≙ `write_builder.overwrite(...)`
+  * (`test_write_and_read.py:311-383`): truncate (full), static partition
+  * (filter → partition values), dynamic (option
+  * `dynamic-partition-overwrite` ↔ Spark's OVERWRITE_DYNAMIC capability).
+  */
+class GraftWriteBuilder(tableDir: Path, schema: TableSchema, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  private var mode: FileStoreCommit.OverwriteMode = FileStoreCommit.NoOverwrite
+
+  override def truncate(): WriteBuilder = {
+    mode = FileStoreCommit.StaticOverwrite(Map.empty); this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val partFilter = mutable.Map.empty[String, String]
+    filters.foreach {
+      case _: AlwaysTrue => ()
+      case EqualTo(c, v) if schema.partitionKeys.contains(c) && v != null =>
+        val dt = schema.fields(schema.fields.fieldIndex(c)).dataType
+        partFilter(c) = Values.encode(dt, Values.toInternal(dt, v))
+      case EqualNullSafe(c, v) if schema.partitionKeys.contains(c) && v != null =>
+        val dt = schema.fields(schema.fields.fieldIndex(c)).dataType
+        partFilter(c) = Values.encode(dt, Values.toInternal(dt, v))
+      case other => throw new UnsupportedOperationException(
+        s"Overwrite supports only partition equality filters, got $other")
+    }
+    mode = FileStoreCommit.StaticOverwrite(partFilter.toMap)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = FileStoreCommit.DynamicOverwrite; this
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(tableDir, schema, mode)
+  }
+}
+
+class GraftBatchWrite(tableDir: Path, schema: TableSchema,
+    mode: FileStoreCommit.OverwriteMode) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val sm = new SnapshotManager(tableDir)
+    val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
+    GraftWriterFactory(tableDir.toString, schema.fields.json,
+      schema.partitionKeys, schema.trimmedPrimaryKeys,
+      schema.isPrimaryKeyTable, schema.numBuckets, baseSeq)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten
+    FileStoreCommit.commit(new SnapshotManager(tableDir), schema.id,
+      schema.partitionKeys, files.toSeq, mode)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftCommitMessage => m.files }.flatten
+      .foreach(f => Files.deleteIfExists(tableDir.resolve(f.fileName)))
+}
+
+final case class GraftCommitMessage(files: Seq[DataFileMeta])
+  extends WriterCommitMessage
+
+final case class GraftWriterFactory(
+    tableDirStr: String,
+    fieldsJson: String,
+    partitionKeys: Seq[String],
+    trimmedPk: Seq[String],
+    isPk: Boolean,
+    numBuckets: Int,
+    baseSeq: Long) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
+    new GraftDataWriter(Paths.get(tableDirStr), fields, partitionKeys,
+      trimmedPk, isPk, numBuckets,
+      // per-task disjoint sequence ranges within one commit
+      baseSeq + (partitionId.toLong << 32), fields, hasRowKindCol = false)
+  }
+}
+
+/** Buffers rows per (partition, bucket), then writes one parquet file
+  * per pair at commit. PK-table files are sorted by (trimmed pk, seq) —
+  * sorted runs enable future sort-merge reading and tight key stats.
+  *
+  * `writeSchema` may carry a trailing hidden `_row_kind` byte column
+  * (facade path, ≙ Java `GenericRow(RowKind.DELETE, ...)` writes —
+  * `test_write_and_read.py:52-98`); Spark's own writeTo path never has
+  * it (`hasRowKindCol = false`).
+  */
+class GraftDataWriter(tableDir: Path, fields: StructType,
+    partitionKeys: Seq[String], trimmedPk: Seq[String], isPk: Boolean,
+    numBuckets: Int, seqStart: Long, writeSchema: StructType,
+    hasRowKindCol: Boolean) extends DataWriter[InternalRow] {
+
+  // table fields (sans partition cols) stored in data files
+  private val dataFields = StructType(
+    fields.fields.filterNot(f => partitionKeys.contains(f.name)))
+  private val kvSchema = StructType(
+    StructField("_SEQUENCE_NUMBER", LongType, nullable = false) +:
+      StructField("_VALUE_KIND", IntegerType, nullable = false) +:
+      dataFields.fields)
+  private val fileSchema = if (isPk) kvSchema else dataFields
+
+  private val partIdx = partitionKeys.map(k => writeSchema.fieldIndex(k))
+  private val partTypes = partitionKeys.map(k => fields(fields.fieldIndex(k)).dataType)
+  private val dataIdx = dataFields.fields.map(f => writeSchema.fieldIndex(f.name))
+  private val keyIdxInData = trimmedPk.map(k => dataFields.fieldIndex(k))
+  private val keyTypes = trimmedPk.map(k => dataFields(dataFields.fieldIndex(k)).dataType)
+  private val rowKindIdx =
+    if (hasRowKindCol) writeSchema.fieldIndex(RowKind.ColumnName) else -1
+
+  private var seq = seqStart
+  private val buffers =
+    mutable.LinkedHashMap.empty[(Seq[String], Int), mutable.ArrayBuffer[InternalRow]]
+
+  override def write(row: InternalRow): Unit = {
+    val part = partIdx.zip(partTypes).map { case (i, dt) =>
+      Values.encodeField(row, i, dt)
+    }
+    // KV layout [seq, kind, value...] (≙ key_value_wrap_reader.py flat rows)
+    val stored = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      fileSchema.length)
+    // incoming InternalRow is reused by Spark between write() calls —
+    // copy values out (UTF8String/binary would otherwise alias buffers)
+    def copied(src: Int, dt: DataType): Any =
+      if (row.isNullAt(src)) null
+      else dt match {
+        case StringType => row.getUTF8String(src).clone()
+        case BinaryType => row.getBinary(src).clone()
+        case _ => row.get(src, dt)
+      }
+    if (isPk) {
+      stored.update(0, seq)
+      stored.update(1,
+        if (rowKindIdx >= 0) row.getByte(rowKindIdx).toInt else RowKind.Insert.toInt)
+      var i = 0
+      while (i < dataIdx.length) {
+        stored.update(i + 2, copied(dataIdx(i), dataFields(i).dataType))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < dataIdx.length) {
+        stored.update(i, copied(dataIdx(i), dataFields(i).dataType))
+        i += 1
+      }
+    }
+    seq += 1
+    val bucket =
+      if (isPk) {
+        val keyStrs = keyIdxInData.zip(keyTypes).map { case (i, dt) =>
+          Values.encodeField(stored, i + 2, dt)
+        }
+        Values.bucketOf(keyStrs, numBuckets)
+      } else 0
+    buffers.getOrElseUpdate((part, bucket), mutable.ArrayBuffer.empty) += stored
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val metas = buffers.map { case ((part, bucket), rows) =>
+      val sorted = if (isPk) {
+        val kt = keyTypes
+        rows.sortWith { (a, b) =>
+          var c = 0; var i = 0
+          while (c == 0 && i < keyIdxInData.length) {
+            val dt = kt(i)
+            val ia = keyIdxInData(i) + 2
+            val av = if (a.isNullAt(ia)) null else a.get(ia, dt)
+            val bv = if (b.isNullAt(ia)) null else b.get(ia, dt)
+            c = Values.compare(dt, av, bv)
+            i += 1
+          }
+          if (c != 0) c < 0 else a.getLong(0) < b.getLong(0)
+        }
+      } else rows
+
+      val partDir = partitionKeys.zip(part)
+        .map { case (k, v) => s"$k=$v" }.mkString("/")
+      val bucketDir = (if (partDir.isEmpty) "" else partDir + "/") + s"bucket-$bucket"
+      Files.createDirectories(tableDir.resolve(bucketDir))
+      val rel = s"$bucketDir/data-${java.util.UUID.randomUUID()}.parquet"
+      val w = new ParquetIO.RowWriter(tableDir.resolve(rel), fileSchema)
+      sorted.foreach(w.write)
+      w.close()
+
+      val seqs = if (isPk) sorted.map(_.getLong(0)) else Seq(0L)
+      // typed min/max bounds per trimmed-pk column, canonical-encoded
+      val typedStats = if (isPk) keyIdxInData.zip(keyTypes).zipWithIndex.map {
+        case ((i, dt), k) =>
+          var lo: Any = null; var hi: Any = null
+          sorted.foreach { r =>
+            val v = if (r.isNullAt(i + 2)) null else r.get(i + 2, dt)
+            if (v != null) {
+              if (lo == null || Values.compare(dt, v, lo) < 0) lo = v
+              if (hi == null || Values.compare(dt, v, hi) > 0) hi = v
+            }
+          }
+          trimmedPk(k) -> (Values.encode(dt, lo) -> Values.encode(dt, hi))
+      }.toMap else Map.empty[String, (String, String)]
+
+      DataFileMeta(rel, Files.size(tableDir.resolve(rel)), sorted.length,
+        part, bucket, seqs.min, seqs.max, typedStats)
+    }.toSeq
+    GraftCommitMessage(metas)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

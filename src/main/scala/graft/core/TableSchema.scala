@@ -1,0 +1,110 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Table schema ≙ reference `Schema(pa_schema, partition_keys,
+  * primary_keys, options, comment)` (`pypaimon/api/table.py:38-51`),
+  * persisted as JSON at `<table>/schema/schema-<id>` with the field list
+  * in Spark's own DataType JSON format.
+  *
+  * Semantics carried over from the reference:
+  *  - supported column types are the primitive matrix of
+  *    `pypaimon/py4j/util/java_utils.py:64-93` (we additionally allow
+  *    date/timestamp/binary, which the reference reads but cannot
+  *    create); nested/decimal types are rejected with the reference's
+  *    error shape.
+  *  - primary keys must not be a subset of partition keys
+  *    (`pypaimon/pynative/reader/sort_merge_reader.py:203-207`).
+  */
+final case class TableSchema(
+    id: Long,
+    fields: StructType,
+    partitionKeys: Seq[String],
+    primaryKeys: Seq[String],
+    options: Map[String, String],
+    comment: Option[String]) {
+
+  def isPrimaryKeyTable: Boolean = primaryKeys.nonEmpty
+
+  def numBuckets: Int = options.getOrElse("bucket", "-1").toInt
+
+  /** Trimmed primary key: pk fields minus partition fields — the key the
+    * merge compares (`sort_merge_reader.py:203-210`).
+    */
+  def trimmedPrimaryKeys: Seq[String] =
+    primaryKeys.filterNot(partitionKeys.contains)
+
+  def validate(): TableSchema = {
+    fields.fields.foreach { f =>
+      if (!TableSchema.supportedTypes.exists(_ == f.dataType))
+        throw new IllegalArgumentException(
+          s"Found unsupported data type ${f.dataType.simpleString} for field ${f.name}")
+    }
+    val names = fields.fieldNames.toSet
+    (partitionKeys ++ primaryKeys).foreach { k =>
+      require(names.contains(k), s"The field $k is not in field list ${fields.fieldNames.mkString("[", ", ", "]")}")
+    }
+    if (primaryKeys.nonEmpty && trimmedPrimaryKeys.isEmpty)
+      throw new IllegalArgumentException(
+        "Primary key constraint should not be same with partition fields")
+    if (isPrimaryKeyTable && numBuckets < 1)
+      throw new IllegalArgumentException(
+        "Doesn't support writing dynamic bucket or cross partition table. " +
+          "Set a fixed 'bucket' option >= 1 for primary-key tables.")
+    this
+  }
+
+  def toJson: String = {
+    val j: JObject =
+      ("id" -> id) ~
+        ("fields" -> JsonMethods.parse(fields.json)) ~
+        ("partitionKeys" -> partitionKeys) ~
+        ("primaryKeys" -> primaryKeys) ~
+        ("options" -> options) ~
+        ("comment" -> comment)
+    JsonMethods.pretty(JsonMethods.render(j))
+  }
+}
+
+object TableSchema {
+  val supportedTypes: Seq[DataType] = Seq(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    BooleanType, StringType, DateType, TimestampType, BinaryType)
+
+  def fromJson(json: String): TableSchema = {
+    implicit val fmt: Formats = DefaultFormats
+    val v = JsonMethods.parse(json)
+    TableSchema(
+      id = (v \ "id").extract[Long],
+      fields = DataType.fromJson(JsonMethods.compact(JsonMethods.render(v \ "fields")))
+        .asInstanceOf[StructType],
+      partitionKeys = (v \ "partitionKeys").extract[Seq[String]],
+      primaryKeys = (v \ "primaryKeys").extract[Seq[String]],
+      options = (v \ "options").extract[Map[String, String]],
+      comment = (v \ "comment").extractOpt[String])
+  }
+
+  def load(tableDir: Path): Option[TableSchema] = {
+    val dir = tableDir.resolve("schema")
+    if (!Files.isDirectory(dir)) return None
+    val latest = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("schema-"))
+      .map(p => p.getFileName.toString.stripPrefix("schema-").toLong -> p)
+      .toSeq.sortBy(_._1).lastOption
+    latest.map { case (_, p) => fromJson(Files.readString(p)) }
+  }
+
+  def save(tableDir: Path, schema: TableSchema): Unit = {
+    val dir = tableDir.resolve("schema")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".schema", ".tmp")
+    Files.writeString(tmp, schema.toJson)
+    Files.move(tmp, dir.resolve(s"schema-${schema.id}"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.format
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot + manifest persistence under one table directory:
+  *
+  * {{{
+  * <table>/schema/schema-<i>        table schema versions
+  * <table>/snapshot/snapshot-<n>    snapshot JSON (atomic-rename publish)
+  * <table>/snapshot/LATEST          current snapshot id hint
+  * <table>/manifest/manifest-<uuid> immutable manifest (ADD/DELETE entries)
+  * <table>/bucket-<b>/<uuid>.parquet data files
+  * }}}
+  *
+  * Publication is a create-exclusive atomic rename of `snapshot-<n>`
+  * (two-phase commit, ≙ `pypaimon/py4j/java_implementation.py:397-407`);
+  * on local/HDFS-like filesystems rename is the atomicity primitive, on
+  * object stores a conditional PUT would take its place.
+  */
+final class SnapshotManager(val tableDir: Path) {
+
+  private def snapshotDir = tableDir.resolve("snapshot")
+  private def manifestDir = tableDir.resolve("manifest")
+
+  def latestSnapshotId: Option[Long] = {
+    if (!Files.isDirectory(snapshotDir)) return None
+    // LATEST is a hint; the listing is authoritative (hint write races
+    // are benign).
+    val ids = Files.list(snapshotDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("snapshot-"))
+      .map(_.stripPrefix("snapshot-").toLong)
+      .toSeq
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  def latestSnapshot: Option[Snapshot] = latestSnapshotId.map(snapshot)
+
+  def snapshot(id: Long): Snapshot =
+    Snapshot.fromJson(Files.readString(snapshotDir.resolve(s"snapshot-$id")))
+
+  def readManifest(name: String): Seq[ManifestEntry] = {
+    implicit val fmt: Formats = DefaultFormats
+    val v = JsonMethods.parse(Files.readString(manifestDir.resolve(name)))
+    (v \ "entries") match {
+      case JArray(items) => items.map { e =>
+        ManifestEntry((e \ "kind").extract[String],
+          DataFileMeta.fromJValue(e \ "file"))
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  def writeManifest(entries: Seq[ManifestEntry]): String = {
+    import org.json4s.JsonDSL._
+    Files.createDirectories(manifestDir)
+    val name = s"manifest-${java.util.UUID.randomUUID()}"
+    val j: JObject = "entries" -> entries.map(e =>
+      ("kind" -> e.kind) ~ ("file" -> e.file.toJValue))
+    val tmp = Files.createTempFile(manifestDir, ".m", ".tmp")
+    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(j)))
+    Files.move(tmp, manifestDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    name
+  }
+
+  /** Fold the manifest chain of a snapshot into the live file set. */
+  def liveFiles(s: Snapshot): Seq[DataFileMeta] = {
+    val entries = s.manifests.flatMap(readManifest)
+    val deleted = entries.filterNot(_.isAdd).map(_.file.fileName).toSet
+    entries.filter(e => e.isAdd && !deleted.contains(e.file.fileName)).map(_.file)
+  }
+
+  def liveFilesLatest: Seq[DataFileMeta] =
+    latestSnapshot.map(liveFiles).getOrElse(Seq.empty)
+
+  /** Create-exclusive publish; returns false on id collision (caller
+    * re-plans against the newer snapshot and retries).
+    */
+  def tryCommitSnapshot(s: Snapshot): Boolean = {
+    Files.createDirectories(snapshotDir)
+    val target = snapshotDir.resolve(s"snapshot-${s.id}")
+    if (Files.exists(target)) return false
+    val tmp = Files.createTempFile(snapshotDir, ".s", ".tmp")
+    Files.writeString(tmp, s.toJson)
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      val latestTmp = Files.createTempFile(snapshotDir, ".l", ".tmp")
+      Files.writeString(latestTmp, s.id.toString)
+      Files.move(latestTmp, snapshotDir.resolve("LATEST"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+}

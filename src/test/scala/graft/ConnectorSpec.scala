@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** End-to-end connector behavior through Spark SQL, reproducing the
+  * reference's test semantics (FIXTURES.md; `pypaimon/py4j/tests/`):
+  * append round-trip, PK upsert merge-on-read across commits, predicate
+  * NULL semantics, projection reorder, overwrite modes, split-granular
+  * limit, partitioned PK tables.
+  */
+class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var warehouse: java.nio.file.Path = _
+
+  lazy val spark: SparkSession = {
+    warehouse = Files.createTempDirectory("graft-wh")
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.default")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("F1: append table round-trip") {
+    spark.sql("CREATE TABLE graft.default.t_append (f0 INT, f1 STRING)")
+    spark.sql("INSERT INTO graft.default.t_append VALUES (1,'a'), (2,'b'), (3,'c')")
+    val got = spark.sql("SELECT * FROM graft.default.t_append ORDER BY f0")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("F1: three commits accumulate (3 x 3 = 9 rows)") {
+    spark.sql("CREATE TABLE graft.default.t_acc (f0 INT, f1 STRING)")
+    spark.sql("INSERT INTO graft.default.t_acc VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.default.t_acc VALUES (4,'d'), (5,'e'), (6,'f')")
+    spark.sql("INSERT INTO graft.default.t_acc VALUES (7,'g'), (8,'h'), (9,'i')")
+    assert(spark.table("graft.default.t_acc").count() == 9)
+    assert(spark.sql("SELECT sum(f0) FROM graft.default.t_acc")
+      .collect()(0).getLong(0) == 45)
+  }
+
+  test("empty table reads as empty") {
+    spark.sql("CREATE TABLE graft.default.t_empty (f0 INT, f1 STRING)")
+    assert(spark.table("graft.default.t_empty").count() == 0)
+  }
+
+  test("F2: predicate semantics incl. not_equal drops NULL") {
+    spark.sql("CREATE TABLE graft.default.t_pred (f0 BIGINT, f1 STRING)")
+    spark.sql("INSERT INTO graft.default.t_pred VALUES " +
+      "(1,'abc'), (2,'abbc'), (3,'bc'), (4,'d'), (5, NULL)")
+    def q(where: String): Seq[Long] =
+      spark.sql(s"SELECT f0 FROM graft.default.t_pred WHERE $where ORDER BY f0")
+        .collect().map(_.getLong(0)).toSeq
+    assert(q("f1 <> 'abc'") == Seq(2, 3, 4)) // NULL dropped, like the reference
+    assert(q("f1 IS NULL") == Seq(5))
+    assert(q("f1 IS NOT NULL") == Seq(1, 2, 3, 4))
+    assert(q("f1 LIKE 'ab%'") == Seq(1, 2))
+    assert(q("f1 LIKE '%bb%'") == Seq(2))
+    assert(q("f0 BETWEEN 1 AND 3") == Seq(1, 2, 3))
+    assert(q("f0 IN (1, 4)") == Seq(1, 4))
+    assert(q("f0 NOT IN (1, 4)") == Seq(2, 3, 5))
+  }
+
+  test("projection subset and reorder") {
+    val rows = spark.sql("SELECT f1, f0 FROM graft.default.t_pred ORDER BY f0")
+      .collect()
+    assert(rows.map(_.schema.fieldNames.toSeq).head == Seq("f1", "f0"))
+    assert(rows.head.getString(0) == "abc" && rows.head.getLong(1) == 1L)
+  }
+
+  test("PK table: upserts across two commits merge last-write-wins") {
+    spark.sql("CREATE TABLE graft.default.t_pk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2')")
+    spark.sql("INSERT INTO graft.default.t_pk VALUES (1,'x1'), (2,'x2'), (3,'x3')")
+    spark.sql("INSERT INTO graft.default.t_pk VALUES (2,'y2'), (4,'y4')")
+    val got = spark.sql("SELECT * FROM graft.default.t_pk ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "x1"), (2L, "y2"), (3L, "x3"), (4L, "y4")))
+  }
+
+  test("PK table: same key twice in one commit keeps the later row") {
+    spark.sql("CREATE TABLE graft.default.t_pk1 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    spark.sql("INSERT INTO graft.default.t_pk1 SELECT * FROM VALUES " +
+      "(1,'first'), (1,'second') AS t(k, v)")
+    val got = spark.table("graft.default.t_pk1").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "second")
+  }
+
+  test("PK table requires fixed bucket (dynamic rejected like reference)") {
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.default.t_dyn (k INT, v STRING) " +
+        "TBLPROPERTIES ('primary-key'='k')")
+    }
+    assert(e.getMessage.contains("dynamic bucket"))
+  }
+
+  test("nested types rejected at create like reference") {
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.default.t_bad (f0 INT, f1 ARRAY<INT>)")
+    }
+    assert(e.getMessage.contains("unsupported data type"))
+  }
+
+  test("INSERT OVERWRITE replaces whole unpartitioned table") {
+    spark.sql("CREATE TABLE graft.default.t_ow (f0 INT, f1 STRING)")
+    spark.sql("INSERT INTO graft.default.t_ow VALUES (1,'a'), (2,'b')")
+    spark.sql("INSERT OVERWRITE graft.default.t_ow VALUES (9,'z')")
+    val got = spark.table("graft.default.t_ow").collect()
+    assert(got.length == 1 && got(0).getInt(0) == 9)
+  }
+
+  test("static partition overwrite touches only that partition") {
+    spark.sql("CREATE TABLE graft.default.t_part (f0 INT, f1 STRING) " +
+      "PARTITIONED BY (f0)")
+    spark.sql("INSERT INTO graft.default.t_part VALUES (1,'a'), (2,'b')")
+    spark.sql("INSERT OVERWRITE graft.default.t_part PARTITION (f0=1) VALUES ('A')")
+    val got = spark.sql("SELECT f0, f1 FROM graft.default.t_part ORDER BY f0")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "A"), (2, "b")))
+  }
+
+  test("dynamic partition overwrite keeps untouched partitions") {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("CREATE TABLE graft.default.t_dynow (f0 INT, f1 STRING) " +
+        "PARTITIONED BY (f0)")
+      spark.sql("INSERT INTO graft.default.t_dynow VALUES (1,'a'), (2,'b'), (3,'c')")
+      spark.sql("INSERT OVERWRITE TABLE graft.default.t_dynow VALUES (2,'B2'), (2,'B'), (9,'i')")
+      val got = spark.sql("SELECT f0, f1 FROM graft.default.t_dynow ORDER BY f0, f1")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(got.toSeq == Seq((1, "a"), (2, "B"), (2, "B2"), (3, "c"), (9, "i")))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
+
+  test("partitioned PK table with bucket=2, upsert across commits") {
+    spark.sql("CREATE TABLE graft.default.t_ppk (pt INT, k BIGINT, v STRING) " +
+      "PARTITIONED BY (pt) TBLPROPERTIES ('primary-key'='pt,k', 'bucket'='2')")
+    spark.sql("INSERT INTO graft.default.t_ppk VALUES " +
+      "(1, 10, 'a'), (1, 11, 'b'), (2, 10, 'c')")
+    spark.sql("INSERT INTO graft.default.t_ppk VALUES (1, 10, 'A'), (2, 12, 'd')")
+    val got = spark.sql(
+      "SELECT pt, k, v FROM graft.default.t_ppk ORDER BY pt, k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1, 10L, "A"), (1, 11L, "b"), (2, 10L, "c"), (2, 12L, "d")))
+  }
+
+  test("partition pruning: scan of one partition plans fewer input files") {
+    val all = spark.sql("SELECT * FROM graft.default.t_ppk").rdd.getNumPartitions
+    val pruned = spark.sql("SELECT * FROM graft.default.t_ppk WHERE pt = 1")
+      .rdd.getNumPartitions
+    assert(pruned < all || all == 1)
+  }
+
+  test("filter on non-key column of PK table sees merged rows only") {
+    // overwritten value 'a' for (1,10) must NOT resurrect under v='a'
+    val got = spark.sql(
+      "SELECT count(*) FROM graft.default.t_ppk WHERE v = 'a'").collect()(0).getLong(0)
+    assert(got == 0)
+  }
+
+  test("timestamp/date/double columns round-trip") {
+    spark.sql("CREATE TABLE graft.default.t_types " +
+      "(i TINYINT, s SMALLINT, f FLOAT, d DOUBLE, b BOOLEAN, " +
+      "dt DATE, ts TIMESTAMP, bin BINARY)")
+    spark.sql("INSERT INTO graft.default.t_types VALUES " +
+      "(CAST(1 AS TINYINT), CAST(10 AS SMALLINT), CAST(1.5 AS FLOAT), 2.5, true, " +
+      "DATE'2024-03-01', TIMESTAMP'2024-03-01 12:34:56.789', CAST('xy' AS BINARY))")
+    val r = spark.table("graft.default.t_types").collect()(0)
+    assert(r.getByte(0) == 1 && r.getShort(1) == 10)
+    assert(r.getFloat(2) == 1.5f && r.getDouble(3) == 2.5 && r.getBoolean(4))
+    assert(r.getDate(5).toString == "2024-03-01")
+    assert(r.getTimestamp(6).getTime == java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789").getTime)
+    assert(new String(r.getAs[Array[Byte]](7)) == "xy")
+  }
+
+  test("limit pushdown is split-granular but exact after Spark trims") {
+    spark.sql("CREATE TABLE graft.default.t_lim (f0 INT)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.t_lim VALUES ($i)"))
+    assert(spark.sql("SELECT * FROM graft.default.t_lim LIMIT 1").count() == 1)
+    assert(spark.table("graft.default.t_lim").count() == 4)
+  }
+}
