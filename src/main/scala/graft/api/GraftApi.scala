@@ -1,0 +1,302 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+import graft.connector.{GraftCommitMessage, GraftDataWriter, Values}
+import graft.core.{RowKind, TableSchema}
+import graft.format.{DataFileMeta, FileStoreCommit, SnapshotManager}
+import java.nio.file.{Files, Path, Paths}
+
+/** Thin Scala mirror of the reference's builder API
+  * (`pypaimon/api/__init__.py:31-46`): `Catalog → Table → ReadBuilder /
+  * BatchWriteBuilder`, with the same pushdown verbs and the same
+  * two-phase write (`write → prepareCommit ≙ messages → commit`).
+  *
+  * Every read verb is sugar over the DSv2 connector: filters /
+  * projection / limit become DataFrame operations that Catalyst pushes
+  * back into `GraftScanBuilder` — so facade users get the same plans as
+  * `spark.sql` users. Sinks map per SURVEY §2.1: `toDF.collect` ≙
+  * `to_arrow`, `toLocalIterator` ≙ `to_arrow_batch_reader`,
+  * `createTempView` ≙ `to_duckdb`.
+  */
+final class Catalog private (val spark: SparkSession, val warehouse: Path,
+    val catalogName: String) {
+
+  def createDatabase(name: String, ignoreIfExists: Boolean = false): Unit = {
+    val ifNot = if (ignoreIfExists) "IF NOT EXISTS " else ""
+    spark.sql(s"CREATE NAMESPACE $ifNot$catalogName.$name")
+  }
+
+  def createTable(identifier: String, schema: Schema,
+      ignoreIfExists: Boolean = false): Unit = {
+    val Array(db, tbl) = identifier.split("\\.", 2)
+    if (ignoreIfExists && tableExists(identifier)) return
+    val fieldsDdl = schema.fields.map(f =>
+      s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partBy = if (schema.partitionKeys.nonEmpty)
+      s" PARTITIONED BY (${schema.partitionKeys.mkString(", ")})" else ""
+    val props = schema.options ++
+      (if (schema.primaryKeys.nonEmpty)
+        Map("primary-key" -> schema.primaryKeys.mkString(",")) else Map.empty)
+    val tblProps = if (props.nonEmpty)
+      " TBLPROPERTIES (" + props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+    else ""
+    spark.sql(s"CREATE TABLE $catalogName.$db.$tbl ($fieldsDdl)$partBy$tblProps")
+  }
+
+  def tableExists(identifier: String): Boolean = {
+    val Array(db, tbl) = identifier.split("\\.", 2)
+    Files.isDirectory(warehouse.resolve(s"$db.db/$tbl/schema"))
+  }
+
+  def getTable(identifier: String): GraftTableHandle = {
+    val Array(db, tbl) = identifier.split("\\.", 2)
+    val dir = warehouse.resolve(s"$db.db/$tbl")
+    val ts = TableSchema.load(dir).getOrElse(
+      throw new IllegalArgumentException(s"Table $identifier doesn't exist"))
+    new GraftTableHandle(spark, catalogName, identifier, dir, ts)
+  }
+}
+
+object Catalog {
+  /** ≙ `Catalog.create({'warehouse': dir})` — also registers the DSv2
+    * catalog in the session so SQL and facade views coincide.
+    */
+  def create(spark: SparkSession, options: Map[String, String]): Catalog = {
+    val wh = options.getOrElse("warehouse",
+      throw new IllegalArgumentException("Catalog requires option 'warehouse'"))
+    val name = options.getOrElse("catalog-name", "graft")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.connector.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    new Catalog(spark, Paths.get(wh), name)
+  }
+}
+
+/** ≙ reference `Schema(pa_schema, partition_keys, primary_keys, options,
+  * comment)` (`pypaimon/api/table.py:38-51`).
+  */
+final case class Schema(
+    fields: StructType,
+    partitionKeys: Seq[String] = Seq.empty,
+    primaryKeys: Seq[String] = Seq.empty,
+    options: Map[String, String] = Map.empty,
+    comment: Option[String] = None)
+
+final class GraftTableHandle(spark: SparkSession, catalogName: String,
+    val identifier: String, val tableDir: Path, val tableSchema: TableSchema) {
+
+  def newReadBuilder(): ReadBuilder = new ReadBuilder(this, spark, catalogName)
+
+  def newBatchWriteBuilder(): BatchWriteBuilder =
+    new BatchWriteBuilder(this, spark)
+
+  private[api] def sqlName: String = s"$catalogName.$identifier"
+}
+
+/** ≙ `PredicateBuilder` (`pypaimon/api/predicate.py:29-95`): the 14
+  * leaves + and/or, with the reference's unknown-field error text.
+  * Predicates wrap Catalyst `Column`s, so they push down like any
+  * native filter.
+  */
+final class PredicateBuilder(schema: StructType) {
+  private def check(field: String): String = {
+    if (!schema.fieldNames.contains(field))
+      throw new IllegalArgumentException(
+        s"The field $field is not in field list ${schema.fieldNames.mkString("[", ", ", "]")}.")
+    field
+  }
+
+  def equal(f: String, v: Any): Predicate = Predicate(col(check(f)) === lit(v))
+  def notEqual(f: String, v: Any): Predicate = Predicate(col(check(f)) =!= lit(v))
+  def lessThan(f: String, v: Any): Predicate = Predicate(col(check(f)) < lit(v))
+  def lessOrEqual(f: String, v: Any): Predicate = Predicate(col(check(f)) <= lit(v))
+  def greaterThan(f: String, v: Any): Predicate = Predicate(col(check(f)) > lit(v))
+  def greaterOrEqual(f: String, v: Any): Predicate = Predicate(col(check(f)) >= lit(v))
+  def isNull(f: String): Predicate = Predicate(col(check(f)).isNull)
+  def isNotNull(f: String): Predicate = Predicate(col(check(f)).isNotNull)
+  def startswith(f: String, v: String): Predicate = Predicate(col(check(f)).startsWith(v))
+  def endswith(f: String, v: String): Predicate = Predicate(col(check(f)).endsWith(v))
+  def contains(f: String, v: String): Predicate = Predicate(col(check(f)).contains(v))
+  def isIn(f: String, vs: Seq[Any]): Predicate = Predicate(col(check(f)).isin(vs: _*))
+  def isNotIn(f: String, vs: Seq[Any]): Predicate = Predicate(!col(check(f)).isin(vs: _*))
+  def between(f: String, lo: Any, hi: Any): Predicate =
+    Predicate(col(check(f)).between(lit(lo), lit(hi)))
+  def and(ps: Seq[Predicate]): Predicate = Predicate(ps.map(_.column).reduce(_ && _))
+  def or(ps: Seq[Predicate]): Predicate = Predicate(ps.map(_.column).reduce(_ || _))
+}
+
+final case class Predicate(column: Column)
+
+/** ≙ `ReadBuilder` (`pypaimon/api/read_builder.py`): accumulates
+  * pushdown, then `newScan().plan().splits()` for split metadata or
+  * `newRead().toDF(...)` for data.
+  */
+final class ReadBuilder(table: GraftTableHandle, spark: SparkSession,
+    catalogName: String) {
+
+  private var filter: Option[Predicate] = None
+  private var projection: Option[Seq[String]] = None
+  private var limitN: Option[Int] = None
+
+  def newPredicateBuilder(): PredicateBuilder =
+    new PredicateBuilder(table.tableSchema.fields)
+
+  def withFilter(p: Predicate): ReadBuilder = {
+    filter = Some(filter.map(f => Predicate(f.column && p.column)).getOrElse(p))
+    this
+  }
+
+  def withProjection(cols: Seq[String]): ReadBuilder = {
+    val known = table.tableSchema.fields.fieldNames.toSet
+    cols.foreach(c => require(known.contains(c),
+      s"The field $c is not in field list ${known.mkString("[", ", ", "]")}."))
+    projection = Some(cols); this
+  }
+
+  def withLimit(n: Int): ReadBuilder = { limitN = Some(n); this }
+
+  def readType(): StructType = StructType(projection match {
+    case Some(cols) => cols.map(c =>
+      table.tableSchema.fields(table.tableSchema.fields.fieldIndex(c))).toArray
+    case None => table.tableSchema.fields.fields
+  })
+
+  def newScan(): TableScan = new TableScan(table)
+
+  def newRead(): TableRead = new TableRead(this)
+
+  private[api] def toDF(): DataFrame = {
+    var df = spark.table(table.sqlName)
+    filter.foreach(p => df = df.filter(p.column))
+    projection.foreach(cols => df = df.select(cols.map(col): _*))
+    limitN.foreach(n => df = df.limit(n))
+    df
+  }
+}
+
+/** Split metadata ≙ `pypaimon/api/split.py:24-35`. */
+final case class Split(rowCount: Long, fileSize: Long, filePaths: Seq[String])
+
+/** ≙ `TableScan.plan().splits()` — snapshot-consistent enumeration of
+  * split metadata (grouped per merge unit for PK tables).
+  */
+final class TableScan(table: GraftTableHandle) {
+  def plan(): Plan = {
+    val files = new SnapshotManager(table.tableDir).liveFilesLatest
+    val splits =
+      if (table.tableSchema.isPrimaryKeyTable)
+        files.groupBy(f => (f.partition, f.bucket)).map { case (_, fs) =>
+          Split(fs.map(_.rowCount).sum, fs.map(_.fileSize).sum,
+            fs.map(f => table.tableDir.resolve(f.fileName).toString))
+        }.toSeq
+      else files.map(f => Split(f.rowCount, f.fileSize,
+        Seq(table.tableDir.resolve(f.fileName).toString)))
+    Plan(splits)
+  }
+}
+
+final case class Plan(splits: Seq[Split])
+
+/** ≙ `TableRead` sinks (`pypaimon/api/table_read.py:31-56`). */
+final class TableRead(rb: ReadBuilder) {
+  /** The whole-snapshot DataFrame — the Spark-native `to_arrow`. */
+  def toDF(): DataFrame = rb.toDF()
+  /** ≙ `to_arrow().to_pandas()` — local rows. */
+  def toLocalRows(): Array[org.apache.spark.sql.Row] = rb.toDF().collect()
+  /** ≙ `to_arrow_batch_reader` — streaming local iterator. */
+  def toLocalIterator(): java.util.Iterator[org.apache.spark.sql.Row] =
+    rb.toDF().toLocalIterator()
+  /** ≙ `to_duckdb(table_name)`: register + full SQL over the snapshot. */
+  def createTempView(name: String): Unit =
+    rb.toDF().createOrReplaceTempView(name)
+}
+
+/** ≙ `BatchWriteBuilder` (`pypaimon/api/write_builder.py:24-39`). */
+final class BatchWriteBuilder(table: GraftTableHandle, spark: SparkSession) {
+  private[api] var overwriteSpec: Option[Map[String, String]] = None
+
+  /** `overwrite()` = whole table; `overwrite(Map("pt"->"1"))` = static
+    * partition (`test_write_and_read.py:311-383`).
+    */
+  def overwrite(staticPartition: Map[String, String] = Map.empty): BatchWriteBuilder = {
+    overwriteSpec = Some(staticPartition); this
+  }
+
+  def newWrite(): BatchTableWrite = new BatchTableWrite(table, spark)
+
+  def newCommit(): BatchTableCommit = new BatchTableCommit(table, overwriteSpec)
+}
+
+/** ≙ `BatchTableWrite.write_pandas/write_arrow` + `prepare_commit`:
+  * distributed write of a DataFrame into bucket files; returns commit
+  * messages without publishing. An optional `_row_kind` byte column
+  * carries changelog kinds (≙ Java `GenericRow(RowKind.DELETE, ...)`,
+  * `test_write_and_read.py:52-98`); it is stripped from stored values.
+  *
+  * Schema check ≙ `BytesWriter.java:55-79`: types exact (positional),
+  * nullability ignored.
+  */
+final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
+  private val messages = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
+
+  def write(df: DataFrame): BatchTableWrite = {
+    val ts = table.tableSchema
+    val hasKind = df.schema.fieldNames.contains(RowKind.ColumnName)
+    val dataCols = df.schema.fields.filterNot(_.name == RowKind.ColumnName)
+    val expected = ts.fields.fields
+    val ok = dataCols.length == expected.length &&
+      dataCols.zip(expected).forall { case (a, e) => a.dataType == e.dataType }
+    if (!ok) throw new RuntimeException(
+      "Input schema isn't consistent with table schema.\n" +
+        s"\tTable schema is: ${expected.toSeq}\n" +
+        s"\tInput schema is: ${dataCols.toSeq}")
+
+    // align column order/names to table schema (+ optional kind column)
+    val aligned = {
+      val renamed = dataCols.zip(expected).map { case (a, e) => col(a.name).as(e.name) }
+      if (hasKind) df.select(renamed :+ col(RowKind.ColumnName): _*)
+      else df.select(renamed: _*)
+    }
+
+    val writeSchema = aligned.schema
+    val tableDirStr = table.tableDir.toString
+    val fieldsJson = ts.fields.json
+    val partitionKeys = ts.partitionKeys
+    val trimmedPk = ts.trimmedPrimaryKeys
+    val isPk = ts.isPrimaryKeyTable
+    val numBuckets = ts.numBuckets
+    val baseSeq = new SnapshotManager(table.tableDir).latestSnapshot
+      .map(_.lastSequenceNumber + 1).getOrElse(1L)
+
+    val collected: Array[Seq[DataFileMeta]] =
+      aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+        val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
+        val writer = new GraftDataWriter(Paths.get(tableDirStr), fields,
+          partitionKeys, trimmedPk, isPk, numBuckets,
+          baseSeq + (pid.toLong << 32), writeSchema, hasRowKindCol = hasKind)
+        rows.foreach(writer.write)
+        Iterator.single(
+          writer.commit().asInstanceOf[GraftCommitMessage].files)
+      }.collect()
+    messages ++= collected.toSeq.flatten
+    this
+  }
+
+  /** ≙ `prepare_commit()` → the accumulated commit messages. */
+  def prepareCommit(): Seq[DataFileMeta] = messages.toSeq
+}
+
+/** ≙ `BatchTableCommit.commit(messages)` — snapshot publication. */
+final class BatchTableCommit(table: GraftTableHandle,
+    overwriteSpec: Option[Map[String, String]]) {
+
+  def commit(messages: Seq[DataFileMeta]): Unit = {
+    val mode = overwriteSpec match {
+      case None => FileStoreCommit.NoOverwrite
+      case Some(m) => FileStoreCommit.StaticOverwrite(m)
+    }
+    FileStoreCommit.commit(new SnapshotManager(table.tableDir),
+      table.tableSchema.id, table.tableSchema.partitionKeys, messages, mode)
+  }
+}
