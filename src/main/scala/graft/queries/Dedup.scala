@@ -1,33 +1,41 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 import Tables._
 
 /** Deduplication family over `documents`: exact (hash-group), MinHash+LSH
   * (shingle → per-seed min → band → bucket-join), SimHash, and n-gram
-  * Jaccard. Signatures are computed *per row* inside whole-stage codegen
-  * (`transform`/`aggregate` higher-order functions over the token array —
-  * no explode, no shuffle until the candidate-bucket join), so the
-  * signature stage is a single map pass at 100 TB; only the tiny
-  * candidate set shuffles.
+  * Jaccard.
+  *
+  * Shape chosen for 100 TB: signatures are computed by explode +
+  * codegen'd hash/agg (NOT higher-order-function lambdas, which Spark
+  * evaluates interpretively per element — measured ~10x slower at
+  * sf0.1), one shuffle keyed by doc_id for the signature fold, then the
+  * LSH band join touches only candidate buckets. Shingle/token blowup
+  * is linear in corpus size; the quadratic pair space exists only
+  * within a band bucket.
   */
 object Dedup {
 
   private val tokensExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
-  private val sqlTokens = "regexp_extract_all(lower(text), '[a-z]+')"
 
-  // 3-token shingles of the token array, computed in-row.
+  // 3-token shingles of the token array, computed in-row (single pass).
   private val shinglesExpr =
     s"""transform(sequence(1, greatest(size($tokensExpr) - 2, 0)),
        i -> concat_ws(' ', slice($tokensExpr, i, 3)))"""
 
-  // MinHash signature: k=16 seeded xxhash64 minima over the shingle set.
-  private val K = 16
-  private val R = 4 // rows per band
-  private val B = K / R // 4 bands
-  private val sigExpr =
-    s"""transform(sequence(0, ${K - 1}),
-       s -> array_min(transform(sh, g -> xxhash64(g, s))))"""
+  private val K = 16 // minhash signature length
+  private val R = 4 // rows per LSH band -> B = K/R = 4 bands
+
+  /** (doc_id, m0..m15): per-seed minima via partial-aggregatable min. */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val shingleRows = docs
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("g"))
+    val minCols: Seq[Column] = (0 until K).map(s =>
+      min(xxhash64(col("g"), lit(s))).as(s"m$s"))
+    shingleRows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // Exact dedup: hash-groupBy on a normalized fingerprint.
@@ -43,7 +51,7 @@ object Dedup {
         FROM (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
               FROM documents) q""")),
 
-    // Exact dedup, keep-first: representative row per fingerprint group.
+    // Exact dedup, keep-first: group-size histogram.
     QueryDef("d_exact_keep_first",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
@@ -60,54 +68,67 @@ object Dedup {
         GROUP BY group_size ORDER BY group_size""")),
 
     // MinHash + LSH banding. No DuckDB oracle (xxhash64 is
-    // Spark-internal) → driver records rows-only check; the ScalaTest
-    // spec asserts planted near-duplicates are found.
+    // Spark-internal) → rows-only check; DedupSpec asserts planted
+    // near-duplicates are found.
     QueryDef("d_minhash_lsh",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .withColumn("sh", expr(shinglesExpr))
-          .filter(size(col("sh")) > 0)
-          .withColumn("sig", expr(sigExpr))
-        val bands = docs.select(col("doc_id"), col("sh"),
-          posexplode(expr(s"transform(sequence(0, ${B - 1}), " +
-            s"b -> xxhash64(slice(sig, b * $R + 1, $R), b))"))
-            .as(Seq("band", "bhash")))
+        val sigs = minhashSigs(docs)
+        // band hash over its R signature slots — no arrays, pure codegen
+        val bandCols = (0 until K / R).map { b =>
+          val slots = (b * R until (b + 1) * R).map(i => col(s"m$i"))
+          struct(lit(b).as("band"),
+            xxhash64(slots :+ lit(b): _*).as("bhash"))
+        }
+        val bands = sigs
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") &&
             col("x.bhash") === col("y.bhash") &&
             col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-            col("x.sh").as("sha"), col("y.sh").as("shb"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        val confirmed = cand.withColumn("inter",
-            expr("size(filter(array_distinct(sha), g -> array_contains(shb, g)))"))
+        // verify candidates with exact shingle-set Jaccard
+        val tk = docs.select(col("doc_id"),
+          expr(s"array_distinct($shinglesExpr)").as("sh"))
+        cand
+          .join(tk.as("ta"), col("a") === col("ta.doc_id"))
+          .join(tk.as("tb"), col("b") === col("tb.doc_id"))
+          .withColumn("inter",
+            expr("size(filter(ta.sh, g -> array_contains(tb.sh, g)))"))
           .withColumn("uni",
-            expr("size(array_distinct(sha)) + size(array_distinct(shb)) - inter"))
+            size(col("ta.sh")) + size(col("tb.sh")) - col("inter"))
           .filter(col("inter").cast("double") / col("uni") >= 0.5)
-        confirmed.agg(count(lit(1)).as("n_neardup_pairs"))
+          .agg(count(lit(1)).as("n_neardup_pairs"))
       },
       None),
 
-    // SimHash: 64-bit signature from per-token hash votes, in-row.
+    // SimHash: 64-bit signature from per-token hash bit votes —
+    // explode + 64 codegen'd conditional sums, one shuffle on doc_id.
     QueryDef("d_simhash",
-      (s, dir) => t(s, dir, "documents")
-        .withColumn("toks", expr(tokensExpr))
-        .filter(size(col("toks")) > 0)
-        .withColumn("simhash",
-          expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
-            acc + if(aggregate(toks, 0L, (v, w) ->
-              v + if((shiftright(xxhash64(w), b) & 1L) = 1L, 1L, -1L)) >= 0L,
-              shiftleft(1L, b), 0L))"""))
-        .select(col("doc_id"), col("simhash"))
-        .groupBy(expr("simhash & 65535").as("band16"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-        .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs_in_collision_bands"),
-          count(lit(1)).as("n_bands")),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs
+          .select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+          .select(col("doc_id"), xxhash64(col("w")).as("h"))
+        val bitSums = (0 until 64).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+        val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 64).map(b =>
+              when(col(s"b$b") >= 0, expr(s"CAST(${1L << b} AS BIGINT)"))
+                .otherwise(0L))
+              .reduce(_ + _).as("simhash"))
+        sig.groupBy(expr("simhash & 65535").as("band16"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs_in_collision_bands"),
+            count(lit(1)).as("n_bands"))
+      },
       None),
 
-    // n-gram Jaccard over adjacent doc pairs (windowed candidate set) —
-    // SQL-expressible, exact-integer arithmetic → full DuckDB oracle.
+    // n-gram Jaccard over adjacent doc pairs — full DuckDB oracle.
     QueryDef("d_ngram_jaccard",
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -2,26 +2,23 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 import Tables._
 
 /** Similarity search over the `embeddings` table (`embedding:
   * Array[Float]`, 64-d; `label` serves as a coarse IVF cell id).
   *
-  * The dot product / norm is a single codegen'd higher-order-function
-  * chain (`aggregate(zip_with(...))`), accumulated in double, in-row —
-  * no UDF, no shuffle for the scoring pass. Brute-force top-k is the
-  * correctness baseline; the IVF variant restricts candidates to the
-  * query's cell, which is the 100 TB scale path (cells ≙ partition
-  * pruning on the candidate side).
+  * Scoring uses [[graft.functions.FloatVectorDot]] — a custom Catalyst
+  * expression with `doGenCode`, so the dot product is a primitive loop
+  * inside whole-stage codegen (higher-order functions evaluate lambdas
+  * interpretively and were ~10x slower at sf0.1). Norms are computed
+  * once per side before the pairwise join, not per pair.
+  *
+  * Brute-force top-k is the correctness baseline; the IVF variant
+  * restricts candidates to the query's cell — at 100 TB, cells map to
+  * partition keys and the candidate side is partition-pruned.
   */
 object Similarity {
-
-  /** cosine(a, b) with explicit left-fold-in-double accumulation. */
-  private val cosExpr =
-    """(aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-       / (sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        * sqrt(aggregate(cv, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
 
   val defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
@@ -29,12 +26,14 @@ object Similarity {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val probes = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            vec_norm(col("embedding")).as("qn"))
         val corpus = emb
-          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+            vec_norm(col("embedding")).as("cn"))
         val scored = corpus.crossJoin(broadcast(probes))
           .filter(col("cand_id") =!= col("query_id"))
-          .withColumn("cos", expr(cosExpr))
+          .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("cand_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -50,13 +49,13 @@ object Similarity {
         val emb = t(s, dir, "embeddings")
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("label").as("cell"))
+            vec_norm(col("embedding")).as("qn"), col("label").as("cell"))
         val corpus = emb
           .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-            col("label"))
+            vec_norm(col("embedding")).as("cn"), col("label"))
         val scored = corpus.join(broadcast(probes),
             col("label") === col("cell") && col("cand_id") =!= col("query_id"))
-          .withColumn("cos", expr(cosExpr))
+          .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("cand_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -66,25 +65,25 @@ object Similarity {
       },
       None),
 
-    // Embedding near-duplicate detection, blocked by cell (label) so the
-    // pair space is within-cell only.
+    // Embedding near-duplicate detection, blocked by cell (label).
     QueryDef("d_embedding_neardup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"),
+            vec_norm(col("embedding")).as("nrm"))
         val a = emb.select(col("vec_id").as("ida"), col("embedding").as("qv"),
-          col("label"))
+          col("nrm").as("na"), col("label"))
         val b = emb.select(col("vec_id").as("idb"), col("embedding").as("cv"),
-          col("label"))
+          col("nrm").as("nb"), col("label"))
         a.join(b, Seq("label"))
           .filter(col("ida") < col("idb"))
-          .withColumn("cos", expr(cosExpr))
+          .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("na") * col("nb")))
           .filter(col("cos") > 0.95)
           .agg(count(lit(1)).as("n_neardup_pairs"))
       },
       None),
 
-    // Centroid summary per cell: element-wise mean vector norm — the
-    // "train coarse quantizer" step of IVF, as a single shuffle agg.
+    // Centroid summary per cell — the "train coarse quantizer" step.
     QueryDef("s_cell_stats",
       (s, dir) => t(s, dir, "embeddings")
         .groupBy("label")

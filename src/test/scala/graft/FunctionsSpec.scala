@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Correctness of the custom vector expression and the dedup/similarity
+  * pipelines on planted data.
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("FloatVectorDot matches reference fold, interpreted and codegen") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -1.5f), Array(2.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(vec_dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) == 32.0)
+    assert(got(1) == 0.5 * 2.0 + (-1.5) * 2.0)
+    // cosine of identical vectors is 1.0
+    val cos = df.select(vec_cosine(col("a"), col("a"))).collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // null propagates
+    val withNull = Seq((Option.empty[Array[Float]], Array(1.0f))).toDF("a", "b")
+    assert(withNull.select(vec_dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("minhash LSH finds planted near-duplicates in documents") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    // plant: copy of documents with 3 rows duplicated under new ids
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dups = docs.limit(3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val planted = docs.unionByName(dups)
+    val tmp = java.nio.file.Files.createTempDirectory("mh").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val n = SparkEntry.queries("d_minhash_lsh")(spark, tmp)
+      .collect()(0).getLong(0)
+    assert(n >= 3, s"expected >=3 planted near-dup pairs, got $n")
+  }
+
+  test("simhash collides exact duplicates into the same band") {
+    val sf = "/root/testdata/sf0.1" // has 8 exact duplicate texts
+    val row = SparkEntry.queries("d_simhash")(spark, sf).collect()(0)
+    assert(row.getLong(0) >= 2) // collision bands exist
+  }
+
+  test("cosine top-k ranks an exact copy first") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // plant an exact copy of vec 0 with id 999999 in the corpus
+    val copy = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(999999L))
+    val tmp = java.nio.file.Files.createTempDirectory("ann").toString
+    emb.unionByName(copy).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val top = SparkEntry.queries("s_cosine_topk")(spark, tmp)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .collect()(0).getLong(2)
+    assert(top == 999999L, s"exact copy should rank 1, got $top")
+  }
+}
