@@ -68,6 +68,10 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tableDir, schema, required)
+
   override def description(): String = {
     val snap = new SnapshotManager(tableDir).latestSnapshotId.getOrElse(-1L)
     s"GraftScan(snapshot=$snap, pruneBy=[${filters.mkString(", ")}], limit=$limit)"
@@ -155,7 +159,8 @@ final case class GraftReaderFactory(
     partitionKeys: Seq[String],
     trimmedPk: Seq[String],
     isPk: Boolean,
-    requiredJson: String) extends PartitionReaderFactory {
+    requiredJson: String,
+    merge: Boolean = true) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftInputPartition]
@@ -169,18 +174,20 @@ final case class GraftReaderFactory(
         dataFields.fields) else dataFields
 
     // columns we must read: required ∩ dataFields, plus key/seq/kind for merge
+    val needMerge = isPk && merge
     val requiredData = dataFields.fields.map(_.name)
       .filter(n => required.fieldNames.contains(n) ||
-        (isPk && trimmedPk.contains(n)))
-    val readSchema = if (isPk) StructType(
+        (needMerge && trimmedPk.contains(n)))
+    val readSchema = if (needMerge) StructType(
       kvFileSchema.fields.filter(f => f.name == "_SEQUENCE_NUMBER" ||
         f.name == "_VALUE_KIND" || requiredData.contains(f.name)))
     else StructType(dataFields.fields.filter(f => requiredData.contains(f.name)))
 
     val rows: Iterator[InternalRow] =
-      if (isPk) mergeOnRead(part, kvFileSchema, readSchema)
+      if (needMerge) mergeOnRead(part, kvFileSchema, readSchema)
       else part.filePaths.iterator.flatMap(f =>
-        new ParquetIO.RowReader(Paths.get(f), dataFields, readSchema))
+        new ParquetIO.RowReader(Paths.get(f),
+          if (isPk) kvFileSchema else dataFields, readSchema))
 
     // output assembly: required order; partition constants spliced in
     val pTypes = partitionKeys.zipWithIndex.map { case (k, i) =>

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by per-partition batch
+  * operators over typed Datasets (the Scala analogue of a Pandas-UDF
+  * `mapInPandas` stage: one JVM-side iterator per partition, batch
+  * reuse, columnar in/out at the boundary).
+  *
+  * The actual media decoding is a DETERMINISTIC STUB — this container
+  * has no image/audio codecs — marked [[MediaCodec.decodeStub]]. The
+  * Spark-side contract (schema, partitioning, operator signature, batch
+  * shape, null handling) is real and tested; swapping in a real codec
+  * is a one-function change.
+  */
+object Multimodal {
+
+  /** One media object: id + declared type + raw bytes + source hint. */
+  final case class MediaBlob(docId: Long, mediaType: String,
+      bytes: Array[Byte])
+
+  /** Extracted per-object features (fixed-width, columnar-friendly). */
+  final case class MediaFeatures(docId: Long, mediaType: String,
+      nBytes: Long, width: Int, height: Int, meanLuma: Double,
+      byteEntropy: Double)
+
+  /** One sampled frame of a "video" blob. */
+  final case class MediaFrame(docId: Long, frameIdx: Int, nBytes: Long,
+      frameHash: Long)
+
+  object MediaCodec {
+    /** STUB decode: a real implementation would parse the container
+      * format (JPEG/PNG/WAV/...) here. The stub derives deterministic
+      * pseudo-dimensions and luma from the byte stream so tests are
+      * stable and the downstream pipeline shape is exercised honestly.
+      */
+    def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
+      val n = bytes.length
+      val w = 64 + (if (n == 0) 0 else java.lang.Byte.toUnsignedInt(bytes(0)) % 192)
+      val h = 64 + (if (n < 2) 0 else java.lang.Byte.toUnsignedInt(bytes(1)) % 128)
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += java.lang.Byte.toUnsignedInt(bytes(i)); i += 1 }
+      val meanLuma = if (n == 0) 0.0 else sum.toDouble / n / 255.0
+      (w, h, meanLuma)
+    }
+
+    /** Shannon entropy of the byte histogram — real, not stubbed. */
+    def byteEntropy(bytes: Array[Byte]): Double = {
+      if (bytes.isEmpty) return 0.0
+      val hist = new Array[Long](256)
+      bytes.foreach(b => hist(java.lang.Byte.toUnsignedInt(b)) += 1)
+      val n = bytes.length.toDouble
+      var e = 0.0
+      var i = 0
+      while (i < 256) {
+        if (hist(i) > 0) { val p = hist(i) / n; e -= p * math.log(p) / math.log(2) }
+        i += 1
+      }
+      e
+    }
+  }
+
+  implicit val blobEnc: Encoder[MediaBlob] = Encoders.product[MediaBlob]
+  implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+  implicit val frameEnc: Encoder[MediaFrame] = Encoders.product[MediaFrame]
+
+  /** Feature extraction: one pass per partition, no shuffle. At 100 TB
+    * the blobs column is the dominant IO; this stage is map-only and
+    * runs at scan parallelism.
+    */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] =
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val (w, h, luma) = MediaCodec.decodeStub(b.bytes)
+        MediaFeatures(b.docId, b.mediaType, b.bytes.length.toLong, w, h,
+          luma, MediaCodec.byteEntropy(b.bytes))
+      }
+    }
+
+  /** Frame sampling: flatMap one blob → `framesPer` frame rows
+    * (deterministic stride over the byte stream stands in for codec
+    * frame extraction). Row-expansion operators must be flatMap-shaped
+    * so Spark can pipeline them without materializing per-blob state.
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], framesPer: Int): Dataset[MediaFrame] =
+    blobs.flatMap { b =>
+      val n = b.bytes.length
+      (0 until framesPer).iterator.map { f =>
+        val start = if (framesPer == 0 || n == 0) 0 else (n.toLong * f / framesPer).toInt
+        val end = if (n == 0) 0 else math.min(n, start + math.max(1, n / math.max(framesPer, 1)))
+        var hsh = 1125899906842597L
+        var i = start
+        while (i < end) { hsh = 31 * hsh + b.bytes(i); i += 1 }
+        MediaFrame(b.docId, f, (end - start).toLong, hsh)
+      }
+    }
+
+  /** Resize stub: bytes→bytes, content-preserving marker semantics. */
+  def resize(blobs: Dataset[MediaBlob], w: Int, h: Int): Dataset[MediaBlob] =
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        // STUB: a real codec would re-encode; we tag the header bytes so
+        // the transform is observable and deterministic.
+        val out = java.util.Arrays.copyOf(b.bytes, b.bytes.length)
+        if (out.length >= 2) { out(0) = (w % 251).toByte; out(1) = (h % 251).toByte }
+        b.copy(bytes = out)
+      }
+    }
+
+  /** Build a MediaBlob dataset from the documents table (text bytes act
+    * as the opaque payload in this container).
+    */
+  def blobsFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("mediaType"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaBlob]
+  }
+}
