@@ -91,6 +91,38 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
   def newBatchWriteBuilder(): BatchWriteBuilder =
     new BatchWriteBuilder(this, spark)
 
+  /** Full compaction: every (partition, bucket) group with more than
+    * one live file is rewritten into one (distributed, one task per
+    * group) and published as a COMPACT snapshot. Returns the number of
+    * groups compacted. See [[graft.format.Compactor]].
+    */
+  def compact(): Int = {
+    val sm = new SnapshotManager(tableDir)
+    val groups = sm.liveFilesLatest
+      .groupBy(f => (f.partition, f.bucket))
+      .filter(_._2.size > 1).toSeq
+    if (groups.isEmpty) return 0
+    val dirStr = tableDir.toString
+    val fieldsJson = tableSchema.fields.json
+    val pks = tableSchema.partitionKeys
+    val tpk = tableSchema.trimmedPrimaryKeys
+    val isPk = tableSchema.isPrimaryKeyTable
+    val work = groups.map { case ((part, bucket), fs) =>
+      (part, bucket, fs.map(_.fileName))
+    }
+    val adds = spark.sparkContext
+      .parallelize(work, work.size)
+      .map { case (part, bucket, names) =>
+        graft.format.Compactor.rewriteGroup(Paths.get(dirStr),
+          org.apache.spark.sql.types.DataType.fromJson(fieldsJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType],
+          pks, tpk, isPk, part, bucket, names)
+      }.collect().toSeq
+    val deleteNames = groups.flatMap(_._2.map(_.fileName)).toSet
+    graft.format.Compactor.commit(sm, tableSchema.id, adds, deleteNames, tableDir)
+    groups.size
+  }
+
   private[api] def sqlName: String = s"$catalogName.$identifier"
 }
 

@@ -104,6 +104,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** Time travel: `SELECT ... FROM t VERSION AS OF <snapshotId>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    TableSchema.load(dir) match {
+      case Some(schema) =>
+        val sm = new graft.format.SnapshotManager(dir)
+        val id = version.toLong
+        require(sm.latestSnapshotId.exists(_ >= id) && id >= 1,
+          s"Snapshot $version does not exist for table $ident")
+        new GraftTable(ident, dir, schema, Some(id))
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** Time travel: `TIMESTAMP AS OF` — latest snapshot at or before the
+    * given time (micros since epoch, per the DSv2 contract).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    TableSchema.load(dir) match {
+      case Some(schema) =>
+        val sm = new graft.format.SnapshotManager(dir)
+        val tsMillis = timestampMicros / 1000
+        val id = (1L to sm.latestSnapshotId.getOrElse(0L))
+          .map(sm.snapshot).filter(_.timeMillis <= tsMillis)
+          .map(_.id).maxOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"No snapshot of $ident at or before timestamp $tsMillis"))
+        new GraftTable(ident, dir, schema, Some(id))
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val dir = tableDir(ident)

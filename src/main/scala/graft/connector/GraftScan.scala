@@ -3,6 +3,7 @@ package graft.connector
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import graft.core.{RowKind, TableSchema}
@@ -28,7 +29,8 @@ import scala.collection.mutable
   *  - One [[InputPartition]] per (partition, bucket) for PK tables (the
   *    merge unit), per data file for append tables.
   */
-class GraftScanBuilder(tableDir: Path, schema: TableSchema)
+class GraftScanBuilder(tableDir: Path, schema: TableSchema,
+    pinnedSnapshot: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -53,7 +55,7 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema)
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def build(): Scan =
-    new GraftScan(tableDir, schema, required, filters, limit)
+    new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot)
 }
 
 final case class GraftInputPartition(
@@ -62,9 +64,26 @@ final case class GraftInputPartition(
     bucket: Int) extends InputPartition
 
 class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
-    filters: Array[Filter], limit: Option[Int]) extends Scan with Batch {
+    filters: Array[Filter], limit: Option[Int],
+    pinnedSnapshot: Option[Long] = None)
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Post-pruning size/row estimates → lets Catalyst pick broadcast
+    * joins over graft tables like over native parquet relations.
+    */
+  override def estimateStatistics(): Statistics = {
+    val files = prunedFiles()
+    val rows = files.map(_.rowCount).sum
+    val bytes = files.map(_.fileSize).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toBatch: Batch = this
 
@@ -73,13 +92,21 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     new GraftMicroBatchStream(tableDir, schema, required)
 
   override def description(): String = {
-    val snap = new SnapshotManager(tableDir).latestSnapshotId.getOrElse(-1L)
-    s"GraftScan(snapshot=$snap, pruneBy=[${filters.mkString(", ")}], limit=$limit)"
+    val snap = pinnedSnapshot.orElse(
+      new SnapshotManager(tableDir).latestSnapshotId).getOrElse(-1L)
+    val pin = if (pinnedSnapshot.isDefined) " (time travel)" else ""
+    s"GraftScan(snapshot=$snap$pin, pruneBy=[${filters.mkString(", ")}], limit=$limit)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Live files at the scan's snapshot, after partition / key-stats /
+    * bucket pruning.
+    */
+  private def prunedFiles(): Seq[DataFileMeta] = {
     val sm = new SnapshotManager(tableDir)
-    val files = sm.liveFilesLatest
+    val files = pinnedSnapshot match {
+      case Some(id) => sm.liveFiles(sm.snapshot(id))
+      case None => sm.liveFilesLatest
+    }
     val pTypes = schema.partitionKeys
       .map(k => k -> schema.fields(schema.fields.fieldIndex(k)).dataType).toMap
 
@@ -113,10 +140,14 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
         }
         Some(Values.bucketOf(keyStrs, schema.numBuckets))
       } else None
-    val afterBucket = targetBucket match {
+    targetBucket match {
       case Some(b) => afterStats.filter(_.bucket == b)
       case None => afterStats
     }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val afterBucket = prunedFiles()
 
     def abs(f: DataFileMeta): String = tableDir.resolve(f.fileName).toString
 

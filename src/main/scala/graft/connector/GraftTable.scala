@@ -15,7 +15,8 @@ import scala.jdk.CollectionConverters._
   * (`pypaimon/api/table.py:26-35`): `newScanBuilder` ≙
   * `new_read_builder`, `newWriteBuilder` ≙ `new_batch_write_builder`.
   */
-class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSchema)
+class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSchema,
+    val pinnedSnapshot: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = ident.toString
@@ -41,8 +42,10 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableDir, tableSchema)
+    new GraftScanBuilder(tableDir, tableSchema, pinnedSnapshot)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedSnapshot.isEmpty, "Cannot write to a time-travel read")
     new GraftWriteBuilder(tableDir, tableSchema, info)
+  }
 }

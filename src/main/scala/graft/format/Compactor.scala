@@ -1,0 +1,143 @@
+package graft.format
+
+import org.apache.spark.sql.types._
+import graft.connector.Values
+import graft.core.RowKind
+import java.nio.file.{Files, Path}
+import scala.collection.mutable
+
+/** Full compaction of one (partition, bucket) group: read every live
+  * file, merge (PK tables: last-write-wins by sequence, then drop
+  * deletes — safe because the WHOLE bucket is rewritten, so no older
+  * file can resurrect a key), write one sorted file back. This is the
+  * "second snapshot" of the reference's "one commit may generate up to
+  * two snapshots (data + compaction)" (`pypaimon/api/table_commit.py:
+  * 28-32`), exposed as an explicit maintenance action.
+  *
+  * Runs one task per group on executors; the driver publishes a single
+  * COMPACT snapshot with DELETE(old)+ADD(new) entries.
+  */
+object Compactor {
+
+  /** Executor-side rewrite; returns the replacement file meta. */
+  def rewriteGroup(
+      tableDir: Path,
+      fields: StructType,
+      partitionKeys: Seq[String],
+      trimmedPk: Seq[String],
+      isPk: Boolean,
+      partition: Seq[String],
+      bucket: Int,
+      fileNames: Seq[String]): DataFileMeta = {
+
+    val dataFields = StructType(
+      fields.fields.filterNot(f => partitionKeys.contains(f.name)))
+    val fileSchema = if (isPk) StructType(
+      StructField("_SEQUENCE_NUMBER", LongType, nullable = false) +:
+        StructField("_VALUE_KIND", IntegerType, nullable = false) +:
+        dataFields.fields) else dataFields
+
+    val rows: Seq[org.apache.spark.sql.catalyst.InternalRow] =
+      if (isPk) {
+        val keyIdx = trimmedPk.map(k => fileSchema.fieldIndex(k))
+        val keyTypes = trimmedPk.map(k => fileSchema(fileSchema.fieldIndex(k)).dataType)
+        val best = mutable.LinkedHashMap.empty[Seq[String],
+          (Long, org.apache.spark.sql.catalyst.InternalRow)]
+        fileNames.foreach { fn =>
+          new ParquetIO.RowReader(tableDir.resolve(fn), fileSchema, fileSchema)
+            .foreach { r =>
+              val key = keyIdx.zip(keyTypes).map { case (i, dt) =>
+                Values.encodeField(r, i, dt)
+              }
+              val seq = r.getLong(0)
+              best.get(key) match {
+                case Some((s, _)) if s >= seq => ()
+                case _ => best.update(key, (seq, r))
+              }
+            }
+        }
+        // whole-bucket rewrite → winners that are deletes vanish for good
+        val keyTs = trimmedPk.map(k => fileSchema(fileSchema.fieldIndex(k)).dataType)
+        best.values.toSeq
+          .filter { case (_, r) => RowKind.isAdd(r.getInt(1).toByte) }
+          .sortWith { case ((_, a), (_, b)) =>
+            var c = 0; var i = 0
+            while (c == 0 && i < keyIdx.length) {
+              val ia = keyIdx(i)
+              val av = if (a.isNullAt(ia)) null else a.get(ia, keyTs(i))
+              val bv = if (b.isNullAt(ia)) null else b.get(ia, keyTs(i))
+              c = Values.compare(keyTs(i), av, bv)
+              i += 1
+            }
+            c < 0
+          }.map(_._2)
+      } else
+        fileNames.flatMap(fn =>
+          new ParquetIO.RowReader(tableDir.resolve(fn), fileSchema, fileSchema).toSeq)
+
+    val partDir = partitionKeys.zip(partition)
+      .map { case (k, v) => s"$k=$v" }.mkString("/")
+    val bucketDir = (if (partDir.isEmpty) "" else partDir + "/") + s"bucket-$bucket"
+    Files.createDirectories(tableDir.resolve(bucketDir))
+    val rel = s"$bucketDir/compact-${java.util.UUID.randomUUID()}.parquet"
+    val w = new ParquetIO.RowWriter(tableDir.resolve(rel), fileSchema)
+    rows.foreach(w.write)
+    w.close()
+
+    val seqs = if (isPk && rows.nonEmpty) rows.map(_.getLong(0)) else Seq(0L)
+    val stats = if (isPk) {
+      val keyIdx = trimmedPk.map(k => fileSchema.fieldIndex(k))
+      val keyTypes = trimmedPk.map(k => fileSchema(fileSchema.fieldIndex(k)).dataType)
+      keyIdx.zip(keyTypes).zipWithIndex.map { case ((i, dt), k) =>
+        var lo: Any = null; var hi: Any = null
+        rows.foreach { r =>
+          val v = if (r.isNullAt(i)) null else r.get(i, dt)
+          if (v != null) {
+            if (lo == null || Values.compare(dt, v, lo) < 0) lo = v
+            if (hi == null || Values.compare(dt, v, hi) > 0) hi = v
+          }
+        }
+        trimmedPk(k) -> (Values.encode(dt, lo) -> Values.encode(dt, hi))
+      }.toMap
+    } else Map.empty[String, (String, String)]
+
+    DataFileMeta(rel, Files.size(tableDir.resolve(rel)), rows.length,
+      partition, bucket, seqs.min, seqs.max, stats)
+  }
+
+  /** Publish a COMPACT snapshot replacing `deleteNames` with `adds`.
+    * Aborts (deleting the new files) if a concurrent commit removed any
+    * of the inputs.
+    */
+  def commit(sm: SnapshotManager, schemaId: Long,
+      adds: Seq[DataFileMeta], deleteNames: Set[String],
+      tableDir: Path): Boolean = {
+    var attempt = 0
+    while (attempt < 100) {
+      val base = sm.latestSnapshot.getOrElse(
+        throw new IllegalStateException("Compaction on empty table"))
+      val live = sm.liveFiles(base)
+      val liveNames = live.map(_.fileName).toSet
+      if (!deleteNames.subsetOf(liveNames)) {
+        adds.foreach(f => Files.deleteIfExists(tableDir.resolve(f.fileName)))
+        return false // inputs vanished under us — give up cleanly
+      }
+      val entries = live.filter(f => deleteNames.contains(f.fileName))
+        .map(f => ManifestEntry("DELETE", f)) ++
+        adds.map(f => ManifestEntry("ADD", f))
+      val manifest = sm.writeManifest(entries)
+      val snap = Snapshot(
+        id = base.id + 1,
+        schemaId = schemaId,
+        commitKind = "COMPACT",
+        timeMillis = System.currentTimeMillis(),
+        manifests = base.manifests :+ manifest,
+        lastSequenceNumber = base.lastSequenceNumber,
+        totalRecordCount = live.filterNot(f => deleteNames.contains(f.fileName))
+          .map(_.rowCount).sum + adds.map(_.rowCount).sum)
+      if (sm.tryCommitSnapshot(snap)) return true
+      attempt += 1
+    }
+    false
+  }
+}

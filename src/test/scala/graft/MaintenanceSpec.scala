@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.api._
+import graft.format.SnapshotManager
+import java.nio.file.Files
+
+/** Time travel, statistics-driven planning, and compaction. */
+class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var warehouse: java.nio.file.Path = _
+
+  lazy val spark: SparkSession = {
+    warehouse = Files.createTempDirectory("graft-maint-wh")
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.default")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("VERSION AS OF reads historical snapshots") {
+    spark.sql("CREATE TABLE graft.default.tt (f0 INT)")
+    spark.sql("INSERT INTO graft.default.tt VALUES (1)")
+    spark.sql("INSERT INTO graft.default.tt VALUES (2)")
+    spark.sql("INSERT OVERWRITE graft.default.tt VALUES (9)")
+    assert(spark.sql("SELECT * FROM graft.default.tt VERSION AS OF 1")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(spark.sql("SELECT * FROM graft.default.tt VERSION AS OF 2 ORDER BY f0")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(spark.table("graft.default.tt")
+      .collect().map(_.getInt(0)).toSeq == Seq(9))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.default.tt VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("TIMESTAMP AS OF picks the snapshot at that time") {
+    // all snapshots were committed before 'now'
+    val got = spark.sql(
+      "SELECT * FROM graft.default.tt TIMESTAMP AS OF current_timestamp()")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(9))
+  }
+
+  test("scan statistics enable broadcast of a small graft table") {
+    spark.sql("CREATE TABLE graft.default.dim (k INT, name STRING)")
+    spark.sql("INSERT INTO graft.default.dim VALUES (1,'a'), (2,'b')")
+    val plan = spark.sql(
+      """SELECT * FROM graft.default.tt t JOIN graft.default.dim d ON t.f0 = d.k""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("compaction merges small files and preserves the merged view") {
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    spark.sql("CREATE TABLE graft.default.cmp (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.cmp VALUES (1,'a'), (2,'b')")
+    spark.sql("INSERT INTO graft.default.cmp VALUES (2,'B'), (3,'c')")
+    spark.sql("INSERT INTO graft.default.cmp VALUES (1,'A')")
+
+    val table = catalog.getTable("default.cmp")
+    val before = new SnapshotManager(table.tableDir).liveFilesLatest
+    assert(before.size >= 3)
+
+    val n = table.compact()
+    assert(n == 1)
+
+    val after = new SnapshotManager(table.tableDir).liveFilesLatest
+    assert(after.size == 1)
+    assert(after.head.fileName.contains("compact-"))
+    val snap = new SnapshotManager(table.tableDir).latestSnapshot.get
+    assert(snap.commitKind == "COMPACT")
+
+    val got = spark.sql("SELECT k, v FROM graft.default.cmp ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "A"), (2L, "B"), (3L, "c")))
+
+    // compaction is idempotent when nothing to do
+    assert(table.compact() == 0)
+  }
+
+  test("upserts after compaction still win by sequence number") {
+    spark.sql("INSERT INTO graft.default.cmp VALUES (2,'B2')")
+    val got = spark.sql("SELECT k, v FROM graft.default.cmp ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "A"), (2L, "B2"), (3L, "c")))
+  }
+}
