@@ -12,8 +12,9 @@ import graft.queries._
 object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
-    Relational.defs ++ Predicates.defs ++ MergeOnRead.defs ++
-      Text.defs ++ Dedup.defs ++ Similarity.defs ++ MultimodalQ.defs
+    Relational.defs ++ Relational2.defs ++ Predicates.defs ++
+      MergeOnRead.defs ++ Text.defs ++ Dedup.defs ++ Similarity.defs ++
+      MultimodalQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

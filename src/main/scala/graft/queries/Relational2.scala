@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Second wave of the relational/function surface: JSON extraction,
+  * as-of join (window formulation, cross-validated against DuckDB's
+  * native ASOF JOIN), sessionization, SCD2 intervals, pivot, cube,
+  * ranking family, string/math scalar functions, grouped string
+  * aggregation, histograms, and positional n-gram analysis.
+  */
+object Relational2 {
+
+  val defs: Seq[QueryDef] = Seq(
+    // JSON column extraction (events.props is a JSON string).
+    QueryDef("q_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+          COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // As-of join: each purchase matched to the user's most recent
+    // signup at-or-before it. Spark expresses it as a running
+    // last-ignore-nulls window (sort-merge, no quadratic blowup); the
+    // oracle is DuckDB's native ASOF JOIN — two independent
+    // implementations of the same semantics.
+    QueryDef("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev.withColumn("last_signup",
+            last(when(col("event_type") === "signup", col("event_id")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" && col("last_signup").isNotNull)
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("last_signup").as("signup_id"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.user_id, purchase_id""")),
+
+    // Sessionization: 30-minute inactivity gap starts a new session;
+    // session id = running count of gap starts (gaps-and-islands).
+    QueryDef("q_sessionize",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev.withColumn("gap",
+            when(unix_timestamp(col("ts")) -
+              unix_timestamp(lag(col("ts"), 1).over(w)) > 1800 ||
+              lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("gap")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+            SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+              CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) > 1800 THEN 1
+                   ELSE 0 END AS gap
+            FROM (SELECT *, LAG(ts, 1) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events) a) b) c
+        GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // SCD2: each event opens a validity interval closed by the next.
+    QueryDef("q_scd2_intervals",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev.select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("valid_from"),
+            unix_timestamp(lead(col("ts"), 1).over(w)).as("valid_to"))
+          .orderBy("user_id", "event_id")
+      },
+      // floor(epoch(...)): Spark's unix_timestamp truncates sub-second
+      // parts; DuckDB's CAST(double AS BIGINT) would round.
+      Some("""SELECT user_id, event_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+          CAST(floor(epoch(LEAD(ts, 1) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to
+        FROM events ORDER BY user_id, event_id""")),
+
+    // Pivot returnflag columns per linestatus.
+    QueryDef("q_pivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum("l_quantity"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+          SUM(CASE WHEN l_returnflag='A' THEN l_quantity END) AS "A",
+          SUM(CASE WHEN l_returnflag='N' THEN l_quantity END) AS "N",
+          SUM(CASE WHEN l_returnflag='R' THEN l_quantity END) AS "R"
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Cube over two dimensions.
+    QueryDef("q_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // Ranking family with exact-int percent_rank.
+    QueryDef("q_rank_family",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            cents(col("o_totalprice")).as("pc"))
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("pc").desc, col("o_orderkey"))
+        ord.select(col("o_orderpriority"), col("o_orderkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"))
+          .filter(col("rnk") <= 5)
+          .orderBy("o_orderpriority", "rnk")
+      },
+      Some(s"""SELECT o_orderpriority, o_orderkey, rnk, drnk, quartile FROM (
+          SELECT o_orderpriority, o_orderkey,
+            RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+            NTILE(4) OVER w AS quartile
+          FROM (SELECT o_orderkey, o_orderpriority,
+              ${sqlCents("o_totalprice")} AS pc FROM orders) q
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY pc DESC, o_orderkey)) r
+        WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""")),
+
+    // Scalar string functions.
+    QueryDef("q_string_funcs",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 2, 3).as("sub"),
+          regexp_replace(col("p_name"), "a", "X").as("repl"),
+          length(col("p_name")).as("len"),
+          reverse(col("p_name")).as("rev"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+          lpad(col("p_brand"), 10, "*").as("pad"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS up,
+          substring(p_name, 2, 3) AS sub,
+          regexp_replace(p_name, 'a', 'X', 'g') AS repl,
+          length(p_name) AS len, reverse(p_name) AS rev,
+          concat_ws('-', p_brand, p_type) AS bt,
+          lpad(p_brand, 10, '*') AS pad
+        FROM part ORDER BY p_partkey""")),
+
+    // Scalar math functions (IEEE-identical subset across engines).
+    QueryDef("q_math_funcs",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          sqrt(col("p_size").cast("double")).as("sq"),
+          (col("p_size") * col("p_size")).as("pw"),
+          floor(col("p_retailprice")).cast("long").as("fl"),
+          ceil(col("p_retailprice")).cast("long").as("ce"),
+          pmod(col("p_size"), lit(7)).as("md"),
+          greatest(col("p_size"), lit(25)).as("gr"),
+          least(col("p_size"), lit(25)).as("le"),
+          abs(col("p_size") - 25).as("ab"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, sqrt(CAST(p_size AS DOUBLE)) AS sq,
+          p_size * p_size AS pw,
+          CAST(floor(p_retailprice) AS BIGINT) AS fl,
+          CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+          p_size % 7 AS md,
+          greatest(p_size, 25) AS gr, least(p_size, 25) AS le,
+          abs(p_size - 25) AS ab
+        FROM part ORDER BY p_partkey""")),
+
+    // Grouped string aggregation (sorted, deterministic).
+    QueryDef("q_string_agg",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(array_join(array_sort(collect_set(col("c_nationkey"))), ",")
+          .as("nations"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+          array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Value histogram with integer bucket edges.
+    QueryDef("q_histogram",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY bucket""")),
+
+    // Positional n-grams: distinct trigram count per doc via
+    // posexplode + lead windows (fully codegen + one shuffle).
+    QueryDef("t_trigram_distinct",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+          .withColumn("w1", lead(col("w"), 1).over(w))
+          .withColumn("w2", lead(col("w"), 2).over(w))
+          .filter(col("w2").isNotNull)
+          .withColumn("tri", concat_ws(" ", col("w"), col("w1"), col("w2")))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("tri")).as("n_distinct_trigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, COUNT(DISTINCT tri) AS n_distinct_trigrams
+        FROM (
+          SELECT doc_id,
+            concat_ws(' ', w, LEAD(w, 1) OVER win, LEAD(w, 2) OVER win) AS tri,
+            LEAD(w, 2) OVER win AS w2
+          FROM (
+            SELECT doc_id, unnest(toks) AS w,
+              generate_subscripts(toks, 1) AS pos
+            FROM (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z]+') AS toks
+              FROM documents) a) b
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) c
+        WHERE w2 IS NOT NULL
+        GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}
