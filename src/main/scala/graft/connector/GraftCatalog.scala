@@ -160,8 +160,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(ident, dir, ts)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable not supported yet")
+  /** Schema evolution: ADD COLUMN (nullable, appended — older files
+    * null-fill at read, ≙ the reference's index-mapping consumption)
+    * and table-property changes. Renames/drops/type changes would need
+    * field-id tracking → rejected for now.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(ident))
+    var fields = ts.fields
+    var options = ts.options
+    var comment = ts.comment
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "Nested column additions not supported")
+        require(add.isNullable, "Added columns must be nullable")
+        fields = StructType(fields.fields :+
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true))
+      case set: TableChange.SetProperty =>
+        if (set.property() == TableCatalog.PROP_COMMENT) comment = Some(set.value())
+        else options += (set.property() -> set.value())
+      case rm: TableChange.RemoveProperty =>
+        options -= rm.property()
+      case other => throw new UnsupportedOperationException(
+        s"Unsupported table change: $other")
+    }
+    val next = TableSchema(ts.id + 1, fields, ts.partitionKeys,
+      ts.primaryKeys, options, comment).validate()
+    TableSchema.save(dir, next)
+    new GraftTable(ident, dir, next)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -17,7 +17,34 @@ import scala.jdk.CollectionConverters._
   */
 class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSchema,
     val pinnedSnapshot: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** Metadata-only DELETE: drop whole partitions when the predicate
+    * touches only partition columns (file-level DELETE entries, no
+    * rewrite). Row-level deletes on PK tables go through RowKind
+    * writes (facade) instead.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(_.references.forall(tableSchema.partitionKeys.contains))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val sm = new graft.format.SnapshotManager(tableDir)
+    val live = sm.liveFilesLatest
+    val pTypes = tableSchema.partitionKeys
+      .map(k => k -> tableSchema.fields(tableSchema.fields.fieldIndex(k)).dataType).toMap
+    val doomed = live.filter { f =>
+      val value: String => Option[Any] = c =>
+        tableSchema.partitionKeys.indexOf(c) match {
+          case -1 => None
+          case i => Some(Values.parse(pTypes(c), f.partition(i)))
+        }
+      filters.forall(flt => Values.evalExact(flt, pTypes.get, value).getOrElse(false))
+    }
+    if (doomed.nonEmpty)
+      graft.format.FileStoreCommit.commitFileDeletes(sm, tableSchema.id,
+        doomed.map(_.fileName).toSet)
+  }
 
   override def name(): String = ident.toString
 

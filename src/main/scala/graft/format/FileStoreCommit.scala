@@ -68,4 +68,31 @@ object FileStoreCommit {
     throw new IllegalStateException(
       "Commit conflict: gave up after 100 snapshot publish attempts")
   }
+
+  /** Metadata-only delete of an explicit live-file set (partition-level
+    * SQL DELETE). Files already gone from the live set are ignored.
+    */
+  def commitFileDeletes(sm: SnapshotManager, schemaId: Long,
+      deleteNames: Set[String]): Snapshot = {
+    var attempt = 0
+    while (attempt < 100) {
+      val base = sm.latestSnapshot.getOrElse(
+        throw new IllegalStateException("DELETE on empty table"))
+      val live = sm.liveFiles(base)
+      val doomed = live.filter(f => deleteNames.contains(f.fileName))
+      val manifest = sm.writeManifest(doomed.map(f => ManifestEntry("DELETE", f)))
+      val snap = Snapshot(
+        id = base.id + 1,
+        schemaId = schemaId,
+        commitKind = "OVERWRITE",
+        timeMillis = System.currentTimeMillis(),
+        manifests = base.manifests :+ manifest,
+        lastSequenceNumber = base.lastSequenceNumber,
+        totalRecordCount = live.filterNot(f => deleteNames.contains(f.fileName))
+          .map(_.rowCount).sum)
+      if (sm.tryCommitSnapshot(snap)) return snap
+      attempt += 1
+    }
+    throw new IllegalStateException("DELETE commit conflict")
+  }
 }

@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
 
 /** Row-granular parquet IO for the table-format layer's data files
   * (`bucket-<b>/<uuid>.parquet`), over the primitive type matrix of
@@ -95,13 +96,30 @@ object ParquetIO {
 
   /** Iterator of InternalRow over one file, projected to `projection`
     * (a subset of the file's columns, by name).
+    *
+    * Schema evolution (≙ the reference's `index_mapping` consumption,
+    * `pypaimon/pynative/reader/data_file_record_reader.py:104-133`):
+    * columns in `projection` that the file predates are null-filled —
+    * the physical footer schema, not the logical table schema, decides
+    * what is requested from parquet.
     */
   final class RowReader(path: java.nio.file.Path, fileSchema: StructType,
       projection: StructType) extends Iterator[InternalRow] with AutoCloseable {
+    // columns physically present in this file (footer is authoritative
+    // for files written under an older schema version)
+    private val physical: Set[String] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HPath(path.toUri), new Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet
+      finally r.close()
+    }
     // parquet-mr materializes the requested schema in ITS field order;
     // request columns in file order, then permute into projection order.
     private val requested = StructType(
-      fileSchema.fields.filter(f => projection.fieldNames.contains(f.name)))
+      fileSchema.fields.filter(f =>
+        projection.fieldNames.contains(f.name) && physical.contains(f.name)))
     private val outPos: Array[Int] =
       requested.fields.map(f => projection.fieldIndex(f.name))
     private val conf = new Configuration()

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Schema evolution (ADD COLUMN null-fills older files) and
+  * partition-level SQL DELETE.
+  */
+class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var warehouse: java.nio.file.Path = _
+
+  lazy val spark: SparkSession = {
+    warehouse = Files.createTempDirectory("graft-evo-wh")
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.default")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("ADD COLUMN: old files read back with nulls, new writes fill it") {
+    spark.sql("CREATE TABLE graft.default.evo (f0 INT, f1 STRING)")
+    spark.sql("INSERT INTO graft.default.evo VALUES (1,'a'), (2,'b')")
+    spark.sql("ALTER TABLE graft.default.evo ADD COLUMN f2 DOUBLE")
+    spark.sql("INSERT INTO graft.default.evo VALUES (3,'c', 3.5)")
+    val got = spark.sql(
+      "SELECT f0, f1, f2 FROM graft.default.evo ORDER BY f0").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ==
+      Seq((1, "a", null), (2, "b", null), (3, "c", 3.5)))
+    // filter on the evolved column
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.evo WHERE f2 IS NULL")
+      .collect()(0).getLong(0) == 2)
+  }
+
+  test("ADD COLUMN on PK table: merge still works across schema versions") {
+    spark.sql("CREATE TABLE graft.default.evo_pk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.evo_pk VALUES (1,'a'), (2,'b')")
+    spark.sql("ALTER TABLE graft.default.evo_pk ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO graft.default.evo_pk VALUES (2,'B', 9.5)")
+    val got = spark.sql(
+      "SELECT k, v, score FROM graft.default.evo_pk ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ==
+      Seq((1L, "a", null), (2L, "B", 9.5)))
+  }
+
+  test("unsupported changes rejected") {
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.evo DROP COLUMN f1")
+    }
+    assert(e.getMessage.toLowerCase.contains("unsupported"))
+  }
+
+  test("partition-level DELETE drops whole partitions, metadata-only") {
+    spark.sql("CREATE TABLE graft.default.del (pt INT, v STRING) PARTITIONED BY (pt)")
+    spark.sql("INSERT INTO graft.default.del VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("DELETE FROM graft.default.del WHERE pt = 2")
+    val got = spark.sql("SELECT pt, v FROM graft.default.del ORDER BY pt")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (3, "c")))
+    // non-partition predicate is rejected (no row-level rewrite)
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.default.del WHERE v = 'a'")
+    }
+    assert(e.getMessage.contains("DELETE") || e.getMessage.contains("delete"))
+  }
+}

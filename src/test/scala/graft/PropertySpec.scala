@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.core.RowKind
+import graft.connector.Values
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests for the hard parts of SURVEY §7.4: merge-on-read ≡
+  * arg-max-by-sequence + is_add filter, bucket routing determinism,
+  * and the NULLS FIRST key comparator.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Drive a ScalaCheck generator through N sampled cases (the
+    * scalatest-scalacheck bridge isn't on the offline classpath).
+    */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 200)(body: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(body)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  // --- reference model of DeduplicateMergeFunction + DropDeleteReader ---
+  private def modelMerge(rows: Seq[(Long, Long, Byte, String)]): Map[Long, String] =
+    rows.groupBy(_._1).flatMap { case (k, vs) =>
+      val winner = vs.maxBy(_._2) // last write (highest seq) wins
+      if (RowKind.isAdd(winner._3)) Some(k -> winner._4) else None
+    }
+
+  // --- the engine's formulation: fold in arbitrary order, keep max ---
+  private def engineMerge(rows: Seq[(Long, Long, Byte, String)]): Map[Long, String] = {
+    val best = scala.collection.mutable.HashMap.empty[Long, (Long, Byte, String)]
+    rows.foreach { case (k, seq, kind, v) =>
+      best.get(k) match {
+        case Some((s, _, _)) if s >= seq => ()
+        case _ => best.update(k, (seq, kind, v))
+      }
+    }
+    best.collect { case (k, (_, kind, v)) if RowKind.isAdd(kind) => k -> v }.toMap
+  }
+
+  private val rowGen = for {
+    k <- Gen.choose(0L, 20L)
+    kind <- Gen.oneOf(RowKind.Insert, RowKind.UpdateBefore,
+      RowKind.UpdateAfter, RowKind.Delete)
+    v <- Gen.alphaStr.map(_.take(8))
+  } yield (k, kind, v)
+
+  test("merge-on-read ≡ max-by-sequence + drop-delete, any arrival order") {
+    forAllSampled(Gen.listOf(rowGen)) { raw =>
+      // assign unique increasing sequence numbers (commit order)
+      val rows = raw.zipWithIndex.map { case ((k, kind, v), i) =>
+        (k, i.toLong, kind, v)
+      }
+      val shuffled = scala.util.Random.shuffle(rows)
+      assert(engineMerge(shuffled) == modelMerge(rows))
+    }
+  }
+
+  test("bucket routing: deterministic, in range, spread across buckets") {
+    forAllSampled(Gen.zip(
+      Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.choose(1, 64))) { case (keys, buckets) =>
+      val assigned = keys.map(k => Values.bucketOf(Seq(k.toString), buckets))
+      assert(assigned.forall(b => b >= 0 && b < buckets))
+      // stability: same key → same bucket, every time
+      assert(keys.map(k => Values.bucketOf(Seq(k.toString), buckets)) == assigned)
+    }
+  }
+
+  test("key comparator: NULLS FIRST total order per type") {
+    forAllSampled(Gen.listOf(Gen.option(Gen.choose(-1000L, 1000L)))) { xs =>
+      val vals: Seq[Any] = xs.map(_.map(Long.box).orNull)
+      val sorted = vals.sortWith((a, b) => Values.compare(LongType, a, b) < 0)
+      // nulls lead
+      val (nulls, rest) = sorted.span(_ == null)
+      assert(nulls.forall(_ == null) && rest.forall(_ != null))
+      assert(rest.map(_.asInstanceOf[Long]) == rest.map(_.asInstanceOf[Long]).sorted)
+    }
+  }
+
+  test("string comparator agrees with UTF8String ordering") {
+    forAllSampled(Gen.listOf(Gen.alphaNumStr.map(_.take(12)))) { xs =>
+      val utf: Seq[Any] = xs.map(UTF8String.fromString)
+      val viaValues = utf.sortWith((a, b) => Values.compare(StringType, a, b) < 0)
+        .map(_.toString)
+      assert(viaValues == xs.sorted)
+    }
+  }
+
+  test("canonical encode/parse round-trips for every supported type") {
+    forAllSampled(Gen.choose(Int.MinValue, Int.MaxValue)) { i =>
+      assert(Values.parse(IntegerType, Values.encode(IntegerType, i)) == i)
+    }
+    forAllSampled(Gen.choose(Long.MinValue, Long.MaxValue)) { l =>
+      assert(Values.parse(LongType, Values.encode(LongType, l)) == l)
+      assert(Values.parse(TimestampType, Values.encode(TimestampType, l)) == l)
+    }
+    forAllSampled(Gen.double) { d =>
+      if (!d.isNaN)
+        assert(Values.parse(DoubleType, Values.encode(DoubleType, d)) == d)
+    }
+    Seq(true, false).foreach { b =>
+      assert(Values.parse(BooleanType, Values.encode(BooleanType, b)) == b)
+    }
+  }
+}
