@@ -107,6 +107,7 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     val pks = tableSchema.partitionKeys
     val tpk = tableSchema.trimmedPrimaryKeys
     val isPk = tableSchema.isPrimaryKeyTable
+    val fmt = tableSchema.options.getOrElse("file.format", "parquet")
     val work = groups.map { case ((part, bucket), fs) =>
       (part, bucket, fs.map(_.fileName))
     }
@@ -116,7 +117,7 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
         graft.format.Compactor.rewriteGroup(Paths.get(dirStr),
           org.apache.spark.sql.types.DataType.fromJson(fieldsJson)
             .asInstanceOf[org.apache.spark.sql.types.StructType],
-          pks, tpk, isPk, part, bucket, names)
+          pks, tpk, isPk, part, bucket, names, fmt)
       }.collect().toSeq
     val deleteNames = groups.flatMap(_._2.map(_.fileName)).toSet
     graft.format.Compactor.commit(sm, tableSchema.id, adds, deleteNames, tableDir)
@@ -300,13 +301,15 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     val numBuckets = ts.numBuckets
     val baseSeq = new SnapshotManager(table.tableDir).latestSnapshot
       .map(_.lastSequenceNumber + 1).getOrElse(1L)
+    val fmt = ts.options.getOrElse("file.format", "parquet")
 
     val collected: Array[Seq[DataFileMeta]] =
       aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
         val writer = new GraftDataWriter(Paths.get(tableDirStr), fields,
           partitionKeys, trimmedPk, isPk, numBuckets,
-          baseSeq + (pid.toLong << 32), writeSchema, hasRowKindCol = hasKind)
+          baseSeq + (pid.toLong << 32), writeSchema, hasRowKindCol = hasKind,
+          fileFormat = fmt)
         rows.foreach(writer.write)
         Iterator.single(
           writer.commit().asInstanceOf[GraftCommitMessage].files)

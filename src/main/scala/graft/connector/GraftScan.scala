@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import graft.core.{RowKind, TableSchema}
-import graft.format.{DataFileMeta, ParquetIO, SnapshotManager}
+import graft.format.{DataFileMeta, FormatIO, SnapshotManager}
 import java.nio.file.{Path, Paths}
 import scala.collection.mutable
 
@@ -217,7 +217,7 @@ final case class GraftReaderFactory(
     val rows: Iterator[InternalRow] =
       if (needMerge) mergeOnRead(part, kvFileSchema, readSchema)
       else part.filePaths.iterator.flatMap(f =>
-        new ParquetIO.RowReader(Paths.get(f),
+        FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
           if (isPk) kvFileSchema else dataFields, readSchema))
 
     // output assembly: required order; partition constants spliced in
@@ -262,7 +262,8 @@ final case class GraftReaderFactory(
 
     val best = mutable.HashMap.empty[Seq[String], (Long, InternalRow)]
     part.filePaths.foreach { f =>
-      val it = new ParquetIO.RowReader(Paths.get(f), kvFileSchema, readSchema)
+      val it = FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
+        kvFileSchema, readSchema)
       it.foreach { r =>
         val key = keyIdx.zip(keyTypes).map { case (i, dt) =>
           Values.encodeField(r, i, dt)

@@ -63,7 +63,8 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
     val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
     GraftWriterFactory(tableDir.toString, schema.fields.json,
       schema.partitionKeys, schema.trimmedPrimaryKeys,
-      schema.isPrimaryKeyTable, schema.numBuckets, baseSeq)
+      schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
+      schema.options.getOrElse("file.format", "parquet"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -87,14 +88,16 @@ final case class GraftWriterFactory(
     trimmedPk: Seq[String],
     isPk: Boolean,
     numBuckets: Int,
-    baseSeq: Long) extends DataWriterFactory {
+    baseSeq: Long,
+    fileFormat: String = "parquet") extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
     new GraftDataWriter(Paths.get(tableDirStr), fields, partitionKeys,
       trimmedPk, isPk, numBuckets,
       // per-task disjoint sequence ranges within one commit
-      baseSeq + (partitionId.toLong << 32), fields, hasRowKindCol = false)
+      baseSeq + (partitionId.toLong << 32), fields, hasRowKindCol = false,
+      fileFormat = fileFormat)
   }
 }
 
@@ -110,7 +113,8 @@ final case class GraftWriterFactory(
 class GraftDataWriter(tableDir: Path, fields: StructType,
     partitionKeys: Seq[String], trimmedPk: Seq[String], isPk: Boolean,
     numBuckets: Int, seqStart: Long, writeSchema: StructType,
-    hasRowKindCol: Boolean) extends DataWriter[InternalRow] {
+    hasRowKindCol: Boolean,
+    fileFormat: String = "parquet") extends DataWriter[InternalRow] {
 
   // table fields (sans partition cols) stored in data files
   private val dataFields = StructType(
@@ -198,8 +202,9 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
         .map { case (k, v) => s"$k=$v" }.mkString("/")
       val bucketDir = (if (partDir.isEmpty) "" else partDir + "/") + s"bucket-$bucket"
       Files.createDirectories(tableDir.resolve(bucketDir))
-      val rel = s"$bucketDir/data-${java.util.UUID.randomUUID()}.parquet"
-      val w = new ParquetIO.RowWriter(tableDir.resolve(rel), fileSchema)
+      val rel = s"$bucketDir/data-${java.util.UUID.randomUUID()}." +
+        FormatIO.extension(fileFormat)
+      val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema)
       sorted.foreach(w.write)
       w.close()
 

@@ -56,6 +56,9 @@ final case class TableSchema(
       throw new IllegalArgumentException(
         "Doesn't support writing dynamic bucket or cross partition table. " +
           "Set a fixed 'bucket' option >= 1 for primary-key tables.")
+    val fmt = options.getOrElse("file.format", "parquet")
+    if (!Seq("parquet", "orc", "avro").contains(fmt))
+      throw new IllegalArgumentException(s"Unsupported file.format: $fmt")
     this
   }
 

@@ -28,7 +28,8 @@ object Compactor {
       isPk: Boolean,
       partition: Seq[String],
       bucket: Int,
-      fileNames: Seq[String]): DataFileMeta = {
+      fileNames: Seq[String],
+      fileFormat: String = "parquet"): DataFileMeta = {
 
     val dataFields = StructType(
       fields.fields.filterNot(f => partitionKeys.contains(f.name)))
@@ -44,7 +45,8 @@ object Compactor {
         val best = mutable.LinkedHashMap.empty[Seq[String],
           (Long, org.apache.spark.sql.catalyst.InternalRow)]
         fileNames.foreach { fn =>
-          new ParquetIO.RowReader(tableDir.resolve(fn), fileSchema, fileSchema)
+          FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
+            fileSchema, fileSchema)
             .foreach { r =>
               val key = keyIdx.zip(keyTypes).map { case (i, dt) =>
                 Values.encodeField(r, i, dt)
@@ -73,14 +75,16 @@ object Compactor {
           }.map(_._2)
       } else
         fileNames.flatMap(fn =>
-          new ParquetIO.RowReader(tableDir.resolve(fn), fileSchema, fileSchema).toSeq)
+          FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
+            fileSchema, fileSchema).toSeq)
 
     val partDir = partitionKeys.zip(partition)
       .map { case (k, v) => s"$k=$v" }.mkString("/")
     val bucketDir = (if (partDir.isEmpty) "" else partDir + "/") + s"bucket-$bucket"
     Files.createDirectories(tableDir.resolve(bucketDir))
-    val rel = s"$bucketDir/compact-${java.util.UUID.randomUUID()}.parquet"
-    val w = new ParquetIO.RowWriter(tableDir.resolve(rel), fileSchema)
+    val rel = s"$bucketDir/compact-${java.util.UUID.randomUUID()}." +
+      FormatIO.extension(fileFormat)
+    val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema)
     rows.foreach(w.write)
     w.close()
 

@@ -1,0 +1,62 @@
+package graft.format
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Row-granular data-file IO behind the reference's `file.format` table
+  * option (`parquet` default, `orc`, `avro` —
+  * `pypaimon/py4j/tests/test_preicates.py:36-37,50-55`). One writer /
+  * reader contract, three codecs: [[ParquetIO]], [[OrcIO]], [[AvroIO]].
+  */
+object FormatIO {
+
+  trait RowFileWriter {
+    def write(row: InternalRow): Unit
+    def close(): Long
+  }
+
+  trait RowFileReader extends Iterator[InternalRow] with AutoCloseable
+
+  def extension(format: String): String = format match {
+    case "parquet" | "orc" | "avro" => format
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported file.format: $other")
+  }
+
+  def writer(format: String, path: java.nio.file.Path,
+      schema: StructType): RowFileWriter = format match {
+    case "parquet" => new ParquetWriterAdapter(path, schema)
+    case "orc" => new OrcIO.Writer(path, schema)
+    case "avro" => new AvroIO.Writer(path, schema)
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported file.format: $other")
+  }
+
+  def reader(format: String, path: java.nio.file.Path, fileSchema: StructType,
+      projection: StructType): RowFileReader = format match {
+    case "parquet" => new ParquetReaderAdapter(path, fileSchema, projection)
+    case "orc" => new OrcIO.Reader(path, fileSchema, projection)
+    case "avro" => new AvroIO.Reader(path, fileSchema, projection)
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported file.format: $other")
+  }
+
+  /** Infer format from a data file name. */
+  def ofFile(fileName: String): String =
+    fileName.substring(fileName.lastIndexOf('.') + 1)
+
+  private final class ParquetWriterAdapter(path: java.nio.file.Path,
+      schema: StructType) extends RowFileWriter {
+    private val w = new ParquetIO.RowWriter(path, schema)
+    override def write(row: InternalRow): Unit = w.write(row)
+    override def close(): Long = w.close()
+  }
+
+  private final class ParquetReaderAdapter(path: java.nio.file.Path,
+      fileSchema: StructType, projection: StructType) extends RowFileReader {
+    private val r = new ParquetIO.RowReader(path, fileSchema, projection)
+    override def hasNext: Boolean = r.hasNext
+    override def next(): InternalRow = r.next()
+    override def close(): Unit = r.close()
+  }
+}
