@@ -50,8 +50,30 @@ class GraftWriteBuilder(tableDir: Path, schema: TableSchema, info: LogicalWriteI
     mode = FileStoreCommit.DynamicOverwrite; this
   }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(tableDir, schema, mode)
+  /** Writes request clustering by (partition keys, primary-key fields)
+    * so each task receives whole buckets — one data file per
+    * (partition, bucket) instead of one per task × bucket. This is the
+    * DSv2 `RequiresDistributionAndOrdering` hook; Spark inserts the
+    * shuffle only when the incoming plan isn't already distributed.
+    */
+  override def build(): Write = {
+    val clusterCols = (schema.partitionKeys ++ schema.trimmedPrimaryKeys)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    if (clusterCols.isEmpty)
+      new Write {
+        override def toBatch: BatchWrite = new GraftBatchWrite(tableDir, schema, mode)
+      }
+    else
+      new Write with RequiresDistributionAndOrdering {
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(clusterCols.toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        override def toBatch: BatchWrite = new GraftBatchWrite(tableDir, schema, mode)
+      }
   }
 }
 

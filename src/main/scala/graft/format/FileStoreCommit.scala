@@ -52,12 +52,23 @@ object FileStoreCommit {
       val deletedNames = deletes.map(_.file.fileName).toSet
       val newTotal = live.filterNot(f => deletedNames.contains(f.fileName))
         .map(_.rowCount).sum + newFiles.map(_.rowCount).sum
+      // Manifest folding: the chain grows by one per commit; past a
+      // threshold, collapse history into a single full manifest so read
+      // planning stays O(live files), not O(commits).
+      val baseManifests = base.map(_.manifests).getOrElse(Seq.empty)
+      val manifests =
+        if (baseManifests.size >= 50) {
+          val full = sm.writeManifest(
+            sm.liveFiles(base.get).filterNot(f => deletedNames.contains(f.fileName))
+              .map(f => ManifestEntry("ADD", f)))
+          Seq(full, manifest)
+        } else baseManifests :+ manifest
       val snap = Snapshot(
         id = base.map(_.id + 1).getOrElse(1L),
         schemaId = schemaId,
         commitKind = if (mode == NoOverwrite) "APPEND" else "OVERWRITE",
         timeMillis = System.currentTimeMillis(),
-        manifests = base.map(_.manifests).getOrElse(Seq.empty) :+ manifest,
+        manifests = manifests,
         lastSequenceNumber = math.max(
           base.map(_.lastSequenceNumber).getOrElse(0L),
           (newFiles.map(_.maxSeq) :+ 0L).max),
