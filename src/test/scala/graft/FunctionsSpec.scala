@@ -33,6 +33,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.select(vec_dot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("word_shingles matches the HOF formulation") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.word_shingles
+    val df = Seq("the quick brown fox jumps", "a b", "").toDF("text")
+      .selectExpr("regexp_extract_all(lower(text), '[a-z]+', 0) AS toks")
+    val got = df.select(word_shingles(col("toks"), 3)).collect()
+      .map(_.getSeq[String](0))
+    // the HOF formulation needs an explicit size guard: Spark's
+    // sequence(1, 0) counts DOWN ([1, 0]), so short docs would slice at
+    // index 0 — a latent bug word_shingles doesn't have
+    val ref = df.selectExpr(
+      """CASE WHEN size(toks) >= 3 THEN
+           transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', slice(toks, i, 3)))
+         ELSE array() END""").collect()
+      .map(_.getSeq[String](0))
+    assert(got.toSeq == ref.toSeq)
+    assert(got(0) == Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
   test("minhash LSH finds planted near-duplicates in documents") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
