@@ -205,31 +205,45 @@ final case class GraftReaderFactory(
         dataFields.fields) else dataFields
 
     // columns we must read: required ∩ dataFields, plus key/seq/kind for merge
+    val metaNames = Set("_file", "_sequence_number", "_row_kind")
     val needMerge = isPk && merge
     val requiredData = dataFields.fields.map(_.name)
       .filter(n => required.fieldNames.contains(n) ||
         (needMerge && trimmedPk.contains(n)))
-    val readSchema = if (needMerge) StructType(
+    val wantsKv = required.fieldNames.exists(
+      n => n == "_sequence_number" || n == "_row_kind")
+    val readSchema = if (needMerge || (isPk && wantsKv)) StructType(
       kvFileSchema.fields.filter(f => f.name == "_SEQUENCE_NUMBER" ||
         f.name == "_VALUE_KIND" || requiredData.contains(f.name)))
     else StructType(dataFields.fields.filter(f => requiredData.contains(f.name)))
 
-    val rows: Iterator[InternalRow] =
+    // rows tagged with their source file ((file, row) — `_file` metadata)
+    val rows: Iterator[(String, InternalRow)] =
       if (needMerge) mergeOnRead(part, kvFileSchema, readSchema)
       else part.filePaths.iterator.flatMap(f =>
         FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
-          if (isPk) kvFileSchema else dataFields, readSchema))
+          if (isPk) kvFileSchema else dataFields, readSchema).map(r => (f, r)))
 
     // output assembly: required order; partition constants spliced in
     val pTypes = partitionKeys.zipWithIndex.map { case (k, i) =>
       k -> Values.parse(fields(fields.fieldIndex(k)).dataType, part.partitionValues(i))
     }.toMap
-    val assemblers: Array[InternalRow => Any] = required.fields.map { f =>
-      if (pTypes.contains(f.name)) { (_: InternalRow) => pTypes(f.name) }
-      else {
-        val i = readSchema.fieldIndex(f.name)
-        val dt = f.dataType
-        (r: InternalRow) => if (r.isNullAt(i)) null else r.get(i, dt)
+    val seqIdx = readSchema.fieldNames.indexOf("_SEQUENCE_NUMBER")
+    val kindIdx = readSchema.fieldNames.indexOf("_VALUE_KIND")
+    val assemblers: Array[(String, InternalRow) => Any] = required.fields.map { f =>
+      f.name match {
+        case "_file" => (file: String, _: InternalRow) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(file)
+        case "_sequence_number" => (_: String, r: InternalRow) =>
+          if (seqIdx >= 0) r.getLong(seqIdx) else null
+        case "_row_kind" => (_: String, r: InternalRow) =>
+          if (kindIdx >= 0) r.getInt(kindIdx) else null
+        case n if pTypes.contains(n) =>
+          (_: String, _: InternalRow) => pTypes(n)
+        case n =>
+          val i = readSchema.fieldIndex(n)
+          val dt = f.dataType
+          (_: String, r: InternalRow) => if (r.isNullAt(i)) null else r.get(i, dt)
       }
     }
 
@@ -237,10 +251,10 @@ final case class GraftReaderFactory(
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {
-          val r = rows.next()
+          val (file, r) = rows.next()
           val out = new GenericInternalRow(assemblers.length)
           var i = 0
-          while (i < assemblers.length) { out.update(i, assemblers(i)(r)); i += 1 }
+          while (i < assemblers.length) { out.update(i, assemblers(i)(file, r)); i += 1 }
           current = out
           true
         } else false
@@ -254,13 +268,13 @@ final case class GraftReaderFactory(
     * unit, so this scales with bucket size, not table size.
     */
   private def mergeOnRead(part: GraftInputPartition, kvFileSchema: StructType,
-      readSchema: StructType): Iterator[InternalRow] = {
+      readSchema: StructType): Iterator[(String, InternalRow)] = {
     val seqIdx = readSchema.fieldIndex("_SEQUENCE_NUMBER")
     val kindIdx = readSchema.fieldIndex("_VALUE_KIND")
     val keyIdx = trimmedPk.map(readSchema.fieldIndex)
     val keyTypes = trimmedPk.map(k => readSchema(readSchema.fieldIndex(k)).dataType)
 
-    val best = mutable.HashMap.empty[Seq[String], (Long, InternalRow)]
+    val best = mutable.HashMap.empty[Seq[String], (Long, InternalRow, String)]
     part.filePaths.foreach { f =>
       val it = FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
         kvFileSchema, readSchema)
@@ -270,13 +284,14 @@ final case class GraftReaderFactory(
         }
         val seq = r.getLong(seqIdx)
         best.get(key) match {
-          case Some((s, _)) if s >= seq => ()
-          case _ => best.update(key, (seq, r))
+          case Some((s, _, _)) if s >= seq => ()
+          case _ => best.update(key, (seq, r, f))
         }
       }
     }
     best.valuesIterator.collect {
-      case (_, row) if RowKind.isAdd(row.getInt(kindIdx).toByte) => row
+      case (_, row, file) if RowKind.isAdd(row.getInt(kindIdx).toByte) =>
+        (file, row)
     }
   }
 }

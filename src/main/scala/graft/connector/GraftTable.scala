@@ -18,7 +18,33 @@ import scala.jdk.CollectionConverters._
 class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSchema,
     val pinnedSnapshot: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** System columns (≙ Paimon's metadata columns; the RowKind/sequence
+    * machinery of SURVEY §1.1 made queryable): `_file` on every table,
+    * `_sequence_number` / `_row_kind` on PK tables (the KV fields the
+    * merge consumes).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def m(n: String, dt: org.apache.spark.sql.types.DataType,
+        doc: String): org.apache.spark.sql.connector.catalog.MetadataColumn =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = true
+        override def comment(): String = doc
+      }
+    val file = m("_file", org.apache.spark.sql.types.StringType,
+      "data file the row was read from")
+    if (tableSchema.isPrimaryKeyTable)
+      Array(file,
+        m("_sequence_number", org.apache.spark.sql.types.LongType,
+          "sequence number of the merge winner"),
+        m("_row_kind", org.apache.spark.sql.types.IntegerType,
+          "changelog kind byte (+I=0,-U=1,+U=2,-D=3) of the merge winner"))
+    else Array(file)
+  }
 
   /** Metadata-only DELETE: drop whole partitions when the predicate
     * touches only partition columns (file-level DELETE entries, no

@@ -60,6 +60,15 @@ object MaintenanceDemo {
     spark.sql("INSERT INTO graft.demo.t VALUES (3,'C3')")
     spark.sql("SELECT * FROM graft.demo.t ORDER BY k").show()
 
+    println("== metadata columns: merge provenance per row")
+    spark.sql("SELECT k, v, _sequence_number, _row_kind, " +
+      "substring_index(_file, '/', -1) AS file FROM graft.demo.t ORDER BY k")
+      .show(truncate = false)
+    println("== probe: _sequence_number on an append table")
+    try spark.sql("SELECT _sequence_number FROM graft.demo.facts").collect()
+    catch { case e: Exception =>
+      println("  rejected: " + e.getMessage.linesIterator.next()) }
+
     spark.stop()
   }
 }

@@ -95,6 +95,21 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(table.compact() == 0)
   }
 
+  test("metadata columns expose file / sequence / row kind") {
+    val rows = spark.sql(
+      "SELECT k, v, _sequence_number, _row_kind, _file FROM graft.default.cmp ORDER BY k")
+      .collect()
+    assert(rows.forall(r => !r.isNullAt(2) && r.getInt(3) == 0))
+    assert(rows.forall(_.getString(4).contains("bucket-")))
+    // append tables expose only _file
+    val f = spark.sql("SELECT _file FROM graft.default.tt").collect()
+    assert(f.forall(_.getString(0).endsWith(".parquet")))
+    val e = intercept[Exception] {
+      spark.sql("SELECT _sequence_number FROM graft.default.tt").collect()
+    }
+    assert(e.getMessage.contains("_sequence_number"))
+  }
+
   test("upserts after compaction still win by sequence number") {
     spark.sql("INSERT INTO graft.default.cmp VALUES (2,'B2')")
     val got = spark.sql("SELECT k, v FROM graft.default.cmp ORDER BY k")
