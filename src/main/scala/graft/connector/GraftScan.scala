@@ -263,9 +263,10 @@ final case class GraftReaderFactory(
     }
   }
 
-  /** Bucket-local hash merge: max-sequence wins per trimmed-pk tuple,
-    * then non-add kinds dropped. No shuffle — the bucket IS the merge
-    * unit, so this scales with bucket size, not table size.
+  /** Bucket-local k-way sort-merge (files are written sorted by key,
+    * seq): max-sequence wins per trimmed-pk tuple, then non-add kinds
+    * dropped. No shuffle — the bucket IS the merge unit — and memory is
+    * O(open files), so bucket size is bounded by disk, not heap.
     */
   private def mergeOnRead(part: GraftInputPartition, kvFileSchema: StructType,
       readSchema: StructType): Iterator[(String, InternalRow)] = {
@@ -274,24 +275,10 @@ final case class GraftReaderFactory(
     val keyIdx = trimmedPk.map(readSchema.fieldIndex)
     val keyTypes = trimmedPk.map(k => readSchema(readSchema.fieldIndex(k)).dataType)
 
-    val best = mutable.HashMap.empty[Seq[String], (Long, InternalRow, String)]
-    part.filePaths.foreach { f =>
-      val it = FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
-        kvFileSchema, readSchema)
-      it.foreach { r =>
-        val key = keyIdx.zip(keyTypes).map { case (i, dt) =>
-          Values.encodeField(r, i, dt)
-        }
-        val seq = r.getLong(seqIdx)
-        best.get(key) match {
-          case Some((s, _, _)) if s >= seq => ()
-          case _ => best.update(key, (seq, r, f))
-        }
-      }
+    val sources = part.filePaths.toSeq.map { f =>
+      FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema, readSchema)
+        .map(r => (f, r))
     }
-    best.valuesIterator.collect {
-      case (_, row, file) if RowKind.isAdd(row.getInt(kindIdx).toByte) =>
-        (file, row)
-    }
+    new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx, kindIdx)
   }
 }

@@ -64,6 +64,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SortMergeReader over random sorted runs ≡ model merge") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    forAllSampled(Gen.zip(Gen.listOf(rowGen), Gen.choose(1, 5)), n = 100) {
+      case (raw, nFiles) =>
+        val rows = raw.zipWithIndex.map { case ((k, kind, v), i) =>
+          (k, i.toLong, kind, v)
+        }
+        // deal rows round-robin into files, each sorted by (key, seq)
+        val files = rows.zipWithIndex.groupMap(_._2 % nFiles)(_._1)
+          .values.toSeq
+          .map(_.sortBy(r => (r._1, r._2)))
+        // readSchema layout: [_SEQUENCE_NUMBER, _VALUE_KIND, k, v]
+        val sources = files.map(_.iterator.map { case (k, seq, kind, v) =>
+          val r = new GenericInternalRow(4)
+          r.update(0, seq); r.update(1, kind.toInt)
+          r.update(2, k); r.update(3, UTF8String.fromString(v))
+          ("f", r: org.apache.spark.sql.catalyst.InternalRow)
+        })
+        val merged = new graft.format.SortMergeReader(
+          sources, Seq(2), Seq(LongType), 0, 1).toSeq
+          .map { case (_, r) => r.getLong(2) -> r.getUTF8String(3).toString }
+          .toMap
+        assert(merged == modelMerge(rows))
+    }
+  }
+
   test("bucket routing: deterministic, in range, spread across buckets") {
     forAllSampled(Gen.zip(
       Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
