@@ -97,6 +97,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // System table `t$changelog`: raw KV rows of a PK table with
+    // _row_kind/_sequence_number as ordinary columns — the
+    // changelog-producer=input stream, batch- and stream-readable.
+    if (ident.name().endsWith("$changelog")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$changelog"))
+      val dir = tableDir(base)
+      val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
+      require(ts.isPrimaryKeyTable,
+        s"$$changelog view requires a primary-key table: ${base}")
+      return new GraftTable(ident, dir, ts, changelogView = true)
+    }
     val dir = tableDir(ident)
     TableSchema.load(dir) match {
       case Some(schema) => new GraftTable(ident, dir, schema)

@@ -30,12 +30,15 @@ import scala.collection.mutable
   *    merge unit), per data file for append tables.
   */
 class GraftScanBuilder(tableDir: Path, schema: TableSchema,
-    pinnedSnapshot: Option[Long] = None)
+    pinnedSnapshot: Option[Long] = None,
+    changelogView: Boolean = false,
+    fullSchema: StructType = null)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var filters: Array[Filter] = Array.empty
-  private var required: StructType = schema.fields
+  private var required: StructType =
+    if (fullSchema != null) fullSchema else schema.fields
   private var limit: Option[Int] = None
 
   override def pushFilters(f: Array[Filter]): Array[Filter] = {
@@ -55,7 +58,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def build(): Scan =
-    new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot)
+    new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
+      changelogView)
 }
 
 final case class GraftInputPartition(
@@ -65,7 +69,8 @@ final case class GraftInputPartition(
 
 class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     filters: Array[Filter], limit: Option[Int],
-    pinnedSnapshot: Option[Long] = None)
+    pinnedSnapshot: Option[Long] = None,
+    changelogView: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -151,7 +156,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
 
     def abs(f: DataFileMeta): String = tableDir.resolve(f.fileName).toString
 
-    if (schema.isPrimaryKeyTable) {
+    if (schema.isPrimaryKeyTable && !changelogView) {
       afterBucket.groupBy(f => (f.partition, f.bucket)).map {
         case ((part, bucket), fs) =>
           GraftInputPartition(fs.map(abs).toArray, part.toArray, bucket)
@@ -176,7 +181,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(schema.fields.json, schema.partitionKeys,
-      schema.trimmedPrimaryKeys, schema.isPrimaryKeyTable, required.json)
+      schema.trimmedPrimaryKeys, schema.isPrimaryKeyTable, required.json,
+      merge = !changelogView)
 }
 
 /** Executor-side reader ≙ the pynative operator pipeline: concat of

@@ -16,7 +16,8 @@ import scala.jdk.CollectionConverters._
   * `new_read_builder`, `newWriteBuilder` ≙ `new_batch_write_builder`.
   */
 class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSchema,
-    val pinnedSnapshot: Option[Long] = None)
+    val pinnedSnapshot: Option[Long] = None,
+    val changelogView: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -37,7 +38,7 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
       }
     val file = m("_file", org.apache.spark.sql.types.StringType,
       "data file the row was read from")
-    if (tableSchema.isPrimaryKeyTable)
+    if (tableSchema.isPrimaryKeyTable && !changelogView)
       Array(file,
         m("_sequence_number", org.apache.spark.sql.types.LongType,
           "sequence number of the merge winner"),
@@ -74,7 +75,13 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
 
   override def name(): String = ident.toString
 
-  override def schema(): StructType = tableSchema.fields
+  override def schema(): StructType =
+    if (changelogView) StructType(tableSchema.fields.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_row_kind",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_sequence_number",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    else tableSchema.fields
 
   override def partitioning(): Array[Transform] =
     tableSchema.partitionKeys.map(Expressions.identity).toArray
@@ -95,10 +102,12 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableDir, tableSchema, pinnedSnapshot)
+    new GraftScanBuilder(tableDir, tableSchema, pinnedSnapshot,
+      changelogView, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedSnapshot.isEmpty, "Cannot write to a time-travel read")
+    require(!changelogView, "Cannot write to a $changelog view")
     new GraftWriteBuilder(tableDir, tableSchema, info)
   }
 }

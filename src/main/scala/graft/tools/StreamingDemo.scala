@@ -60,6 +60,31 @@ object StreamingDemo {
     println("== batch view after everything (merged table state)")
     spark.sql("SELECT * FROM graft.demo.clicks ORDER BY id").show()
 
+    println("== $changelog system table: full input changelog incl. a RowKind delete")
+    spark.sql("CREATE TABLE graft.demo.pk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.demo.pk VALUES (1,'a'), (2,'b')")
+    spark.sql("INSERT INTO graft.demo.pk VALUES (2,'B')")
+    // delete k=1 via the facade RowKind path
+    val cat = graft.api.Catalog.create(spark, Map("warehouse" -> wh.toString,
+      "catalog-name" -> "graft"))
+    val th = cat.getTable("demo.pk")
+    val wb = th.newBatchWriteBuilder(); val w = wb.newWrite()
+    import spark.implicits._
+    w.write(Seq((1L, "a")).toDF("k", "v")
+      .withColumn(graft.core.RowKind.ColumnName,
+        org.apache.spark.sql.functions.lit(graft.core.RowKind.Delete).cast("byte")))
+    wb.newCommit().commit(w.prepareCommit())
+
+    println("  changelog (batch read):")
+    spark.sql("SELECT k, v, _row_kind, _sequence_number FROM graft.demo.`pk$changelog` " +
+      "ORDER BY _sequence_number").show()
+    println("  merged view (k=1 deleted, k=2 upserted):")
+    spark.sql("SELECT * FROM graft.demo.pk ORDER BY k").show()
+    println("  probe: write to the view")
+    try spark.sql("INSERT INTO graft.demo.`pk$changelog` VALUES (9,'z',0,0)")
+    catch { case e: Exception => println("   rejected: " + e.getMessage.linesIterator.next()) }
+
     spark.stop()
   }
 }

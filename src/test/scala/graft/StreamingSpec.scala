@@ -82,6 +82,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 15.0), (2L, 7.0)))
   }
 
+  test("$changelog view streams the input changelog (kind + sequence)") {
+    spark.sql("CREATE TABLE graft.default.s_cl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.s_cl VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.default.s_cl VALUES (1,'b')")
+    val q = spark.readStream.table("graft.default.`s_cl$changelog`")
+      .writeStream.format("memory").queryName("s_cl_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT k, v, _row_kind, _sequence_number FROM s_cl_sink ORDER BY _sequence_number")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(rows.forall(_.getInt(2) == 0)) // both inserts (+I)
+    assert(rows(0).getLong(3) < rows(1).getLong(3))
+    // batch read of the same view; merged table shows only the winner
+    assert(spark.sql("SELECT count(*) FROM graft.default.`s_cl$changelog`")
+      .collect()(0).getLong(0) == 2)
+    assert(spark.table("graft.default.s_cl").count() == 1)
+    // writes rejected
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.default.`s_cl$changelog` VALUES (9,'z',0,0)")
+    }
+    assert(e.getMessage.contains("changelog"))
+  }
+
   test("PK table streams raw upsert rows (no cross-batch merge)") {
     spark.sql("CREATE TABLE graft.default.s_pk (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
