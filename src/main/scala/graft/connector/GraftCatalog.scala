@@ -109,6 +109,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"$$changelog view requires a primary-key table: ${base}")
       return new GraftTable(ident, dir, ts, changelogView = true)
     }
+    if (ident.name().endsWith("$snapshots")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$snapshots"))
+      val dir = tableDir(base)
+      if (TableSchema.load(dir).isEmpty) throw new NoSuchTableException(base)
+      return new StaticRowsTable(ident.toString, MetaTables.snapshotsSchema,
+        () => MetaTables.snapshotRows(dir))
+    }
+    if (ident.name().endsWith("$files")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$files"))
+      val dir = tableDir(base)
+      val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
+      return new StaticRowsTable(ident.toString, MetaTables.filesSchema,
+        () => MetaTables.fileRows(dir, ts))
+    }
     val dir = tableDir(ident)
     TableSchema.load(dir) match {
       case Some(schema) => new GraftTable(ident, dir, schema)

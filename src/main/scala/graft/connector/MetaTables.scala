@@ -1,0 +1,95 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.TableSchema
+import graft.format.SnapshotManager
+import java.nio.file.Path
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Read-only metadata system tables: `t$snapshots` (the snapshot chain)
+  * and `t$files` (live file metadata ≙ the reference's split metadata —
+  * row_count/file_size/file_paths, `pypaimon/api/split.py:24-35` — plus
+  * partition/bucket/sequence bounds). Rows are materialized driver-side
+  * at planning (metadata is small by construction: manifests fold).
+  */
+object MetaTables {
+
+  val snapshotsSchema: StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("schema_id", LongType, nullable = false),
+    StructField("commit_kind", StringType, nullable = false),
+    StructField("commit_time", TimestampType, nullable = false),
+    StructField("total_record_count", LongType, nullable = false),
+    StructField("manifest_count", IntegerType, nullable = false)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("file_name", StringType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("file_size", LongType, nullable = false),
+    StructField("min_seq", LongType, nullable = false),
+    StructField("max_seq", LongType, nullable = false)))
+
+  def snapshotRows(dir: Path): Seq[Array[Any]] = {
+    val sm = new SnapshotManager(dir)
+    (1L to sm.latestSnapshotId.getOrElse(0L)).map { id =>
+      val s = sm.snapshot(id)
+      Array[Any](s.id, s.schemaId, UTF8String.fromString(s.commitKind),
+        s.timeMillis * 1000L, s.totalRecordCount, s.manifests.size)
+    }
+  }
+
+  def fileRows(dir: Path, schema: TableSchema): Seq[Array[Any]] = {
+    new SnapshotManager(dir).liveFilesLatest.map { f =>
+      Array[Any](UTF8String.fromString(f.fileName),
+        UTF8String.fromString(
+          schema.partitionKeys.zip(f.partition)
+            .map { case (k, v) => s"$k=$v" }.mkString("/")),
+        f.bucket, f.rowCount, f.fileSize, f.minSeq, f.maxSeq)
+    }
+  }
+}
+
+/** A fixed-schema table over driver-materialized rows. */
+class StaticRowsTable(tableName: String, tableSchema: StructType,
+    rows: () => Seq[Array[Any]]) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = tableSchema
+      override def pruneColumns(r: StructType): Unit = required = r
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val idx = required.fieldNames.map(tableSchema.fieldIndex)
+          Array(StaticRowsPartition(rows().map(r => idx.map(r(_))).toArray))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          (p: InputPartition) => new PartitionReader[InternalRow] {
+            private val data = p.asInstanceOf[StaticRowsPartition].rows
+            private var i = -1
+            override def next(): Boolean = { i += 1; i < data.length }
+            override def get(): InternalRow =
+              new GenericInternalRow(data(i))
+            override def close(): Unit = ()
+          }
+      }
+    }
+}
+
+final case class StaticRowsPartition(rows: Array[Array[Any]])
+  extends InputPartition

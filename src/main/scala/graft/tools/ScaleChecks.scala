@@ -53,6 +53,37 @@ object ScaleChecks {
     val files = new graft.format.SnapshotManager(wh.resolve("d.db/pk")).liveFilesLatest
     println(s"  64 input partitions -> ${files.size} data files " +
       s"(<= 16 = 4 shuffle partitions x 4 buckets); rows=${spark.table("graft.d.pk").count()}")
+    println("== throughput canary: 2M-row PK write + merged read + system tables")
+    spark.sql("CREATE TABLE graft.d.big (k BIGINT, v STRING, x DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='16')")
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    timed("write 2M rows") {
+      spark.sql("INSERT INTO graft.d.big " +
+        "SELECT id, CAST(id AS STRING), id * 0.5 FROM range(0, 2000000)")
+    }
+    timed("upsert 200k rows") {
+      spark.sql("INSERT INTO graft.d.big " +
+        "SELECT id * 10, 'updated', 0.0 FROM range(0, 200000)")
+    }
+    timed("merged read (count + filter)") {
+      val n = spark.sql("SELECT count(*) FROM graft.d.big").collect()(0).getLong(0)
+      val u = spark.sql("SELECT count(*) FROM graft.d.big WHERE v = 'updated'")
+        .collect()(0).getLong(0)
+      println(s"    rows=$n (expect 2000000), updated=$u (expect 200000)")
+    }
+    timed("point lookup (bucket-pruned)") {
+      spark.sql("SELECT * FROM graft.d.big WHERE k = 1234567").collect()
+    }
+    spark.sql("SELECT bucket, SUM(row_count) AS rows, COUNT(*) AS files " +
+      "FROM graft.d.`big$files` GROUP BY bucket ORDER BY bucket LIMIT 4").show()
+    spark.sql("SELECT * FROM graft.d.`big$snapshots` ORDER BY snapshot_id").show()
+    println("== probe: $snapshots on a missing table")
+    try spark.sql("SELECT * FROM graft.d.`nope$snapshots`").collect()
+    catch { case e: Exception => println("  rejected: " + e.getMessage.linesIterator.next()) }
+
     spark.stop()
   }
 }

@@ -110,6 +110,23 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("_sequence_number"))
   }
 
+  test("$snapshots and $files system tables") {
+    val snaps = spark.sql(
+      "SELECT snapshot_id, commit_kind FROM graft.default.`cmp$snapshots` ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(snaps.length >= 4)
+    assert(snaps.take(3).forall(_._2 == "APPEND"))
+    assert(snaps.map(_._2).contains("COMPACT"))
+    val files = spark.sql(
+      "SELECT file_name, bucket, row_count, min_seq, max_seq FROM graft.default.`cmp$files`")
+      .collect()
+    assert(files.nonEmpty)
+    assert(files.forall(_.getLong(2) > 0))
+    // projection pruning works on system tables
+    assert(spark.sql("SELECT commit_kind FROM graft.default.`cmp$snapshots`")
+      .columns.toSeq == Seq("commit_kind"))
+  }
+
   test("upserts after compaction still win by sequence number") {
     spark.sql("INSERT INTO graft.default.cmp VALUES (2,'B2')")
     val got = spark.sql("SELECT k, v FROM graft.default.cmp ORDER BY k")
