@@ -14,7 +14,7 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++ Predicates.defs ++
       MergeOnRead.defs ++ Text.defs ++ Dedup.defs ++ Similarity.defs ++
-      MultimodalQ.defs
+      MultimodalQ.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

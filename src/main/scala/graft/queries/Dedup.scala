@@ -1,20 +1,19 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import Tables._
 
 /** Deduplication family over `documents`: exact (hash-group), MinHash+LSH
   * (shingle → per-seed min → band → bucket-join), SimHash, and n-gram
   * Jaccard.
   *
-  * Shape chosen for 100 TB: signatures are computed by explode +
-  * codegen'd hash/agg (NOT higher-order-function lambdas, which Spark
-  * evaluates interpretively per element — measured ~10x slower at
-  * sf0.1), one shuffle keyed by doc_id for the signature fold, then the
-  * LSH band join touches only candidate buckets. Shingle/token blowup
-  * is linear in corpus size; the quadratic pair space exists only
-  * within a band bucket.
+  * Shape chosen for 100 TB: shingles come from the codegen
+  * [[graft.functions.WordShingles]] expression, signatures from explode
+  * + codegen'd hash/agg (NOT higher-order-function lambdas, which Spark
+  * evaluates interpretively — measured ~10x slower at sf0.1), one
+  * shuffle keyed by doc_id for the signature fold; the quadratic pair
+  * space exists only within an LSH band bucket.
   */
 object Dedup {
 
@@ -22,6 +21,56 @@ object Dedup {
 
   private val K = 16 // minhash signature length
   private val R = 4 // rows per LSH band -> B = K/R = 4 bands
+
+  /** Confirmed near-duplicate pairs (a < b, shingle-Jaccard >= 0.5) via
+    * MinHash + LSH banding + exact verification — shared by
+    * `d_minhash_lsh` and the cluster-resolution pipeline.
+    *
+    * One shingle pass, persisted: the plan references the shingle set
+    * four times (two self-join branches, two verify sides) and Catalyst
+    * does not dedupe common subtrees across join branches — without the
+    * persist the shingle construction runs 4x. The cached set is one
+    * array per doc.
+    */
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val shingled = t(s, dir, "documents")
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val sigs = {
+      val rows = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+      val minCols = (0 until K).map(i =>
+        min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+      rows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    }
+    // band hash over its R signature slots — no arrays, pure codegen
+    val bandCols = (0 until K / R).map { b =>
+      val slots = (b * R until (b + 1) * R).map(i => col(s"m$i"))
+      struct(lit(b).as("band"),
+        xxhash64(slots :+ lit(b): _*).as("bhash"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bhash") === col("y.bhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // verify candidates with exact shingle-set Jaccard
+    cand
+      .join(shingled.as("ta"), col("a") === col("ta.doc_id"))
+      .join(shingled.as("tb"), col("b") === col("tb.doc_id"))
+      .withColumn("inter",
+        expr("size(filter(ta.sh, g -> array_contains(tb.sh, g)))"))
+      .withColumn("uni",
+        size(col("ta.sh")) + size(col("tb.sh")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.5)
+      .select(col("a"), col("b"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // Exact dedup: hash-groupBy on a normalized fingerprint.
@@ -54,54 +103,11 @@ object Dedup {
         GROUP BY group_size ORDER BY group_size""")),
 
     // MinHash + LSH banding. No DuckDB oracle (xxhash64 is
-    // Spark-internal) → rows-only check; DedupSpec asserts planted
+    // Spark-internal) → rows-only check; FunctionsSpec asserts planted
     // near-duplicates are found.
     QueryDef("d_minhash_lsh",
-      (s, dir) => {
-        // One shingle pass, persisted: the LSH plan references the
-        // shingle set four times (two self-join branches, two verify
-        // sides) and Catalyst does not dedupe common subtrees across
-        // join branches — without the persist the interpreted
-        // higher-order shingle construction runs 4x (measured 2.5x
-        // slower at sf0.1). The cached set is tiny (one array per doc).
-        val shingled = t(s, dir, "documents")
-          .select(col("doc_id"), expr(tokensExpr).as("toks"))
-          .select(col("doc_id"), array_distinct(
-            graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .persist()
-        val sigs = {
-          val rows = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
-          val minCols: Seq[org.apache.spark.sql.Column] = (0 until K).map(i =>
-            min(xxhash64(col("g"), lit(i))).as(s"m$i"))
-          rows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-        }
-        // band hash over its R signature slots — no arrays, pure codegen
-        val bandCols = (0 until K / R).map { b =>
-          val slots = (b * R until (b + 1) * R).map(i => col(s"m$i"))
-          struct(lit(b).as("band"),
-            xxhash64(slots :+ lit(b): _*).as("bhash"))
-        }
-        val bands = sigs
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") &&
-            col("x.bhash") === col("y.bhash") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-        // verify candidates with exact shingle-set Jaccard
-        cand
-          .join(shingled.as("ta"), col("a") === col("ta.doc_id"))
-          .join(shingled.as("tb"), col("b") === col("tb.doc_id"))
-          .withColumn("inter",
-            expr("size(filter(ta.sh, g -> array_contains(tb.sh, g)))"))
-          .withColumn("uni",
-            size(col("ta.sh")) + size(col("tb.sh")) - col("inter"))
-          .filter(col("inter").cast("double") / col("uni") >= 0.5)
-          .agg(count(lit(1)).as("n_neardup_pairs"))
-      },
+      (s, dir) => nearDupPairs(s, dir)
+        .agg(count(lit(1)).as("n_neardup_pairs")),
       None),
 
     // SimHash: 64-bit signature from per-token hash bit votes —

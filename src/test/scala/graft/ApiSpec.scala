@@ -84,6 +84,12 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getString(0) == "a")
   }
 
+  test("empty projection yields a zero-column frame (reference case 1)") {
+    val t = catalog.getTable("default.simple")
+    val df = t.newReadBuilder().withProjection(Seq.empty).newRead().toDF()
+    assert(df.columns.isEmpty) // ≙ result1.empty in test_write_and_read.py:490-496
+  }
+
   test("withLimit returns at most n rows") {
     val t = catalog.getTable("default.simple")
     assert(t.newReadBuilder().withLimit(2).newRead().toDF().count() == 2)
