@@ -51,47 +51,122 @@ object ParquetIO {
     b.named("graft_row")
   }
 
-  /** Streaming writer of InternalRow (ordinals match `schema`). */
-  final class RowWriter(path: java.nio.file.Path, schema: StructType) {
+  /** WriteSupport streaming InternalRow fields straight to parquet's
+    * RecordConsumer — no intermediate Group objects (the example
+    * Group path allocates one object tree per row; this is the same
+    * technique Spark's own ParquetWriteSupport uses).
+    */
+  private final class InternalRowWriteSupport(schema: StructType)
+    extends org.apache.parquet.hadoop.api.WriteSupport[InternalRow] {
     private val msgType = toParquetSchema(schema)
-    private val conf = new Configuration()
-    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msgType, conf)
-    private val writer: ParquetWriter[Group] =
-      ExampleParquetWriter.builder(new HPath(path.toUri))
-        .withConf(conf)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
-    private val factory = new SimpleGroupFactory(msgType)
-    private var rows = 0L
+    private var consumer: org.apache.parquet.io.api.RecordConsumer = _
+    private val names = schema.fieldNames
+    private val types = schema.fields.map(_.dataType)
 
-    def write(row: InternalRow): Unit = {
-      val g = factory.newGroup()
+    override def init(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+      new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(
+        msgType, java.util.Collections.emptyMap[String, String]())
+
+    override def prepareForWrite(
+        rc: org.apache.parquet.io.api.RecordConsumer): Unit = consumer = rc
+
+    override def write(row: InternalRow): Unit = {
+      consumer.startMessage()
       var i = 0
-      while (i < schema.length) {
+      while (i < types.length) {
         if (!row.isNullAt(i)) {
-          schema(i).dataType match {
-            case ByteType => g.add(i, row.getByte(i).toInt)
-            case ShortType => g.add(i, row.getShort(i).toInt)
-            case IntegerType | DateType => g.add(i, row.getInt(i))
-            case LongType | TimestampType => g.add(i, row.getLong(i))
-            case FloatType => g.add(i, row.getFloat(i))
-            case DoubleType => g.add(i, row.getDouble(i))
-            case BooleanType => g.add(i, row.getBoolean(i))
-            case StringType =>
-              g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-            case BinaryType =>
-              g.add(i, Binary.fromConstantByteArray(row.getBinary(i)))
+          consumer.startField(names(i), i)
+          types(i) match {
+            case ByteType => consumer.addInteger(row.getByte(i).toInt)
+            case ShortType => consumer.addInteger(row.getShort(i).toInt)
+            case IntegerType | DateType => consumer.addInteger(row.getInt(i))
+            case LongType | TimestampType => consumer.addLong(row.getLong(i))
+            case FloatType => consumer.addFloat(row.getFloat(i))
+            case DoubleType => consumer.addDouble(row.getDouble(i))
+            case BooleanType => consumer.addBoolean(row.getBoolean(i))
+            case StringType => consumer.addBinary(
+              Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+            case BinaryType => consumer.addBinary(
+              Binary.fromConstantByteArray(row.getBinary(i)))
             case other => throw new IllegalArgumentException(s"$other")
           }
+          consumer.endField(names(i), i)
         }
         i += 1
       }
-      writer.write(g)
+      consumer.endMessage()
+    }
+  }
+
+  /** Streaming writer of InternalRow (ordinals match `schema`). */
+  final class RowWriter(path: java.nio.file.Path, schema: StructType) {
+    private val writer: ParquetWriter[InternalRow] = {
+      val support = new InternalRowWriteSupport(schema)
+      new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+        new HPath(path.toUri), support, CompressionCodecName.SNAPPY,
+        ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE)
+    }
+    private var rows = 0L
+
+    def write(row: InternalRow): Unit = {
+      writer.write(row)
       rows += 1
     }
 
     def rowCount: Long = rows
     def close(): Long = { writer.close(); rows }
+  }
+
+  /** ReadSupport materializing requested columns straight into fresh
+    * GenericInternalRows via primitive converters — no Group object
+    * trees (mirrors [[InternalRowWriteSupport]]; rows are NOT reused
+    * because the sort-merge reader buffers them).
+    */
+  private final class InternalRowReadSupport(requested: StructType,
+      outPos: Array[Int], outLen: Int)
+    extends org.apache.parquet.hadoop.api.ReadSupport[InternalRow] {
+    import org.apache.parquet.io.api._
+
+    override def init(ctx: org.apache.parquet.hadoop.api.InitContext)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+        toParquetSchema(requested))
+
+    override def prepareForRead(conf: Configuration,
+        meta: java.util.Map[String, String], fileSchema: MessageType,
+        ctx: org.apache.parquet.hadoop.api.ReadSupport.ReadContext)
+        : RecordMaterializer[InternalRow] =
+      new RecordMaterializer[InternalRow] {
+        private var current: GenericInternalRow = _
+        private val converters: Array[Converter] =
+          requested.fields.zipWithIndex.map { case (f, i) =>
+            val o = outPos(i)
+            new PrimitiveConverter {
+              override def addInt(v: Int): Unit = f.dataType match {
+                case ByteType => current.update(o, v.toByte)
+                case ShortType => current.update(o, v.toShort)
+                case _ => current.update(o, v)
+              }
+              override def addLong(v: Long): Unit = current.update(o, v)
+              override def addFloat(v: Float): Unit = current.update(o, v)
+              override def addDouble(v: Double): Unit = current.update(o, v)
+              override def addBoolean(v: Boolean): Unit = current.update(o, v)
+              override def addBinary(v: Binary): Unit = f.dataType match {
+                case StringType =>
+                  current.update(o, UTF8String.fromBytes(v.getBytes))
+                case _ => current.update(o, v.getBytes)
+              }
+            }: Converter
+          }
+        private val root: GroupConverter = new GroupConverter {
+          override def getConverter(i: Int): Converter = converters(i)
+          override def start(): Unit = current = new GenericInternalRow(outLen)
+          override def end(): Unit = ()
+        }
+        override def getCurrentRecord: InternalRow = current
+        override def getRootConverter: GroupConverter = root
+      }
   }
 
   /** Iterator of InternalRow over one file, projected to `projection`
@@ -122,40 +197,18 @@ object ParquetIO {
         projection.fieldNames.contains(f.name) && physical.contains(f.name)))
     private val outPos: Array[Int] =
       requested.fields.map(f => projection.fieldIndex(f.name))
-    private val conf = new Configuration()
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, toParquetSchema(requested).toString)
-    private val reader: ParquetReader[Group] =
-      ParquetReader.builder(new GroupReadSupport(), new HPath(path.toUri))
-        .withConf(conf).build()
-    private var nextGroup: Group = reader.read()
+    private val reader: ParquetReader[InternalRow] =
+      new ParquetReader[InternalRow](new HPath(path.toUri),
+        new InternalRowReadSupport(requested, outPos, projection.length))
+    private var nextRow: InternalRow = reader.read()
 
-    override def hasNext: Boolean = nextGroup != null
+    override def hasNext: Boolean = nextRow != null
 
     override def next(): InternalRow = {
-      val g = nextGroup
-      nextGroup = reader.read()
-      if (nextGroup == null) reader.close()
-      val out = new GenericInternalRow(projection.length)
-      var i = 0
-      while (i < requested.length) {
-        val o = outPos(i)
-        if (g.getFieldRepetitionCount(i) == 0) out.setNullAt(o)
-        else requested(i).dataType match {
-          case ByteType => out.update(o, g.getInteger(i, 0).toByte)
-          case ShortType => out.update(o, g.getInteger(i, 0).toShort)
-          case IntegerType | DateType => out.update(o, g.getInteger(i, 0))
-          case LongType | TimestampType => out.update(o, g.getLong(i, 0))
-          case FloatType => out.update(o, g.getFloat(i, 0))
-          case DoubleType => out.update(o, g.getDouble(i, 0))
-          case BooleanType => out.update(o, g.getBoolean(i, 0))
-          case StringType =>
-            out.update(o, UTF8String.fromBytes(g.getBinary(i, 0).getBytes))
-          case BinaryType => out.update(o, g.getBinary(i, 0).getBytes)
-          case other => throw new IllegalArgumentException(s"$other")
-        }
-        i += 1
-      }
-      out
+      val r = nextRow
+      nextRow = reader.read()
+      if (nextRow == null) reader.close()
+      r
     }
 
     override def close(): Unit = reader.close()
