@@ -21,7 +21,27 @@ import scala.jdk.CollectionConverters._
   * `primary-key` (comma-separated), matching the reference's
   * `Schema(primary_keys=[...])`.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
+
+  /** Custom functions under the virtual `sys` namespace:
+    * `SELECT graft.sys.vec_dot(a, b)` etc. — see [[GraftFunctions]].
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("sys")))
+      GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (!ident.namespace().sameElements(Array("sys")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    try GraftFunctions.load(ident.name())
+    catch { case _: NoSuchElementException =>
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
+  }
 
   private var catalogName: String = _
   private var warehouse: Path = _

@@ -66,6 +66,19 @@ object ApiDemo {
     try pb.equal("nope", 1)
     catch { case e: Exception => println("  rejected: " + e.getMessage) }
 
+    println("== SQL-callable catalog functions (FunctionCatalog, sys namespace)")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    spark.sql(
+      """SELECT a.vec_id, b.vec_id AS other,
+           graft.sys.vec_cosine(a.embedding, b.embedding) AS cos
+         FROM emb a JOIN emb b ON a.vec_id = 0 AND b.vec_id IN (1, 2)
+         ORDER BY other""").show()
+    spark.sql("SELECT graft.sys.word_shingles(array('new','york','city','hall'), 2) AS bigrams").show(truncate = false)
+    println("== probe: unknown function")
+    try spark.sql("SELECT graft.sys.nope(1)").collect()
+    catch { case e: Exception => println("  rejected: " + e.getMessage.linesIterator.next()) }
+
     println("== probe: schema type mismatch (int vs bigint)")
     try table.newBatchWriteBuilder().newWrite()
       .write(Seq((1, "a")).toDF("k", "v"))

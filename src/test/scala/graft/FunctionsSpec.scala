@@ -54,6 +54,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("catalog functions callable from plain SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-fn-wh")
+    spark.conf.set("spark.sql.catalog.gfn", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gfn.warehouse", wh.toString)
+    val dot = spark.sql(
+      "SELECT gfn.sys.vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    val cos = spark.sql(
+      "SELECT gfn.sys.vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sh = spark.sql(
+      "SELECT gfn.sys.word_shingles(array('a','b','c','d'), 2) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT gfn.sys.nope(1)").collect()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("minhash LSH finds planted near-duplicates in documents") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
