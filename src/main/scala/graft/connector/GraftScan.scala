@@ -32,7 +32,8 @@ import scala.collection.mutable
 class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     pinnedSnapshot: Option[Long] = None,
     changelogView: Boolean = false,
-    fullSchema: StructType = null)
+    fullSchema: StructType = null,
+    rowLevelOp: Option[GraftRowLevelOperation] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -57,9 +58,17 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  override def build(): Scan =
-    new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
-      changelogView)
+  override def build(): Scan = rowLevelOp match {
+    case Some(op) =>
+      new GraftScan(tableDir, schema, required, filters, limit,
+        pinnedSnapshot, changelogView, Some(op)) with GraftRuntimeFiltering {
+        override protected def onRuntimeFileFilter(files: Set[String]): Unit =
+          setRuntimeFiles(files)
+      }
+    case None =>
+      new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
+        changelogView)
+  }
 }
 
 final case class GraftInputPartition(
@@ -70,8 +79,14 @@ final case class GraftInputPartition(
 class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     filters: Array[Filter], limit: Option[Int],
     pinnedSnapshot: Option[Long] = None,
-    changelogView: Boolean = false)
+    changelogView: Boolean = false,
+    rowLevelOp: Option[GraftRowLevelOperation] = None)
   extends Scan with Batch with SupportsReportStatistics {
+
+  // row-level DML: runtime group filter on _file (absolute paths)
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+  protected def setRuntimeFiles(files: Set[String]): Unit =
+    runtimeFiles = Some(files)
 
   override def readSchema(): StructType = required
 
@@ -145,9 +160,21 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
         }
         Some(Values.bucketOf(keyStrs, schema.numBuckets))
       } else None
-    targetBucket match {
+    val afterBucket0 = targetBucket match {
       case Some(b) => afterStats.filter(_.bucket == b)
       case None => afterStats
+    }
+    // 4. row-level runtime group filter: keep the groups that own the
+    // named files (whole buckets for PK tables — the merge unit)
+    runtimeFiles match {
+      case Some(named) =>
+        def abs(f: DataFileMeta): String = tableDir.resolve(f.fileName).toString
+        if (schema.isPrimaryKeyTable && !changelogView) {
+          val groups = afterBucket0.filter(f => named.contains(abs(f)))
+            .map(f => (f.partition, f.bucket)).toSet
+          afterBucket0.filter(f => groups.contains((f.partition, f.bucket)))
+        } else afterBucket0.filter(f => named.contains(abs(f)))
+      case None => afterBucket0
     }
   }
 
@@ -155,6 +182,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     val afterBucket = prunedFiles()
 
     def abs(f: DataFileMeta): String = tableDir.resolve(f.fileName).toString
+    // record the replaced-group file set for the row-level commit
+    rowLevelOp.foreach(_.planned.set(afterBucket.map(abs)))
 
     if (schema.isPrimaryKeyTable && !changelogView) {
       afterBucket.groupBy(f => (f.partition, f.bucket)).map {

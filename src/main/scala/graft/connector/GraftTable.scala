@@ -20,7 +20,19 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
     val changelogView: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Copy-on-write DELETE/UPDATE/MERGE (non-partition predicates fall
+    * through here when [[canDeleteWhere]] declines the metadata path).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!changelogView && pinnedSnapshot.isEmpty,
+      "Row-level operations require the current table state")
+    () => new GraftRowLevelOperation(tableDir, tableSchema, info)
+  }
 
   /** System columns (≙ Paimon's metadata columns; the RowKind/sequence
     * machinery of SURVEY §1.1 made queryable): `_file` on every table,

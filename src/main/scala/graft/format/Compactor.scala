@@ -115,7 +115,7 @@ object Compactor {
     */
   def commit(sm: SnapshotManager, schemaId: Long,
       adds: Seq[DataFileMeta], deleteNames: Set[String],
-      tableDir: Path): Boolean = {
+      tableDir: Path, kind: String = "COMPACT"): Boolean = {
     var attempt = 0
     while (attempt < 100) {
       val base = sm.latestSnapshot.getOrElse(
@@ -133,10 +133,11 @@ object Compactor {
       val snap = Snapshot(
         id = base.id + 1,
         schemaId = schemaId,
-        commitKind = "COMPACT",
+        commitKind = kind,
         timeMillis = System.currentTimeMillis(),
         manifests = base.manifests :+ manifest,
-        lastSequenceNumber = base.lastSequenceNumber,
+        lastSequenceNumber = math.max(base.lastSequenceNumber,
+          (adds.map(_.maxSeq) :+ 0L).max),
         totalRecordCount = live.filterNot(f => deleteNames.contains(f.fileName))
           .map(_.rowCount).sum + adds.map(_.rowCount).sum)
       if (sm.tryCommitSnapshot(snap)) return true

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Copy-on-write row-level DML through SQL: DELETE with non-partition
+  * predicates, UPDATE, MERGE INTO — on append and PK tables.
+  */
+class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var warehouse: java.nio.file.Path = _
+
+  lazy val spark: SparkSession = {
+    warehouse = Files.createTempDirectory("graft-rl-wh")
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.default")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("row-level DELETE on append table with value predicate") {
+    spark.sql("CREATE TABLE graft.default.rl_app (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.default.rl_app VALUES (1,'keep'), (2,'drop'), (3,'keep')")
+    spark.sql("INSERT INTO graft.default.rl_app VALUES (4,'drop'), (5,'keep')")
+    spark.sql("DELETE FROM graft.default.rl_app WHERE v = 'drop'")
+    val got = spark.sql("SELECT k FROM graft.default.rl_app ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("row-level DELETE only rewrites affected files") {
+    // the 2-file layout above: file1 had {1,2,3}, file2 {4,5}; both
+    // contained a 'drop' so both rewritten; now delete from one only
+    val before = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/rl_app")).liveFilesLatest.map(_.fileName).toSet
+    spark.sql("INSERT INTO graft.default.rl_app VALUES (10,'x'), (11,'y')")
+    spark.sql("DELETE FROM graft.default.rl_app WHERE k = 10")
+    val after = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/rl_app")).liveFilesLatest.map(_.fileName).toSet
+    // the pre-existing files survive untouched
+    assert(before.subsetOf(after))
+    assert(spark.sql("SELECT k FROM graft.default.rl_app ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 11L))
+  }
+
+  test("UPDATE on PK table rewrites the bucket and wins the merge") {
+    spark.sql("CREATE TABLE graft.default.rl_pk (k BIGINT, v STRING, x DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='2')")
+    spark.sql("INSERT INTO graft.default.rl_pk VALUES (1,'a',1.0), (2,'b',2.0), (3,'c',3.0)")
+    spark.sql("INSERT INTO graft.default.rl_pk VALUES (2,'B',2.5)")
+    spark.sql("UPDATE graft.default.rl_pk SET x = x * 10 WHERE v = 'B'")
+    val got = spark.sql("SELECT k, v, x FROM graft.default.rl_pk ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 1.0), (2L, "B", 25.0), (3L, "c", 3.0)))
+    // upsert after the update still wins by sequence
+    spark.sql("INSERT INTO graft.default.rl_pk VALUES (2,'B2',0.0)")
+    assert(spark.sql("SELECT v FROM graft.default.rl_pk WHERE k = 2")
+      .collect()(0).getString(0) == "B2")
+  }
+
+  test("MERGE INTO upserts and deletes through the same machinery") {
+    import spark.implicits._
+    Seq((1L, "merged", 100.0), (4L, "new", 4.0), (3L, "del", 0.0))
+      .toDF("k", "v", "x").createOrReplaceTempView("src")
+    spark.sql("""MERGE INTO graft.default.rl_pk t USING src s ON t.k = s.k
+      WHEN MATCHED AND s.v = 'del' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v, x = s.x
+      WHEN NOT MATCHED THEN INSERT (k, v, x) VALUES (s.k, s.v, s.x)""")
+    val got = spark.sql("SELECT k, v FROM graft.default.rl_pk ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "merged"), (2L, "B2"), (4L, "new")))
+  }
+
+  test("partitioned table: partition DELETE stays metadata-only, row DELETE rewrites") {
+    spark.sql("CREATE TABLE graft.default.rl_part (pt INT, v STRING) PARTITIONED BY (pt)")
+    spark.sql("INSERT INTO graft.default.rl_part VALUES (1,'a'), (1,'b'), (2,'c')")
+    spark.sql("DELETE FROM graft.default.rl_part WHERE v = 'a'") // row-level
+    spark.sql("DELETE FROM graft.default.rl_part WHERE pt = 2") // metadata
+    val got = spark.sql("SELECT pt, v FROM graft.default.rl_part ORDER BY pt, v")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "b")))
+  }
+}
