@@ -1,0 +1,174 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import graft.core.{RowKind, TableSchema}
+import graft.format.{FormatIO, SnapshotManager, SortMergeReader}
+import java.nio.file.{Path, Paths}
+import scala.collection.mutable
+
+/** Retraction-mode changelog stream (`readStream.option("retractions",
+  * "true").table("t$changelog")`): each APPEND commit's rows are merged
+  * against the bucket's pre-commit state and re-emitted as a complete
+  * changelog — `+I` for new keys, `-U`/`+U` pairs for updates, `-D`
+  * with the old values for deletes — so downstream aggregations can
+  * retract (Paimon's lookup changelog-producer semantics, the piece the
+  * reference's batch-only surface leaves to the Java engine).
+  *
+  * Cost model: one micro-batch reads the delta plus the baseline files
+  * of the touched buckets only; baseline state is a bucket-local map
+  * (the lookup producer's classic trade — bounded by bucket size, no
+  * shuffle).
+  */
+class GraftChangelogStream(tableDir: Path, schema: TableSchema,
+    required: StructType) extends MicroBatchStream {
+
+  private val sm = new SnapshotManager(tableDir)
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+  override def latestOffset(): Offset =
+    GraftOffset(sm.latestSnapshotId.getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = {
+    val id = "\"snapshotId\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"Bad offset: $json"))
+    GraftOffset(id)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].snapshotId
+    val to = end.asInstanceOf[GraftOffset].snapshotId
+    ((from + 1) to to).flatMap { id =>
+      val snap = sm.snapshot(id)
+      if (snap.commitKind != "APPEND") Seq.empty
+      else {
+        val delta = snap.manifests.lastOption.toSeq.flatMap(sm.readManifest)
+          .filter(_.isAdd).map(_.file)
+        val baseline =
+          if (id == 1) Seq.empty else sm.liveFiles(sm.snapshot(id - 1))
+        delta.groupBy(f => (f.partition, f.bucket)).map {
+          case ((part, bucket), deltaFiles) =>
+            val base = baseline.filter(f =>
+              f.partition == part && f.bucket == bucket)
+            GraftChangelogPartition(
+              deltaFiles.map(f => tableDir.resolve(f.fileName).toString).toArray,
+              base.map(f => tableDir.resolve(f.fileName).toString).toArray,
+              part.toArray, bucket)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftChangelogReaderFactory(schema.fields.json, schema.partitionKeys,
+      schema.trimmedPrimaryKeys, required.json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class GraftChangelogPartition(
+    deltaFiles: Array[String],
+    baselineFiles: Array[String],
+    partitionValues: Array[String],
+    bucket: Int) extends InputPartition
+
+final case class GraftChangelogReaderFactory(
+    fieldsJson: String,
+    partitionKeys: Seq[String],
+    trimmedPk: Seq[String],
+    requiredJson: String) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftChangelogPartition]
+    val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val dataFields = StructType(
+      fields.fields.filterNot(f => partitionKeys.contains(f.name)))
+    val kvSchema = StructType(
+      StructField("_SEQUENCE_NUMBER", LongType, nullable = false) +:
+        StructField("_VALUE_KIND", IntegerType, nullable = false) +:
+        dataFields.fields)
+    val keyIdx = trimmedPk.map(kvSchema.fieldIndex)
+    val keyTypes = trimmedPk.map(k => kvSchema(kvSchema.fieldIndex(k)).dataType)
+
+    def keyOf(r: InternalRow): Seq[String] =
+      keyIdx.zip(keyTypes).map { case (i, dt) => Values.encodeField(r, i, dt) }
+
+    // baseline: merged pre-commit state of the bucket (key -> value row)
+    val state = mutable.HashMap.empty[Seq[String], InternalRow]
+    if (part.baselineFiles.nonEmpty) {
+      val sources = part.baselineFiles.toSeq.map(f =>
+        FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema)
+          .map(r => (f, r)))
+      new SortMergeReader(sources, keyIdx, keyTypes, 0, 1)
+        .foreach { case (_, r) => state.update(keyOf(r), r) }
+    }
+
+    // delta rows in sequence order
+    val delta = part.deltaFiles.toSeq.flatMap(f =>
+      FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema).toSeq)
+      .sortBy(_.getLong(0))
+
+    // synthesize the changelog
+    val out = mutable.ArrayBuffer.empty[(Byte, Long, InternalRow)]
+    delta.foreach { r =>
+      val key = keyOf(r)
+      val seq = r.getLong(0)
+      val newIsAdd = RowKind.isAdd(r.getInt(1).toByte)
+      val old = state.get(key)
+      old match {
+        case Some(prev) if newIsAdd =>
+          out += ((RowKind.UpdateBefore, seq, prev))
+          out += ((RowKind.UpdateAfter, seq, r))
+          state.update(key, r)
+        case Some(prev) =>
+          out += ((RowKind.Delete, seq, prev))
+          state.remove(key)
+        case None if newIsAdd =>
+          out += ((RowKind.Insert, seq, r))
+          state.update(key, r)
+        case None => () // delete of an absent key: no event
+      }
+    }
+
+    // assemble into the changelog view's schema
+    val pValues = partitionKeys.zipWithIndex.map { case (k, i) =>
+      k -> Values.parse(fields(fields.fieldIndex(k)).dataType,
+        part.partitionValues(i))
+    }.toMap
+    val assemblers: Array[((Byte, Long, InternalRow)) => Any] =
+      required.fields.map { f =>
+        f.name match {
+          case "_row_kind" => (e: (Byte, Long, InternalRow)) => e._1.toInt
+          case "_sequence_number" => (e: (Byte, Long, InternalRow)) => e._2
+          case n if pValues.contains(n) =>
+            (_: (Byte, Long, InternalRow)) => pValues(n)
+          case n =>
+            val i = kvSchema.fieldIndex(n)
+            val dt = f.dataType
+            (e: (Byte, Long, InternalRow)) =>
+              if (e._3.isNullAt(i)) null else e._3.get(i, dt)
+        }
+      }
+
+    val it = out.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val e = it.next()
+          val row = new GenericInternalRow(assemblers.length)
+          var i = 0
+          while (i < assemblers.length) { row.update(i, assemblers(i)(e)); i += 1 }
+          current = row
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -33,7 +33,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     pinnedSnapshot: Option[Long] = None,
     changelogView: Boolean = false,
     fullSchema: StructType = null,
-    rowLevelOp: Option[GraftRowLevelOperation] = None)
+    rowLevelOp: Option[GraftRowLevelOperation] = None,
+    retractions: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -67,7 +68,7 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
       }
     case None =>
       new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
-        changelogView)
+        changelogView, retractions = retractions)
   }
 }
 
@@ -80,7 +81,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     filters: Array[Filter], limit: Option[Int],
     pinnedSnapshot: Option[Long] = None,
     changelogView: Boolean = false,
-    rowLevelOp: Option[GraftRowLevelOperation] = None)
+    rowLevelOp: Option[GraftRowLevelOperation] = None,
+    retractions: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics {
 
   // row-level DML: runtime group filter on _file (absolute paths)
@@ -109,7 +111,9 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(tableDir, schema, required)
+    if (changelogView && retractions)
+      new GraftChangelogStream(tableDir, schema, required)
+    else new GraftMicroBatchStream(tableDir, schema, required)
 
   override def description(): String = {
     val snap = pinnedSnapshot.orElse(

@@ -115,7 +115,8 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableDir, tableSchema, pinnedSnapshot,
-      changelogView, schema())
+      changelogView, schema(),
+      retractions = options.getBoolean("retractions", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedSnapshot.isEmpty, "Cannot write to a time-travel read")

@@ -85,6 +85,25 @@ object StreamingDemo {
     try spark.sql("INSERT INTO graft.demo.`pk$changelog` VALUES (9,'z',0,0)")
     catch { case e: Exception => println("   rejected: " + e.getMessage.linesIterator.next()) }
 
+    println("== retraction changelog: balances table with upserts")
+    spark.sql("CREATE TABLE graft.demo.bal (k BIGINT, amount DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.demo.bal VALUES (1, 10.0), (2, 20.0)")
+    spark.sql("INSERT INTO graft.demo.bal VALUES (1, 15.0), (3, 5.0)")
+    spark.sql("INSERT INTO graft.demo.bal VALUES (2, 0.5)")
+    val rq = spark.readStream.option("retractions", "true")
+      .table("graft.demo.`bal$changelog`")
+      .writeStream.format("memory").queryName("ret_sink")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    rq.awaitTermination(60000)
+    println("  synthesized changelog (+I=0 -U=1 +U=2 -D=3):")
+    spark.sql("SELECT k, amount, _row_kind FROM ret_sink ORDER BY _sequence_number, _row_kind").show()
+    println("  signed fold of the changelog vs merged table total:")
+    spark.sql("""SELECT
+        (SELECT SUM(CASE WHEN _row_kind IN (0,2) THEN amount ELSE -amount END) FROM ret_sink) AS changelog_total,
+        (SELECT SUM(amount) FROM graft.demo.bal) AS merged_total""").show()
+
     spark.stop()
   }
 }

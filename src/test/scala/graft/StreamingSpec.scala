@@ -110,6 +110,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("changelog"))
   }
 
+  test("retraction changelog synthesizes -U/+U/-D against prior state") {
+    spark.sql("CREATE TABLE graft.default.s_ret (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.s_ret VALUES (1,'a'), (2,'b')")
+    spark.sql("INSERT INTO graft.default.s_ret VALUES (1,'A'), (3,'c')")
+    spark.sql("DELETE FROM graft.default.s_ret WHERE k = 2") // OVERWRITE: skipped
+    spark.sql("INSERT INTO graft.default.s_ret VALUES (3,'C')")
+
+    val q = spark.readStream
+      .option("retractions", "true")
+      .table("graft.default.`s_ret$changelog`")
+      .writeStream.format("memory").queryName("s_ret_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT k, v, _row_kind FROM s_ret_sink ORDER BY _sequence_number, _row_kind")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // batch1: +I(1,a) +I(2,b); batch2: -U(1,a)+U(1,A), +I(3,c);
+    // batch4 (after the skipped OVERWRITE): -U(3,c)+U(3,C)
+    assert(got.toSeq == Seq(
+      (1L, "a", 0), (2L, "b", 0),
+      (1L, "a", 1), (1L, "A", 2), (3L, "c", 0),
+      (3L, "c", 1), (3L, "C", 2)))
+  }
+
   test("PK table streams raw upsert rows (no cross-batch merge)") {
     spark.sql("CREATE TABLE graft.default.s_pk (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
