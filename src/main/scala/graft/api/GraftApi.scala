@@ -124,6 +124,19 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     groups.size
   }
 
+  /** Expire all but the last `retainLast` snapshots (time travel stays
+    * valid within the retained window); returns counts of deleted
+    * snapshots/files/manifests. See [[graft.format.Maintenance]].
+    */
+  def expireSnapshots(retainLast: Int): graft.format.Maintenance.ExpireResult =
+    graft.format.Maintenance.expireSnapshots(tableDir, retainLast)
+
+  /** Delete unreferenced data files older than the given age (aborted
+    * writes, stray sidecars); returns the number deleted.
+    */
+  def vacuum(olderThanMillis: Long = 3600 * 1000L): Int =
+    graft.format.Maintenance.vacuumOrphans(tableDir, olderThanMillis)
+
   private[api] def sqlName: String = s"$catalogName.$identifier"
 }
 

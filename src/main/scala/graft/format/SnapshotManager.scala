@@ -39,6 +39,16 @@ final class SnapshotManager(val tableDir: Path) {
 
   def latestSnapshot: Option[Snapshot] = latestSnapshotId.map(snapshot)
 
+  /** Ids of snapshot files actually on disk (gaps appear after expiry). */
+  def existingSnapshotIds: Seq[Long] = {
+    if (!Files.isDirectory(snapshotDir)) return Seq.empty
+    Files.list(snapshotDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("snapshot-"))
+      .map(_.stripPrefix("snapshot-").toLong)
+      .toSeq.sorted
+  }
+
   def snapshot(id: Long): Snapshot =
     Snapshot.fromJson(Files.readString(snapshotDir.resolve(s"snapshot-$id")))
 

@@ -64,6 +64,22 @@ object MaintenanceDemo {
     spark.sql("SELECT k, v, _sequence_number, _row_kind, " +
       "substring_index(_file, '/', -1) AS file FROM graft.demo.t ORDER BY k")
       .show(truncate = false)
+    println("== snapshot expiry + vacuum")
+    val smT = new graft.format.SnapshotManager(t.tableDir)
+    println(s"  before expiry: snapshots=${smT.existingSnapshotIds.mkString(",")}")
+    val res = t.expireSnapshots(retainLast = 1)
+    println(s"  expired=${res.expiredSnapshots} dataFilesFreed=${res.deletedDataFiles} manifestsFreed=${res.deletedManifests}")
+    println(s"  after: snapshots=${smT.existingSnapshotIds.mkString(",")}")
+    spark.sql("SELECT * FROM graft.demo.t ORDER BY k").show()
+    println("  probe: time travel to an expired snapshot")
+    try spark.sql("SELECT * FROM graft.demo.t VERSION AS OF 1").collect()
+    catch { case e: Exception => println("   rejected: " + e.getMessage.linesIterator.next()) }
+    val orphan = t.tableDir.resolve("bucket-0/data-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1,2,3))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    println(s"  vacuum removed ${t.vacuum(olderThanMillis = 3600000L)} orphan(s); orphan exists=${java.nio.file.Files.exists(orphan)}")
+
     println("== probe: _sequence_number on an append table")
     try spark.sql("SELECT _sequence_number FROM graft.demo.facts").collect()
     catch { case e: Exception =>

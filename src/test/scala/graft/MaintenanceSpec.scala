@@ -127,6 +127,51 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .columns.toSeq == Seq("commit_kind"))
   }
 
+  test("expireSnapshots keeps recent time travel, frees old files") {
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    spark.sql("CREATE TABLE graft.default.exp (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    (1 to 6).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.exp VALUES ($i, 'v$i'), (1, 'u$i')"))
+    val t = catalog.getTable("default.exp")
+    t.compact()
+    // retaining 2 would keep the pre-compaction snapshot live (its
+    // files stay reachable); retain only the compacted snapshot to
+    // free the pre-compact files
+    val res = t.expireSnapshots(retainLast = 1)
+    assert(res.expiredSnapshots >= 5)
+    assert(res.deletedDataFiles >= 1)
+    // manifests stay: the retained snapshot's list references the whole
+    // chain until folding (at 50 commits) shrinks it
+    // current read intact
+    assert(spark.table("graft.default.exp").count() == 6)
+    // expired snapshot unreadable
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.default.exp VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.nonEmpty)
+    // new commits keep working after expiry
+    spark.sql("INSERT INTO graft.default.exp VALUES (99, 'post')")
+    assert(spark.table("graft.default.exp").count() == 7)
+  }
+
+  test("vacuum removes orphaned data files") {
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    val t = catalog.getTable("default.exp")
+    // plant an orphan next to real data
+    val bucketDir = t.tableDir.resolve("bucket-0")
+    val orphan = bucketDir.resolve("data-orphan.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L))
+    val n = t.vacuum(olderThanMillis = 3600_000L)
+    assert(n == 1)
+    assert(!Files.exists(orphan))
+    assert(spark.table("graft.default.exp").count() == 7)
+  }
+
   test("upserts after compaction still win by sequence number") {
     spark.sql("INSERT INTO graft.default.cmp VALUES (2,'B2')")
     val got = spark.sql("SELECT k, v FROM graft.default.cmp ORDER BY k")
