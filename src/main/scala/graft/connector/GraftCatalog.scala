@@ -159,8 +159,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some(schema) =>
         val sm = new graft.format.SnapshotManager(dir)
         val id = version.toLong
-        require(sm.latestSnapshotId.exists(_ >= id) && id >= 1,
-          s"Snapshot $version does not exist for table $ident")
+        require(sm.existingSnapshotIds.contains(id),
+          s"Snapshot $version does not exist for table $ident " +
+            "(never created, or expired by expireSnapshots)")
         new GraftTable(ident, dir, schema, Some(id))
       case None => throw new NoSuchTableException(ident)
     }
