@@ -122,6 +122,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("range pruning is sound: never excludes a file containing a match") {
+    import org.apache.spark.sql.sources._
+    val dt: String => Option[org.apache.spark.sql.types.DataType] =
+      c => if (c == "k") Some(LongType) else None
+    val filterGen = for {
+      v <- Gen.choose(-100L, 100L)
+      f <- Gen.oneOf[Filter](
+        EqualTo("k", v), LessThan("k", v), LessThanOrEqual("k", v),
+        GreaterThan("k", v), GreaterThanOrEqual("k", v),
+        In("k", Array[Any](v, v + 3, v - 7)))
+    } yield f
+    val caseGen = for {
+      rows <- Gen.nonEmptyListOf(Gen.choose(-100L, 100L))
+      f <- filterGen
+    } yield (rows, f)
+    forAllSampled(caseGen, n = 400) { case (rows, f) =>
+      val lo = rows.min
+      val hi = rows.max
+      val bounds: String => Option[(String, String)] =
+        c => if (c == "k") Some((lo.toString, hi.toString)) else None
+      // model: does any row in the file actually satisfy the filter?
+      def sat(v: Long): Boolean = f match {
+        case EqualTo(_, x) => v == x.asInstanceOf[Long]
+        case LessThan(_, x) => v < x.asInstanceOf[Long]
+        case LessThanOrEqual(_, x) => v <= x.asInstanceOf[Long]
+        case GreaterThan(_, x) => v > x.asInstanceOf[Long]
+        case GreaterThanOrEqual(_, x) => v >= x.asInstanceOf[Long]
+        case In(_, xs) => xs.exists(_.asInstanceOf[Long] == v)
+        case _ => true
+      }
+      val anyMatch = rows.exists(sat)
+      val verdict = graft.connector.Values.evalRange(f, dt, bounds)
+      // pruning (Some(false)) is only allowed when NO row matches
+      if (anyMatch) assert(verdict != Some(false),
+        s"unsound prune: rows=$rows filter=$f bounds=($lo,$hi)")
+    }
+  }
+
   test("canonical encode/parse round-trips for every supported type") {
     forAllSampled(Gen.choose(Int.MinValue, Int.MaxValue)) { i =>
       assert(Values.parse(IntegerType, Values.encode(IntegerType, i)) == i)
