@@ -34,7 +34,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     changelogView: Boolean = false,
     fullSchema: StructType = null,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
-    retractions: Boolean = false)
+    retractions: Boolean = false,
+    incremental: Option[(Long, Long)] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -68,7 +69,7 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
       }
     case None =>
       new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
-        changelogView, retractions = retractions)
+        changelogView, retractions = retractions, incremental = incremental)
   }
 }
 
@@ -82,7 +83,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     pinnedSnapshot: Option[Long] = None,
     changelogView: Boolean = false,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
-    retractions: Boolean = false)
+    retractions: Boolean = false,
+    incremental: Option[(Long, Long)] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   // row-level DML: runtime group filter on _file (absolute paths)
@@ -127,9 +129,18 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     */
   private def prunedFiles(): Seq[DataFileMeta] = {
     val sm = new SnapshotManager(tableDir)
-    val files = pinnedSnapshot match {
-      case Some(id) => sm.liveFiles(sm.snapshot(id))
-      case None => sm.liveFilesLatest
+    val files = incremental match {
+      case Some((from, to)) =>
+        // snapshot-range diff: the delta manifests of APPEND commits in
+        // (from, to] — the batch counterpart of the streaming source
+        sm.existingSnapshotIds.filter(id => id > from && id <= to)
+          .map(sm.snapshot).filter(_.commitKind == "APPEND")
+          .flatMap(s => s.manifests.lastOption.toSeq.flatMap(sm.readManifest)
+            .filter(_.isAdd).map(_.file))
+      case None => pinnedSnapshot match {
+        case Some(id) => sm.liveFiles(sm.snapshot(id))
+        case None => sm.liveFilesLatest
+      }
     }
     val pTypes = schema.partitionKeys
       .map(k => k -> schema.fields(schema.fields.fieldIndex(k)).dataType).toMap

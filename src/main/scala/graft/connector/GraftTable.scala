@@ -113,10 +113,17 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
       OVERWRITE_BY_FILTER, OVERWRITE_DYNAMIC).asJava
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val fromSnap = Option(options.get("fromSnapshot")).map(_.toLong)
+    val toSnap = Option(options.get("toSnapshot")).map(_.toLong)
+    require(fromSnap.isEmpty || changelogView,
+      "Incremental reads (fromSnapshot/toSnapshot) are served by the " +
+        "$changelog view; the base table always reads a full snapshot")
     new GraftScanBuilder(tableDir, tableSchema, pinnedSnapshot,
       changelogView, schema(),
-      retractions = options.getBoolean("retractions", false))
+      retractions = options.getBoolean("retractions", false),
+      incremental = fromSnap.map(f => (f, toSnap.getOrElse(Long.MaxValue))))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedSnapshot.isEmpty, "Cannot write to a time-travel read")

@@ -99,6 +99,13 @@ object StreamingDemo {
     rq.awaitTermination(60000)
     println("  synthesized changelog (+I=0 -U=1 +U=2 -D=3):")
     spark.sql("SELECT k, amount, _row_kind FROM ret_sink ORDER BY _sequence_number, _row_kind").show()
+    println("  incremental batch read of snapshot 2 only (fromSnapshot=1, toSnapshot=2):")
+    spark.read.option("fromSnapshot", "1").option("toSnapshot", "2")
+      .table("graft.demo.`bal$changelog`")
+      .orderBy("_sequence_number").show()
+    println("  probe: incremental read on the base table")
+    try spark.read.option("fromSnapshot", "1").table("graft.demo.bal").collect()
+    catch { case e: Exception => println("   rejected: " + e.getMessage.linesIterator.next()) }
     println("  signed fold of the changelog vs merged table total:")
     spark.sql("""SELECT
         (SELECT SUM(CASE WHEN _row_kind IN (0,2) THEN amount ELSE -amount END) FROM ret_sink) AS changelog_total,

@@ -136,6 +136,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "c", 1), (3L, "C", 2)))
   }
 
+  test("incremental batch read over a snapshot range") {
+    spark.sql("CREATE TABLE graft.default.s_inc (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.s_inc VALUES (1,'a')")        // snap 1
+    spark.sql("INSERT INTO graft.default.s_inc VALUES (2,'b'), (1,'A')") // snap 2
+    spark.sql("INSERT INTO graft.default.s_inc VALUES (3,'c')")        // snap 3
+
+    val inc = spark.read
+      .option("fromSnapshot", "1").option("toSnapshot", "2")
+      .table("graft.default.`s_inc$changelog`")
+      .orderBy("_sequence_number")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(inc.toSeq == Seq((2L, "b"), (1L, "A"))) // only snapshot 2's rows
+
+    val tail = spark.read.option("fromSnapshot", "2")
+      .table("graft.default.`s_inc$changelog`")
+      .collect().map(_.getLong(0))
+    assert(tail.toSeq == Seq(3L)) // open-ended: everything after snap 2
+
+    val e = intercept[Exception] {
+      spark.read.option("fromSnapshot", "1")
+        .table("graft.default.s_inc").collect()
+    }
+    assert(e.getMessage.contains("changelog"))
+  }
+
   test("PK table streams raw upsert rows (no cross-batch merge)") {
     spark.sql("CREATE TABLE graft.default.s_pk (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
