@@ -24,7 +24,19 @@ object MultimodalQ {
             min("width").as("min_w"), max("width").as("max_w"))
           .orderBy("mediaType")
       },
-      None),
+      // The stub decode's width formula is integer arithmetic over the
+      // first utf-8 byte → expressible in SQL (the texts are ASCII).
+      Some("""SELECT media_type AS "mediaType", COUNT(*) AS n,
+          SUM(n_bytes) AS total_bytes, MIN(w) AS min_w, MAX(w) AS max_w
+        FROM (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END AS media_type,
+            octet_length(encode(text)) AS n_bytes,
+            64 + (CASE WHEN length(text) = 0 THEN 0
+                       ELSE ascii(substr(text, 1, 1)) % 192 END) AS w
+          FROM documents) q
+        GROUP BY media_type ORDER BY "mediaType" """)),
 
     // Frame sampling: row-expansion (flatMap) then dedup of frames by
     // content hash — the video half of the pipeline.

@@ -41,7 +41,19 @@ object Similarity {
           .select(col("query_id"), col("rank"), col("cand_id"))
           .orderBy("query_id", "rank")
       },
-      None),
+      // Oracle via DuckDB's native list_cosine_similarity: the OUTPUT
+      // is rank positions with cand_id tiebreaks, so sub-ulp cosine
+      // differences between engines only matter on exact near-ties —
+      // absent in random data (validated empirically at sf0.001/sf0.01).
+      Some("""WITH probes AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5),
+             corpus AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings)
+        SELECT query_id, rank, cand_id FROM (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rank
+          FROM corpus, probes WHERE cand_id <> query_id) q
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // IVF-style ANN: search only the probe's own cell (label).
     QueryDef("s_ann_ivf_cell",
@@ -63,7 +75,15 @@ object Similarity {
           .select(col("query_id"), col("rank"), col("cand_id"))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH probes AS (SELECT vec_id AS query_id, embedding AS qv, label AS cell
+                FROM embeddings WHERE vec_id < 10),
+             corpus AS (SELECT vec_id AS cand_id, embedding AS cv, label FROM embeddings)
+        SELECT query_id, rank, cand_id FROM (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rank
+          FROM corpus JOIN probes ON label = cell AND cand_id <> query_id) q
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // Embedding near-duplicate detection, blocked by cell (label).
     QueryDef("d_embedding_neardup",
@@ -81,7 +101,10 @@ object Similarity {
           .filter(col("cos") > 0.95)
           .agg(count(lit(1)).as("n_neardup_pairs"))
       },
-      None),
+      Some("""SELECT COUNT(*) AS n_neardup_pairs
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.95""")),
 
     // Centroid summary per cell — the "train coarse quantizer" step.
     QueryDef("s_cell_stats",
