@@ -88,15 +88,23 @@ final class SnapshotManager(val tableDir: Path) {
 
   /** Create-exclusive publish; returns false on id collision (caller
     * re-plans against the newer snapshot and retries).
+    *
+    * The winner is decided by `Files.createLink`, which atomically
+    * fails with FileAlreadyExistsException if the target exists — a
+    * rename would silently REPLACE a concurrent committer's snapshot
+    * (POSIX rename semantics) and lose its commit. An existence
+    * pre-check alone is racy for the same reason. On object stores the
+    * equivalent primitive is a conditional PUT.
     */
   def tryCommitSnapshot(s: Snapshot): Boolean = {
     Files.createDirectories(snapshotDir)
     val target = snapshotDir.resolve(s"snapshot-${s.id}")
-    if (Files.exists(target)) return false
+    if (Files.exists(target)) return false // fast path; the link decides
     val tmp = Files.createTempFile(snapshotDir, ".s", ".tmp")
     Files.writeString(tmp, s.toJson)
     try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.createLink(target, tmp) // atomic create-exclusive
+      Files.deleteIfExists(tmp)
       val latestTmp = Files.createTempFile(snapshotDir, ".l", ".tmp")
       Files.writeString(latestTmp, s.id.toString)
       Files.move(latestTmp, snapshotDir.resolve("LATEST"),

@@ -84,6 +84,17 @@ object ScaleChecks {
     try spark.sql("SELECT * FROM graft.d.`nope$snapshots`").collect()
     catch { case e: Exception => println("  rejected: " + e.getMessage.linesIterator.next()) }
 
+    println("== concurrent commit race: 12 parallel INSERTs")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("CREATE TABLE graft.d.race (k BIGINT)")
+    Await.result(Future.sequence((1 to 12).map(i =>
+      Future(spark.sql(s"INSERT INTO graft.d.race VALUES ($i)")))), 120.seconds)
+    val raceSm = new graft.format.SnapshotManager(wh.resolve("d.db/race"))
+    println(s"  rows=${spark.table("graft.d.race").count()} (expect 12); " +
+      s"snapshots=${raceSm.existingSnapshotIds.mkString(",")}")
+
     spark.stop()
   }
 }
