@@ -345,6 +345,8 @@ final class BatchTableCommit(table: GraftTableHandle,
       case Some(m) => FileStoreCommit.StaticOverwrite(m)
     }
     FileStoreCommit.commit(new SnapshotManager(table.tableDir),
-      table.tableSchema.id, table.tableSchema.partitionKeys, messages, mode)
+      table.tableSchema.id, table.tableSchema.partitionKeys, messages, mode,
+      resequence = graft.connector.GraftWriteSupport.resequenceInfo(
+        table.tableDir, table.tableSchema))
   }
 }

@@ -92,7 +92,8 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten
     FileStoreCommit.commit(new SnapshotManager(tableDir), schema.id,
-      schema.partitionKeys, files.toSeq, mode)
+      schema.partitionKeys, files.toSeq, mode,
+      resequence = GraftWriteSupport.resequenceInfo(tableDir, schema))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -102,6 +103,25 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
 
 final case class GraftCommitMessage(files: Seq[DataFileMeta])
   extends WriterCommitMessage
+
+object GraftWriteSupport {
+  /** Conflict re-sequencing applies to PK tables only (append rows have
+    * no merge semantics to order).
+    */
+  def resequenceInfo(tableDir: Path, schema: TableSchema)
+      : Option[graft.format.ResequenceInfo] =
+    if (!schema.isPrimaryKeyTable) None
+    else {
+      val dataFields = StructType(schema.fields.fields
+        .filterNot(f => schema.partitionKeys.contains(f.name)))
+      Some(graft.format.ResequenceInfo(tableDir,
+        StructType(
+          StructField("_SEQUENCE_NUMBER", LongType, nullable = false) +:
+            StructField("_VALUE_KIND", IntegerType, nullable = false) +:
+            dataFields.fields),
+        schema.options.getOrElse("file.format", "parquet")))
+    }
+}
 
 final case class GraftWriterFactory(
     tableDirStr: String,

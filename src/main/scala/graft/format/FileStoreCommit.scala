@@ -27,12 +27,30 @@ object FileStoreCommit {
       schemaId: Long,
       partitionKeys: Seq[String],
       newFiles: Seq[DataFileMeta],
-      mode: OverwriteMode): Snapshot = {
+      mode: OverwriteMode,
+      resequence: Option[ResequenceInfo] = None): Snapshot = {
 
     var attempt = 0
+    var files = newFiles
     while (attempt < 100) {
       val base = sm.latestSnapshot
       val live = base.map(sm.liveFiles).getOrElse(Seq.empty)
+
+      // Conflict re-sequencing: if a concurrent commit landed first
+      // from the same base, our rows may carry sequence numbers at or
+      // below the published lastSequenceNumber — the merge winner for
+      // a shared key would then be heap-order, not commit-order. Shift
+      // our sequences above the published high-water mark (a file
+      // rewrite, but only on the losing side of a race) so the LATER
+      // COMMIT always wins, matching snapshot-chain semantics.
+      resequence.foreach { info =>
+        val lastSeq = base.map(_.lastSequenceNumber).getOrElse(0L)
+        val minSeq = files.map(_.minSeq).minOption.getOrElse(Long.MaxValue)
+        if (files.nonEmpty && minSeq <= lastSeq) {
+          val delta = lastSeq + 1 - minSeq
+          files = files.map(f => Resequencer.shift(info, f, delta))
+        }
+      }
 
       val deletes: Seq[ManifestEntry] = mode match {
         case NoOverwrite => Seq.empty
@@ -42,16 +60,16 @@ object FileStoreCommit {
             i >= 0 && f.partition.lift(i).contains(v)
           }).map(f => ManifestEntry("DELETE", f))
         case DynamicOverwrite =>
-          val touched = newFiles.map(_.partition).toSet
+          val touched = files.map(_.partition).toSet
           live.filter(f => touched.contains(f.partition))
             .map(f => ManifestEntry("DELETE", f))
       }
 
-      val adds = newFiles.map(f => ManifestEntry("ADD", f))
+      val adds = files.map(f => ManifestEntry("ADD", f))
       val manifest = sm.writeManifest(deletes ++ adds)
       val deletedNames = deletes.map(_.file.fileName).toSet
       val newTotal = live.filterNot(f => deletedNames.contains(f.fileName))
-        .map(_.rowCount).sum + newFiles.map(_.rowCount).sum
+        .map(_.rowCount).sum + files.map(_.rowCount).sum
       // Manifest folding: the chain grows by one per commit; past a
       // threshold, collapse history into a single full manifest so read
       // planning stays O(live files), not O(commits).
@@ -71,7 +89,7 @@ object FileStoreCommit {
         manifests = manifests,
         lastSequenceNumber = math.max(
           base.map(_.lastSequenceNumber).getOrElse(0L),
-          (newFiles.map(_.maxSeq) :+ 0L).max),
+          (files.map(_.maxSeq) :+ 0L).max),
         totalRecordCount = newTotal)
       if (sm.tryCommitSnapshot(snap)) return snap
       attempt += 1
@@ -105,5 +123,43 @@ object FileStoreCommit {
       attempt += 1
     }
     throw new IllegalStateException("DELETE commit conflict")
+  }
+}
+
+/** What a commit needs to rewrite a KV file with shifted sequences. */
+final case class ResequenceInfo(
+    tableDir: java.nio.file.Path,
+    kvFileSchema: org.apache.spark.sql.types.StructType,
+    fileFormat: String)
+
+object Resequencer {
+  /** Rewrite one KV data file with every _SEQUENCE_NUMBER shifted by
+    * `delta`; returns the replacement meta (old file deleted).
+    */
+  def shift(info: ResequenceInfo, meta: DataFileMeta, delta: Long): DataFileMeta = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val src = info.tableDir.resolve(meta.fileName)
+    val dir = meta.fileName.substring(0, meta.fileName.lastIndexOf('/') max 0)
+    val rel = (if (dir.isEmpty) "" else dir + "/") +
+      s"data-${java.util.UUID.randomUUID()}.${FormatIO.extension(info.fileFormat)}"
+    val w = FormatIO.writer(info.fileFormat, info.tableDir.resolve(rel),
+      info.kvFileSchema)
+    FormatIO.reader(FormatIO.ofFile(meta.fileName), src,
+      info.kvFileSchema, info.kvFileSchema).foreach { r =>
+      val out = new GenericInternalRow(info.kvFileSchema.length)
+      out.update(0, r.getLong(0) + delta)
+      var i = 1
+      while (i < info.kvFileSchema.length) {
+        out.update(i, if (r.isNullAt(i)) null
+        else r.get(i, info.kvFileSchema(i).dataType))
+        i += 1
+      }
+      w.write(out)
+    }
+    w.close()
+    java.nio.file.Files.deleteIfExists(src)
+    meta.copy(fileName = rel,
+      fileSize = java.nio.file.Files.size(info.tableDir.resolve(rel)),
+      minSeq = meta.minSeq + delta, maxSeq = meta.maxSeq + delta)
   }
 }

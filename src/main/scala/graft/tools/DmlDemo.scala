@@ -45,6 +45,23 @@ object DmlDemo {
     spark.sql("SELECT snapshot_id, commit_kind, total_record_count " +
       "FROM graft.demo.`acct$snapshots` ORDER BY snapshot_id").show()
 
+    println("== conflicting commits from the same base: later commit wins")
+    val cat = graft.api.Catalog.create(spark, Map("warehouse" -> wh.toString,
+      "catalog-name" -> "graft"))
+    spark.sql("CREATE TABLE graft.demo.race (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    val th = cat.getTable("demo.race")
+    val wbA = th.newBatchWriteBuilder(); val wA = wbA.newWrite()
+    val wbB = th.newBatchWriteBuilder(); val wB = wbB.newWrite()
+    wA.write(Seq((7L, "A")).toDF("k", "v"))
+    wB.write(Seq((7L, "B")).toDF("k", "v"))
+    val mA = wA.prepareCommit(); val mB = wB.prepareCommit()
+    println(s"  both writers from base: A seqs=[${mA.map(_.minSeq).min}..] " +
+      s"B seqs=[${mB.map(_.minSeq).min}..] (overlap)")
+    wbA.newCommit().commit(mA)
+    wbB.newCommit().commit(mB)
+    spark.sql("SELECT k, v, _sequence_number FROM graft.demo.race").show()
+
     println("== probe: UPDATE on a time-travel read")
     try spark.sql("UPDATE graft.demo.acct VERSION AS OF 1 SET bal = 0").collect()
     catch { case e: Exception => println("  rejected: " + e.getMessage.linesIterator.next()) }

@@ -42,6 +42,48 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("conflicting PK commits: the LATER COMMIT wins via re-sequencing") {
+    val warehouse = Files.createTempDirectory("graft-conc3-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      import graft.api._
+      val catalog = Catalog.create(spark,
+        Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+      catalog.createDatabase("c")
+      catalog.createTable("c.pk", Schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))),
+        primaryKeys = Seq("k"), options = Map("bucket" -> "1")))
+      val t = catalog.getTable("c.pk")
+
+      // two writers snapshot the SAME base: overlapping sequence ranges
+      val wbA = t.newBatchWriteBuilder(); val wA = wbA.newWrite()
+      val wbB = t.newBatchWriteBuilder(); val wB = wbB.newWrite()
+      wA.write(Seq((1L, "from-A")).toDF("k", "v"))
+      wB.write(Seq((1L, "from-B")).toDF("k", "v"))
+      val msgsA = wA.prepareCommit()
+      val msgsB = wB.prepareCommit()
+      assert(msgsA.map(_.minSeq).min == msgsB.map(_.minSeq).min) // genuine overlap
+
+      wbA.newCommit().commit(msgsA) // snapshot 1
+      wbB.newCommit().commit(msgsB) // snapshot 2 — re-sequenced above A
+
+      val got = spark.table("graft.c.pk").collect()
+      assert(got.length == 1)
+      assert(got(0).getString(1) == "from-B",
+        s"later commit must win, got ${got(0).getString(1)}")
+    } finally spark.stop()
+  }
+
   test("concurrent PK upserts on the same key resolve to one winner") {
     val warehouse = Files.createTempDirectory("graft-conc2-wh")
     val spark = SparkSession.builder()
