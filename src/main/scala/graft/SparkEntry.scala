@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
-    Relational.defs ++ Relational2.defs ++ Relational3.defs ++ Predicates.defs ++
+    Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+      Relational4.defs ++ Predicates.defs ++
       MergeOnRead.defs ++ Text.defs ++ Dedup.defs ++ Similarity.defs ++
       MultimodalQ.defs ++ Pipeline.defs
 
