@@ -24,11 +24,16 @@ import scala.collection.mutable
   * shuffle).
   */
 class GraftChangelogStream(tableDir: Path, schema: TableSchema,
-    required: StructType) extends MicroBatchStream {
+    required: StructType,
+    startSnapshot: Option[Long] = None) extends MicroBatchStream {
 
   private val sm = new SnapshotManager(tableDir)
 
-  override def initialOffset(): Offset = GraftOffset(0L)
+  override def initialOffset(): Offset = GraftOffset(startSnapshot match {
+    case Some(-1L) => sm.latestSnapshotId.getOrElse(0L)
+    case Some(id) => id
+    case None => 0L
+  })
   override def latestOffset(): Offset =
     GraftOffset(sm.latestSnapshotId.getOrElse(0L))
   override def deserializeOffset(json: String): Offset = {

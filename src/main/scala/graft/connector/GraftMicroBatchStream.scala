@@ -28,11 +28,21 @@ final case class GraftOffset(snapshotId: Long) extends Offset {
 }
 
 class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
-    required: StructType) extends MicroBatchStream {
+    required: StructType,
+    startSnapshot: Option[Long] = None) extends MicroBatchStream {
 
   private val sm = new SnapshotManager(tableDir)
 
-  override def initialOffset(): Offset = GraftOffset(0L)
+  /** First offset: 0 (full replay), a specific snapshot id, or -1 for
+    * "latest" (only new commits stream — the scan-from-now mode a
+    * large table needs; replaying 100 TB of history is not a default
+    * anyone wants by accident, but 0 preserves batch/stream parity).
+    */
+  override def initialOffset(): Offset = GraftOffset(startSnapshot match {
+    case Some(-1L) => sm.latestSnapshotId.getOrElse(0L)
+    case Some(id) => id
+    case None => 0L
+  })
 
   override def latestOffset(): Offset =
     GraftOffset(sm.latestSnapshotId.getOrElse(0L))

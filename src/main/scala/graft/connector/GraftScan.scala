@@ -112,10 +112,14 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // streaming reuses the incremental option as the start offset;
+    // fromSnapshot=-1 means "latest" (stream only new commits)
+    val start = incremental.map(_._1)
     if (changelogView && retractions)
-      new GraftChangelogStream(tableDir, schema, required)
-    else new GraftMicroBatchStream(tableDir, schema, required)
+      new GraftChangelogStream(tableDir, schema, required, start)
+    else new GraftMicroBatchStream(tableDir, schema, required, start)
+  }
 
   override def description(): String = {
     val snap = pinnedSnapshot.orElse(
@@ -194,6 +198,10 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(incremental.isEmpty || changelogView,
+      "Incremental BATCH reads (fromSnapshot/toSnapshot) are served by " +
+        "the $changelog view; the base table always reads a full snapshot " +
+        "(for streaming, fromSnapshot sets the start offset on any table)")
     val afterBucket = prunedFiles()
 
     def abs(f: DataFileMeta): String = tableDir.resolve(f.fileName).toString

@@ -116,9 +116,6 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val fromSnap = Option(options.get("fromSnapshot")).map(_.toLong)
     val toSnap = Option(options.get("toSnapshot")).map(_.toLong)
-    require(fromSnap.isEmpty || changelogView,
-      "Incremental reads (fromSnapshot/toSnapshot) are served by the " +
-        "$changelog view; the base table always reads a full snapshot")
     new GraftScanBuilder(tableDir, tableSchema, pinnedSnapshot,
       changelogView, schema(),
       retractions = options.getBoolean("retractions", false),

@@ -85,6 +85,22 @@ object StreamingDemo {
     try spark.sql("INSERT INTO graft.demo.`pk$changelog` VALUES (9,'z',0,0)")
     catch { case e: Exception => println("   rejected: " + e.getMessage.linesIterator.next()) }
 
+    println("== fromSnapshot=-1: stream from latest, skipping history")
+    val lSink = java.nio.file.Files.createTempDirectory("graft-latest-sink")
+    val lCkpt = java.nio.file.Files.createTempDirectory("graft-latest-ckpt")
+    def latestRun(): Long = {
+      val q = spark.readStream.option("fromSnapshot", "-1")
+        .table("graft.demo.clicks")
+        .writeStream.format("parquet").option("path", lSink.toString)
+        .option("checkpointLocation", lCkpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      try spark.read.parquet(lSink.toString).count() catch { case _: Exception => 0L }
+    }
+    println(s"  first run over a table with history: ${latestRun()} rows (expect 0)")
+    spark.sql("INSERT INTO graft.demo.clicks VALUES (99,'fresh')")
+    println(s"  after one new commit: ${latestRun()} rows (expect 1)")
+
     println("== retraction changelog: balances table with upserts")
     spark.sql("CREATE TABLE graft.demo.bal (k BIGINT, amount DOUBLE) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
