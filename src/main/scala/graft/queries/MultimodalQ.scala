@@ -27,7 +27,7 @@ object MultimodalQ {
       // The stub decode's width formula is integer arithmetic over the
       // first utf-8 byte → expressible in SQL (the texts are ASCII).
       Some("""SELECT media_type AS "mediaType", COUNT(*) AS n,
-          SUM(n_bytes) AS total_bytes, MIN(w) AS min_w, MAX(w) AS max_w
+          CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, MIN(w) AS min_w, MAX(w) AS max_w
         FROM (
           SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                       WHEN doc_id % 3 = 1 THEN 'audio'
@@ -61,7 +61,7 @@ object MultimodalQ {
         .groupBy("media_type")
         .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"))
         .orderBy("media_type"),
-      Some("""SELECT media_type, COUNT(*) AS n, SUM(n_bytes) AS total_bytes
+      Some("""SELECT media_type, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
         FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                           WHEN doc_id % 3 = 1 THEN 'audio'
                           ELSE 'video' END AS media_type,

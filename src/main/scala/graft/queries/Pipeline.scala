@@ -34,9 +34,9 @@ object Pipeline {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("lang"),
       Some("""SELECT lang, COUNT(*) AS n_docs,
-          SUM(CASE WHEN n_tokens BETWEEN 20 AND 200
+          CAST(SUM(CASE WHEN n_tokens BETWEEN 20 AND 200
                     AND n_stop * 20 >= n_tokens
-                    AND sum_len <= n_tokens * 8 THEN 1 ELSE 0 END) AS n_kept
+                    AND sum_len <= n_tokens * 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM (
           SELECT doc_id, lang, len(toks) AS n_tokens,
             len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) AS n_stop,

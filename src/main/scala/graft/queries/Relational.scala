@@ -73,7 +73,9 @@ object Relational {
         GROUP BY l_orderkey
         ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
 
-    // TPC-H Q5 shape: star join, all dims broadcast.
+    // TPC-H Q5 shape: star join. Orders/customer scale with the fact
+    // table, so they shuffle-join (AQE picks the physical strategy);
+    // only the true dims nation/region are broadcast.
     QueryDef(
       "q5_region_revenue",
       (s, dir) => {
@@ -82,8 +84,8 @@ object Relational {
         val cust = t(s, dir, "customer")
         val nat = t(s, dir, "nation")
         val reg = t(s, dir, "region")
-        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name")
@@ -266,7 +268,7 @@ object Relational {
           .filter(col("n") > 10)
           .orderBy("o_orderpriority"),
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
-          SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS n_finished,
+          CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
           ${sqlSumMoney("o_totalprice")} AS total
         FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 10
         ORDER BY o_orderpriority""")),
@@ -296,15 +298,19 @@ object Relational {
           COUNT(*) AS n, ${sqlSumMoney("o_totalprice")} AS total
         FROM orders GROUP BY 1 ORDER BY month""")),
 
-    // Correlated scalar subquery shape: orders above their customer's avg.
+    // Correlated scalar subquery shape: orders above their customer's
+    // avg. One window shuffle on o_custkey — no join, no broadcast of
+    // an sf-proportional per-customer aggregate. sum/count (exact
+    // longs) divided once matches the oracle's SUM/COUNT division.
     QueryDef(
       "q_above_cust_avg",
       (s, dir) => {
         val ord = t(s, dir, "orders")
-        val avgs = ord.groupBy(col("o_custkey").as("k"))
-          .agg((sum(cents(col("o_totalprice"))) / count(lit(1))).as("avg_cents"))
-        ord.join(broadcast(avgs), col("o_custkey") === col("k"))
-          .filter(cents(col("o_totalprice")) > col("avg_cents"))
+        val w = Window.partitionBy("o_custkey")
+        ord.withColumn("pc", cents(col("o_totalprice")))
+          .withColumn("avg_cents",
+            sum(col("pc")).over(w) / count(lit(1)).over(w))
+          .filter(col("pc") > col("avg_cents"))
           .groupBy("o_custkey").agg(count(lit(1)).as("n_above"))
           .orderBy("o_custkey")
       },

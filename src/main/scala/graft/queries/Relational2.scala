@@ -21,7 +21,8 @@ object Relational2 {
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type"),
-      Some("""SELECT event_type, SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+      Some("""SELECT event_type,
+          CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -67,8 +68,8 @@ object Relational2 {
       Some("""SELECT user_id, session_id, COUNT(*) AS n_events
         FROM (
           SELECT user_id,
-            SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM (
             SELECT user_id, ts, event_id,
               CASE WHEN prev_ts IS NULL

@@ -41,7 +41,7 @@ object Relational4 {
         .groupBy("measure")
         .agg(sum(col("value").cast("long")).as("total"))
         .orderBy("measure"),
-      Some("""SELECT measure, SUM(CAST(value AS BIGINT)) AS total FROM (
+      Some("""SELECT measure, CAST(SUM(CAST(value AS BIGINT)) AS BIGINT) AS total FROM (
           SELECT 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
           UNION ALL
           SELECT 'retail_cents', CAST(ROUND(p_retailprice*100,0) AS DOUBLE) FROM part) q

@@ -76,7 +76,8 @@ object Text {
           sum(col("n_chars")).as("total_chars"),
           (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
         .orderBy("lang"),
-      Some("""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
           (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*)) AS mean_chars
         FROM documents GROUP BY lang ORDER BY lang""")),
 

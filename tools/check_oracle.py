@@ -10,6 +10,13 @@ import duckdb, json, os, sys
 TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
 
+INT64 = {'TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT',
+         'UTINYINT', 'USMALLINT', 'UINTEGER'}
+
+
+def norm(types):
+    return ['INT64' if t in INT64 else t for t in types]
+
 
 def main(sf, out):
     con = duckdb.connect()
@@ -24,16 +31,29 @@ def main(sf, out):
             continue
         try:
             cols = sorted(con.sql(f"SELECT * FROM '{sdir}/*.parquet'").columns)
-            sp = con.sql(
-                f"SELECT {', '.join(cols)} FROM '{sdir}/*.parquet'").fetchall()
+            srel = con.sql(
+                f"SELECT {', '.join(cols)} FROM '{sdir}/*.parquet'")
+            stypes = [str(t) for t in srel.types]
+            sp = srel.fetchall()
             dcols = sorted(con.sql(sql).columns)
-            dk = con.sql(
-                f"SELECT {', '.join(dcols)} FROM ({sql}) q").fetchall()
+            drel = con.sql(
+                f"SELECT {', '.join(dcols)} FROM ({sql}) q")
+            dtypes = [str(t) for t in drel.types]
+            dk = drel.fetchall()
         except Exception as e:
             fails.append((name, f"exec: {e}"))
             continue
         if cols != dcols:
             fails.append((name, f"cols {cols} vs {dcols}"))
+        elif norm(stypes) != norm(dtypes):
+            # The driver's hash is type-sensitive to width overflow:
+            # DuckDB SUM(int) is HUGEINT (int128) while Spark emits
+            # BIGINT, and that alone fails the driver even when every
+            # value matches (r1: 8 queries). Int widths <= 64 bit all
+            # hash identically, so only flag cross-family drift.
+            diff = [(c, a, b) for c, a, b in
+                    zip(cols, norm(stypes), norm(dtypes)) if a != b]
+            fails.append((name, f"types {diff}"))
         elif len(sp) != len(dk):
             fails.append((name, f"rows {len(sp)} vs {len(dk)}"))
         else:
