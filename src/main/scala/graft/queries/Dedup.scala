@@ -62,14 +62,14 @@ object Dedup {
     val sigs = {
       val rows = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
       val minCols = (0 until K).map(i =>
-        min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+        min(h60(col("g"), i)).as(s"m$i"))
       rows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     }
     // band hash over its R signature slots — no arrays, pure codegen
     val bandCols = (0 until K / R).map { b =>
-      val slots = (b * R until (b + 1) * R).map(i => col(s"m$i"))
+      val slots = (b * R until (b + 1) * R).map(i => col(s"m$i").cast("string"))
       struct(lit(b).as("band"),
-        xxhash64(slots :+ lit(b): _*).as("bhash"))
+        h60s(concat_ws("#", slots :+ lit(b).cast("string"): _*)).as("bhash"))
     }
     val allBands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -98,6 +98,54 @@ object Dedup {
         size(col("ta.sh")) + size(col("tb.sh")) - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= 0.5)
       .select(col("a"), col("b"))
+  }
+
+  /** The whole MinHash+LSH pair pipeline as DuckDB CTEs (same
+    * tokenizer, same shingles, same md5-derived [[Tables.h60]] hashes,
+    * same band construction and skew guard) — shared by the
+    * `d_minhash_lsh` and `d_dup_clusters` oracles. Ends with a
+    * `pairs(a, b)` CTE of verified near-duplicate pairs.
+    */
+  val sqlPairsCte: String = {
+    val seedHash =
+      "CAST('0x' || substr(md5(g || '#' || seed), 1, 15) AS BIGINT)"
+    s"""tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents),
+    shing AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM tok WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM shing),
+    seeds AS (SELECT unnest(range(0, $K)) AS seed),
+    sig AS (
+      SELECT doc_id, seed, MIN($seedHash) AS m
+      FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, band,
+        ${sqlH60s("string_agg(CAST(m AS VARCHAR), '#' ORDER BY seed)" +
+          " || '#' || CAST(band AS VARCHAR)")} AS bhash
+      FROM (SELECT doc_id, seed, m, CAST(seed // $R AS INTEGER) AS band
+            FROM sig) s
+      GROUP BY doc_id, band),
+    big AS (
+      SELECT band, bhash FROM bands GROUP BY band, bhash
+      HAVING COUNT(*) > $MaxBucket),
+    small AS (
+      SELECT bands.* FROM bands WHERE NOT EXISTS (
+        SELECT 1 FROM big
+        WHERE big.band = bands.band AND big.bhash = bands.bhash)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM small x JOIN small y
+        ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT a, b FROM cand
+      JOIN shing sa ON cand.a = sa.doc_id
+      JOIN shing sb ON cand.b = sb.doc_id
+      WHERE CAST(len(list_filter(sa.sh, g -> list_contains(sb.sh, g))) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh)
+               - len(list_filter(sa.sh, g -> list_contains(sb.sh, g)))) >= 0.5)"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -130,27 +178,29 @@ object Dedup {
             FROM documents) q GROUP BY fp) g
         GROUP BY group_size ORDER BY group_size""")),
 
-    // MinHash + LSH banding. No DuckDB oracle (xxhash64 is
-    // Spark-internal) → rows-only check; FunctionsSpec asserts planted
-    // near-duplicates are found.
+    // MinHash + LSH banding, hashed with the engine-portable md5-derived
+    // h60 → the whole pipeline (shingle → per-seed min → band → bucket
+    // join → Jaccard verify) replays in DuckDB as the oracle.
+    // FunctionsSpec additionally asserts planted near-duplicates found.
     QueryDef("d_minhash_lsh",
       (s, dir) => nearDupPairs(s, dir)
         .agg(count(lit(1)).as("n_neardup_pairs")),
-      None),
+      Some(s"""WITH RECURSIVE $sqlPairsCte
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs FROM pairs""")),
 
-    // SimHash: 64-bit signature from per-token hash bit votes —
-    // explode + 64 codegen'd conditional sums, one shuffle on doc_id.
+    // SimHash: 60-bit signature from per-token hash bit votes —
+    // explode + 60 codegen'd conditional sums, one shuffle on doc_id.
     QueryDef("d_simhash",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val toks = docs
           .select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
-          .select(col("doc_id"), xxhash64(col("w")).as("h"))
-        val bitSums = (0 until 64).map(b =>
+          .select(col("doc_id"), h60s(col("w")).as("h"))
+        val bitSums = (0 until 60).map(b =>
           sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
         val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"),
-            (0 until 64).map(b =>
+            (0 until 60).map(b =>
               when(col(s"b$b") >= 0, expr(s"CAST(${1L << b} AS BIGINT)"))
                 .otherwise(0L))
               .reduce(_ + _).as("simhash"))
@@ -160,7 +210,27 @@ object Dedup {
           .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs_in_collision_bands"),
             count(lit(1)).as("n_bands"))
       },
-      None),
+      Some(s"""SELECT
+          CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs_in_collision_bands,
+          CAST(COUNT(*) AS BIGINT) AS n_bands
+        FROM (
+          SELECT simhash & 65535 AS band16, COUNT(*) AS n
+          FROM (
+            SELECT doc_id,
+              CAST(SUM(CASE WHEN vote >= 0
+                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+                AS simhash
+            FROM (
+              SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM (SELECT doc_id, ${sqlH60s("w")} AS h
+                    FROM (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                      FROM documents) t) hh
+              CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+              GROUP BY doc_id, b) v
+            GROUP BY doc_id) s
+          GROUP BY band16 HAVING COUNT(*) > 1) c""")),
 
     // n-gram Jaccard over adjacent doc pairs — full DuckDB oracle.
     QueryDef("d_ngram_jaccard",

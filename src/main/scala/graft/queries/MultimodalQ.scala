@@ -39,7 +39,9 @@ object MultimodalQ {
         GROUP BY media_type ORDER BY "mediaType" """)),
 
     // Frame sampling: row-expansion (flatMap) then dedup of frames by
-    // content hash — the video half of the pipeline.
+    // content hash — the video half of the pipeline. The frame hash is
+    // the first 60 bits of md5 over the frame's byte range, so DuckDB
+    // reproduces it from the same (ASCII) source bytes.
     QueryDef("mm_frame_dedup",
       (s, dir) => {
         val videos = Multimodal.blobsFromDocuments(s, dir)
@@ -48,7 +50,18 @@ object MultimodalQ {
         frames.agg(count(lit(1)).as("n_frames"),
           countDistinct(col("frameHash")).as("n_unique_frames"))
       },
-      None),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+          CAST(COUNT(DISTINCT fh) AS BIGINT) AS n_unique_frames
+        FROM (
+          SELECT CAST('0x' || substr(md5(substr(text, st + 1, fl)), 1, 15)
+                   AS BIGINT) AS fh
+          FROM (
+            SELECT text, ((n * f) // 4) AS st,
+              least(n, ((n * f) // 4) + greatest(1, n // 4)) - ((n * f) // 4)
+                AS fl
+            FROM (SELECT text, octet_length(encode(text)) AS n
+                  FROM documents WHERE doc_id % 3 = 2) d
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS f) fr) q) z""")),
 
     // Binary metadata profile is SQL-expressible → full oracle.
     QueryDef("mm_bytes_by_type",

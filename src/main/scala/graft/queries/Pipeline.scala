@@ -46,33 +46,55 @@ object Pipeline {
             FROM documents) a) b
         GROUP BY lang ORDER BY lang""")),
 
-    // Near-duplicate cluster resolution: union-find over the (small)
-    // LSH candidate-pair set. Pairs are collected to the driver — at
-    // 100 TB the pair set is orders of magnitude smaller than the
-    // corpus (that is the point of LSH banding); beyond driver memory
-    // the same step becomes iterative label propagation.
+    // Near-duplicate cluster resolution: DISTRIBUTED connected
+    // components over the LSH pair set — iterative min-label
+    // propagation to fixpoint (~diameter rounds; near-dup clusters are
+    // shallow). Nothing is collected to the driver, so a 100 TB corpus
+    // whose pair set is billions of edges still fits: each round is
+    // one join + one aggregation, lineage truncated per round.
+    // Oracle: DuckDB recursive CTE reachability over the same pairs.
     QueryDef("d_dup_clusters",
       (s, dir) => {
-        val pairs = Dedup.nearDupPairs(s, dir).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          parent.update(x, r); r
+        val pairs = Dedup.nearDupPairs(s, dir)
+        val edges = pairs.selectExpr("a AS src", "b AS dst")
+          .union(pairs.selectExpr("b AS src", "a AS dst"))
+          .persist()
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id"))
+          .localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val prop = edges
+            .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+            .groupBy(col("src").as("id")).agg(min("lbl").as("nbr"))
+          val next = labels.select(col("id"), col("lbl").as("old"))
+            .join(prop, Seq("id"), "left")
+            .select(col("id"), col("old"),
+              least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"))
+            .localCheckpoint()
+          changed = next.filter(col("lbl") =!= col("old")).count()
+          labels = next.select("id", "lbl")
         }
-        pairs.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
-        }
-        val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-        val clusters = members.groupBy(find).values.toSeq
-        import s.implicits._
-        Seq((clusters.size.toLong,
-          members.length.toLong,
-          clusters.map(_.length).maxOption.getOrElse(0).toLong))
-          .toDF("n_clusters", "n_docs_in_clusters", "largest_cluster")
+        edges.unpersist()
+        labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            coalesce(sum("sz"), lit(0L)).as("n_docs_in_clusters"),
+            coalesce(max("sz"), lit(0L)).as("largest_cluster"))
       },
-      None)
+      Some(s"""WITH RECURSIVE ${Dedup.sqlPairsCte},
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        lbl AS (
+          SELECT src AS id, LEAST(src, MIN(dst)) AS lbl
+          FROM reach GROUP BY src),
+        cl AS (SELECT lbl, COUNT(*) AS sz FROM lbl GROUP BY lbl)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_docs_in_clusters,
+          CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS largest_cluster
+        FROM cl"""))
   )
 }

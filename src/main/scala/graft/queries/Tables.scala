@@ -41,4 +41,22 @@ object Tables {
   /** Same expression in DuckDB SQL. */
   def sqlCents(e: String): String = s"CAST(ROUND(($e)*100,0) AS BIGINT)"
   def sqlSumMoney(e: String): String = s"(SUM(${sqlCents(e)})/100.0)"
+
+  /** Engine-portable 60-bit hash: first 15 hex chars of md5, parsed as
+    * a (positive) BIGINT. Unlike xxhash64 (Spark-internal), md5 is
+    * identical in DuckDB, so queries built on it stay oracle-checkable.
+    * The seeded variant appends `#seed` before hashing.
+    */
+  def h60(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c.cast("string"), lit("#" + seed))), 1, 15),
+      16, 10).cast("long")
+
+  def h60s(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** The same two hashes in DuckDB SQL. */
+  def sqlH60(e: String, seed: Int): String =
+    s"CAST('0x' || substr(md5(($e) || '#' || $seed), 1, 15) AS BIGINT)"
+  def sqlH60s(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 }
