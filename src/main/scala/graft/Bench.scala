@@ -24,10 +24,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver parses the JSON line out of a bounded log TAIL (2000
+    // chars in r2, where the full-precision line overflowed and parsed
+    // as null). Emit the most precise line that still fits comfortably
+    // inside that window (2-decimal seconds, degrading to 1 then 0 if
+    // the query count pushes past the budget), and make it the LAST
+    // output: stop Spark first so no shutdown logging can land after
+    // it, and `Global / showSuccess := false` keeps sbt quiet too.
+    def num(v: Double, scale: Int): String = java.math.BigDecimal.valueOf(v)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros().toPlainString()
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sf = sfDir.split("/").last.stripPrefix("sf") match {
+      case s if s.nonEmpty && s.forall(c => c.isDigit || c == '.') => s
+      case _ => "\"" + sfDir + "\""
+    }
+    def line(scale: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v, scale) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":$sf}"""
+    }
     spark.stop()
+    // 2000-char driver tail − "[info] " prefix (7) − newline = 1992
+    println(Seq(2, 1, 0).map(line).find(_.length <= 1992).getOrElse(line(0)))
   }
 }

@@ -315,6 +315,7 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     val baseSeq = new SnapshotManager(table.tableDir).latestSnapshot
       .map(_.lastSequenceNumber + 1).getOrElse(1L)
     val fmt = ts.options.getOrElse("file.format", "parquet")
+    val spill = GraftDataWriter.spillRows(ts.options)
 
     val collected: Array[Seq[DataFileMeta]] =
       aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -322,7 +323,7 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
         val writer = new GraftDataWriter(Paths.get(tableDirStr), fields,
           partitionKeys, trimmedPk, isPk, numBuckets,
           baseSeq + (pid.toLong << 32), writeSchema, hasRowKindCol = hasKind,
-          fileFormat = fmt)
+          fileFormat = fmt, spillRows = spill)
         rows.foreach(writer.write)
         Iterator.single(
           writer.commit().asInstanceOf[GraftCommitMessage].files)

@@ -86,7 +86,8 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
     GraftWriterFactory(tableDir.toString, schema.fields.json,
       schema.partitionKeys, schema.trimmedPrimaryKeys,
       schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
-      schema.options.getOrElse("file.format", "parquet"))
+      schema.options.getOrElse("file.format", "parquet"),
+      GraftDataWriter.spillRows(schema.options))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -131,7 +132,8 @@ final case class GraftWriterFactory(
     isPk: Boolean,
     numBuckets: Int,
     baseSeq: Long,
-    fileFormat: String = "parquet") extends DataWriterFactory {
+    fileFormat: String = "parquet",
+    spillRows: Int = GraftDataWriter.DefaultSpillRows) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
@@ -139,13 +141,31 @@ final case class GraftWriterFactory(
       trimmedPk, isPk, numBuckets,
       // per-task disjoint sequence ranges within one commit
       baseSeq + (partitionId.toLong << 32), fields, hasRowKindCol = false,
-      fileFormat = fileFormat)
+      fileFormat = fileFormat, spillRows = spillRows)
   }
 }
 
-/** Buffers rows per (partition, bucket), then writes one parquet file
-  * per pair at commit. PK-table files are sorted by (trimmed pk, seq) —
-  * sorted runs enable future sort-merge reading and tight key stats.
+object GraftDataWriter {
+  /** Default per-task in-heap row budget before buffered rows are
+    * flushed as sorted L0 runs. ~1M flat rows of typical width is
+    * low hundreds of MB — safely inside an executor task's share,
+    * while keeping sf0.1-scale writes single-file.
+    */
+  val DefaultSpillRows = 1 << 20
+
+  def spillRows(options: Map[String, String]): Int =
+    options.get("write-buffer-rows").map(_.toInt)
+      .getOrElse(DefaultSpillRows)
+}
+
+/** Buffers rows per (partition, bucket) and writes one sorted file per
+  * pair. The buffer is bounded: once `spillRows` rows accumulate
+  * across all pairs, every non-empty buffer is flushed as a sorted L0
+  * run — multiple runs per bucket per commit are legal (the bucket's
+  * [[SortMergeReader]] k-way merges them, and sequence numbers keep
+  * last-write-wins intact), so a task of any size runs in fixed heap.
+  * PK-table files are sorted by (trimmed pk, seq) — sorted runs enable
+  * sort-merge reading and tight key stats.
   *
   * `writeSchema` may carry a trailing hidden `_row_kind` byte column
   * (facade path, ≙ Java `GenericRow(RowKind.DELETE, ...)` writes —
@@ -156,7 +176,9 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
     partitionKeys: Seq[String], trimmedPk: Seq[String], isPk: Boolean,
     numBuckets: Int, seqStart: Long, writeSchema: StructType,
     hasRowKindCol: Boolean,
-    fileFormat: String = "parquet") extends DataWriter[InternalRow] {
+    fileFormat: String = "parquet",
+    spillRows: Int = GraftDataWriter.DefaultSpillRows)
+  extends DataWriter[InternalRow] {
 
   // table fields (sans partition cols) stored in data files
   private val dataFields = StructType(
@@ -176,8 +198,10 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
     if (hasRowKindCol) writeSchema.fieldIndex(RowKind.ColumnName) else -1
 
   private var seq = seqStart
+  private var buffered = 0
   private val buffers =
     mutable.LinkedHashMap.empty[(Seq[String], Int), mutable.ArrayBuffer[InternalRow]]
+  private val metas = mutable.ArrayBuffer.empty[DataFileMeta]
 
   override def write(row: InternalRow): Unit = {
     val part = partIdx.zip(partTypes).map { case (i, dt) =>
@@ -220,10 +244,22 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
         Values.bucketOf(keyStrs, numBuckets)
       } else 0
     buffers.getOrElseUpdate((part, bucket), mutable.ArrayBuffer.empty) += stored
+    buffered += 1
+    if (buffered >= spillRows) flushAll()
   }
 
-  override def commit(): WriterCommitMessage = {
-    val metas = buffers.map { case ((part, bucket), rows) =>
+  private def flushAll(): Unit = {
+    buffers.foreach { case (key, rows) =>
+      if (rows.nonEmpty) metas += flush(key, rows)
+    }
+    buffers.clear()
+    buffered = 0
+  }
+
+  private def flush(key: (Seq[String], Int),
+      rows: mutable.ArrayBuffer[InternalRow]): DataFileMeta = {
+    val (part, bucket) = key
+    locally {
       val sorted = if (isPk) {
         val kt = keyTypes
         rows.sortWith { (a, b) =>
@@ -267,10 +303,16 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
 
       DataFileMeta(rel, Files.size(tableDir.resolve(rel)), sorted.length,
         part, bucket, seqs.min, seqs.max, typedStats)
-    }.toSeq
-    GraftCommitMessage(metas)
+    }
   }
 
-  override def abort(): Unit = ()
+  override def commit(): WriterCommitMessage = {
+    flushAll()
+    GraftCommitMessage(metas.toSeq)
+  }
+
+  // spilled runs exist on disk before commit() — remove them on abort
+  override def abort(): Unit =
+    metas.foreach(m => Files.deleteIfExists(tableDir.resolve(m.fileName)))
   override def close(): Unit = ()
 }

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import Tables._
+
+/** Driver-checkable queries that read through the graft CONNECTOR
+  * (DSv2 catalog → GraftScan → SortMergeReader → FileStoreCommit)
+  * instead of raw parquet — the surface every other query family
+  * bypasses. Each fn materializes the sf `events` parquet into temp
+  * graft tables once per JVM (memoized), then returns a pure read
+  * whose result is reproducible by DuckDB SQL over the SAME parquet:
+  *
+  *  - PK merge across two commits ≙ last-write-wins by sequence
+  *    (`pypaimon/pynative/tests/test_pynative_reader.py:185-208`):
+  *    commit 1 holds each key's arg-max over the first half of
+  *    `event_id`, commit 2 over the second half; since `event_id` is
+  *    monotone, the merged table IS the global arg-max per key — an
+  *    oracle DuckDB can state without seeing the table format.
+  *  - Partitioned PK + bucketing (`:272-315`), post-merge filtering
+  *    (`:236-257`), time travel, partition pruning, dynamic
+  *    partition overwrite (`py4j/tests/test_write_and_read.py:311-383`),
+  *    and row-level DELETE all get the same treatment.
+  *
+  * Writes happen in `setup` (eager, once); the returned DataFrames are
+  * pure scans, so Bench times the connector READ path.
+  */
+object ConnectorQ {
+
+  final private case class Setup(ns: String, mid: Long, minUser: Long)
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Setup]()
+
+  /** Spark-SQL exact-cents of `value` — same expression as sqlCents. */
+  private val C = "CAST(ROUND(value*100, 0) AS BIGINT)"
+
+  /** DuckDB-side first-half cutoff (Spark side inlines the number). */
+  private val sqlMid =
+    "(SELECT CAST(FLOOR(MAX(event_id)/2.0) AS BIGINT) FROM events)"
+
+  private def setup(s: SparkSession, dir: String): Setup =
+    memo.computeIfAbsent(dir, _ => ConnectorQ.synchronized {
+      if (!s.conf.getOption("spark.sql.catalog.graft_c").exists(_.nonEmpty)) {
+        val wh = java.nio.file.Files.createTempDirectory("graft-qwh")
+        s.conf.set("spark.sql.catalog.graft_c", "graft.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_c.warehouse", wh.toString)
+      }
+      val ns = "c" + math.abs(dir.hashCode).toString
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_c.$ns")
+      t(s, dir, "events").createOrReplaceTempView("ev_src")
+      val Array(mid, minUser) = s.sql(
+        "SELECT CAST(FLOOR(MAX(event_id)/2.0) AS BIGINT), MIN(user_id) FROM ev_src")
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+
+      def argmaxInsert(table: String, where: String): Unit =
+        s.sql(s"""INSERT INTO $table
+          SELECT user_id, MAX(event_id), MAX_BY(event_type, event_id),
+                 MAX_BY($C, event_id)
+          FROM ev_src WHERE $where GROUP BY user_id""")
+
+      // PK table, 2 commits (merge-on-read across files)
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk
+        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
+      argmaxInsert(s"graft_c.$ns.ev_pk", s"event_id <= $mid")
+      argmaxInsert(s"graft_c.$ns.ev_pk", s"event_id > $mid")
+
+      // same shape + row-level DELETE (copy-on-write DML path)
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_del
+        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
+      argmaxInsert(s"graft_c.$ns.ev_pk_del", s"event_id <= $mid")
+      argmaxInsert(s"graft_c.$ns.ev_pk_del", s"event_id > $mid")
+      s.sql(s"DELETE FROM graft_c.$ns.ev_pk_del WHERE user_id % 10 = 3")
+
+      // partitioned append table (partition pruning / plain scan)
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_part
+        (event_type STRING, user_id BIGINT, event_id BIGINT, cents BIGINT)
+        PARTITIONED BY (event_type)""")
+      s.sql(s"""INSERT INTO graft_c.$ns.ev_part
+        SELECT event_type, user_id, event_id, $C FROM ev_src""")
+
+      // partitioned PK table, bucket=2, 2 commits
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_ppk
+        (event_type STRING, user_id BIGINT, last_event_id BIGINT, last_cents BIGINT)
+        PARTITIONED BY (event_type)
+        TBLPROPERTIES ('primary-key'='event_type,user_id', 'bucket'='2')""")
+      def ppkInsert(where: String): Unit =
+        s.sql(s"""INSERT INTO graft_c.$ns.ev_ppk
+          SELECT event_type, user_id, MAX(event_id), MAX_BY($C, event_id)
+          FROM ev_src WHERE $where GROUP BY event_type, user_id""")
+      ppkInsert(s"event_id <= $mid")
+      ppkInsert(s"event_id > $mid")
+
+      // dynamic partition overwrite: 'click' partition replaced wholesale
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_ow
+        (event_type STRING, user_id BIGINT, n BIGINT)
+        PARTITIONED BY (event_type)""")
+      s.sql(s"""INSERT INTO graft_c.$ns.ev_ow
+        SELECT event_type, user_id, COUNT(*) FROM ev_src GROUP BY 1, 2""")
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"""INSERT OVERWRITE TABLE graft_c.$ns.ev_ow
+        SELECT event_type, user_id, SUM($C) FROM ev_src
+        WHERE event_type = 'click' GROUP BY 1, 2""")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+
+      Setup(ns, mid, minUser)
+    })
+
+  private val sqlArgmax =
+    """SELECT user_id, MAX(event_id) AS last_event_id,
+      ARG_MAX(event_type, event_id) AS last_type,
+      ARG_MAX(%s, event_id) AS last_cents
+      FROM events %s GROUP BY user_id ORDER BY user_id"""
+      .format(sqlCents("value"), "%s")
+
+  val defs: Seq[QueryDef] = Seq(
+    // merged read across two PK commits == global arg-max per key
+    QueryDef("c_pk_merge_read",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(""))),
+
+    // snapshot 1 == first-half arg-max only
+    QueryDef("c_time_travel",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk VERSION AS OF 1 " +
+          "ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(s"WHERE event_id <= $sqlMid"))),
+
+    // bucket + key-stats pruned point lookup through the merge
+    QueryDef("c_point_lookup",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk " +
+          s"WHERE user_id = ${st.minUser} ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(
+        "WHERE user_id = (SELECT MIN(user_id) FROM events)"))),
+
+    // row-level DELETE then merged read
+    QueryDef("c_pk_delete_read",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_del ORDER BY user_id")
+      },
+      Some(sqlArgmax.format("WHERE user_id % 10 <> 3"))),
+
+    // partition-pruned aggregate over the append table
+    QueryDef("c_partition_prune",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"""SELECT user_id, COUNT(*) AS n_events,
+            SUM(cents) AS sum_cents
+          FROM graft_c.${st.ns}.ev_part WHERE event_type = 'click'
+          GROUP BY user_id ORDER BY user_id""")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // full append-table scan + aggregate
+    QueryDef("c_append_scan",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"""SELECT event_type, COUNT(*) AS n_events,
+            SUM(cents) AS sum_cents
+          FROM graft_c.${st.ns}.ev_part
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // partitioned PK table: merge is bucket-local WITHIN each partition
+    QueryDef("c_pk_partitioned",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_ppk " +
+          "ORDER BY event_type, user_id")
+      },
+      Some(s"""SELECT event_type, user_id, MAX(event_id) AS last_event_id,
+          ARG_MAX(${sqlCents("value")}, event_id) AS last_cents
+        FROM events GROUP BY event_type, user_id
+        ORDER BY event_type, user_id""")),
+
+    // dynamic overwrite replaced only the 'click' partition
+    QueryDef("c_dynamic_overwrite",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_ow " +
+          "ORDER BY event_type, user_id")
+      },
+      Some(s"""SELECT event_type, user_id, COUNT(*) AS n
+          FROM events WHERE event_type <> 'click' GROUP BY 1, 2
+        UNION ALL
+        SELECT event_type, user_id,
+            CAST(SUM(${sqlCents("value")}) AS BIGINT) AS n
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        ORDER BY event_type, user_id"""))
+  )
+}

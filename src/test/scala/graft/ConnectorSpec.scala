@@ -195,4 +195,28 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT * FROM graft.default.t_lim LIMIT 1").count() == 1)
     assert(spark.table("graft.default.t_lim").count() == 4)
   }
+
+  test("write-buffer-rows spills sorted L0 runs; merged read stays LWW") {
+    spark.sql("CREATE TABLE graft.default.t_spill (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'write-buffer-rows'='25')")
+    // ONE insert of 100 rows with a 25-row buffer: the single bucket's
+    // task flushes ≥4 sorted L0 runs inside a single commit
+    spark.sql("INSERT INTO graft.default.t_spill " +
+      "SELECT id, id FROM range(100)")
+    val files = Files.walk(warehouse.resolve("default.db/t_spill"))
+      .filter(p => p.getFileName.toString.startsWith("data-")).count()
+    assert(files > 1, s"expected multiple spilled runs, got $files file(s)")
+    // keys split across runs must still merge to one row each
+    assert(spark.table("graft.default.t_spill").count() == 100)
+    // second commit overwrites even keys — LWW across spilled runs
+    spark.sql("INSERT INTO graft.default.t_spill " +
+      "SELECT id * 2, id * 2 + 1000 FROM range(50)")
+    val got = spark.sql(
+      "SELECT count(*), " +
+        "sum(CASE WHEN k % 2 = 0 AND v = k + 1000 THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN k % 2 = 1 AND v = k THEN 1 ELSE 0 END) " +
+        "FROM graft.default.t_spill").collect()(0)
+    assert(got.getLong(0) == 100 && got.getLong(1) == 50 && got.getLong(2) == 50)
+  }
 }
