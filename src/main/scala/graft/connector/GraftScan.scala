@@ -251,6 +251,88 @@ final case class GraftReaderFactory(
     requiredJson: String,
     merge: Boolean = true) extends PartitionReaderFactory {
 
+  /** Append-table parquet partitions decode via Spark's vectorized
+    * reader into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es —
+    * the reference is Arrow-columnar end-to-end (SURVEY §1.2,
+    * `pypaimon/pynative/reader/core/columnar_row_iterator.py:28-60`);
+    * this is the Spark-native equivalent. The PK merge path stays
+    * row-wise (the k-way merge is inherently row-at-a-time); KV
+    * metadata columns fall back to rows too.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    !isPk &&
+      p.asInstanceOf[GraftInputPartition].filePaths.forall(_.endsWith(".parquet")) &&
+      !required.fieldNames.exists(n =>
+        n == "_sequence_number" || n == "_row_kind")
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val part = p.asInstanceOf[GraftInputPartition]
+    val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val dataNames = fields.fields.map(_.name).filterNot(partitionKeys.contains)
+    val pVals: Map[String, Any] = partitionKeys.zipWithIndex.map { case (k, i) =>
+      k -> Values.parse(fields(fields.fieldIndex(k)).dataType, part.partitionValues(i))
+    }.toMap
+
+    new PartitionReader[ColumnarBatch] {
+      private val files = part.filePaths.iterator
+      private var reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = _
+      private var inner: ColumnarBatch = _
+      private var out: ColumnarBatch = _
+
+      private def openNext(): Boolean =
+        if (!files.hasNext) false else {
+          val f = files.next()
+          // footer-driven evolution: only columns this file has are
+          // requested; the rest ride as constant vectors (partition
+          // values, `_file`, null-fill for post-file ADD COLUMNs)
+          val physical = graft.format.ParquetIO.physicalColumns(Paths.get(f))
+          val fileCols = dataNames.filter(n =>
+            required.fieldNames.contains(n) && physical.contains(n))
+          val consts = required.fields.filter(fd => !fileCols.contains(fd.name))
+          val constRow = new GenericInternalRow(consts.map { fd =>
+            fd.name match {
+              case "_file" =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(f)
+              case n if pVals.contains(n) => pVals(n)
+              case _ => null
+            }
+          }: Array[Any])
+          reader = new org.apache.spark.sql.execution.datasources.parquet
+            .VectorizedParquetRecordReader(false, 4096)
+          reader.initialize(f, java.util.Arrays.asList(fileCols: _*))
+          reader.initBatch(StructType(consts), constRow)
+          inner = reader.resultBatch()
+          // inner layout = fileCols ++ consts; permute to required order
+          val pos = (fileCols.zipWithIndex ++
+            consts.map(_.name).zipWithIndex.map { case (n, i) =>
+              n -> (fileCols.length + i)
+            }).toMap
+          out = new ColumnarBatch(
+            required.fields.map(fd => inner.column(pos(fd.name)): ColumnVector))
+          true
+        }
+
+      override def next(): Boolean = {
+        while (reader != null || files.hasNext) {
+          if (reader == null && !openNext()) return false
+          if (reader.nextBatch()) {
+            out.setNumRows(inner.numRows())
+            return true
+          }
+          reader.close(); reader = null
+        }
+        false
+      }
+      override def get(): ColumnarBatch = out
+      override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftInputPartition]
     val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]

@@ -178,18 +178,21 @@ object ParquetIO {
     * the physical footer schema, not the logical table schema, decides
     * what is requested from parquet.
     */
+  /** Column names physically present in a parquet file (the footer is
+    * authoritative for files written under an older schema version).
+    */
+  def physicalColumns(path: java.nio.file.Path): Set[String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new HPath(path.toUri), new Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally r.close()
+  }
+
   final class RowReader(path: java.nio.file.Path, fileSchema: StructType,
       projection: StructType) extends Iterator[InternalRow] with AutoCloseable {
-    // columns physically present in this file (footer is authoritative
-    // for files written under an older schema version)
-    private val physical: Set[String] = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new HPath(path.toUri), new Configuration())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-        .map(_.getName).toSet
-      finally r.close()
-    }
+    private val physical: Set[String] = physicalColumns(path)
     // parquet-mr materializes the requested schema in ITS field order;
     // request columns in file order, then permute into projection order.
     private val requested = StructType(

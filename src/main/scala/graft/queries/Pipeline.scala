@@ -73,6 +73,10 @@ object Pipeline {
               least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"))
             .localCheckpoint()
           changed = next.filter(col("lbl") =!= col("old")).count()
+          // next is eagerly materialized above — the previous round's
+          // checkpoint blocks are dead; free them so executor storage
+          // stays O(1) in rounds instead of O(diameter).
+          labels.unpersist()
           labels = next.select("id", "lbl")
         }
         edges.unpersist()

@@ -196,6 +196,28 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.t_lim").count() == 4)
   }
 
+  test("append-table scans decode columnar; PK merge scans stay row-wise") {
+    spark.sql("CREATE TABLE graft.default.t_colr (p STRING, f0 INT, f1 DOUBLE) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.default.t_colr VALUES ('x', 1, 1.5), ('y', 2, 2.5)")
+    val df = spark.sql(
+      "SELECT p, f0, f1 FROM graft.default.t_colr WHERE p = 'x'")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "append parquet scan should report columnar batches")
+    val r = df.collect()(0)
+    assert(r.getString(0) == "x" && r.getInt(1) == 1 && r.getDouble(2) == 1.5)
+    // metadata col via constant vector, interleaved column order
+    val withFile = spark.sql(
+      "SELECT f1, _file, p FROM graft.default.t_colr ORDER BY f0").collect()
+    assert(withFile.length == 2 && withFile(0).getString(1).endsWith(".parquet"))
+    // PK tables keep the row-wise merge reader
+    spark.sql("CREATE TABLE graft.default.t_rowr (k INT, v INT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    spark.sql("INSERT INTO graft.default.t_rowr VALUES (1, 10)")
+    assert(!spark.table("graft.default.t_rowr")
+      .queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
+
   test("write-buffer-rows spills sorted L0 runs; merged read stays LWW") {
     spark.sql("CREATE TABLE graft.default.t_spill (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
