@@ -108,6 +108,7 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     val tpk = tableSchema.trimmedPrimaryKeys
     val isPk = tableSchema.isPrimaryKeyTable
     val fmt = tableSchema.options.getOrElse("file.format", "parquet")
+    val fids = tableSchema.idMap
     val work = groups.map { case ((part, bucket), fs) =>
       (part, bucket, fs.map(_.fileName))
     }
@@ -117,7 +118,7 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
         graft.format.Compactor.rewriteGroup(Paths.get(dirStr),
           org.apache.spark.sql.types.DataType.fromJson(fieldsJson)
             .asInstanceOf[org.apache.spark.sql.types.StructType],
-          pks, tpk, isPk, part, bucket, names, fmt)
+          pks, tpk, isPk, part, bucket, names, fmt, fids)
       }.collect().toSeq
     val deleteNames = groups.flatMap(_._2.map(_.fileName)).toSet
     graft.format.Compactor.commit(sm, tableSchema.id, adds, deleteNames, tableDir)
@@ -316,6 +317,7 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
       .map(_.lastSequenceNumber + 1).getOrElse(1L)
     val fmt = ts.options.getOrElse("file.format", "parquet")
     val spill = GraftDataWriter.spillRows(ts.options)
+    val fids = ts.idMap
 
     val collected: Array[Seq[DataFileMeta]] =
       aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -323,7 +325,7 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
         val writer = new GraftDataWriter(Paths.get(tableDirStr), fields,
           partitionKeys, trimmedPk, isPk, numBuckets,
           baseSeq + (pid.toLong << 32), writeSchema, hasRowKindCol = hasKind,
-          fileFormat = fmt, spillRows = spill)
+          fileFormat = fmt, spillRows = spill, fieldIds = fids)
         rows.foreach(writer.write)
         Iterator.single(
           writer.commit().asInstanceOf[GraftCommitMessage].files)

@@ -209,17 +209,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(ident, dir, ts)
   }
 
-  /** Schema evolution: ADD COLUMN (nullable, appended — older files
-    * null-fill at read, ≙ the reference's index-mapping consumption)
-    * and table-property changes. Renames/drops/type changes would need
-    * field-id tracking → rejected for now.
+  /** Schema evolution via stable field ids (≙ the reference's
+    * `DataField.id` index mapping, `data_file_record_reader.py:104-133`):
+    * ADD COLUMN (fresh id, older files null-fill at read), RENAME
+    * COLUMN (id kept — old parquet files keep serving the data under
+    * their physical name), DROP COLUMN (id retired, never reused, so a
+    * later re-ADD of the same name cannot resurrect old values), and
+    * table-property changes. Type changes are rejected; partition and
+    * primary-key columns are immutable (their names are baked into
+    * directory layout / merge semantics).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(ident))
     var fields = ts.fields
+    var ids = ts.ids
+    var highest = ts.maxFieldId
     var options = ts.options
     var comment = ts.comment
+    def structural(name: String): Boolean =
+      ts.partitionKeys.contains(name) || ts.primaryKeys.contains(name)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -228,6 +237,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         fields = StructType(fields.fields :+
           org.apache.spark.sql.types.StructField(
             add.fieldNames()(0), add.dataType(), nullable = true))
+        highest += 1
+        ids = ids :+ highest
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1, "Nested renames not supported")
+        val from = rn.fieldNames()(0)
+        require(fields.fieldNames.contains(from), s"Column $from not found")
+        require(!structural(from),
+          "Cannot rename partition or primary-key columns")
+        require(!fields.fieldNames.contains(rn.newName()),
+          s"Column ${rn.newName()} already exists")
+        fields = StructType(fields.fields.map(f =>
+          if (f.name == from) f.copy(name = rn.newName()) else f))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "Nested drops not supported")
+        val name = del.fieldNames()(0)
+        require(fields.fieldNames.contains(name), s"Column $name not found")
+        require(!structural(name),
+          "Cannot drop partition or primary-key columns")
+        require(fields.length > 1, "Cannot drop the last column")
+        val at = fields.fieldIndex(name)
+        fields = StructType(fields.fields.patch(at, Nil, 1))
+        ids = ids.patch(at, Nil, 1)
       case set: TableChange.SetProperty =>
         if (set.property() == TableCatalog.PROP_COMMENT) comment = Some(set.value())
         else options += (set.property() -> set.value())
@@ -237,7 +268,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"Unsupported table change: $other")
     }
     val next = TableSchema(ts.id + 1, fields, ts.partitionKeys,
-      ts.primaryKeys, options, comment).validate()
+      ts.primaryKeys, options, comment, ids, highest).validate()
     TableSchema.save(dir, next)
     new GraftTable(ident, dir, next)
   }

@@ -69,7 +69,7 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangelogReaderFactory(schema.fields.json, schema.partitionKeys,
-      schema.trimmedPrimaryKeys, required.json)
+      schema.trimmedPrimaryKeys, required.json, schema.idMap)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -85,7 +85,8 @@ final case class GraftChangelogReaderFactory(
     fieldsJson: String,
     partitionKeys: Seq[String],
     trimmedPk: Seq[String],
-    requiredJson: String) extends PartitionReaderFactory {
+    requiredJson: String,
+    fieldIds: Map[String, Int] = Map.empty) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftChangelogPartition]
@@ -107,16 +108,16 @@ final case class GraftChangelogReaderFactory(
     val state = mutable.HashMap.empty[Seq[String], InternalRow]
     if (part.baselineFiles.nonEmpty) {
       val sources = part.baselineFiles.toSeq.map(f =>
-        FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema)
-          .map(r => (f, r)))
+        FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema,
+          fieldIds).map(r => (f, r)))
       new SortMergeReader(sources, keyIdx, keyTypes, 0, 1)
         .foreach { case (_, r) => state.update(keyOf(r), r) }
     }
 
     // delta rows in sequence order
     val delta = part.deltaFiles.toSeq.flatMap(f =>
-      FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema).toSeq)
-      .sortBy(_.getLong(0))
+      FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema,
+        fieldIds).toSeq).sortBy(_.getLong(0))
 
     // synthesize the changelog
     val out = mutable.ArrayBuffer.empty[(Byte, Long, InternalRow)]

@@ -76,7 +76,7 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
     // the dedup)
     GraftReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, isPk = schema.isPrimaryKeyTable,
-      required.json, merge = false)
+      required.json, merge = false, fieldIds = schema.idMap)
 
   override def commit(end: Offset): Unit = ()
 

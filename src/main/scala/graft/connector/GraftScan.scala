@@ -234,7 +234,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, schema.isPrimaryKeyTable, required.json,
-      merge = !changelogView)
+      merge = !changelogView, fieldIds = schema.idMap)
 }
 
 /** Executor-side reader ≙ the pynative operator pipeline: concat of
@@ -249,7 +249,8 @@ final case class GraftReaderFactory(
     trimmedPk: Seq[String],
     isPk: Boolean,
     requiredJson: String,
-    merge: Boolean = true) extends PartitionReaderFactory {
+    merge: Boolean = true,
+    fieldIds: Map[String, Int] = Map.empty) extends PartitionReaderFactory {
 
   /** Append-table parquet partitions decode via Spark's vectorized
     * reader into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es —
@@ -288,12 +289,17 @@ final case class GraftReaderFactory(
         if (!files.hasNext) false else {
           val f = files.next()
           // footer-driven evolution: only columns this file has are
-          // requested; the rest ride as constant vectors (partition
-          // values, `_file`, null-fill for post-file ADD COLUMNs)
-          val physical = graft.format.ParquetIO.physicalColumns(Paths.get(f))
-          val fileCols = dataNames.filter(n =>
-            required.fieldNames.contains(n) && physical.contains(n))
-          val consts = required.fields.filter(fd => !fileCols.contains(fd.name))
+          // requested (by field id when available — rename-safe); the
+          // rest ride as constant vectors (partition values, `_file`,
+          // null-fill for post-file ADD COLUMNs / dropped-era files)
+          val footer = graft.format.ParquetIO.footerFields(Paths.get(f))
+          val physFor = graft.format.ParquetIO.resolvePhysical(footer,
+            dataNames.filter(required.fieldNames.contains).toSeq, fieldIds)
+          val logicalFor = physFor.map(_.swap)
+          // physical names in file order; Spark's reader materializes
+          // vectors in the requested-list order
+          val fileCols = footer.map(_._1).filter(logicalFor.contains).toArray
+          val consts = required.fields.filter(fd => !physFor.contains(fd.name))
           val constRow = new GenericInternalRow(consts.map { fd =>
             fd.name match {
               case "_file" =>
@@ -308,7 +314,7 @@ final case class GraftReaderFactory(
           reader.initBatch(StructType(consts), constRow)
           inner = reader.resultBatch()
           // inner layout = fileCols ++ consts; permute to required order
-          val pos = (fileCols.zipWithIndex ++
+          val pos = (fileCols.map(logicalFor).zipWithIndex ++
             consts.map(_.name).zipWithIndex.map { case (n, i) =>
               n -> (fileCols.length + i)
             }).toMap
@@ -362,7 +368,8 @@ final case class GraftReaderFactory(
       if (needMerge) mergeOnRead(part, kvFileSchema, readSchema)
       else part.filePaths.iterator.flatMap(f =>
         FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
-          if (isPk) kvFileSchema else dataFields, readSchema).map(r => (f, r)))
+          if (isPk) kvFileSchema else dataFields, readSchema, fieldIds)
+          .map(r => (f, r)))
 
     // output assembly: required order; partition constants spliced in
     val pTypes = partitionKeys.zipWithIndex.map { case (k, i) =>
@@ -416,8 +423,8 @@ final case class GraftReaderFactory(
     val keyTypes = trimmedPk.map(k => readSchema(readSchema.fieldIndex(k)).dataType)
 
     val sources = part.filePaths.toSeq.map { f =>
-      FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema, readSchema)
-        .map(r => (f, r))
+      FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema,
+        readSchema, fieldIds).map(r => (f, r))
     }
     new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx, kindIdx)
   }

@@ -87,7 +87,7 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
       schema.partitionKeys, schema.trimmedPrimaryKeys,
       schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
       schema.options.getOrElse("file.format", "parquet"),
-      GraftDataWriter.spillRows(schema.options))
+      GraftDataWriter.spillRows(schema.options), schema.idMap)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -120,7 +120,8 @@ object GraftWriteSupport {
           StructField("_SEQUENCE_NUMBER", LongType, nullable = false) +:
             StructField("_VALUE_KIND", IntegerType, nullable = false) +:
             dataFields.fields),
-        schema.options.getOrElse("file.format", "parquet")))
+        schema.options.getOrElse("file.format", "parquet"),
+        schema.idMap))
     }
 }
 
@@ -133,7 +134,8 @@ final case class GraftWriterFactory(
     numBuckets: Int,
     baseSeq: Long,
     fileFormat: String = "parquet",
-    spillRows: Int = GraftDataWriter.DefaultSpillRows) extends DataWriterFactory {
+    spillRows: Int = GraftDataWriter.DefaultSpillRows,
+    fieldIds: Map[String, Int] = Map.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
@@ -141,7 +143,7 @@ final case class GraftWriterFactory(
       trimmedPk, isPk, numBuckets,
       // per-task disjoint sequence ranges within one commit
       baseSeq + (partitionId.toLong << 32), fields, hasRowKindCol = false,
-      fileFormat = fileFormat, spillRows = spillRows)
+      fileFormat = fileFormat, spillRows = spillRows, fieldIds = fieldIds)
   }
 }
 
@@ -177,7 +179,8 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
     numBuckets: Int, seqStart: Long, writeSchema: StructType,
     hasRowKindCol: Boolean,
     fileFormat: String = "parquet",
-    spillRows: Int = GraftDataWriter.DefaultSpillRows)
+    spillRows: Int = GraftDataWriter.DefaultSpillRows,
+    fieldIds: Map[String, Int] = Map.empty)
   extends DataWriter[InternalRow] {
 
   // table fields (sans partition cols) stored in data files
@@ -282,7 +285,8 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
       Files.createDirectories(tableDir.resolve(bucketDir))
       val rel = s"$bucketDir/data-${java.util.UUID.randomUUID()}." +
         FormatIO.extension(fileFormat)
-      val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema)
+      val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema,
+        fieldIds)
       sorted.foreach(w.write)
       w.close()
 

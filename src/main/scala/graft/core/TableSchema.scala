@@ -27,9 +27,27 @@ final case class TableSchema(
     partitionKeys: Seq[String],
     primaryKeys: Seq[String],
     options: Map[String, String],
-    comment: Option[String]) {
+    comment: Option[String],
+    fieldIds: Seq[Int] = Seq.empty,
+    highestFieldId: Int = -1) {
 
   def isPrimaryKeyTable: Boolean = primaryKeys.nonEmpty
+
+  /** Stable per-column field ids, parallel to `fields` — the identity
+    * that survives RENAME and distinguishes DROP + re-ADD (≙ the
+    * reference's `DataField.id` consumed by the read-time index mapping,
+    * `pypaimon/pynative/reader/data_file_record_reader.py:104-133`).
+    * Legacy schemas (written before ids existed) default to position,
+    * which is exact for their ADD-COLUMN-only history.
+    */
+  def ids: Seq[Int] =
+    if (fieldIds.length == fields.length) fieldIds else fields.indices
+
+  /** High-water mark for id allocation (never reused after a DROP). */
+  def maxFieldId: Int = math.max(highestFieldId, ids.foldLeft(-1)(math.max))
+
+  /** Column name → field id, for the IO layer. */
+  def idMap: Map[String, Int] = fields.fieldNames.zip(ids).toMap
 
   def numBuckets: Int = options.getOrElse("bucket", "-1").toInt
 
@@ -69,7 +87,9 @@ final case class TableSchema(
         ("partitionKeys" -> partitionKeys) ~
         ("primaryKeys" -> primaryKeys) ~
         ("options" -> options) ~
-        ("comment" -> comment)
+        ("comment" -> comment) ~
+        ("fieldIds" -> ids) ~
+        ("highestFieldId" -> maxFieldId)
     JsonMethods.pretty(JsonMethods.render(j))
   }
 }
@@ -89,7 +109,9 @@ object TableSchema {
       partitionKeys = (v \ "partitionKeys").extract[Seq[String]],
       primaryKeys = (v \ "primaryKeys").extract[Seq[String]],
       options = (v \ "options").extract[Map[String, String]],
-      comment = (v \ "comment").extractOpt[String])
+      comment = (v \ "comment").extractOpt[String],
+      fieldIds = (v \ "fieldIds").extractOpt[Seq[Int]].getOrElse(Seq.empty),
+      highestFieldId = (v \ "highestFieldId").extractOpt[Int].getOrElse(-1))
   }
 
   def load(tableDir: Path): Option[TableSchema] = {

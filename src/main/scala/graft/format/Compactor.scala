@@ -29,7 +29,8 @@ object Compactor {
       partition: Seq[String],
       bucket: Int,
       fileNames: Seq[String],
-      fileFormat: String = "parquet"): DataFileMeta = {
+      fileFormat: String = "parquet",
+      fieldIds: Map[String, Int] = Map.empty): DataFileMeta = {
 
     val dataFields = StructType(
       fields.fields.filterNot(f => partitionKeys.contains(f.name)))
@@ -46,7 +47,7 @@ object Compactor {
           (Long, org.apache.spark.sql.catalyst.InternalRow)]
         fileNames.foreach { fn =>
           FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
-            fileSchema, fileSchema)
+            fileSchema, fileSchema, fieldIds)
             .foreach { r =>
               val key = keyIdx.zip(keyTypes).map { case (i, dt) =>
                 Values.encodeField(r, i, dt)
@@ -76,7 +77,7 @@ object Compactor {
       } else
         fileNames.flatMap(fn =>
           FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
-            fileSchema, fileSchema).toSeq)
+            fileSchema, fileSchema, fieldIds).toSeq)
 
     val partDir = partitionKeys.zip(partition)
       .map { case (k, v) => s"$k=$v" }.mkString("/")
@@ -84,7 +85,8 @@ object Compactor {
     Files.createDirectories(tableDir.resolve(bucketDir))
     val rel = s"$bucketDir/compact-${java.util.UUID.randomUUID()}." +
       FormatIO.extension(fileFormat)
-    val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema)
+    val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema,
+      fieldIds)
     rows.foreach(w.write)
     w.close()
 

@@ -130,7 +130,8 @@ object FileStoreCommit {
 final case class ResequenceInfo(
     tableDir: java.nio.file.Path,
     kvFileSchema: org.apache.spark.sql.types.StructType,
-    fileFormat: String)
+    fileFormat: String,
+    fieldIds: Map[String, Int] = Map.empty)
 
 object Resequencer {
   /** Rewrite one KV data file with every _SEQUENCE_NUMBER shifted by
@@ -143,9 +144,9 @@ object Resequencer {
     val rel = (if (dir.isEmpty) "" else dir + "/") +
       s"data-${java.util.UUID.randomUUID()}.${FormatIO.extension(info.fileFormat)}"
     val w = FormatIO.writer(info.fileFormat, info.tableDir.resolve(rel),
-      info.kvFileSchema)
+      info.kvFileSchema, info.fieldIds)
     FormatIO.reader(FormatIO.ofFile(meta.fileName), src,
-      info.kvFileSchema, info.kvFileSchema).foreach { r =>
+      info.kvFileSchema, info.kvFileSchema, info.fieldIds).foreach { r =>
       val out = new GenericInternalRow(info.kvFileSchema.length)
       out.update(0, r.getLong(0) + delta)
       var i = 1

@@ -24,17 +24,23 @@ object FormatIO {
   }
 
   def writer(format: String, path: java.nio.file.Path,
-      schema: StructType): RowFileWriter = format match {
-    case "parquet" => new ParquetWriterAdapter(path, schema)
+      schema: StructType,
+      ids: Map[String, Int] = Map.empty): RowFileWriter = format match {
+    case "parquet" => new ParquetWriterAdapter(path, schema, ids)
     case "orc" => new OrcIO.Writer(path, schema)
     case "avro" => new AvroIO.Writer(path, schema)
     case other =>
       throw new IllegalArgumentException(s"Unsupported file.format: $other")
   }
 
+  /** `ids`: logical column name -> stable field id; parquet readers /
+    * writers use it for rename-safe evolution mapping, orc/avro stay
+    * name-based (documented limitation of those formats here).
+    */
   def reader(format: String, path: java.nio.file.Path, fileSchema: StructType,
-      projection: StructType): RowFileReader = format match {
-    case "parquet" => new ParquetReaderAdapter(path, fileSchema, projection)
+      projection: StructType,
+      ids: Map[String, Int] = Map.empty): RowFileReader = format match {
+    case "parquet" => new ParquetReaderAdapter(path, fileSchema, projection, ids)
     case "orc" => new OrcIO.Reader(path, fileSchema, projection)
     case "avro" => new AvroIO.Reader(path, fileSchema, projection)
     case other =>
@@ -46,15 +52,16 @@ object FormatIO {
     fileName.substring(fileName.lastIndexOf('.') + 1)
 
   private final class ParquetWriterAdapter(path: java.nio.file.Path,
-      schema: StructType) extends RowFileWriter {
-    private val w = new ParquetIO.RowWriter(path, schema)
+      schema: StructType, ids: Map[String, Int]) extends RowFileWriter {
+    private val w = new ParquetIO.RowWriter(path, schema, ids)
     override def write(row: InternalRow): Unit = w.write(row)
     override def close(): Long = w.close()
   }
 
   private final class ParquetReaderAdapter(path: java.nio.file.Path,
-      fileSchema: StructType, projection: StructType) extends RowFileReader {
-    private val r = new ParquetIO.RowReader(path, fileSchema, projection)
+      fileSchema: StructType, projection: StructType,
+      ids: Map[String, Int]) extends RowFileReader {
+    private val r = new ParquetIO.RowReader(path, fileSchema, projection, ids)
     override def hasNext: Boolean = r.hasNext
     override def next(): InternalRow = r.next()
     override def close(): Unit = r.close()

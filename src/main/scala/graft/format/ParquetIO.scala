@@ -26,7 +26,8 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetIO {
 
-  def toParquetSchema(schema: StructType): MessageType = {
+  def toParquetSchema(schema: StructType,
+      ids: Map[String, Int] = Map.empty): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
@@ -46,7 +47,9 @@ object ParquetIO {
         case other =>
           throw new IllegalArgumentException(s"Found unsupported data type $other")
       }
-      b.addField(t.named(f.name))
+      // stable field id (evolution identity) — survives renames, keeps
+      // dropped-then-readded columns distinct in old files
+      b.addField(ids.get(f.name).fold(t)(t.id).named(f.name))
     }
     b.named("graft_row")
   }
@@ -56,9 +59,10 @@ object ParquetIO {
     * Group path allocates one object tree per row; this is the same
     * technique Spark's own ParquetWriteSupport uses).
     */
-  private final class InternalRowWriteSupport(schema: StructType)
+  private final class InternalRowWriteSupport(schema: StructType,
+      ids: Map[String, Int])
     extends org.apache.parquet.hadoop.api.WriteSupport[InternalRow] {
-    private val msgType = toParquetSchema(schema)
+    private val msgType = toParquetSchema(schema, ids)
     private var consumer: org.apache.parquet.io.api.RecordConsumer = _
     private val names = schema.fieldNames
     private val types = schema.fields.map(_.dataType)
@@ -100,9 +104,10 @@ object ParquetIO {
   }
 
   /** Streaming writer of InternalRow (ordinals match `schema`). */
-  final class RowWriter(path: java.nio.file.Path, schema: StructType) {
+  final class RowWriter(path: java.nio.file.Path, schema: StructType,
+      ids: Map[String, Int] = Map.empty) {
     private val writer: ParquetWriter[InternalRow] = {
-      val support = new InternalRowWriteSupport(schema)
+      val support = new InternalRowWriteSupport(schema, ids)
       new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
         new HPath(path.toUri), support, CompressionCodecName.SNAPPY,
         ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE)
@@ -178,28 +183,55 @@ object ParquetIO {
     * the physical footer schema, not the logical table schema, decides
     * what is requested from parquet.
     */
-  /** Column names physically present in a parquet file (the footer is
-    * authoritative for files written under an older schema version).
+  /** Footer columns of a parquet file in file order, with their field
+    * ids when present (the footer is authoritative for files written
+    * under an older schema version).
     */
-  def physicalColumns(path: java.nio.file.Path): Set[String] = {
+  def footerFields(path: java.nio.file.Path): Seq[(String, Option[Int])] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new HPath(path.toUri), new Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSet
+      .map(f => f.getName -> Option(f.getId).map(_.intValue())).toSeq
     finally r.close()
   }
 
+  /** Resolve projected logical columns to this file's physical column
+    * names — by field id when both sides have one (rename-safe, and a
+    * dropped-then-readded name gets a fresh id so old files null-fill),
+    * by name otherwise (legacy id-less files, KV meta columns).
+    * Unresolvable columns are absent → caller null-fills.
+    */
+  def resolvePhysical(footer: Seq[(String, Option[Int])],
+      logicalNames: Seq[String], ids: Map[String, Int]): Map[String, String] = {
+    val idToPhys = footer.collect { case (n, Some(i)) => i -> n }.toMap
+    val physNames = footer.map(_._1).toSet
+    logicalNames.flatMap { n =>
+      ids.get(n) match {
+        case Some(id) if idToPhys.nonEmpty => idToPhys.get(id).map(n -> _)
+        case _ if physNames.contains(n) => Some(n -> n)
+        case _ => None
+      }
+    }.toMap
+  }
+
   final class RowReader(path: java.nio.file.Path, fileSchema: StructType,
-      projection: StructType) extends Iterator[InternalRow] with AutoCloseable {
-    private val physical: Set[String] = physicalColumns(path)
+      projection: StructType,
+      ids: Map[String, Int] = Map.empty)
+    extends Iterator[InternalRow] with AutoCloseable {
+    private val footer = footerFields(path)
+    private val physFor =
+      resolvePhysical(footer, projection.fieldNames.toSeq, ids)
+    private val logicalFor = physFor.map(_.swap)
     // parquet-mr materializes the requested schema in ITS field order;
-    // request columns in file order, then permute into projection order.
-    private val requested = StructType(
-      fileSchema.fields.filter(f =>
-        projection.fieldNames.contains(f.name) && physical.contains(f.name)))
+    // request columns in file order (under their PHYSICAL names — the
+    // file may predate a rename), then permute into projection order.
+    private val requestedPhys: Seq[String] =
+      footer.map(_._1).filter(logicalFor.contains)
+    private val requested = StructType(requestedPhys.map(pn =>
+      projection(projection.fieldIndex(logicalFor(pn))).copy(name = pn)))
     private val outPos: Array[Int] =
-      requested.fields.map(f => projection.fieldIndex(f.name))
+      requestedPhys.map(pn => projection.fieldIndex(logicalFor(pn))).toArray
     private val reader: ParquetReader[InternalRow] =
       new ParquetReader[InternalRow](new HPath(path.toUri),
         new InternalRowReadSupport(requested, outPos, projection.length))

@@ -60,11 +60,60 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, "a", null), (2L, "B", 9.5)))
   }
 
-  test("unsupported changes rejected") {
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.default.evo DROP COLUMN f1")
-    }
-    assert(e.getMessage.toLowerCase.contains("unsupported"))
+  test("RENAME COLUMN: old files keep serving data under the new name") {
+    spark.sql("CREATE TABLE graft.default.evo_rn (f0 INT, f1 STRING)")
+    spark.sql("INSERT INTO graft.default.evo_rn VALUES (1,'a'), (2,'b')")
+    spark.sql("ALTER TABLE graft.default.evo_rn RENAME COLUMN f1 TO label")
+    spark.sql("INSERT INTO graft.default.evo_rn VALUES (3,'c')")
+    val got = spark.sql(
+      "SELECT f0, label FROM graft.default.evo_rn ORDER BY f0").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("RENAME COLUMN on PK table value column: merge across versions") {
+    spark.sql("CREATE TABLE graft.default.evo_rnpk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.evo_rnpk VALUES (1,'a'), (2,'b')")
+    spark.sql("ALTER TABLE graft.default.evo_rnpk RENAME COLUMN v TO name")
+    spark.sql("INSERT INTO graft.default.evo_rnpk VALUES (2,'B')")
+    val got = spark.sql(
+      "SELECT k, name FROM graft.default.evo_rnpk ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("DROP then re-ADD same name: old values stay dead (fresh field id)") {
+    spark.sql("CREATE TABLE graft.default.evo_drop (f0 INT, tag STRING)")
+    spark.sql("INSERT INTO graft.default.evo_drop VALUES (1,'old1'), (2,'old2')")
+    spark.sql("ALTER TABLE graft.default.evo_drop DROP COLUMN tag")
+    assert(spark.table("graft.default.evo_drop").columns.toSeq == Seq("f0"))
+    assert(spark.sql("SELECT f0 FROM graft.default.evo_drop ORDER BY f0")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    spark.sql("ALTER TABLE graft.default.evo_drop ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO graft.default.evo_drop VALUES (3,'new3')")
+    val got = spark.sql(
+      "SELECT f0, tag FROM graft.default.evo_drop ORDER BY f0").collect()
+    assert(got.map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getString(1))).toSeq ==
+      Seq((1, null), (2, null), (3, "new3")),
+      "re-added column must NOT resurrect pre-drop values")
+  }
+
+  test("structural columns immutable; type changes rejected") {
+    spark.sql("CREATE TABLE graft.default.evo_guard (pt INT, k BIGINT, v STRING) " +
+      "PARTITIONED BY (pt) TBLPROPERTIES ('primary-key'='pt,k','bucket'='1')")
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft.default.evo_guard RENAME COLUMN k TO kk"))
+      .getMessage.contains("primary-key"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft.default.evo_guard DROP COLUMN pt"))
+      .getMessage.nonEmpty)
+    val typeChange = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.default.evo_guard ALTER COLUMN v TYPE INT"))
+      .getMessage.toLowerCase
+    assert(typeChange.contains("not supported") ||
+      typeChange.contains("not_supported") || typeChange.contains("unsupported"))
   }
 
   test("partition-level DELETE drops whole partitions, metadata-only") {
