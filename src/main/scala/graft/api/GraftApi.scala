@@ -101,28 +101,8 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     val groups = sm.liveFilesLatest
       .groupBy(f => (f.partition, f.bucket))
       .filter(_._2.size > 1).toSeq
-    if (groups.isEmpty) return 0
-    val dirStr = tableDir.toString
-    val fieldsJson = tableSchema.fields.json
-    val pks = tableSchema.partitionKeys
-    val tpk = tableSchema.trimmedPrimaryKeys
-    val isPk = tableSchema.isPrimaryKeyTable
-    val fmt = tableSchema.options.getOrElse("file.format", "parquet")
-    val fids = tableSchema.idMap
-    val work = groups.map { case ((part, bucket), fs) =>
-      (part, bucket, fs.map(_.fileName))
-    }
-    val adds = spark.sparkContext
-      .parallelize(work, work.size)
-      .map { case (part, bucket, names) =>
-        graft.format.Compactor.rewriteGroup(Paths.get(dirStr),
-          org.apache.spark.sql.types.DataType.fromJson(fieldsJson)
-            .asInstanceOf[org.apache.spark.sql.types.StructType],
-          pks, tpk, isPk, part, bucket, names, fmt, fids)
-      }.collect().toSeq
-    val deleteNames = groups.flatMap(_._2.map(_.fileName)).toSet
-    graft.format.Compactor.commit(sm, tableSchema.id, adds, deleteNames, tableDir)
-    groups.size
+    graft.format.Compactor.compactGroups(Some(spark), tableDir,
+      tableSchema, groups)
   }
 
   /** Expire all but the last `retainLast` snapshots (time travel stays
@@ -351,5 +331,7 @@ final class BatchTableCommit(table: GraftTableHandle,
       table.tableSchema.id, table.tableSchema.partitionKeys, messages, mode,
       resequence = graft.connector.GraftWriteSupport.resequenceInfo(
         table.tableDir, table.tableSchema))
+    // reference contract: a commit may publish a second, COMPACT snapshot
+    graft.format.Compactor.maybeCompact(table.tableDir, table.tableSchema)
   }
 }

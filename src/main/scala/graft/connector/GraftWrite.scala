@@ -95,6 +95,8 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
     FileStoreCommit.commit(new SnapshotManager(tableDir), schema.id,
       schema.partitionKeys, files.toSeq, mode,
       resequence = GraftWriteSupport.resequenceInfo(tableDir, schema))
+    // "one commit may generate up to two snapshots" — data + compaction
+    graft.format.Compactor.maybeCompact(tableDir, schema)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

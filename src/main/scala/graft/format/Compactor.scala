@@ -17,7 +17,10 @@ import scala.collection.mutable
   * Runs one task per group on executors; the driver publishes a single
   * COMPACT snapshot with DELETE(old)+ADD(new) entries.
   */
-object Compactor {
+// Serializable: compactGroups' rewrite closure references rewriteGroup
+// from inside the object, capturing the module; singletons deserialize
+// back to themselves via readResolve.
+object Compactor extends Serializable {
 
   /** Executor-side rewrite; returns the replacement file meta. */
   def rewriteGroup(
@@ -109,6 +112,71 @@ object Compactor {
 
     DataFileMeta(rel, Files.size(tableDir.resolve(rel)), rows.length,
       partition, bucket, seqs.min, seqs.max, stats)
+  }
+
+  /** Rewrite + publish the given (partition, bucket) groups as one
+    * COMPACT snapshot — one task per group when a SparkSession is
+    * available (commit paths run on the driver), serial otherwise.
+    * Returns the number of groups compacted.
+    */
+  def compactGroups(spark: Option[org.apache.spark.sql.SparkSession],
+      tableDir: Path, schema: graft.core.TableSchema,
+      groups: Seq[((Seq[String], Int), Seq[DataFileMeta])]): Int = {
+    if (groups.isEmpty) return 0
+    val dirStr = tableDir.toString
+    val fieldsJson = schema.fields.json
+    val pks = schema.partitionKeys
+    val tpk = schema.trimmedPrimaryKeys
+    val isPk = schema.isPrimaryKeyTable
+    val fmt = schema.options.getOrElse("file.format", "parquet")
+    val fids = schema.idMap
+    val work = groups.map { case ((part, bucket), fs) =>
+      (part, bucket, fs.map(_.fileName))
+    }
+    def rewrite(part: Seq[String], bucket: Int, names: Seq[String]): DataFileMeta =
+      rewriteGroup(Path.of(dirStr),
+        org.apache.spark.sql.types.DataType.fromJson(fieldsJson)
+          .asInstanceOf[StructType],
+        pks, tpk, isPk, part, bucket, names, fmt, fids)
+    val adds = spark match {
+      case Some(s) => s.sparkContext.parallelize(work, work.size)
+        .map { case (part, bucket, names) => rewrite(part, bucket, names) }
+        .collect().toSeq
+      case None => work.map { case (part, bucket, names) =>
+        rewrite(part, bucket, names)
+      }
+    }
+    val deleteNames = groups.flatMap(_._2.map(_.fileName)).toSet
+    commit(new SnapshotManager(tableDir), schema.id, adds, deleteNames, tableDir)
+    groups.size
+  }
+
+  /** Commit-triggered compaction ≙ the reference's "one commit may
+    * generate up to two snapshots — one for data changes and one for
+    * compaction" (`pypaimon/api/table_commit.py:28-32`): after a data
+    * commit on a PK table, every (partition, bucket) whose live file
+    * count reached `compaction.trigger-file-count` (default 5) is
+    * rewritten into one file and published as a second, COMPACT
+    * snapshot. `write-only=true` opts a writer out (bulk-ingest
+    * pattern); a non-positive trigger disables. Bounded read
+    * amplification: a bucket's sorted-run count never exceeds the
+    * trigger for long, so merge-on-read stays O(trigger) heap.
+    */
+  def maybeCompact(tableDir: Path, schema: graft.core.TableSchema): Int = {
+    if (!schema.isPrimaryKeyTable) return 0
+    if (schema.options.get("write-only").exists(_.equalsIgnoreCase("true")))
+      return 0
+    val trigger = schema.options.get("compaction.trigger-file-count")
+      .map(_.toInt).getOrElse(5)
+    if (trigger <= 0) return 0
+    val sm = new SnapshotManager(tableDir)
+    if (sm.latestSnapshot.isEmpty) return 0
+    val groups = sm.liveFilesLatest
+      .groupBy(f => (f.partition, f.bucket))
+      .filter(_._2.size >= trigger).toSeq
+    compactGroups(org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession),
+      tableDir, schema, groups)
   }
 
   /** Publish a COMPACT snapshot replacing `deleteNames` with `adds`.

@@ -95,6 +95,34 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(table.compact() == 0)
   }
 
+  test("commit-triggered compaction: Nth small commit publishes a second, COMPACT snapshot") {
+    spark.sql("CREATE TABLE graft.default.cmp_auto (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1', " +
+      "'compaction.trigger-file-count'='3')")
+    spark.sql("INSERT INTO graft.default.cmp_auto VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.default.cmp_auto VALUES (2,'b')")
+    val smDir = warehouse.resolve("default.db/cmp_auto")
+    assert(new SnapshotManager(smDir).latestSnapshot.get.commitKind == "APPEND")
+    // third commit reaches the trigger → data snapshot + compact snapshot
+    spark.sql("INSERT INTO graft.default.cmp_auto VALUES (1,'A')")
+    val sm = new SnapshotManager(smDir)
+    assert(sm.latestSnapshot.get.commitKind == "COMPACT",
+      "trigger commit must publish a second, COMPACT snapshot")
+    assert(sm.existingSnapshotIds.size == 4) // 3 APPEND + 1 COMPACT
+    assert(sm.liveFilesLatest.size == 1)
+    val got = spark.sql("SELECT k, v FROM graft.default.cmp_auto ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "A"), (2L, "b")))
+    // a write-only writer never triggers
+    spark.sql("CREATE TABLE graft.default.cmp_wo (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1', " +
+      "'compaction.trigger-file-count'='2', 'write-only'='true')")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.cmp_wo VALUES ($i,'x')"))
+    assert(new SnapshotManager(warehouse.resolve("default.db/cmp_wo"))
+      .existingSnapshotIds.size == 3)
+  }
+
   test("metadata columns expose file / sequence / row kind") {
     val rows = spark.sql(
       "SELECT k, v, _sequence_number, _row_kind, _file FROM graft.default.cmp ORDER BY k")
