@@ -5,6 +5,44 @@ import org.json4s.jackson.JsonMethods
 import java.nio.file.{Files, Path, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
+/** The single atomicity primitive optimistic commit needs: publish an
+  * immutable object at `target` iff nothing is there, atomically, and
+  * report whether this call won. Backends:
+  *
+  *  - [[AtomicPublisher.local]] (default): hard-link create-exclusive —
+  *    correct on local disk, NFS, and HDFS-like filesystems.
+  *  - Object stores: implement with the store's conditional PUT
+  *    (S3 `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`,
+  *    ABFS `If-None-Match: *`) — same contract, no filesystem rename
+  *    assumptions anywhere else in the commit path. This container has
+  *    no object-store SDKs, so only the seam + contract tests ship.
+  */
+trait AtomicPublisher {
+  /** True iff `target` did not exist and now holds `content`. */
+  def putIfAbsent(target: Path, content: String): Boolean
+}
+
+object AtomicPublisher {
+  val local: AtomicPublisher = new AtomicPublisher {
+    override def putIfAbsent(target: Path, content: String): Boolean = {
+      val tmp = Files.createTempFile(target.getParent, ".s", ".tmp")
+      Files.writeString(tmp, content)
+      try {
+        // atomic create-exclusive: fails with FileAlreadyExistsException
+        // if the target exists — a rename would silently REPLACE a
+        // concurrent committer's snapshot (POSIX rename semantics) and
+        // lose its commit; an existence pre-check alone is racy.
+        Files.createLink(target, tmp)
+        Files.deleteIfExists(tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); false
+      }
+    }
+  }
+}
+
 /** Snapshot + manifest persistence under one table directory:
   *
   * {{{
@@ -20,7 +58,8 @@ import scala.jdk.CollectionConverters._
   * on local/HDFS-like filesystems rename is the atomicity primitive, on
   * object stores a conditional PUT would take its place.
   */
-final class SnapshotManager(val tableDir: Path) {
+final class SnapshotManager(val tableDir: Path,
+    publisher: AtomicPublisher = AtomicPublisher.local) {
 
   private def snapshotDir = tableDir.resolve("snapshot")
   private def manifestDir = tableDir.resolve("manifest")
@@ -86,33 +125,20 @@ final class SnapshotManager(val tableDir: Path) {
   def liveFilesLatest: Seq[DataFileMeta] =
     latestSnapshot.map(liveFiles).getOrElse(Seq.empty)
 
-  /** Create-exclusive publish; returns false on id collision (caller
-    * re-plans against the newer snapshot and retries).
-    *
-    * The winner is decided by `Files.createLink`, which atomically
-    * fails with FileAlreadyExistsException if the target exists — a
-    * rename would silently REPLACE a concurrent committer's snapshot
-    * (POSIX rename semantics) and lose its commit. An existence
-    * pre-check alone is racy for the same reason. On object stores the
-    * equivalent primitive is a conditional PUT.
+  /** Publish via the [[AtomicPublisher]]; returns false on id collision
+    * (caller re-plans against the newer snapshot and retries). The
+    * LATEST hint is best-effort (readers treat the listing as
+    * authoritative), so its non-atomicity on object stores is benign.
     */
   def tryCommitSnapshot(s: Snapshot): Boolean = {
     Files.createDirectories(snapshotDir)
     val target = snapshotDir.resolve(s"snapshot-${s.id}")
-    if (Files.exists(target)) return false // fast path; the link decides
-    val tmp = Files.createTempFile(snapshotDir, ".s", ".tmp")
-    Files.writeString(tmp, s.toJson)
-    try {
-      Files.createLink(target, tmp) // atomic create-exclusive
-      Files.deleteIfExists(tmp)
-      val latestTmp = Files.createTempFile(snapshotDir, ".l", ".tmp")
-      Files.writeString(latestTmp, s.id.toString)
-      Files.move(latestTmp, snapshotDir.resolve("LATEST"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
+    if (Files.exists(target)) return false // fast path; the publish decides
+    if (!publisher.putIfAbsent(target, s.toJson)) return false
+    val latestTmp = Files.createTempFile(snapshotDir, ".l", ".tmp")
+    Files.writeString(latestTmp, s.id.toString)
+    Files.move(latestTmp, snapshotDir.resolve("LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    true
   }
 }

@@ -42,6 +42,41 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("commit depends only on the AtomicPublisher contract (object-store seam)") {
+    // simulated conditional PUT: CAS on a shared key table decides the
+    // winner (what S3 If-None-Match / GCS if-generation-match=0 give
+    // you), no hard links — the primitive an object-store backend has
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val condPut = new graft.format.AtomicPublisher {
+      override def putIfAbsent(target: java.nio.file.Path,
+          content: String): Boolean =
+        if (!claimed.add(target.toString)) false
+        else { Files.writeString(target, content); true }
+    }
+    val dir = Files.createTempDirectory("graft-condput")
+    def sm = new graft.format.SnapshotManager(dir, condPut)
+    val winners = new java.util.concurrent.atomic.AtomicInteger
+    val futures = (1 to 16).map { i =>
+      Future {
+        // every thread retries until its payload lands on SOME id
+        var id = 1L
+        var done = false
+        while (!done) {
+          val snap = graft.format.Snapshot(id, 0L, "APPEND",
+            timeMillis = i, manifests = Seq.empty,
+            lastSequenceNumber = i, totalRecordCount = i)
+          if (sm.tryCommitSnapshot(snap)) { winners.incrementAndGet(); done = true }
+          else id += 1
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 60.seconds)
+    assert(winners.get == 16)
+    assert(sm.existingSnapshotIds == (1L to 16L)) // contiguous, none lost
+    // every published snapshot is intact JSON with a unique payload
+    assert((1L to 16L).map(sm.snapshot).map(_.timeMillis).toSet.size == 16)
+  }
+
   test("conflicting PK commits: the LATER COMMIT wins via re-sequencing") {
     val warehouse = Files.createTempDirectory("graft-conc3-wh")
     val spark = SparkSession.builder()
