@@ -50,8 +50,12 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
   }
 
   override def pushedFilters(): Array[Filter] = {
-    // Report the prunable subset (partition / key references only).
-    val prunable = (schema.partitionKeys ++ schema.trimmedPrimaryKeys).toSet
+    // Report the prunable subset: partition/key columns for PK tables;
+    // append tables carry any-column zone maps, so everything prunes.
+    val prunable =
+      if (schema.isPrimaryKeyTable)
+        (schema.partitionKeys ++ schema.trimmedPrimaryKeys).toSet
+      else schema.fields.fieldNames.toSet
     filters.filter(_.references.forall(prunable.contains))
   }
 
@@ -160,8 +164,14 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
         Values.evalExact(flt, pTypes.get, value).getOrElse(true))
     }
 
-    // 2. key-stats pruning (PK tables; sound only on key columns)
-    val keyTypes = schema.trimmedPrimaryKeys
+    // 2. zone-map pruning: PK tables may prune only on trimmed-pk
+    // bounds (anything else would resurrect overwritten rows); append
+    // tables carry bounds for every primitive column, so any filtered
+    // column can skip files
+    val statCols =
+      if (schema.isPrimaryKeyTable) schema.trimmedPrimaryKeys
+      else schema.fields.fieldNames.toSeq.filterNot(schema.partitionKeys.contains)
+    val keyTypes = statCols
       .map(k => k -> schema.fields(schema.fields.fieldIndex(k)).dataType).toMap
     val afterStats = afterPartition.filter { f =>
       filters.forall(flt =>

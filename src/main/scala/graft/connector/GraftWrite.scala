@@ -293,19 +293,34 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
       w.close()
 
       val seqs = if (isPk) sorted.map(_.getLong(0)) else Seq(0L)
-      // typed min/max bounds per trimmed-pk column, canonical-encoded
-      val typedStats = if (isPk) keyIdxInData.zip(keyTypes).zipWithIndex.map {
-        case ((i, dt), k) =>
-          var lo: Any = null; var hi: Any = null
-          sorted.foreach { r =>
-            val v = if (r.isNullAt(i + 2)) null else r.get(i + 2, dt)
-            if (v != null) {
-              if (lo == null || Values.compare(dt, v, lo) < 0) lo = v
-              if (hi == null || Values.compare(dt, v, hi) > 0) hi = v
-            }
+      // typed min/max bounds, canonical-encoded: trimmed-pk columns for
+      // PK tables (pruning on anything else would resurrect overwritten
+      // rows), EVERY primitive column for append tables (no merge
+      // semantics → any-column zone-map pruning is sound). Oversized
+      // string bounds are dropped rather than truncated.
+      val statCols: Seq[(String, Int, DataType)] =
+        if (isPk) trimmedPk.zipWithIndex.map { case (k, j) =>
+          (k, keyIdxInData(j) + 2, keyTypes(j))
+        }
+        else dataFields.fields.toSeq.zipWithIndex.collect {
+          case (f, i) if f.dataType != BinaryType => (f.name, i, f.dataType)
+        }
+      val typedStats = statCols.flatMap { case (name, i, dt) =>
+        var lo: Any = null; var hi: Any = null
+        sorted.foreach { r =>
+          val v = if (r.isNullAt(i)) null else r.get(i, dt)
+          if (v != null) {
+            if (lo == null || Values.compare(dt, v, lo) < 0) lo = v
+            if (hi == null || Values.compare(dt, v, hi) > 0) hi = v
           }
-          trimmedPk(k) -> (Values.encode(dt, lo) -> Values.encode(dt, hi))
-      }.toMap else Map.empty[String, (String, String)]
+        }
+        if (lo == null) None
+        else {
+          val (els, ehs) = (Values.encode(dt, lo), Values.encode(dt, hi))
+          if (els.length > 64 || ehs.length > 64) None
+          else Some(name -> (els -> ehs))
+        }
+      }.toMap
 
       DataFileMeta(rel, Files.size(tableDir.resolve(rel)), sorted.length,
         part, bucket, seqs.min, seqs.max, typedStats)

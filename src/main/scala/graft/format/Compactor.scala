@@ -94,21 +94,30 @@ object Compactor extends Serializable {
     w.close()
 
     val seqs = if (isPk && rows.nonEmpty) rows.map(_.getLong(0)) else Seq(0L)
-    val stats = if (isPk) {
-      val keyIdx = trimmedPk.map(k => fileSchema.fieldIndex(k))
-      val keyTypes = trimmedPk.map(k => fileSchema(fileSchema.fieldIndex(k)).dataType)
-      keyIdx.zip(keyTypes).zipWithIndex.map { case ((i, dt), k) =>
-        var lo: Any = null; var hi: Any = null
-        rows.foreach { r =>
-          val v = if (r.isNullAt(i)) null else r.get(i, dt)
-          if (v != null) {
-            if (lo == null || Values.compare(dt, v, lo) < 0) lo = v
-            if (hi == null || Values.compare(dt, v, hi) > 0) hi = v
-          }
+    // same stats policy as the writer: pk-column bounds for PK tables,
+    // any-primitive-column bounds for append tables
+    val statCols: Seq[(String, Int, org.apache.spark.sql.types.DataType)] =
+      if (isPk) trimmedPk.map(k =>
+        (k, fileSchema.fieldIndex(k), fileSchema(fileSchema.fieldIndex(k)).dataType))
+      else fileSchema.fields.toSeq.zipWithIndex.collect {
+        case (f, i) if f.dataType != BinaryType => (f.name, i, f.dataType)
+      }
+    val stats = statCols.flatMap { case (name, i, dt) =>
+      var lo: Any = null; var hi: Any = null
+      rows.foreach { r =>
+        val v = if (r.isNullAt(i)) null else r.get(i, dt)
+        if (v != null) {
+          if (lo == null || Values.compare(dt, v, lo) < 0) lo = v
+          if (hi == null || Values.compare(dt, v, hi) > 0) hi = v
         }
-        trimmedPk(k) -> (Values.encode(dt, lo) -> Values.encode(dt, hi))
-      }.toMap
-    } else Map.empty[String, (String, String)]
+      }
+      if (lo == null) None
+      else {
+        val (els, ehs) = (Values.encode(dt, lo), Values.encode(dt, hi))
+        if (els.length > 64 || ehs.length > 64) None
+        else Some(name -> (els -> ehs))
+      }
+    }.toMap
 
     DataFileMeta(rel, Files.size(tableDir.resolve(rel)), rows.length,
       partition, bucket, seqs.min, seqs.max, stats)

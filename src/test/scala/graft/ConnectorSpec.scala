@@ -196,6 +196,32 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.t_lim").count() == 4)
   }
 
+  test("append-table zone maps skip files on any filtered column") {
+    spark.sql("CREATE TABLE graft.default.t_zone (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.default.t_zone " +
+      "SELECT id, concat('a', id) FROM range(0, 100, 1, 1)")   // file 1: 0..99
+    spark.sql("INSERT INTO graft.default.t_zone " +
+      "SELECT id, concat('b', id) FROM range(1000, 1100, 1, 1)") // file 2: 1000..1099
+    def scannedFiles(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.executedPlan
+      plan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.partitions.size
+      }.getOrElse(fail(s"no BatchScanExec in:\n$plan"))
+    }
+    assert(scannedFiles("SELECT * FROM graft.default.t_zone") == 2)
+    assert(scannedFiles(
+      "SELECT * FROM graft.default.t_zone WHERE id < 100") == 1)
+    assert(scannedFiles(
+      "SELECT * FROM graft.default.t_zone WHERE id BETWEEN 500 AND 600") == 0)
+    // string zone map prunes too (non-key, non-partition column)
+    assert(scannedFiles(
+      "SELECT * FROM graft.default.t_zone WHERE v >= 'b'") == 1)
+    // and results stay exact
+    assert(spark.sql("SELECT count(*) FROM graft.default.t_zone " +
+      "WHERE id >= 1000").collect()(0).getLong(0) == 100)
+  }
+
   test("append-table scans decode columnar; PK merge scans stay row-wise") {
     spark.sql("CREATE TABLE graft.default.t_colr (p STRING, f0 INT, f1 DOUBLE) " +
       "PARTITIONED BY (p)")
