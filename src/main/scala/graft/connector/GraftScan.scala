@@ -37,12 +37,69 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     retractions: Boolean = false,
     incremental: Option[(Long, Long)] = None)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var filters: Array[Filter] = Array.empty
   private var required: StructType =
     if (fullSchema != null) fullSchema else schema.fields
   private var limit: Option[Int] = None
+  private var pushedAgg: Option[(Seq[GraftAggScan.Spec], StructType)] = None
+
+  /** COUNT(*)/MIN/MAX over an append table are answered entirely from
+    * manifest metadata (row counts + zone maps) — zero data files read,
+    * the 100 TB "how big is this table" query in O(manifests). Exactness
+    * argument: rowCount is exact per file; min/max bounds are computed
+    * from actual values (never truncated — oversized ones are dropped,
+    * and string/binary columns are excluded here so bounds are present
+    * whenever a non-null value exists; a null-only file has no bounds
+    * and contributes nothing, which is exactly MIN/MAX null semantics).
+    * PK tables can't play: pre-merge metadata counts overwritten rows.
+    */
+  private def toSpecs(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[(Seq[GraftAggScan.Spec], StructType)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (schema.isPrimaryKeyTable || changelogView || incremental.nonEmpty ||
+      rowLevelOp.nonEmpty) return None
+    if (filters.nonEmpty || limit.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return None
+    def col(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, DataType)] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        val n = nr.fieldNames()(0)
+        if (!schema.fields.fieldNames.contains(n)) None
+        else {
+          val dt = schema.fields(schema.fields.fieldIndex(n)).dataType
+          // stats absent for these can mean "dropped", not "all null"
+          if (dt == StringType || dt == BinaryType) None
+          // partition columns have no per-file bounds; prunable later
+          else if (schema.partitionKeys.contains(n)) None
+          else Some(n -> dt)
+        }
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftAggScan.CountStar ->
+        StructField("count(*)", LongType, nullable = false))
+      case m: Min => col(m.column).map { case (n, dt) =>
+        GraftAggScan.MinOf(n) -> StructField(s"min($n)", dt) }
+      case m: Max => col(m.column).map { case (n, dt) =>
+        GraftAggScan.MaxOf(n) -> StructField(s"max($n)", dt) }
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) None
+    else Some(specs.flatten.map(_._1) -> StructType(specs.flatten.map(_._2)))
+  }
+
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = toSpecs(agg).isDefined
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = toSpecs(agg) match {
+    case some @ Some(_) => pushedAgg = some; true
+    case None => false
+  }
 
   override def pushFilters(f: Array[Filter]): Array[Filter] = {
     filters = f
@@ -64,14 +121,16 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  override def build(): Scan = rowLevelOp match {
-    case Some(op) =>
+  override def build(): Scan = (pushedAgg, rowLevelOp) match {
+    case (Some((specs, aggSchema)), None) =>
+      new GraftAggScan(tableDir, schema, pinnedSnapshot, specs, aggSchema)
+    case (_, Some(op)) =>
       new GraftScan(tableDir, schema, required, filters, limit,
         pinnedSnapshot, changelogView, Some(op)) with GraftRuntimeFiltering {
         override protected def onRuntimeFileFilter(files: Set[String]): Unit =
           setRuntimeFiles(files)
       }
-    case None =>
+    case _ =>
       new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
         changelogView, retractions = retractions, incremental = incremental)
   }
@@ -438,4 +497,68 @@ final case class GraftReaderFactory(
     }
     new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx, kindIdx)
   }
+}
+
+/** Metadata-only aggregate scan: the pushed COUNT(*)/MIN/MAX values are
+  * computed on the driver from the snapshot's manifests (row counts and
+  * per-file zone maps — see the pushdown rationale in
+  * [[GraftScanBuilder]]) and shipped to a single one-row partition.
+  */
+object GraftAggScan {
+  sealed trait Spec extends Serializable
+  case object CountStar extends Spec
+  final case class MinOf(col: String) extends Spec
+  final case class MaxOf(col: String) extends Spec
+
+  final case class AggPartition(values: Array[Any]) extends InputPartition
+
+  final case class AggReaderFactory() extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val values = p.asInstanceOf[AggPartition].values
+      new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = if (done) false else { done = true; true }
+        override def get(): InternalRow = new GenericInternalRow(values)
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+final class GraftAggScan(tableDir: Path, schema: TableSchema,
+    pinnedSnapshot: Option[Long],
+    specs: Seq[GraftAggScan.Spec], aggSchema: StructType)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftAggScan(metadata-only, pushed=[${specs.mkString(", ")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val sm = new SnapshotManager(tableDir)
+    val files = pinnedSnapshot match {
+      case Some(id) => sm.liveFiles(sm.snapshot(id))
+      case None => sm.liveFilesLatest
+    }
+    def bound(col: String, wantMin: Boolean): Any = {
+      val dt = schema.fields(schema.fields.fieldIndex(col)).dataType
+      val vals = files.flatMap(_.keyStats.get(col)).map { case (lo, hi) =>
+        Values.parse(dt, if (wantMin) lo else hi)
+      }
+      if (vals.isEmpty) null
+      else vals.reduce((a, b) =>
+        if (Values.compare(dt, a, b) < 0 == wantMin) a else b)
+    }
+    val values: Array[Any] = specs.map {
+      case GraftAggScan.CountStar => files.map(_.rowCount).sum: java.lang.Long
+      case GraftAggScan.MinOf(c) => bound(c, wantMin = true)
+      case GraftAggScan.MaxOf(c) => bound(c, wantMin = false)
+    }.toArray
+    Array(GraftAggScan.AggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftAggScan.AggReaderFactory()
 }

@@ -222,6 +222,39 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WHERE id >= 1000").collect()(0).getLong(0) == 100)
   }
 
+  test("COUNT(*)/MIN/MAX on append tables answer from metadata only") {
+    spark.sql("CREATE TABLE graft.default.t_agg (id BIGINT, v STRING, d DOUBLE)")
+    spark.sql("INSERT INTO graft.default.t_agg " +
+      "SELECT id, concat('v', id), id * 1.5 FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.default.t_agg VALUES (5000, NULL, NULL)")
+    val df = spark.sql(
+      "SELECT count(*), min(id), max(id), max(d) FROM graft.default.t_agg")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"), s"expected metadata-only scan in:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      "complete pushdown must remove the aggregation")
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 1001 && r.getLong(1) == 0 && r.getLong(2) == 5000)
+    assert(r.getDouble(3) == 999 * 1.5)
+    // string MIN/MAX can't be proven exact from stats → normal scan path
+    val sPlan = spark.sql("SELECT min(v) FROM graft.default.t_agg")
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("GraftAggScan"))
+    // filters block the metadata path (residuals must be evaluated)
+    val fPlan = spark.sql(
+      "SELECT count(*) FROM graft.default.t_agg WHERE id > 10")
+      .queryExecution.executedPlan.toString
+    assert(!fPlan.contains("GraftAggScan"))
+    // PK tables never push (pre-merge metadata counts overwritten rows)
+    spark.sql("CREATE TABLE graft.default.t_agg_pk (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    spark.sql("INSERT INTO graft.default.t_agg_pk VALUES (1, 1), (2, 2)")
+    spark.sql("INSERT INTO graft.default.t_agg_pk VALUES (2, 20)")
+    val pk = spark.sql("SELECT count(*) FROM graft.default.t_agg_pk")
+    assert(!pk.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(pk.collect()(0).getLong(0) == 2)
+  }
+
   test("append-table scans decode columnar; PK merge scans stay row-wise") {
     spark.sql("CREATE TABLE graft.default.t_colr (p STRING, f0 INT, f1 DOUBLE) " +
       "PARTITIONED BY (p)")
