@@ -148,12 +148,32 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     retractions: Boolean = false,
     incremental: Option[(Long, Long)] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   // row-level DML: runtime group filter on _file (absolute paths)
   @volatile private var runtimeFiles: Option[Set[String]] = None
   protected def setRuntimeFiles(files: Set[String]): Unit =
     runtimeFiles = Some(files)
+
+  /** Dynamic partition pruning: Spark evaluates the dimension side of a
+    * join first and hands the surviving partition-key values here as In
+    * filters; planInputPartitions then skips whole partitions — the
+    * star-join pattern at 100 TB (fact partitioned by date/type, dim
+    * filter selects a few values). Row-level DML scans override this
+    * with `_file` group filtering (GraftRuntimeFiltering).
+    */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    schema.partitionKeys.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(fs: Array[Filter]): Unit =
+    // keep only shapes partition pruning can evaluate exactly; unknown
+    // shapes are dropped (sound — pruning is an optimization)
+    runtimeFilters = fs.filter(_.references.forall(schema.partitionKeys.contains))
 
   override def readSchema(): StructType = required
 
@@ -212,14 +232,16 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     val pTypes = schema.partitionKeys
       .map(k => k -> schema.fields(schema.fields.fieldIndex(k)).dataType).toMap
 
-    // 1. partition pruning (exact evaluation on partition values)
+    // 1. partition pruning (exact evaluation on partition values),
+    // including any runtime (DPP) filters delivered after planning
+    val partFilters = filters ++ runtimeFilters
     val afterPartition = files.filter { f =>
       val value: String => Option[Any] = c =>
         schema.partitionKeys.indexOf(c) match {
           case -1 => None
           case i => Some(Values.parse(pTypes(c), f.partition(i)))
         }
-      filters.forall(flt =>
+      partFilters.forall(flt =>
         Values.evalExact(flt, pTypes.get, value).getOrElse(true))
     }
 

@@ -189,6 +189,27 @@ object ConnectorQ {
         FROM events GROUP BY event_type, user_id
         ORDER BY event_type, user_id""")),
 
+    // metadata-only aggregate: plan must be a GraftAggScan (manifest
+    // row counts + zone maps), zero data files read
+    QueryDef("c_meta_agg",
+      (s, dir) => {
+        val st = setup(s, dir)
+        val df = s.sql(s"""SELECT COUNT(*) AS n_rows,
+            MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+            MIN(event_id) AS min_event, MAX(event_id) AS max_event,
+            MIN(cents) AS min_cents, MAX(cents) AS max_cents
+          FROM graft_c.${st.ns}.ev_part""")
+        require(df.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+          "c_meta_agg must be served from metadata")
+        df
+      },
+      Some(s"""SELECT COUNT(*) AS n_rows,
+          MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+          MIN(event_id) AS min_event, MAX(event_id) AS max_event,
+          MIN(${sqlCents("value")}) AS min_cents,
+          MAX(${sqlCents("value")}) AS max_cents
+        FROM events""")),
+
     // dynamic overwrite replaced only the 'click' partition
     QueryDef("c_dynamic_overwrite",
       (s, dir) => {

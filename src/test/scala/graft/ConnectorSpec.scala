@@ -222,6 +222,25 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WHERE id >= 1000").collect()(0).getLong(0) == 100)
   }
 
+  test("runtime filters prune partitions on star joins (DPP)") {
+    spark.sql("CREATE TABLE graft.default.t_fact (pt INT, v BIGINT) " +
+      "PARTITIONED BY (pt)")
+    spark.sql("INSERT INTO graft.default.t_fact " +
+      "SELECT id % 4, id FROM range(0, 400)")
+    // the dim must be a real table — a LocalRelation's filter gets
+    // constant-folded away before the DPP rule can see it
+    spark.sql("CREATE TABLE graft.default.t_dim (pt INT, tag STRING)")
+    spark.sql("INSERT INTO graft.default.t_dim VALUES " +
+      "(0,'keep'), (1,'drop'), (2,'drop'), (3,'drop')")
+    val df = spark.sql("""SELECT sum(f.v) FROM graft.default.t_fact f
+      JOIN graft.default.t_dim d ON f.pt = d.pt WHERE d.tag = 'keep'""")
+    val expected = (0L until 400L).filter(_ % 4 == 0).sum
+    assert(df.collect()(0).getLong(0) == expected)
+    assert(df.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      "join on the partition column should plan a runtime filter")
+  }
+
   test("COUNT(*)/MIN/MAX on append tables answer from metadata only") {
     spark.sql("CREATE TABLE graft.default.t_agg (id BIGINT, v STRING, d DOUBLE)")
     spark.sql("INSERT INTO graft.default.t_agg " +
