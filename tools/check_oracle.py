@@ -22,6 +22,18 @@ def main(sf, out):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # The mm_frame_dedup / md5-over-text oracles slice text with
+    # character-based substr while Spark hashes UTF-8 byte ranges —
+    # identical only for pure-ASCII text. Fail loudly if the generator
+    # ever emits non-ASCII documents instead of silently diverging.
+    non_ascii = con.sql(
+        "SELECT count(*) FROM documents "
+        "WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert non_ascii == 0, (
+        f"{non_ascii} non-ASCII documents.text rows: char-based DuckDB "
+        "oracles (substr/md5 slicing) no longer match Spark's byte-based "
+        "hashing — rewrite those oracles with encode() blob slicing")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     fails, oks = [], []
     for name, sql in sorted(oracle.items()):
