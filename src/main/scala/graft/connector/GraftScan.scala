@@ -63,7 +63,14 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     if (schema.isPrimaryKeyTable || changelogView || incremental.nonEmpty ||
       rowLevelOp.nonEmpty) return None
     if (filters.nonEmpty || limit.nonEmpty) return None
-    if (agg.groupByExpressions.nonEmpty) return None
+    // GROUP BY is pushable iff every key is a bare partition column —
+    // groups then come straight from manifest partition values
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+        schema.partitionKeys.contains(nr.fieldNames()(0)) =>
+        nr.fieldNames()(0)
+      case _ => return None
+    }
     def col(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -89,7 +96,13 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
       case _ => None
     }
     if (specs.exists(_.isEmpty)) None
-    else Some(specs.flatten.map(_._1) -> StructType(specs.flatten.map(_._2)))
+    else {
+      val groupFields = groupCols.map(c =>
+        schema.fields(schema.fields.fieldIndex(c)).copy(nullable = true))
+      Some((groupCols.map(GraftAggScan.GroupBy.apply) ++
+        specs.flatten.map(_._1)) ->
+        StructType(groupFields ++ specs.flatten.map(_._2)))
+    }
   }
 
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector
@@ -531,16 +544,19 @@ object GraftAggScan {
   case object CountStar extends Spec
   final case class MinOf(col: String) extends Spec
   final case class MaxOf(col: String) extends Spec
+  final case class GroupBy(col: String) extends Spec
 
-  final case class AggPartition(values: Array[Any]) extends InputPartition
+  final case class AggPartition(rows: Array[Array[Any]]) extends InputPartition
 
   final case class AggReaderFactory() extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-      val values = p.asInstanceOf[AggPartition].values
+      val rows = p.asInstanceOf[AggPartition].rows.iterator
       new PartitionReader[InternalRow] {
-        private var done = false
-        override def next(): Boolean = if (done) false else { done = true; true }
-        override def get(): InternalRow = new GenericInternalRow(values)
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (rows.hasNext) { current = new GenericInternalRow(rows.next()); true }
+          else false
+        override def get(): InternalRow = current
         override def close(): Unit = ()
       }
     }
@@ -564,21 +580,37 @@ final class GraftAggScan(tableDir: Path, schema: TableSchema,
       case Some(id) => sm.liveFiles(sm.snapshot(id))
       case None => sm.liveFilesLatest
     }
-    def bound(col: String, wantMin: Boolean): Any = {
+    val groupCols = specs.collect { case GraftAggScan.GroupBy(c) => c }
+    val groupIdx = groupCols.map(schema.partitionKeys.indexOf)
+    // one output row per distinct combination of the grouped partition
+    // values (GROUP BY over zero rows = zero groups — comes out right)
+    val groups: Seq[(Seq[String], Seq[DataFileMeta])] =
+      if (groupCols.isEmpty) {
+        if (files.isEmpty && specs.forall(!_.isInstanceOf[GraftAggScan.GroupBy]))
+          Seq(Seq.empty -> Seq.empty) // global aggregate over empty table
+        else Seq(Seq.empty -> files)
+      } else files.groupBy(f => groupIdx.map(f.partition)).toSeq
+
+    def bound(fs: Seq[DataFileMeta], col: String, wantMin: Boolean): Any = {
       val dt = schema.fields(schema.fields.fieldIndex(col)).dataType
-      val vals = files.flatMap(_.keyStats.get(col)).map { case (lo, hi) =>
+      val vals = fs.flatMap(_.keyStats.get(col)).map { case (lo, hi) =>
         Values.parse(dt, if (wantMin) lo else hi)
       }
       if (vals.isEmpty) null
       else vals.reduce((a, b) =>
         if (Values.compare(dt, a, b) < 0 == wantMin) a else b)
     }
-    val values: Array[Any] = specs.map {
-      case GraftAggScan.CountStar => files.map(_.rowCount).sum: java.lang.Long
-      case GraftAggScan.MinOf(c) => bound(c, wantMin = true)
-      case GraftAggScan.MaxOf(c) => bound(c, wantMin = false)
+    val rows: Array[Array[Any]] = groups.map { case (gvals, fs) =>
+      specs.map {
+        case GraftAggScan.GroupBy(c) =>
+          val dt = schema.fields(schema.fields.fieldIndex(c)).dataType
+          Values.parse(dt, gvals(groupCols.indexOf(c)))
+        case GraftAggScan.CountStar => fs.map(_.rowCount).sum: java.lang.Long
+        case GraftAggScan.MinOf(c) => bound(fs, c, wantMin = true)
+        case GraftAggScan.MaxOf(c) => bound(fs, c, wantMin = false)
+      }.toArray
     }.toArray
-    Array(GraftAggScan.AggPartition(values))
+    Array(GraftAggScan.AggPartition(rows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

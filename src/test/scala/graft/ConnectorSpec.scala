@@ -264,6 +264,20 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) FROM graft.default.t_agg WHERE id > 10")
       .queryExecution.executedPlan.toString
     assert(!fPlan.contains("GraftAggScan"))
+    // GROUP BY a partition column: per-partition rollup from manifests
+    spark.sql("CREATE TABLE graft.default.t_aggp (pt INT, v BIGINT) " +
+      "PARTITIONED BY (pt)")
+    spark.sql("INSERT INTO graft.default.t_aggp " +
+      "SELECT id % 3, id FROM range(0, 300)")
+    val g = spark.sql("SELECT pt, count(*), max(v) FROM graft.default.t_aggp " +
+      "GROUP BY pt ORDER BY pt")
+    assert(g.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val rows = g.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0, 100L, 297L), (1, 100L, 298L), (2, 100L, 299L)))
+    // grouping on a NON-partition column cannot push
+    assert(!spark.sql(
+      "SELECT v % 2, count(*) FROM graft.default.t_aggp GROUP BY v % 2")
+      .queryExecution.executedPlan.toString.contains("GraftAggScan"))
     // PK tables never push (pre-merge metadata counts overwritten rows)
     spark.sql("CREATE TABLE graft.default.t_agg_pk (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
