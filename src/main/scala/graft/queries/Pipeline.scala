@@ -59,8 +59,11 @@ object Pipeline {
         val edges = pairs.selectExpr("a AS src", "b AS dst")
           .union(pairs.selectExpr("b AS src", "a AS dst"))
           .persist()
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id"))
+        // round 0 fused into init: label = min(self, neighbors); shallow
+        // (pair-shaped) clusters then converge in ONE verification round
+        var labels = edges.groupBy("src")
+          .agg(least(min(col("dst")), col("src")).as("lbl"))
+          .select(col("src").as("id"), col("lbl"))
           .localCheckpoint()
         var changed = 1L
         while (changed > 0) {
