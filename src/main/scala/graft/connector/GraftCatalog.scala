@@ -35,6 +35,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    // storage-partitioned joins resolve the bucket transform at the
+    // EMPTY namespace (V2ExpressionUtils.loadV2FunctionOpt)
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      return GraftFunctions.load("bucket")
     if (!ident.namespace().sameElements(Array("sys")))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     try GraftFunctions.load(ident.name())

@@ -18,6 +18,7 @@ object GraftFunctions {
 
   def load(name: String): UnboundFunction = name match {
     case "vec_dot" => VecDotUnbound(cosine = false)
+    case "bucket" => GraftBucketUnbound
     case "vec_cosine" => VecDotUnbound(cosine = true)
     case "word_shingles" => WordShinglesUnbound
     case other =>
@@ -99,6 +100,46 @@ object GraftFunctions {
           }
           new GenericArrayData(out)
         }
+      }
+    }
+  }
+}
+
+/** The table format's bucket function as a catalog V2 function — what
+  * storage-partitioned joins compare (`canonicalName`) to prove two
+  * scans are co-partitioned, and evaluate when re-bucketing one side.
+  * Must agree exactly with the write path's `Values.bucketOf`.
+  */
+object GraftBucketUnbound
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, key...) — graft primary-key bucketing"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.length >= 2 &&
+      (inputType(0).dataType == IntegerType || inputType(0).dataType == LongType),
+      "bucket(numBuckets: int, key columns...)")
+    val keyTypes = inputType.fields.drop(1).map(_.dataType).toSeq
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Int] {
+      override def inputTypes(): Array[DataType] = inputType.fields.map(_.dataType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(row: org.apache.spark.sql.catalyst.InternalRow): Int = {
+        val n = row.get(0, inputType(0).dataType) match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.toInt
+        }
+        val keyStrs = keyTypes.zipWithIndex.map { case (dt, i) =>
+          Values.encode(dt,
+            if (row.isNullAt(i + 1)) null else row.get(i + 1, dt))
+        }
+        Values.bucketOf(keyStrs, n)
       }
     }
   }

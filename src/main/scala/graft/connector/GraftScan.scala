@@ -149,10 +149,19 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
   }
 }
 
+/** The bucket id doubles as the partition key — the handshake
+  * storage-partitioned joins need (HasPartitionKey +
+  * [[GraftScan.outputPartitioning]] + the catalog's `bucket` function).
+  * Spark only consults it when the scan reports KeyGroupedPartitioning
+  * (PK tables); elsewhere it is inert.
+  */
 final case class GraftInputPartition(
     filePaths: Array[String], // absolute
     partitionValues: Array[String],
-    bucket: Int) extends InputPartition
+    bucket: Int) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     filters: Array[Filter], limit: Option[Int],
@@ -162,7 +171,33 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     retractions: Boolean = false,
     incremental: Option[(Long, Long)] = None)
   extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+
+  /** Storage-partitioned joins: an unpartitioned PK table is clustered
+    * by `bucket(numBuckets, trimmedPk...)`, and the bucket is both the
+    * merge unit and the input partition — so two co-bucketed tables
+    * join (or a GROUP BY pk aggregates) with NO shuffle: Spark matches
+    * the two sides' KeyGroupedPartitionings via the catalog's `bucket`
+    * function identity and zips bucket partitions directly
+    * (spark.sql.sources.v2.bucketing.enabled=true). Partitioned PK
+    * tables keep UnknownPartitioning for now (their key would need the
+    * partition columns too).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    // row-level DML scans re-filter partitions at runtime (_file groups)
+    // AFTER this is computed — keep them out so counts stay consistent
+    val spjEligible = schema.isPrimaryKeyTable && !changelogView &&
+      schema.partitionKeys.isEmpty && incremental.isEmpty &&
+      rowLevelOp.isEmpty
+    if (spjEligible)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          schema.numBuckets, schema.trimmedPrimaryKeys: _*)),
+        planInputPartitions().length)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+  }
 
   // row-level DML: runtime group filter on _file (absolute paths)
   @volatile private var runtimeFiles: Option[Set[String]] = None

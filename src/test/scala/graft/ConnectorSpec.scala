@@ -222,6 +222,45 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WHERE id >= 1000").collect()(0).getLong(0) == 100)
   }
 
+  test("storage-partitioned join: co-bucketed PK tables join shuffle-free") {
+    spark.sql("CREATE TABLE graft.default.spj_a (k BIGINT, va STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='4')")
+    spark.sql("CREATE TABLE graft.default.spj_b (k BIGINT, vb STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='4')")
+    spark.sql("INSERT INTO graft.default.spj_a " +
+      "SELECT id, concat('a', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.default.spj_b " +
+      "SELECT id, concat('b', id) FROM range(50, 150)")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql("""SELECT a.k, a.va, b.vb
+        FROM graft.default.spj_a a JOIN graft.default.spj_b b ON a.k = b.k
+        ORDER BY a.k""")
+      val rows = df.collect()
+      assert(rows.length == 50)
+      assert(rows.head.getLong(0) == 50 && rows.last.getLong(0) == 99)
+      assert(rows.head.getString(1) == "a50" && rows.head.getString(2) == "b50")
+      // the join itself must not shuffle either side (the only exchange
+      // allowed is the ORDER BY's range partitioning above the join)
+      val joinPlan = df.queryExecution.executedPlan.toString
+        .split("SortMergeJoin|ShuffledHashJoin").last
+      assert(!joinPlan.contains("Exchange hashpartitioning"),
+        s"join inputs must be storage-partitioned, got:\n$joinPlan")
+      assert(joinPlan.contains("BatchScan"),
+        s"expected scans under the join:\n$joinPlan")
+    }
+  }
+
+  private def withConfs(kvs: (String, String)*)(f: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime filters prune partitions on star joins (DPP)") {
     spark.sql("CREATE TABLE graft.default.t_fact (pt INT, v BIGINT) " +
       "PARTITIONED BY (pt)")
