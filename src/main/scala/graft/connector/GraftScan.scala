@@ -158,9 +158,14 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
 final case class GraftInputPartition(
     filePaths: Array[String], // absolute
     partitionValues: Array[String],
-    bucket: Int) extends InputPartition with HasPartitionKey {
+    bucket: Int,
+    // parsed partition values :+ bucket — row shape of the scan's
+    // KeyGroupedPartitioning keys (identity(part cols)..., bucket(pk))
+    keyValues: Array[Any] = Array.empty) extends InputPartition
+  with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](bucket))
+    new GenericInternalRow(if (keyValues.nonEmpty) keyValues
+    else Array[Any](bucket))
 }
 
 class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
@@ -185,17 +190,18 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
     // row-level DML scans re-filter partitions at runtime (_file groups)
     // AFTER this is computed — keep them out so counts stay consistent
     val spjEligible = schema.isPrimaryKeyTable && !changelogView &&
-      schema.partitionKeys.isEmpty && incremental.isEmpty &&
-      rowLevelOp.isEmpty
-    if (spjEligible)
+      incremental.isEmpty && rowLevelOp.isEmpty
+    if (spjEligible) {
+      val keys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+        schema.partitionKeys.map(Expressions.identity) :+
+          Expressions.bucket(schema.numBuckets, schema.trimmedPrimaryKeys: _*)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-          schema.numBuckets, schema.trimmedPrimaryKeys: _*)),
-        planInputPartitions().length)
-    else new org.apache.spark.sql.connector.read.partitioning
+        keys.toArray, planInputPartitions().length)
+    } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
   }
 
@@ -348,9 +354,14 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     rowLevelOp.foreach(_.planned.set(afterBucket.map(abs)))
 
     if (schema.isPrimaryKeyTable && !changelogView) {
+      val pTypes = schema.partitionKeys.map(k =>
+        schema.fields(schema.fields.fieldIndex(k)).dataType)
       afterBucket.groupBy(f => (f.partition, f.bucket)).map {
         case ((part, bucket), fs) =>
-          GraftInputPartition(fs.map(abs).toArray, part.toArray, bucket)
+          val keyVals: Array[Any] = (part.zip(pTypes).map { case (v, dt) =>
+            Values.parse(dt, v)
+          } :+ (bucket: Any)).toArray
+          GraftInputPartition(fs.map(abs).toArray, part.toArray, bucket, keyVals)
       }.toArray
     } else {
       // split-granular limit: keep whole files until rows cover n

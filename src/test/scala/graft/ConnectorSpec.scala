@@ -249,6 +249,23 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"join inputs must be storage-partitioned, got:\n$joinPlan")
       assert(joinPlan.contains("BatchScan"),
         s"expected scans under the join:\n$joinPlan")
+
+      // partitioned PK tables: keys = identity(pt) ++ bucket(pk)
+      spark.sql("CREATE TABLE graft.default.spj_pa (pt INT, k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (pt) TBLPROPERTIES ('primary-key'='pt,k', 'bucket'='2')")
+      spark.sql("CREATE TABLE graft.default.spj_pb (pt INT, k BIGINT, w BIGINT) " +
+        "PARTITIONED BY (pt) TBLPROPERTIES ('primary-key'='pt,k', 'bucket'='2')")
+      spark.sql("INSERT INTO graft.default.spj_pa " +
+        "SELECT id % 3, id, id * 10 FROM range(0, 90)")
+      spark.sql("INSERT INTO graft.default.spj_pb " +
+        "SELECT id % 3, id, id * 100 FROM range(0, 90)")
+      val pj = spark.sql("""SELECT sum(a.v + b.w) FROM graft.default.spj_pa a
+        JOIN graft.default.spj_pb b ON a.pt = b.pt AND a.k = b.k""")
+      assert(pj.collect()(0).getLong(0) == (0L until 90L).map(i => i * 110).sum)
+      val pjJoin = pj.queryExecution.executedPlan.toString
+        .split("SortMergeJoin|ShuffledHashJoin").last
+      assert(!pjJoin.contains("Exchange hashpartitioning"),
+        s"partitioned-PK join inputs must be storage-partitioned:\n$pjJoin")
     }
   }
 
