@@ -176,7 +176,30 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     retractions: Boolean = false,
     incremental: Option[(Long, Long)] = None)
   extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering {
+
+  /** The bucket-local k-way merge emits rows sorted by trimmed pk
+    * (ascending, NULLS FIRST — `Values.compare`); reporting it lets
+    * sort-merge joins over co-bucketed PK tables skip their Sort nodes
+    * entirely. Only claimed when every key column survives projection
+    * (the ordering must be expressible over the scan output).
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions._
+    val orderCols = schema.partitionKeys ++ schema.trimmedPrimaryKeys
+    val sorted = schema.isPrimaryKeyTable && !changelogView &&
+      rowLevelOp.isEmpty && incremental.isEmpty &&
+      orderCols.forall(required.fieldNames.contains)
+    if (!sorted) Array.empty
+    // partition columns are CONSTANT within an input partition, so any
+    // ordering that leads with them holds trivially — and it is exactly
+    // the (pt..., pk...) order a co-partitioned join asks for
+    else orderCols.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
+        NullOrdering.NULLS_FIRST)).toArray
+  }
 
   /** Storage-partitioned joins: an unpartitioned PK table is clustered
     * by `bucket(numBuckets, trimmedPk...)`, and the bucket is both the

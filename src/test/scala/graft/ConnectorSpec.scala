@@ -266,6 +266,9 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         .split("SortMergeJoin|ShuffledHashJoin").last
       assert(!pjJoin.contains("Exchange hashpartitioning"),
         s"partitioned-PK join inputs must be storage-partitioned:\n$pjJoin")
+      // reported output ordering lets the SMJ skip its Sort nodes
+      assert(!pjJoin.contains("+- Sort "),
+        s"scan-reported pk ordering should remove join-side sorts:\n$pjJoin")
     }
   }
 
