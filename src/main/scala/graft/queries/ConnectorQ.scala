@@ -210,6 +210,43 @@ object ConnectorQ {
           MAX(${sqlCents("value")}) AS max_cents
         FROM events""")),
 
+    // storage-partitioned join: ev_pk ⋈ ev_pk_del are co-bucketed
+    // (pk user_id, bucket 4) — the plan must carry NO hash-partition
+    // exchange; buckets zip directly and the merge's sort order feeds
+    // the join
+    QueryDef("c_spj_join",
+      (s, dir) => {
+        val st = setup(s, dir)
+        val prev = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" ->
+            s.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+          "spark.sql.autoBroadcastJoinThreshold" ->
+            s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val df = s.sql(s"""SELECT a.user_id, a.last_cents AS cents_all,
+              b.last_cents AS cents_kept
+            FROM graft_c.${st.ns}.ev_pk a
+            JOIN graft_c.${st.ns}.ev_pk_del b ON a.user_id = b.user_id
+            ORDER BY a.user_id""")
+          // force planning under the SPJ confs, and prove it engaged
+          require(!df.queryExecution.executedPlan.toString
+            .contains("Exchange hashpartitioning"),
+            "c_spj_join must plan a storage-partitioned join")
+          df
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some(s"""WITH am AS (${sqlArgmax.format("")}),
+          amd AS (${sqlArgmax.format("WHERE user_id % 10 <> 3")})
+        SELECT am.user_id, am.last_cents AS cents_all,
+          amd.last_cents AS cents_kept
+        FROM am JOIN amd ON am.user_id = amd.user_id
+        ORDER BY am.user_id""")),
+
     // dynamic overwrite replaced only the 'click' partition
     QueryDef("c_dynamic_overwrite",
       (s, dir) => {
