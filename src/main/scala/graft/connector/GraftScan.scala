@@ -86,9 +86,31 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
         }
       case _ => None
     }
+    // COUNT(col) needs exact per-file null counts for the column in
+    // EVERY live file (older files may predate null-count stats)
+    lazy val liveFiles: Seq[DataFileMeta] = {
+      val sm = new SnapshotManager(tableDir)
+      pinnedSnapshot match {
+        case Some(id) => sm.liveFiles(sm.snapshot(id))
+        case None => sm.liveFilesLatest
+      }
+    }
+    def countable(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        val n = nr.fieldNames()(0)
+        if (!schema.fields.fieldNames.contains(n) ||
+          schema.partitionKeys.contains(n)) None
+        else if (liveFiles.forall(_.nullCounts.contains(n))) Some(n)
+        else None
+      case _ => None
+    }
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(GraftAggScan.CountStar ->
         StructField("count(*)", LongType, nullable = false))
+      case c: Count if !c.isDistinct => countable(c.column).map(n =>
+        GraftAggScan.CountOf(n) ->
+          StructField(s"count($n)", LongType, nullable = false))
       case m: Min => col(m.column).map { case (n, dt) =>
         GraftAggScan.MinOf(n) -> StructField(s"min($n)", dt) }
       case m: Max => col(m.column).map { case (n, dt) =>
@@ -334,7 +356,16 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     val afterStats = afterPartition.filter { f =>
       filters.forall(flt =>
         Values.evalRange(flt, keyTypes.get,
-          c => f.keyStats.get(c)).getOrElse(true))
+          c => f.keyStats.get(c)).getOrElse(true)) &&
+        (schema.isPrimaryKeyTable || filters.forall {
+          // exact null counts (top-level conjuncts only; nested shapes
+          // fall through to true — pruning is an optimization)
+          case org.apache.spark.sql.sources.IsNull(c) =>
+            f.nullCounts.get(c).forall(_ > 0)
+          case org.apache.spark.sql.sources.IsNotNull(c) =>
+            f.nullCounts.get(c).forall(_ < f.rowCount)
+          case _ => true
+        })
     }
 
     // 3. bucket pruning: all trimmed-pk fields fixed by EqualTo conjuncts
@@ -611,6 +642,7 @@ final case class GraftReaderFactory(
 object GraftAggScan {
   sealed trait Spec extends Serializable
   case object CountStar extends Spec
+  final case class CountOf(col: String) extends Spec
   final case class MinOf(col: String) extends Spec
   final case class MaxOf(col: String) extends Spec
   final case class GroupBy(col: String) extends Spec
@@ -675,6 +707,8 @@ final class GraftAggScan(tableDir: Path, schema: TableSchema,
           val dt = schema.fields(schema.fields.fieldIndex(c)).dataType
           Values.parse(dt, gvals(groupCols.indexOf(c)))
         case GraftAggScan.CountStar => fs.map(_.rowCount).sum: java.lang.Long
+        case GraftAggScan.CountOf(c) =>
+          fs.map(f => f.rowCount - f.nullCounts(c)).sum: java.lang.Long
         case GraftAggScan.MinOf(c) => bound(fs, c, wantMin = true)
         case GraftAggScan.MaxOf(c) => bound(fs, c, wantMin = false)
       }.toArray

@@ -322,8 +322,15 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
         }
       }.toMap
 
+      // exact per-column null counts (append tables): IS NULL pruning
+      // and COUNT(col) pushdown read them from the manifest
+      val nullCounts: Map[String, Long] =
+        if (isPk) Map.empty
+        else dataFields.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          f.name -> sorted.count(_.isNullAt(i)).toLong
+        }.toMap
       DataFileMeta(rel, Files.size(tableDir.resolve(rel)), sorted.length,
-        part, bucket, seqs.min, seqs.max, typedStats)
+        part, bucket, seqs.min, seqs.max, typedStats, nullCounts)
     }
   }
 

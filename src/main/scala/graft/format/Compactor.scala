@@ -119,8 +119,13 @@ object Compactor extends Serializable {
       }
     }.toMap
 
+    val nullCounts: Map[String, Long] =
+      if (isPk) Map.empty
+      else fileSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        f.name -> rows.count(_.isNullAt(i)).toLong
+      }.toMap
     DataFileMeta(rel, Files.size(tableDir.resolve(rel)), rows.length,
-      partition, bucket, seqs.min, seqs.max, stats)
+      partition, bucket, seqs.min, seqs.max, stats, nullCounts)
   }
 
   /** Rewrite + publish the given (partition, bucket) groups as one

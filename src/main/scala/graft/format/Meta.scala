@@ -23,14 +23,16 @@ final case class DataFileMeta(
     bucket: Int,
     minSeq: Long,
     maxSeq: Long,
-    keyStats: Map[String, (String, String)]) {
+    keyStats: Map[String, (String, String)],
+    nullCounts: Map[String, Long] = Map.empty) {
 
   def toJValue: JObject =
     ("fileName" -> fileName) ~ ("fileSize" -> fileSize) ~
       ("rowCount" -> rowCount) ~ ("partition" -> partition) ~
       ("bucket" -> bucket) ~ ("minSeq" -> minSeq) ~ ("maxSeq" -> maxSeq) ~
       ("keyStats" -> keyStats.map { case (k, (lo, hi)) =>
-        k -> (("min" -> lo) ~ ("max" -> hi)) })
+        k -> (("min" -> lo) ~ ("max" -> hi)) }) ~
+      ("nullCounts" -> nullCounts)
 }
 
 object DataFileMeta {
@@ -47,6 +49,12 @@ object DataFileMeta {
       (v \ "keyStats") match {
         case JObject(kvs) => kvs.map { case (k, s) =>
           k -> ((s \ "min").extract[String] -> (s \ "max").extract[String])
+        }.toMap
+        case _ => Map.empty
+      },
+      (v \ "nullCounts") match {
+        case JObject(kvs) => kvs.map { case (k, n) =>
+          k -> n.extract[Long]
         }.toMap
         case _ => Map.empty
       })

@@ -217,6 +217,9 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // string zone map prunes too (non-key, non-partition column)
     assert(scannedFiles(
       "SELECT * FROM graft.default.t_zone WHERE v >= 'b'") == 1)
+    // exact null counts: no file has NULL v, so IS NULL scans nothing
+    assert(scannedFiles(
+      "SELECT * FROM graft.default.t_zone WHERE v IS NULL") == 0)
     // and results stay exact
     assert(spark.sql("SELECT count(*) FROM graft.default.t_zone " +
       "WHERE id >= 1000").collect()(0).getLong(0) == 100)
@@ -306,7 +309,8 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT id, concat('v', id), id * 1.5 FROM range(0, 1000)")
     spark.sql("INSERT INTO graft.default.t_agg VALUES (5000, NULL, NULL)")
     val df = spark.sql(
-      "SELECT count(*), min(id), max(id), max(d) FROM graft.default.t_agg")
+      "SELECT count(*), min(id), max(id), max(d), count(v), count(d) " +
+        "FROM graft.default.t_agg")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GraftAggScan"), s"expected metadata-only scan in:\n$plan")
     assert(!plan.contains("HashAggregate"),
@@ -314,6 +318,8 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = df.collect()(0)
     assert(r.getLong(0) == 1001 && r.getLong(1) == 0 && r.getLong(2) == 5000)
     assert(r.getDouble(3) == 999 * 1.5)
+    // COUNT(col) = sum(rowCount - nullCount): the (5000, NULL, NULL) row
+    assert(r.getLong(4) == 1000 && r.getLong(5) == 1000)
     // string MIN/MAX can't be proven exact from stats → normal scan path
     val sPlan = spark.sql("SELECT min(v) FROM graft.default.t_agg")
       .queryExecution.executedPlan.toString
