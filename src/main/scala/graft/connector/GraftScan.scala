@@ -41,10 +41,33 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     with SupportsPushDownAggregates {
 
   private var filters: Array[Filter] = Array.empty
+  private var accepted: Array[Filter] = Array.empty
   private var required: StructType =
     if (fullSchema != null) fullSchema else schema.fields
   private var limit: Option[Int] = None
   private var pushedAgg: Option[(Seq[GraftAggScan.Spec], StructType)] = None
+
+  /** Shapes `Values.evalExact` decides under Kleene 3VL. A conjunct of
+    * such a shape referencing ONLY partition columns is enforced
+    * exactly by partition pruning (all rows of a file share the
+    * partition value; an undecided comparison means NULL semantics fail
+    * every row, so dropping the file is exact) — Spark then plans no
+    * residual Filter for it, and partition-restricted aggregates stay
+    * metadata-only.
+    */
+  private def decidable(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
+           _: GreaterThan | _: GreaterThanOrEqual | _: In | _: IsNull |
+           _: IsNotNull | _: StringStartsWith | _: StringEndsWith |
+           _: StringContains => true
+      case And(l, r) => decidable(l) && decidable(r)
+      case Or(l, r) => decidable(l) && decidable(r)
+      case Not(c) => decidable(c)
+      case _ => false
+    }
+  }
 
   /** COUNT(*)/MIN/MAX over an append table are answered entirely from
     * manifest metadata (row counts + zone maps) — zero data files read,
@@ -62,7 +85,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (schema.isPrimaryKeyTable || changelogView || incremental.nonEmpty ||
       rowLevelOp.nonEmpty) return None
-    if (filters.nonEmpty || limit.nonEmpty) return None
+    if (filters.exists(flt => !accepted.contains(flt)) || limit.nonEmpty)
+      return None
     // GROUP BY is pushable iff every key is a bare partition column —
     // groups then come straight from manifest partition values
     val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
@@ -138,7 +162,14 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
 
   override def pushFilters(f: Array[Filter]): Array[Filter] = {
     filters = f
-    f // every filter is re-evaluated by Spark post-scan (defense in depth)
+    val acceptable = rowLevelOp.isEmpty && !changelogView && incremental.isEmpty
+    accepted =
+      if (!acceptable) Array.empty
+      else f.filter(flt => flt.references.nonEmpty &&
+        flt.references.forall(schema.partitionKeys.contains) && decidable(flt))
+    // partition-only decidable conjuncts are enforced by pruning; the
+    // rest are re-evaluated by Spark post-scan (defense in depth)
+    f.filterNot(accepted.contains)
   }
 
   override def pushedFilters(): Array[Filter] = {
@@ -158,7 +189,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
 
   override def build(): Scan = (pushedAgg, rowLevelOp) match {
     case (Some((specs, aggSchema)), None) =>
-      new GraftAggScan(tableDir, schema, pinnedSnapshot, specs, aggSchema)
+      new GraftAggScan(tableDir, schema, pinnedSnapshot, specs, aggSchema,
+        accepted)
     case (_, Some(op)) =>
       new GraftScan(tableDir, schema, required, filters, limit,
         pinnedSnapshot, changelogView, Some(op)) with GraftRuntimeFiltering {
@@ -167,7 +199,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
       }
     case _ =>
       new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
-        changelogView, retractions = retractions, incremental = incremental)
+        changelogView, retractions = retractions, incremental = incremental,
+        acceptedFilters = accepted)
   }
 }
 
@@ -196,7 +229,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     changelogView: Boolean = false,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     retractions: Boolean = false,
-    incremental: Option[(Long, Long)] = None)
+    incremental: Option[(Long, Long)] = None,
+    acceptedFilters: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -341,7 +375,12 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
           case i => Some(Values.parse(pTypes(c), f.partition(i)))
         }
       partFilters.forall(flt =>
-        Values.evalExact(flt, pTypes.get, value).getOrElse(true))
+        Values.evalExact(flt, pTypes.get, value).getOrElse(true)) &&
+        // accepted conjuncts carry no residual Filter above the scan —
+        // enforcement is HERE and must be strict: undecided ⇒ NULL
+        // semantics ⇒ no row qualifies ⇒ drop the file
+        acceptedFilters.forall(flt =>
+          Values.evalExact(flt, pTypes.get, value).contains(true))
     }
 
     // 2. zone-map pruning: PK tables may prune only on trimmed-pk
@@ -666,7 +705,8 @@ object GraftAggScan {
 
 final class GraftAggScan(tableDir: Path, schema: TableSchema,
     pinnedSnapshot: Option[Long],
-    specs: Seq[GraftAggScan.Spec], aggSchema: StructType)
+    specs: Seq[GraftAggScan.Spec], aggSchema: StructType,
+    acceptedFilters: Array[Filter] = Array.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
@@ -677,9 +717,21 @@ final class GraftAggScan(tableDir: Path, schema: TableSchema,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sm = new SnapshotManager(tableDir)
-    val files = pinnedSnapshot match {
+    val allFiles = pinnedSnapshot match {
       case Some(id) => sm.liveFiles(sm.snapshot(id))
       case None => sm.liveFilesLatest
+    }
+    // accepted partition-only conjuncts (strict: undecided ⇒ drop)
+    val pTypes = schema.partitionKeys
+      .map(k => k -> schema.fields(schema.fields.fieldIndex(k)).dataType).toMap
+    val files = allFiles.filter { f =>
+      val value: String => Option[Any] = c =>
+        schema.partitionKeys.indexOf(c) match {
+          case -1 => None
+          case i => Some(Values.parse(pTypes(c), f.partition(i)))
+        }
+      acceptedFilters.forall(flt =>
+        Values.evalExact(flt, pTypes.get, value).contains(true))
     }
     val groupCols = specs.collect { case GraftAggScan.GroupBy(c) => c }
     val groupIdx = groupCols.map(schema.partitionKeys.indexOf)

@@ -339,6 +339,20 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.queryExecution.executedPlan.toString.contains("GraftAggScan"))
     val rows = g.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == Seq((0, 100L, 297L), (1, 100L, 298L), (2, 100L, 299L)))
+    // partition-only filters are enforced by pruning (no residual
+    // Filter node), so partition-restricted aggregates stay metadata-only
+    val fg = spark.sql(
+      "SELECT count(*), max(v) FROM graft.default.t_aggp WHERE pt = 1")
+    assert(fg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "partition-restricted aggregate should stay metadata-only")
+    val fr = fg.collect()(0)
+    assert(fr.getLong(0) == 100 && fr.getLong(1) == 298)
+    // and plain partition-filtered scans carry no residual Filter
+    val pf = spark.sql("SELECT v FROM graft.default.t_aggp WHERE pt = 2")
+    assert(!pf.queryExecution.executedPlan.toString.contains("Filter "),
+      "partition-only predicate should be fully pushed")
+    assert(pf.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 300L).filter(_ % 3 == 2).sorted.toSeq)
     // grouping on a NON-partition column cannot push
     assert(!spark.sql(
       "SELECT v % 2, count(*) FROM graft.default.t_aggp GROUP BY v % 2")
