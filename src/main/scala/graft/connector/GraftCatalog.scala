@@ -141,6 +141,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return new StaticRowsTable(ident.toString, MetaTables.snapshotsSchema,
         () => MetaTables.snapshotRows(dir))
     }
+    if (ident.name().endsWith("$partitions")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$partitions"))
+      val dir = tableDir(base)
+      val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
+      return new StaticRowsTable(ident.toString, MetaTables.partitionsSchema,
+        () => MetaTables.partitionRows(dir, ts))
+    }
     if (ident.name().endsWith("$files")) {
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("$files"))

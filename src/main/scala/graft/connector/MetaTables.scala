@@ -47,6 +47,26 @@ object MetaTables {
     }
   }
 
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false)))
+
+  /** ≙ the reference's partitions metadata view: per-partition rollup of
+    * the live file set, straight from manifests (no data IO).
+    */
+  def partitionRows(dir: Path, schema: TableSchema): Seq[Array[Any]] = {
+    new SnapshotManager(dir).liveFilesLatest
+      .groupBy(_.partition).toSeq.sortBy(_._1.mkString("/"))
+      .map { case (part, fs) =>
+        Array[Any](
+          UTF8String.fromString(schema.partitionKeys.zip(part)
+            .map { case (k, v) => s"$k=$v" }.mkString("/")),
+          fs.map(_.rowCount).sum, fs.size.toLong, fs.map(_.fileSize).sum)
+      }
+  }
+
   def fileRows(dir: Path, schema: TableSchema): Seq[Array[Any]] = {
     new SnapshotManager(dir).liveFilesLatest.map { f =>
       Array[Any](UTF8String.fromString(f.fileName),

@@ -155,6 +155,19 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .columns.toSeq == Seq("commit_kind"))
   }
 
+  test("$partitions rolls up live files per partition, metadata-only") {
+    spark.sql("CREATE TABLE graft.default.mp (pt STRING, v BIGINT) " +
+      "PARTITIONED BY (pt)")
+    spark.sql("INSERT INTO graft.default.mp " +
+      "SELECT CASE WHEN id < 60 THEN 'a' ELSE 'b' END, id " +
+      "FROM range(0, 100, 1, 1)")
+    spark.sql("INSERT INTO graft.default.mp VALUES ('a', 1000)")
+    val got = spark.sql("SELECT partition, record_count, file_count " +
+      "FROM graft.default.`mp$partitions` ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("pt=a", 61L, 2L), ("pt=b", 40L, 1L)))
+  }
+
   test("expireSnapshots keeps recent time travel, frees old files") {
     val catalog = Catalog.create(spark,
       Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
