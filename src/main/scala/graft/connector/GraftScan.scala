@@ -272,12 +272,19 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     import org.apache.spark.sql.connector.expressions.Expressions
     // row-level DML scans re-filter partitions at runtime (_file groups)
     // AFTER this is computed — keep them out so counts stay consistent
-    val spjEligible = schema.isPrimaryKeyTable && !changelogView &&
-      incremental.isEmpty && rowLevelOp.isEmpty
+    val spjEligible = !changelogView && incremental.isEmpty &&
+      rowLevelOp.isEmpty &&
+      (schema.isPrimaryKeyTable || schema.partitionKeys.nonEmpty)
     if (spjEligible) {
+      // PK tables cluster by (partition..., bucket(pk)); append tables
+      // by partition values alone (Spark groups the per-file splits by
+      // key under v2.bucketing, so per-file parallelism is traded for
+      // the shuffle only when a join actually wants co-partitioning)
       val keys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
-        schema.partitionKeys.map(Expressions.identity) :+
-          Expressions.bucket(schema.numBuckets, schema.trimmedPrimaryKeys: _*)
+        if (schema.isPrimaryKeyTable)
+          schema.partitionKeys.map(Expressions.identity) :+
+            Expressions.bucket(schema.numBuckets, schema.trimmedPrimaryKeys: _*)
+        else schema.partitionKeys.map(Expressions.identity)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         keys.toArray, planInputPartitions().length)
     } else new org.apache.spark.sql.connector.read.partitioning
@@ -466,8 +473,15 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
           }
         case None => afterBucket
       }
-      selected.map(f =>
-        GraftInputPartition(Array(abs(f)), f.partition.toArray, f.bucket)).toArray
+      val pTypes = schema.partitionKeys.map(k =>
+        schema.fields(schema.fields.fieldIndex(k)).dataType)
+      selected.map { f =>
+        val keyVals: Array[Any] = f.partition.zip(pTypes).map {
+          case (v, dt) => Values.parse(dt, v)
+        }.toArray
+        GraftInputPartition(Array(abs(f)), f.partition.toArray, f.bucket,
+          keyVals)
+      }.toArray
     }
   }
 

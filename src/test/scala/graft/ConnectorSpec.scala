@@ -269,6 +269,23 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         .split("SortMergeJoin|ShuffledHashJoin").last
       assert(!pjJoin.contains("Exchange hashpartitioning"),
         s"partitioned-PK join inputs must be storage-partitioned:\n$pjJoin")
+
+      // co-partitioned APPEND tables: clustered by identity(pt) alone
+      spark.sql("CREATE TABLE graft.default.spj_aa (pt INT, v BIGINT) " +
+        "PARTITIONED BY (pt)")
+      spark.sql("CREATE TABLE graft.default.spj_ab (pt INT, w BIGINT) " +
+        "PARTITIONED BY (pt)")
+      spark.sql("INSERT INTO graft.default.spj_aa " +
+        "SELECT id % 3, id FROM range(0, 30, 1, 1)")
+      spark.sql("INSERT INTO graft.default.spj_ab " +
+        "SELECT id % 3, id FROM range(0, 30, 1, 1)")
+      val aj = spark.sql("""SELECT count(*) FROM graft.default.spj_aa a
+        JOIN graft.default.spj_ab b ON a.pt = b.pt""")
+      assert(aj.collect()(0).getLong(0) == 300) // 3 partitions x 10 x 10
+      val ajJoin = aj.queryExecution.executedPlan.toString
+        .split("SortMergeJoin|ShuffledHashJoin").last
+      assert(!ajJoin.contains("Exchange hashpartitioning"),
+        s"co-partitioned append join must not shuffle:\n$ajJoin")
       // reported output ordering lets the SMJ skip its Sort nodes
       assert(!pjJoin.contains("+- Sort "),
         s"scan-reported pk ordering should remove join-side sorts:\n$pjJoin")
