@@ -301,6 +301,23 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("NULL partition values under fully-pushed partition predicates") {
+    // partition-only conjuncts carry no residual Filter — the strict
+    // pruning IS the filter, so NULL semantics must be exact here
+    spark.sql("CREATE TABLE graft.default.t_np (pt INT, v INT) " +
+      "PARTITIONED BY (pt)")
+    spark.sql("INSERT INTO graft.default.t_np VALUES (1, 10), (NULL, 20)")
+    def vals(where: String): Seq[Int] =
+      spark.sql(s"SELECT v FROM graft.default.t_np WHERE $where")
+        .collect().map(_.getInt(0)).toSeq.sorted
+    assert(vals("pt IS NULL") == Seq(20))
+    assert(vals("pt IS NOT NULL") == Seq(10))
+    assert(vals("pt = 1") == Seq(10))
+    assert(vals("pt <> 1") == Seq.empty) // NULL fails <>, like SQL says
+    assert(vals("pt = 1 OR pt IS NULL") == Seq(10, 20))
+    assert(vals("NOT (pt = 1)") == Seq.empty)
+  }
+
   test("runtime filters prune partitions on star joins (DPP)") {
     spark.sql("CREATE TABLE graft.default.t_fact (pt INT, v BIGINT) " +
       "PARTITIONED BY (pt)")
