@@ -12,7 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // The bench driver parses a JSON line from a bounded log tail; sbt's
-// "[success] Total time" banner would eat tail budget after it.
+// "[success] Total time" banner would eat tail budget after it, and the
+// "[info] " prefix sbt's logger adds to forked-process output breaks a
+// parser that json-loads whole lines (r2/r3 both recorded parsed:null
+// with the full JSON visible in the tail). StdoutOutput passes the
+// forked JVM's stdout through verbatim — the JSON line lands raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -60,9 +60,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist()
     val sigs = {
+      // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle split
+      // into two 56-bit halves h1/h2; seed i's hash is h1 + i*h2
+      // (max 2^56 + 15*2^56 = 2^60 — no 64-bit overflow, so DuckDB's
+      // checked BIGINT arithmetic computes the identical value). The
+      // previous form took 16 independent md5s per shingle and the md5
+      // work dominated the whole pair pipeline's runtime.
       val rows = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), md5(col("g").cast("string")).as("hx"))
+        .select(col("doc_id"),
+          conv(substring(col("hx"), 1, 14), 16, 10).cast("long").as("h1"),
+          conv(substring(col("hx"), 15, 14), 16, 10).cast("long").as("h2"))
       val minCols = (0 until K).map(i =>
-        min(h60(col("g"), i)).as(s"m$i"))
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
       rows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     }
     // band hash over its R signature slots — no arrays, pure codegen
@@ -107,8 +117,6 @@ object Dedup {
     * `pairs(a, b)` CTE of verified near-duplicate pairs.
     */
   val sqlPairsCte: String = {
-    val seedHash =
-      "CAST('0x' || substr(md5(g || '#' || seed), 1, 15) AS BIGINT)"
     s"""tok AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
       FROM documents),
@@ -117,10 +125,15 @@ object Dedup {
           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
       FROM tok WHERE len(toks) >= 3),
     ex AS (SELECT doc_id, unnest(sh) AS g FROM shing),
+    exh AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(g), 1, 14) AS BIGINT) AS h1,
+        CAST('0x' || substr(md5(g), 15, 14) AS BIGINT) AS h2
+      FROM ex),
     seeds AS (SELECT unnest(range(0, $K)) AS seed),
     sig AS (
-      SELECT doc_id, seed, MIN($seedHash) AS m
-      FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+      SELECT doc_id, seed, MIN(h1 + seed * h2) AS m
+      FROM exh CROSS JOIN seeds GROUP BY doc_id, seed),
     bands AS (
       SELECT doc_id, band,
         ${sqlH60s("string_agg(CAST(m AS VARCHAR), '#' ORDER BY seed)" +
