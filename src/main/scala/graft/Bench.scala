@@ -45,7 +45,9 @@ object Bench {
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":$sf}"""
     }
     spark.stop()
-    // 2000-char driver tail − "[info] " prefix (7) − newline = 1992
-    println(Seq(2, 1, 0).map(line).find(_.length <= 1992).getOrElse(line(0)))
+    // 2000-char driver tail − newline = 1999 (runs unprefixed now that
+    // run/outputStrategy passes forked stdout through); keep a small
+    // safety margin.
+    println(Seq(2, 1, 0).map(line).find(_.length <= 1995).getOrElse(line(0)))
   }
 }

@@ -226,10 +226,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ADD COLUMN (fresh id, older files null-fill at read), RENAME
     * COLUMN (id kept — old parquet files keep serving the data under
     * their physical name), DROP COLUMN (id retired, never reused, so a
-    * later re-ADD of the same name cannot resurrect old values), and
-    * table-property changes. Type changes are rejected; partition and
-    * primary-key columns are immutable (their names are baked into
-    * directory layout / merge semantics).
+    * later re-ADD of the same name cannot resurrect old values), ALTER
+    * COLUMN TYPE for widening casts (byte→short→int→long,
+    * float→double; parquet only — old files decode at their stored
+    * type and upcast at read, row-wise and columnar), and
+    * table-property changes. Narrowing / cross-family type changes are
+    * rejected; partition and primary-key columns are immutable (their
+    * names and comparators are baked into directory layout / merge
+    * semantics).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -271,6 +275,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val at = fields.fieldIndex(name)
         fields = StructType(fields.fields.patch(at, Nil, 1))
         ids = ids.patch(at, Nil, 1)
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames().length == 1, "Nested type changes not supported")
+        val name = up.fieldNames()(0)
+        require(fields.fieldNames.contains(name), s"Column $name not found")
+        require(!structural(name),
+          "Cannot change the type of partition or primary-key columns")
+        require(options.getOrElse("file.format", "parquet") == "parquet",
+          "ALTER COLUMN TYPE requires file.format=parquet " +
+            "(orc/avro readers resolve by name only)")
+        val at = fields.fieldIndex(name)
+        val from = fields.fields(at).dataType
+        require(graft.format.ParquetIO.widens(from, up.newDataType()),
+          s"Cannot change column $name from ${from.simpleString} to " +
+            s"${up.newDataType().simpleString}: only widening casts " +
+            "(tinyint->smallint->int->bigint, float->double) are supported")
+        fields = StructType(fields.fields.patch(at,
+          Seq(fields.fields(at).copy(dataType = up.newDataType())), 1))
       case set: TableChange.SetProperty =>
         if (set.property() == TableCatalog.PROP_COMMENT) comment = Some(set.value())
         else options += (set.property() -> set.value())

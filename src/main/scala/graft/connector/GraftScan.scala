@@ -553,9 +553,10 @@ final case class GraftReaderFactory(
           val physFor = graft.format.ParquetIO.resolvePhysical(footer,
             dataNames.filter(required.fieldNames.contains).toSeq, fieldIds)
           val logicalFor = physFor.map(_.swap)
+          val storedOf = footer.map(ff => ff.name -> ff.stored).toMap
           // physical names in file order; Spark's reader materializes
           // vectors in the requested-list order
-          val fileCols = footer.map(_._1).filter(logicalFor.contains).toArray
+          val fileCols = footer.map(_.name).filter(logicalFor.contains).toArray
           val consts = required.fields.filter(fd => !physFor.contains(fd.name))
           val constRow = new GenericInternalRow(consts.map { fd =>
             fd.name match {
@@ -575,8 +576,17 @@ final case class GraftReaderFactory(
             consts.map(_.name).zipWithIndex.map { case (n, i) =>
               n -> (fileCols.length + i)
             }).toMap
+          // files that predate an ALTER COLUMN TYPE widening surface
+          // their stored (narrower) vectors through an upcasting view
           out = new ColumnarBatch(
-            required.fields.map(fd => inner.column(pos(fd.name)): ColumnVector))
+            required.fields.map { fd =>
+              val v: ColumnVector = inner.column(pos(fd.name))
+              physFor.get(fd.name) match {
+                case Some(pn) if storedOf(pn) != fd.dataType =>
+                  new WideningColumnVector(v, fd.dataType): ColumnVector
+                case _ => v
+              }
+            })
           true
         }
 

@@ -183,17 +183,70 @@ object ParquetIO {
     * the physical footer schema, not the logical table schema, decides
     * what is requested from parquet.
     */
+  /** One footer column: physical name, optional field id, and the Spark
+    * type the file actually STORES (authoritative for files written
+    * under an older schema version — including before a type widening).
+    */
+  final case class FooterField(name: String, id: Option[Int], stored: DataType)
+
   /** Footer columns of a parquet file in file order, with their field
     * ids when present (the footer is authoritative for files written
     * under an older schema version).
     */
-  def footerFields(path: java.nio.file.Path): Seq[(String, Option[Int])] = {
+  def footerFields(path: java.nio.file.Path): Seq[FooterField] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new HPath(path.toUri), new Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(f => f.getName -> Option(f.getId).map(_.intValue())).toSeq
+      .map(f => FooterField(f.getName, Option(f.getId).map(_.intValue()),
+        storedSparkType(f))).toSeq
     finally r.close()
+  }
+
+  /** Inverse of [[toParquetSchema]] for the supported primitive matrix. */
+  def storedSparkType(t: Type): DataType = {
+    val p = t.asPrimitiveType()
+    (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+      case (INT32, i: IntLogicalTypeAnnotation) if i.getBitWidth == 8 => ByteType
+      case (INT32, i: IntLogicalTypeAnnotation) if i.getBitWidth == 16 => ShortType
+      case (INT32, _: DateLogicalTypeAnnotation) => DateType
+      case (INT32, _) => IntegerType
+      case (INT64, _: TimestampLogicalTypeAnnotation) => TimestampType
+      case (INT64, _) => LongType
+      case (FLOAT, _) => FloatType
+      case (DOUBLE, _) => DoubleType
+      case (BOOLEAN, _) => BooleanType
+      case (BINARY, _: StringLogicalTypeAnnotation) => StringType
+      case (BINARY, _) => BinaryType
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported parquet type $other")
+    }
+  }
+
+  /** Read-side type widening (ALTER COLUMN TYPE): which stored types a
+    * file may hold for a column whose logical type is now wider.
+    * Matches the write-side chain byte→short→int→long, float→double.
+    */
+  def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Numeric value conversion for a widened slot (boxed, row-granular —
+    * only applied to files that predate the ALTER). */
+  def widenValue(v: Any, to: DataType): Any = (v, to) match {
+    case (null, _) => null
+    case (b: Byte, ShortType) => b.toShort
+    case (b: Byte, IntegerType) => b.toInt
+    case (b: Byte, LongType) => b.toLong
+    case (s: Short, IntegerType) => s.toInt
+    case (s: Short, LongType) => s.toLong
+    case (i: Int, LongType) => i.toLong
+    case (f: Float, DoubleType) => f.toDouble
+    case (x, _) => x
   }
 
   /** Resolve projected logical columns to this file's physical column
@@ -202,10 +255,10 @@ object ParquetIO {
     * by name otherwise (legacy id-less files, KV meta columns).
     * Unresolvable columns are absent → caller null-fills.
     */
-  def resolvePhysical(footer: Seq[(String, Option[Int])],
+  def resolvePhysical(footer: Seq[FooterField],
       logicalNames: Seq[String], ids: Map[String, Int]): Map[String, String] = {
-    val idToPhys = footer.collect { case (n, Some(i)) => i -> n }.toMap
-    val physNames = footer.map(_._1).toSet
+    val idToPhys = footer.collect { case FooterField(n, Some(i), _) => i -> n }.toMap
+    val physNames = footer.map(_.name).toSet
     logicalNames.flatMap { n =>
       ids.get(n) match {
         case Some(id) if idToPhys.nonEmpty => idToPhys.get(id).map(n -> _)
@@ -223,15 +276,31 @@ object ParquetIO {
     private val physFor =
       resolvePhysical(footer, projection.fieldNames.toSeq, ids)
     private val logicalFor = physFor.map(_.swap)
+    private val storedOf = footer.map(f => f.name -> f.stored).toMap
     // parquet-mr materializes the requested schema in ITS field order;
     // request columns in file order (under their PHYSICAL names — the
     // file may predate a rename), then permute into projection order.
+    // A file that predates an ALTER COLUMN TYPE widening is requested
+    // at its STORED (narrower) type and each value upcast after read.
     private val requestedPhys: Seq[String] =
-      footer.map(_._1).filter(logicalFor.contains)
-    private val requested = StructType(requestedPhys.map(pn =>
-      projection(projection.fieldIndex(logicalFor(pn))).copy(name = pn)))
+      footer.map(_.name).filter(logicalFor.contains)
+    private val requested = StructType(requestedPhys.map { pn =>
+      val lf = projection(projection.fieldIndex(logicalFor(pn)))
+      val stored = storedOf(pn)
+      if (stored == lf.dataType) lf.copy(name = pn)
+      else if (widens(stored, lf.dataType)) lf.copy(name = pn, dataType = stored)
+      else throw new IllegalStateException(
+        s"File $path stores column $pn as ${stored.simpleString}, " +
+          s"incompatible with logical type ${lf.dataType.simpleString}")
+    })
     private val outPos: Array[Int] =
       requestedPhys.map(pn => projection.fieldIndex(logicalFor(pn))).toArray
+    private val widenSpecs: Array[(Int, DataType)] =
+      requestedPhys.zipWithIndex.collect {
+        case (pn, i) if storedOf(pn) !=
+            projection(projection.fieldIndex(logicalFor(pn))).dataType =>
+          outPos(i) -> projection(projection.fieldIndex(logicalFor(pn))).dataType
+      }.toArray
     private val reader: ParquetReader[InternalRow] =
       new ParquetReader[InternalRow](new HPath(path.toUri),
         new InternalRowReadSupport(requested, outPos, projection.length))
@@ -243,6 +312,15 @@ object ParquetIO {
       val r = nextRow
       nextRow = reader.read()
       if (nextRow == null) reader.close()
+      if (widenSpecs.nonEmpty) {
+        val g = r.asInstanceOf[GenericInternalRow]
+        var i = 0
+        while (i < widenSpecs.length) {
+          val (pos, to) = widenSpecs(i)
+          g.update(pos, widenValue(g.values(pos), to))
+          i += 1
+        }
+      }
       r
     }
 

@@ -269,6 +269,38 @@ object ConnectorQ {
         FROM am JOIN amd ON am.user_id = amd.user_id
         ORDER BY am.user_id""")),
 
+    // Structured Streaming through the connector, driver-checked: an
+    // AvailableNow stream over the 2-commit partitioned PK table sees
+    // each commit as one micro-batch of RAW upsert rows (PK streaming
+    // does not merge across batches), so the aggregate equals the union
+    // of the two per-half arg-max sets — which DuckDB can restate from
+    // `events` without seeing the table format or the stream.
+    QueryDef("c_stream_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val sink = s"c_stream_agg_${st.ns}"
+        val q = s.readStream.table(s"graft_c.${st.ns}.ev_ppk")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_upserts"),
+            sum(col("last_event_id")).as("sum_last"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).orderBy("event_type")
+      },
+      Some(s"""WITH h1 AS (
+          SELECT event_type, user_id, MAX(event_id) AS last_event_id
+          FROM events WHERE event_id <= $sqlMid GROUP BY 1, 2),
+        h2 AS (
+          SELECT event_type, user_id, MAX(event_id) AS last_event_id
+          FROM events WHERE event_id > $sqlMid GROUP BY 1, 2),
+        u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+        SELECT event_type, COUNT(*) AS n_upserts,
+          CAST(SUM(last_event_id) AS BIGINT) AS sum_last
+        FROM u GROUP BY event_type ORDER BY event_type""")),
+
     // dynamic overwrite replaced only the 'click' partition
     QueryDef("c_dynamic_overwrite",
       (s, dir) => {

@@ -109,11 +109,66 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[Exception](spark.sql(
       "ALTER TABLE graft.default.evo_guard DROP COLUMN pt"))
       .getMessage.nonEmpty)
+    // cross-family change: Spark's analyzer rejects (not an up-cast)
     val typeChange = intercept[Exception](spark.sql(
       "ALTER TABLE graft.default.evo_guard ALTER COLUMN v TYPE INT"))
       .getMessage.toLowerCase
-    assert(typeChange.contains("not supported") ||
-      typeChange.contains("not_supported") || typeChange.contains("unsupported"))
+    assert(typeChange.contains("not supported"))
+    // int->double IS a Spark up-cast but not in our widening chain
+    // (old files' stats/zone-maps would need a float reinterpretation):
+    // the catalog's own gate must reject it
+    spark.sql("ALTER TABLE graft.default.evo_guard ADD COLUMN m INT")
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft.default.evo_guard ALTER COLUMN m TYPE DOUBLE"))
+      .getMessage.contains("widening"))
+    // primary-key / partition column types are immutable even widening
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft.default.evo_guard ALTER COLUMN pt TYPE BIGINT"))
+      .getMessage.contains("partition or primary-key"))
+  }
+
+  test("ALTER COLUMN TYPE widening on append table: old files upcast at read") {
+    spark.sql("CREATE TABLE graft.default.evo_w (k INT, x INT, f FLOAT)")
+    spark.sql("INSERT INTO graft.default.evo_w VALUES (1, 10, 1.5), (2, 20, 2.5)")
+    spark.sql("ALTER TABLE graft.default.evo_w ALTER COLUMN x TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.default.evo_w ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("INSERT INTO graft.default.evo_w VALUES (3, 3000000000, 3.25)")
+    val df = spark.sql(
+      "SELECT k, x, f FROM graft.default.evo_w ORDER BY k")
+    assert(df.schema("x").dataType.simpleString == "bigint")
+    assert(df.schema("f").dataType.simpleString == "double")
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq((1, 10L, 1.5), (2, 20L, 2.5), (3, 3000000000L, 3.25)))
+    // aggregate over mixed-era files (columnar path + widened vector)
+    assert(spark.sql("SELECT sum(x) FROM graft.default.evo_w")
+      .collect()(0).getLong(0) == 3000000030L)
+    // filter with a value only representable at the widened type
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.evo_w WHERE x > 2147483647")
+      .collect()(0).getLong(0) == 1)
+  }
+
+  test("ALTER COLUMN TYPE widening on PK table: merge across type eras") {
+    spark.sql("CREATE TABLE graft.default.evo_wpk (k BIGINT, n INT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.evo_wpk VALUES (1, 5), (2, 6)")
+    spark.sql("ALTER TABLE graft.default.evo_wpk ALTER COLUMN n TYPE BIGINT")
+    spark.sql("INSERT INTO graft.default.evo_wpk VALUES (2, 4000000000)")
+    val got = spark.sql(
+      "SELECT k, n FROM graft.default.evo_wpk ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (2L, 4000000000L)))
+  }
+
+  test("widening composes with RENAME: id-mapped old file, new name+type") {
+    spark.sql("CREATE TABLE graft.default.evo_wr (k INT, cnt INT)")
+    spark.sql("INSERT INTO graft.default.evo_wr VALUES (1, 7)")
+    spark.sql("ALTER TABLE graft.default.evo_wr RENAME COLUMN cnt TO total")
+    spark.sql("ALTER TABLE graft.default.evo_wr ALTER COLUMN total TYPE BIGINT")
+    spark.sql("INSERT INTO graft.default.evo_wr VALUES (2, 9000000000)")
+    assert(spark.sql("SELECT k, total FROM graft.default.evo_wr ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 7L), (2, 9000000000L)))
   }
 
   test("partition-level DELETE drops whole partitions, metadata-only") {
