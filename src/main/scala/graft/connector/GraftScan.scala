@@ -491,7 +491,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, schema.isPrimaryKeyTable, required.json,
-      merge = !changelogView, fieldIds = schema.idMap)
+      merge = !changelogView, fieldIds = schema.idMap,
+      dataFilters = filters.toSeq)
 }
 
 /** Executor-side reader ≙ the pynative operator pipeline: concat of
@@ -507,7 +508,9 @@ final case class GraftReaderFactory(
     isPk: Boolean,
     requiredJson: String,
     merge: Boolean = true,
-    fieldIds: Map[String, Int] = Map.empty) extends PartitionReaderFactory {
+    fieldIds: Map[String, Int] = Map.empty,
+    dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+  extends PartitionReaderFactory {
 
   /** Append-table parquet partitions decode via Spark's vectorized
     * reader into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es —
@@ -568,7 +571,12 @@ final case class GraftReaderFactory(
           }: Array[Any])
           reader = new org.apache.spark.sql.execution.datasources.parquet
             .VectorizedParquetRecordReader(false, 4096)
-          reader.initialize(f, java.util.Arrays.asList(fileCols: _*))
+          // row-group pruning: blocks whose stats contradict the pushed
+          // predicate are skipped before any page IO (sub-file analogue
+          // of manifest zone maps; Spark re-applies filters above)
+          val pruned = GraftReaderFactory.initPruned(
+            reader, f, fileCols, dataFilters, physFor, storedOf)
+          if (!pruned) reader.initialize(f, java.util.Arrays.asList(fileCols: _*))
           reader.initBatch(StructType(consts), constRow)
           inner = reader.resultBatch()
           // inner layout = fileCols ++ consts; permute to required order
@@ -694,6 +702,49 @@ final case class GraftReaderFactory(
         readSchema, fieldIds).map(r => (f, r))
     }
     new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx, kindIdx)
+  }
+}
+
+object GraftReaderFactory {
+  import org.apache.parquet.HadoopReadOptions
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import scala.jdk.CollectionConverters._
+
+  /** Initialize `reader` over only the row groups whose statistics can
+    * satisfy `filters` (translated per-file to the stored column names
+    * and types). Returns false when no conjunct is expressible — the
+    * caller then falls back to the plain whole-file initialize. Errors
+    * also fall back: block pruning is strictly an optimization, Spark
+    * re-evaluates every filter above the scan.
+    */
+  def initPruned(
+      reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader,
+      file: String, fileCols: Array[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      physFor: Map[String, String], storedOf: Map[String, DataType]): Boolean = {
+    val pred = graft.format.ParquetRowGroupFilter.build(filters, physFor, storedOf)
+    if (pred.isEmpty) return false
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val hpath = new org.apache.hadoop.fs.Path(Paths.get(file).toUri)
+      val opts = HadoopReadOptions.builder(conf, hpath)
+        .withRecordFilter(FilterCompat.get(pred.get))
+        .build()
+      val pf = ParquetFileReader.open(HadoopInputFile.fromPath(hpath, conf), opts)
+      try {
+        val fileSchema = pf.getFileMetaData.getSchema
+        val total = pf.getRowGroups.asScala.map(_.getRowCount.toLong).sum
+        if (total > Int.MaxValue) { pf.close(); return false }
+        val b = org.apache.parquet.schema.Types.buildMessage()
+        fileCols.foreach(c =>
+          b.addField(fileSchema.getType(fileSchema.getFieldIndex(c))))
+        org.apache.spark.sql.execution.datasources.parquet.GraftRowGroups
+          .init(reader, fileSchema, b.named(fileSchema.getName), pf, total.toInt)
+        true
+      } catch { case t: Throwable => pf.close(); throw t }
+    } catch { case _: Throwable => false }
   }
 }
 

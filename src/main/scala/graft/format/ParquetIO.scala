@@ -105,12 +105,13 @@ object ParquetIO {
 
   /** Streaming writer of InternalRow (ordinals match `schema`). */
   final class RowWriter(path: java.nio.file.Path, schema: StructType,
-      ids: Map[String, Int] = Map.empty) {
+      ids: Map[String, Int] = Map.empty,
+      blockSize: Int = ParquetWriter.DEFAULT_BLOCK_SIZE) {
     private val writer: ParquetWriter[InternalRow] = {
       val support = new InternalRowWriteSupport(schema, ids)
       new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
         new HPath(path.toUri), support, CompressionCodecName.SNAPPY,
-        ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE)
+        blockSize, ParquetWriter.DEFAULT_PAGE_SIZE)
     }
     private var rows = 0L
 
