@@ -91,6 +91,16 @@ object ConnectorQ {
       ppkInsert(s"event_id <= $mid")
       ppkInsert(s"event_id > $mid")
 
+      // PK table whose second commit trips commit-triggered compaction
+      // (trigger-file-count=2): the same commit publishes a COMPACT
+      // snapshot and the bucket collapses to one file
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pkc
+        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
+          'compaction.trigger-file-count'='2')""")
+      argmaxInsert(s"graft_c.$ns.ev_pkc", s"event_id <= $mid")
+      argmaxInsert(s"graft_c.$ns.ev_pkc", s"event_id > $mid")
+
       // dynamic partition overwrite: 'click' partition replaced wholesale
       s.sql(s"""CREATE TABLE graft_c.$ns.ev_ow
         (event_type STRING, user_id BIGINT, n BIGINT)
@@ -127,7 +137,7 @@ object ConnectorQ {
         def n(t: String) = s"(SELECT COUNT(*) FROM graft_c.${st.ns}.$t)"
         s.sql(s"""SELECT ${n("ev_pk")} AS n_pk, ${n("ev_pk_del")} AS n_pk_del,
           ${n("ev_part")} AS n_part, ${n("ev_ppk")} AS n_ppk,
-          ${n("ev_ow")} AS n_ow""")
+          ${n("ev_ow")} AS n_ow, ${n("ev_pkc")} AS n_pkc""")
       },
       Some("""SELECT
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pk,
@@ -135,7 +145,8 @@ object ConnectorQ {
              WHERE user_id % 10 <> 3) AS n_pk_del,
           (SELECT COUNT(*) FROM events) AS n_part,
           (SELECT COUNT(DISTINCT (event_type, user_id)) FROM events) AS n_ppk,
-          (SELECT COUNT(DISTINCT (event_type, user_id)) FROM events) AS n_ow""")),
+          (SELECT COUNT(DISTINCT (event_type, user_id)) FROM events) AS n_ow,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pkc""")),
 
     // merged read across two PK commits == global arg-max per key
     QueryDef("c_pk_merge_read",
@@ -268,6 +279,32 @@ object ConnectorQ {
           amd.last_cents AS cents_kept
         FROM am JOIN amd ON am.user_id = amd.user_id
         ORDER BY am.user_id""")),
+
+    // incremental batch read: ONLY the second commit's upserts through
+    // the t$changelog system table == the second-half arg-max set
+    QueryDef("c_incremental",
+      (s, dir) => {
+        val st = setup(s, dir)
+        // fromSnapshot is the exclusive base: (snap 1, snap 2]
+        s.read.option("fromSnapshot", "1").option("toSnapshot", "2")
+          .table(s"graft_c.${st.ns}.`ev_pk$$changelog`")
+          .select("user_id", "last_event_id", "last_type", "last_cents")
+          .orderBy("user_id")
+      },
+      Some(sqlArgmax.format(s"WHERE event_id > $sqlMid"))),
+
+    // read AFTER commit-triggered compaction: the data commit's own
+    // COMPACT snapshot must exist, and the merged read is unchanged
+    QueryDef("c_compact_read",
+      (s, dir) => {
+        val st = setup(s, dir)
+        val kinds = s.table(s"graft_c.${st.ns}.`ev_pkc$$snapshots`")
+          .select("commit_kind").collect().map(_.getString(0))
+        require(kinds.contains("COMPACT"),
+          s"expected a COMPACT snapshot, got ${kinds.mkString(",")}")
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pkc ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(""))),
 
     // Structured Streaming through the connector, driver-checked: an
     // AvailableNow stream over the 2-commit partitioned PK table sees

@@ -116,6 +116,33 @@ object Text {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           upper(hex(encode(substring(text, 1, 4)))) AS magic
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // PII scrubbing pass: redact email-shaped tokens and long digit
+    // runs, report per-language hit counts and the size delta — the
+    // shape of a compliance pass over a training corpus (map-only,
+    // codegen regex, no shuffle until the tiny per-lang rollup).
+    QueryDef("t_redact_pii",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("red", regexp_replace(regexp_replace(col("text"),
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+          "[0-9]{4,}", "<NUM>"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("red") =!= col("text"), 1L).otherwise(0L))
+            .as("n_redacted"),
+          sum((length(col("text")) - length(col("red"))).cast("long"))
+            .as("delta_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_redacted,
+          CAST(SUM(length(text) - length(red)) AS BIGINT) AS delta_chars
+        FROM (SELECT lang, text,
+            regexp_replace(regexp_replace(text,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]{4,}', '<NUM>', 'g') AS red
+          FROM documents) q
+        GROUP BY lang ORDER BY lang"""))
   )
 }
