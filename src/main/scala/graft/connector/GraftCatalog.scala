@@ -281,9 +281,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(fields.fieldNames.contains(name), s"Column $name not found")
         require(!structural(name),
           "Cannot change the type of partition or primary-key columns")
-        require(options.getOrElse("file.format", "parquet") == "parquet",
-          "ALTER COLUMN TYPE requires file.format=parquet " +
-            "(orc/avro readers resolve by name only)")
         val at = fields.fieldIndex(name)
         val from = fields.fields(at).dataType
         require(graft.format.ParquetIO.widens(from, up.newDataType()),

@@ -16,7 +16,11 @@ import scala.jdk.CollectionConverters._
   */
 object AvroIO {
 
-  def toAvroSchema(schema: StructType): ASchema = {
+  /** Iceberg-convention field property carrying the stable field id. */
+  val FieldIdProp = "field-id"
+
+  def toAvroSchema(schema: StructType,
+      ids: Map[String, Int] = Map.empty): ASchema = {
     val fields = schema.fields.map { f =>
       val base = f.dataType match {
         case ByteType | ShortType | IntegerType => ASchema.create(ASchema.Type.INT)
@@ -36,14 +40,18 @@ object AvroIO {
       val t = if (f.nullable)
         ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
       else base
-      new ASchema.Field(f.name, t, null, if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
+      val fld = new ASchema.Field(f.name, t, null,
+        if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
+      ids.get(f.name).foreach(id => fld.addProp(FieldIdProp, id: Integer))
+      fld
     }
     ASchema.createRecord("graft_row", null, "graft", false, fields.toList.asJava)
   }
 
-  final class Writer(path: java.nio.file.Path, schema: StructType)
+  final class Writer(path: java.nio.file.Path, schema: StructType,
+      ids: Map[String, Int] = Map.empty)
     extends FormatIO.RowFileWriter {
-    private val avroSchema = toAvroSchema(schema)
+    private val avroSchema = toAvroSchema(schema, ids)
     private val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
     writer.create(avroSchema, path.toFile)
@@ -78,14 +86,25 @@ object AvroIO {
   }
 
   final class Reader(path: java.nio.file.Path, fileSchema: StructType,
-      projection: StructType) extends FormatIO.RowFileReader {
+      projection: StructType,
+      ids: Map[String, Int] = Map.empty) extends FormatIO.RowFileReader {
     private val reader = new DataFileReader[GenericRecord](
       path.toFile, new GenericDatumReader[GenericRecord]())
     private val physical = reader.getSchema.getFields.asScala
       .map(_.name).toIndexedSeq
+    // field id → source ordinal from the file schema's field props
+    // (absent on files written before ids existed → name fallback)
+    private val idToSrc: Map[Int, Int] = reader.getSchema.getFields.asScala
+      .zipWithIndex.flatMap { case (f, i) =>
+        Option(f.getObjectProp(FieldIdProp))
+          .collect { case n: Number => n.intValue() -> i }
+      }.toMap
     private val mapping: Array[(Int, Int, DataType)] =
       projection.fields.zipWithIndex.flatMap { case (f, out) =>
-        val src = physical.indexOf(f.name)
+        val src = ids.get(f.name) match {
+          case Some(id) if idToSrc.nonEmpty => idToSrc.getOrElse(id, -1)
+          case _ => physical.indexOf(f.name)
+        }
         if (src >= 0) Some((src, out, f.dataType)) else None
       }.toArray
 
@@ -94,6 +113,9 @@ object AvroIO {
     override def next(): InternalRow = {
       val rec = reader.next()
       val out = new GenericInternalRow(projection.length)
+      // values arrive typed per the FILE's schema; numeric targets
+      // promote (Avro's own int→long / float→double resolution rules)
+      // so files predating an ALTER COLUMN TYPE widening read cleanly
       mapping.foreach { case (src, dst, dt) =>
         val v = rec.get(src)
         if (v == null) out.setNullAt(dst)
@@ -101,9 +123,11 @@ object AvroIO {
           case ByteType => out.update(dst, v.asInstanceOf[Int].toByte)
           case ShortType => out.update(dst, v.asInstanceOf[Int].toShort)
           case IntegerType | DateType => out.update(dst, v.asInstanceOf[Int])
-          case LongType | TimestampType => out.update(dst, v.asInstanceOf[Long])
+          case LongType | TimestampType =>
+            out.update(dst, v.asInstanceOf[Number].longValue())
           case FloatType => out.update(dst, v.asInstanceOf[Float])
-          case DoubleType => out.update(dst, v.asInstanceOf[Double])
+          case DoubleType =>
+            out.update(dst, v.asInstanceOf[Number].doubleValue())
           case BooleanType => out.update(dst, v.asInstanceOf[Boolean])
           case StringType => out.update(dst, UTF8String.fromString(v.toString))
           case BinaryType =>

@@ -27,22 +27,23 @@ object FormatIO {
       schema: StructType,
       ids: Map[String, Int] = Map.empty): RowFileWriter = format match {
     case "parquet" => new ParquetWriterAdapter(path, schema, ids)
-    case "orc" => new OrcIO.Writer(path, schema)
-    case "avro" => new AvroIO.Writer(path, schema)
+    case "orc" => new OrcIO.Writer(path, schema, ids)
+    case "avro" => new AvroIO.Writer(path, schema, ids)
     case other =>
       throw new IllegalArgumentException(s"Unsupported file.format: $other")
   }
 
-  /** `ids`: logical column name -> stable field id; parquet readers /
-    * writers use it for rename-safe evolution mapping, orc/avro stay
-    * name-based (documented limitation of those formats here).
+  /** `ids`: logical column name -> stable field id; all three formats
+    * persist it (parquet field ids, ORC column attributes, Avro field
+    * props) and resolve reads by id first, name fallback for legacy
+    * id-less files and KV meta columns.
     */
   def reader(format: String, path: java.nio.file.Path, fileSchema: StructType,
       projection: StructType,
       ids: Map[String, Int] = Map.empty): RowFileReader = format match {
     case "parquet" => new ParquetReaderAdapter(path, fileSchema, projection, ids)
-    case "orc" => new OrcIO.Reader(path, fileSchema, projection)
-    case "avro" => new AvroIO.Reader(path, fileSchema, projection)
+    case "orc" => new OrcIO.Reader(path, fileSchema, projection, ids)
+    case "avro" => new AvroIO.Reader(path, fileSchema, projection, ids)
     case other =>
       throw new IllegalArgumentException(s"Unsupported file.format: $other")
   }

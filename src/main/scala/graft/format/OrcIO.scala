@@ -16,7 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object OrcIO {
 
-  def toOrcSchema(schema: StructType): TypeDescription = {
+  /** Attribute carrying the stable field id on each column (same
+    * evolution identity as the parquet field id; the Iceberg-style
+    * `kv` attribute slot ORC provides for exactly this).
+    */
+  val FieldIdAttr = "graft.field.id"
+
+  def toOrcSchema(schema: StructType,
+      ids: Map[String, Int] = Map.empty): TypeDescription = {
     val root = TypeDescription.createStruct()
     schema.fields.foreach { f =>
       val t = f.dataType match {
@@ -34,6 +41,7 @@ object OrcIO {
         case other =>
           throw new IllegalArgumentException(s"Found unsupported data type $other")
       }
+      ids.get(f.name).foreach(id => t.setAttribute(FieldIdAttr, id.toString))
       root.addField(f.name, t)
     }
     root
@@ -45,9 +53,10 @@ object OrcIO {
     c
   }
 
-  final class Writer(path: java.nio.file.Path, schema: StructType)
+  final class Writer(path: java.nio.file.Path, schema: StructType,
+      ids: Map[String, Int] = Map.empty)
     extends FormatIO.RowFileWriter {
-    private val orcSchema = toOrcSchema(schema)
+    private val orcSchema = toOrcSchema(schema, ids)
     private val writer = OrcFile.createWriter(new HPath(path.toUri),
       OrcFile.writerOptions(utcConf).setSchema(orcSchema))
     private val batch = orcSchema.createRowBatch(1024)
@@ -97,17 +106,35 @@ object OrcIO {
   }
 
   final class Reader(path: java.nio.file.Path, fileSchema: StructType,
-      projection: StructType) extends FormatIO.RowFileReader {
+      projection: StructType,
+      ids: Map[String, Int] = Map.empty) extends FormatIO.RowFileReader {
     private val reader = OrcFile.createReader(new HPath(path.toUri),
       OrcFile.readerOptions(utcConf))
     private val physical = {
       import scala.jdk.CollectionConverters._
       reader.getSchema.getFieldNames.asScala.toIndexedSeq
     }
-    // (source ordinal in file, destination ordinal in projection, type)
+    // field id → source ordinal, from the file's column attributes
+    // (files written before ids existed have none → name fallback)
+    private val idToSrc: Map[Int, Int] = {
+      import scala.jdk.CollectionConverters._
+      reader.getSchema.getChildren.asScala.zipWithIndex.flatMap {
+        case (t, i) => Option(t.getAttributeValue(FieldIdAttr))
+          .map(_.toInt -> i)
+      }.toMap
+    }
+    // (source ordinal in file, destination ordinal in projection, type).
+    // Resolution by field id when both sides carry one (rename-safe,
+    // DROP+re-ADD-safe), by name otherwise; the projection's CURRENT
+    // type drives decoding — ORC holds all integer widths in
+    // LongColumnVector and both float widths in DoubleColumnVector, so
+    // ALTER COLUMN TYPE widening needs no per-era value conversion.
     private val mapping: Array[(Int, Int, DataType)] =
       projection.fields.zipWithIndex.flatMap { case (f, out) =>
-        val src = physical.indexOf(f.name)
+        val src = ids.get(f.name) match {
+          case Some(id) if idToSrc.nonEmpty => idToSrc.getOrElse(id, -1)
+          case _ => physical.indexOf(f.name)
+        }
         if (src >= 0) Some((src, out, f.dataType)) else None // null-fill absent
       }.toArray
     private val rows = reader.rows()

@@ -160,6 +160,37 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 5L), (2L, 4000000000L)))
   }
 
+  for (fmt <- Seq("orc", "avro")) {
+    test(s"$fmt: RENAME + widen round-trip through field ids") {
+      spark.sql(s"CREATE TABLE graft.default.evo_$fmt (k INT, cnt INT, s STRING) " +
+        s"TBLPROPERTIES ('file.format'='$fmt')")
+      spark.sql(s"INSERT INTO graft.default.evo_$fmt VALUES (1, 7, 'a')")
+      spark.sql(s"ALTER TABLE graft.default.evo_$fmt RENAME COLUMN cnt TO total")
+      spark.sql(s"ALTER TABLE graft.default.evo_$fmt ALTER COLUMN total TYPE BIGINT")
+      spark.sql(s"ALTER TABLE graft.default.evo_$fmt DROP COLUMN s")
+      spark.sql(s"ALTER TABLE graft.default.evo_$fmt ADD COLUMN s STRING")
+      spark.sql(s"INSERT INTO graft.default.evo_$fmt VALUES (2, 9000000000, 'z')")
+      val got = spark.sql(
+        s"SELECT k, total, s FROM graft.default.evo_$fmt ORDER BY k").collect()
+      // old file serves `total` under its original id despite the
+      // rename; the dropped-then-readded `s` must NOT resurrect 'a'
+      assert(got.map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq ==
+        Seq((1, 7L, null), (2, 9000000000L, "z")))
+    }
+
+    test(s"$fmt: PK merge across widened eras") {
+      spark.sql(s"CREATE TABLE graft.default.evo_pk_$fmt (k BIGINT, n INT) " +
+        s"TBLPROPERTIES ('primary-key'='k','bucket'='1','file.format'='$fmt')")
+      spark.sql(s"INSERT INTO graft.default.evo_pk_$fmt VALUES (1, 5), (2, 6)")
+      spark.sql(s"ALTER TABLE graft.default.evo_pk_$fmt ALTER COLUMN n TYPE BIGINT")
+      spark.sql(s"INSERT INTO graft.default.evo_pk_$fmt VALUES (2, 4000000000)")
+      assert(spark.sql(s"SELECT k, n FROM graft.default.evo_pk_$fmt ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 5L), (2L, 4000000000L)))
+    }
+  }
+
   test("widening composes with RENAME: id-mapped old file, new name+type") {
     spark.sql("CREATE TABLE graft.default.evo_wr (k INT, cnt INT)")
     spark.sql("INSERT INTO graft.default.evo_wr VALUES (1, 7)")
