@@ -37,6 +37,15 @@ object ConnectorQ {
   private val sqlMid =
     "(SELECT CAST(FLOOR(MAX(event_id)/2.0) AS BIGINT) FROM events)"
 
+  /** Debug: GRAFT_SETUP_TIMING=1 prints per-statement wall times. */
+  private def timed[T](label: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_SETUP_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[setup] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else f
+
   private def setup(s: SparkSession, dir: String): Setup =
     memo.computeIfAbsent(dir, _ => ConnectorQ.synchronized {
       if (!s.conf.getOption("spark.sql.catalog.graft_c").exists(_.nonEmpty)) {
@@ -51,11 +60,15 @@ object ConnectorQ {
         "SELECT CAST(FLOOR(MAX(event_id)/2.0) AS BIGINT), MIN(user_id) FROM ev_src")
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
 
+      // NOTE: measured at sf0.1 — inserting from a cached per-half
+      // arg-max view was ~2x SLOWER per statement than recomputing the
+      // aggregate inline (InMemoryRelation scan + extra materialization
+      // jobs beat the 200k-row codegen agg), so the halves stay inline.
       def argmaxInsert(table: String, where: String): Unit =
-        s.sql(s"""INSERT INTO $table
+        timed(s"insert $table")(s.sql(s"""INSERT INTO $table
           SELECT user_id, MAX(event_id), MAX_BY(event_type, event_id),
                  MAX_BY($C, event_id)
-          FROM ev_src WHERE $where GROUP BY user_id""")
+          FROM ev_src WHERE $where GROUP BY user_id"""))
 
       // PK table, 2 commits (merge-on-read across files)
       s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk
@@ -70,14 +83,15 @@ object ConnectorQ {
         TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
       argmaxInsert(s"graft_c.$ns.ev_pk_del", s"event_id <= $mid")
       argmaxInsert(s"graft_c.$ns.ev_pk_del", s"event_id > $mid")
-      s.sql(s"DELETE FROM graft_c.$ns.ev_pk_del WHERE user_id % 10 = 3")
+      timed("delete ev_pk_del")(
+        s.sql(s"DELETE FROM graft_c.$ns.ev_pk_del WHERE user_id % 10 = 3"))
 
       // partitioned append table (partition pruning / plain scan)
       s.sql(s"""CREATE TABLE graft_c.$ns.ev_part
         (event_type STRING, user_id BIGINT, event_id BIGINT, cents BIGINT)
         PARTITIONED BY (event_type)""")
-      s.sql(s"""INSERT INTO graft_c.$ns.ev_part
-        SELECT event_type, user_id, event_id, $C FROM ev_src""")
+      timed("insert ev_part")(s.sql(s"""INSERT INTO graft_c.$ns.ev_part
+        SELECT event_type, user_id, event_id, $C FROM ev_src"""))
 
       // partitioned PK table, bucket=2, 2 commits
       s.sql(s"""CREATE TABLE graft_c.$ns.ev_ppk
@@ -85,9 +99,9 @@ object ConnectorQ {
         PARTITIONED BY (event_type)
         TBLPROPERTIES ('primary-key'='event_type,user_id', 'bucket'='2')""")
       def ppkInsert(where: String): Unit =
-        s.sql(s"""INSERT INTO graft_c.$ns.ev_ppk
+        timed("insert ev_ppk")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ppk
           SELECT event_type, user_id, MAX(event_id), MAX_BY($C, event_id)
-          FROM ev_src WHERE $where GROUP BY event_type, user_id""")
+          FROM ev_src WHERE $where GROUP BY event_type, user_id"""))
       ppkInsert(s"event_id <= $mid")
       ppkInsert(s"event_id > $mid")
 
@@ -105,13 +119,13 @@ object ConnectorQ {
       s.sql(s"""CREATE TABLE graft_c.$ns.ev_ow
         (event_type STRING, user_id BIGINT, n BIGINT)
         PARTITIONED BY (event_type)""")
-      s.sql(s"""INSERT INTO graft_c.$ns.ev_ow
-        SELECT event_type, user_id, COUNT(*) FROM ev_src GROUP BY 1, 2""")
+      timed("insert ev_ow")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ow
+        SELECT event_type, user_id, COUNT(*) FROM ev_src GROUP BY 1, 2"""))
       val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try s.sql(s"""INSERT OVERWRITE TABLE graft_c.$ns.ev_ow
+      try timed("overwrite ev_ow")(s.sql(s"""INSERT OVERWRITE TABLE graft_c.$ns.ev_ow
         SELECT event_type, user_id, SUM($C) FROM ev_src
-        WHERE event_type = 'click' GROUP BY 1, 2""")
+        WHERE event_type = 'click' GROUP BY 1, 2"""))
       finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
 
       Setup(ns, mid, minUser)

@@ -245,6 +245,48 @@ object Dedup {
             GROUP BY doc_id) s
           GROUP BY band16 HAVING COUNT(*) > 1) c""")),
 
+    // Benchmark decontamination: flag corpus documents sharing any
+    // 5-gram with a held-out benchmark set (doc_id % 100 == 0 stands in
+    // for the eval suite). The canonical pre-training hygiene pass:
+    // shingle both sides once, equi-join on the shingle — the benchmark
+    // side is tiny by construction, so AQE broadcasts it and the corpus
+    // side streams map-side (no all-pairs work at 100 TB).
+    QueryDef("d_decontaminate",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), expr(tokensExpr).as("toks"))
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.TextFunctions.word_shingles(col("toks"), 5))).as("g"))
+        val bench = sh.filter(col("doc_id") % 100 === 0)
+        val corpus = sh.filter(col("doc_id") % 100 =!= 0)
+        val contaminated = corpus
+          .join(bench.select(col("g")).distinct(), "g")
+          .select("doc_id").distinct()
+        contaminated.agg(count(lit(1)).as("n_contaminated"))
+          .crossJoin(bench.agg(
+            countDistinct(col("doc_id")).as("n_benchmark_docs")))
+          .crossJoin(corpus.agg(
+            countDistinct(col("doc_id")).as("n_checked_docs")))
+          .select("n_benchmark_docs", "n_checked_docs", "n_contaminated")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(toks) - 3),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                             toks[i+3], toks[i+4])))) AS g
+          FROM tok WHERE len(toks) >= 5),
+        bench AS (SELECT doc_id, g FROM sh WHERE doc_id % 100 = 0),
+        corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 100 <> 0),
+        cont AS (SELECT DISTINCT corpus.doc_id FROM corpus
+                 JOIN (SELECT DISTINCT g FROM bench) b USING (g))
+        SELECT
+          (SELECT COUNT(DISTINCT doc_id) FROM bench) AS n_benchmark_docs,
+          (SELECT COUNT(DISTINCT doc_id) FROM corpus) AS n_checked_docs,
+          (SELECT COUNT(*) FROM cont) AS n_contaminated""")),
+
     // n-gram Jaccard over adjacent doc pairs — full DuckDB oracle.
     QueryDef("d_ngram_jaccard",
       (s, dir) => {
