@@ -492,7 +492,12 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     GraftReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, schema.isPrimaryKeyTable, required.json,
       merge = !changelogView, fieldIds = schema.idMap,
-      dataFilters = filters.toSeq)
+      // A row-level rewrite scan must surface EVERY row of the groups
+      // it reads — its pushed condition selects which rows get
+      // DELETED/UPDATED, so it may only prune whole groups (files),
+      // never records. All other scans pass their conjuncts down for
+      // row-group + record skipping.
+      dataFilters = if (rowLevelOp.isDefined) Seq.empty else filters.toSeq)
 }
 
 /** Executor-side reader ≙ the pynative operator pipeline: concat of
@@ -638,12 +643,24 @@ final case class GraftReaderFactory(
         f.name == "_VALUE_KIND" || requiredData.contains(f.name)))
     else StructType(dataFields.fields.filter(f => requiredData.contains(f.name)))
 
+    // Sub-file skipping must never see VALUE-column conjuncts on a PK
+    // table: dropping an old key version whose value matches while its
+    // newer overwrite doesn't would resurrect the old row through the
+    // merge (the scan keeps such conjuncts in `filters` for zone-map
+    // stats, they are NOT safe below the merge). Key/partition
+    // conjuncts keep every version of a surviving key — safe.
+    val safeFilters =
+      if (isPk) dataFilters.filter(_.references.forall(r =>
+        trimmedPk.contains(r) || partitionKeys.contains(r)))
+      else dataFilters
+
     // rows tagged with their source file ((file, row) — `_file` metadata)
     val rows: Iterator[(String, InternalRow)] =
-      if (needMerge) mergeOnRead(part, kvFileSchema, readSchema)
+      if (needMerge) mergeOnRead(part, kvFileSchema, readSchema, safeFilters)
       else part.filePaths.iterator.flatMap(f =>
         FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
-          if (isPk) kvFileSchema else dataFields, readSchema, fieldIds)
+          if (isPk) kvFileSchema else dataFields, readSchema, fieldIds,
+          safeFilters)
           .map(r => (f, r)))
 
     // output assembly: required order; partition constants spliced in
@@ -691,15 +708,20 @@ final case class GraftReaderFactory(
     * O(open files), so bucket size is bounded by disk, not heap.
     */
   private def mergeOnRead(part: GraftInputPartition, kvFileSchema: StructType,
-      readSchema: StructType): Iterator[(String, InternalRow)] = {
+      readSchema: StructType,
+      keyFilters: Seq[org.apache.spark.sql.sources.Filter])
+      : Iterator[(String, InternalRow)] = {
     val seqIdx = readSchema.fieldIndex("_SEQUENCE_NUMBER")
     val kindIdx = readSchema.fieldIndex("_VALUE_KIND")
     val keyIdx = trimmedPk.map(readSchema.fieldIndex)
     val keyTypes = trimmedPk.map(k => readSchema(readSchema.fieldIndex(k)).dataType)
 
+    // pushed conjuncts are partition/key-only for PK tables, so
+    // row-group + record skipping below the merge preserves every
+    // version of a surviving key (see RowReader)
     val sources = part.filePaths.toSeq.map { f =>
       FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema,
-        readSchema, fieldIds).map(r => (f, r))
+        readSchema, fieldIds, keyFilters).map(r => (f, r))
     }
     new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx, kindIdx)
   }

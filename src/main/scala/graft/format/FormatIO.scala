@@ -38,10 +38,18 @@ object FormatIO {
     * props) and resolve reads by id first, name fallback for legacy
     * id-less files and KV meta columns.
     */
+  /** `filters`: pushed conjuncts for row-group + record skipping —
+    * parquet only, and only conjuncts over projected columns are used
+    * (predicates on unrequested columns would see nulls and could drop
+    * matching records). Maintenance rewrites pass none.
+    */
   def reader(format: String, path: java.nio.file.Path, fileSchema: StructType,
       projection: StructType,
-      ids: Map[String, Int] = Map.empty): RowFileReader = format match {
-    case "parquet" => new ParquetReaderAdapter(path, fileSchema, projection, ids)
+      ids: Map[String, Int] = Map.empty,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      : RowFileReader = format match {
+    case "parquet" =>
+      new ParquetReaderAdapter(path, fileSchema, projection, ids, filters)
     case "orc" => new OrcIO.Reader(path, fileSchema, projection, ids)
     case "avro" => new AvroIO.Reader(path, fileSchema, projection, ids)
     case other =>
@@ -61,8 +69,11 @@ object FormatIO {
 
   private final class ParquetReaderAdapter(path: java.nio.file.Path,
       fileSchema: StructType, projection: StructType,
-      ids: Map[String, Int]) extends RowFileReader {
-    private val r = new ParquetIO.RowReader(path, fileSchema, projection, ids)
+      ids: Map[String, Int],
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    extends RowFileReader {
+    private val r =
+      new ParquetIO.RowReader(path, fileSchema, projection, ids, filters)
     override def hasNext: Boolean = r.hasNext
     override def next(): InternalRow = r.next()
     override def close(): Unit = r.close()

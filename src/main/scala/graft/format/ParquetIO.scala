@@ -271,7 +271,8 @@ object ParquetIO {
 
   final class RowReader(path: java.nio.file.Path, fileSchema: StructType,
       projection: StructType,
-      ids: Map[String, Int] = Map.empty)
+      ids: Map[String, Int] = Map.empty,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends Iterator[InternalRow] with AutoCloseable {
     private val footer = footerFields(path)
     private val physFor =
@@ -302,9 +303,22 @@ object ParquetIO {
             projection(projection.fieldIndex(logicalFor(pn))).dataType =>
           outPos(i) -> projection(projection.fieldIndex(logicalFor(pn))).dataType
       }.toArray
-    private val reader: ParquetReader[InternalRow] =
-      new ParquetReader[InternalRow](new HPath(path.toUri),
-        new InternalRowReadSupport(requested, outPos, projection.length))
+    private val reader: ParquetReader[InternalRow] = {
+      // Pushed filters that resolve against this file (same per-file
+      // translation as the columnar path) skip whole row groups AND
+      // non-matching records. Sound below the KV merge because the
+      // connector only pushes partition/key conjuncts for PK tables:
+      // a filter on the key keeps every version of a surviving key, so
+      // merge results are unchanged — this is what turns a point
+      // lookup into O(one row group) instead of O(bucket).
+      val pred = ParquetRowGroupFilter.build(filters,
+        physFor, footer.map(f => f.name -> f.stored).toMap)
+      val b = ParquetReader.builder[InternalRow](
+        new InternalRowReadSupport(requested, outPos, projection.length),
+        new HPath(path.toUri))
+      pred.fold(b)(p => b.withFilter(
+        org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
+    }
     private var nextRow: InternalRow = reader.read()
 
     override def hasNext: Boolean = nextRow != null
