@@ -46,8 +46,11 @@ object Relational {
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
 
-    // TPC-H Q3 shape: broadcast customer dim, shuffle-agg on orderkey,
-    // top-k via TakeOrderedAndProject (no global sort).
+    // TPC-H Q3 shape: shuffle-agg on orderkey, top-k via
+    // TakeOrderedAndProject (no global sort). No broadcast hints:
+    // orders and customer both scale with sf, so the join strategy is
+    // left to statistics (AQE broadcasts them at small SF, shuffles at
+    // corpus scale — a hint here would pin a driver-OOM plan at 100x).
     QueryDef(
       "q3_shipping_priority",
       (s, dir) => {
@@ -55,8 +58,8 @@ object Relational {
         val ord = t(s, dir, "orders")
           .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         val li = t(s, dir, "lineitem")
-        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey")
           .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))

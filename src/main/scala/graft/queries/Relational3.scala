@@ -42,7 +42,9 @@ object Relational3 {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val ord = t(s, dir, "orders")
-        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        // no hint: orders scales with sf — stats pick broadcast only
+        // while it actually fits
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(datediff(col("l_shipdate"), col("o_orderdate")).as("delay_days"))
           .groupBy("delay_days").agg(count(lit(1)).as("n"))
           .orderBy("delay_days")
