@@ -87,7 +87,8 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
       schema.partitionKeys, schema.trimmedPrimaryKeys,
       schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
       schema.options.getOrElse("file.format", "parquet"),
-      GraftDataWriter.spillRows(schema.options), schema.idMap)
+      GraftDataWriter.spillRows(schema.options), schema.idMap,
+      GraftDataWriter.blockSize(schema.options))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -137,7 +138,9 @@ final case class GraftWriterFactory(
     baseSeq: Long,
     fileFormat: String = "parquet",
     spillRows: Int = GraftDataWriter.DefaultSpillRows,
-    fieldIds: Map[String, Int] = Map.empty) extends DataWriterFactory {
+    fieldIds: Map[String, Int] = Map.empty,
+    blockSize: Int = GraftDataWriter.DefaultBlockSize)
+  extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
@@ -145,7 +148,8 @@ final case class GraftWriterFactory(
       trimmedPk, isPk, numBuckets,
       // per-task disjoint sequence ranges within one commit
       baseSeq + (partitionId.toLong << 32), fields, hasRowKindCol = false,
-      fileFormat = fileFormat, spillRows = spillRows, fieldIds = fieldIds)
+      fileFormat = fileFormat, spillRows = spillRows, fieldIds = fieldIds,
+      blockSize = blockSize)
   }
 }
 
@@ -160,6 +164,17 @@ object GraftDataWriter {
   def spillRows(options: Map[String, String]): Int =
     options.get("write-buffer-rows").map(_.toInt)
       .getOrElse(DefaultSpillRows)
+
+  /** Parquet row-group size — the unit of sub-file skipping. 128 MB
+    * (parquet-mr default) is right at corpus scale; tests/canaries
+    * shrink it to exercise multi-group files.
+    */
+  val DefaultBlockSize: Int =
+    org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE
+
+  def blockSize(options: Map[String, String]): Int =
+    options.get("parquet.block-size").map(_.toInt)
+      .getOrElse(DefaultBlockSize)
 }
 
 /** Buffers rows per (partition, bucket) and writes one sorted file per
@@ -182,7 +197,8 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
     hasRowKindCol: Boolean,
     fileFormat: String = "parquet",
     spillRows: Int = GraftDataWriter.DefaultSpillRows,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    blockSize: Int = GraftDataWriter.DefaultBlockSize)
   extends DataWriter[InternalRow] {
 
   // table fields (sans partition cols) stored in data files
@@ -288,7 +304,7 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
       val rel = s"$bucketDir/data-${java.util.UUID.randomUUID()}." +
         FormatIO.extension(fileFormat)
       val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema,
-        fieldIds)
+        fieldIds, blockSize)
       sorted.foreach(w.write)
       w.close()
 

@@ -25,8 +25,10 @@ object FormatIO {
 
   def writer(format: String, path: java.nio.file.Path,
       schema: StructType,
-      ids: Map[String, Int] = Map.empty): RowFileWriter = format match {
-    case "parquet" => new ParquetWriterAdapter(path, schema, ids)
+      ids: Map[String, Int] = Map.empty,
+      blockSize: Int = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE)
+      : RowFileWriter = format match {
+    case "parquet" => new ParquetWriterAdapter(path, schema, ids, blockSize)
     case "orc" => new OrcIO.Writer(path, schema, ids)
     case "avro" => new AvroIO.Writer(path, schema, ids)
     case other =>
@@ -61,8 +63,10 @@ object FormatIO {
     fileName.substring(fileName.lastIndexOf('.') + 1)
 
   private final class ParquetWriterAdapter(path: java.nio.file.Path,
-      schema: StructType, ids: Map[String, Int]) extends RowFileWriter {
-    private val w = new ParquetIO.RowWriter(path, schema, ids)
+      schema: StructType, ids: Map[String, Int],
+      blockSize: Int = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE)
+    extends RowFileWriter {
+    private val w = new ParquetIO.RowWriter(path, schema, ids, blockSize)
     override def write(row: InternalRow): Unit = w.write(row)
     override def close(): Long = w.close()
   }

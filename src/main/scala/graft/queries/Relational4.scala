@@ -78,6 +78,32 @@ object Relational4 {
           SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
           FROM lineitem GROUP BY l_returnflag) m
         ON a.l_returnflag = m.l_returnflag
-        GROUP BY a.l_returnflag ORDER BY a.l_returnflag"""))
+        GROUP BY a.l_returnflag ORDER BY a.l_returnflag""")),
+
+    // Skew-safe join via salting: `events` joins a per-type dimension
+    // on event_type, which has only a handful of values — unsalted,
+    // every row of a type lands on ONE reducer (the classic hot-key
+    // stall at corpus scale). The dim side is replicated S ways and the
+    // fact side salts deterministically with pmod(user_id, S), so each
+    // hot key spreads over S reducers; the salt never reaches the
+    // result, and the oracle is the plain unsalted join.
+    QueryDef("q_salted_skew_join",
+      (s, dir) => {
+        val S = 16
+        val ev = t(s, dir, "events")
+          .withColumn("salt", pmod(col("user_id"), lit(S.toLong)).cast("int"))
+        val dim = t(s, dir, "events").select("event_type").distinct()
+          .withColumn("weight", length(col("event_type")).cast("long"))
+          .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+        ev.join(dim, Seq("event_type", "salt"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(cents(col("value")) * col("weight")).as("weighted_cents"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")} * length(event_type)) AS BIGINT)
+            AS weighted_cents
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

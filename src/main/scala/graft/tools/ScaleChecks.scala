@@ -80,6 +80,33 @@ object ScaleChecks {
     spark.sql("SELECT bucket, SUM(row_count) AS rows, COUNT(*) AS files " +
       "FROM graft.d.`big$files` GROUP BY bucket ORDER BY bucket LIMIT 4").show()
     spark.sql("SELECT * FROM graft.d.`big$snapshots` ORDER BY snapshot_id").show()
+    println("== row-group pruning canary: 2M rows, 1 file, 1MB row groups")
+    spark.sql("CREATE TABLE graft.d.rg (k BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('primary-key'='k','bucket'='1','write-buffer-rows'='4000000'," +
+      "'parquet.block-size'='1048576')")
+    timed("write 2M rows (single sorted file)") {
+      spark.sql("INSERT INTO graft.d.rg " +
+        "SELECT /*+ COALESCE(1) */ id, id * 7 FROM range(0, 2000000)")
+    }
+    val rgFile = spark.sql("SELECT file_name FROM graft.d.`rg$files`")
+      .collect()(0).getString(0)
+    val nGroups = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          wh.resolve("d.db/rg").resolve(rgFile).toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.size() finally r.close()
+    }
+    println(s"  $nGroups row groups in the bucket file")
+    timed("full merged read") {
+      println(s"    rows=${spark.table("graft.d.rg").count()}")
+    }
+    timed("point lookup k=1999999 (reads ~1 of the groups)") {
+      println("    " + spark.sql(
+        "SELECT * FROM graft.d.rg WHERE k = 1999999").collect().mkString)
+    }
+
     println("== probe: $snapshots on a missing table")
     try spark.sql("SELECT * FROM graft.d.`nope$snapshots`").collect()
     catch { case e: Exception => println("  rejected: " + e.getMessage.linesIterator.next()) }
