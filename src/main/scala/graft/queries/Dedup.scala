@@ -32,7 +32,7 @@ object Dedup {
 
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     pairsMemo.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => computeNearDupPairs(s, dir).persist())
+      _ => computeNearDupPairs(s, dir))
 
   /** Confirmed near-duplicate pairs (a < b, shingle-Jaccard >= 0.5) via
     * MinHash + LSH banding + exact verification.
@@ -99,7 +99,7 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // verify candidates with exact shingle-set Jaccard
-    cand
+    val pairs = cand
       .join(shingled.as("ta"), col("a") === col("ta.doc_id"))
       .join(shingled.as("tb"), col("b") === col("tb.doc_id"))
       .withColumn("inter",
@@ -108,6 +108,15 @@ object Dedup {
         size(col("ta.sh")) + size(col("tb.sh")) - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= 0.5)
       .select(col("a"), col("b"))
+      .persist()
+    // Materialize the (KB-scale) pair set NOW so the heavy per-doc
+    // shingle cache can be released — otherwise `shingled` (one string
+    // array per document, the largest intermediate in the repo) stays
+    // pinned in executor storage for the life of the session and every
+    // later query inherits the memory pressure.
+    pairs.count()
+    shingled.unpersist()
+    pairs
   }
 
   /** The whole MinHash+LSH pair pipeline as DuckDB CTEs (same

@@ -208,36 +208,29 @@ object Relational2 {
       Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY bucket""")),
 
-    // Positional n-grams: distinct trigram count per doc via
-    // posexplode + lead windows (fully codegen + one shuffle).
+    // Positional n-grams: distinct trigram count per doc via the
+    // codegen WordShingles expression — map-only, zero shuffles
+    // (replaces a posexplode + lead-window plan that shuffled every
+    // token of every document). Docs with < 3 tokens are filtered to
+    // keep the legacy semantics (the window plan emitted no row).
     QueryDef("t_trigram_distinct",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"),
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
-          .withColumn("w1", lead(col("w"), 1).over(w))
-          .withColumn("w2", lead(col("w"), 2).over(w))
-          .filter(col("w2").isNotNull)
-          .withColumn("tri", concat_ws(" ", col("w"), col("w1"), col("w2")))
-          .groupBy("doc_id")
-          .agg(countDistinct(col("tri")).as("n_distinct_trigrams"))
-          .orderBy("doc_id")
-      },
-      Some("""SELECT doc_id, COUNT(DISTINCT tri) AS n_distinct_trigrams
-        FROM (
-          SELECT doc_id,
-            concat_ws(' ', w, LEAD(w, 1) OVER win, LEAD(w, 2) OVER win) AS tri,
-            LEAD(w, 2) OVER win AS w2
-          FROM (
-            SELECT doc_id, unnest(toks) AS w,
-              generate_subscripts(toks, 1) AS pos
-            FROM (SELECT doc_id,
-                regexp_extract_all(lower(text), '[a-z]+') AS toks
-              FROM documents) a) b
-          WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) c
-        WHERE w2 IS NOT NULL
-        GROUP BY doc_id ORDER BY doc_id"""))
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          size(array_distinct(
+            graft.functions.TextFunctions.word_shingles(col("toks"), 3)))
+            .cast("long").as("n_distinct_trigrams"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS BIGINT)
+            AS n_distinct_trigrams
+        FROM (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z]+') AS toks
+          FROM documents) a
+        WHERE len(toks) >= 3
+        ORDER BY doc_id"""))
   )
 }
