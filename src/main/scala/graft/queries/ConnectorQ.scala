@@ -332,6 +332,9 @@ object ConnectorQ {
         import org.apache.spark.sql.streaming.Trigger
         val st = setup(s, dir)
         val sink = s"c_stream_agg_${st.ns}"
+        // CAUTION: the memory sink collects every output row to the
+        // driver. Fine here (the aggregate is 5 rows); for any result
+        // proportional to the data, write a parquet/table sink instead.
         val q = s.readStream.table(s"graft_c.${st.ns}.ev_ppk")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_upserts"),

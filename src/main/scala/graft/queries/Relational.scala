@@ -113,8 +113,11 @@ object Relational {
       "q_part_type_revenue",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
+        // No broadcast hint: `part` is sf-proportional (TPC-H 200k x sf),
+        // so a forced broadcast is an OOM at 100x scale. AQE broadcasts
+        // the filtered dim automatically while it is genuinely small.
         val part = t(s, dir, "part").filter(col("p_size") <= 20)
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
           .groupBy("p_type")
           .agg(
             sumMoney(col("l_extendedprice")).as("revenue"),

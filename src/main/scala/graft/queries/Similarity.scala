@@ -86,16 +86,32 @@ object Similarity {
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // Embedding near-duplicate detection, blocked by cell (label).
+    // A hot cell would make the within-cell self-join quadratic in ONE
+    // task, so oversized cells are salted: the b-side is split into
+    // sub-blocks of <= MaxCellBlock vectors and the a-side replicated
+    // across them (same guard idea as Dedup.MaxBucket). Every unordered
+    // pair {x,y} with ida < idb matches exactly one (label, blk) task,
+    // so the count is unchanged while per-task pairs drop from n^2 to
+    // n * MaxCellBlock.
     QueryDef("d_embedding_neardup",
       (s, dir) => {
+        val MaxCellBlock = 1000
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), col("label"),
             vec_norm(col("embedding")).as("nrm"))
+        val nblk = t(s, dir, "embeddings")
+          .groupBy("label")
+          .agg(ceil(count(lit(1)).cast("double") / MaxCellBlock)
+            .cast("int").as("nblk"))
         val a = emb.select(col("vec_id").as("ida"), col("embedding").as("qv"),
-          col("nrm").as("na"), col("label"))
+            col("nrm").as("na"), col("label"))
+          .join(nblk, Seq("label"))
+          .withColumn("blk", explode(sequence(lit(0), col("nblk") - 1)))
         val b = emb.select(col("vec_id").as("idb"), col("embedding").as("cv"),
-          col("nrm").as("nb"), col("label"))
-        a.join(b, Seq("label"))
+            col("nrm").as("nb"), col("label"))
+          .join(nblk, Seq("label"))
+          .withColumn("blk", pmod(xxhash64(col("idb")), col("nblk")).cast("int"))
+        a.join(b, Seq("label", "blk"))
           .filter(col("ida") < col("idb"))
           .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("na") * col("nb")))
           .filter(col("cos") > 0.95)
