@@ -115,6 +115,35 @@ object ConnectorQ {
       argmaxInsert(s"graft_c.$ns.ev_pkc", s"event_id <= $mid")
       argmaxInsert(s"graft_c.$ns.ev_pkc", s"event_id > $mid")
 
+      // ORC / Avro PK tables: same 2-commit arg-max content, so the
+      // merge-on-read path runs end-to-end through OrcIO / AvroIO —
+      // the reference randomizes file.format in its predicate tests
+      // (pypaimon/py4j/tests/test_preicates.py:36-55), making
+      // format-agnostic reads part of the contract, not a bonus.
+      for (fmt <- Seq("orc", "avro")) {
+        s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_$fmt
+          (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+          TBLPROPERTIES ('primary-key'='user_id', 'bucket'='2',
+            'file.format'='$fmt')""")
+        argmaxInsert(s"graft_c.$ns.ev_pk_$fmt", s"event_id <= $mid")
+        argmaxInsert(s"graft_c.$ns.ev_pk_$fmt", s"event_id > $mid")
+      }
+
+      // schema evolution across commits: first half written under the
+      // ORIGINAL schema (cnt INT), then ADD + RENAME + widening TYPE,
+      // second half written under the evolved schema — reads must
+      // null-fill / remap / upcast the old files by field id
+      s.sql(s"CREATE TABLE graft_c.$ns.ev_evo (user_id BIGINT, cnt INT)")
+      timed("insert ev_evo half1")(s.sql(s"""INSERT INTO graft_c.$ns.ev_evo
+        SELECT user_id, CAST(COUNT(*) AS INT) FROM ev_src
+        WHERE event_id <= $mid GROUP BY user_id"""))
+      s.sql(s"ALTER TABLE graft_c.$ns.ev_evo ADD COLUMN sum_cents BIGINT")
+      s.sql(s"ALTER TABLE graft_c.$ns.ev_evo RENAME COLUMN cnt TO n_events")
+      s.sql(s"ALTER TABLE graft_c.$ns.ev_evo ALTER COLUMN n_events TYPE BIGINT")
+      timed("insert ev_evo half2")(s.sql(s"""INSERT INTO graft_c.$ns.ev_evo
+        SELECT user_id, COUNT(*), SUM($C) FROM ev_src
+        WHERE event_id > $mid GROUP BY user_id"""))
+
       // dynamic partition overwrite: 'click' partition replaced wholesale
       s.sql(s"""CREATE TABLE graft_c.$ns.ev_ow
         (event_type STRING, user_id BIGINT, n BIGINT)
@@ -151,16 +180,24 @@ object ConnectorQ {
         def n(t: String) = s"(SELECT COUNT(*) FROM graft_c.${st.ns}.$t)"
         s.sql(s"""SELECT ${n("ev_pk")} AS n_pk, ${n("ev_pk_del")} AS n_pk_del,
           ${n("ev_part")} AS n_part, ${n("ev_ppk")} AS n_ppk,
-          ${n("ev_ow")} AS n_ow, ${n("ev_pkc")} AS n_pkc""")
+          ${n("ev_ow")} AS n_ow, ${n("ev_pkc")} AS n_pkc,
+          ${n("ev_pk_orc")} AS n_orc, ${n("ev_pk_avro")} AS n_avro,
+          ${n("ev_evo")} AS n_evo""")
       },
-      Some("""SELECT
+      Some(s"""SELECT
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pk,
           (SELECT COUNT(DISTINCT user_id) FROM events
              WHERE user_id % 10 <> 3) AS n_pk_del,
           (SELECT COUNT(*) FROM events) AS n_part,
           (SELECT COUNT(DISTINCT (event_type, user_id)) FROM events) AS n_ppk,
           (SELECT COUNT(DISTINCT (event_type, user_id)) FROM events) AS n_ow,
-          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pkc""")),
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pkc,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_orc,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_avro,
+          (SELECT COUNT(DISTINCT user_id) FROM events
+             WHERE event_id <= $sqlMid)
+          + (SELECT COUNT(DISTINCT user_id) FROM events
+             WHERE event_id > $sqlMid) AS n_evo""")),
 
     // merged read across two PK commits == global arg-max per key
     QueryDef("c_pk_merge_read",
@@ -354,6 +391,74 @@ object ConnectorQ {
         SELECT event_type, COUNT(*) AS n_upserts,
           CAST(SUM(last_event_id) AS BIGINT) AS sum_last
         FROM u GROUP BY event_type ORDER BY event_type""")),
+
+    // merged PK read where the data files are ORC — same arg-max
+    // answer as c_pk_merge_read, but through OrcIO end-to-end
+    QueryDef("c_format_orc",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_orc ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(""))),
+
+    // same through AvroIO (row-oriented format, no column pruning in
+    // the file itself — projection happens in the reader)
+    QueryDef("c_format_avro",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_avro ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(""))),
+
+    // read across schema eras: old files lack sum_cents (null-filled),
+    // carry n_events under its pre-rename name and pre-widening INT
+    // type — the field-id mapping reconciles all three
+    QueryDef("c_evolution",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_evo " +
+          "ORDER BY user_id, sum_cents")
+      },
+      Some(s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(NULL AS BIGINT) AS sum_cents
+        FROM events WHERE event_id <= $sqlMid GROUP BY user_id
+        UNION ALL
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
+        FROM events WHERE event_id > $sqlMid GROUP BY user_id
+        ORDER BY user_id, sum_cents NULLS FIRST""")),
+
+    // the reference's primary user surface — Catalog.create →
+    // getTable → ReadBuilder.withFilter.withProjection →
+    // TableRead.toDF — as a driver-checked row; the require proves
+    // both pushdowns reached the scan (partition filter in pruneBy,
+    // unused event_id column absent from the whole plan)
+    QueryDef("c_api_read",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val st = setup(s, dir)
+        val wh = s.conf.get(s"spark.sql.catalog.graft_c.warehouse")
+        val cat = graft.api.Catalog.create(s,
+          Map("warehouse" -> wh, "catalog-name" -> "graft_c"))
+        val rb = cat.getTable(s"${st.ns}.ev_part").newReadBuilder()
+        val pb = rb.newPredicateBuilder()
+        val df = rb.withFilter(pb.equal("event_type", "view"))
+          .withProjection(Seq("user_id", "cents"))
+          .newRead().toDF()
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GraftScan") && plan.contains("event_type"),
+          "c_api_read: partition filter must reach the scan")
+        require(!plan.contains("event_id"),
+          "c_api_read: projection must prune event_id everywhere")
+        df.groupBy("user_id")
+          .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents,
+          COUNT(*) AS n_events
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id ORDER BY user_id""")),
 
     // dynamic overwrite replaced only the 'click' partition
     QueryDef("c_dynamic_overwrite",
