@@ -107,6 +107,47 @@ object ScaleChecks {
         "SELECT * FROM graft.d.rg WHERE k = 1999999").collect().mkString)
     }
 
+    println("== 10M-row spill canary: small write buffer forces multi-run " +
+      "spills, second commit trips compaction")
+    // write-buffer-rows=250k on 10M rows / 16 buckets means each bucket
+    // sorts and spills ~3 L0 runs per commit instead of buffering the
+    // whole bucket — heap stays bounded no matter the commit size. The
+    // upsert commit then exceeds trigger-file-count and compacts each
+    // bucket back to one file, so the steady-state file count is
+    // independent of how many runs the writes spilled.
+    spark.sql("CREATE TABLE graft.d.huge (k BIGINT, v STRING, x DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='16'," +
+      "'write-buffer-rows'='250000','compaction.trigger-file-count'='4')")
+    val t10 = System.nanoTime()
+    timed("write 10M rows (multi-run spill)") {
+      spark.sql("INSERT INTO graft.d.huge " +
+        "SELECT id, CAST(id AS STRING), id * 0.5 FROM range(0, 10000000)")
+    }
+    timed("upsert 1M rows (trips compaction)") {
+      spark.sql("INSERT INTO graft.d.huge " +
+        "SELECT id * 10, 'updated', 0.0 FROM range(0, 1000000)")
+    }
+    val hugeSm = new graft.format.SnapshotManager(wh.resolve("d.db/huge"))
+    val hugeFiles = hugeSm.liveFilesLatest
+    val hugeKinds = hugeSm.existingSnapshotIds
+      .map(id => hugeSm.snapshot(id).commitKind)
+    println(s"  live files=${hugeFiles.size}, snapshots=${hugeKinds.mkString(",")}")
+    require(hugeKinds.contains("COMPACT"),
+      s"expected a COMPACT snapshot, got ${hugeKinds.mkString(",")}")
+    require(hugeFiles.size <= 16,
+      s"post-compaction file count ${hugeFiles.size} must be <= 1 per bucket")
+    timed("merged read (count + filter)") {
+      val n = spark.sql("SELECT count(*) FROM graft.d.huge").collect()(0).getLong(0)
+      val u = spark.sql("SELECT count(*) FROM graft.d.huge WHERE v = 'updated'")
+        .collect()(0).getLong(0)
+      println(s"    rows=$n (expect 10000000), updated=$u (expect 1000000)")
+      require(n == 10000000L && u == 1000000L, s"merged read wrong: n=$n u=$u")
+    }
+    val wallS = (System.nanoTime() - t10) / 1e9
+    println(f"  10M canary total: $wallS%.1f s")
+    require(wallS < 300,
+      f"10M-row canary took $wallS%.1f s — quadratic blowup somewhere")
+
     println("== probe: $snapshots on a missing table")
     try spark.sql("SELECT * FROM graft.d.`nope$snapshots`").collect()
     catch { case e: Exception => println("  rejected: " + e.getMessage.linesIterator.next()) }
