@@ -115,6 +115,32 @@ object ConnectorQ {
       argmaxInsert(s"graft_c.$ns.ev_pkc", s"event_id <= $mid")
       argmaxInsert(s"graft_c.$ns.ev_pkc", s"event_id > $mid")
 
+      // UPDATE: copy-on-write rewrite of matched buckets; the updated
+      // rows win the subsequent merge by sequence number
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_upd
+        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
+      argmaxInsert(s"graft_c.$ns.ev_pk_upd", s"event_id <= $mid")
+      argmaxInsert(s"graft_c.$ns.ev_pk_upd", s"event_id > $mid")
+      timed("update ev_pk_upd")(s.sql(s"""UPDATE graft_c.$ns.ev_pk_upd
+        SET last_cents = last_cents * 2 WHERE user_id % 7 = 0"""))
+
+      // MERGE INTO: update + delete + insert through one statement
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_mrg
+        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
+      argmaxInsert(s"graft_c.$ns.ev_pk_mrg", s"event_id <= $mid")
+      argmaxInsert(s"graft_c.$ns.ev_pk_mrg", s"event_id > $mid")
+      timed("merge ev_pk_mrg")(s.sql(s"""MERGE INTO graft_c.$ns.ev_pk_mrg t
+        USING (SELECT DISTINCT user_id FROM ev_src WHERE user_id % 5 = 0
+               UNION ALL
+               SELECT (SELECT MAX(user_id) FROM ev_src) + 1) s
+        ON t.user_id = s.user_id
+        WHEN MATCHED AND t.user_id % 10 = 5 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET last_type = 'merged'
+        WHEN NOT MATCHED THEN INSERT (user_id, last_event_id, last_type, last_cents)
+          VALUES (s.user_id, -1, 'inserted', 0)"""))
+
       // ORC / Avro PK tables: same 2-commit arg-max content, so the
       // merge-on-read path runs end-to-end through OrcIO / AvroIO —
       // the reference randomizes file.format in its predicate tests
@@ -182,7 +208,8 @@ object ConnectorQ {
           ${n("ev_part")} AS n_part, ${n("ev_ppk")} AS n_ppk,
           ${n("ev_ow")} AS n_ow, ${n("ev_pkc")} AS n_pkc,
           ${n("ev_pk_orc")} AS n_orc, ${n("ev_pk_avro")} AS n_avro,
-          ${n("ev_evo")} AS n_evo""")
+          ${n("ev_evo")} AS n_evo, ${n("ev_pk_upd")} AS n_upd,
+          ${n("ev_pk_mrg")} AS n_mrg""")
       },
       Some(s"""SELECT
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pk,
@@ -197,7 +224,10 @@ object ConnectorQ {
           (SELECT COUNT(DISTINCT user_id) FROM events
              WHERE event_id <= $sqlMid)
           + (SELECT COUNT(DISTINCT user_id) FROM events
-             WHERE event_id > $sqlMid) AS n_evo""")),
+             WHERE event_id > $sqlMid) AS n_evo,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_upd,
+          (SELECT COUNT(DISTINCT user_id) FROM events
+             WHERE user_id % 10 <> 5) + 1 AS n_mrg""")),
 
     // merged read across two PK commits == global arg-max per key
     QueryDef("c_pk_merge_read",
@@ -391,6 +421,36 @@ object ConnectorQ {
         SELECT event_type, COUNT(*) AS n_upserts,
           CAST(SUM(last_event_id) AS BIGINT) AS sum_last
         FROM u GROUP BY event_type ORDER BY event_type""")),
+
+    // read after UPDATE: matched keys carry doubled cents, everything
+    // else is the untouched arg-max
+    QueryDef("c_update_read",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_upd ORDER BY user_id")
+      },
+      Some(s"""WITH am AS (${sqlArgmax.format("")})
+        SELECT user_id, last_event_id, last_type,
+          CAST(CASE WHEN user_id % 7 = 0 THEN last_cents * 2
+               ELSE last_cents END AS BIGINT) AS last_cents
+        FROM am ORDER BY user_id""")),
+
+    // read after MERGE INTO: %10=5 keys deleted, other %5=0 keys
+    // re-typed 'merged', one brand-new key inserted
+    QueryDef("c_merge_into",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_mrg ORDER BY user_id")
+      },
+      Some(s"""WITH am AS (${sqlArgmax.format("")})
+        SELECT user_id, last_event_id,
+          CASE WHEN user_id % 5 = 0 THEN 'merged' ELSE last_type END AS last_type,
+          last_cents
+        FROM am WHERE user_id % 10 <> 5
+        UNION ALL
+        SELECT (SELECT MAX(user_id) FROM events) + 1,
+          CAST(-1 AS BIGINT), 'inserted', CAST(0 AS BIGINT)
+        ORDER BY user_id""")),
 
     // merged PK read where the data files are ORC — same arg-max
     // answer as c_pk_merge_read, but through OrcIO end-to-end
