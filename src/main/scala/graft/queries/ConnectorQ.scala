@@ -170,6 +170,13 @@ object ConnectorQ {
         SELECT user_id, COUNT(*), SUM($C) FROM ev_src
         WHERE event_id > $mid GROUP BY user_id"""))
 
+      // event-time table for the windowed streaming aggregate
+      s.sql(s"CREATE TABLE graft_c.$ns.ev_ts (ts TIMESTAMP, user_id BIGINT, cents BIGINT)")
+      timed("insert ev_ts")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ts
+        SELECT ts, user_id, $C FROM ev_src WHERE event_id <= $mid"""))
+      timed("insert ev_ts 2")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ts
+        SELECT ts, user_id, $C FROM ev_src WHERE event_id > $mid"""))
+
       // dynamic partition overwrite: 'click' partition replaced wholesale
       s.sql(s"""CREATE TABLE graft_c.$ns.ev_ow
         (event_type STRING, user_id BIGINT, n BIGINT)
@@ -209,7 +216,7 @@ object ConnectorQ {
           ${n("ev_ow")} AS n_ow, ${n("ev_pkc")} AS n_pkc,
           ${n("ev_pk_orc")} AS n_orc, ${n("ev_pk_avro")} AS n_avro,
           ${n("ev_evo")} AS n_evo, ${n("ev_pk_upd")} AS n_upd,
-          ${n("ev_pk_mrg")} AS n_mrg""")
+          ${n("ev_pk_mrg")} AS n_mrg, ${n("ev_ts")} AS n_ts""")
       },
       Some(s"""SELECT
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pk,
@@ -227,7 +234,8 @@ object ConnectorQ {
              WHERE event_id > $sqlMid) AS n_evo,
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_upd,
           (SELECT COUNT(DISTINCT user_id) FROM events
-             WHERE user_id % 10 <> 5) + 1 AS n_mrg""")),
+             WHERE user_id % 10 <> 5) + 1 AS n_mrg,
+          (SELECT COUNT(*) FROM events) AS n_ts""")),
 
     // merged read across two PK commits == global arg-max per key
     QueryDef("c_pk_merge_read",
@@ -519,6 +527,33 @@ object ConnectorQ {
           COUNT(*) AS n_events
         FROM events WHERE event_type = 'view'
         GROUP BY user_id ORDER BY user_id""")),
+
+    // tumbling event-time windows over the connector stream: the
+    // windowed aggregate runs inside Structured Streaming (complete
+    // mode — the AvailableNow fallback executes one batch, so append
+    // mode would flush nothing before termination); window.start is
+    // exactly date_trunc('hour', ts), which DuckDB restates from the
+    // same parquet. Memory sink is fine: one row per distinct hour.
+    QueryDef("c_stream_window",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val sink = s"c_stream_window_${st.ns}"
+        val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+          .select(col("window.start").as("hour_start"),
+            col("n_events"), col("sum_cents"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).orderBy("hour_start")
+      },
+      Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+          COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1 ORDER BY hour_start""")),
 
     // dynamic overwrite replaced only the 'click' partition
     QueryDef("c_dynamic_overwrite",

@@ -46,6 +46,23 @@ object Pipeline {
             FROM documents) a) b
         GROUP BY lang ORDER BY lang""")),
 
+    // Reproducible stratified sampling: keep a doc iff the first two
+    // hex chars of md5(doc_id) sort below '0d' (~5.1%). Hash-gated
+    // sampling is map-only, needs no global count or RNG state, and
+    // gives the SAME sample on any cluster size or re-run — the only
+    // sampling scheme that stays reproducible across a 100 TB corpus
+    // re-shard (md5 hex matches across engines; xxhash64 would not).
+    QueryDef("t_hash_sample",
+      (s, dir) => t(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "0d")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_sampled
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+        GROUP BY source ORDER BY source""")),
+
     // Near-duplicate cluster resolution: DISTRIBUTED connected
     // components over the LSH pair set — iterative min-label
     // propagation to fixpoint (~diameter rounds; near-dup clusters are

@@ -122,6 +122,39 @@ object Similarity {
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.95""")),
 
+    // Random-hyperplane LSH signatures — the bucketed ANN scale path:
+    // vectors sharing an 8-bit signature land in one bucket, so
+    // candidate search is an equi-join on `sig` instead of all-pairs
+    // (signature ≙ partition key at 100 TB, like the IVF cell). The
+    // hyperplanes are pseudo-random but DETERMINISTIC — integer
+    // pattern ((i+1)*(j+2)) % 17 - 8 over dim i, plane j — so DuckDB
+    // can restate the whole signature computation; each dot accumulates
+    // float*int products (exact in double) left-to-right in both
+    // engines. Output: bucket histogram.
+    QueryDef("s_hyperplane_lsh",
+      (s, dir) => {
+        val sig = (0 until 8).map { j =>
+          val h = (0 until 64).map(i => (((i + 1) * (j + 2)) % 17 - 8).toFloat)
+          when(vec_dot(col("embedding"), array(h.map(lit(_)): _*)) > 0d,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        t(s, dir, "embeddings")
+          .select(sig.as("sig"))
+          .groupBy("sig")
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy("sig")
+      },
+      Some {
+        val dots = (0 until 8).map(j =>
+          s"""(CASE WHEN list_sum(list_transform(range(64),
+             i -> CAST(embedding[i+1] AS DOUBLE) * (((i+1)*(${j + 2})) % 17 - 8)))
+             > 0 THEN ${1L << j} ELSE 0 END)""")
+        s"""SELECT sig, COUNT(*) AS n_vectors FROM (
+            SELECT CAST(${dots.mkString(" + ")} AS BIGINT) AS sig
+            FROM embeddings) q
+          GROUP BY sig ORDER BY sig"""
+      }),
+
     // Centroid summary per cell — the "train coarse quantizer" step.
     QueryDef("s_cell_stats",
       (s, dir) => t(s, dir, "embeddings")
