@@ -286,7 +286,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(graft.format.ParquetIO.widens(from, up.newDataType()),
           s"Cannot change column $name from ${from.simpleString} to " +
             s"${up.newDataType().simpleString}: only widening casts " +
-            "(tinyint->smallint->int->bigint, float->double) are supported")
+            "(tinyint->smallint->int->bigint, float->double, and the " +
+            "exact cross-family casts tinyint/smallint->float/double, " +
+            "int->double) are supported")
         fields = StructType(fields.fields.patch(at,
           Seq(fields.fields(at).copy(dataType = up.newDataType())), 1))
       case set: TableChange.SetProperty =>

@@ -130,10 +130,23 @@ object Values {
     */
   def evalRange(f: Filter, dt: String => Option[DataType],
       bounds: String => Option[(String, String)]): Option[Boolean] = {
+    // A double-typed stat string may come from a file that predates a
+    // float→double widening: Float.toString's shortest decimal ("0.1")
+    // parses to a different double than the float it names widens to
+    // (0.1f.toDouble). The manifest records no per-file era, so take
+    // the conservative side of the two readings — bounds only widen,
+    // a mixed-era file is never wrongly pruned.
+    def parseBound(d: DataType, s: String, lower: Boolean): Any = d match {
+      case DoubleType if s != NullToken =>
+        val asD = s.toDouble
+        val asF = s.toFloat.toDouble
+        if (lower) math.min(asD, asF) else math.max(asD, asF)
+      case _ => parse(d, s)
+    }
     def rng(c: String, v: Any): Option[(Int, Int)] = for {
       d <- dt(c); (lo, hi) <- bounds(c); if v != null
-    } yield (compare(d, parse(d, lo), toInternal(d, v)),
-      compare(d, parse(d, hi), toInternal(d, v)))
+    } yield (compare(d, parseBound(d, lo, lower = true), toInternal(d, v)),
+      compare(d, parseBound(d, hi, lower = false), toInternal(d, v)))
 
     f match {
       case EqualTo(c, v) => rng(c, v).map { case (lo, hi) => lo <= 0 && hi >= 0 }

@@ -43,9 +43,16 @@ final class WideningColumnVector(inner: ColumnVector, to: DataType)
     case _ => inner.getLong(i)
   }
 
-  override def getFloat(i: Int): Float = inner.getFloat(i)
+  override def getFloat(i: Int): Float = from match {
+    case ByteType => inner.getByte(i).toFloat
+    case ShortType => inner.getShort(i).toFloat
+    case _ => inner.getFloat(i)
+  }
 
   override def getDouble(i: Int): Double = from match {
+    case ByteType => inner.getByte(i).toDouble
+    case ShortType => inner.getShort(i).toDouble
+    case IntegerType => inner.getInt(i).toDouble
     case FloatType => inner.getFloat(i).toDouble
     case _ => inner.getDouble(i)
   }

@@ -125,7 +125,7 @@ object AvroIO {
           case IntegerType | DateType => out.update(dst, v.asInstanceOf[Int])
           case LongType | TimestampType =>
             out.update(dst, v.asInstanceOf[Number].longValue())
-          case FloatType => out.update(dst, v.asInstanceOf[Float])
+          case FloatType => out.update(dst, v.asInstanceOf[Number].floatValue())
           case DoubleType =>
             out.update(dst, v.asInstanceOf[Number].doubleValue())
           case BooleanType => out.update(dst, v.asInstanceOf[Boolean])

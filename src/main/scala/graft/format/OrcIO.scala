@@ -168,10 +168,16 @@ object OrcIO {
             out.update(dst, cv.asInstanceOf[LongColumnVector].vector(rr))
           case BooleanType =>
             out.update(dst, cv.asInstanceOf[LongColumnVector].vector(rr) != 0)
-          case FloatType =>
-            out.update(dst, cv.asInstanceOf[DoubleColumnVector].vector(rr).toFloat)
-          case DoubleType =>
-            out.update(dst, cv.asInstanceOf[DoubleColumnVector].vector(rr))
+          // a file written before a cross-family widening (int-era
+          // column now float/double) surfaces a LongColumnVector here
+          case FloatType => cv match {
+            case lv: LongColumnVector => out.update(dst, lv.vector(rr).toFloat)
+            case dv: DoubleColumnVector => out.update(dst, dv.vector(rr).toFloat)
+          }
+          case DoubleType => cv match {
+            case lv: LongColumnVector => out.update(dst, lv.vector(rr).toDouble)
+            case dv: DoubleColumnVector => out.update(dst, dv.vector(rr))
+          }
           case StringType =>
             val bcv = cv.asInstanceOf[BytesColumnVector]
             out.update(dst, UTF8String.fromBytes(

@@ -228,10 +228,16 @@ object ParquetIO {
     * file may hold for a column whose logical type is now wider.
     * Matches the write-side chain byte→short→int→long, float→double.
     */
+  /** Value-preserving widenings only: every old value maps to exactly
+    * one value of the new type (so stats, merges, and comparisons stay
+    * exact). That includes the cross-family casts byte/short→float and
+    * byte/short/int→double (all exact in the wider mantissa), but NOT
+    * int→float or long→float/double (lossy beyond 2^24 / 2^53).
+    */
   def widens(from: DataType, to: DataType): Boolean = (from, to) match {
-    case (ByteType, ShortType | IntegerType | LongType) => true
-    case (ShortType, IntegerType | LongType) => true
-    case (IntegerType, LongType) => true
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
     case (FloatType, DoubleType) => true
     case _ => false
   }
@@ -243,9 +249,14 @@ object ParquetIO {
     case (b: Byte, ShortType) => b.toShort
     case (b: Byte, IntegerType) => b.toInt
     case (b: Byte, LongType) => b.toLong
+    case (b: Byte, FloatType) => b.toFloat
+    case (b: Byte, DoubleType) => b.toDouble
     case (s: Short, IntegerType) => s.toInt
     case (s: Short, LongType) => s.toLong
+    case (s: Short, FloatType) => s.toFloat
+    case (s: Short, DoubleType) => s.toDouble
     case (i: Int, LongType) => i.toLong
+    case (i: Int, DoubleType) => i.toDouble
     case (f: Float, DoubleType) => f.toDouble
     case (x, _) => x
   }

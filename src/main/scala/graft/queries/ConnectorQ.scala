@@ -170,6 +170,12 @@ object ConnectorQ {
         SELECT user_id, COUNT(*), SUM($C) FROM ev_src
         WHERE event_id > $mid GROUP BY user_id"""))
 
+      // created but never written: reads must plan ZERO input
+      // partitions (no snapshot yet) while still exposing the schema
+      s.sql(s"""CREATE TABLE graft_c.$ns.ev_empty
+        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
+
       // event-time table for the windowed streaming aggregate
       s.sql(s"CREATE TABLE graft_c.$ns.ev_ts (ts TIMESTAMP, user_id BIGINT, cents BIGINT)")
       timed("insert ev_ts")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ts
@@ -527,6 +533,15 @@ object ConnectorQ {
           COUNT(*) AS n_events
         FROM events WHERE event_type = 'view'
         GROUP BY user_id ORDER BY user_id""")),
+
+    // scan of a table with no snapshot: zero input partitions, full
+    // schema, empty result — matching the oracle's empty relation
+    QueryDef("c_empty_scan",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_empty ORDER BY user_id")
+      },
+      Some(sqlArgmax.format("WHERE 1 = 0"))),
 
     // tumbling event-time windows over the connector stream: the
     // windowed aggregate runs inside Structured Streaming (complete

@@ -114,12 +114,16 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ALTER TABLE graft.default.evo_guard ALTER COLUMN v TYPE INT"))
       .getMessage.toLowerCase
     assert(typeChange.contains("not supported"))
-    // int->double IS a Spark up-cast but not in our widening chain
-    // (old files' stats/zone-maps would need a float reinterpretation):
-    // the catalog's own gate must reject it
+    // int->float is LOSSY (24-bit mantissa): the catalog's own gate
+    // must reject it even though Spark's analyzer lets it through
     spark.sql("ALTER TABLE graft.default.evo_guard ADD COLUMN m INT")
     assert(intercept[Exception](spark.sql(
-      "ALTER TABLE graft.default.evo_guard ALTER COLUMN m TYPE DOUBLE"))
+      "ALTER TABLE graft.default.evo_guard ALTER COLUMN m TYPE FLOAT"))
+      .getMessage.contains("widening"))
+    // bigint->double is lossy past 2^53: rejected too
+    spark.sql("ALTER TABLE graft.default.evo_guard ADD COLUMN mb BIGINT")
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft.default.evo_guard ALTER COLUMN mb TYPE DOUBLE"))
       .getMessage.contains("widening"))
     // primary-key / partition column types are immutable even widening
     assert(intercept[Exception](spark.sql(
@@ -146,6 +150,40 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       "SELECT count(*) FROM graft.default.evo_w WHERE x > 2147483647")
       .collect()(0).getLong(0) == 1)
+  }
+
+  test("cross-family widening int->double: old files upcast at read, all formats") {
+    for (fmt <- Seq("parquet", "orc", "avro")) {
+      spark.sql(s"CREATE TABLE graft.default.evo_xf_$fmt (k INT, m INT, s SMALLINT) " +
+        s"TBLPROPERTIES ('file.format'='$fmt')")
+      spark.sql(s"INSERT INTO graft.default.evo_xf_$fmt VALUES (1, 7, 2), (2, -3, 4)")
+      spark.sql(s"ALTER TABLE graft.default.evo_xf_$fmt ALTER COLUMN m TYPE DOUBLE")
+      spark.sql(s"ALTER TABLE graft.default.evo_xf_$fmt ALTER COLUMN s TYPE FLOAT")
+      spark.sql(s"INSERT INTO graft.default.evo_xf_$fmt VALUES (3, 0.5, 1.25)")
+      val got = spark.sql(
+        s"SELECT k, m, s FROM graft.default.evo_xf_$fmt ORDER BY k")
+      assert(got.schema("m").dataType.simpleString == "double", fmt)
+      assert(got.schema("s").dataType.simpleString == "float", fmt)
+      assert(got.collect().map(r => (r.getInt(0), r.getDouble(1), r.getFloat(2)))
+        .toSeq == Seq((1, 7.0, 2.0f), (2, -3.0, 4.0f), (3, 0.5, 1.25f)), fmt)
+      // filter across eras: int-era rows must satisfy double predicates
+      assert(spark.sql(s"SELECT count(*) FROM graft.default.evo_xf_$fmt " +
+        "WHERE m > -3.5").collect()(0).getLong(0) == 3, fmt)
+    }
+  }
+
+  test("float->double widening never wrongly prunes on float-era stats") {
+    // 0.1f's shortest-decimal "0.1" parses to a double BELOW
+    // 0.1f.toDouble — a naive stat parse would prune the old file for
+    // predicates between the two readings
+    spark.sql("CREATE TABLE graft.default.evo_fstat (k INT, f FLOAT)")
+    spark.sql("INSERT INTO graft.default.evo_fstat VALUES (1, CAST(0.1 AS FLOAT))")
+    spark.sql("ALTER TABLE graft.default.evo_fstat ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("INSERT INTO graft.default.evo_fstat VALUES (2, 5.0)")
+    val hit = spark.sql("SELECT k FROM graft.default.evo_fstat " +
+      s"WHERE f = CAST(CAST(0.1 AS FLOAT) AS DOUBLE)").collect()
+    assert(hit.map(_.getInt(0)).toSeq == Seq(1),
+      "float-era row must survive stat pruning under the widened type")
   }
 
   test("ALTER COLUMN TYPE widening on PK table: merge across type eras") {
