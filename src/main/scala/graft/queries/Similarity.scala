@@ -20,6 +20,26 @@ import Tables._
   */
 object Similarity {
 
+  /** The 8 deterministic hyperplanes shared by `s_hyperplane_lsh` and
+    * `d_embedding_lsh_neardup`: h_j[i] = ((i+1)*(j+2)) % 17 - 8.
+    * Integer patterns make every dot product exact in double, so the
+    * DuckDB oracle reproduces the signatures bit-for-bit.
+    */
+  private def sigColumn: org.apache.spark.sql.Column =
+    (0 until 8).map { j =>
+      val h = (0 until 64).map(i => (((i + 1) * (j + 2)) % 17 - 8).toFloat)
+      when(vec_dot(col("embedding"), array(h.map(lit(_)): _*)) > 0d,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val sqlSig: String = {
+    val dots = (0 until 8).map(j =>
+      s"""(CASE WHEN list_sum(list_transform(range(64),
+         i -> CAST(embedding[i+1] AS DOUBLE) * (((i+1)*(${j + 2})) % 17 - 8)))
+         > 0 THEN ${1L << j} ELSE 0 END)""")
+    s"CAST(${dots.mkString(" + ")} AS BIGINT)"
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
     QueryDef("s_cosine_topk",
@@ -132,28 +152,41 @@ object Similarity {
     // float*int products (exact in double) left-to-right in both
     // engines. Output: bucket histogram.
     QueryDef("s_hyperplane_lsh",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(sigColumn.as("sig"))
+        .groupBy("sig")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("sig"),
+      Some(s"""SELECT sig, COUNT(*) AS n_vectors FROM (
+          SELECT $sqlSig AS sig FROM embeddings) q
+        GROUP BY sig ORDER BY sig""")),
+
+    // LSH-blocked embedding near-dup — the label-free scale path:
+    // candidates are pairs sharing the 8-bit hyperplane signature
+    // (an equi-join, not all-pairs; a signature ≙ shuffle/partition
+    // key at 100 TB), then verified with exact cosine. Approximate by
+    // construction: pairs split across buckets are unseen — the
+    // standard LSH recall trade, bounded by the band count.
+    QueryDef("d_embedding_lsh_neardup",
       (s, dir) => {
-        val sig = (0 until 8).map { j =>
-          val h = (0 until 64).map(i => (((i + 1) * (j + 2)) % 17 - 8).toFloat)
-          when(vec_dot(col("embedding"), array(h.map(lit(_)): _*)) > 0d,
-            lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        t(s, dir, "embeddings")
-          .select(sig.as("sig"))
-          .groupBy("sig")
-          .agg(count(lit(1)).as("n_vectors"))
-          .orderBy("sig")
+        val sigs = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            vec_norm(col("embedding")).as("nrm"), sigColumn.as("sig"))
+        val a = sigs.select(col("vec_id").as("ida"), col("embedding").as("qv"),
+          col("nrm").as("na"), col("sig"))
+        val b = sigs.select(col("vec_id").as("idb"), col("embedding").as("cv"),
+          col("nrm").as("nb"), col("sig"))
+        a.join(b, Seq("sig"))
+          .filter(col("ida") < col("idb"))
+          .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("na") * col("nb")))
+          .filter(col("cos") > 0.95)
+          .agg(count(lit(1)).as("n_lsh_neardup_pairs"))
       },
-      Some {
-        val dots = (0 until 8).map(j =>
-          s"""(CASE WHEN list_sum(list_transform(range(64),
-             i -> CAST(embedding[i+1] AS DOUBLE) * (((i+1)*(${j + 2})) % 17 - 8)))
-             > 0 THEN ${1L << j} ELSE 0 END)""")
-        s"""SELECT sig, COUNT(*) AS n_vectors FROM (
-            SELECT CAST(${dots.mkString(" + ")} AS BIGINT) AS sig
-            FROM embeddings) q
-          GROUP BY sig ORDER BY sig"""
-      }),
+      Some(s"""WITH sigs AS (
+          SELECT vec_id, embedding, $sqlSig AS sig FROM embeddings)
+        SELECT COUNT(*) AS n_lsh_neardup_pairs
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.95""")),
 
     // Centroid summary per cell — the "train coarse quantizer" step.
     QueryDef("s_cell_stats",
