@@ -70,120 +70,138 @@ object ConnectorQ {
                  MAX_BY($C, event_id)
           FROM ev_src WHERE $where GROUP BY user_id"""))
 
-      // PK table, 2 commits (merge-on-read across files)
-      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk
-        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
-        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
-      argmaxInsert(s"graft_c.$ns.ev_pk", s"event_id <= $mid")
-      argmaxInsert(s"graft_c.$ns.ev_pk", s"event_id > $mid")
-
-      // same shape + row-level DELETE (copy-on-write DML path)
-      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_del
-        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
-        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
-      argmaxInsert(s"graft_c.$ns.ev_pk_del", s"event_id <= $mid")
-      argmaxInsert(s"graft_c.$ns.ev_pk_del", s"event_id > $mid")
-      timed("delete ev_pk_del")(
-        s.sql(s"DELETE FROM graft_c.$ns.ev_pk_del WHERE user_id % 10 = 3"))
-
-      // partitioned append table (partition pruning / plain scan)
-      s.sql(s"""CREATE TABLE graft_c.$ns.ev_part
-        (event_type STRING, user_id BIGINT, event_id BIGINT, cents BIGINT)
-        PARTITIONED BY (event_type)""")
-      timed("insert ev_part")(s.sql(s"""INSERT INTO graft_c.$ns.ev_part
-        SELECT event_type, user_id, event_id, $C FROM ev_src"""))
-
-      // partitioned PK table, bucket=2, 2 commits
-      s.sql(s"""CREATE TABLE graft_c.$ns.ev_ppk
-        (event_type STRING, user_id BIGINT, last_event_id BIGINT, last_cents BIGINT)
-        PARTITIONED BY (event_type)
-        TBLPROPERTIES ('primary-key'='event_type,user_id', 'bucket'='2')""")
-      def ppkInsert(where: String): Unit =
-        timed("insert ev_ppk")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ppk
-          SELECT event_type, user_id, MAX(event_id), MAX_BY($C, event_id)
-          FROM ev_src WHERE $where GROUP BY event_type, user_id"""))
-      ppkInsert(s"event_id <= $mid")
-      ppkInsert(s"event_id > $mid")
-
-      // PK table whose second commit trips commit-triggered compaction
-      // (trigger-file-count=2): the same commit publishes a COMPACT
-      // snapshot and the bucket collapses to one file
-      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pkc
-        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
-        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
-          'compaction.trigger-file-count'='2')""")
-      argmaxInsert(s"graft_c.$ns.ev_pkc", s"event_id <= $mid")
-      argmaxInsert(s"graft_c.$ns.ev_pkc", s"event_id > $mid")
-
-      // UPDATE: copy-on-write rewrite of matched buckets; the updated
-      // rows win the subsequent merge by sequence number
-      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_upd
-        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
-        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
-      argmaxInsert(s"graft_c.$ns.ev_pk_upd", s"event_id <= $mid")
-      argmaxInsert(s"graft_c.$ns.ev_pk_upd", s"event_id > $mid")
-      timed("update ev_pk_upd")(s.sql(s"""UPDATE graft_c.$ns.ev_pk_upd
-        SET last_cents = last_cents * 2 WHERE user_id % 7 = 0"""))
-
-      // MERGE INTO: update + delete + insert through one statement
-      s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_mrg
-        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
-        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
-      argmaxInsert(s"graft_c.$ns.ev_pk_mrg", s"event_id <= $mid")
-      argmaxInsert(s"graft_c.$ns.ev_pk_mrg", s"event_id > $mid")
-      timed("merge ev_pk_mrg")(s.sql(s"""MERGE INTO graft_c.$ns.ev_pk_mrg t
-        USING (SELECT DISTINCT user_id FROM ev_src WHERE user_id % 5 = 0
-               UNION ALL
-               SELECT (SELECT MAX(user_id) FROM ev_src) + 1) s
-        ON t.user_id = s.user_id
-        WHEN MATCHED AND t.user_id % 10 = 5 THEN DELETE
-        WHEN MATCHED THEN UPDATE SET last_type = 'merged'
-        WHEN NOT MATCHED THEN INSERT (user_id, last_event_id, last_type, last_cents)
-          VALUES (s.user_id, -1, 'inserted', 0)"""))
-
-      // ORC / Avro PK tables: same 2-commit arg-max content, so the
-      // merge-on-read path runs end-to-end through OrcIO / AvroIO —
-      // the reference randomizes file.format in its predicate tests
-      // (pypaimon/py4j/tests/test_preicates.py:36-55), making
-      // format-agnostic reads part of the contract, not a bonus.
-      for (fmt <- Seq("orc", "avro")) {
-        s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_$fmt
+      // Each target table is an independent statement GROUP; groups run
+      // concurrently (slowest group ≈ wall time, not the sum — commit
+      // thread safety is ConcurrencySpec's contract), while statements
+      // WITHIN a group stay ordered: commit order fixes the LWW
+      // sequence, so "second half beats first half" depends on it.
+      def argmaxTable(table: String, props: String): Unit = {
+        s.sql(s"""CREATE TABLE $table
           (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
-          TBLPROPERTIES ('primary-key'='user_id', 'bucket'='2',
-            'file.format'='$fmt')""")
-        argmaxInsert(s"graft_c.$ns.ev_pk_$fmt", s"event_id <= $mid")
-        argmaxInsert(s"graft_c.$ns.ev_pk_$fmt", s"event_id > $mid")
+          $props""")
+        argmaxInsert(table, s"event_id <= $mid")
+        argmaxInsert(table, s"event_id > $mid")
+      }
+      val pkProps = "TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')"
+      val groups: Seq[() => Unit] = Seq(
+        // PK table, 2 commits (merge-on-read across files)
+        () => argmaxTable(s"graft_c.$ns.ev_pk", pkProps),
+
+        // same shape + row-level DELETE (copy-on-write DML path)
+        () => {
+          argmaxTable(s"graft_c.$ns.ev_pk_del", pkProps)
+          timed("delete ev_pk_del")(
+            s.sql(s"DELETE FROM graft_c.$ns.ev_pk_del WHERE user_id % 10 = 3"))
+        },
+
+        // partitioned append table (partition pruning / plain scan)
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_part
+            (event_type STRING, user_id BIGINT, event_id BIGINT, cents BIGINT)
+            PARTITIONED BY (event_type)""")
+          timed("insert ev_part")(s.sql(s"""INSERT INTO graft_c.$ns.ev_part
+            SELECT event_type, user_id, event_id, $C FROM ev_src"""))
+        },
+
+        // partitioned PK table, bucket=2, 2 commits
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_ppk
+            (event_type STRING, user_id BIGINT, last_event_id BIGINT, last_cents BIGINT)
+            PARTITIONED BY (event_type)
+            TBLPROPERTIES ('primary-key'='event_type,user_id', 'bucket'='2')""")
+          def ppkInsert(where: String): Unit =
+            timed("insert ev_ppk")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ppk
+              SELECT event_type, user_id, MAX(event_id), MAX_BY($C, event_id)
+              FROM ev_src WHERE $where GROUP BY event_type, user_id"""))
+          ppkInsert(s"event_id <= $mid")
+          ppkInsert(s"event_id > $mid")
+        },
+
+        // PK table whose second commit trips commit-triggered compaction
+        // (trigger-file-count=2): the same commit publishes a COMPACT
+        // snapshot and the bucket collapses to one file
+        () => argmaxTable(s"graft_c.$ns.ev_pkc",
+          """TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
+            'compaction.trigger-file-count'='2')"""),
+
+        // UPDATE: copy-on-write rewrite of matched buckets; the updated
+        // rows win the subsequent merge by sequence number
+        () => {
+          argmaxTable(s"graft_c.$ns.ev_pk_upd", pkProps)
+          timed("update ev_pk_upd")(s.sql(s"""UPDATE graft_c.$ns.ev_pk_upd
+            SET last_cents = last_cents * 2 WHERE user_id % 7 = 0"""))
+        },
+
+        // MERGE INTO: update + delete + insert through one statement
+        () => {
+          argmaxTable(s"graft_c.$ns.ev_pk_mrg", pkProps)
+          timed("merge ev_pk_mrg")(s.sql(s"""MERGE INTO graft_c.$ns.ev_pk_mrg t
+            USING (SELECT DISTINCT user_id FROM ev_src WHERE user_id % 5 = 0
+                   UNION ALL
+                   SELECT (SELECT MAX(user_id) FROM ev_src) + 1) s
+            ON t.user_id = s.user_id
+            WHEN MATCHED AND t.user_id % 10 = 5 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET last_type = 'merged'
+            WHEN NOT MATCHED THEN INSERT (user_id, last_event_id, last_type, last_cents)
+              VALUES (s.user_id, -1, 'inserted', 0)"""))
+        },
+
+        // ORC / Avro PK tables: same 2-commit arg-max content, so the
+        // merge-on-read path runs end-to-end through OrcIO / AvroIO —
+        // the reference randomizes file.format in its predicate tests
+        // (pypaimon/py4j/tests/test_preicates.py:36-55), making
+        // format-agnostic reads part of the contract, not a bonus.
+        () => argmaxTable(s"graft_c.$ns.ev_pk_orc",
+          """TBLPROPERTIES ('primary-key'='user_id', 'bucket'='2',
+            'file.format'='orc')"""),
+        () => argmaxTable(s"graft_c.$ns.ev_pk_avro",
+          """TBLPROPERTIES ('primary-key'='user_id', 'bucket'='2',
+            'file.format'='avro')"""),
+
+        // schema evolution across commits: first half written under the
+        // ORIGINAL schema (cnt INT), then ADD + RENAME + widening TYPE,
+        // second half written under the evolved schema — reads must
+        // null-fill / remap / upcast the old files by field id
+        () => {
+          s.sql(s"CREATE TABLE graft_c.$ns.ev_evo (user_id BIGINT, cnt INT)")
+          timed("insert ev_evo half1")(s.sql(s"""INSERT INTO graft_c.$ns.ev_evo
+            SELECT user_id, CAST(COUNT(*) AS INT) FROM ev_src
+            WHERE event_id <= $mid GROUP BY user_id"""))
+          s.sql(s"ALTER TABLE graft_c.$ns.ev_evo ADD COLUMN sum_cents BIGINT")
+          s.sql(s"ALTER TABLE graft_c.$ns.ev_evo RENAME COLUMN cnt TO n_events")
+          s.sql(s"ALTER TABLE graft_c.$ns.ev_evo ALTER COLUMN n_events TYPE BIGINT")
+          timed("insert ev_evo half2")(s.sql(s"""INSERT INTO graft_c.$ns.ev_evo
+            SELECT user_id, COUNT(*), SUM($C) FROM ev_src
+            WHERE event_id > $mid GROUP BY user_id"""))
+        },
+
+        // created but never written: reads must plan ZERO input
+        // partitions (no snapshot yet) while still exposing the schema
+        () => s.sql(s"""CREATE TABLE graft_c.$ns.ev_empty
+          (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+          TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')"""),
+
+        // event-time table for the windowed streaming aggregate
+        () => {
+          s.sql(s"CREATE TABLE graft_c.$ns.ev_ts (ts TIMESTAMP, user_id BIGINT, cents BIGINT)")
+          timed("insert ev_ts")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ts
+            SELECT ts, user_id, $C FROM ev_src WHERE event_id <= $mid"""))
+          timed("insert ev_ts 2")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ts
+            SELECT ts, user_id, $C FROM ev_src WHERE event_id > $mid"""))
+        })
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        timed("all groups (concurrent)")(
+          Await.result(Future.sequence(groups.map(g => Future(g()))),
+            600.seconds))
       }
 
-      // schema evolution across commits: first half written under the
-      // ORIGINAL schema (cnt INT), then ADD + RENAME + widening TYPE,
-      // second half written under the evolved schema — reads must
-      // null-fill / remap / upcast the old files by field id
-      s.sql(s"CREATE TABLE graft_c.$ns.ev_evo (user_id BIGINT, cnt INT)")
-      timed("insert ev_evo half1")(s.sql(s"""INSERT INTO graft_c.$ns.ev_evo
-        SELECT user_id, CAST(COUNT(*) AS INT) FROM ev_src
-        WHERE event_id <= $mid GROUP BY user_id"""))
-      s.sql(s"ALTER TABLE graft_c.$ns.ev_evo ADD COLUMN sum_cents BIGINT")
-      s.sql(s"ALTER TABLE graft_c.$ns.ev_evo RENAME COLUMN cnt TO n_events")
-      s.sql(s"ALTER TABLE graft_c.$ns.ev_evo ALTER COLUMN n_events TYPE BIGINT")
-      timed("insert ev_evo half2")(s.sql(s"""INSERT INTO graft_c.$ns.ev_evo
-        SELECT user_id, COUNT(*), SUM($C) FROM ev_src
-        WHERE event_id > $mid GROUP BY user_id"""))
-
-      // created but never written: reads must plan ZERO input
-      // partitions (no snapshot yet) while still exposing the schema
-      s.sql(s"""CREATE TABLE graft_c.$ns.ev_empty
-        (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
-        TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')""")
-
-      // event-time table for the windowed streaming aggregate
-      s.sql(s"CREATE TABLE graft_c.$ns.ev_ts (ts TIMESTAMP, user_id BIGINT, cents BIGINT)")
-      timed("insert ev_ts")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ts
-        SELECT ts, user_id, $C FROM ev_src WHERE event_id <= $mid"""))
-      timed("insert ev_ts 2")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ts
-        SELECT ts, user_id, $C FROM ev_src WHERE event_id > $mid"""))
-
-      // dynamic partition overwrite: 'click' partition replaced wholesale
+      // dynamic partition overwrite: 'click' partition replaced
+      // wholesale. Sequential ON PURPOSE: it flips the session-wide
+      // partitionOverwriteMode conf, which must not leak into the
+      // concurrent groups above.
       s.sql(s"""CREATE TABLE graft_c.$ns.ev_ow
         (event_type STRING, user_id BIGINT, n BIGINT)
         PARTITIONED BY (event_type)""")
