@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time sessionization with explicit per-key state — the
+  * `flatMapGroupsWithState` path for semantics windowed aggregation
+  * can't express (variable-length gap sessions).
+  *
+  * A session CLOSES when the key's next event arrives more than
+  * `gapSeconds` after the previous one (emitted in that batch —
+  * deterministic, no timer race), or when the event-time timeout fires
+  * with no successor (trailing sessions, watermark-driven cleanup).
+  * State per key is O(1) — one open session — so a 100 TB stream
+  * shards by key across executors with bounded state; the watermark
+  * bounds how long a silent key's state survives.
+  *
+  * The input MUST carry a watermark on `ts` (EventTimeTimeout
+  * requires it): `df.withWatermark("ts", ...)` BEFORE the `.as[Ev]`.
+  *
+  * ≙ the batch `q_sessionize` query (same gap rule), re-expressed for
+  * unbounded input. Beyond reference parity: the reference has no
+  * streaming surface at all (SURVEY §2.6).
+  */
+object Sessionize {
+
+  /** One input event; `weight` is any additive payload. */
+  final case class Ev(user_id: Long, ts: Timestamp, weight: Long)
+
+  /** Open-session state carried between micro-batches (epoch millis). */
+  final case class Open(startMs: Long, lastMs: Long, n: Long, weight: Long)
+
+  /** A closed session. */
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_weight: Long)
+
+  def sessions(events: Dataset[Ev], gapSeconds: Long): Dataset[Session] = {
+    val gapMs = gapSeconds * 1000L
+    implicit val sessEnc: Encoder[Session] = Encoders.product[Session]
+    implicit val openEnc: Encoder[Open] = Encoders.product[Open]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+    def close(key: Long, o: Open): Session =
+      Session(key, new Timestamp(o.startMs), new Timestamp(o.lastMs),
+        o.n, o.weight)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Open, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, evs: Iterator[Ev], state: GroupState[Open]) =>
+          val out = Seq.newBuilder[Session]
+          var open = state.getOption
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no successor: close trailing
+            open.foreach(o => out += close(key, o))
+            state.remove()
+          } else {
+            // within a batch the iterator is NOT time-ordered; sort
+            // (bounded: one key's events in one micro-batch)
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.weight)).foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(o) if t - o.lastMs > gapMs =>
+                  out += close(key, o)
+                  open = Some(Open(t, t, 1, e.weight))
+                case Some(o) =>
+                  open = Some(o.copy(lastMs = math.max(o.lastMs, t),
+                    n = o.n + 1, weight = o.weight + e.weight))
+                case None =>
+                  open = Some(Open(t, t, 1, e.weight))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // fire once the watermark proves no in-gap successor can come
+              state.setTimeoutTimestamp(o.lastMs + gapMs)
+            }
+          }
+          out.result().iterator
+      }
+  }
+}

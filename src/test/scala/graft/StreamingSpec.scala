@@ -62,6 +62,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM s_ev_sink2").collect()(0).getLong(0) == 3)
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions across commits") {
+    spark.sql("CREATE TABLE graft.default.s_sess (ts TIMESTAMP, user_id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.default.s_sess VALUES " +
+      "(TIMESTAMP'2024-01-01 00:00:00', 1, 10), " +
+      "(TIMESTAMP'2024-01-01 00:03:00', 1, 5), " +
+      "(TIMESTAMP'2024-01-01 00:00:00', 2, 7)")
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt")
+    val sink = Files.createTempDirectory("graft-sess-sink")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def run(): Unit = {
+      val in = spark.readStream.table("graft.default.s_sess")
+        .withWatermark("ts", "1 minute")
+        .select(col("user_id"), col("ts"), col("v").as("weight"))
+        .as[graft.streaming.Sessionize.Ev]
+      val q = graft.streaming.Sessionize.sessions(in, gapSeconds = 600)
+        .writeStream.format("parquet").option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run() // batch 1: both sessions still open -> nothing emitted
+    assert(spark.read.parquet(sink.toString).count() == 0)
+
+    // commit 2: events an hour later close both open sessions
+    spark.sql("INSERT INTO graft.default.s_sess VALUES " +
+      "(TIMESTAMP'2024-01-01 01:00:00', 1, 1), " +
+      "(TIMESTAMP'2024-01-01 01:00:00', 2, 2)")
+    run()
+    val got = spark.read.parquet(sink.toString)
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length == 2, got.mkString(";"))
+    assert(got(0).getLong(0) == 1 && got(0).getLong(3) == 2 &&
+      got(0).getLong(4) == 15, got(0).toString) // user 1: 2 events, 10+5
+    assert(got(1).getLong(0) == 2 && got(1).getLong(3) == 1 &&
+      got(1).getLong(4) == 7, got(1).toString) // user 2: single event
+    assert(got(0).getTimestamp(1).toString.startsWith("2024-01-01 00:00") &&
+      got(0).getTimestamp(2).toString.startsWith("2024-01-01 00:03"))
+  }
+
   test("streaming aggregation with watermark over a graft table") {
     spark.sql("CREATE TABLE graft.default.s_ts (ts TIMESTAMP, user_id BIGINT, value DOUBLE)")
     spark.sql("INSERT INTO graft.default.s_ts VALUES " +
