@@ -49,6 +49,39 @@ object Relational2 {
           ON p.user_id = s.user_id AND p.ts >= s.ts
         ORDER BY p.user_id, purchase_id""")),
 
+    // Range (interval) join, BINNED: each event_type's campaign window
+    // [first event, +3 days] is matched against ALL events by time
+    // containment. Naive planning of an interval predicate is a
+    // broadcast-nested-loop; binning both sides to day buckets turns it
+    // into an EQUI-join on the bucket (intervals explode into the ≤4
+    // days they cover) with the range test as a residual filter — the
+    // shuffle key exists on both sides, so the plan scales when the
+    // interval side is also huge (no broadcast assumption).
+    QueryDef("q_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("ts"), date_trunc("DAY", col("ts")).as("day"))
+        val iv = t(s, dir, "events")
+          .groupBy("event_type").agg(min(col("ts")).as("lo"))
+          .withColumn("hi", col("lo") + expr("INTERVAL 3 DAYS"))
+        val ivDays = iv.withColumn("day",
+          explode(expr(
+            "sequence(date_trunc('DAY', lo), date_trunc('DAY', hi), interval 1 day)")))
+        ev.join(ivDays, Seq("day"))
+          .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_in_window"))
+          .orderBy("event_type")
+      },
+      Some("""WITH iv AS (
+          SELECT event_type, MIN(CAST(ts AS TIMESTAMP)) AS lo,
+            MIN(CAST(ts AS TIMESTAMP)) + INTERVAL 3 DAY AS hi
+          FROM events GROUP BY event_type)
+        SELECT iv.event_type, COUNT(*) AS n_in_window
+        FROM iv JOIN events e
+          ON CAST(e.ts AS TIMESTAMP) >= iv.lo AND CAST(e.ts AS TIMESTAMP) <= iv.hi
+        GROUP BY iv.event_type ORDER BY iv.event_type""")),
+
     // Sessionization: 30-minute inactivity gap starts a new session;
     // session id = running count of gap starts (gaps-and-islands).
     QueryDef("q_sessionize",

@@ -27,6 +27,23 @@ object Text {
           length(text) AS len_chars
         FROM documents ORDER BY doc_id""")),
 
+    // BPE-style pre-tokenization (GPT-2-ish pattern: contractions,
+    // space-prefixed letter runs, digit runs, symbol runs) — the token
+    // count an LLM data pipeline budgets by. The pattern avoids
+    // backreferences/lookarounds so Java regex (Spark) and RE2 (DuckDB)
+    // split identically.
+    QueryDef("t_token_count_bpe",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("""size(regexp_extract_all(lower(text),
+            "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+", 0))""")
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(regexp_extract_all(lower(text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+          AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
     QueryDef("t_word_freq_top20",
       (s, dir) => t(s, dir, "documents")
         .select(explode(expr(tokensExpr)).as("word"))
