@@ -103,6 +103,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       got(0).getTimestamp(2).toString.startsWith("2024-01-01 00:03"))
   }
 
+  test("stream-stream interval join of two graft streams") {
+    spark.sql("CREATE TABLE graft.default.ss_click (cts TIMESTAMP, user_id BIGINT)")
+    spark.sql("CREATE TABLE graft.default.ss_buy (bts TIMESTAMP, user_id BIGINT)")
+    spark.sql("INSERT INTO graft.default.ss_click VALUES " +
+      "(TIMESTAMP'2024-01-01 00:00:00', 1), (TIMESTAMP'2024-01-01 00:00:00', 2)")
+    spark.sql("INSERT INTO graft.default.ss_buy VALUES " +
+      "(TIMESTAMP'2024-01-01 00:30:00', 1), " + // within 1h of click -> match
+      "(TIMESTAMP'2024-01-01 00:45:00', 1), " + // second match
+      "(TIMESTAMP'2024-01-01 02:00:00', 2)")    // outside the hour -> no match
+    import org.apache.spark.sql.functions.expr
+    val clicks = spark.readStream.table("graft.default.ss_click")
+      .withWatermark("cts", "10 minutes")
+    val buys = spark.readStream.table("graft.default.ss_buy")
+      .withWatermark("bts", "10 minutes")
+    // both sides watermarked + the time-range bound makes the join
+    // state PRUNABLE: a click older than watermark - 1h can never match
+    // a future buy and is evicted (bounded state on unbounded streams)
+    val joined = clicks.join(buys,
+      expr("""ss_click.user_id = ss_buy.user_id AND
+        bts BETWEEN cts AND cts + INTERVAL 1 HOUR"""))
+      .selectExpr("ss_click.user_id AS user_id", "cts", "bts")
+    val q = joined.writeStream.format("memory").queryName("ss_join_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT user_id FROM ss_join_sink ORDER BY user_id, bts").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 1L),
+      s"expected user 1 twice, got ${got.mkString(",")}")
+  }
+
   test("streaming aggregation with watermark over a graft table") {
     spark.sql("CREATE TABLE graft.default.s_ts (ts TIMESTAMP, user_id BIGINT, value DOUBLE)")
     spark.sql("INSERT INTO graft.default.s_ts VALUES " +
