@@ -77,6 +77,71 @@ class ConcurrencySpec extends AnyFunSuite {
     assert((1L to 16L).map(sm.snapshot).map(_.timeMillis).toSet.size == 16)
   }
 
+  test("S3Publisher: SigV4 conditional PUT against an in-process object store") {
+    // JDK HttpServer standing in for any S3-compatible endpoint:
+    // PUT + If-None-Match:* → 200 first writer, 412 after — the exact
+    // store-side behavior S3 conditional writes / MinIO / GCS XML give
+    import com.sun.net.httpserver.HttpServer
+    val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val auths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val key = exchange.getRequestURI.getPath
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      auths.add(Option(exchange.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val created =
+        if ("*" == exchange.getRequestHeaders.getFirst("If-None-Match"))
+          store.putIfAbsent(key, body) == null
+        else { store.put(key, body); true }
+      exchange.sendResponseHeaders(if (created) 200 else 412, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val pub = new graft.format.S3Publisher(
+        endpoint = java.net.URI.create(
+          s"http://127.0.0.1:${server.getAddress.getPort}"),
+        region = "us-east-1", bucket = "lake",
+        accessKey = "test-access", secretKey = "test-secret")
+      val p = java.nio.file.Paths.get("/wh/t/snapshot/snapshot-1")
+      assert(pub.putIfAbsent(p, "{\"id\":1}"), "first conditional PUT must win")
+      assert(!pub.putIfAbsent(p, "{\"id\":1,\"other\":true}"),
+        "second PUT on the same key must observe 412 and report false")
+      assert(store.get("/lake/wh/t/snapshot/snapshot-1") == "{\"id\":1}",
+        "store must hold the WINNER's payload")
+      assert(auths.peek().startsWith("AWS4-HMAC-SHA256 Credential=test-access/"),
+        s"requests must carry a SigV4 Authorization header, got ${auths.peek()}")
+
+      // 16-way race on one key through real HTTP: exactly one winner
+      val key2 = java.nio.file.Paths.get("/wh/t/snapshot/snapshot-2")
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      Await.result(Future.sequence((1 to 16).map(i => Future {
+        if (pub.putIfAbsent(key2, s"payload-$i")) wins.incrementAndGet()
+      })), 60.seconds)
+      assert(wins.get == 1, s"expected exactly one winner, got ${wins.get}")
+
+      // the full commit machinery runs against the HTTP publisher
+      val dir = Files.createTempDirectory("graft-s3pub")
+      // mirror into the local dir so reads (which go through the
+      // filesystem) see what the store accepted
+      val mirrored = new graft.format.AtomicPublisher {
+        override def putIfAbsent(t: java.nio.file.Path, c: String): Boolean = {
+          val won = pub.putIfAbsent(t, c)
+          if (won) Files.writeString(t, c)
+          won
+        }
+      }
+      val sm = new graft.format.SnapshotManager(dir, mirrored)
+      val s1 = graft.format.Snapshot(1L, 0L, "APPEND", timeMillis = 1L,
+        manifests = Seq.empty, lastSequenceNumber = 1L, totalRecordCount = 1L)
+      assert(sm.tryCommitSnapshot(s1))
+      assert(!sm.tryCommitSnapshot(s1.copy(timeMillis = 2L)),
+        "id collision must lose at the store, not silently overwrite")
+      assert(sm.snapshot(1L).timeMillis == 1L)
+    } finally server.stop(0)
+  }
+
   test("conflicting PK commits: the LATER COMMIT wins via re-sequencing") {
     val warehouse = Files.createTempDirectory("graft-conc3-wh")
     val spark = SparkSession.builder()
