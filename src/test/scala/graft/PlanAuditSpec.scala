@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape regression guards for the scale-critical queries: these
+  * assert the PHYSICAL plan properties that keep each query viable at
+  * 100x the test data — no sf-proportional broadcast builds, map-only
+  * where a shuffle was eliminated, pushdown reaching the scan. A
+  * wrong-but-green plan (correct rows, quadratic or OOM-bound shape)
+  * fails here instead of in production.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("fact-proportional joins carry no forced broadcast of the big side") {
+    // q3/q5/q_part_type_revenue join lineitem against sf-proportional
+    // dims (customer/orders/part): with AQE free to choose, the LOGICAL
+    // plan must not force a broadcast hint on them. (AQE may still
+    // broadcast a filtered dim at tiny sf — that's the point: the
+    // decision belongs to stats, not the query.)
+    for (q <- Seq("q3_shipping_priority", "q5_region_revenue",
+        "q_part_type_revenue", "q_ship_delay")) {
+      val logical = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!logical.contains("ResolvedHint"),
+        s"$q must not force a broadcast hint on an sf-proportional side")
+    }
+  }
+
+  test("t_trigram_distinct is map-only up to its final sort") {
+    val p = plan("t_trigram_distinct")
+    assert(!p.contains("Window"), "trigrams must not use window functions")
+    // exactly the orderBy's range-partition exchange, nothing else
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected at most the final sort exchange, got:\n$p")
+  }
+
+  test("s_hyperplane_lsh aggregates map-side before one small shuffle") {
+    val p = plan("s_hyperplane_lsh")
+    assert(p.contains("HashAggregate"), "signature histogram must hash-aggregate")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"partial agg + final sort only, got:\n$p")
+  }
+
+  test("predicate and projection pushdown reach the parquet scan") {
+    val df = SparkEntry.queries("p_greater_than")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && !scan.contains("PushedFilters: []"),
+      s"filter must be pushed to the scan:\n$scan")
+  }
+
+  test("d_embedding_neardup joins on the salted (label, blk) key") {
+    val p = plan("d_embedding_neardup")
+    assert(p.contains("blk"),
+      "cell self-join must include the sub-block salt in its key")
+  }
+
+  test("q_range_join plans an equi-join on the day bucket, not a BNL") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must bin to an equi-join:\n$p")
+  }
+}
