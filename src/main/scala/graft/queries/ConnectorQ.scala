@@ -278,6 +278,21 @@ object ConnectorQ {
       },
       Some(sqlArgmax.format(s"WHERE event_id <= $sqlMid"))),
 
+    // TIMESTAMP AS OF resolves through the snapshot chain's commit
+    // times to the same snapshot-1 state (the timestamp is read from
+    // the $snapshots system table, so the row is deterministic)
+    QueryDef("c_time_travel_ts",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val st = setup(s, dir)
+        val ts1 = s.table(s"graft_c.${st.ns}.`ev_pk$$snapshots`")
+          .filter(col("snapshot_id") === 1)
+          .select("commit_time").collect()(0).getTimestamp(0)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk " +
+          s"TIMESTAMP AS OF '$ts1' ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(s"WHERE event_id <= $sqlMid"))),
+
     // bucket + key-stats pruned point lookup through the merge
     QueryDef("c_point_lookup",
       (s, dir) => {
