@@ -40,7 +40,8 @@ object MetaTables {
 
   def snapshotRows(dir: Path): Seq[Array[Any]] = {
     val sm = new SnapshotManager(dir)
-    (1L to sm.latestSnapshotId.getOrElse(0L)).map { id =>
+    // listing-based, NOT (1..latest): expiry leaves gaps at the front
+    sm.existingSnapshotIds.map { id =>
       val s = sm.snapshot(id)
       Array[Any](s.id, s.schemaId, UTF8String.fromString(s.commitKind),
         s.timeMillis * 1000L, s.totalRecordCount, s.manifests.size)

@@ -175,6 +175,10 @@ object ConnectorQ {
             WHERE event_id > $mid GROUP BY user_id"""))
         },
 
+        // dedicated victim for snapshot expiry + vacuum (mutating other
+        // rows' tables would break their time travel)
+        () => argmaxTable(s"graft_c.$ns.ev_pk_exp", pkProps),
+
         // created but never written: reads must plan ZERO input
         // partitions (no snapshot yet) while still exposing the schema
         () => s.sql(s"""CREATE TABLE graft_c.$ns.ev_empty
@@ -240,7 +244,8 @@ object ConnectorQ {
           ${n("ev_ow")} AS n_ow, ${n("ev_pkc")} AS n_pkc,
           ${n("ev_pk_orc")} AS n_orc, ${n("ev_pk_avro")} AS n_avro,
           ${n("ev_evo")} AS n_evo, ${n("ev_pk_upd")} AS n_upd,
-          ${n("ev_pk_mrg")} AS n_mrg, ${n("ev_ts")} AS n_ts""")
+          ${n("ev_pk_mrg")} AS n_mrg, ${n("ev_ts")} AS n_ts,
+          ${n("ev_pk_exp")} AS n_exp""")
       },
       Some(s"""SELECT
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pk,
@@ -259,7 +264,8 @@ object ConnectorQ {
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_upd,
           (SELECT COUNT(DISTINCT user_id) FROM events
              WHERE user_id % 10 <> 5) + 1 AS n_mrg,
-          (SELECT COUNT(*) FROM events) AS n_ts""")),
+          (SELECT COUNT(*) FROM events) AS n_ts,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exp""")),
 
     // merged read across two PK commits == global arg-max per key
     QueryDef("c_pk_merge_read",
@@ -566,6 +572,25 @@ object ConnectorQ {
           COUNT(*) AS n_events
         FROM events WHERE event_type = 'view'
         GROUP BY user_id ORDER BY user_id""")),
+
+    // expire history down to the latest snapshot, vacuum unreferenced
+    // files, then read: the merged state is unchanged (idempotent, so
+    // repeat runs in one JVM are safe); the require proves the history
+    // is actually gone
+    QueryDef("c_expire_vacuum",
+      (s, dir) => {
+        val st = setup(s, dir)
+        val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
+        val cat = graft.api.Catalog.create(s,
+          Map("warehouse" -> wh, "catalog-name" -> "graft_c"))
+        val h = cat.getTable(s"${st.ns}.ev_pk_exp")
+        h.expireSnapshots(retainLast = 1)
+        h.vacuum(olderThanMillis = 0L)
+        val snaps = s.table(s"graft_c.${st.ns}.`ev_pk_exp$$snapshots`").count()
+        require(snaps == 1, s"expected 1 retained snapshot, got $snaps")
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_exp ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(""))),
 
     // scan of a table with no snapshot: zero input partitions, full
     // schema, empty result — matching the oracle's empty relation
