@@ -47,7 +47,14 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
     val from = start.asInstanceOf[GraftOffset].snapshotId
     val to = end.asInstanceOf[GraftOffset].snapshotId
     ((from + 1) to to).flatMap { id =>
-      val snap = sm.snapshot(id)
+      val snap =
+        try sm.snapshot(id)
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            throw new IllegalStateException(s"Snapshot $id needed by this " +
+              "changelog stream was expired from the table's retention; " +
+              "restart from a retained snapshot (fromSnapshot option)")
+        }
       if (snap.commitKind != "APPEND") Seq.empty
       else {
         val delta = snap.manifests.lastOption.toSeq.flatMap(sm.readManifest)

@@ -195,6 +195,28 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // new commits keep working after expiry
     spark.sql("INSERT INTO graft.default.exp VALUES (99, 'post')")
     assert(spark.table("graft.default.exp").count() == 7)
+
+    // $snapshots lists only what survives (ids now have a gap at 1..)
+    val ids = spark.sql(
+      "SELECT snapshot_id FROM graft.default.`exp$snapshots` ORDER BY 1")
+      .collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.head > 1,
+      s"expired ids must be gone from \\$$snapshots, got ${ids.mkString(",")}")
+
+    // a fresh stream that would need the expired history fails with a
+    // RETENTION error, not a raw missing-file crash
+    import org.apache.spark.sql.streaming.Trigger
+    val se = intercept[Exception] {
+      val q = spark.readStream.table("graft.default.exp")
+        .writeStream.format("memory").queryName("exp_expired_stream")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(se).exists(_.contains("expired")),
+      s"expected a retention error, got: ${messages(se).mkString(" | ")}")
   }
 
   test("vacuum removes orphaned data files") {
