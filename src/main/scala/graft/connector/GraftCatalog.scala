@@ -188,11 +188,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some(schema) =>
         val sm = new graft.format.SnapshotManager(dir)
         val tsMillis = timestampMicros / 1000
-        val id = (1L to sm.latestSnapshotId.getOrElse(0L))
-          .map(sm.snapshot).filter(_.timeMillis <= tsMillis)
-          .map(_.id).maxOption.getOrElse(
-            throw new IllegalArgumentException(
-              s"No snapshot of $ident at or before timestamp $tsMillis"))
+        // Enumerate only snapshots that still exist: expireSnapshots
+        // removes low ids, so `1L to latest` would hit missing files.
+        val existing = sm.existingSnapshotIds
+        val id = existing.map(sm.snapshot).filter(_.timeMillis <= tsMillis)
+          .map(_.id).maxOption.getOrElse {
+            val oldest = existing.headOption.map(sm.snapshot)
+            oldest match {
+              case Some(o) if o.timeMillis > tsMillis && o.id > 1 =>
+                throw new IllegalArgumentException(
+                  s"Timestamp $tsMillis predates the oldest retained " +
+                    s"snapshot ${o.id} of $ident (time ${o.timeMillis}); " +
+                    "earlier history was removed by expireSnapshots")
+              case _ =>
+                throw new IllegalArgumentException(
+                  s"No snapshot of $ident at or before timestamp $tsMillis")
+            }
+          }
         new GraftTable(ident, dir, schema, Some(id))
       case None => throw new NoSuchTableException(ident)
     }

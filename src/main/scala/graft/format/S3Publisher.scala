@@ -89,7 +89,7 @@ final class S3Publisher(
     */
   private def encodeKey(key: String): String =
     key.split("/", -1).map(seg => seg.flatMap {
-      case c if c.isLetterOrDigit || "-._~".contains(c) => c.toString
+      case c if c < 128 && (c.isLetterOrDigit || "-._~".contains(c)) => c.toString
       case c => c.toString.getBytes(UTF_8).map(b => f"%%${b & 0xff}%02X").mkString
     }).mkString("/")
 

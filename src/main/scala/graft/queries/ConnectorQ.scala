@@ -194,12 +194,19 @@ object ConnectorQ {
             SELECT ts, user_id, $C FROM ev_src WHERE event_id > $mid"""))
         })
       locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        timed("all groups (concurrent)")(
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        // Dedicated pool (not the global ForkJoinPool, which Spark
+        // action threads also contend for) and no local deadline: at
+        // larger sf a fixed 600s bound would turn a slow-but-correct
+        // setup into a TimeoutException failing every c_* query; the
+        // harness enforces the overall timeout.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.size)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try timed("all groups (concurrent)")(
           Await.result(Future.sequence(groups.map(g => Future(g()))),
-            600.seconds))
+            Duration.Inf))
+        finally pool.shutdown()
       }
 
       // dynamic partition overwrite: 'click' partition replaced
@@ -294,8 +301,16 @@ object ConnectorQ {
         val ts1 = s.table(s"graft_c.${st.ns}.`ev_pk$$snapshots`")
           .filter(col("snapshot_id") === 1)
           .select("commit_time").collect()(0).getTimestamp(0)
+        // Spark parses the literal under spark.sql.session.timeZone
+        // (UTC here), so render the instant in UTC explicitly —
+        // Timestamp.toString uses the JVM default zone, which names a
+        // different instant on non-UTC hosts.
+        val utc = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(ts1.toInstant)
         s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk " +
-          s"TIMESTAMP AS OF '$ts1' ORDER BY user_id")
+          s"TIMESTAMP AS OF '$utc' ORDER BY user_id")
       },
       Some(sqlArgmax.format(s"WHERE event_id <= $sqlMid"))),
 

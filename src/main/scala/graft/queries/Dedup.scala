@@ -262,21 +262,36 @@ object Dedup {
     // side streams map-side (no all-pairs work at 100 TB).
     QueryDef("d_decontaminate",
       (s, dir) => {
+        // The plan references the shingle subtree four times (join
+        // branch + three counts) and Catalyst does not dedupe common
+        // subtrees across join branches, so without a cache the
+        // tokenize+shingle pass runs 4x (this was the r5 bench's worst
+        // regression). Shingle ONCE into a per-doc array, persist,
+        // compute the 3-count result eagerly, then release the cache —
+        // same persist→materialize→unpersist discipline as the LSH
+        // pipeline above, so nothing outlives the query.
         val sh = t(s, dir, "documents")
           .select(col("doc_id"), expr(tokensExpr).as("toks"))
-          .select(col("doc_id"), explode(array_distinct(
-            graft.functions.TextFunctions.word_shingles(col("toks"), 5))).as("g"))
+          .select(col("doc_id"), array_distinct(
+            graft.functions.TextFunctions.word_shingles(col("toks"), 5)).as("gs"))
+          .filter(size(col("gs")) > 0)
+          .persist()
         val bench = sh.filter(col("doc_id") % 100 === 0)
         val corpus = sh.filter(col("doc_id") % 100 =!= 0)
         val contaminated = corpus
-          .join(bench.select(col("g")).distinct(), "g")
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+          .join(bench.select(explode(col("gs")).as("g")).distinct(), "g")
           .select("doc_id").distinct()
-        contaminated.agg(count(lit(1)).as("n_contaminated"))
-          .crossJoin(bench.agg(
-            countDistinct(col("doc_id")).as("n_benchmark_docs")))
-          .crossJoin(corpus.agg(
-            countDistinct(col("doc_id")).as("n_checked_docs")))
+        // one row per doc in `sh`, so plain counts = distinct doc counts
+        val row = contaminated.agg(count(lit(1)).as("n_contaminated"))
+          .crossJoin(bench.agg(count(lit(1)).as("n_benchmark_docs")))
+          .crossJoin(corpus.agg(count(lit(1)).as("n_checked_docs")))
           .select("n_benchmark_docs", "n_checked_docs", "n_contaminated")
+          .collect()(0)
+        sh.unpersist()
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+          .toDF("n_benchmark_docs", "n_checked_docs", "n_contaminated")
       },
       Some("""WITH tok AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks

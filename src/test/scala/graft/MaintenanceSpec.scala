@@ -219,6 +219,24 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a retention error, got: ${messages(se).mkString(" | ")}")
   }
 
+  test("TIMESTAMP AS OF after expiry: retention error, recent ts still works") {
+    // `exp` (previous test) expired snapshots 1..n-1, leaving an id gap
+    // at the front. Time travel must enumerate only surviving snapshot
+    // files — not `1 to latest`, which would crash on the gap.
+    assert(spark.sql(
+      "SELECT * FROM graft.default.exp TIMESTAMP AS OF current_timestamp()")
+      .count() == 7)
+    // a timestamp before the oldest retained snapshot → clear retention
+    // error, not a raw NoSuchFileException from a missing snapshot file
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft.default.exp TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("expireSnapshots"),
+      s"expected a retention error, got: ${e.getMessage}")
+  }
+
   test("vacuum removes orphaned data files") {
     val catalog = Catalog.create(spark,
       Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
