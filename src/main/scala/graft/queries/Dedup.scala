@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 import Tables._
 
 /** Deduplication family over `documents`: exact (hash-group), MinHash+LSH
@@ -53,12 +54,16 @@ object Dedup {
   private val MaxBucket = 1000
 
   private def computeNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // Serialized + spill-to-disk: this cache is roughly corpus-sized
+    // (one string array per doc), so deserialized MEMORY_ONLY would
+    // evict under pressure and force a 4x shingle recompute — at 100 TB
+    // the only viable levels are the spillable serialized ones.
     val shingled = t(s, dir, "documents")
       .select(col("doc_id"), expr(tokensExpr).as("toks"))
       .select(col("doc_id"), array_distinct(
         graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val sigs = {
       // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle split
       // into two 56-bit halves h1/h2; seed i's hash is h1 + i*h2
@@ -81,9 +86,15 @@ object Dedup {
       struct(lit(b).as("band"),
         h60s(concat_ws("#", slots :+ lit(b).cast("string"): _*)).as("bhash"))
     }
+    // persist: the band set feeds THREE plan branches (the big-bucket
+    // scan and both sides of the self-join), and Catalyst does not
+    // dedupe common subtrees across join branches — uncached, the
+    // expensive upstream (shingle explode + md5 + 16-way min agg) runs
+    // 3x. Four fixed-width rows per doc, far smaller than the corpus.
     val allBands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // skew guard: anti-join away the (few) mega-buckets before the
     // self-join — the over-limit set is small by construction, so it
     // broadcasts; keeping the small buckets would not
@@ -99,11 +110,15 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // verify candidates with exact shingle-set Jaccard
+    // array_intersect is hash-based O(n+m) codegen (and sh is already
+    // distinct, so set semantics match the oracle's list_filter); the
+    // previous filter+array_contains lambda was O(n*m) interpreted and
+    // dominated the verify stage.
     val pairs = cand
       .join(shingled.as("ta"), col("a") === col("ta.doc_id"))
       .join(shingled.as("tb"), col("b") === col("tb.doc_id"))
       .withColumn("inter",
-        expr("size(filter(ta.sh, g -> array_contains(tb.sh, g)))"))
+        size(array_intersect(col("ta.sh"), col("tb.sh"))))
       .withColumn("uni",
         size(col("ta.sh")) + size(col("tb.sh")) - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= 0.5)
@@ -115,7 +130,12 @@ object Dedup {
     // pinned in executor storage for the life of the session and every
     // later query inherits the memory pressure.
     pairs.count()
-    shingled.unpersist()
+    // blocking: the next query in a bench run starts immediately, and an
+    // async release lets this corpus-scale cache contend with (and
+    // evict) the caches that query builds — the r6 d_dup_clusters 4.4x
+    // regression was exactly this contention.
+    shingled.unpersist(blocking = true)
+    allBands.unpersist(blocking = true)
     pairs
   }
 
@@ -275,7 +295,7 @@ object Dedup {
           .select(col("doc_id"), array_distinct(
             graft.functions.TextFunctions.word_shingles(col("toks"), 5)).as("gs"))
           .filter(size(col("gs")) > 0)
-          .persist()
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
         val bench = sh.filter(col("doc_id") % 100 === 0)
         val corpus = sh.filter(col("doc_id") % 100 =!= 0)
         val contaminated = corpus
@@ -288,7 +308,7 @@ object Dedup {
           .crossJoin(corpus.agg(count(lit(1)).as("n_checked_docs")))
           .select("n_benchmark_docs", "n_checked_docs", "n_contaminated")
           .collect()(0)
-        sh.unpersist()
+        sh.unpersist(blocking = true)
         import s.implicits._
         Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
           .toDF("n_benchmark_docs", "n_checked_docs", "n_contaminated")
@@ -319,7 +339,9 @@ object Dedup {
         docs.as("a").join(docs.as("b"),
             col("b.doc_id") === col("a.doc_id") + 1)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            expr("size(filter(a.tk, w -> array_contains(b.tk, w)))").as("inter"),
+            // hash-based codegen intersect; tk is distinct so the size
+            // equals the oracle's list_filter count
+            size(array_intersect(col("a.tk"), col("b.tk"))).as("inter"),
             (size(col("a.tk")) + size(col("b.tk"))).as("total"))
           .select(col("doc_a"), col("doc_b"),
             (col("inter").cast("double") / (col("total") - col("inter")))

@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import Tables._
 
 /** Composite training-data-pipeline queries: the quality-filter
@@ -73,9 +75,11 @@ object Pipeline {
     QueryDef("d_dup_clusters",
       (s, dir) => {
         val pairs = Dedup.nearDupPairs(s, dir)
+        // spillable level: the edge cache is re-read every round, and an
+        // eviction here recomputes the whole LSH pair pipeline upstream
         val edges = pairs.selectExpr("a AS src", "b AS dst")
           .union(pairs.selectExpr("b AS src", "a AS dst"))
-          .persist()
+          .persist(StorageLevel.MEMORY_AND_DISK)
         // round 0 fused into init: label = min(self, neighbors); shallow
         // (pair-shaped) clusters then converge in ONE verification round
         var labels = edges.groupBy("src")
@@ -83,16 +87,25 @@ object Pipeline {
           .select(col("src").as("id"), col("lbl"))
           .localCheckpoint()
         var changed = 1L
+        var round = 0
         while (changed > 0) {
+          round += 1
+          // observe() rides the checkpoint job, so each round is ONE
+          // materialization (join+agg) instead of checkpoint + a second
+          // changed-count scan — halves the per-round job count.
+          val obs = Observation(s"dup_clusters_round_$round")
           val prop = edges
             .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
             .groupBy(col("src").as("id")).agg(min("lbl").as("nbr"))
           val next = labels.select(col("id"), col("lbl").as("old"))
             .join(prop, Seq("id"), "left")
-            .select(col("id"), col("old"),
-              least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"))
+            .select(col("id"),
+              least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"),
+              (col("nbr").isNotNull && col("nbr") < col("old")).as("chg"))
+            .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
             .localCheckpoint()
-          changed = next.filter(col("lbl") =!= col("old")).count()
+          changed = Option(obs.get("changed"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
           // next is eagerly materialized above — the previous round's
           // checkpoint blocks are dead; free them so executor storage
           // stays O(1) in rounds instead of O(diameter).
