@@ -25,17 +25,22 @@ import scala.collection.mutable
   */
 class GraftChangelogStream(tableDir: Path, schema: TableSchema,
     required: StructType,
-    startSnapshot: Option[Long] = None) extends MicroBatchStream {
+    startSnapshot: Option[Long] = None)
+  extends MicroBatchStream with GraftAvailableNowStream {
 
   private val sm = new SnapshotManager(tableDir)
+
+  override protected def currentLatestSnapshotId: Long =
+    sm.latestSnapshotId.getOrElse(0L)
 
   override def initialOffset(): Offset = GraftOffset(startSnapshot match {
     case Some(-1L) => sm.latestSnapshotId.getOrElse(0L)
     case Some(id) => id
     case None => 0L
   })
-  override def latestOffset(): Offset =
-    GraftOffset(sm.latestSnapshotId.getOrElse(0L))
+  // not called once SupportsAdmissionControl is implemented; Spark
+  // routes through latestOffset(start, limit)
+  override def latestOffset(): Offset = GraftOffset(currentLatestSnapshotId)
   override def deserializeOffset(json: String): Offset = {
     val id = "\"snapshotId\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)

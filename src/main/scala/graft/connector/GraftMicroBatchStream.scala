@@ -1,11 +1,39 @@
 package graft.connector
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import graft.core.TableSchema
 import graft.format.SnapshotManager
 import java.nio.file.Path
+
+/** AvailableNow contract for snapshot-offset streams: pin the latest
+  * committed snapshot id when the trigger starts, then report the pinned
+  * id as the latest offset until the stream drains it and stops. Without
+  * this, Spark logs "does not support Trigger.AvailableNow. Falling back
+  * to single batch execution" and the drain-everything-then-stop
+  * guarantee rests on there being no concurrent commits — with it, a
+  * commit landing mid-stream is deterministically excluded (it belongs
+  * to the next trigger).
+  */
+trait GraftAvailableNowStream extends SupportsTriggerAvailableNow {
+  /** Current latest committed snapshot id (0 when the table is empty). */
+  protected def currentLatestSnapshotId: Long
+
+  @volatile private var pinned: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(currentLatestSnapshotId)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control latestOffset: the pinned id under AvailableNow,
+    * live otherwise (micro-batch triggers also route through this once
+    * the source implements SupportsAdmissionControl).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GraftOffset(pinned.getOrElse(currentLatestSnapshotId))
+}
 
 /** Incremental streaming read over the snapshot chain: offsets are
   * snapshot ids, one micro-batch = the data files ADDed by snapshots
@@ -29,9 +57,13 @@ final case class GraftOffset(snapshotId: Long) extends Offset {
 
 class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
     required: StructType,
-    startSnapshot: Option[Long] = None) extends MicroBatchStream {
+    startSnapshot: Option[Long] = None)
+  extends MicroBatchStream with GraftAvailableNowStream {
 
   private val sm = new SnapshotManager(tableDir)
+
+  override protected def currentLatestSnapshotId: Long =
+    sm.latestSnapshotId.getOrElse(0L)
 
   /** First offset: 0 (full replay), a specific snapshot id, or -1 for
     * "latest" (only new commits stream — the scan-from-now mode a
@@ -44,8 +76,9 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
     case None => 0L
   })
 
-  override def latestOffset(): Offset =
-    GraftOffset(sm.latestSnapshotId.getOrElse(0L))
+  // not called once SupportsAdmissionControl is implemented; Spark
+  // routes through latestOffset(start, limit)
+  override def latestOffset(): Offset = GraftOffset(currentLatestSnapshotId)
 
   override def deserializeOffset(json: String): Offset = {
     val id = "\"snapshotId\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)

@@ -267,4 +267,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM s_pk_sink").collect()(0).getLong(0) == 2)
     assert(spark.table("graft.default.s_pk").count() == 1)
   }
+
+  test("AvailableNow pins the end offset: mid-stream commit excluded") {
+    spark.sql("CREATE TABLE graft.default.s_pin (id BIGINT)")
+    spark.sql("INSERT INTO graft.default.s_pin VALUES (1)")
+    val tableDir = warehouse.resolve("default.db").resolve("s_pin")
+    val schema = graft.core.TableSchema.load(tableDir).get
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow}
+    val stream = new graft.connector.GraftMicroBatchStream(
+      tableDir, schema, schema.fields)
+    // both sources advertise the capability, so Spark does NOT log the
+    // "Falling back to single batch execution" path for either
+    assert(stream.isInstanceOf[SupportsTriggerAvailableNow])
+    assert(new graft.connector.GraftChangelogStream(tableDir, schema,
+      schema.fields).isInstanceOf[SupportsTriggerAvailableNow])
+
+    stream.prepareForTriggerAvailableNow() // pin at snapshot 1
+    spark.sql("INSERT INTO graft.default.s_pin VALUES (2)") // lands mid-stream
+    val end = stream.latestOffset(stream.initialOffset(),
+      ReadLimit.allAvailable()).asInstanceOf[graft.connector.GraftOffset]
+    assert(end.snapshotId == 1L,
+      s"pinned offset must exclude the mid-stream commit, got $end")
+    // the excluded commit belongs to the NEXT trigger: a fresh stream
+    // (new prepare call) sees both commits
+    val stream2 = new graft.connector.GraftMicroBatchStream(
+      tableDir, schema, schema.fields)
+    stream2.prepareForTriggerAvailableNow()
+    assert(stream2.latestOffset(stream2.initialOffset(),
+      ReadLimit.allAvailable())
+      .asInstanceOf[graft.connector.GraftOffset].snapshotId == 2L)
+  }
 }
