@@ -588,6 +588,33 @@ object ConnectorQ {
         FROM events WHERE event_type = 'view'
         GROUP BY user_id ORDER BY user_id""")),
 
+    // the reference's remaining three sink verbs in one driver row:
+    // `to_duckdb` ≙ createTempView + full SQL over the registered
+    // snapshot (the result the row returns), and the require drains the
+    // `to_arrow_batch_reader` / record-generator analogue — a streaming
+    // toLocalIterator that must NOT need a full collect to yield rows
+    QueryDef("c_api_sql",
+      (s, dir) => {
+        val st = setup(s, dir)
+        val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
+        val cat = graft.api.Catalog.create(s,
+          Map("warehouse" -> wh, "catalog-name" -> "graft_c"))
+        val read = cat.getTable(s"${st.ns}.ev_part").newReadBuilder().newRead()
+        val it = read.toLocalIterator()
+        var drained = 0
+        while (it.hasNext && drained < 10) { it.next(); drained += 1 }
+        require(drained == 10,
+          s"c_api_sql: local iterator yielded $drained rows, expected 10")
+        val view = s"api_sql_${st.ns}"
+        read.createTempView(view)
+        s.sql(s"""SELECT event_type, COUNT(*) AS n_events,
+            SUM(cents) AS sum_cents
+          FROM $view GROUP BY event_type ORDER BY event_type""")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // expire history down to the latest snapshot, vacuum unreferenced
     // files, then read: the merged state is unchanged (idempotent, so
     // repeat runs in one JVM are safe); the require proves the history
