@@ -1,0 +1,138 @@
+package graft.format
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Storage seam for all table metadata and data-file bytes. Every
+  * snapshot/manifest/schema read-write and (via the staging helpers)
+  * every data-file open goes through one of these, so a table can live
+  * somewhere other than the local filesystem by supplying a different
+  * implementation — the design point a 100 TB warehouse needs, where
+  * tables live on an object store and `java.nio.file.Files` never
+  * applies. Paths stay `java.nio.file.Path` as abstract hierarchical
+  * keys (an S3 implementation treats them as bucket keys; only
+  * [[FileIO.local]] touches the real filesystem).
+  *
+  * Contract notes:
+  *  - [[writeAtomic]] must never expose a partial file (temp + rename
+  *    locally, single PUT on a store).
+  *  - [[putIfAbsent]] is the commit primitive (create-exclusive link
+  *    locally, conditional PUT on a store) — see [[AtomicPublisher]],
+  *    whose standalone implementations ([[S3Publisher]]) plug into
+  *    [[SnapshotManager]] unchanged.
+  *  - [[stageForRead]]/[[publishFile]] bridge format libraries
+  *    (parquet/orc/avro) that require real local files: local IO is
+  *    zero-copy, remote IO stages through a temp file.
+  */
+trait FileIO {
+  def readString(path: Path): String
+  def readBytes(path: Path): Array[Byte]
+  /** Atomic publish, replace-ok (manifests are UUID-named; LATEST hint
+    * is replaced). */
+  def writeAtomic(path: Path, bytes: Array[Byte]): Unit
+  /** True iff `path` did not exist and now holds `content` (the
+    * optimistic-commit primitive). */
+  def putIfAbsent(path: Path, content: String): Boolean
+  /** Immediate child file names of `dir` (empty when absent). */
+  def list(dir: Path): Seq[String]
+  def exists(path: Path): Boolean
+  def delete(path: Path): Boolean
+  def size(path: Path): Long
+  def createDirectories(dir: Path): Unit
+  /** A real local file holding this path's bytes, for format libraries
+    * that cannot read through streams. Callers must pass the result to
+    * [[unstage]] when done. */
+  def stageForRead(path: Path): Path
+  /** Release a [[stageForRead]] result (no-op when zero-copy). */
+  def unstage(original: Path, staged: Path): Unit
+  /** Publish a locally-written temp file's bytes to `target`. */
+  def publishFile(localTmp: Path, target: Path): Unit
+
+  def writeAtomicString(path: Path, content: String): Unit =
+    writeAtomic(path, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
+
+object FileIO {
+
+  /** Direct local-filesystem implementation (the default everywhere). */
+  val local: FileIO = new FileIO {
+    override def readString(path: Path): String = Files.readString(path)
+    override def readBytes(path: Path): Array[Byte] = Files.readAllBytes(path)
+    override def writeAtomic(path: Path, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(path.getParent)
+      val tmp = Files.createTempFile(path.getParent, ".w", ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    override def putIfAbsent(path: Path, content: String): Boolean =
+      AtomicPublisher.local.putIfAbsent(path, content)
+    override def list(dir: Path): Seq[String] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString).toList
+        finally s.close()
+      }
+    override def exists(path: Path): Boolean = Files.exists(path)
+    override def delete(path: Path): Boolean = Files.deleteIfExists(path)
+    override def size(path: Path): Long = Files.size(path)
+    override def createDirectories(dir: Path): Unit =
+      Files.createDirectories(dir)
+    override def stageForRead(path: Path): Path = path // zero-copy
+    override def unstage(original: Path, staged: Path): Unit = ()
+    override def publishFile(localTmp: Path, target: Path): Unit = {
+      Files.createDirectories(target.getParent)
+      Files.move(localTmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Heap-backed implementation: the object-store stand-in for contract
+    * tests (no SDKs ship in this container). Key space is the
+    * normalized path string; "directories" are implicit prefixes, as on
+    * a real store. Format reads stage through temp files, exactly as a
+    * remote implementation would.
+    */
+  def inMemory(): FileIO = new FileIO {
+    private val blobs =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    private def key(p: Path): String = p.normalize.toString
+
+    private def get(path: Path): Array[Byte] = {
+      val b = blobs.get(key(path))
+      if (b == null)
+        throw new java.nio.file.NoSuchFileException(key(path))
+      b
+    }
+    override def readString(path: Path): String =
+      new String(get(path), java.nio.charset.StandardCharsets.UTF_8)
+    override def readBytes(path: Path): Array[Byte] = get(path)
+    override def writeAtomic(path: Path, bytes: Array[Byte]): Unit =
+      blobs.put(key(path), bytes)
+    override def putIfAbsent(path: Path, content: String): Boolean =
+      blobs.putIfAbsent(key(path),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == null
+    override def list(dir: Path): Seq[String] = {
+      val prefix = key(dir) + "/"
+      blobs.keySet.asScala.iterator
+        .filter(k => k.startsWith(prefix) && !k.drop(prefix.length).contains('/'))
+        .map(_.drop(prefix.length)).toList
+    }
+    override def exists(path: Path): Boolean = blobs.containsKey(key(path))
+    override def delete(path: Path): Boolean = blobs.remove(key(path)) != null
+    override def size(path: Path): Long = get(path).length.toLong
+    override def createDirectories(dir: Path): Unit = () // implicit prefixes
+    override def stageForRead(path: Path): Path = {
+      val tmp = Files.createTempFile("graft-stage", ".dat")
+      Files.write(tmp, get(path))
+      tmp
+    }
+    override def unstage(original: Path, staged: Path): Unit =
+      Files.deleteIfExists(staged)
+    override def publishFile(localTmp: Path, target: Path): Unit = {
+      blobs.put(key(target), Files.readAllBytes(localTmp))
+      Files.deleteIfExists(localTmp)
+    }
+  }
+}

@@ -26,13 +26,34 @@ object FormatIO {
   def writer(format: String, path: java.nio.file.Path,
       schema: StructType,
       ids: Map[String, Int] = Map.empty,
-      blockSize: Int = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE)
-      : RowFileWriter = format match {
-    case "parquet" => new ParquetWriterAdapter(path, schema, ids, blockSize)
-    case "orc" => new OrcIO.Writer(path, schema, ids)
-    case "avro" => new AvroIO.Writer(path, schema, ids)
-    case other =>
-      throw new IllegalArgumentException(s"Unsupported file.format: $other")
+      blockSize: Int = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+      io: FileIO = FileIO.local)
+      : RowFileWriter = {
+    def direct(p: java.nio.file.Path): RowFileWriter = format match {
+      case "parquet" => new ParquetWriterAdapter(p, schema, ids, blockSize)
+      case "orc" => new OrcIO.Writer(p, schema, ids)
+      case "avro" => new AvroIO.Writer(p, schema, ids)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported file.format: $other")
+    }
+    if (io eq FileIO.local) direct(path)
+    else {
+      // non-local storage: format libraries need a real file, so write
+      // a local temp and publish its bytes through the seam on close —
+      // the single upload a remote data-file write costs anyway
+      val tmp = java.nio.file.Files.createTempFile("graft-w", "." + format)
+      // format writers create-exclusive; reserve the unique name only
+      java.nio.file.Files.deleteIfExists(tmp)
+      val inner = direct(tmp)
+      new RowFileWriter {
+        override def write(row: InternalRow): Unit = inner.write(row)
+        override def close(): Long = {
+          val n = inner.close()
+          io.publishFile(tmp, path)
+          n
+        }
+      }
+    }
   }
 
   /** `ids`: logical column name -> stable field id; all three formats
@@ -48,14 +69,30 @@ object FormatIO {
   def reader(format: String, path: java.nio.file.Path, fileSchema: StructType,
       projection: StructType,
       ids: Map[String, Int] = Map.empty,
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
-      : RowFileReader = format match {
-    case "parquet" =>
-      new ParquetReaderAdapter(path, fileSchema, projection, ids, filters)
-    case "orc" => new OrcIO.Reader(path, fileSchema, projection, ids)
-    case "avro" => new AvroIO.Reader(path, fileSchema, projection, ids)
-    case other =>
-      throw new IllegalArgumentException(s"Unsupported file.format: $other")
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+      io: FileIO = FileIO.local)
+      : RowFileReader = {
+    val staged = io.stageForRead(path) // zero-copy for FileIO.local
+    def direct: RowFileReader = format match {
+      case "parquet" =>
+        new ParquetReaderAdapter(staged, fileSchema, projection, ids, filters)
+      case "orc" => new OrcIO.Reader(staged, fileSchema, projection, ids)
+      case "avro" => new AvroIO.Reader(staged, fileSchema, projection, ids)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported file.format: $other")
+    }
+    if (staged eq path) direct
+    else {
+      val inner = direct
+      new RowFileReader {
+        override def hasNext: Boolean = inner.hasNext
+        override def next(): InternalRow = inner.next()
+        override def close(): Unit = {
+          inner.close()
+          io.unstage(path, staged)
+        }
+      }
+    }
   }
 
   /** Infer format from a data file name. */

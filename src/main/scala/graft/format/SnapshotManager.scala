@@ -2,8 +2,7 @@ package graft.format
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import java.nio.file.{Files, Path, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path}
 
 /** The single atomicity primitive optimistic commit needs: publish an
   * immutable object at `target` iff nothing is there, atomically, and
@@ -59,41 +58,42 @@ object AtomicPublisher {
   * object stores a conditional PUT would take its place.
   */
 final class SnapshotManager(val tableDir: Path,
-    publisher: AtomicPublisher = AtomicPublisher.local) {
+    publisher: AtomicPublisher = null,
+    val io: FileIO = FileIO.local) {
+
+  // default publisher = the FileIO's own commit primitive, so a
+  // non-local io commits through its conditional PUT; an explicit
+  // publisher ([[S3Publisher]], test doubles) still overrides it
+  private val pub: AtomicPublisher =
+    if (publisher != null) publisher
+    else (target: Path, content: String) => io.putIfAbsent(target, content)
 
   private def snapshotDir = tableDir.resolve("snapshot")
   private def manifestDir = tableDir.resolve("manifest")
 
-  def latestSnapshotId: Option[Long] = {
-    if (!Files.isDirectory(snapshotDir)) return None
-    // LATEST is a hint; the listing is authoritative (hint write races
-    // are benign).
-    val ids = Files.list(snapshotDir).iterator().asScala
-      .map(_.getFileName.toString)
+  private def snapshotIds: Seq[Long] =
+    io.list(snapshotDir)
       .filter(_.startsWith("snapshot-"))
       .map(_.stripPrefix("snapshot-").toLong)
-      .toSeq
+
+  def latestSnapshotId: Option[Long] = {
+    // LATEST is a hint; the listing is authoritative (hint write races
+    // are benign).
+    val ids = snapshotIds
     if (ids.isEmpty) None else Some(ids.max)
   }
 
   def latestSnapshot: Option[Snapshot] = latestSnapshotId.map(snapshot)
 
-  /** Ids of snapshot files actually on disk (gaps appear after expiry). */
-  def existingSnapshotIds: Seq[Long] = {
-    if (!Files.isDirectory(snapshotDir)) return Seq.empty
-    Files.list(snapshotDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("snapshot-"))
-      .map(_.stripPrefix("snapshot-").toLong)
-      .toSeq.sorted
-  }
+  /** Ids of snapshot files actually present (gaps appear after expiry). */
+  def existingSnapshotIds: Seq[Long] = snapshotIds.sorted
 
   def snapshot(id: Long): Snapshot =
-    Snapshot.fromJson(Files.readString(snapshotDir.resolve(s"snapshot-$id")))
+    Snapshot.fromJson(io.readString(snapshotDir.resolve(s"snapshot-$id")))
 
   def readManifest(name: String): Seq[ManifestEntry] = {
     implicit val fmt: Formats = DefaultFormats
-    val v = JsonMethods.parse(Files.readString(manifestDir.resolve(name)))
+    val v = JsonMethods.parse(io.readString(manifestDir.resolve(name)))
     (v \ "entries") match {
       case JArray(items) => items.map { e =>
         ManifestEntry((e \ "kind").extract[String],
@@ -105,13 +105,12 @@ final class SnapshotManager(val tableDir: Path,
 
   def writeManifest(entries: Seq[ManifestEntry]): String = {
     import org.json4s.JsonDSL._
-    Files.createDirectories(manifestDir)
+    io.createDirectories(manifestDir)
     val name = s"manifest-${java.util.UUID.randomUUID()}"
     val j: JObject = "entries" -> entries.map(e =>
       ("kind" -> e.kind) ~ ("file" -> e.file.toJValue))
-    val tmp = Files.createTempFile(manifestDir, ".m", ".tmp")
-    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(j)))
-    Files.move(tmp, manifestDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    io.writeAtomicString(manifestDir.resolve(name),
+      JsonMethods.compact(JsonMethods.render(j)))
     name
   }
 
@@ -131,14 +130,11 @@ final class SnapshotManager(val tableDir: Path,
     * authoritative), so its non-atomicity on object stores is benign.
     */
   def tryCommitSnapshot(s: Snapshot): Boolean = {
-    Files.createDirectories(snapshotDir)
+    io.createDirectories(snapshotDir)
     val target = snapshotDir.resolve(s"snapshot-${s.id}")
-    if (Files.exists(target)) return false // fast path; the publish decides
-    if (!publisher.putIfAbsent(target, s.toJson)) return false
-    val latestTmp = Files.createTempFile(snapshotDir, ".l", ".tmp")
-    Files.writeString(latestTmp, s.id.toString)
-    Files.move(latestTmp, snapshotDir.resolve("LATEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (io.exists(target)) return false // fast path; the publish decides
+    if (!pub.putIfAbsent(target, s.toJson)) return false
+    io.writeAtomicString(snapshotDir.resolve("LATEST"), s.id.toString)
     true
   }
 }
