@@ -8,11 +8,13 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   * `mapInPandas` stage: one JVM-side iterator per partition, batch
   * reuse, columnar in/out at the boundary).
   *
-  * The actual media decoding is a DETERMINISTIC STUB — this container
-  * has no image/audio codecs — marked [[MediaCodec.decodeStub]]. The
-  * Spark-side contract (schema, partitioning, operator signature, batch
-  * shape, null handling) is real and tested; swapping in a real codec
-  * is a one-function change.
+  * Decoding: uncompressed BMP parses for REAL ([[MediaCodec.decodeBmp]]
+  * — pure-JDK, public spec); every other format falls back to the
+  * DETERMINISTIC STUB [[MediaCodec.decodeStub]], since this container
+  * ships no image/audio codecs. The Spark-side contract (schema,
+  * partitioning, operator signature, batch shape, null handling) is
+  * real and tested; widening the codec set is confined to
+  * [[MediaCodec.decode]].
   */
 object Multimodal {
 
@@ -30,6 +32,57 @@ object Multimodal {
       frameHash: Long)
 
   object MediaCodec {
+
+    /** REAL decode for one container format: uncompressed BMP
+      * (BITMAPINFOHEADER, 8/24/32 bpp — public spec, pure JDK). Returns
+      * (width, height, meanLuma) or None when the bytes are not a BMP
+      * this parser accepts; callers fall back to [[decodeStub]] for
+      * every other format (no codecs ship in this container).
+      */
+    def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = bb.getInt(10)
+      val headerSize = bb.getInt(14)
+      if (headerSize != 40) return None // BITMAPINFOHEADER only
+      val width = bb.getInt(18)
+      val height0 = bb.getInt(22) // negative = top-down; |h| rows either way
+      val bpp = bb.getShort(28).toInt
+      val compression = bb.getInt(30)
+      val height = math.abs(height0)
+      if (width <= 0 || height == 0 || compression != 0) return None
+      if (bpp != 8 && bpp != 24 && bpp != 32) return None
+      val rowBytes = (width * (bpp / 8) + 3) & ~3 // rows pad to 4 bytes
+      val need = dataOffset.toLong + rowBytes.toLong * height
+      if (dataOffset < 54 || need > bytes.length) return None
+      var lumaSum = 0.0
+      var y = 0
+      while (y < height) {
+        val row = dataOffset + y * rowBytes
+        var x = 0
+        while (x < width) {
+          val p = row + x * (bpp / 8)
+          val luma =
+            if (bpp == 8) java.lang.Byte.toUnsignedInt(bytes(p)).toDouble
+            else { // little-endian BGR(A)
+              val b = java.lang.Byte.toUnsignedInt(bytes(p))
+              val g = java.lang.Byte.toUnsignedInt(bytes(p + 1))
+              val r = java.lang.Byte.toUnsignedInt(bytes(p + 2))
+              0.299 * r + 0.587 * g + 0.114 * b
+            }
+          lumaSum += luma
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, lumaSum / (width.toLong * height) / 255.0))
+    }
+
+    /** BMP parses for real; everything else falls to the stub. */
+    def decode(bytes: Array[Byte]): (Int, Int, Double) =
+      decodeBmp(bytes).getOrElse(decodeStub(bytes))
+
     /** STUB decode: a real implementation would parse the container
       * format (JPEG/PNG/WAV/...) here. The stub derives deterministic
       * pseudo-dimensions and luma from the byte stream so tests are
@@ -73,7 +126,7 @@ object Multimodal {
   def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] =
     blobs.mapPartitions { it =>
       it.map { b =>
-        val (w, h, luma) = MediaCodec.decodeStub(b.bytes)
+        val (w, h, luma) = MediaCodec.decode(b.bytes)
         MediaFeatures(b.docId, b.mediaType, b.bytes.length.toLong, w, h,
           luma, MediaCodec.byteEntropy(b.bytes))
       }

@@ -60,4 +60,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     assert(rows.map(_.getLong(1)).sum == 500)
   }
+
+  /** Hand-build an uncompressed 24bpp BMP (BITMAPINFOHEADER). */
+  private def bmp24(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataSize = rowBytes * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+      .putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // rows bottom-up, BGR, 4-byte padded
+    for (y <- height - 1 to 0 by -1) {
+      var written = 0
+      for (x <- 0 until width) {
+        val (r, g, b) = px(x, y)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+        written += 3
+      }
+      while (written < rowBytes) { bb.put(0.toByte); written += 1 }
+    }
+    bb.array()
+  }
+
+  test("BMP decodes for real: true dimensions and luma, stub untouched") {
+    import graft.functions.Multimodal.MediaCodec
+    // 3x2 all-white: luma exactly 1.0
+    val white = bmp24(3, 2, (_, _) => (255, 255, 255))
+    assert(MediaCodec.decodeBmp(white).contains((3, 2, 1.0)))
+    // pure red: luma = 0.299 exactly (Rec.601 weights over 255)
+    val red = bmp24(5, 4, (_, _) => (255, 0, 0))
+    val (w, h, luma) = MediaCodec.decode(red)
+    assert(w == 5 && h == 4 && math.abs(luma - 0.299) < 1e-9)
+    // odd width exercises row padding; decode must skip pad bytes
+    val (w2, h2, luma2) = MediaCodec.decode(bmp24(3, 1, (_, _) => (0, 255, 0)))
+    assert(w2 == 3 && h2 == 1 && math.abs(luma2 - 0.587) < 1e-9)
+    // non-BMP bytes fall back to the stub, not an error
+    val textBytes = "BMnot really a bitmap, just text".getBytes
+    assert(MediaCodec.decodeBmp(textBytes).isEmpty)
+    assert(MediaCodec.decode(textBytes) == MediaCodec.decodeStub(textBytes))
+    // end-to-end: extractFeatures surfaces the real dimensions
+    import graft.functions.Multimodal
+    import graft.functions.Multimodal.MediaBlob
+    import spark.implicits._
+    val ds = Seq(MediaBlob(42L, "image", white)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect()(0)
+    assert(f.width == 3 && f.height == 2 && math.abs(f.meanLuma - 1.0) < 1e-9)
+  }
 }
