@@ -78,4 +78,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"interval join must bin to an equi-join:\n$p")
   }
+
+  test("d_dup_clusters: pair pipeline and propagation stay scale-sane") {
+    // the LSH pair pipeline: its only broadcast is the bounded
+    // mega-bucket guard (anti-join side capped at #buckets > MaxBucket),
+    // never a corpus-proportional relation, and the bucket self-join is
+    // an equi-join — quadratic shapes fail here before they fail at SF
+    val pairs = graft.queries.Dedup.nearDupPairs(spark, sf)
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay equi-join shaped:\n$pp")
+
+    // the final clusters aggregate reads the checkpointed label RDD —
+    // the propagation loop's lineage must NOT be replayed per action
+    val df = SparkEntry.queries("d_dup_clusters")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"labels must come from a checkpoint, not replayed lineage:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"cluster-size rollup is two aggregations, got:\n$p")
+  }
 }

@@ -268,6 +268,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.s_pk").count() == 1)
   }
 
+  test("AvailableNow runs natively: no single-batch fallback warning") {
+    // capture WARN output during an AvailableNow run; before the
+    // sources implemented SupportsTriggerAvailableNow, Spark logged
+    // "... does not support Trigger.AvailableNow. Falling back to
+    // single batch execution" here
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val seen = new java.lang.StringBuilder
+    val app = new AbstractAppender("graft-capture", null, null, false,
+        Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        seen.synchronized { seen.append(e.getMessage.getFormattedMessage).append('\n') }
+    }
+    app.start()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(app, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      spark.sql("CREATE TABLE graft.default.s_nofb (id BIGINT)")
+      spark.sql("INSERT INTO graft.default.s_nofb VALUES (1), (2)")
+      val q = spark.readStream.table("graft.default.s_nofb")
+        .writeStream.format("memory").queryName("s_nofb_sink")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(spark.sql("SELECT count(*) FROM s_nofb_sink")
+        .collect()(0).getLong(0) == 2)
+    } finally {
+      root.removeAppender("graft-capture")
+      ctx.updateLoggers()
+      app.stop()
+    }
+    assert(!seen.toString.contains("Falling back to single batch"),
+      "source must support Trigger.AvailableNow natively")
+  }
+
   test("AvailableNow pins the end offset: mid-stream commit excluded") {
     spark.sql("CREATE TABLE graft.default.s_pin (id BIGINT)")
     spark.sql("INSERT INTO graft.default.s_pin VALUES (1)")
