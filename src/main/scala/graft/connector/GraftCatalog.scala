@@ -190,10 +190,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val tsMillis = timestampMicros / 1000
         // Enumerate only snapshots that still exist: expireSnapshots
         // removes low ids, so `1L to latest` would hit missing files.
-        val existing = sm.existingSnapshotIds
-        val id = existing.map(sm.snapshot).filter(_.timeMillis <= tsMillis)
+        // A concurrent expire can still delete one between the listing
+        // and the read (TOCTOU) — skip those instead of surfacing a raw
+        // NoSuchFileException; the friendly retention error below stays
+        // for the no-usable-snapshot case.
+        val snaps = sm.existingSnapshotIds.flatMap { sid =>
+          try Some(sm.snapshot(sid))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        }
+        val id = snaps.filter(_.timeMillis <= tsMillis)
           .map(_.id).maxOption.getOrElse {
-            val oldest = existing.headOption.map(sm.snapshot)
+            val oldest = snaps.headOption
             oldest match {
               case Some(o) if o.timeMillis > tsMillis && o.id > 1 =>
                 throw new IllegalArgumentException(

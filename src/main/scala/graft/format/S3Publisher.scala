@@ -85,13 +85,19 @@ final class S3Publisher(
   }
 
   /** RFC 3986 encode each path segment, keeping the '/' separators —
-    * SigV4's canonical-URI rule for S3 keys.
+    * SigV4's canonical-URI rule for S3 keys. Operates on the segment's
+    * UTF-8 BYTES, not UTF-16 chars: per-char encoding would split a
+    * surrogate pair into two lone surrogates that each encode as '?'
+    * (0x3F), corrupting any key containing a supplementary-plane
+    * character (e.g. emoji) and breaking the signature.
     */
   private def encodeKey(key: String): String =
-    key.split("/", -1).map(seg => seg.flatMap {
-      case c if c < 128 && (c.isLetterOrDigit || "-._~".contains(c)) => c.toString
-      case c => c.toString.getBytes(UTF_8).map(b => f"%%${b & 0xff}%02X").mkString
-    }).mkString("/")
+    key.split("/", -1).map(seg => seg.getBytes(UTF_8).map { b =>
+      val c = b & 0xff
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+      if (unreserved) c.toChar.toString else f"%%$c%02X"
+    }.mkString).mkString("/")
 
   private def sha256(b: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256").digest(b)

@@ -195,17 +195,27 @@ object ConnectorQ {
         })
       locally {
         import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
+        import scala.concurrent.duration._
         // Dedicated pool (not the global ForkJoinPool, which Spark
-        // action threads also contend for) and no local deadline: at
-        // larger sf a fixed 600s bound would turn a slow-but-correct
-        // setup into a TimeoutException failing every c_* query; the
-        // harness enforces the overall timeout.
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.size)
+        // action threads also contend for), DAEMON threads (an
+        // abnormal interrupt must not pin the JVM open), and a very
+        // generous finite deadline: hours-scale so a slow-but-correct
+        // setup at large sf never trips it, but a genuine deadlock
+        // fails with a stack-bearing TimeoutException instead of
+        // hanging the bench silently forever.
+        val tf = new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-setup-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }
+        val pool =
+          java.util.concurrent.Executors.newFixedThreadPool(groups.size, tf)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         try timed("all groups (concurrent)")(
-          Await.result(Future.sequence(groups.map(g => Future(g()))),
-            Duration.Inf))
+          Await.result(Future.sequence(groups.map(g => Future(g()))), 6.hours))
         finally pool.shutdown()
       }
 

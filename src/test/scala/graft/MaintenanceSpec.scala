@@ -220,17 +220,27 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("TIMESTAMP AS OF after expiry: retention error, recent ts still works") {
-    // `exp` (previous test) expired snapshots 1..n-1, leaving an id gap
-    // at the front. Time travel must enumerate only surviving snapshot
-    // files — not `1 to latest`, which would crash on the gap.
+    // self-contained: build and expire a dedicated table so the test
+    // also passes in isolation. Expiry leaves an id gap at the front;
+    // time travel must enumerate only surviving snapshot files — not
+    // `1 to latest`, which would crash on the gap.
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    spark.sql("CREATE TABLE graft.default.exp_ts (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.exp_ts VALUES ($i, 'v$i')"))
+    val t = catalog.getTable("default.exp_ts")
+    t.compact()
+    assert(t.expireSnapshots(retainLast = 1).expiredSnapshots >= 2)
     assert(spark.sql(
-      "SELECT * FROM graft.default.exp TIMESTAMP AS OF current_timestamp()")
-      .count() == 7)
+      "SELECT * FROM graft.default.exp_ts TIMESTAMP AS OF current_timestamp()")
+      .count() == 3)
     // a timestamp before the oldest retained snapshot → clear retention
     // error, not a raw NoSuchFileException from a missing snapshot file
     val e = intercept[Exception] {
       spark.sql(
-        "SELECT * FROM graft.default.exp TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        "SELECT * FROM graft.default.exp_ts TIMESTAMP AS OF '2000-01-01 00:00:00'")
         .collect()
     }
     assert(e.getMessage.contains("expireSnapshots"),
