@@ -1,0 +1,185 @@
+package graft.format
+
+import java.io.IOException
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path}
+
+/** [[FileIO]] over any S3-compatible object store — the data-path end
+  * of the object-store story ([[S3Publisher]] being the commit end,
+  * now subsumed by [[putIfAbsent]] here). Built, like the publisher,
+  * on public protocol specifications only: the S3 REST API (GET/PUT/
+  * HEAD/DELETE + ListObjectsV2) signed with AWS Signature V4, on the
+  * bare JDK. No vendor SDK ships in this container, so the contract
+  * test drives it against a local in-memory HTTP stub; the protocol
+  * surface used (conditional PUT, list-type=2 with prefix+delimiter)
+  * is the stable, documented core that AWS S3, GCS XML, MinIO and
+  * friends share.
+  *
+  * Paths are abstract keys: `/wh/table/snapshot/snapshot-3` maps to
+  * object key `wh/table/snapshot/snapshot-3` via `keyFor`. Parquet/
+  * ORC/Avro access rides [[FileIO.stageForRead]]/[[publishFile]] — one
+  * download/upload per immutable data file, which is also the access
+  * pattern a remote table costs by nature.
+  *
+  * 100 TB note: data/manifest objects are immutable and written once
+  * (UUID names), so eventual LIST consistency only matters for the
+  * snapshot listing, where S3's strong read-after-write (since 2020)
+  * plus the LATEST hint keep commits visible; retries stay the
+  * caller's concern as with the local implementation.
+  */
+final class S3FileIO(
+    endpoint: URI,
+    region: String,
+    bucket: String,
+    accessKey: String,
+    secretKey: String,
+    keyFor: Path => String = p => p.toString.stripPrefix("/"),
+    clock: () => java.time.Instant = () => java.time.Instant.now())
+  extends FileIO {
+
+  private val http = HttpClient.newHttpClient()
+  private def host: String =
+    Option(endpoint.getAuthority).getOrElse(endpoint.getHost)
+
+  private def send(method: String, key: String,
+      query: Seq[(String, String)], body: Array[Byte],
+      extraHeaders: Map[String, String] = Map.empty)
+      : HttpResponse[Array[Byte]] = {
+    val payloadHash =
+      if (body == null) SigV4.emptyPayloadHash
+      else SigV4.hex(SigV4.sha256(body))
+    val canonicalUri = s"/$bucket/" + SigV4.uriEncode(key, keepSlash = true)
+    val qs = query.map { case (k, v) =>
+      SigV4.uriEncode(k, keepSlash = false) + "=" +
+        SigV4.uriEncode(v, keepSlash = false)
+    }.sorted.mkString("&")
+    val uri = endpoint.resolve(
+      if (qs.isEmpty) canonicalUri else s"$canonicalUri?$qs")
+    val headers = SigV4.headers(method, canonicalUri, query, host,
+      payloadHash, clock(), region, accessKey, secretKey)
+    val b = HttpRequest.newBuilder(uri).method(method,
+      if (body == null) HttpRequest.BodyPublishers.noBody()
+      else HttpRequest.BodyPublishers.ofByteArray(body))
+    (headers ++ extraHeaders).foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def fail(op: String, key: String,
+      resp: HttpResponse[Array[Byte]]): Nothing =
+    throw new IOException(s"$op s3://$bucket/$key failed: HTTP " +
+      s"${resp.statusCode()} ${new String(resp.body(),
+        java.nio.charset.StandardCharsets.UTF_8).take(200)}")
+
+  override def readBytes(path: Path): Array[Byte] = {
+    val key = keyFor(path)
+    val resp = send("GET", key, Seq.empty, null)
+    resp.statusCode() match {
+      case 200 => resp.body()
+      case 404 => throw new java.nio.file.NoSuchFileException(key)
+      case _ => fail("GET", key, resp)
+    }
+  }
+
+  override def readString(path: Path): String =
+    new String(readBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+
+  override def writeAtomic(path: Path, bytes: Array[Byte]): Unit = {
+    // a single PUT is atomic on an object store: readers see either
+    // nothing or the whole object, never a partial write
+    val key = keyFor(path)
+    val resp = send("PUT", key, Seq.empty, bytes)
+    if (resp.statusCode() != 200 && resp.statusCode() != 201)
+      fail("PUT", key, resp)
+  }
+
+  override def putIfAbsent(path: Path, content: String): Boolean = {
+    val key = keyFor(path)
+    val resp = send("PUT", key, Seq.empty,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Map("If-None-Match" -> "*"))
+    resp.statusCode() match {
+      case 200 | 201 => true
+      case 412 | 409 => false // conditional-write loser
+      case _ => fail("conditional PUT", key, resp)
+    }
+  }
+
+  override def list(dir: Path): Seq[String] = {
+    // ListObjectsV2, delimiter-rooted at the directory prefix; paged
+    val prefix = keyFor(dir).stripSuffix("/") + "/"
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val query = Seq("list-type" -> "2", "prefix" -> prefix,
+        "delimiter" -> "/") ++ token.map("continuation-token" -> _)
+      val resp = send("GET", "", query, null)
+      if (resp.statusCode() != 200) fail("LIST", prefix, resp)
+      val xml = new String(resp.body(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // the two fields used are simple text elements; full XML parsing
+      // is not needed for them
+      names ++= "<Key>(.*?)</Key>".r.findAllMatchIn(xml)
+        .map(m => xmlUnescape(m.group(1)))
+        .filter(_.startsWith(prefix))
+        .map(_.drop(prefix.length))
+        .filter(n => n.nonEmpty && !n.contains('/'))
+      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+        .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
+      more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
+    }
+    names.toList
+  }
+
+  private def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  override def exists(path: Path): Boolean = {
+    val resp = send("HEAD", keyFor(path), Seq.empty, null)
+    resp.statusCode() match {
+      case 200 => true
+      case 404 => false
+      case _ => fail("HEAD", keyFor(path), resp)
+    }
+  }
+
+  override def delete(path: Path): Boolean = {
+    val resp = send("DELETE", keyFor(path), Seq.empty, null)
+    resp.statusCode() match {
+      case 200 | 204 => true
+      case 404 => false
+      case _ => fail("DELETE", keyFor(path), resp)
+    }
+  }
+
+  override def size(path: Path): Long = {
+    val key = keyFor(path)
+    val resp = send("HEAD", key, Seq.empty, null)
+    if (resp.statusCode() == 404)
+      throw new java.nio.file.NoSuchFileException(key)
+    if (resp.statusCode() != 200) fail("HEAD", key, resp)
+    val cl = resp.headers().firstValueAsLong("Content-Length")
+    // stores always set Content-Length on HEAD; the >0 guard only
+    // routes servers that elide it (test stubs) through a GET
+    if (cl.isPresent && cl.getAsLong > 0) cl.getAsLong
+    else readBytes(path).length.toLong
+  }
+
+  override def createDirectories(dir: Path): Unit = () // implicit prefixes
+
+  override def stageForRead(path: Path): Path = {
+    val tmp = Files.createTempFile("graft-s3-stage", ".dat")
+    Files.write(tmp, readBytes(path))
+    tmp
+  }
+
+  override def unstage(original: Path, staged: Path): Unit =
+    Files.deleteIfExists(staged)
+
+  override def publishFile(localTmp: Path, target: Path): Unit = {
+    writeAtomic(target, Files.readAllBytes(localTmp))
+    Files.deleteIfExists(localTmp)
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Paths
+
+/** Contract test for [[graft.format.S3FileIO]] against a local
+  * in-memory HTTP stub speaking the used slice of the S3 REST API
+  * (GET/PUT/HEAD/DELETE, conditional PUT, paged ListObjectsV2) — no
+  * real store or SDK exists in this container. The headline case runs
+  * a whole graft table (data file + manifest + snapshot commit + read
+  * back) with every byte living in the "store".
+  */
+class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val store =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private var server: HttpServer = _
+  private var io: graft.format.S3FileIO = _
+
+  // small page size forces ListObjectsV2 pagination through the client
+  private val PageSize = 3
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      val path = ex.getRequestURI.getPath // "/lake/<key>"
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = query.split("&").filter(_.contains("="))
+        .map { p =>
+          val Array(k, v) = p.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      def respond(code: Int, body: Array[Byte]): Unit = {
+        if (body.length == 0) ex.sendResponseHeaders(code, -1)
+        else {
+          ex.sendResponseHeaders(code, body.length)
+          ex.getResponseBody.write(body)
+        }
+        ex.close()
+      }
+      ex.getRequestMethod match {
+        case "GET" if params.get("list-type").contains("2") =>
+          val prefix = "/lake/" + params.getOrElse("prefix", "")
+          val all = store.keySet().stream().sorted().toArray
+            .map(_.toString).filter(_.startsWith(prefix)).toSeq
+          val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
+          val page = all.slice(from, from + PageSize)
+          val truncated = from + PageSize < all.size
+          val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
+            s"<IsTruncated>$truncated</IsTruncated>" +
+            (if (truncated)
+              s"<NextContinuationToken>${from + PageSize}</NextContinuationToken>"
+            else "") +
+            page.map(k => s"<Key>${k.stripPrefix("/lake/")}</Key>").mkString +
+            "</ListBucketResult>"
+          respond(200, xml.getBytes("UTF-8"))
+        case "GET" =>
+          Option(store.get(path)) match {
+            case Some(b) => respond(200, b)
+            case None => respond(404, Array.emptyByteArray)
+          }
+        case "HEAD" =>
+          Option(store.get(path)) match {
+            case Some(b) =>
+              // HEAD: advertise length, send no body
+              ex.getResponseHeaders.add("Content-Length-Hint", b.length.toString)
+              ex.sendResponseHeaders(200, -1)
+              ex.close()
+            case None => respond(404, Array.emptyByteArray)
+          }
+        case "PUT" =>
+          val body = ex.getRequestBody.readAllBytes()
+          val conditional =
+            "*" == ex.getRequestHeaders.getFirst("If-None-Match")
+          if (conditional && store.putIfAbsent(path, body) != null)
+            respond(412, Array.emptyByteArray)
+          else {
+            if (!conditional) store.put(path, body)
+            respond(200, Array.emptyByteArray)
+          }
+        case "DELETE" =>
+          if (store.remove(path) != null) respond(204, Array.emptyByteArray)
+          else respond(404, Array.emptyByteArray)
+        case _ => respond(405, Array.emptyByteArray)
+      }
+    })
+    server.start()
+    io = new graft.format.S3FileIO(
+      endpoint = java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}"),
+      region = "us-east-1", bucket = "lake",
+      accessKey = "test-access", secretKey = "test-secret")
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  test("byte ops: put/get/head/delete and the conditional-put winner") {
+    val p = Paths.get("/wh/t/snapshot/snapshot-1")
+    assert(!io.exists(p))
+    intercept[java.nio.file.NoSuchFileException](io.readBytes(p))
+    assert(io.putIfAbsent(p, "{\"id\":1}"))
+    assert(!io.putIfAbsent(p, "{\"id\":1,\"loser\":true}"),
+      "second conditional PUT must lose with 412")
+    assert(io.readString(p) == "{\"id\":1}")
+    assert(io.exists(p))
+    io.writeAtomic(Paths.get("/wh/t/snapshot/LATEST"), "1".getBytes("UTF-8"))
+    assert(io.readString(Paths.get("/wh/t/snapshot/LATEST")) == "1")
+    assert(io.delete(p))
+    assert(!io.delete(p))
+    assert(!io.exists(p))
+  }
+
+  test("list pages through ListObjectsV2 and keeps only direct children") {
+    (1 to 8).foreach(i => io.writeAtomic(
+      Paths.get(s"/wh/lst/snapshot/snapshot-$i"), s"s$i".getBytes("UTF-8")))
+    // a deeper key must not appear as a child of snapshot/
+    io.writeAtomic(Paths.get("/wh/lst/snapshot/sub/deep"), "x".getBytes("UTF-8"))
+    val names = io.list(Paths.get("/wh/lst/snapshot")).sorted
+    assert(names == (1 to 8).map(i => s"snapshot-$i").sorted.toList, s"got $names")
+    assert(io.list(Paths.get("/wh/lst/absent")).isEmpty)
+  }
+
+  test("a graft table lives entirely in the object store") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.format._
+    val dir = Paths.get("/wh/s3tbl")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val dataName = "bucket-0/f1.parquet"
+    val w = FormatIO.writer("parquet", dir.resolve(dataName), schema, io = io)
+    (1L to 3L).foreach(i => w.write(
+      new GenericInternalRow(Array[Any](i, UTF8String.fromString(s"s$i")))))
+    assert(w.close() == 3L)
+
+    val sm = new SnapshotManager(dir, io = io)
+    val meta = DataFileMeta(dataName, io.size(dir.resolve(dataName)), 3L,
+      Seq.empty, 0, 0L, 2L, Map.empty)
+    val mf = sm.writeManifest(Seq(ManifestEntry("ADD", meta)))
+    assert(sm.tryCommitSnapshot(Snapshot(1L, 0L, "APPEND", 1L, Seq(mf), 2L, 3L)))
+    assert(!sm.tryCommitSnapshot(Snapshot(1L, 0L, "APPEND", 9L, Seq(mf), 2L, 3L)),
+      "id collision must lose at the store's conditional PUT")
+    assert(sm.latestSnapshotId.contains(1L))
+    assert(sm.liveFilesLatest.map(_.fileName) == Seq(dataName))
+
+    val r = FormatIO.reader("parquet", dir.resolve(dataName),
+      schema, schema, io = io)
+    val rows = r.map(row => (row.getLong(0), row.getUTF8String(1).toString)).toList
+    r.close()
+    assert(rows == List((1L, "s1"), (2L, "s2"), (3L, "s3")))
+
+    // every object is in the stub store; nothing local
+    assert(store.keySet().stream().anyMatch(_.startsWith("/lake/wh/s3tbl/")))
+    assert(!java.nio.file.Files.exists(Paths.get("/wh")))
+  }
+}
