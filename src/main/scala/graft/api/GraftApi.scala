@@ -97,7 +97,8 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     * groups compacted. See [[graft.format.Compactor]].
     */
   def compact(): Int = {
-    val sm = new SnapshotManager(tableDir)
+    val sm = new SnapshotManager(tableDir,
+      io = graft.format.FileIO.resolve(tableSchema.ioSpec))
     val groups = sm.liveFilesLatest
       .groupBy(f => (f.partition, f.bucket))
       .filter(_._2.size > 1).toSeq
@@ -110,13 +111,15 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     * snapshots/files/manifests. See [[graft.format.Maintenance]].
     */
   def expireSnapshots(retainLast: Int): graft.format.Maintenance.ExpireResult =
-    graft.format.Maintenance.expireSnapshots(tableDir, retainLast)
+    graft.format.Maintenance.expireSnapshots(tableDir, retainLast,
+      ioSpec = tableSchema.ioSpec)
 
   /** Delete unreferenced data files older than the given age (aborted
     * writes, stray sidecars); returns the number deleted.
     */
   def vacuum(olderThanMillis: Long = 3600 * 1000L): Int =
-    graft.format.Maintenance.vacuumOrphans(tableDir, olderThanMillis)
+    graft.format.Maintenance.vacuumOrphans(tableDir, olderThanMillis,
+      ioSpec = tableSchema.ioSpec)
 
   private[api] def sqlName: String = s"$catalogName.$identifier"
 }
@@ -210,7 +213,8 @@ final case class Split(rowCount: Long, fileSize: Long, filePaths: Seq[String])
   */
 final class TableScan(table: GraftTableHandle) {
   def plan(): Plan = {
-    val files = new SnapshotManager(table.tableDir).liveFilesLatest
+    val files = new SnapshotManager(table.tableDir,
+      io = graft.format.FileIO.resolve(table.tableSchema.ioSpec)).liveFilesLatest
     val splits =
       if (table.tableSchema.isPrimaryKeyTable)
         files.groupBy(f => (f.partition, f.bucket)).map { case (_, fs) =>
@@ -293,11 +297,13 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     val trimmedPk = ts.trimmedPrimaryKeys
     val isPk = ts.isPrimaryKeyTable
     val numBuckets = ts.numBuckets
-    val baseSeq = new SnapshotManager(table.tableDir).latestSnapshot
+    val baseSeq = new SnapshotManager(table.tableDir,
+      io = graft.format.FileIO.resolve(ts.ioSpec)).latestSnapshot
       .map(_.lastSequenceNumber + 1).getOrElse(1L)
     val fmt = ts.options.getOrElse("file.format", "parquet")
     val spill = GraftDataWriter.spillRows(ts.options)
     val fids = ts.idMap
+    val ioSpec = ts.ioSpec // string travels into the task closure
 
     val collected: Array[Seq[DataFileMeta]] =
       aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -305,7 +311,8 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
         val writer = new GraftDataWriter(Paths.get(tableDirStr), fields,
           partitionKeys, trimmedPk, isPk, numBuckets,
           baseSeq + (pid.toLong << 32), writeSchema, hasRowKindCol = hasKind,
-          fileFormat = fmt, spillRows = spill, fieldIds = fids)
+          fileFormat = fmt, spillRows = spill, fieldIds = fids,
+          ioSpec = ioSpec)
         rows.foreach(writer.write)
         Iterator.single(
           writer.commit().asInstanceOf[GraftCommitMessage].files)
@@ -327,7 +334,8 @@ final class BatchTableCommit(table: GraftTableHandle,
       case None => FileStoreCommit.NoOverwrite
       case Some(m) => FileStoreCommit.StaticOverwrite(m)
     }
-    FileStoreCommit.commit(new SnapshotManager(table.tableDir),
+    FileStoreCommit.commit(new SnapshotManager(table.tableDir,
+      io = graft.format.FileIO.resolve(table.tableSchema.ioSpec)),
       table.tableSchema.id, table.tableSchema.partitionKeys, messages, mode,
       resequence = graft.connector.GraftWriteSupport.resequenceInfo(
         table.tableDir, table.tableSchema))

@@ -137,9 +137,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("$snapshots"))
       val dir = tableDir(base)
-      if (TableSchema.load(dir).isEmpty) throw new NoSuchTableException(base)
+      val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
       return new StaticRowsTable(ident.toString, MetaTables.snapshotsSchema,
-        () => MetaTables.snapshotRows(dir))
+        () => MetaTables.snapshotRows(dir, ts.ioSpec))
     }
     if (ident.name().endsWith("$partitions")) {
       val base = Identifier.of(ident.namespace(),
@@ -169,7 +169,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     TableSchema.load(dir) match {
       case Some(schema) =>
-        val sm = new graft.format.SnapshotManager(dir)
+        val sm = new graft.format.SnapshotManager(dir,
+          io = graft.format.FileIO.resolve(schema.ioSpec))
         val id = version.toLong
         require(sm.existingSnapshotIds.contains(id),
           s"Snapshot $version does not exist for table $ident " +
@@ -186,7 +187,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     TableSchema.load(dir) match {
       case Some(schema) =>
-        val sm = new graft.format.SnapshotManager(dir)
+        val sm = new graft.format.SnapshotManager(dir,
+          io = graft.format.FileIO.resolve(schema.ioSpec))
         val tsMillis = timestampMicros / 1000
         // Enumerate only snapshots that still exist: expireSnapshots
         // removes low ids, so `1L to latest` would hit missing files.

@@ -28,7 +28,8 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
     startSnapshot: Option[Long] = None)
   extends MicroBatchStream with GraftAvailableNowStream {
 
-  private val sm = new SnapshotManager(tableDir)
+  private val sm = new SnapshotManager(tableDir,
+    io = graft.format.FileIO.resolve(schema.ioSpec))
 
   override protected def currentLatestSnapshotId: Long =
     sm.latestSnapshotId.getOrElse(0L)
@@ -81,7 +82,8 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangelogReaderFactory(schema.fields.json, schema.partitionKeys,
-      schema.trimmedPrimaryKeys, required.json, schema.idMap)
+      schema.trimmedPrimaryKeys, required.json, schema.idMap,
+      ioSpec = schema.ioSpec)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -98,7 +100,10 @@ final case class GraftChangelogReaderFactory(
     partitionKeys: Seq[String],
     trimmedPk: Seq[String],
     requiredJson: String,
-    fieldIds: Map[String, Int] = Map.empty) extends PartitionReaderFactory {
+    fieldIds: Map[String, Int] = Map.empty,
+    ioSpec: String = "local") extends PartitionReaderFactory {
+
+  @transient private lazy val fio = graft.format.FileIO.resolve(ioSpec)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftChangelogPartition]
@@ -121,7 +126,7 @@ final case class GraftChangelogReaderFactory(
     if (part.baselineFiles.nonEmpty) {
       val sources = part.baselineFiles.toSeq.map(f =>
         FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema,
-          fieldIds).map(r => (f, r)))
+          fieldIds, io = fio).map(r => (f, r)))
       new SortMergeReader(sources, keyIdx, keyTypes, 0, 1)
         .foreach { case (_, r) => state.update(keyOf(r), r) }
     }
@@ -129,7 +134,7 @@ final case class GraftChangelogReaderFactory(
     // delta rows in sequence order
     val delta = part.deltaFiles.toSeq.flatMap(f =>
       FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema,
-        fieldIds).toSeq).sortBy(_.getLong(0))
+        fieldIds, io = fio).toSeq).sortBy(_.getLong(0))
 
     // synthesize the changelog
     val out = mutable.ArrayBuffer.empty[(Byte, Long, InternalRow)]

@@ -60,7 +60,8 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
     startSnapshot: Option[Long] = None)
   extends MicroBatchStream with GraftAvailableNowStream {
 
-  private val sm = new SnapshotManager(tableDir)
+  private val sm = new SnapshotManager(tableDir,
+    io = graft.format.FileIO.resolve(schema.ioSpec))
 
   override protected def currentLatestSnapshotId: Long =
     sm.latestSnapshotId.getOrElse(0L)
@@ -116,7 +117,8 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
     // the dedup)
     GraftReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, isPk = schema.isPrimaryKeyTable,
-      required.json, merge = false, fieldIds = schema.idMap)
+      required.json, merge = false, fieldIds = schema.idMap,
+      ioSpec = schema.ioSpec)
 
   override def commit(end: Offset): Unit = ()
 

@@ -73,19 +73,23 @@ class GraftReplaceBatchWrite(tableDir: Path, schema: TableSchema,
     plannedFiles: () => Seq[String]) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val sm = new SnapshotManager(tableDir)
+    val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
     val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
     GraftWriterFactory(tableDir.toString, schema.fields.json,
       schema.partitionKeys, schema.trimmedPrimaryKeys,
       schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
-      schema.options.getOrElse("file.format", "parquet"))
+      schema.options.getOrElse("file.format", "parquet"),
+      GraftDataWriter.spillRows(schema.options), schema.idMap,
+      GraftDataWriter.blockSize(schema.options),
+      ioSpec = schema.ioSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.collect { case m: GraftCommitMessage => m.files }.flatten
     val prefix = tableDir.toString + "/"
     val deleteNames = plannedFiles().map(_.stripPrefix(prefix)).toSet
-    val ok = Compactor.commit(new SnapshotManager(tableDir), schema.id,
+    val ok = Compactor.commit(new SnapshotManager(tableDir,
+      io = graft.format.FileIO.resolve(schema.ioSpec)), schema.id,
       adds.toSeq, deleteNames, tableDir, kind = "OVERWRITE")
     if (!ok) throw new IllegalStateException(
       "Row-level operation lost a race with a concurrent commit; retry")
@@ -93,7 +97,8 @@ class GraftReplaceBatchWrite(tableDir: Path, schema: TableSchema,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftCommitMessage => m.files }.flatten
-      .foreach(f => java.nio.file.Files.deleteIfExists(tableDir.resolve(f.fileName)))
+      .foreach(f => graft.format.FileIO.resolve(schema.ioSpec)
+        .delete(tableDir.resolve(f.fileName)))
 }
 
 /** Runtime-filtering hooks mixed into the row-level scan. */

@@ -113,7 +113,7 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     // COUNT(col) needs exact per-file null counts for the column in
     // EVERY live file (older files may predate null-count stats)
     lazy val liveFiles: Seq[DataFileMeta] = {
-      val sm = new SnapshotManager(tableDir)
+      val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
       pinnedSnapshot match {
         case Some(id) => sm.liveFiles(sm.snapshot(id))
         case None => sm.liveFilesLatest
@@ -346,7 +346,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
 
   override def description(): String = {
     val snap = pinnedSnapshot.orElse(
-      new SnapshotManager(tableDir).latestSnapshotId).getOrElse(-1L)
+      new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec)).latestSnapshotId).getOrElse(-1L)
     val pin = if (pinnedSnapshot.isDefined) " (time travel)" else ""
     s"GraftScan(snapshot=$snap$pin, pruneBy=[${filters.mkString(", ")}], limit=$limit)"
   }
@@ -355,7 +355,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     * bucket pruning.
     */
   private def prunedFiles(): Seq[DataFileMeta] = {
-    val sm = new SnapshotManager(tableDir)
+    val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
     val files = incremental match {
       case Some((from, to)) =>
         // snapshot-range diff: the delta manifests of APPEND commits in
@@ -492,6 +492,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     GraftReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, schema.isPrimaryKeyTable, required.json,
       merge = !changelogView, fieldIds = schema.idMap,
+      ioSpec = schema.ioSpec,
       // A row-level rewrite scan must surface EVERY row of the groups
       // it reads — its pushed condition selects which rows get
       // DELETED/UPDATED, so it may only prune whole groups (files),
@@ -514,8 +515,13 @@ final case class GraftReaderFactory(
     requiredJson: String,
     merge: Boolean = true,
     fieldIds: Map[String, Int] = Map.empty,
-    dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    ioSpec: String = "local")
   extends PartitionReaderFactory {
+
+  // resolved per task from the serialized spec (FileIO itself is not
+  // serializable — it may hold HTTP clients)
+  @transient private lazy val fio = graft.format.FileIO.resolve(ioSpec)
 
   /** Append-table parquet partitions decode via Spark's vectorized
     * reader into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es —
@@ -527,7 +533,9 @@ final case class GraftReaderFactory(
     */
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    !isPk &&
+    // non-local IO takes the row path, whose readers stage through the
+    // FileIO seam (the vectorized reader opens Hadoop paths directly)
+    ioSpec == "local" && !isPk &&
       p.asInstanceOf[GraftInputPartition].filePaths.forall(_.endsWith(".parquet")) &&
       !required.fieldNames.exists(n =>
         n == "_sequence_number" || n == "_row_kind")
@@ -660,7 +668,7 @@ final case class GraftReaderFactory(
       else part.filePaths.iterator.flatMap(f =>
         FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
           if (isPk) kvFileSchema else dataFields, readSchema, fieldIds,
-          safeFilters)
+          safeFilters, io = fio)
           .map(r => (f, r)))
 
     // output assembly: required order; partition constants spliced in
@@ -721,7 +729,7 @@ final case class GraftReaderFactory(
     // version of a surviving key (see RowReader)
     val sources = part.filePaths.toSeq.map { f =>
       FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema,
-        readSchema, fieldIds, keyFilters).map(r => (f, r))
+        readSchema, fieldIds, keyFilters, io = fio).map(r => (f, r))
     }
     new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx, kindIdx)
   }
@@ -813,7 +821,7 @@ final class GraftAggScan(tableDir: Path, schema: TableSchema,
     s"GraftAggScan(metadata-only, pushed=[${specs.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val sm = new SnapshotManager(tableDir)
+    val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
     val allFiles = pinnedSnapshot match {
       case Some(id) => sm.liveFiles(sm.snapshot(id))
       case None => sm.liveFilesLatest

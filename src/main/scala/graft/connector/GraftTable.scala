@@ -68,7 +68,8 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
     filters.forall(_.references.forall(tableSchema.partitionKeys.contains))
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val sm = new graft.format.SnapshotManager(tableDir)
+    val sm = new graft.format.SnapshotManager(tableDir,
+      io = graft.format.FileIO.resolve(tableSchema.ioSpec))
     val live = sm.liveFilesLatest
     val pTypes = tableSchema.partitionKeys
       .map(k => k -> tableSchema.fields(tableSchema.fields.fieldIndex(k)).dataType).toMap

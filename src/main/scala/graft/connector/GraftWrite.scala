@@ -6,7 +6,7 @@ import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import graft.core.{RowKind, TableSchema}
 import graft.format._
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 import scala.collection.mutable
 
 /** Write-side of the connector ≙ `BatchWriteBuilder → BatchTableWrite →
@@ -80,21 +80,24 @@ class GraftWriteBuilder(tableDir: Path, schema: TableSchema, info: LogicalWriteI
 class GraftBatchWrite(tableDir: Path, schema: TableSchema,
     mode: FileStoreCommit.OverwriteMode) extends BatchWrite {
 
+  private def tableIo: FileIO = FileIO.resolve(schema.ioSpec)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val sm = new SnapshotManager(tableDir)
+    val sm = new SnapshotManager(tableDir, io = tableIo)
     val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
     GraftWriterFactory(tableDir.toString, schema.fields.json,
       schema.partitionKeys, schema.trimmedPrimaryKeys,
       schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
       schema.options.getOrElse("file.format", "parquet"),
       GraftDataWriter.spillRows(schema.options), schema.idMap,
-      GraftDataWriter.blockSize(schema.options))
+      GraftDataWriter.blockSize(schema.options),
+      ioSpec = schema.ioSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten
-    FileStoreCommit.commit(new SnapshotManager(tableDir), schema.id,
-      schema.partitionKeys, files.toSeq, mode,
+    FileStoreCommit.commit(new SnapshotManager(tableDir, io = tableIo),
+      schema.id, schema.partitionKeys, files.toSeq, mode,
       resequence = GraftWriteSupport.resequenceInfo(tableDir, schema))
     // "one commit may generate up to two snapshots" — data + compaction
     graft.format.Compactor.maybeCompact(tableDir, schema)
@@ -102,7 +105,7 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftCommitMessage => m.files }.flatten
-      .foreach(f => Files.deleteIfExists(tableDir.resolve(f.fileName)))
+      .foreach(f => tableIo.delete(tableDir.resolve(f.fileName)))
 }
 
 final case class GraftCommitMessage(files: Seq[DataFileMeta])
@@ -124,7 +127,7 @@ object GraftWriteSupport {
             StructField("_VALUE_KIND", IntegerType, nullable = false) +:
             dataFields.fields),
         schema.options.getOrElse("file.format", "parquet"),
-        schema.idMap))
+        schema.idMap, ioSpec = schema.ioSpec))
     }
 }
 
@@ -139,7 +142,8 @@ final case class GraftWriterFactory(
     fileFormat: String = "parquet",
     spillRows: Int = GraftDataWriter.DefaultSpillRows,
     fieldIds: Map[String, Int] = Map.empty,
-    blockSize: Int = GraftDataWriter.DefaultBlockSize)
+    blockSize: Int = GraftDataWriter.DefaultBlockSize,
+    ioSpec: String = "local")
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -149,7 +153,7 @@ final case class GraftWriterFactory(
       // per-task disjoint sequence ranges within one commit
       baseSeq + (partitionId.toLong << 32), fields, hasRowKindCol = false,
       fileFormat = fileFormat, spillRows = spillRows, fieldIds = fieldIds,
-      blockSize = blockSize)
+      blockSize = blockSize, ioSpec = ioSpec)
   }
 }
 
@@ -198,8 +202,11 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
     fileFormat: String = "parquet",
     spillRows: Int = GraftDataWriter.DefaultSpillRows,
     fieldIds: Map[String, Int] = Map.empty,
-    blockSize: Int = GraftDataWriter.DefaultBlockSize)
+    blockSize: Int = GraftDataWriter.DefaultBlockSize,
+    ioSpec: String = "local")
   extends DataWriter[InternalRow] {
+
+  private val io: FileIO = FileIO.resolve(ioSpec)
 
   // table fields (sans partition cols) stored in data files
   private val dataFields = StructType(
@@ -300,11 +307,11 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
       val partDir = partitionKeys.zip(part)
         .map { case (k, v) => s"$k=$v" }.mkString("/")
       val bucketDir = (if (partDir.isEmpty) "" else partDir + "/") + s"bucket-$bucket"
-      Files.createDirectories(tableDir.resolve(bucketDir))
+      io.createDirectories(tableDir.resolve(bucketDir))
       val rel = s"$bucketDir/data-${java.util.UUID.randomUUID()}." +
         FormatIO.extension(fileFormat)
       val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema,
-        fieldIds, blockSize)
+        fieldIds, blockSize, io = io)
       sorted.foreach(w.write)
       w.close()
 
@@ -345,7 +352,7 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
         else dataFields.fields.toSeq.zipWithIndex.map { case (f, i) =>
           f.name -> sorted.count(_.isNullAt(i)).toLong
         }.toMap
-      DataFileMeta(rel, Files.size(tableDir.resolve(rel)), sorted.length,
+      DataFileMeta(rel, io.size(tableDir.resolve(rel)), sorted.length,
         part, bucket, seqs.min, seqs.max, typedStats, nullCounts)
     }
   }
@@ -357,6 +364,6 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
 
   // spilled runs exist on disk before commit() — remove them on abort
   override def abort(): Unit =
-    metas.foreach(m => Files.deleteIfExists(tableDir.resolve(m.fileName)))
+    metas.foreach(m => io.delete(tableDir.resolve(m.fileName)))
   override def close(): Unit = ()
 }

@@ -38,8 +38,8 @@ object MetaTables {
     StructField("min_seq", LongType, nullable = false),
     StructField("max_seq", LongType, nullable = false)))
 
-  def snapshotRows(dir: Path): Seq[Array[Any]] = {
-    val sm = new SnapshotManager(dir)
+  def snapshotRows(dir: Path, ioSpec: String = "local"): Seq[Array[Any]] = {
+    val sm = new SnapshotManager(dir, io = graft.format.FileIO.resolve(ioSpec))
     // listing-based, NOT (1..latest): expiry leaves gaps at the front
     sm.existingSnapshotIds.map { id =>
       val s = sm.snapshot(id)
@@ -58,7 +58,8 @@ object MetaTables {
     * the live file set, straight from manifests (no data IO).
     */
   def partitionRows(dir: Path, schema: TableSchema): Seq[Array[Any]] = {
-    new SnapshotManager(dir).liveFilesLatest
+    new SnapshotManager(dir, io = graft.format.FileIO.resolve(schema.ioSpec))
+      .liveFilesLatest
       .groupBy(_.partition).toSeq.sortBy(_._1.mkString("/"))
       .map { case (part, fs) =>
         Array[Any](
@@ -69,7 +70,8 @@ object MetaTables {
   }
 
   def fileRows(dir: Path, schema: TableSchema): Seq[Array[Any]] = {
-    new SnapshotManager(dir).liveFilesLatest.map { f =>
+    new SnapshotManager(dir, io = graft.format.FileIO.resolve(schema.ioSpec))
+      .liveFilesLatest.map { f =>
       Array[Any](UTF8String.fromString(f.fileName),
         UTF8String.fromString(
           schema.partitionKeys.zip(f.partition)

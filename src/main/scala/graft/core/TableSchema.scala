@@ -51,6 +51,14 @@ final case class TableSchema(
 
   def numBuckets: Int = options.getOrElse("bucket", "-1").toInt
 
+  /** Storage backend spec for the table's DATA PLANE (snapshots,
+    * manifests, data files) — see [[graft.format.FileIO.resolve]].
+    * Catalog metadata (schema files, namespaces) stays with the
+    * catalog's own filesystem, the usual split when data lives on an
+    * object store.
+    */
+  def ioSpec: String = options.getOrElse("io", "local")
+
   /** Trimmed primary key: pk fields minus partition fields — the key the
     * merge compares (`sort_merge_reader.py:203-210`).
     */

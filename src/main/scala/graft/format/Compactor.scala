@@ -3,7 +3,7 @@ package graft.format
 import org.apache.spark.sql.types._
 import graft.connector.Values
 import graft.core.RowKind
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 import scala.collection.mutable
 
 /** Full compaction of one (partition, bucket) group: read every live
@@ -33,8 +33,10 @@ object Compactor extends Serializable {
       bucket: Int,
       fileNames: Seq[String],
       fileFormat: String = "parquet",
-      fieldIds: Map[String, Int] = Map.empty): DataFileMeta = {
+      fieldIds: Map[String, Int] = Map.empty,
+      ioSpec: String = "local"): DataFileMeta = {
 
+    val io = FileIO.resolve(ioSpec)
     val dataFields = StructType(
       fields.fields.filterNot(f => partitionKeys.contains(f.name)))
     val fileSchema = if (isPk) StructType(
@@ -50,7 +52,7 @@ object Compactor extends Serializable {
           (Long, org.apache.spark.sql.catalyst.InternalRow)]
         fileNames.foreach { fn =>
           FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
-            fileSchema, fileSchema, fieldIds)
+            fileSchema, fileSchema, fieldIds, io = io)
             .foreach { r =>
               val key = keyIdx.zip(keyTypes).map { case (i, dt) =>
                 Values.encodeField(r, i, dt)
@@ -80,16 +82,16 @@ object Compactor extends Serializable {
       } else
         fileNames.flatMap(fn =>
           FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
-            fileSchema, fileSchema, fieldIds).toSeq)
+            fileSchema, fileSchema, fieldIds, io = io).toSeq)
 
     val partDir = partitionKeys.zip(partition)
       .map { case (k, v) => s"$k=$v" }.mkString("/")
     val bucketDir = (if (partDir.isEmpty) "" else partDir + "/") + s"bucket-$bucket"
-    Files.createDirectories(tableDir.resolve(bucketDir))
+    io.createDirectories(tableDir.resolve(bucketDir))
     val rel = s"$bucketDir/compact-${java.util.UUID.randomUUID()}." +
       FormatIO.extension(fileFormat)
     val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema,
-      fieldIds)
+      fieldIds, io = io)
     rows.foreach(w.write)
     w.close()
 
@@ -124,7 +126,7 @@ object Compactor extends Serializable {
       else fileSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
         f.name -> rows.count(_.isNullAt(i)).toLong
       }.toMap
-    DataFileMeta(rel, Files.size(tableDir.resolve(rel)), rows.length,
+    DataFileMeta(rel, io.size(tableDir.resolve(rel)), rows.length,
       partition, bucket, seqs.min, seqs.max, stats, nullCounts)
   }
 
@@ -144,6 +146,7 @@ object Compactor extends Serializable {
     val isPk = schema.isPrimaryKeyTable
     val fmt = schema.options.getOrElse("file.format", "parquet")
     val fids = schema.idMap
+    val ioSpec = schema.ioSpec // string travels into the task closure
     val work = groups.map { case ((part, bucket), fs) =>
       (part, bucket, fs.map(_.fileName))
     }
@@ -151,7 +154,7 @@ object Compactor extends Serializable {
       rewriteGroup(Path.of(dirStr),
         org.apache.spark.sql.types.DataType.fromJson(fieldsJson)
           .asInstanceOf[StructType],
-        pks, tpk, isPk, part, bucket, names, fmt, fids)
+        pks, tpk, isPk, part, bucket, names, fmt, fids, ioSpec)
     val adds = spark match {
       case Some(s) => s.sparkContext.parallelize(work, work.size)
         .map { case (part, bucket, names) => rewrite(part, bucket, names) }
@@ -161,7 +164,8 @@ object Compactor extends Serializable {
       }
     }
     val deleteNames = groups.flatMap(_._2.map(_.fileName)).toSet
-    commit(new SnapshotManager(tableDir), schema.id, adds, deleteNames, tableDir)
+    commit(new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec)),
+      schema.id, adds, deleteNames, tableDir)
     groups.size
   }
 
@@ -183,7 +187,7 @@ object Compactor extends Serializable {
     val trigger = schema.options.get("compaction.trigger-file-count")
       .map(_.toInt).getOrElse(5)
     if (trigger <= 0) return 0
-    val sm = new SnapshotManager(tableDir)
+    val sm = new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec))
     if (sm.latestSnapshot.isEmpty) return 0
     val groups = sm.liveFilesLatest
       .groupBy(f => (f.partition, f.bucket))
@@ -207,7 +211,7 @@ object Compactor extends Serializable {
       val live = sm.liveFiles(base)
       val liveNames = live.map(_.fileName).toSet
       if (!deleteNames.subsetOf(liveNames)) {
-        adds.foreach(f => Files.deleteIfExists(tableDir.resolve(f.fileName)))
+        adds.foreach(f => sm.io.delete(tableDir.resolve(f.fileName)))
         return false // inputs vanished under us — give up cleanly
       }
       val entries = live.filter(f => deleteNames.contains(f.fileName))

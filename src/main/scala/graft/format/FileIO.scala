@@ -54,6 +54,45 @@ trait FileIO {
 
 object FileIO {
 
+  /** Resolve a table's `io` property to an implementation. Specs:
+    *
+    *  - `local` (default) — [[FileIO.local]]
+    *  - `memory:<name>` — process-wide shared in-memory store (object
+    *    store stand-in; resolvable from any task in local mode, which
+    *    is what the contract tests run — a multi-JVM cluster would use
+    *    a real store spec instead)
+    *  - `s3:<endpoint>:<region>:<bucket>` — [[S3FileIO]]; credentials
+    *    come from `GRAFT_S3_ACCESS_KEY` / `GRAFT_S3_SECRET_KEY` (env,
+    *    never table properties — they would persist into schema files)
+    *
+    * The spec string (not the FileIO) travels in serialized reader/
+    * writer factories; each task resolves it locally.
+    */
+  def resolve(spec: String): FileIO = spec match {
+    case null | "" | "local" => local
+    case s if s.startsWith("memory:") =>
+      memoryRegistry.computeIfAbsent(s.stripPrefix("memory:"),
+        _ => inMemory())
+    case s if s.startsWith("s3:") =>
+      s.stripPrefix("s3:").split(":", 3) match {
+        case Array(endpoint, region, bucket) =>
+          new S3FileIO(java.net.URI.create(endpoint), region, bucket,
+            sys.env.getOrElse("GRAFT_S3_ACCESS_KEY",
+              throw new IllegalArgumentException(
+                "io=s3 requires GRAFT_S3_ACCESS_KEY in the environment")),
+            sys.env.getOrElse("GRAFT_S3_SECRET_KEY",
+              throw new IllegalArgumentException(
+                "io=s3 requires GRAFT_S3_SECRET_KEY in the environment")))
+        case _ => throw new IllegalArgumentException(
+          s"Bad io spec '$s': expected s3:<endpoint>:<region>:<bucket>")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported io spec: $other")
+  }
+
+  private val memoryRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, FileIO]()
+
   /** Direct local-filesystem implementation (the default everywhere). */
   val local: FileIO = new FileIO {
     override def readString(path: Path): String = Files.readString(path)

@@ -131,7 +131,8 @@ final case class ResequenceInfo(
     tableDir: java.nio.file.Path,
     kvFileSchema: org.apache.spark.sql.types.StructType,
     fileFormat: String,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    ioSpec: String = "local")
 
 object Resequencer {
   /** Rewrite one KV data file with every _SEQUENCE_NUMBER shifted by
@@ -139,14 +140,15 @@ object Resequencer {
     */
   def shift(info: ResequenceInfo, meta: DataFileMeta, delta: Long): DataFileMeta = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val io = FileIO.resolve(info.ioSpec)
     val src = info.tableDir.resolve(meta.fileName)
     val dir = meta.fileName.substring(0, meta.fileName.lastIndexOf('/') max 0)
     val rel = (if (dir.isEmpty) "" else dir + "/") +
       s"data-${java.util.UUID.randomUUID()}.${FormatIO.extension(info.fileFormat)}"
     val w = FormatIO.writer(info.fileFormat, info.tableDir.resolve(rel),
-      info.kvFileSchema, info.fieldIds)
+      info.kvFileSchema, info.fieldIds, io = io)
     FormatIO.reader(FormatIO.ofFile(meta.fileName), src,
-      info.kvFileSchema, info.kvFileSchema, info.fieldIds).foreach { r =>
+      info.kvFileSchema, info.kvFileSchema, info.fieldIds, io = io).foreach { r =>
       val out = new GenericInternalRow(info.kvFileSchema.length)
       out.update(0, r.getLong(0) + delta)
       var i = 1
@@ -158,9 +160,9 @@ object Resequencer {
       w.write(out)
     }
     w.close()
-    java.nio.file.Files.deleteIfExists(src)
+    io.delete(src)
     meta.copy(fileName = rel,
-      fileSize = java.nio.file.Files.size(info.tableDir.resolve(rel)),
+      fileSize = io.size(info.tableDir.resolve(rel)),
       minSeq = meta.minSeq + delta, maxSeq = meta.maxSeq + delta)
   }
 }

@@ -18,9 +18,11 @@ object Maintenance {
     * live sets (a file still live anywhere retained survives, so time
     * travel within the retained window keeps working).
     */
-  def expireSnapshots(tableDir: Path, retainLast: Int): ExpireResult = {
+  def expireSnapshots(tableDir: Path, retainLast: Int,
+      ioSpec: String = "local"): ExpireResult = {
     require(retainLast >= 1, "must retain at least one snapshot")
-    val sm = new SnapshotManager(tableDir)
+    val io = FileIO.resolve(ioSpec)
+    val sm = new SnapshotManager(tableDir, io = io)
     val latest = sm.latestSnapshotId.getOrElse(return ExpireResult(0, 0, 0))
     val cutoff = latest - retainLast + 1
     if (cutoff <= 1) return ExpireResult(0, 0, 0)
@@ -34,27 +36,36 @@ object Maintenance {
     val reachable = retained.flatMap(s =>
       sm.liveFiles(s).map(_.fileName)).toSet
 
+    // candidate data files: local IO walks the bucket dirs (also
+    // sweeps aborted-write orphans); non-local IO enumerates every
+    // file any manifest mentions (object stores have no cheap walk;
+    // true orphans are vacuum's concern). Collected BEFORE manifests
+    // are deleted.
+    val candidates: Seq[String] =
+      if (ioSpec == "local")
+        dataFiles(tableDir).map(p => tableDir.relativize(p).toString)
+      else io.list(tableDir.resolve("manifest"))
+        .filter(_.startsWith("manifest-"))
+        .flatMap(m => sm.readManifest(m).map(_.file.fileName)).distinct
+
     val snapshotDir = tableDir.resolve("snapshot")
     val manifestDir = tableDir.resolve("manifest")
     var expired = 0
     (1L until cutoff).foreach { id =>
-      if (Files.deleteIfExists(snapshotDir.resolve(s"snapshot-$id"))) expired += 1
+      if (io.delete(snapshotDir.resolve(s"snapshot-$id"))) expired += 1
     }
     var deletedManifests = 0
-    if (Files.isDirectory(manifestDir))
-      Files.list(manifestDir).iterator().asScala.toSeq.foreach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("manifest-") && !keepManifests.contains(name)) {
-          Files.deleteIfExists(p); deletedManifests += 1
-        }
+    io.list(manifestDir).foreach { name =>
+      if (name.startsWith("manifest-") && !keepManifests.contains(name)) {
+        io.delete(manifestDir.resolve(name)); deletedManifests += 1
       }
+    }
     var deletedData = 0
-    dataFiles(tableDir).foreach { p =>
-      val rel = tableDir.relativize(p).toString
+    candidates.foreach { rel =>
       if (!reachable.contains(rel)) {
-        Files.deleteIfExists(p)
-        Files.deleteIfExists(p.getParent.resolve("." + p.getFileName + ".crc"))
-        deletedData += 1
+        if (io.delete(tableDir.resolve(rel))) deletedData += 1
+        val p = tableDir.resolve(rel)
+        io.delete(p.getParent.resolve("." + p.getFileName + ".crc"))
       }
     }
     ExpireResult(expired, deletedData, deletedManifests)
@@ -65,7 +76,15 @@ object Maintenance {
     * older than `olderThanMillis` are touched, so in-flight writers
     * (whose files precede their commit) are never raced.
     */
-  def vacuumOrphans(tableDir: Path, olderThanMillis: Long = 3600 * 1000L): Int = {
+  def vacuumOrphans(tableDir: Path, olderThanMillis: Long = 3600 * 1000L,
+      ioSpec: String = "local"): Int = {
+    // orphan detection needs a recursive listing plus per-file mtimes —
+    // semantics FileIO deliberately does not model yet (object stores
+    // expose LastModified through their list API; wiring that in is the
+    // seam's next step). Refuse loudly rather than silently scanning
+    // the wrong filesystem.
+    if (ioSpec != "local") throw new UnsupportedOperationException(
+      s"vacuum requires local table storage for its mtime walk; got io=$ioSpec")
     val sm = new SnapshotManager(tableDir)
     val referenced = sm.existingSnapshotIds
       .flatMap(id => sm.snapshot(id).manifests)

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** End-to-end: a table whose DATA PLANE (snapshots, manifests, data
+  * files) lives on a non-local FileIO, driven purely through Spark SQL
+  * via the `io` table property. Catalog metadata (schema files) stays
+  * with the catalog — the usual metadata/data split when tables live on
+  * an object store. The in-memory FileIO stands in for the store; the
+  * same spec string machinery resolves `s3:...` to [[S3FileIO]].
+  */
+class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var warehouse: java.nio.file.Path = _
+
+  lazy val spark: SparkSession = {
+    warehouse = Files.createTempDirectory("graft-iow-wh")
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.default")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The table's local dir must hold ONLY catalog metadata (schema/). */
+  private def assertDataPlaneRemote(table: String): Unit = {
+    val dir = warehouse.resolve("default.db").resolve(table)
+    val local = Files.list(dir).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(local)
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names == Set("schema"),
+      s"only schema/ may be local for $table, found $names")
+  }
+
+  test("PK table on memory FileIO: upsert, merge read, DML, time travel") {
+    spark.sql("CREATE TABLE graft.default.io_pk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', 'io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_pk VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.default.io_pk VALUES (2,'B'), (4,'d')")
+
+    // merge-on-read across two remote commits
+    val got = spark.sql("SELECT * FROM graft.default.io_pk ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+
+    // time travel against remote snapshots
+    assert(spark.sql("SELECT * FROM graft.default.io_pk VERSION AS OF 1")
+      .count() == 3)
+    // system table reads remote snapshot chain
+    assert(spark.sql("SELECT count(*) FROM graft.default.`io_pk$snapshots`")
+      .collect()(0).getLong(0) == 2L)
+
+    // row-level DML: copy-on-write DELETE through the remote store
+    spark.sql("DELETE FROM graft.default.io_pk WHERE k = 3")
+    assert(spark.table("graft.default.io_pk").count() == 3)
+
+    assertDataPlaneRemote("io_pk")
+  }
+
+  test("partitioned append table on memory FileIO: insert, prune, expire") {
+    spark.sql("CREATE TABLE graft.default.io_app (pt STRING, v BIGINT) " +
+      "PARTITIONED BY (pt) TBLPROPERTIES ('io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_app VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO graft.default.io_app VALUES ('a', 3)")
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.default.io_app WHERE pt = 'a'")
+      .collect()(0).getLong(0) == 4L)
+
+    // maintenance: expiry walks the remote manifests, not the local disk
+    val cat = graft.api.Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    val t = cat.getTable("default.io_app")
+    val res = t.expireSnapshots(retainLast = 1)
+    assert(res.expiredSnapshots == 1)
+    assert(spark.table("graft.default.io_app").count() == 3) // state intact
+    // vacuum's mtime walk is local-only by design: loud refusal
+    intercept[UnsupportedOperationException](t.vacuum(olderThanMillis = 0L))
+
+    assertDataPlaneRemote("io_app")
+  }
+
+  test("streaming reads drain a memory-backed table") {
+    spark.sql("CREATE TABLE graft.default.io_str (id BIGINT) " +
+      "TBLPROPERTIES ('io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_str VALUES (1), (2)")
+    val q = spark.readStream.table("graft.default.io_str")
+      .writeStream.format("memory").queryName("io_str_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM io_str_sink")
+      .collect()(0).getLong(0) == 2L)
+    assertDataPlaneRemote("io_str")
+  }
+}
