@@ -83,7 +83,8 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangelogReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, required.json, schema.idMap,
-      ioSpec = schema.ioSpec)
+      ioSpec = schema.ioSpec,
+      sortEngine = schema.options.getOrElse("sort-engine", "min-heap"))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -101,7 +102,8 @@ final case class GraftChangelogReaderFactory(
     trimmedPk: Seq[String],
     requiredJson: String,
     fieldIds: Map[String, Int] = Map.empty,
-    ioSpec: String = "local") extends PartitionReaderFactory {
+    ioSpec: String = "local",
+    sortEngine: String = "min-heap") extends PartitionReaderFactory {
 
   @transient private lazy val fio = graft.format.FileIO.resolve(ioSpec)
 
@@ -127,7 +129,7 @@ final case class GraftChangelogReaderFactory(
       val sources = part.baselineFiles.toSeq.map(f =>
         FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema,
           fieldIds, io = fio).map(r => (f, r)))
-      new SortMergeReader(sources, keyIdx, keyTypes, 0, 1)
+      new SortMergeReader(sources, keyIdx, keyTypes, 0, 1, sortEngine)
         .foreach { case (_, r) => state.update(keyOf(r), r) }
     }
 

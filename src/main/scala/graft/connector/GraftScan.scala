@@ -493,6 +493,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
       schema.trimmedPrimaryKeys, schema.isPrimaryKeyTable, required.json,
       merge = !changelogView, fieldIds = schema.idMap,
       ioSpec = schema.ioSpec,
+      sortEngine = schema.options.getOrElse("sort-engine", "min-heap"),
       // A row-level rewrite scan must surface EVERY row of the groups
       // it reads — its pushed condition selects which rows get
       // DELETED/UPDATED, so it may only prune whole groups (files),
@@ -516,7 +517,8 @@ final case class GraftReaderFactory(
     merge: Boolean = true,
     fieldIds: Map[String, Int] = Map.empty,
     dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    ioSpec: String = "local")
+    ioSpec: String = "local",
+    sortEngine: String = "min-heap")
   extends PartitionReaderFactory {
 
   // resolved per task from the serialized spec (FileIO itself is not
@@ -731,7 +733,8 @@ final case class GraftReaderFactory(
       FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema,
         readSchema, fieldIds, keyFilters, io = fio).map(r => (f, r))
     }
-    new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx, kindIdx)
+    new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx,
+      kindIdx, sortEngine)
   }
 }
 

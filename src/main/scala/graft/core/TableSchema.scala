@@ -85,6 +85,10 @@ final case class TableSchema(
     val fmt = options.getOrElse("file.format", "parquet")
     if (!Seq("parquet", "orc", "avro").contains(fmt))
       throw new IllegalArgumentException(s"Unsupported file.format: $fmt")
+    val engine = options.getOrElse("sort-engine", "min-heap")
+    if (!Seq("min-heap", "loser-tree").contains(engine))
+      throw new IllegalArgumentException(
+        s"Unsupported sort-engine: $engine (expected min-heap or loser-tree)")
     this
   }
 

@@ -89,6 +89,23 @@ class FormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("Unsupported file.format"))
   }
 
+  test("sort-engine=loser-tree merges a PK table identically via SQL") {
+    spark.sql("CREATE TABLE graft.default.pk_lt (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'sort-engine'='loser-tree')")
+    spark.sql("INSERT INTO graft.default.pk_lt VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.default.pk_lt VALUES (2,'B'), (4,'d')")
+    val got = spark.sql("SELECT * FROM graft.default.pk_lt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.default.pk_bad (k BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+        "'sort-engine'='bogo-sort')")
+    }
+    assert(e.getMessage.contains("sort-engine"))
+  }
+
   test("table IO end-to-end through a non-local FileIO (object-store seam)") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types._
