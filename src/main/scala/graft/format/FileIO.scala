@@ -74,18 +74,20 @@ object FileIO {
       memoryRegistry.computeIfAbsent(s.stripPrefix("memory:"),
         _ => inMemory())
     case s if s.startsWith("s3:") =>
-      s.stripPrefix("s3:").split(":", 3) match {
-        case Array(endpoint, region, bucket) =>
-          new S3FileIO(java.net.URI.create(endpoint), region, bucket,
-            sys.env.getOrElse("GRAFT_S3_ACCESS_KEY",
-              throw new IllegalArgumentException(
-                "io=s3 requires GRAFT_S3_ACCESS_KEY in the environment")),
-            sys.env.getOrElse("GRAFT_S3_SECRET_KEY",
-              throw new IllegalArgumentException(
-                "io=s3 requires GRAFT_S3_SECRET_KEY in the environment")))
-        case _ => throw new IllegalArgumentException(
-          s"Bad io spec '$s': expected s3:<endpoint>:<region>:<bucket>")
-      }
+      // endpoint URIs contain ':' (scheme, port) — region and bucket
+      // are the LAST two segments, everything before them the endpoint
+      val parts = s.stripPrefix("s3:").split(":")
+      if (parts.length < 3) throw new IllegalArgumentException(
+        s"Bad io spec '$s': expected s3:<endpoint>:<region>:<bucket>")
+      val endpoint = parts.dropRight(2).mkString(":")
+      val Array(region, bucket) = parts.takeRight(2)
+      new S3FileIO(java.net.URI.create(endpoint), region, bucket,
+        sys.env.getOrElse("GRAFT_S3_ACCESS_KEY",
+          throw new IllegalArgumentException(
+            "io=s3 requires GRAFT_S3_ACCESS_KEY in the environment")),
+        sys.env.getOrElse("GRAFT_S3_SECRET_KEY",
+          throw new IllegalArgumentException(
+            "io=s3 requires GRAFT_S3_SECRET_KEY in the environment")))
     case other =>
       throw new IllegalArgumentException(s"Unsupported io spec: $other")
   }

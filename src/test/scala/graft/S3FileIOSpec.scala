@@ -96,6 +96,24 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = server.stop(0)
 
+  test("io spec parsing keeps colons in the endpoint URI") {
+    import graft.format.FileIO
+    // endpoint with scheme+port: parse must succeed and fail only on
+    // the missing credentials (env), not on the spec format
+    val e = intercept[IllegalArgumentException](
+      FileIO.resolve("s3:http://127.0.0.1:9000:us-east-1:lake"))
+    assert(e.getMessage.contains("GRAFT_S3_ACCESS_KEY"), e.getMessage)
+    // too few segments IS a format error
+    val bad = intercept[IllegalArgumentException](
+      FileIO.resolve("s3:onlyhost:lake"))
+    assert(bad.getMessage.contains("Bad io spec"), bad.getMessage)
+    // unknown scheme rejected; local and memory resolve
+    intercept[IllegalArgumentException](FileIO.resolve("ftp:x"))
+    assert(FileIO.resolve("local") eq FileIO.local)
+    assert(FileIO.resolve("memory:a") eq FileIO.resolve("memory:a"))
+    assert(FileIO.resolve("memory:a") ne FileIO.resolve("memory:b"))
+  }
+
   test("byte ops: put/get/head/delete and the conditional-put winner") {
     val p = Paths.get("/wh/t/snapshot/snapshot-1")
     assert(!io.exists(p))
