@@ -68,8 +68,71 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Shared byte-level tokenizer core, Java-callable from generated code
+  * (Scala object methods get static forwarders).
+  */
+object AsciiWordsUtil {
+  /** Maximal runs of ASCII letters, lowercased — byte-for-byte the
+    * result of `regexp_extract_all(lower(s), '[a-z]+')`: multi-byte
+    * UTF-8 sequences have the high bit set on every byte, and
+    * `lower()` never maps a non-ASCII letter into a-z, so "not an
+    * ASCII letter byte" is a separator under both definitions.
+    */
+  def extract(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      var b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
+        var j = i
+        var letter = true
+        while (j < n && letter) {
+          b = bytes(j)
+          letter = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+          if (letter) j += 1
+        }
+        val w = new Array[Byte](j - i)
+        var k = 0
+        while (k < j - i) { w(k) = (bytes(i + k) | 0x20).toByte; k += 1 }
+        out.add(UTF8String.fromBytes(w))
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `ascii_words(text)`: lowercase ASCII-letter tokens of a string as a
+  * native codegen expression — one pass over the UTF-8 bytes, no regex
+  * engine, replacing `regexp_extract_all(lower(text), '[a-z]+', 0)`
+  * (identical output — see [[AsciiWordsUtil.extract]]; FunctionsSpec
+  * pins the equivalence on randomized Unicode input). The tokenizer
+  * sits under every dedup/text query, so it is the single hottest
+  * scalar in the corpus pipeline.
+  */
+case class AsciiWords(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    AsciiWordsUtil.extract(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AsciiWordsUtil.extract($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** n-token shingles of a token array column. */
   def word_shingles(tokens: Column, n: Int): Column =
     GraftShims.column(WordShingles(GraftShims.expression(tokens), n))
+
+  /** Lowercased ASCII-letter tokens of a string column. */
+  def ascii_words(text: Column): Column =
+    GraftShims.column(AsciiWords(GraftShims.expression(text)))
 }

@@ -18,7 +18,9 @@ import Tables._
   */
 object Dedup {
 
-  private val tokensExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+  // codegen byte-level tokenizer == regexp_extract_all(lower, '[a-z]+')
+  // (equivalence pinned in FunctionsSpec); the oracles keep the regex form
+  private def tokens = graft.functions.TextFunctions.ascii_words(col("text"))
 
   private val K = 16 // minhash signature length
   private val R = 4 // rows per LSH band -> B = K/R = 4 bands
@@ -59,7 +61,7 @@ object Dedup {
     // evict under pressure and force a 4x shingle recompute — at 100 TB
     // the only viable levels are the spillable serialized ones.
     val shingled = t(s, dir, "documents")
-      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), tokens.as("toks"))
       .select(col("doc_id"), array_distinct(
         graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -236,7 +238,7 @@ object Dedup {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val toks = docs
-          .select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+          .select(col("doc_id"), explode(tokens).as("w"))
           .select(col("doc_id"), h60s(col("w")).as("h"))
         val bitSums = (0 until 60).map(b =>
           sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
@@ -291,7 +293,7 @@ object Dedup {
         // same persist→materialize→unpersist discipline as the LSH
         // pipeline above, so nothing outlives the query.
         val sh = t(s, dir, "documents")
-          .select(col("doc_id"), expr(tokensExpr).as("toks"))
+          .select(col("doc_id"), tokens.as("toks"))
           .select(col("doc_id"), array_distinct(
             graft.functions.TextFunctions.word_shingles(col("toks"), 5)).as("gs"))
           .filter(size(col("gs")) > 0)
@@ -335,7 +337,7 @@ object Dedup {
     QueryDef("d_ngram_jaccard",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), expr(s"array_distinct($tokensExpr)").as("tk"))
+          .select(col("doc_id"), array_distinct(tokens).as("tk"))
         docs.as("a").join(docs.as("b"),
             col("b.doc_id") === col("a.doc_id") + 1)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

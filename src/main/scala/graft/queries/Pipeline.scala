@@ -12,7 +12,7 @@ import Tables._
   */
 object Pipeline {
 
-  private val tokensExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+  private def tokens = graft.functions.TextFunctions.ascii_words(col("text"))
 
   val defs: Seq[QueryDef] = Seq(
     // Quality filter: integer-only thresholds (counts compared
@@ -21,7 +21,7 @@ object Pipeline {
     // mean token length <= 8.
     QueryDef("t_quality_filter_pipeline",
       (s, dir) => t(s, dir, "documents")
-        .withColumn("toks", expr(tokensExpr))
+        .withColumn("toks", tokens)
         .select(col("doc_id"), col("lang"),
           size(col("toks")).as("n_tokens"),
           expr("size(filter(toks, w -> w IN ('the','a','and','of','to')))")

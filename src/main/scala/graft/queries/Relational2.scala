@@ -249,7 +249,7 @@ object Relational2 {
     QueryDef("t_trigram_distinct",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+          graft.functions.TextFunctions.ascii_words(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
           size(array_distinct(

@@ -82,7 +82,7 @@ object Relational3 {
     QueryDef("t_doc_freq",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(expr("array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))"))
+          explode(array_distinct(graft.functions.TextFunctions.ascii_words(col("text"))))
             .as("word"))
         .groupBy("word").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("word")).limit(30),

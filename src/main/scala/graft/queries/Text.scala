@@ -13,14 +13,14 @@ object Text {
 
   // Tokens = maximal [a-z]+ runs of the lowercased text; the same regex
   // evaluates identically in Spark (Java regex) and DuckDB (RE2).
-  private val tokensExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+  private def tokens = graft.functions.TextFunctions.ascii_words(col("text"))
   private val sqlTokens = "regexp_extract_all(lower(text), '[a-z]+')"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t_token_count",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
-          expr(s"size($tokensExpr)").as("n_tokens"),
+          size(tokens).as("n_tokens"),
           length(col("text")).as("len_chars"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, len($sqlTokens) AS n_tokens,
@@ -46,7 +46,7 @@ object Text {
 
     QueryDef("t_word_freq_top20",
       (s, dir) => t(s, dir, "documents")
-        .select(explode(expr(tokensExpr)).as("word"))
+        .select(explode(tokens).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(20),
       Some(s"""SELECT word, COUNT(*) AS n
@@ -57,7 +57,7 @@ object Text {
     // Ratios are one exact-int division → bitwise deterministic.
     QueryDef("t_quality_score",
       (s, dir) => t(s, dir, "documents")
-        .withColumn("toks", expr(tokensExpr))
+        .withColumn("toks", tokens)
         .select(col("doc_id"),
           size(col("toks")).as("n_tokens"),
           (expr("aggregate(toks, 0L, (a, w) -> a + length(w))").cast("double") /
@@ -103,7 +103,7 @@ object Text {
     // pipeline shape — a codegen'd scoring expression — not linguistics.
     QueryDef("t_lang_id_heuristic",
       (s, dir) => t(s, dir, "documents")
-        .withColumn("toks", expr(tokensExpr))
+        .withColumn("toks", tokens)
         .select(col("doc_id"),
           when(expr("size(filter(toks, w -> w IN ('the','of','and')))") > 2, "en")
             .when(expr("size(filter(toks, w -> w IN ('der','die','das','und')))") > 0, "de")

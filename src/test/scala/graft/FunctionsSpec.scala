@@ -54,6 +54,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("ascii_words equals regexp_extract_all(lower, '[a-z]+') on Unicode") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.ascii_words
+    val planted = Seq(
+      "The Quick  BROWN fox!!", "", "   ", "123 456", "a", "Z",
+      "héllo wörld Straße ÉTÉ", "emoji 😃 split", "tab\tand\nnewline",
+      "CamelCaseRuns", "a1b2c3", "ünïcödé-mixed ascii END")
+    val rnd = new scala.util.Random(7L)
+    val fuzz = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(40)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 1 => ('A' + rnd.nextInt(26)).toChar.toString
+          case 2 => " .,;\t\n0123456789".charAt(rnd.nextInt(16)).toString
+          case _ => new String(Character.toChars(
+            Seq(0xe9, 0xdf, 0x4e2d, 0x1f600)(rnd.nextInt(4))))
+        }
+      }.mkString
+    }
+    val df = (planted ++ fuzz).toDF("text")
+    val both = df.select(
+      ascii_words(col("text")).as("fast"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
   test("catalog functions callable from plain SQL") {
     val wh = java.nio.file.Files.createTempDirectory("graft-fn-wh")
     spark.conf.set("spark.sql.catalog.gfn", "graft.connector.GraftCatalog")
