@@ -328,14 +328,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    if (TableSchema.load(dir).isEmpty) return false
-    deleteRecursively(dir)
-    true
+    TableSchema.load(dir) match {
+      case None => false
+      case Some(ts) =>
+        // non-local data plane: remote keys are prefixed by the table
+        // dir, so a later CREATE of the same name would otherwise
+        // resurrect the dropped table's snapshots. Enumerate and delete
+        // through the seam BEFORE removing the local schema.
+        if (ts.ioSpec != "local") {
+          val io = graft.format.FileIO.resolve(ts.ioSpec)
+          val sm = new graft.format.SnapshotManager(dir, io = io)
+          val manifests = io.list(dir.resolve("manifest"))
+            .filter(_.startsWith("manifest-"))
+          manifests.flatMap(m => sm.readManifest(m).map(_.file.fileName))
+            .distinct.foreach(f => io.delete(dir.resolve(f)))
+          manifests.foreach(m => io.delete(dir.resolve("manifest").resolve(m)))
+          sm.existingSnapshotIds.foreach(id =>
+            io.delete(dir.resolve("snapshot").resolve(s"snapshot-$id")))
+          io.delete(dir.resolve("snapshot").resolve("LATEST"))
+        }
+        deleteRecursively(dir)
+        true
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    if (TableSchema.load(tableDir(oldIdent)).isEmpty) throw new NoSuchTableException(oldIdent)
+    val oldSchema = TableSchema.load(tableDir(oldIdent))
+      .getOrElse(throw new NoSuchTableException(oldIdent))
     if (TableSchema.load(tableDir(newIdent)).isDefined) throw new TableAlreadyExistsException(newIdent)
+    // non-local data plane: remote keys embed the old table-dir prefix,
+    // so a local dir move would silently orphan every snapshot and the
+    // renamed table would read empty. Object stores cannot rename a key
+    // prefix atomically either — refuse rather than lose data.
+    if (oldSchema.ioSpec != "local") throw new UnsupportedOperationException(
+      s"RENAME is not supported for tables on io=${oldSchema.ioSpec}: " +
+        "remote keys are bound to the table path (copy into a new table instead)")
     Files.move(tableDir(oldIdent), tableDir(newIdent))
   }
 

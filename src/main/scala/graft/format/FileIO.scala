@@ -74,25 +74,32 @@ object FileIO {
       memoryRegistry.computeIfAbsent(s.stripPrefix("memory:"),
         _ => inMemory())
     case s if s.startsWith("s3:") =>
-      // endpoint URIs contain ':' (scheme, port) — region and bucket
-      // are the LAST two segments, everything before them the endpoint
-      val parts = s.stripPrefix("s3:").split(":")
-      if (parts.length < 3) throw new IllegalArgumentException(
-        s"Bad io spec '$s': expected s3:<endpoint>:<region>:<bucket>")
-      val endpoint = parts.dropRight(2).mkString(":")
-      val Array(region, bucket) = parts.takeRight(2)
-      new S3FileIO(java.net.URI.create(endpoint), region, bucket,
-        sys.env.getOrElse("GRAFT_S3_ACCESS_KEY",
-          throw new IllegalArgumentException(
-            "io=s3 requires GRAFT_S3_ACCESS_KEY in the environment")),
-        sys.env.getOrElse("GRAFT_S3_SECRET_KEY",
-          throw new IllegalArgumentException(
-            "io=s3 requires GRAFT_S3_SECRET_KEY in the environment")))
+      // cache per spec: resolve() runs on every SnapshotManager
+      // construction, and each S3FileIO owns an HttpClient (selector
+      // thread + pool) — per-call construction would leak threads
+      s3Registry.computeIfAbsent(s, _ => {
+        // endpoint URIs contain ':' (scheme, port) — region and bucket
+        // are the LAST two segments, everything before them the endpoint
+        val parts = s.stripPrefix("s3:").split(":")
+        if (parts.length < 3) throw new IllegalArgumentException(
+          s"Bad io spec '$s': expected s3:<endpoint>:<region>:<bucket>")
+        val endpoint = parts.dropRight(2).mkString(":")
+        val Array(region, bucket) = parts.takeRight(2)
+        new S3FileIO(java.net.URI.create(endpoint), region, bucket,
+          sys.env.getOrElse("GRAFT_S3_ACCESS_KEY",
+            throw new IllegalArgumentException(
+              "io=s3 requires GRAFT_S3_ACCESS_KEY in the environment")),
+          sys.env.getOrElse("GRAFT_S3_SECRET_KEY",
+            throw new IllegalArgumentException(
+              "io=s3 requires GRAFT_S3_SECRET_KEY in the environment")))
+      })
     case other =>
       throw new IllegalArgumentException(s"Unsupported io spec: $other")
   }
 
   private val memoryRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, FileIO]()
+  private val s3Registry =
     new java.util.concurrent.ConcurrentHashMap[String, FileIO]()
 
   /** Direct local-filesystem implementation (the default everywhere). */
@@ -166,6 +173,7 @@ object FileIO {
     override def createDirectories(dir: Path): Unit = () // implicit prefixes
     override def stageForRead(path: Path): Path = {
       val tmp = Files.createTempFile("graft-stage", ".dat")
+      tmp.toFile.deleteOnExit() // backstop for limit-truncated readers
       Files.write(tmp, get(path))
       tmp
     }

@@ -50,6 +50,11 @@ object FormatIO {
         override def close(): Long = {
           val n = inner.close()
           io.publishFile(tmp, path)
+          // Hadoop's local ChecksumFileSystem leaves a `.<name>.crc`
+          // sidecar next to the temp; publishFile moves only the data
+          // file, so sweep the sidecar or it leaks one per write
+          java.nio.file.Files.deleteIfExists(
+            tmp.getParent.resolve("." + tmp.getFileName + ".crc"))
           n
         }
       }
@@ -85,12 +90,23 @@ object FormatIO {
     else {
       val inner = direct
       new RowFileReader {
-        override def hasNext: Boolean = inner.hasNext
-        override def next(): InternalRow = inner.next()
-        override def close(): Unit = {
+        private var released = false
+        private def release(): Unit = if (!released) {
+          released = true
           inner.close()
           io.unstage(path, staged)
         }
+        // production read paths drain the iterator and drop it without
+        // calling close() — release the staging copy the moment the
+        // iterator is exhausted, with close() covering early
+        // termination (e.g. limit) and double-release staying a no-op
+        override def hasNext: Boolean = {
+          val h = !released && inner.hasNext
+          if (!h) release()
+          h
+        }
+        override def next(): InternalRow = inner.next()
+        override def close(): Unit = release()
       }
     }
   }

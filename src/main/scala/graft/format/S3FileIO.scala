@@ -171,6 +171,7 @@ final class S3FileIO(
 
   override def stageForRead(path: Path): Path = {
     val tmp = Files.createTempFile("graft-s3-stage", ".dat")
+    tmp.toFile.deleteOnExit() // backstop for limit-truncated readers
     Files.write(tmp, readBytes(path))
     tmp
   }

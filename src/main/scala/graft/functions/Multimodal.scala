@@ -50,22 +50,46 @@ object Multimodal {
       val height0 = bb.getInt(22) // negative = top-down; |h| rows either way
       val bpp = bb.getShort(28).toInt
       val compression = bb.getInt(30)
-      val height = math.abs(height0)
-      if (width <= 0 || height == 0 || compression != 0) return None
+      val height = math.abs(height0.toLong)
+      // dimension sanity bound ALSO prevents Int overflow in the row
+      // arithmetic below — a corrupt header must fall to the stub, not
+      // index out of bounds (the byte budget caps real files anyway:
+      // bytes.length bounds width*height*bpp/8)
+      if (width <= 0 || width > (1 << 24) || height == 0 ||
+        height > (1 << 24) || compression != 0) return None
       if (bpp != 8 && bpp != 24 && bpp != 32) return None
-      val rowBytes = (width * (bpp / 8) + 3) & ~3 // rows pad to 4 bytes
-      val need = dataOffset.toLong + rowBytes.toLong * height
+      // 8bpp is palette-indexed: entries are BGRA quads between the
+      // header and the pixel data; an index byte is NOT a gray value
+      val palette: Array[Double] =
+        if (bpp != 8) null
+        else {
+          val used = bb.getInt(46)
+          val n = if (used > 0 && used <= 256) used else 256
+          if (54 + 4L * n > bytes.length) return None
+          Array.tabulate(n) { i =>
+            val o = 54 + 4 * i
+            val b = java.lang.Byte.toUnsignedInt(bytes(o))
+            val g = java.lang.Byte.toUnsignedInt(bytes(o + 1))
+            val r = java.lang.Byte.toUnsignedInt(bytes(o + 2))
+            0.299 * r + 0.587 * g + 0.114 * b
+          }
+        }
+      val rowBytes = (width.toLong * (bpp / 8) + 3) & ~3L // rows pad to 4
+      val need = dataOffset.toLong + rowBytes * height
       if (dataOffset < 54 || need > bytes.length) return None
       var lumaSum = 0.0
-      var y = 0
+      var y = 0L
       while (y < height) {
         val row = dataOffset + y * rowBytes
         var x = 0
         while (x < width) {
-          val p = row + x * (bpp / 8)
+          val p = (row + x.toLong * (bpp / 8)).toInt
           val luma =
-            if (bpp == 8) java.lang.Byte.toUnsignedInt(bytes(p)).toDouble
-            else { // little-endian BGR(A)
+            if (bpp == 8) {
+              val idx = java.lang.Byte.toUnsignedInt(bytes(p))
+              if (idx >= palette.length) return None // index past palette
+              palette(idx)
+            } else { // little-endian BGR(A)
               val b = java.lang.Byte.toUnsignedInt(bytes(p))
               val g = java.lang.Byte.toUnsignedInt(bytes(p + 1))
               val r = java.lang.Byte.toUnsignedInt(bytes(p + 2))
@@ -76,7 +100,7 @@ object Multimodal {
         }
         y += 1
       }
-      Some((width, height, lumaSum / (width.toLong * height) / 255.0))
+      Some((width, height.toInt, lumaSum / (width.toLong * height) / 255.0))
     }
 
     /** BMP parses for real; everything else falls to the stub. */

@@ -73,16 +73,30 @@ case class WordShingles(child: Expression, n: Int)
   */
 object AsciiWordsUtil {
   /** Maximal runs of ASCII letters, lowercased — byte-for-byte the
-    * result of `regexp_extract_all(lower(s), '[a-z]+')`: multi-byte
-    * UTF-8 sequences have the high bit set on every byte, and
-    * `lower()` never maps a non-ASCII letter into a-z, so "not an
-    * ASCII letter byte" is a separator under both definitions.
+    * result of `regexp_extract_all(lower(s), '[a-z]+')`.
+    *
+    * Pure-ASCII input (the overwhelmingly common case) runs the single
+    * fused byte scan. Input with any high bit set first goes through
+    * `UTF8String.toLowerCase` — the SAME lowering Spark's `lower()`
+    * applies — because a handful of non-ASCII code points lower INTO
+    * ASCII (U+212A KELVIN SIGN → 'k', U+0130 İ → 'i' + U+0307) and a
+    * byte-only scan would wrongly treat them as separators. After
+    * Unicode lowering no A-Z remains, and multi-byte UTF-8 sequences
+    * have the high bit set on every byte, so extracting maximal a-z
+    * byte runs from the lowered bytes is exactly the regex semantics.
     */
   def extract(s: UTF8String): GenericArrayData = {
-    val bytes = s.getBytes
-    val n = bytes.length
-    val out = new java.util.ArrayList[UTF8String]()
+    var bytes = s.getBytes
+    var n = bytes.length
+    var hasHighBit = false
     var i = 0
+    while (i < n && !hasHighBit) { hasHighBit = bytes(i) < 0; i += 1 }
+    if (hasHighBit) {
+      bytes = s.toLowerCase.getBytes
+      n = bytes.length
+    }
+    val out = new java.util.ArrayList[UTF8String]()
+    i = 0
     while (i < n) {
       var b = bytes(i)
       if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {

@@ -60,7 +60,10 @@ class FunctionsSpec extends AnyFunSuite {
     val planted = Seq(
       "The Quick  BROWN fox!!", "", "   ", "123 456", "a", "Z",
       "héllo wörld Straße ÉTÉ", "emoji 😃 split", "tab\tand\nnewline",
-      "CamelCaseRuns", "a1b2c3", "ünïcödé-mixed ascii END")
+      "CamelCaseRuns", "a1b2c3", "ünïcödé-mixed ascii END",
+      // code points that LOWER INTO ascii — the byte-only scan trap:
+      // U+212A KELVIN SIGN → 'k', U+0130 İ → 'i' + combining dot
+      "temp 30\u212a outside", "\u0130stanbul visit", "mid\u212adle")
     val rnd = new scala.util.Random(7L)
     val fuzz = (1 to 300).map { _ =>
       (1 to rnd.nextInt(40)).map { _ =>

@@ -102,6 +102,37 @@ class MultimodalSpec extends AnyFunSuite {
     val textBytes = "BMnot really a bitmap, just text".getBytes
     assert(MediaCodec.decodeBmp(textBytes).isEmpty)
     assert(MediaCodec.decode(textBytes) == MediaCodec.decodeStub(textBytes))
+    // adversarial header: width chosen so width*3 overflows Int — must
+    // reject (stub fallback), not index out of bounds
+    val evil = bmp24(3, 1, (_, _) => (0, 0, 0))
+    val ev = java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ev.putInt(18, 0x2AAAAAAB) // width
+    assert(MediaCodec.decodeBmp(evil).isEmpty)
+    assert(MediaCodec.decode(evil) == MediaCodec.decodeStub(evil))
+    // 8bpp is palette-indexed: a red palette entry must yield red luma,
+    // not the raw index byte
+    val pal8 = {
+      val w = 2; val h = 1
+      val rowBytes = (w + 3) & ~3
+      val bb = java.nio.ByteBuffer.allocate(54 + 4 * 256 + rowBytes * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity())
+        .putInt(0).putInt(54 + 4 * 256)
+        .putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(8).putInt(0).putInt(rowBytes * h)
+        .putInt(2835).putInt(2835).putInt(256).putInt(0)
+      // palette: entry 0 = pure red (BGRA), entry 1 = white, rest black
+      bb.put(0.toByte).put(0.toByte).put(255.toByte).put(0.toByte)
+      bb.put(255.toByte).put(255.toByte).put(255.toByte).put(0.toByte)
+      (2 until 256).foreach(_ => bb.putInt(0))
+      bb.put(0.toByte).put(1.toByte) // pixels: red, white
+      while (bb.position() < bb.capacity()) bb.put(0.toByte)
+      bb.array()
+    }
+    val Some((pw, ph, pluma)) = MediaCodec.decodeBmp(pal8): @unchecked
+    assert(pw == 2 && ph == 1)
+    assert(math.abs(pluma - (0.299 + 1.0) / 2) < 1e-9, s"got $pluma")
     // end-to-end: extractFeatures surfaces the real dimensions
     import graft.functions.Multimodal
     import graft.functions.Multimodal.MediaBlob
