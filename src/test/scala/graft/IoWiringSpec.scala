@@ -92,6 +92,24 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertDataPlaneRemote("io_app")
   }
 
+  test("DROP purges remote keys; re-CREATE starts empty; RENAME refuses") {
+    spark.sql("CREATE TABLE graft.default.io_drop (id BIGINT) " +
+      "TBLPROPERTIES ('io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_drop VALUES (1), (2), (3)")
+    assert(spark.table("graft.default.io_drop").count() == 3)
+    // rename would orphan every remote key (they embed the table path)
+    val re = intercept[Exception](
+      spark.sql("ALTER TABLE graft.default.io_drop RENAME TO default.io_drop2"))
+    assert(re.getMessage.contains("RENAME is not supported"), re.getMessage)
+    spark.sql("DROP TABLE graft.default.io_drop")
+    // same name, same store: must NOT resurrect the dropped snapshots
+    spark.sql("CREATE TABLE graft.default.io_drop (id BIGINT) " +
+      "TBLPROPERTIES ('io'='memory:iow1')")
+    assert(spark.table("graft.default.io_drop").count() == 0)
+    spark.sql("INSERT INTO graft.default.io_drop VALUES (9)")
+    assert(spark.table("graft.default.io_drop").count() == 1)
+  }
+
   test("streaming reads drain a memory-backed table") {
     spark.sql("CREATE TABLE graft.default.io_str (id BIGINT) " +
       "TBLPROPERTIES ('io'='memory:iow1')")
