@@ -535,9 +535,9 @@ final case class GraftReaderFactory(
     */
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    // non-local IO takes the row path, whose readers stage through the
-    // FileIO seam (the vectorized reader opens Hadoop paths directly)
-    ioSpec == "local" && !isPk &&
+    // any io spec keeps the columnar path: non-local stores read
+    // through the graftio:// Hadoop adapter with ranged FileIO reads
+    !isPk &&
       p.asInstanceOf[GraftInputPartition].filePaths.forall(_.endsWith(".parquet")) &&
       !required.fieldNames.exists(n =>
         n == "_sequence_number" || n == "_row_kind")
@@ -563,11 +563,15 @@ final case class GraftReaderFactory(
       private def openNext(): Boolean =
         if (!files.hasNext) false else {
           val f = files.next()
+          // local io → plain file path; non-local → graftio:// URI
+          // resolving to the same FileIO with ranged reads, so the
+          // vectorized reader works unchanged on object stores
+          val hf = graft.format.GraftFileSystem.uriFor(ioSpec, f)
           // footer-driven evolution: only columns this file has are
           // requested (by field id when available — rename-safe); the
           // rest ride as constant vectors (partition values, `_file`,
           // null-fill for post-file ADD COLUMNs / dropped-era files)
-          val footer = graft.format.ParquetIO.footerFields(Paths.get(f))
+          val footer = graft.format.ParquetIO.footerFields(hf)
           val physFor = graft.format.ParquetIO.resolvePhysical(footer,
             dataNames.filter(required.fieldNames.contains).toSeq, fieldIds)
           val logicalFor = physFor.map(_.swap)
@@ -590,8 +594,8 @@ final case class GraftReaderFactory(
           // predicate are skipped before any page IO (sub-file analogue
           // of manifest zone maps; Spark re-applies filters above)
           val pruned = GraftReaderFactory.initPruned(
-            reader, f, fileCols, dataFilters, physFor, storedOf)
-          if (!pruned) reader.initialize(f, java.util.Arrays.asList(fileCols: _*))
+            reader, hf, fileCols, dataFilters, physFor, storedOf)
+          if (!pruned) reader.initialize(hf, java.util.Arrays.asList(fileCols: _*))
           reader.initBatch(StructType(consts), constRow)
           inner = reader.resultBatch()
           // inner layout = fileCols ++ consts; permute to required order
@@ -761,7 +765,7 @@ object GraftReaderFactory {
     if (pred.isEmpty) return false
     try {
       val conf = new org.apache.hadoop.conf.Configuration()
-      val hpath = new org.apache.hadoop.fs.Path(Paths.get(file).toUri)
+      val hpath = new org.apache.hadoop.fs.Path(file)
       val opts = HadoopReadOptions.builder(conf, hpath)
         .withRecordFilter(FilterCompat.get(pred.get))
         .build()

@@ -39,6 +39,18 @@ trait FileIO {
   def delete(path: Path): Boolean
   def size(path: Path): Long
   def createDirectories(dir: Path): Unit
+  /** Bytes `[offset, offset+length)` of `path`, short only at EOF.
+    * The vectorized parquet path reads footers and column chunks
+    * through this (via [[GraftFileSystem]]), so implementations with a
+    * cheaper ranged primitive (local positioned read, S3 `Range` GET)
+    * must override the whole-object default — column pruning then
+    * becomes byte pruning on the store. */
+  def readRange(path: Path, offset: Long, length: Int): Array[Byte] = {
+    val all = readBytes(path)
+    if (offset >= all.length || length <= 0) Array.emptyByteArray
+    else java.util.Arrays.copyOfRange(all, offset.toInt,
+      math.min(all.length.toLong, offset + length).toInt)
+  }
   /** A real local file holding this path's bytes, for format libraries
     * that cannot read through streams. Callers must pass the result to
     * [[unstage]] when done. */
@@ -109,9 +121,15 @@ object FileIO {
     override def writeAtomic(path: Path, bytes: Array[Byte]): Unit = {
       Files.createDirectories(path.getParent)
       val tmp = Files.createTempFile(path.getParent, ".w", ".tmp")
-      Files.write(tmp, bytes)
-      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      // on any failure (disk full, interrupt) remove the temp so
+      // snapshot/manifest dirs don't accumulate stale .w*.tmp files
+      try {
+        Files.write(tmp, bytes)
+        Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case t: Throwable => Files.deleteIfExists(tmp); throw t
+      }
     }
     override def putIfAbsent(path: Path, content: String): Boolean =
       AtomicPublisher.local.putIfAbsent(path, content)
@@ -125,6 +143,23 @@ object FileIO {
     override def exists(path: Path): Boolean = Files.exists(path)
     override def delete(path: Path): Boolean = Files.deleteIfExists(path)
     override def size(path: Path): Long = Files.size(path)
+    override def readRange(path: Path, offset: Long, length: Int): Array[Byte] = {
+      val ch = java.nio.channels.FileChannel.open(path,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val sz = ch.size()
+        if (offset >= sz || length <= 0) return Array.emptyByteArray
+        val bb = java.nio.ByteBuffer.allocate(
+          math.min(sz - offset, length.toLong).toInt)
+        var p = offset
+        while (bb.hasRemaining) {
+          val r = ch.read(bb, p)
+          if (r < 0) return java.util.Arrays.copyOf(bb.array(), bb.position())
+          p += r
+        }
+        bb.array()
+      } finally ch.close()
+    }
     override def createDirectories(dir: Path): Unit =
       Files.createDirectories(dir)
     override def stageForRead(path: Path): Path = path // zero-copy

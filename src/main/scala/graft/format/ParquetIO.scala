@@ -194,9 +194,14 @@ object ParquetIO {
     * ids when present (the footer is authoritative for files written
     * under an older schema version).
     */
-  def footerFields(path: java.nio.file.Path): Seq[FooterField] = {
+  def footerFields(path: java.nio.file.Path): Seq[FooterField] =
+    footerFields(path.toUri.toString)
+
+  /** Variant taking a Hadoop path string — `graftio://` URIs read the
+    * footer through the [[FileIO]] seam with ranged reads. */
+  def footerFields(hadoopPath: String): Seq[FooterField] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new HPath(path.toUri), new Configuration())
+      .fromPath(new HPath(hadoopPath), new Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema.getFields.asScala
       .map(f => FooterField(f.getName, Option(f.getId).map(_.intValue()),

@@ -84,6 +84,27 @@ final class S3FileIO(
   override def readString(path: Path): String =
     new String(readBytes(path), java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Ranged GET — the vectorized parquet reader's byte primitive via
+    * [[GraftFileSystem]]; column pruning becomes byte pruning on the
+    * store instead of a whole-object download. */
+  override def readRange(path: Path, offset: Long, length: Int): Array[Byte] = {
+    if (length <= 0) return Array.emptyByteArray
+    val key = keyFor(path)
+    val resp = send("GET", key, Seq.empty, null,
+      Map("Range" -> s"bytes=$offset-${offset + length - 1}"))
+    resp.statusCode() match {
+      case 206 => resp.body()
+      case 200 => // server ignored Range (some stubs do): slice locally
+        val all = resp.body()
+        if (offset >= all.length) Array.emptyByteArray
+        else java.util.Arrays.copyOfRange(all, offset.toInt,
+          math.min(all.length.toLong, offset + length).toInt)
+      case 416 => Array.emptyByteArray // range starts beyond EOF
+      case 404 => throw new java.nio.file.NoSuchFileException(key)
+      case _ => fail("ranged GET", key, resp)
+    }
+  }
+
   override def writeAtomic(path: Path, bytes: Array[Byte]): Unit = {
     // a single PUT is atomic on an object store: readers see either
     // nothing or the whole object, never a partial write

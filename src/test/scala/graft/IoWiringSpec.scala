@@ -110,6 +110,23 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.io_drop").count() == 1)
   }
 
+  test("append scan on memory FileIO keeps the vectorized columnar path") {
+    spark.sql("CREATE TABLE graft.default.io_col (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_col " +
+      "SELECT id, id * 1.5 FROM range(1000)")
+    val df = spark.sql("SELECT id, v FROM graft.default.io_col WHERE id >= 10")
+    // the remote data plane must NOT demote the scan to the staged row
+    // reader: the graftio:// adapter keeps ColumnarBatch decoding
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected vectorized columnar scan on memory io, got:\n$plan")
+    assert(df.count() == 990)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id"))
+      .collect()(0).getLong(0) == (10L until 1000L).sum)
+    assertDataPlaneRemote("io_col")
+  }
+
   test("streaming reads drain a memory-backed table") {
     spark.sql("CREATE TABLE graft.default.io_str (id BIGINT) " +
       "TBLPROPERTIES ('io'='memory:iow1')")

@@ -58,7 +58,19 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
           respond(200, xml.getBytes("UTF-8"))
         case "GET" =>
           Option(store.get(path)) match {
-            case Some(b) => respond(200, b)
+            case Some(b) =>
+              Option(ex.getRequestHeaders.getFirst("Range")) match {
+                case Some(r) if r.startsWith("bytes=") =>
+                  val Array(s, e) = r.stripPrefix("bytes=").split("-", 2)
+                  val from = s.toLong
+                  if (from >= b.length) respond(416, Array.emptyByteArray)
+                  else {
+                    val to = math.min(e.toLong, b.length - 1L).toInt
+                    respond(206,
+                      java.util.Arrays.copyOfRange(b, from.toInt, to + 1))
+                  }
+                case _ => respond(200, b)
+              }
             case None => respond(404, Array.emptyByteArray)
           }
         case "HEAD" =>
@@ -128,6 +140,43 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(io.delete(p))
     assert(!io.delete(p))
     assert(!io.exists(p))
+  }
+
+  test("ranged GET slices without downloading the whole object") {
+    val p = Paths.get("/wh/rng/blob")
+    val body = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
+    io.writeAtomic(p, body.getBytes("UTF-8"))
+    assert(new String(io.readRange(p, 0, 10), "UTF-8") == body.take(10))
+    assert(new String(io.readRange(p, 95, 10), "UTF-8") == body.drop(95),
+      "range past EOF must come back short, not fail")
+    assert(io.readRange(p, 100, 10).isEmpty, "range at EOF is empty (416)")
+    assert(io.readRange(p, 5, 0).isEmpty)
+    assert(new String(io.readRange(p, 42, 1), "UTF-8") == body(42).toString)
+  }
+
+  test("FileIOInputStream serves seek/positioned reads over FileIO") {
+    val fio = graft.format.FileIO.resolve("memory:s3spec-ranged")
+    val p = Paths.get("/wh/rng/stream")
+    val body = Array.tabulate[Byte](5000)(i => (i % 251).toByte)
+    fio.writeAtomic(p, body)
+    val in = new graft.format.FileIOInputStream(fio, p, body.length.toLong)
+    // sequential read through the read-ahead buffer
+    val head = new Array[Byte](100)
+    assert(in.read(head, 0, 100) == 100)
+    assert(head.toSeq == body.take(100).toSeq)
+    assert(in.getPos == 100L)
+    // seek + read
+    in.seek(4990L)
+    val tail = new Array[Byte](100)
+    assert(in.read(tail, 0, 100) == 10, "read at EOF must be short")
+    assert(tail.take(10).toSeq == body.drop(4990).toSeq)
+    assert(in.read() == -1)
+    // positioned read must not move pos
+    val mid = new Array[Byte](7)
+    in.readFully(1234L, mid)
+    assert(mid.toSeq == body.slice(1234, 1241).toSeq)
+    assert(in.getPos == 5000L)
+    intercept[java.io.EOFException](in.readFully(4995L, new Array[Byte](10)))
   }
 
   test("list pages through ListObjectsV2 and keeps only direct children") {
