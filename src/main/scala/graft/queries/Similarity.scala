@@ -40,6 +40,54 @@ object Similarity {
     s"CAST(${dots.mkString(" + ")} AS BIGINT)"
   }
 
+  /** The `d_embedding_lsh_neardup` pipeline, exposed for the plan
+    * audit (the QueryDef materializes eagerly and returns a local
+    * 1-row frame, hiding the join shape). Returns (aggregate, sigs);
+    * callers release the persisted `sigs` after materializing.
+    *
+    * Scale shape: the signature pass (8 x 64-dim codegen dots per row)
+    * runs once into a spillable persist; per-sig counts are a
+    * CONSTANT-size driver collect (the signature space is fixed at
+    * <= 256 values) inlined as a literal map, saving two
+    * broadcast-join stages; oversized buckets are salted exactly like
+    * d_embedding_neardup's hot cells — the b-side splits into
+    * sub-blocks of <= MaxSigBlock vectors, the a-side replicates
+    * across them, so per-task candidate pairs are bounded by
+    * n * MaxSigBlock instead of n^2 while every unordered pair
+    * {x, y} with ida < idb still matches exactly one (sig, blk) task
+    * (the COUNT is salt-invariant — the oracle stays the plain sig
+    * join).
+    */
+  private[graft] def lshNearDupAgg(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val MaxSigBlock = 1000
+    val sigs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"), sigColumn.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // this agg also materializes the persist for the join below
+    val nblkOf = map(sigs.groupBy("sig")
+      .agg(count(lit(1)).as("n")).collect().flatMap { r =>
+        val nblk = ((r.getLong(1) + MaxSigBlock - 1) / MaxSigBlock).toInt
+        Seq(lit(r.getLong(0)), lit(nblk))
+      }.toSeq: _*)
+    val a = sigs.select(col("vec_id").as("ida"), col("embedding").as("qv"),
+        col("nrm").as("na"), col("sig"))
+      .withColumn("blk",
+        explode(sequence(lit(0), element_at(nblkOf, col("sig")) - 1)))
+    val b = sigs.select(col("vec_id").as("idb"), col("embedding").as("cv"),
+        col("nrm").as("nb"), col("sig"))
+      .withColumn("blk", pmod(xxhash64(col("idb")),
+        element_at(nblkOf, col("sig")).cast("long")).cast("int"))
+    val agg = a.join(b, Seq("sig", "blk"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("na") * col("nb")))
+      .filter(col("cos") > 0.95)
+      .agg(count(lit(1)).as("n_lsh_neardup_pairs"))
+    (agg, sigs)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
     QueryDef("s_cosine_topk",
@@ -167,20 +215,24 @@ object Similarity {
     // key at 100 TB), then verified with exact cosine. Approximate by
     // construction: pairs split across buckets are unseen — the
     // standard LSH recall trade, bounded by the band count.
+    //
+    // The signature space is FIXED (256 values), so bucket population
+    // grows linearly with the corpus and a bare sig self-join would be
+    // quadratic inside one task. Oversized buckets are therefore
+    // salted exactly like d_embedding_neardup's hot cells: the b-side
+    // splits into sub-blocks of <= MaxSigBlock vectors, the a-side
+    // replicates across them. Every unordered pair {x,y} with
+    // ida < idb still matches exactly one (sig, blk) task — the COUNT
+    // is salt-invariant, so the oracle stays the plain sig join —
+    // while per-task candidate pairs drop from n^2 to n * MaxSigBlock
+    // and the quadratic total spreads evenly over nblk parallel tasks.
     QueryDef("d_embedding_lsh_neardup",
       (s, dir) => {
-        val sigs = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            vec_norm(col("embedding")).as("nrm"), sigColumn.as("sig"))
-        val a = sigs.select(col("vec_id").as("ida"), col("embedding").as("qv"),
-          col("nrm").as("na"), col("sig"))
-        val b = sigs.select(col("vec_id").as("idb"), col("embedding").as("cv"),
-          col("nrm").as("nb"), col("sig"))
-        a.join(b, Seq("sig"))
-          .filter(col("ida") < col("idb"))
-          .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("na") * col("nb")))
-          .filter(col("cos") > 0.95)
-          .agg(count(lit(1)).as("n_lsh_neardup_pairs"))
+        val (agg, sigs) = lshNearDupAgg(s, dir)
+        val row = agg.collect()(0)
+        sigs.unpersist(blocking = true)
+        import s.implicits._
+        Seq(row.getLong(0)).toDF("n_lsh_neardup_pairs")
       },
       Some(s"""WITH sigs AS (
           SELECT vec_id, embedding, $sqlSig AS sig FROM embeddings)

@@ -73,6 +73,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cell self-join must include the sub-block salt in its key")
   }
 
+  test("d_embedding_lsh_neardup joins on the salted (sig, blk) key") {
+    // the 8-bit signature space is fixed, so bucket population grows
+    // linearly with the corpus: the self-join must carry the sub-block
+    // salt to bound per-task candidate pairs (the QueryDef materializes
+    // eagerly, so the audit inspects the exposed pipeline)
+    val (df, sigs) = graft.queries.Similarity.lshNearDupAgg(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val selfJoin = joins.filter(_.condition.exists { c =>
+      val names = c.references.map(_.name).toSet
+      names.contains("ida") && names.contains("idb")
+    })
+    assert(selfJoin.nonEmpty, "expected the ida/idb candidate self-join")
+    assert(selfJoin.forall { j =>
+      val keys = j.condition.get.references.map(_.name).toSet
+      keys.contains("blk") && keys.contains("sig")
+    }, s"sig self-join must include the sub-block salt:\n${selfJoin.mkString}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"salted LSH join must stay equi-join shaped:\n$p")
+    sigs.unpersist(blocking = true)
+  }
+
   test("q_range_join plans an equi-join on the day bucket, not a BNL") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
