@@ -67,6 +67,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // JIT warmup, same rationale: the FIRST pipeline to execute a
+    // shared kernel (UTF8String case mapping, java.util.regex, MD5,
+    // hash-agg probe loops) pays its interpreter→C2 compilation —
+    // measured at ~1.5-2s landing on whichever query runs it first
+    // (r7: all of it on d_exact_keep_first, 0.5s of work timed at
+    // 2.3s). One synthetic two-level fingerprint aggregation compiles
+    // those kernels outside the timed loop; ~3s once, off the books by
+    // design because JVM warmup is not query cost at any SF.
+    try spark.sql(
+      """SELECT gs, count(1) FROM (
+        |  SELECT count(1) AS gs, min(id) FROM (
+        |    SELECT id, md5(regexp_replace(trim(lower(
+        |      concat('w ', id, ' x  y   z ', id % 97))), '\\s+', ' ')) AS fp
+        |    FROM range(20000)) GROUP BY fp) GROUP BY gs""".stripMargin).count()
+    catch { case _: Throwable => () }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
