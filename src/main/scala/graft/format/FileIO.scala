@@ -35,6 +35,11 @@ trait FileIO {
   def putIfAbsent(path: Path, content: String): Boolean
   /** Immediate child file names of `dir` (empty when absent). */
   def list(dir: Path): Seq[String]
+  /** Every FILE under `dir`, recursively, with its last-modified time —
+    * the primitive orphan vacuum needs (a local walk; on object stores
+    * one un-delimited paged LIST, whose entries carry LastModified).
+    * Paths come back relative to `dir`; empty when `dir` is absent. */
+  def walk(dir: Path): Seq[FileIO.FileEntry]
   def exists(path: Path): Boolean
   def delete(path: Path): Boolean
   def size(path: Path): Long
@@ -65,6 +70,10 @@ trait FileIO {
 }
 
 object FileIO {
+
+  /** One file in a recursive [[FileIO.walk]] listing: path relative to
+    * the walked directory plus its last-modified epoch millis. */
+  final case class FileEntry(relPath: String, lastModifiedMillis: Long)
 
   /** Resolve a table's `io` property to an implementation. Specs:
     *
@@ -140,6 +149,15 @@ object FileIO {
         try s.iterator().asScala.map(_.getFileName.toString).toList
         finally s.close()
       }
+    override def walk(dir: Path): Seq[FileIO.FileEntry] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.walk(dir)
+        try s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => FileIO.FileEntry(dir.relativize(p).toString,
+            Files.getLastModifiedTime(p).toMillis)).toList
+        finally s.close()
+      }
     override def exists(path: Path): Boolean = Files.exists(path)
     override def delete(path: Path): Boolean = Files.deleteIfExists(path)
     override def size(path: Path): Long = Files.size(path)
@@ -180,7 +198,12 @@ object FileIO {
   def inMemory(): FileIO = new FileIO {
     private val blobs =
       new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    // put-time per key ≙ the store's LastModified (walk/vacuum need it)
+    private val mtimes =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     private def key(p: Path): String = p.normalize.toString
+    private def stamp(k: String): Unit =
+      mtimes.put(k, java.lang.Long.valueOf(System.currentTimeMillis()))
 
     private def get(path: Path): Array[Byte] = {
       val b = blobs.get(key(path))
@@ -191,19 +214,32 @@ object FileIO {
     override def readString(path: Path): String =
       new String(get(path), java.nio.charset.StandardCharsets.UTF_8)
     override def readBytes(path: Path): Array[Byte] = get(path)
-    override def writeAtomic(path: Path, bytes: Array[Byte]): Unit =
-      blobs.put(key(path), bytes)
-    override def putIfAbsent(path: Path, content: String): Boolean =
-      blobs.putIfAbsent(key(path),
+    override def writeAtomic(path: Path, bytes: Array[Byte]): Unit = {
+      blobs.put(key(path), bytes); stamp(key(path))
+    }
+    override def putIfAbsent(path: Path, content: String): Boolean = {
+      val won = blobs.putIfAbsent(key(path),
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == null
+      if (won) stamp(key(path))
+      won
+    }
     override def list(dir: Path): Seq[String] = {
       val prefix = key(dir) + "/"
       blobs.keySet.asScala.iterator
         .filter(k => k.startsWith(prefix) && !k.drop(prefix.length).contains('/'))
         .map(_.drop(prefix.length)).toList
     }
+    override def walk(dir: Path): Seq[FileIO.FileEntry] = {
+      val prefix = key(dir) + "/"
+      blobs.keySet.asScala.iterator.filter(_.startsWith(prefix))
+        .map(k => FileIO.FileEntry(k.drop(prefix.length),
+          Option(mtimes.get(k)).fold(0L)(_.longValue))).toList
+    }
     override def exists(path: Path): Boolean = blobs.containsKey(key(path))
-    override def delete(path: Path): Boolean = blobs.remove(key(path)) != null
+    override def delete(path: Path): Boolean = {
+      mtimes.remove(key(path))
+      blobs.remove(key(path)) != null
+    }
     override def size(path: Path): Long = get(path).length.toLong
     override def createDirectories(dir: Path): Unit = () // implicit prefixes
     override def stageForRead(path: Path): Path = {
@@ -216,6 +252,7 @@ object FileIO {
       Files.deleteIfExists(staged)
     override def publishFile(localTmp: Path, target: Path): Unit = {
       blobs.put(key(target), Files.readAllBytes(localTmp))
+      stamp(key(target))
       Files.deleteIfExists(localTmp)
     }
   }

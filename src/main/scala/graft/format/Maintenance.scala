@@ -78,35 +78,43 @@ object Maintenance {
     */
   def vacuumOrphans(tableDir: Path, olderThanMillis: Long = 3600 * 1000L,
       ioSpec: String = "local"): Int = {
-    // orphan detection needs a recursive listing plus per-file mtimes —
-    // semantics FileIO deliberately does not model yet (object stores
-    // expose LastModified through their list API; wiring that in is the
-    // seam's next step). Refuse loudly rather than silently scanning
-    // the wrong filesystem.
-    if (ioSpec != "local") throw new UnsupportedOperationException(
-      s"vacuum requires local table storage for its mtime walk; got io=$ioSpec")
-    val sm = new SnapshotManager(tableDir)
+    // one recursive FileIO.walk supplies both the candidate set and the
+    // per-file LastModified (a filesystem walk locally, a paged
+    // un-delimited LIST on an object store) — so orphan cleanup works
+    // exactly where orphans are most costly, the remote data plane
+    val io = FileIO.resolve(ioSpec)
+    val sm = new SnapshotManager(tableDir, io = io)
     val referenced = sm.existingSnapshotIds
       .flatMap(id => sm.snapshot(id).manifests)
       .distinct.flatMap(m => sm.readManifest(m).map(_.file.fileName)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
+    // only files inside a bucket-* segment are data candidates;
+    // snapshot/, manifest/, schema/ are metadata and never touched
+    def segments(rel: String): Array[String] = rel.split('/')
+    def inBucketDir(segs: Array[String]): Boolean =
+      segs.length >= 2 && segs.init.exists(_.startsWith("bucket-"))
+    val entries = io.walk(tableDir)
     var deleted = 0
-    dataFiles(tableDir).foreach { p =>
-      val rel = tableDir.relativize(p).toString
-      if (!referenced.contains(rel) &&
-        Files.getLastModifiedTime(p).toMillis < cutoff) {
-        Files.deleteIfExists(p)
-        Files.deleteIfExists(p.getParent.resolve("." + p.getFileName + ".crc"))
-        deleted += 1
+    entries.foreach { e =>
+      val segs = segments(e.relPath)
+      val name = segs.last
+      if (inBucketDir(segs) && !name.startsWith(".") &&
+        !referenced.contains(e.relPath) && e.lastModifiedMillis < cutoff) {
+        if (io.delete(tableDir.resolve(e.relPath))) deleted += 1
+        val p = tableDir.resolve(e.relPath)
+        io.delete(p.getParent.resolve("." + p.getFileName + ".crc"))
       }
     }
-    // sidecars whose data file is gone
-    dataDirs(tableDir).foreach { d =>
-      Files.list(d).iterator().asScala.toSeq.foreach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith(".") && n.endsWith(".crc") &&
-          !Files.exists(d.resolve(n.stripPrefix(".").stripSuffix(".crc"))))
-          Files.deleteIfExists(p)
+    // sidecars whose data file is gone (local format writers leave
+    // Hadoop .crc files; stores simply have none)
+    entries.foreach { e =>
+      val segs = segments(e.relPath)
+      val n = segs.last
+      if (inBucketDir(segs) && n.startsWith(".") && n.endsWith(".crc")) {
+        val dataRel =
+          (segs.init :+ n.stripPrefix(".").stripSuffix(".crc")).mkString("/")
+        if (!io.exists(tableDir.resolve(dataRel)))
+          io.delete(tableDir.resolve(e.relPath))
       }
     }
     deleted

@@ -153,6 +153,39 @@ final class S3FileIO(
     names.toList
   }
 
+  override def walk(dir: Path): Seq[FileIO.FileEntry] = {
+    // un-delimited ListObjectsV2: one paged listing covers the whole
+    // subtree (object stores have no per-directory recursion), and each
+    // <Contents> entry carries the LastModified the vacuum compares
+    val prefix = keyFor(dir).stripSuffix("/") + "/"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[FileIO.FileEntry]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val query = Seq("list-type" -> "2", "prefix" -> prefix) ++
+        token.map("continuation-token" -> _)
+      val resp = send("GET", "", query, null)
+      if (resp.statusCode() != 200) fail("LIST", prefix, resp)
+      val xml = new String(resp.body(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "(?s)<Contents>(.*?)</Contents>".r.findAllMatchIn(xml).foreach { m =>
+        val block = m.group(1)
+        val k = "<Key>(.*?)</Key>".r.findFirstMatchIn(block)
+          .map(km => xmlUnescape(km.group(1)))
+        val lm = "<LastModified>(.*?)</LastModified>".r
+          .findFirstMatchIn(block)
+          .map(lmm => java.time.Instant.parse(lmm.group(1)).toEpochMilli)
+          .getOrElse(0L)
+        k.filter(key => key.startsWith(prefix) && key.length > prefix.length)
+          .foreach(key => entries += FileIO.FileEntry(key.drop(prefix.length), lm))
+      }
+      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+        .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
+      more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
+    }
+    entries.toList
+  }
+
   private def xmlUnescape(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&")

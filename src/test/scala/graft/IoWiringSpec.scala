@@ -86,8 +86,15 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = t.expireSnapshots(retainLast = 1)
     assert(res.expiredSnapshots == 1)
     assert(spark.table("graft.default.io_app").count() == 3) // state intact
-    // vacuum's mtime walk is local-only by design: loud refusal
-    intercept[UnsupportedOperationException](t.vacuum(olderThanMillis = 0L))
+
+    // vacuum walks the REMOTE store (FileIO.walk carries LastModified):
+    // plant an aborted-write orphan next to live data and reclaim it
+    val fio = graft.format.FileIO.resolve("memory:iow1")
+    val orphan = t.tableDir.resolve("pt=a/bucket-0/data-orphan.parquet")
+    fio.writeAtomic(orphan, Array[Byte](1, 2, 3))
+    assert(t.vacuum(olderThanMillis = -1000L) == 1)
+    assert(!fio.exists(orphan))
+    assert(spark.table("graft.default.io_app").count() == 3) // live data intact
 
     assertDataPlaneRemote("io_app")
   }

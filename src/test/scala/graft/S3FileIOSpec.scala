@@ -16,6 +16,8 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val store =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private val putTimes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private var server: HttpServer = _
   private var io: graft.format.S3FileIO = _
 
@@ -53,7 +55,12 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
             (if (truncated)
               s"<NextContinuationToken>${from + PageSize}</NextContinuationToken>"
             else "") +
-            page.map(k => s"<Key>${k.stripPrefix("/lake/")}</Key>").mkString +
+            page.map { k =>
+              val lm = java.time.Instant
+                .ofEpochMilli(putTimes.getOrDefault(k, 0L)).toString
+              s"<Contents><Key>${k.stripPrefix("/lake/")}</Key>" +
+                s"<LastModified>$lm</LastModified></Contents>"
+            }.mkString +
             "</ListBucketResult>"
           respond(200, xml.getBytes("UTF-8"))
         case "GET" =>
@@ -90,6 +97,7 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
             respond(412, Array.emptyByteArray)
           else {
             if (!conditional) store.put(path, body)
+            putTimes.put(path, System.currentTimeMillis())
             respond(200, Array.emptyByteArray)
           }
         case "DELETE" =>
@@ -187,6 +195,20 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     val names = io.list(Paths.get("/wh/lst/snapshot")).sorted
     assert(names == (1 to 8).map(i => s"snapshot-$i").sorted.toList, s"got $names")
     assert(io.list(Paths.get("/wh/lst/absent")).isEmpty)
+  }
+
+  test("walk lists the whole subtree with LastModified times") {
+    val t0 = System.currentTimeMillis()
+    io.writeAtomic(Paths.get("/wh/wlk/bucket-0/f1.parquet"), "a".getBytes)
+    io.writeAtomic(Paths.get("/wh/wlk/pt=x/bucket-1/f2.parquet"), "b".getBytes)
+    io.writeAtomic(Paths.get("/wh/wlk/snapshot/snapshot-1"), "s".getBytes)
+    val got = io.walk(Paths.get("/wh/wlk"))
+    assert(got.map(_.relPath).sorted == List("bucket-0/f1.parquet",
+      "pt=x/bucket-1/f2.parquet", "snapshot/snapshot-1"), got.toString)
+    assert(got.forall(e => e.lastModifiedMillis >= t0 &&
+      e.lastModifiedMillis <= System.currentTimeMillis()),
+      s"LastModified must reflect put time: $got")
+    assert(io.walk(Paths.get("/wh/wlk-absent")).isEmpty)
   }
 
   test("a graft table lives entirely in the object store") {
