@@ -333,19 +333,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some(ts) =>
         // non-local data plane: remote keys are prefixed by the table
         // dir, so a later CREATE of the same name would otherwise
-        // resurrect the dropped table's snapshots. Enumerate and delete
-        // through the seam BEFORE removing the local schema.
+        // resurrect the dropped table's snapshots. Purge the WHOLE
+        // remote prefix (recursive walk), not just manifest-referenced
+        // keys — aborted-write orphans under the prefix would otherwise
+        // leak forever, since no vacuum can run on a dropped table.
         if (ts.ioSpec != "local") {
           val io = graft.format.FileIO.resolve(ts.ioSpec)
-          val sm = new graft.format.SnapshotManager(dir, io = io)
-          val manifests = io.list(dir.resolve("manifest"))
-            .filter(_.startsWith("manifest-"))
-          manifests.flatMap(m => sm.readManifest(m).map(_.file.fileName))
-            .distinct.foreach(f => io.delete(dir.resolve(f)))
-          manifests.foreach(m => io.delete(dir.resolve("manifest").resolve(m)))
-          sm.existingSnapshotIds.foreach(id =>
-            io.delete(dir.resolve("snapshot").resolve(s"snapshot-$id")))
-          io.delete(dir.resolve("snapshot").resolve("LATEST"))
+          io.walk(dir).foreach(e => io.delete(dir.resolve(e.relPath)))
         }
         deleteRecursively(dir)
         true

@@ -42,6 +42,10 @@ object FormatIO {
       // a local temp and publish its bytes through the seam on close —
       // the single upload a remote data-file write costs anyway
       val tmp = java.nio.file.Files.createTempFile("graft-w", "." + format)
+      // JVM-exit backstop, mirroring stageForRead: if the writer is
+      // abandoned without close() (task abort mid-write), the local
+      // temp must not outlive the process
+      tmp.toFile.deleteOnExit()
       // format writers create-exclusive; reserve the unique name only
       java.nio.file.Files.deleteIfExists(tmp)
       val inner = direct(tmp)

@@ -56,13 +56,40 @@ final class S3FileIO(
     }.sorted.mkString("&")
     val uri = endpoint.resolve(
       if (qs.isEmpty) canonicalUri else s"$canonicalUri?$qs")
-    val headers = SigV4.headers(method, canonicalUri, query, host,
-      payloadHash, clock(), region, accessKey, secretKey)
-    val b = HttpRequest.newBuilder(uri).method(method,
-      if (body == null) HttpRequest.BodyPublishers.noBody()
-      else HttpRequest.BodyPublishers.ofByteArray(body))
-    (headers ++ extraHeaders).foreach { case (k, v) => b.header(k, v) }
-    http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    // transient throttles (503 SlowDown) and internal errors (5xx) are
+    // expected at scale; a small bounded backoff with jitter retries
+    // them here so a single throttle doesn't fail a whole task.
+    // GET/HEAD/DELETE and full-object PUT are idempotent — safe to
+    // retry after an ambiguous failure. The CONDITIONAL put is not
+    // retried: if the first attempt won but its response was lost, a
+    // retry would see 412 and misreport this committer as the loser,
+    // double-applying the commit one snapshot later. Its caller's
+    // conflict loop owns that ambiguity.
+    val retriable = !extraHeaders.contains("If-None-Match")
+    var attempt = 0
+    var resp: HttpResponse[Array[Byte]] = null
+    while (resp == null) {
+      // sign per attempt: x-amz-date must be fresh after a backoff
+      val headers = SigV4.headers(method, canonicalUri, query, host,
+        payloadHash, clock(), region, accessKey, secretKey)
+      val b = HttpRequest.newBuilder(uri).method(method,
+        if (body == null) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofByteArray(body))
+      (headers ++ extraHeaders).foreach { case (k, v) => b.header(k, v) }
+      val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      if (r.statusCode() >= 500 && retriable && attempt < MaxRetries) {
+        attempt += 1
+        Thread.sleep(backoffMillis(attempt))
+      } else resp = r
+    }
+    resp
+  }
+
+  private val MaxRetries = 4
+  private def backoffMillis(attempt: Int): Long = {
+    val base = 100L << (attempt - 1) // 100, 200, 400, 800
+    base / 2 + java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(base / 2 + 1) // jitter in [base/2, base]
   }
 
   private def fail(op: String, key: String,
@@ -186,9 +213,40 @@ final class S3FileIO(
     entries.toList
   }
 
-  private def xmlUnescape(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&apos;", "'").replace("&amp;", "&")
+  /** The five named XML entities plus numeric character references —
+    * stores emit e.g. `&#x0C;` for control characters in keys, so
+    * handling only the named five would corrupt such names. */
+  private def xmlUnescape(s: String): String = {
+    if (!s.contains('&')) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val end = s.indexOf(';', i + 1)
+        val entity = if (end > i) s.substring(i + 1, end) else ""
+        val decoded: Option[String] = entity match {
+          case "lt" => Some("<")
+          case "gt" => Some(">")
+          case "quot" => Some("\"")
+          case "apos" => Some("'")
+          case "amp" => Some("&")
+          case e if e.startsWith("#x") || e.startsWith("#X") =>
+            scala.util.Try(new String(Character.toChars(
+              Integer.parseInt(e.drop(2), 16)))).toOption
+          case e if e.startsWith("#") =>
+            scala.util.Try(new String(Character.toChars(
+              Integer.parseInt(e.drop(1))))).toOption
+          case _ => None
+        }
+        decoded match {
+          case Some(d) => out.append(d); i = end + 1
+          case None => out.append(c); i += 1 // not an entity: literal &
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   override def exists(path: Path): Boolean = {
     val resp = send("HEAD", keyFor(path), Seq.empty, null)

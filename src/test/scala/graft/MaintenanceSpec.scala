@@ -248,9 +248,15 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("vacuum removes orphaned data files") {
+    // self-contained: a dedicated table, so the test passes in
+    // isolation instead of depending on the expiry test's leftovers
     val catalog = Catalog.create(spark,
       Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
-    val t = catalog.getTable("default.exp")
+    spark.sql("CREATE TABLE graft.default.vac (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.vac VALUES ($i, 'v$i')"))
+    val t = catalog.getTable("default.vac")
     // plant an orphan next to real data
     val bucketDir = t.tableDir.resolve("bucket-0")
     val orphan = bucketDir.resolve("data-orphan.parquet")
@@ -260,7 +266,7 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = t.vacuum(olderThanMillis = 3600_000L)
     assert(n == 1)
     assert(!Files.exists(orphan))
-    assert(spark.table("graft.default.exp").count() == 7)
+    assert(spark.table("graft.default.vac").count() == 3)
   }
 
   test("upserts after compaction still win by sequence number") {

@@ -18,6 +18,8 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
   private val putTimes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // paths containing "flaky" fail with 503 SlowDown this many times
+  private val flakyFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   private var server: HttpServer = _
   private var io: graft.format.S3FileIO = _
 
@@ -43,6 +45,8 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
         ex.close()
       }
       ex.getRequestMethod match {
+        case m if path.contains("flaky") && flakyFailures.getAndDecrement() > 0 =>
+          respond(503, "<Error><Code>SlowDown</Code></Error>".getBytes("UTF-8"))
         case "GET" if params.get("list-type").contains("2") =>
           val prefix = "/lake/" + params.getOrElse("prefix", "")
           val all = store.keySet().stream().sorted().toArray
@@ -58,7 +62,16 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
             page.map { k =>
               val lm = java.time.Instant
                 .ofEpochMilli(putTimes.getOrDefault(k, 0L)).toString
-              s"<Contents><Key>${k.stripPrefix("/lake/")}</Key>" +
+              // real stores escape XML-special AND control characters
+              // (the latter as numeric character references)
+              val escaped = k.stripPrefix("/lake/").flatMap {
+                case '&' => "&amp;"
+                case '<' => "&lt;"
+                case '>' => "&gt;"
+                case c if c < 0x20 => f"&#x${c.toInt}%02X;"
+                case c => c.toString
+              }
+              s"<Contents><Key>$escaped</Key>" +
                 s"<LastModified>$lm</LastModified></Contents>"
             }.mkString +
             "</ListBucketResult>"
@@ -195,6 +208,33 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     val names = io.list(Paths.get("/wh/lst/snapshot")).sorted
     assert(names == (1 to 8).map(i => s"snapshot-$i").sorted.toList, s"got $names")
     assert(io.list(Paths.get("/wh/lst/absent")).isEmpty)
+  }
+
+  test("transient 503 SlowDown is retried with backoff; commits are not") {
+    val p = Paths.get("/wh/flaky/blob")
+    io.writeAtomic(p, "v1".getBytes("UTF-8"))
+    flakyFailures.set(2)
+    assert(io.readString(p) == "v1", "GET must survive two 503s")
+    flakyFailures.set(2)
+    io.writeAtomic(p, "v2".getBytes("UTF-8")) // idempotent PUT retried
+    assert(io.readString(p) == "v2")
+    // the conditional PUT must NOT retry (a lost response would
+    // misreport the winner as loser): a 503 surfaces as an error
+    flakyFailures.set(1)
+    intercept[java.io.IOException](
+      io.putIfAbsent(Paths.get("/wh/flaky/commit"), "{}"))
+    flakyFailures.set(0)
+    assert(io.putIfAbsent(Paths.get("/wh/flaky/commit"), "{}"))
+  }
+
+  test("list round-trips keys with XML-special and control characters") {
+    // stores emit numeric character references (&#x0C;) for control
+    // chars and named entities for &/<, so listing must decode both
+    val names = Seq("a&b", "c<d>e", "ctl\u000Cff", "q'r\"s")
+    names.foreach(n => io.writeAtomic(
+      Paths.get(s"/wh/ent/$n"), "x".getBytes("UTF-8")))
+    assert(io.list(Paths.get("/wh/ent")).sorted == names.sorted)
+    assert(io.walk(Paths.get("/wh/ent")).map(_.relPath).sorted == names.sorted)
   }
 
   test("walk lists the whole subtree with LastModified times") {
