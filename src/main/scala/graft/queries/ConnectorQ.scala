@@ -46,6 +46,16 @@ object ConnectorQ {
       r
     } else f
 
+  /** Drop the memoized per-dir namespace (tables + temp-warehouse
+    * bytes) so a long-lived session sweeping many dirs doesn't
+    * accumulate one warehouse's worth of graft tables per dir. The
+    * next query against the same dir re-runs setup from scratch. */
+  def release(s: SparkSession, dir: String): Unit =
+    Option(memo.remove(dir)).foreach { st =>
+      try s.sql(s"DROP NAMESPACE IF EXISTS graft_c.${st.ns} CASCADE")
+      catch { case _: Throwable => () } // already-stopped session
+    }
+
   private def setup(s: SparkSession, dir: String): Setup =
     memo.computeIfAbsent(dir, _ => ConnectorQ.synchronized {
       if (!s.conf.getOption("spark.sql.catalog.graft_c").exists(_.nonEmpty)) {

@@ -37,6 +37,24 @@ object Dedup {
     pairsMemo.computeIfAbsent((System.identityHashCode(s), dir),
       _ => computeNearDupPairs(s, dir))
 
+  /** Release the memoized pair frame for (session, dir): a long-lived
+    * session sweeping many corpora calls this when done with a dir, so
+    * the persisted pair RDD (the only executor storage the memo pins)
+    * doesn't accumulate across dirs. Safe to call twice; the next
+    * [[nearDupPairs]] for the same dir simply recomputes. */
+  def releaseNearDupPairs(s: SparkSession, dir: String): Unit =
+    Option(pairsMemo.remove((System.identityHashCode(s), dir)))
+      .foreach(_.unpersist(blocking = true))
+
+  /** Release every memoized pair frame (session teardown). */
+  def releaseAllNearDupPairs(): Unit = {
+    val it = pairsMemo.entrySet().iterator()
+    while (it.hasNext) {
+      it.next().getValue.unpersist(blocking = true)
+      it.remove()
+    }
+  }
+
   /** Confirmed near-duplicate pairs (a < b, shingle-Jaccard >= 0.5) via
     * MinHash + LSH banding + exact verification.
     *

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Session-state lifecycle of the cross-query memos: a long-lived
+  * session sweeping many corpus dirs must be able to RELEASE what a
+  * dir's queries pinned — the persisted near-dup pair RDDs
+  * (Dedup.pairsMemo) and the connector setup's temp-warehouse tables
+  * (ConnectorQ.memo) — instead of accumulating one corpus's worth of
+  * executor storage / disk per dir until shutdown.
+  */
+class MemoLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  test("connector setup releases its per-dir namespace and tables") {
+    val dir = "/root/testdata/sf0.001"
+    assert(SparkEntry.queries("c_append_scan")(spark, dir).count() > 0)
+    val ns = "c" + math.abs(dir.hashCode).toString
+    assert(spark.sql(s"SHOW TABLES IN graft_c.$ns").count() > 0,
+      "setup must have created tables in the per-dir namespace")
+    graft.queries.ConnectorQ.release(spark, dir)
+    val nss = spark.sql("SHOW NAMESPACES IN graft_c")
+      .collect().map(_.getString(0)).toSet
+    assert(!nss.contains(ns), s"namespace $ns must be dropped, got $nss")
+    // the same dir sets up again from scratch on next use
+    assert(SparkEntry.queries("c_append_scan")(spark, dir).count() > 0)
+    graft.queries.ConnectorQ.release(spark, dir)
+  }
+
+  test("near-dup pair memo releases executor storage per dir") {
+    val d1 = "/root/testdata/sf0.001"
+    val d2 = "/root/testdata/sf0.01"
+    assert(graft.queries.Dedup.nearDupPairs(spark, d1).count() >= 0)
+    assert(graft.queries.Dedup.nearDupPairs(spark, d2).count() >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the memoized pair frames are persisted")
+    graft.queries.Dedup.releaseNearDupPairs(spark, d1)
+    graft.queries.Dedup.releaseNearDupPairs(spark, d2)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs.keySet}")
+    // double-release is a no-op; next use recomputes
+    graft.queries.Dedup.releaseNearDupPairs(spark, d1)
+    assert(graft.queries.Dedup.nearDupPairs(spark, d1).count() >= 0)
+    graft.queries.Dedup.releaseAllNearDupPairs()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
