@@ -8,13 +8,13 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   * `mapInPandas` stage: one JVM-side iterator per partition, batch
   * reuse, columnar in/out at the boundary).
   *
-  * Decoding: uncompressed BMP parses for REAL ([[MediaCodec.decodeBmp]]
-  * — pure-JDK, public spec); every other format falls back to the
-  * DETERMINISTIC STUB [[MediaCodec.decodeStub]], since this container
-  * ships no image/audio codecs. The Spark-side contract (schema,
-  * partitioning, operator signature, batch shape, null handling) is
-  * real and tested; widening the codec set is confined to
-  * [[MediaCodec.decode]].
+  * Decoding: uncompressed BMP ([[MediaCodec.decodeBmp]]) and PCM WAV
+  * ([[MediaCodec.decodeWav]]) parse for REAL — both pure-JDK, public
+  * specs; every other format falls back to the DETERMINISTIC STUB
+  * [[MediaCodec.decodeStub]], since this container ships no image/audio
+  * codecs. The Spark-side contract (schema, partitioning, operator
+  * signature, batch shape, null handling) is real and tested; widening
+  * the codec set further is confined to [[MediaCodec]].
   */
 object Multimodal {
 
@@ -22,10 +22,16 @@ object Multimodal {
   final case class MediaBlob(docId: Long, mediaType: String,
       bytes: Array[Byte])
 
-  /** Extracted per-object features (fixed-width, columnar-friendly). */
+  /** Extracted per-object features (fixed-width, columnar-friendly).
+    * Image-shaped payloads fill width/height/meanLuma; audio-shaped
+    * (WAV) fill sampleRateHz/durationMs — the unused family is zero. */
   final case class MediaFeatures(docId: Long, mediaType: String,
       nBytes: Long, width: Int, height: Int, meanLuma: Double,
-      byteEntropy: Double)
+      byteEntropy: Double, sampleRateHz: Int = 0, durationMs: Long = 0L)
+
+  /** Parsed WAV header: the real audio metadata a pipeline filters on. */
+  final case class WavMeta(sampleRateHz: Int, channels: Int,
+      bitsPerSample: Int, durationMs: Long)
 
   /** One sampled frame of a "video" blob. */
   final case class MediaFrame(docId: Long, frameIdx: Int, nBytes: Long,
@@ -103,6 +109,49 @@ object Multimodal {
       Some((width, height.toInt, lumaSum / (width.toLong * height) / 255.0))
     }
 
+    /** REAL decode for PCM WAV (RIFF — public spec, pure JDK like BMP):
+      * walks the chunk list for `fmt ` + `data`, returns sample rate,
+      * channel count, bit depth, and duration, or None when the bytes
+      * are not a PCM WAV this parser accepts (callers fall back to the
+      * stub). Duration comes from the data chunk size clamped to the
+      * bytes actually present, so a truncated object reports the audio
+      * it holds, not what its header promises.
+      */
+    def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+      if (bytes.length < 44) return None
+      def tag(o: Int, s: String): Boolean =
+        s.indices.forall(i => bytes(o + i) == s.charAt(i).toByte)
+      if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, byteRate, bits
+      var dataBytes = -1L
+      while (off + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+        val size = bb.getInt(off + 4).toLong & 0xFFFFFFFFL
+        if (tag(off, "fmt ")) {
+          if (off + 24 > bytes.length || size < 16) return None
+          val audioFormat = bb.getShort(off + 8).toInt
+          val channels = bb.getShort(off + 10).toInt
+          val rate = bb.getInt(off + 12)
+          val byteRate = bb.getInt(off + 16)
+          val bits = bb.getShort(off + 22).toInt
+          // PCM only; a hostile/corrupt header falls to the stub rather
+          // than dividing by zero below
+          if (audioFormat != 1 || channels <= 0 || rate <= 0 ||
+            byteRate <= 0 || bits <= 0) return None
+          fmt = Some((channels, rate, byteRate, bits))
+        } else if (tag(off, "data")) {
+          dataBytes = math.min(size, (bytes.length - off - 8).toLong)
+        }
+        if (size > Int.MaxValue - 16) return None
+        off += 8 + size.toInt + (size % 2).toInt // chunks pad to even
+      }
+      fmt.collect { case (ch, rate, byteRate, bits) if dataBytes >= 0 =>
+        WavMeta(rate, ch, bits, dataBytes * 1000L / byteRate)
+      }
+    }
+
     /** BMP parses for real; everything else falls to the stub. */
     def decode(bytes: Array[Byte]): (Int, Int, Double) =
       decodeBmp(bytes).getOrElse(decodeStub(bytes))
@@ -150,9 +199,16 @@ object Multimodal {
   def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] =
     blobs.mapPartitions { it =>
       it.map { b =>
-        val (w, h, luma) = MediaCodec.decode(b.bytes)
-        MediaFeatures(b.docId, b.mediaType, b.bytes.length.toLong, w, h,
-          luma, MediaCodec.byteEntropy(b.bytes))
+        MediaCodec.decodeWav(b.bytes) match {
+          case Some(a) => // real audio metadata; the image family is 0
+            MediaFeatures(b.docId, b.mediaType, b.bytes.length.toLong,
+              0, 0, 0.0, MediaCodec.byteEntropy(b.bytes),
+              a.sampleRateHz, a.durationMs)
+          case None =>
+            val (w, h, luma) = MediaCodec.decode(b.bytes)
+            MediaFeatures(b.docId, b.mediaType, b.bytes.length.toLong, w, h,
+              luma, MediaCodec.byteEntropy(b.bytes))
+        }
       }
     }
 

@@ -141,4 +141,57 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(ds).collect()(0)
     assert(f.width == 3 && f.height == 2 && math.abs(f.meanLuma - 1.0) < 1e-9)
   }
+
+  /** Minimal PCM WAV: 44-byte canonical header + silence. */
+  private def wav(sampleRate: Int, channels: Int, bits: Int,
+      nSampleFrames: Int, extraChunkFirst: Boolean = false): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nSampleFrames * blockAlign
+    val extra = if (extraChunkFirst) 8 + 4 else 0 // a LIST chunk before fmt
+    val bb = java.nio.ByteBuffer.allocate(44 + extra + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + extra + dataSize).put("WAVE".getBytes)
+    if (extraChunkFirst) bb.put("LIST".getBytes).putInt(4).putInt(0)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    bb.put("data".getBytes).putInt(dataSize)
+    bb.array() // remaining bytes are zero = silence
+  }
+
+  test("WAV decodes for real: sample rate, channels, duration") {
+    import graft.functions.Multimodal
+    import graft.functions.Multimodal.{MediaBlob, MediaCodec, WavMeta}
+    // 16 kHz mono 16-bit, 8000 frames = exactly 500 ms
+    val a = wav(16000, 1, 16, 8000)
+    assert(MediaCodec.decodeWav(a).contains(WavMeta(16000, 1, 16, 500L)))
+    // 44.1 kHz stereo with a LIST chunk before fmt: chunk walk, 1s
+    val b = wav(44100, 2, 16, 44100, extraChunkFirst = true)
+    assert(MediaCodec.decodeWav(b).contains(WavMeta(44100, 2, 16, 1000L)))
+    // truncated object: duration reflects the bytes present, not the
+    // header's promise
+    val t = java.util.Arrays.copyOf(a, 44 + 8000) // half the data
+    assert(MediaCodec.decodeWav(t).contains(WavMeta(16000, 1, 16, 250L)))
+    // non-PCM (format tag 3 = IEEE float) falls to the stub
+    val f = wav(8000, 1, 32, 10)
+    java.nio.ByteBuffer.wrap(f).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3.toShort)
+    assert(MediaCodec.decodeWav(f).isEmpty)
+    // plain text is not RIFF
+    assert(MediaCodec.decodeWav("RIFFnot a wave".getBytes).isEmpty)
+    // end-to-end: extractFeatures surfaces the audio family for WAV
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      Seq(MediaBlob(7L, "audio", a)).toDS()).collect()(0)
+    assert(feats.sampleRateHz == 16000 && feats.durationMs == 500L)
+    assert(feats.width == 0 && feats.height == 0)
+    // non-WAV audio rows keep the labeled stub behavior
+    val stubFeats = Multimodal.extractFeatures(
+      Seq(MediaBlob(8L, "audio", "just text".getBytes)).toDS()).collect()(0)
+    assert(stubFeats.sampleRateHz == 0 && stubFeats.width >= 64)
+  }
 }
