@@ -113,6 +113,19 @@ object ConnectorQ {
             SELECT event_type, user_id, event_id, $C FROM ev_src"""))
         },
 
+        // append table whose DATA PLANE lives on the in-memory
+        // object-store stand-in: the benched read of this table
+        // measures the storage-seam overhead (graftio:// columnar
+        // path over FileIO.readRange) every round, not just in specs
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_io
+            (event_type STRING, user_id BIGINT, event_id BIGINT, cents BIGINT)
+            PARTITIONED BY (event_type)
+            TBLPROPERTIES ('io'='memory:bench_$ns')""")
+          timed("insert ev_io")(s.sql(s"""INSERT INTO graft_c.$ns.ev_io
+            SELECT event_type, user_id, event_id, $C FROM ev_src"""))
+        },
+
         // partitioned PK table, bucket=2, 2 commits
         () => {
           s.sql(s"""CREATE TABLE graft_c.$ns.ev_ppk
@@ -373,6 +386,21 @@ object ConnectorQ {
         s.sql(s"""SELECT event_type, COUNT(*) AS n_events,
             SUM(cents) AS sum_cents
           FROM graft_c.${st.ns}.ev_part
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // the c_append_scan aggregate through the memory: data plane — the
+    // per-round measurement of the storage seam (graftio:// vectorized
+    // read over ranged FileIO); identical results, different bytes path
+    QueryDef("c_io_remote_scan",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"""SELECT event_type, COUNT(*) AS n_events,
+            SUM(cents) AS sum_cents
+          FROM graft_c.${st.ns}.ev_io
           GROUP BY event_type ORDER BY event_type""")
       },
       Some(s"""SELECT event_type, COUNT(*) AS n_events,
