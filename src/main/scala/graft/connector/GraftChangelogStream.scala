@@ -128,7 +128,7 @@ final case class GraftChangelogReaderFactory(
     if (part.baselineFiles.nonEmpty) {
       val sources = part.baselineFiles.toSeq.map(f =>
         FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema,
-          fieldIds, io = fio).map(r => (f, r)))
+          fieldIds, io = fio, ioSpec = ioSpec).map(r => (f, r)))
       new SortMergeReader(sources, keyIdx, keyTypes, 0, 1, sortEngine)
         .foreach { case (_, r) => state.update(keyOf(r), r) }
     }
@@ -136,7 +136,7 @@ final case class GraftChangelogReaderFactory(
     // delta rows in sequence order
     val delta = part.deltaFiles.toSeq.flatMap(f =>
       FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvSchema, kvSchema,
-        fieldIds, io = fio).toSeq).sortBy(_.getLong(0))
+        fieldIds, io = fio, ioSpec = ioSpec).toSeq).sortBy(_.getLong(0))
 
     // synthesize the changelog
     val out = mutable.ArrayBuffer.empty[(Byte, Long, InternalRow)]

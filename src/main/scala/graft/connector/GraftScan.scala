@@ -674,7 +674,7 @@ final case class GraftReaderFactory(
       else part.filePaths.iterator.flatMap(f =>
         FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
           if (isPk) kvFileSchema else dataFields, readSchema, fieldIds,
-          safeFilters, io = fio)
+          safeFilters, io = fio, ioSpec = ioSpec)
           .map(r => (f, r)))
 
     // output assembly: required order; partition constants spliced in
@@ -735,7 +735,8 @@ final case class GraftReaderFactory(
     // version of a surviving key (see RowReader)
     val sources = part.filePaths.toSeq.map { f =>
       FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema,
-        readSchema, fieldIds, keyFilters, io = fio).map(r => (f, r))
+        readSchema, fieldIds, keyFilters, io = fio, ioSpec = ioSpec)
+        .map(r => (f, r))
     }
     new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx,
       kindIdx, sortEngine)

@@ -79,8 +79,18 @@ object FormatIO {
       projection: StructType,
       ids: Map[String, Int] = Map.empty,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-      io: FileIO = FileIO.local)
+      io: FileIO = FileIO.local,
+      ioSpec: String = "local")
       : RowFileReader = {
+    // parquet on a non-local store reads through graftio:// with ranged
+    // FileIO reads — footer + only the needed row groups/columns, so a
+    // point lookup costs O(one row group) of bytes instead of a
+    // whole-file download. ORC/Avro merge reads stay staged: they scan
+    // files fully and sequentially, where one whole-object GET is the
+    // right store access pattern.
+    if (format == "parquet" && ioSpec != "local" && !(io eq FileIO.local))
+      return new ParquetReaderAdapter(path, fileSchema, projection, ids,
+        filters, Some(GraftFileSystem.uriFor(ioSpec, path.toString)))
     val staged = io.stageForRead(path) // zero-copy for FileIO.local
     def direct: RowFileReader = format match {
       case "parquet" =>
@@ -131,10 +141,12 @@ object FormatIO {
   private final class ParquetReaderAdapter(path: java.nio.file.Path,
       fileSchema: StructType, projection: StructType,
       ids: Map[String, Int],
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+      hadoopPath: Option[String] = None)
     extends RowFileReader {
     private val r =
-      new ParquetIO.RowReader(path, fileSchema, projection, ids, filters)
+      new ParquetIO.RowReader(path, fileSchema, projection, ids, filters,
+        hadoopPath)
     override def hasNext: Boolean = r.hasNext
     override def next(): InternalRow = r.next()
     override def close(): Unit = r.close()

@@ -285,12 +285,17 @@ object ParquetIO {
     }.toMap
   }
 
+  /** `hadoopPath`: explicit Hadoop path string override — a `graftio://`
+    * URI routes footer + row-group reads through the FileIO seam with
+    * ranged reads (no whole-file staging); None = the local file. */
   final class RowReader(path: java.nio.file.Path, fileSchema: StructType,
       projection: StructType,
       ids: Map[String, Int] = Map.empty,
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+      hadoopPath: Option[String] = None)
     extends Iterator[InternalRow] with AutoCloseable {
-    private val footer = footerFields(path)
+    private val hpathStr = hadoopPath.getOrElse(path.toUri.toString)
+    private val footer = footerFields(hpathStr)
     private val physFor =
       resolvePhysical(footer, projection.fieldNames.toSeq, ids)
     private val logicalFor = physFor.map(_.swap)
@@ -331,7 +336,7 @@ object ParquetIO {
         physFor, footer.map(f => f.name -> f.stored).toMap)
       val b = ParquetReader.builder[InternalRow](
         new InternalRowReadSupport(requested, outPos, projection.length),
-        new HPath(path.toUri))
+        new HPath(hpathStr))
       pred.fold(b)(p => b.withFilter(
         org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
     }

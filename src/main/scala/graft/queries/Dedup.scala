@@ -44,16 +44,24 @@ object Dedup {
     * [[nearDupPairs]] for the same dir simply recomputes. */
   def releaseNearDupPairs(s: SparkSession, dir: String): Unit =
     Option(pairsMemo.remove((System.identityHashCode(s), dir)))
-      .foreach(_.unpersist(blocking = true))
+      .foreach(safeUnpersist)
 
   /** Release every memoized pair frame (session teardown). */
   def releaseAllNearDupPairs(): Unit = {
     val it = pairsMemo.entrySet().iterator()
     while (it.hasNext) {
-      it.next().getValue.unpersist(blocking = true)
+      safeUnpersist(it.next().getValue)
       it.remove()
     }
   }
+
+  /** A memo entry can outlive its session (the owner stopped without
+    * releasing); unpersisting against a stopped context NPEs, and there
+    * is nothing left to release then anyway. */
+  private def safeUnpersist(df: DataFrame): Unit =
+    try {
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = true)
+    } catch { case _: Throwable => () } // racing stop: storage already gone
 
   /** Confirmed near-duplicate pairs (a < b, shingle-Jaccard >= 0.5) via
     * MinHash + LSH banding + exact verification.
