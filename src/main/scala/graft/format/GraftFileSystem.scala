@@ -142,7 +142,13 @@ object GraftFileSystem {
 final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
     extends InputStream with Seekable with PositionedReadable {
 
-  private val ReadAhead = 1 << 20 // 1 MiB
+  // read-ahead grows while access stays sequential (footer probes stay
+  // small; a merge scan draining a whole file doubles toward MaxAhead,
+  // amortizing per-request latency on real object stores), and resets
+  // after a seek away from the buffered window
+  private val MinAhead = 1 << 20 // 1 MiB
+  private val MaxAhead = 8 << 20 // 8 MiB
+  private var readAhead = MinAhead
   private var pos = 0L
   private var buf: Array[Byte] = Array.emptyByteArray
   private var bufStart = 0L
@@ -163,7 +169,7 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
     if (l == 0) return 0
     if (pos >= len) return -1
     val want = math.min(l.toLong, len - pos).toInt
-    if (!buffered(pos) && want >= ReadAhead) {
+    if (!buffered(pos) && want >= readAhead) {
       // large sequential read (column chunk): fetch directly
       val got = fio.readRange(path, pos, want)
       System.arraycopy(got, 0, b, off, got.length)
@@ -179,7 +185,10 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
   }
 
   private def fill(at: Long): Unit = {
-    val want = math.min(ReadAhead.toLong, len - at).toInt
+    val sequential = buf.nonEmpty && at == bufStart + buf.length
+    readAhead =
+      if (sequential) math.min(readAhead << 1, MaxAhead) else MinAhead
+    val want = math.min(readAhead.toLong, len - at).toInt
     buf = fio.readRange(path, at, want)
     bufStart = at
     if (buf.isEmpty && want > 0)
