@@ -58,7 +58,7 @@ object Dedup {
   /** A memo entry can outlive its session (the owner stopped without
     * releasing); unpersisting against a stopped context NPEs, and there
     * is nothing left to release then anyway. */
-  private def safeUnpersist(df: DataFrame): Unit =
+  private[queries] def safeUnpersist(df: DataFrame): Unit =
     try {
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = true)
     } catch { case _: Throwable => () } // racing stop: storage already gone

@@ -14,6 +14,101 @@ object Pipeline {
 
   private def tokens = graft.functions.TextFunctions.ascii_words(col("text"))
 
+  /** Connected-component labels (id, lbl) over the near-dup pair set,
+    * memoized per (session, dir): `d_dedup_apply` and `d_dup_clusters`
+    * share ONE min-label propagation (the pair set itself is already
+    * shared via [[Dedup.nearDupPairs]]). The final frame is a
+    * localCheckpoint — call [[releaseDupClusterLabels]] when done with
+    * a dir so its blocks don't outlive their usefulness.
+    */
+  private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.DataFrame]()
+
+  private[graft] def dupClusterLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    labelsMemo.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => computeDupClusterLabels(s, dir))
+
+  def releaseDupClusterLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    Option(labelsMemo.remove((System.identityHashCode(s), dir)))
+      .foreach(freeCheckpoint)
+
+  def releaseAllDupClusterLabels(): Unit = {
+    val it = labelsMemo.entrySet().iterator()
+    while (it.hasNext) {
+      freeCheckpoint(it.next().getValue)
+      it.remove()
+    }
+  }
+
+  /** Release a localCheckpoint frame's storage DETERMINISTICALLY:
+    * `Dataset.unpersist` only clears CacheManager entries, so a
+    * checkpointed frame's blocks otherwise wait for the async
+    * ContextCleaner (a GC-driven "eventually"). Unpersist the
+    * underlying RDD directly. */
+  private def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    try {
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = true))
+    } catch { case _: Throwable => () } // racing stop: storage already gone
+
+  /** Near-duplicate cluster labels: DISTRIBUTED connected components
+    * over the LSH pair set — iterative min-label propagation to
+    * fixpoint (~diameter rounds; near-dup clusters are shallow).
+    * Nothing is collected to the driver, so a 100 TB corpus whose pair
+    * set is billions of edges still fits: each round is one join + one
+    * aggregation, lineage truncated per round. Min-label CC converges
+    * to the MINIMUM doc_id of each component, so `lbl` doubles as the
+    * cluster's canonical representative.
+    */
+  private def computeDupClusterLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = Dedup.nearDupPairs(s, dir)
+    // spillable level: the edge cache is re-read every round, and an
+    // eviction here recomputes the whole LSH pair pipeline upstream
+    val edges = pairs.selectExpr("a AS src", "b AS dst")
+      .union(pairs.selectExpr("b AS src", "a AS dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0 fused into init: label = min(self, neighbors); shallow
+    // (pair-shaped) clusters then converge in ONE verification round
+    var labels = edges.groupBy("src")
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      // observe() rides the checkpoint job, so each round is ONE
+      // materialization (join+agg) instead of checkpoint + a second
+      // changed-count scan — halves the per-round job count.
+      val obs = Observation(s"dup_clusters_round_$round")
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("lbl").as("nbr"))
+      val next = labels.select(col("id"), col("lbl").as("old"))
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"),
+          (col("nbr").isNotNull && col("nbr") < col("old")).as("chg"))
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint()
+      changed = Option(obs.get("changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // next is eagerly materialized above — the previous round's
+      // checkpoint blocks are dead; free them (RDD-level, see
+      // freeCheckpoint) so executor storage stays O(1) in rounds
+      // instead of waiting on the GC-driven ContextCleaner.
+      freeCheckpoint(labels)
+      labels = next.select("id", "lbl")
+    }
+    edges.unpersist()
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Quality filter: integer-only thresholds (counts compared
     // cross-multiplied, no divisions) → bit-deterministic oracle.
@@ -65,59 +160,15 @@ object Pipeline {
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
         GROUP BY source ORDER BY source""")),
 
-    // Near-duplicate cluster resolution: DISTRIBUTED connected
-    // components over the LSH pair set — iterative min-label
-    // propagation to fixpoint (~diameter rounds; near-dup clusters are
-    // shallow). Nothing is collected to the driver, so a 100 TB corpus
-    // whose pair set is billions of edges still fits: each round is
-    // one join + one aggregation, lineage truncated per round.
-    // Oracle: DuckDB recursive CTE reachability over the same pairs.
+    // Near-duplicate cluster resolution over the shared CC labels
+    // (see dupClusterLabels). Oracle: DuckDB recursive CTE
+    // reachability over the same pairs.
     QueryDef("d_dup_clusters",
-      (s, dir) => {
-        val pairs = Dedup.nearDupPairs(s, dir)
-        // spillable level: the edge cache is re-read every round, and an
-        // eviction here recomputes the whole LSH pair pipeline upstream
-        val edges = pairs.selectExpr("a AS src", "b AS dst")
-          .union(pairs.selectExpr("b AS src", "a AS dst"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // round 0 fused into init: label = min(self, neighbors); shallow
-        // (pair-shaped) clusters then converge in ONE verification round
-        var labels = edges.groupBy("src")
-          .agg(least(min(col("dst")), col("src")).as("lbl"))
-          .select(col("src").as("id"), col("lbl"))
-          .localCheckpoint()
-        var changed = 1L
-        var round = 0
-        while (changed > 0) {
-          round += 1
-          // observe() rides the checkpoint job, so each round is ONE
-          // materialization (join+agg) instead of checkpoint + a second
-          // changed-count scan — halves the per-round job count.
-          val obs = Observation(s"dup_clusters_round_$round")
-          val prop = edges
-            .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
-            .groupBy(col("src").as("id")).agg(min("lbl").as("nbr"))
-          val next = labels.select(col("id"), col("lbl").as("old"))
-            .join(prop, Seq("id"), "left")
-            .select(col("id"),
-              least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"),
-              (col("nbr").isNotNull && col("nbr") < col("old")).as("chg"))
-            .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
-            .localCheckpoint()
-          changed = Option(obs.get("changed"))
-            .map(_.asInstanceOf[Long]).getOrElse(0L)
-          // next is eagerly materialized above — the previous round's
-          // checkpoint blocks are dead; free them so executor storage
-          // stays O(1) in rounds instead of O(diameter).
-          labels.unpersist()
-          labels = next.select("id", "lbl")
-        }
-        edges.unpersist()
-        labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_clusters"),
-            coalesce(sum("sz"), lit(0L)).as("n_docs_in_clusters"),
-            coalesce(max("sz"), lit(0L)).as("largest_cluster"))
-      },
+      (s, dir) => dupClusterLabels(s, dir)
+        .groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum("sz"), lit(0L)).as("n_docs_in_clusters"),
+          coalesce(max("sz"), lit(0L)).as("largest_cluster")),
       Some(s"""WITH RECURSIVE ${Dedup.sqlPairsCte},
         edges AS (SELECT a AS src, b AS dst FROM pairs
                   UNION ALL SELECT b, a FROM pairs),
@@ -132,6 +183,41 @@ object Pipeline {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
           CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_docs_in_clusters,
           CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS largest_cluster
-        FROM cl"""))
+        FROM cl""")),
+
+    // APPLY the near-dup resolution — the pipeline's actual "dedup the
+    // corpus" step: keep every unclustered doc plus exactly one
+    // representative per cluster (min-label CC converges to the
+    // minimum doc_id, so lbl == doc_id marks the keeper). One
+    // left equi-join against the labels (cluster-members-sized, far
+    // smaller than the corpus) and a per-source rollup — map-side at
+    // 100 TB once AQE broadcasts the label set.
+    QueryDef("d_dedup_apply",
+      (s, dir) => {
+        val labels = dupClusterLabels(s, dir)
+          .select(col("id").as("doc_id"), col("lbl"))
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .join(labels, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lbl").isNull || col("lbl") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.sqlPairsCte},
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        lbl AS (
+          SELECT src AS id, LEAST(src, MIN(dst)) AS lbl
+          FROM reach GROUP BY src)
+        SELECT d.source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN l.lbl IS NULL OR l.lbl = d.doc_id
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+        GROUP BY d.source ORDER BY d.source"""))
   )
 }

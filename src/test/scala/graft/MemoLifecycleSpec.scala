@@ -56,4 +56,16 @@ class MemoLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.queries.Dedup.releaseAllNearDupPairs()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("dup-cluster label memo releases its checkpoint storage") {
+    val d1 = "/root/testdata/sf0.001"
+    assert(SparkEntry.queries("d_dup_clusters")(spark, d1).count() == 1)
+    assert(SparkEntry.queries("d_dedup_apply")(spark, d1).count() >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "pairs + label checkpoint are persisted")
+    graft.queries.Dedup.releaseAllNearDupPairs()
+    graft.queries.Pipeline.releaseAllDupClusterLabels()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.keySet}")
+  }
 }
