@@ -240,6 +240,51 @@ object Similarity {
         FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.95""")),
 
+    // Int8 scalar quantization of the embedding store — the standard
+    // 4x compression step before ANN serving. Per-dimension min/max
+    // come from one explode+agg pass (64 rows, broadcast back); codes
+    // are q = floor((x - mn) * 255 / (mx - mn)) clamped to [0, 255]
+    // (constant dimensions map to 0). The rollup is integer-only so
+    // the oracle hashes bit-identically: the float part is ONE
+    // expression over doubles both engines evaluate in the same
+    // operand order (operands cast to double BEFORE arithmetic — a
+    // float-typed subtraction on one side would diverge).
+    QueryDef("s_quantize_int8",
+      (s, dir) => {
+        val ex = t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+        ex.join(broadcast(stats), "dim")
+          .withColumn("q", when(col("mx") === col("mn"), lit(0))
+            .otherwise(least(lit(255), greatest(lit(0),
+              floor((col("x").cast("double") - col("mn").cast("double"))
+                * 255.0 /
+                (col("mx").cast("double") - col("mn").cast("double")))
+                .cast("int")))))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_codes"),
+            sum(col("q").cast("long")).as("sum_q"),
+            sum(when(col("q") === 0 || col("q") === 255, 1L).otherwise(0L))
+              .as("n_extreme"))
+          .orderBy("label")
+      },
+      Some("""WITH ex AS (
+          SELECT label, i AS dim, embedding[i+1] AS x
+          FROM embeddings, range(64) AS r(i)),
+        stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+        codes AS (
+          SELECT label,
+            CASE WHEN mx = mn THEN 0
+                 ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                   (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
+                   / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS INT)))
+            END AS q
+          FROM ex JOIN stats USING (dim))
+        SELECT label, COUNT(*) AS n_codes, CAST(SUM(q) AS BIGINT) AS sum_q,
+          CAST(SUM(CASE WHEN q IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_extreme
+        FROM codes GROUP BY label ORDER BY label""")),
+
     // Centroid summary per cell — the "train coarse quantizer" step.
     QueryDef("s_cell_stats",
       (s, dir) => t(s, dir, "embeddings")
