@@ -663,6 +663,29 @@ object ConnectorQ {
           CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // streaming dedup-at-ingest: dropDuplicates holds one state row per
+    // key (the 100 TB shape: the key space must be value-bounded like
+    // here, or watermarked); the per-type distinct-user rollup is
+    // arrival-order-invariant, so the oracle is a plain COUNT DISTINCT
+    QueryDef("c_stream_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val sink = s"c_stream_dedup_${st.ns}"
+        val q = s.readStream.table(s"graft_c.${st.ns}.ev_part")
+          .dropDuplicates("event_type", "user_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+          COUNT(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // expire history down to the latest snapshot, vacuum unreferenced
     // files, then read: the merged state is unchanged (idempotent, so
     // repeat runs in one JVM are safe); the require proves the history

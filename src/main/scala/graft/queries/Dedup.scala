@@ -248,6 +248,36 @@ object Dedup {
             FROM documents) q GROUP BY fp) g
         GROUP BY group_size ORDER BY group_size""")),
 
+    // APPLY exact dedup: keep the first (min doc_id) of each
+    // fingerprint group, rolled up per source — the map-side decision a
+    // corpus pipeline actually executes (the histogram above describes
+    // it; this row materializes it). A min-over-window on the
+    // fingerprint costs ONE shuffle; the groupBy+self-join alternative
+    // would shuffle twice.
+    QueryDef("d_exact_apply",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val fp = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+        fp.withColumn("keep_doc_id",
+            min("doc_id").over(Window.partitionBy("fp")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("keep_doc_id"), 1L).otherwise(0L))
+              .as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (SELECT doc_id, source,
+            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        k AS (SELECT fp, MIN(doc_id) AS keep_doc_id FROM f GROUP BY fp)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN doc_id = keep_doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+        FROM f JOIN k USING (fp)
+        GROUP BY source ORDER BY source""")),
+
     // MinHash + LSH banding, hashed with the engine-portable md5-derived
     // h60 → the whole pipeline (shingle → per-seed min → band → bucket
     // join → Jaccard verify) replays in DuckDB as the oracle.
