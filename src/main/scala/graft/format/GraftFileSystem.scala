@@ -122,14 +122,18 @@ object GraftFileSystem {
 
   /** Hadoop-path string for abstract key `file` under `ioSpec` — the
     * plain local path for local io (zero behavior change on the
-    * default deployment), a graftio URI otherwise. The multi-arg URI
-    * constructor percent-encodes key characters that need it. */
+    * default deployment), a RAW `graftio://<auth>/<key>` string
+    * otherwise. Raw on purpose: every consumer parses this through
+    * `new org.apache.hadoop.fs.Path(String)`, which treats its input
+    * as UNescaped and percent-encodes internally — handing it a
+    * pre-escaped URI would double-escape keys containing ' ', '#' or
+    * '%' (partition values). The FS decodes with `toUri.getPath`,
+    * recovering the exact store key. */
   def uriFor(ioSpec: String, file: String): String =
-    if (ioSpec == null || ioSpec.isEmpty || ioSpec == "local")
-      Paths.get(file).toUri.toString
+    if (ioSpec == null || ioSpec.isEmpty || ioSpec == "local") file
     else {
       val abs = if (file.startsWith("/")) file else "/" + file
-      new URI(Scheme, encodeAuthority(ioSpec), abs, null, null).toString
+      s"$Scheme://${encodeAuthority(ioSpec)}$abs"
     }
 }
 

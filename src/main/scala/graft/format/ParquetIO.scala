@@ -195,13 +195,18 @@ object ParquetIO {
     * under an older schema version).
     */
   def footerFields(path: java.nio.file.Path): Seq[FooterField] =
-    footerFields(path.toUri.toString)
+    // URI constructor: already-escaped form, Path must not re-escape
+    footerFieldsAt(new HPath(path.toUri))
 
-  /** Variant taking a Hadoop path string — `graftio://` URIs read the
-    * footer through the [[FileIO]] seam with ranged reads. */
-  def footerFields(hadoopPath: String): Seq[FooterField] = {
+  /** Variant taking an UNescaped Hadoop path string (`Path(String)`
+    * escapes internally) — `graftio://` strings read the footer
+    * through the [[FileIO]] seam with ranged reads. */
+  def footerFields(hadoopPath: String): Seq[FooterField] =
+    footerFieldsAt(new HPath(hadoopPath))
+
+  private def footerFieldsAt(hp: HPath): Seq[FooterField] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new HPath(hadoopPath), new Configuration())
+      .fromPath(hp, new Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema.getFields.asScala
       .map(f => FooterField(f.getName, Option(f.getId).map(_.intValue()),
@@ -294,8 +299,11 @@ object ParquetIO {
       filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
       hadoopPath: Option[String] = None)
     extends Iterator[InternalRow] with AutoCloseable {
-    private val hpathStr = hadoopPath.getOrElse(path.toUri.toString)
-    private val footer = footerFields(hpathStr)
+    // graftio strings are unescaped (Path(String) escapes); local
+    // java.nio paths go through the URI form (already escaped)
+    private val hpath =
+      hadoopPath.map(new HPath(_)).getOrElse(new HPath(path.toUri))
+    private val footer = footerFieldsAt(hpath)
     private val physFor =
       resolvePhysical(footer, projection.fieldNames.toSeq, ids)
     private val logicalFor = physFor.map(_.swap)
@@ -336,7 +344,7 @@ object ParquetIO {
         physFor, footer.map(f => f.name -> f.stored).toMap)
       val b = ParquetReader.builder[InternalRow](
         new InternalRowReadSupport(requested, outPos, projection.length),
-        new HPath(hpathStr))
+        hpath)
       pred.fold(b)(p => b.withFilter(
         org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
     }

@@ -17,6 +17,48 @@ object Text {
   private val sqlTokens = "regexp_extract_all(lower(text), '[a-z]+')"
 
   val defs: Seq[QueryDef] = Seq(
+    // Context-window packing (concat-and-chunk): docs are laid out in
+    // doc_id order per lang and cut into fixed 2048-token windows —
+    // the sequence-packing step that turns a filtered corpus into
+    // training examples. A cumulative sum over a window computes every
+    // doc's token offset; window count and boundary-crossing docs are
+    // pure integer functions of the offsets, so the oracle is the same
+    // SUM OVER. One shuffle (the per-lang sort), no UDFs.
+    QueryDef("t_pack_context_windows",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 2048
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), size(tokens).as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            ceil(max("cum").cast("double") / W).cast("long").as("n_windows"),
+            sum(when(col("n_tokens") > 0 &&
+              floor((col("cum") - col("n_tokens")) / W)
+                =!= floor((col("cum") - 1) / W), 1L).otherwise(0L))
+              .as("n_docs_split"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (
+          SELECT lang, doc_id, len($sqlTokens) AS n_tokens FROM documents),
+        cums AS (
+          SELECT lang, doc_id, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM toks)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(CEIL(CAST(MAX(cum) AS DOUBLE) / 2048) AS BIGINT) AS n_windows,
+          CAST(SUM(CASE WHEN n_tokens > 0
+                          AND FLOOR((cum - n_tokens) / 2048)
+                            <> FLOOR((cum - 1) / 2048)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
+        FROM cums GROUP BY lang ORDER BY lang""")),
+
     QueryDef("t_token_count",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),

@@ -134,6 +134,21 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertDataPlaneRemote("io_col")
   }
 
+  test("columnar remote scan survives partition values needing URI escaping") {
+    // partition values land in data-file key paths; the graftio URI
+    // construction must escape them (space, '#', '%') and the FS must
+    // decode back to the exact store key
+    spark.sql("CREATE TABLE graft.default.io_esc (pt STRING, v BIGINT) " +
+      "PARTITIONED BY (pt) TBLPROPERTIES ('io'='memory:iow1')")
+    spark.sql(
+      "INSERT INTO graft.default.io_esc VALUES ('a b#c%d', 1), ('plain', 2)")
+    assert(spark.sql("SELECT sum(v) FROM graft.default.io_esc")
+      .collect()(0).getLong(0) == 3L)
+    assert(spark.sql(
+      "SELECT v FROM graft.default.io_esc WHERE pt = 'a b#c%d'")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("streaming reads drain a memory-backed table") {
     spark.sql("CREATE TABLE graft.default.io_str (id BIGINT) " +
       "TBLPROPERTIES ('io'='memory:iow1')")
