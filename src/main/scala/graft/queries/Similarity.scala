@@ -240,6 +240,67 @@ object Similarity {
         FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.95""")),
 
+    // Recall@5 of the IVF cell index against exact brute force — the
+    // eval loop that decides whether an ANN index is good enough to
+    // serve. Both sides rank with the cand_id tiebreak, so the
+    // integer hit counts are deterministic on tie-free data (same
+    // argument as s_cosine_topk's oracle note).
+    QueryDef("s_ann_recall_eval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            vec_norm(col("embedding")).as("qn"), col("label").as("cell"))
+        val corpus = emb
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+            vec_norm(col("embedding")).as("cn"), col("label"))
+        def top5(scored: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("cand_id"))
+          scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5).select("query_id", "cand_id")
+        }
+        val exact = top5(corpus.crossJoin(broadcast(probes))
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("cos",
+            vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+        val ivf = top5(corpus.join(broadcast(probes),
+            col("label") === col("cell") && col("cand_id") =!= col("query_id"))
+          .withColumn("cos",
+            vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+        exact.join(ivf, Seq("query_id", "cand_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .join(probes.select("query_id"), Seq("query_id"), "right")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .orderBy("query_id")
+      },
+      Some("""WITH probes AS (
+          SELECT vec_id AS query_id, embedding AS qv, label AS cell
+          FROM embeddings WHERE vec_id < 10),
+        corpus AS (
+          SELECT vec_id AS cand_id, embedding AS cv, label FROM embeddings),
+        exact AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rank
+            FROM corpus, probes WHERE cand_id <> query_id) q WHERE rank <= 5),
+        ivf AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rank
+            FROM corpus JOIN probes ON label = cell AND cand_id <> query_id) q
+          WHERE rank <= 5)
+        SELECT p.query_id,
+          CAST(COUNT(e.cand_id) AS BIGINT) AS n_hits
+        FROM probes p
+        LEFT JOIN (SELECT exact.* FROM exact
+                   JOIN ivf USING (query_id, cand_id)) e
+          ON p.query_id = e.query_id
+        GROUP BY p.query_id ORDER BY p.query_id""")),
+
     // Int8 scalar quantization of the embedding store — the standard
     // 4x compression step before ANN serving. Per-dimension min/max
     // come from one explode+agg pass (64 rows, broadcast back); codes

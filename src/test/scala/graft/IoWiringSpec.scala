@@ -134,6 +134,26 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertDataPlaneRemote("io_col")
   }
 
+  test("schema evolution on memory FileIO keeps columnar reads correct") {
+    // footer-driven evolution (null-fill for pre-ADD files, widened
+    // stored types) must hold when footers are read through graftio
+    spark.sql("CREATE TABLE graft.default.io_evo (id BIGINT, v INT) " +
+      "TBLPROPERTIES ('io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_evo VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.default.io_evo ADD COLUMN s STRING")
+    spark.sql("ALTER TABLE graft.default.io_evo ALTER COLUMN v TYPE BIGINT")
+    spark.sql("INSERT INTO graft.default.io_evo VALUES (3, 30, 'x')")
+    val got = spark.sql("SELECT id, v, s FROM graft.default.io_evo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(got.toSeq ==
+      Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some("x"))))
+    val plan = spark.sql("SELECT id, v FROM graft.default.io_evo")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"evolved remote read must stay columnar:\n$plan")
+    assertDataPlaneRemote("io_evo")
+  }
+
   test("columnar remote scan survives partition values needing URI escaping") {
     // partition values land in data-file key paths; the graftio URI
     // construction must escape them (space, '#', '%') and the FS must
