@@ -77,12 +77,17 @@ object Maintenance {
     * (whose files precede their commit) are never raced.
     */
   def vacuumOrphans(tableDir: Path, olderThanMillis: Long = 3600 * 1000L,
-      ioSpec: String = "local"): Int = {
+      ioSpec: String = "local"): Int =
+    vacuumOrphans(tableDir, olderThanMillis, FileIO.resolve(ioSpec))
+
+  /** Variant taking a resolved [[FileIO]] — contract tests drive it
+    * against store implementations that have no registered spec. */
+  def vacuumOrphans(tableDir: Path, olderThanMillis: Long,
+      io: FileIO): Int = {
     // one recursive FileIO.walk supplies both the candidate set and the
     // per-file LastModified (a filesystem walk locally, a paged
     // un-delimited LIST on an object store) — so orphan cleanup works
     // exactly where orphans are most costly, the remote data plane
-    val io = FileIO.resolve(ioSpec)
     val sm = new SnapshotManager(tableDir, io = io)
     val referenced = sm.existingSnapshotIds
       .flatMap(id => sm.snapshot(id).manifests)

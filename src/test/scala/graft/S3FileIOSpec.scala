@@ -284,5 +284,14 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every object is in the stub store; nothing local
     assert(store.keySet().stream().anyMatch(_.startsWith("/lake/wh/s3tbl/")))
     assert(!java.nio.file.Files.exists(Paths.get("/wh")))
+
+    // orphan vacuum against the STORE: an aborted-write leftover in a
+    // bucket dir is reclaimed through the walk's LastModified, while
+    // the manifest-referenced data file survives
+    val orphan = dir.resolve("bucket-0/data-orphan.parquet")
+    io.writeAtomic(orphan, Array[Byte](9, 9, 9))
+    assert(Maintenance.vacuumOrphans(dir, olderThanMillis = -1000L, io) == 1)
+    assert(!io.exists(orphan))
+    assert(io.exists(dir.resolve(dataName)), "live data must survive vacuum")
   }
 }
