@@ -475,12 +475,41 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
       }
       val pTypes = schema.partitionKeys.map(k =>
         schema.fields(schema.fields.fieldIndex(k)).dataType)
-      selected.map { f =>
-        val keyVals: Array[Any] = f.partition.zip(pTypes).map {
-          case (v, dt) => Values.parse(dt, v)
-        }.toArray
-        GraftInputPartition(Array(abs(f)), f.partition.toArray, f.bucket,
-          keyVals)
+      // bin-pack small files into target-sized splits (Spark's
+      // FilePartition sizing rule): a small-file-heavy table must not
+      // cost one task per file at 100 TB, and a small corpus must not
+      // collapse below cluster parallelism. Packing stays WITHIN one
+      // (partition, bucket) group — a split carries a single set of
+      // partition constants. Files are immutable-once-written, so
+      // size-descending first-fit keeps splits balanced.
+      val OpenCost = 4L << 20
+      val MaxSplit = 128L << 20
+      val parallelism = math.max(1,
+        org.apache.spark.sql.SparkSession.active
+          .sparkContext.defaultParallelism)
+      val totalCost = selected.map(_.fileSize + OpenCost).sum
+      val target = math.min(MaxSplit,
+        math.max(OpenCost, totalCost / parallelism + 1))
+      selected.groupBy(f => (f.partition, f.bucket)).iterator.flatMap {
+        case ((part, bucket), fs) =>
+          val keyVals: Array[Any] = part.zip(pTypes).map {
+            case (v, dt) => Values.parse(dt, v)
+          }.toArray
+          val bins = scala.collection.mutable
+            .ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+          fs.sortBy(-_.fileSize).foreach { f =>
+            val cost = f.fileSize + OpenCost
+            bins.indexWhere(_._2 + cost <= target) match {
+              case -1 =>
+                bins += ((scala.collection.mutable.ArrayBuffer(abs(f)), cost))
+              case i =>
+                bins(i)._1 += abs(f)
+                bins(i) = (bins(i)._1, bins(i)._2 + cost)
+            }
+          }
+          bins.map { case (paths, _) =>
+            GraftInputPartition(paths.toArray, part.toArray, bucket, keyVals)
+          }
       }.toArray
     }
   }

@@ -159,6 +159,21 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1, 10L, "A"), (1, 11L, "b"), (2, 10L, "c"), (2, 12L, "d")))
   }
 
+  test("append scan bin-packs small files into bounded splits") {
+    // many tiny commits → many tiny files: the scan must not plan one
+    // task per file (the small-file task storm at corpus scale), and
+    // packing must not lose or duplicate rows
+    spark.sql("CREATE TABLE graft.default.t_pack (id BIGINT) " +
+      "TBLPROPERTIES ('compaction.trigger-file-count'='1000')")
+    (1 to 12).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.t_pack VALUES ($i)"))
+    val df = spark.sql("SELECT * FROM graft.default.t_pack")
+    val n = df.rdd.getNumPartitions
+    assert(n <= spark.sparkContext.defaultParallelism,
+      s"12 tiny files must pack into <= parallelism splits, got $n")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (1L to 12L))
+  }
+
   test("partition pruning: scan of one partition plans fewer input files") {
     val all = spark.sql("SELECT * FROM graft.default.t_ppk").rdd.getNumPartitions
     val pruned = spark.sql("SELECT * FROM graft.default.t_ppk WHERE pt = 1")
