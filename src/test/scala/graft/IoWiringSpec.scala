@@ -134,6 +134,23 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertDataPlaneRemote("io_col")
   }
 
+  test("compaction rewrites a memory-backed PK table through the seam") {
+    spark.sql("CREATE TABLE graft.default.io_cmp (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', 'io'='memory:iow1')")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.io_cmp VALUES ($i, 'v$i'), " +
+        s"(${i + 10}, 'w$i')"))
+    val cat = graft.api.Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    val t = cat.getTable("default.io_cmp")
+    t.compact()
+    // merged view unchanged, rewrite published remotely
+    assert(spark.table("graft.default.io_cmp").count() == 8)
+    assert(spark.sql("SELECT v FROM graft.default.io_cmp WHERE k = 3")
+      .collect()(0).getString(0) == "v3")
+    assertDataPlaneRemote("io_cmp")
+  }
+
   test("schema evolution on memory FileIO keeps columnar reads correct") {
     // footer-driven evolution (null-fill for pre-ADD files, widened
     // stored types) must hold when footers are read through graftio

@@ -160,6 +160,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("FileIOInputStream equals a byte-array reference under random ops") {
+    // the ranged-read stream has subtle paths (read-ahead boundaries,
+    // adaptive growth, positioned reads, short reads at EOF): drive it
+    // with random op sequences against the in-memory model
+    val fio = graft.format.FileIO.resolve("memory:propspec-stream")
+    val opGen = for {
+      kind <- Gen.choose(0, 3)
+      a <- Gen.choose(0, 6000)
+      b <- Gen.choose(1, 4096)
+    } yield (kind, a, b)
+    val caseGen = Gen.zip(Gen.choose(0, 5000), Gen.listOfN(40, opGen))
+    forAllSampled(caseGen, n = 60) { case (size, ops) =>
+      val body = Array.tabulate[Byte](size)(i => ((i * 31 + 7) % 251).toByte)
+      val p = java.nio.file.Paths.get(s"/prop/stream-$size")
+      fio.writeAtomic(p, body)
+      val in = new graft.format.FileIOInputStream(fio, p, size.toLong)
+      ops.foreach {
+        case (0, at, _) => // seek (clamped into range)
+          in.seek(math.min(at.toLong, size.toLong))
+        case (1, _, n) => // sequential read
+          val want = n
+          val buf = new Array[Byte](want)
+          val pos = in.getPos
+          val got = in.read(buf, 0, want)
+          if (pos >= size) assert(got == -1)
+          else {
+            val expect = math.min(want.toLong, size - pos).toInt
+            assert(got > 0 && got <= expect)
+            assert(buf.take(got).toSeq ==
+              body.slice(pos.toInt, pos.toInt + got).toSeq)
+          }
+        case (2, at, n) => // positioned read must not move pos
+          val pos = in.getPos
+          val buf = new Array[Byte](n)
+          val got = in.read(at.toLong, buf, 0, n)
+          if (at >= size) assert(got == -1)
+          else {
+            assert(got > 0)
+            assert(buf.take(got).toSeq == body.slice(at, at + got).toSeq)
+          }
+          assert(in.getPos == pos)
+        case (_, _, _) => // single byte
+          val pos = in.getPos
+          val got = in.read()
+          if (pos >= size) assert(got == -1)
+          else assert(got == (body(pos.toInt) & 0xff))
+      }
+    }
+  }
+
   test("canonical encode/parse round-trips for every supported type") {
     forAllSampled(Gen.choose(Int.MinValue, Int.MaxValue)) { i =>
       assert(Values.parse(IntegerType, Values.encode(IntegerType, i)) == i)
