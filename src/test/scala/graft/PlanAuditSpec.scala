@@ -98,6 +98,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     sigs.unpersist(blocking = true)
   }
 
+  test("s_quantize_int8 broadcasts the per-dimension stats") {
+    // the stats side is 64 rows by construction; the codes join must
+    // be a broadcast, never a shuffle of the exploded corpus on dim —
+    // and nothing here may degenerate to a cartesian shape
+    val p = plan("s_quantize_int8")
+    assert(p.contains("BroadcastExchange"),
+      s"64-row stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs shapes:\n$p")
+  }
+
+  test("t_pack_context_windows is one sort-shuffle plus the final order") {
+    // cum-sum window partitioned by lang; the per-lang rollup reuses
+    // that partitioning, so only the window exchange and the final
+    // ORDER BY range exchange may appear
+    val p = plan("t_pack_context_windows")
+    assert(p.contains("Window"), s"packing needs the cum-sum window:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"window shuffle + final sort only, got:\n$p")
+  }
+
   test("q_range_join plans an equi-join on the day bucket, not a BNL") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
