@@ -134,6 +134,18 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertDataPlaneRemote("io_col")
   }
 
+  test("$changelog system table replays remote commits") {
+    spark.sql("CREATE TABLE graft.default.io_cl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', 'io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_cl VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.default.io_cl VALUES (2,'B'), (4,'d')")
+    // the input changelog replay: 3 + 2 rows across the two commits
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.`io_cl$changelog`")
+      .collect()(0).getLong(0) == 5L)
+    assertDataPlaneRemote("io_cl")
+  }
+
   test("compaction rewrites a memory-backed PK table through the seam") {
     spark.sql("CREATE TABLE graft.default.io_cmp (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', 'io'='memory:iow1')")
