@@ -75,6 +75,27 @@ object FileIO {
     * the walked directory plus its last-modified epoch millis. */
   final case class FileEntry(relPath: String, lastModifiedMillis: Long)
 
+  /** Create a local staging temp under ONE per-JVM directory with ONE
+    * shutdown-hook sweep. Per-file `deleteOnExit` would grow the JVM's
+    * static DeleteOnExitHook set unboundedly in a long-lived executor
+    * writing/staging millions of remote data files; callers still
+    * delete eagerly (unstage/publishFile) — the sweep is the abandoned-
+    * task backstop. */
+  private[format] def stagingTemp(prefix: String, suffix: String): Path =
+    Files.createTempFile(stagingRoot, prefix, suffix)
+
+  private lazy val stagingRoot: Path = {
+    val d = Files.createTempDirectory("graft-staging")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val s = Files.walk(d)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally s.close()
+      } catch { case _: Throwable => () }, "graft-staging-sweep"))
+    d
+  }
+
   /** Resolve a table's `io` property to an implementation. Specs:
     *
     *  - `local` (default) — [[FileIO.local]]
@@ -215,13 +236,17 @@ object FileIO {
       new String(get(path), java.nio.charset.StandardCharsets.UTF_8)
     override def readBytes(path: Path): Array[Byte] = get(path)
     override def writeAtomic(path: Path, bytes: Array[Byte]): Unit = {
-      blobs.put(key(path), bytes); stamp(key(path))
+      // stamp BEFORE publish: a concurrent walk must never observe the
+      // blob without a modification time (an unknown mtime reads as
+      // MaxValue below, but the blob should simply always have one)
+      stamp(key(path)); blobs.put(key(path), bytes)
     }
     override def putIfAbsent(path: Path, content: String): Boolean = {
-      val won = blobs.putIfAbsent(key(path),
+      // a losing attempt re-stamps the winner's key with a NEWER time —
+      // harmless (age-gated deletes only ever get more conservative)
+      stamp(key(path))
+      blobs.putIfAbsent(key(path),
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == null
-      if (won) stamp(key(path))
-      won
     }
     override def list(dir: Path): Seq[String] = {
       val prefix = key(dir) + "/"
@@ -231,9 +256,11 @@ object FileIO {
     }
     override def walk(dir: Path): Seq[FileIO.FileEntry] = {
       val prefix = key(dir) + "/"
+      // unknown mtime reads as MaxValue: never eligible for age-gated
+      // deletion (the vacuum's in-flight-writer guard must fail safe)
       blobs.keySet.asScala.iterator.filter(_.startsWith(prefix))
         .map(k => FileIO.FileEntry(k.drop(prefix.length),
-          Option(mtimes.get(k)).fold(0L)(_.longValue))).toList
+          Option(mtimes.get(k)).fold(Long.MaxValue)(_.longValue))).toList
     }
     override def exists(path: Path): Boolean = blobs.containsKey(key(path))
     override def delete(path: Path): Boolean = {
@@ -243,8 +270,9 @@ object FileIO {
     override def size(path: Path): Long = get(path).length.toLong
     override def createDirectories(dir: Path): Unit = () // implicit prefixes
     override def stageForRead(path: Path): Path = {
-      val tmp = Files.createTempFile("graft-stage", ".dat")
-      tmp.toFile.deleteOnExit() // backstop for limit-truncated readers
+      // shared staging root: the one shutdown sweep is the backstop
+      // for limit-truncated readers that never reach unstage
+      val tmp = FileIO.stagingTemp("graft-stage", ".dat")
       Files.write(tmp, get(path))
       tmp
     }

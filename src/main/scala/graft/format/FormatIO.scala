@@ -41,11 +41,11 @@ object FormatIO {
       // non-local storage: format libraries need a real file, so write
       // a local temp and publish its bytes through the seam on close —
       // the single upload a remote data-file write costs anyway
-      val tmp = java.nio.file.Files.createTempFile("graft-w", "." + format)
-      // JVM-exit backstop, mirroring stageForRead: if the writer is
-      // abandoned without close() (task abort mid-write), the local
-      // temp must not outlive the process
-      tmp.toFile.deleteOnExit()
+      // shared staging root: if the writer is abandoned without
+      // close() (task abort mid-write), the one JVM-exit sweep removes
+      // the temp — without growing the static DeleteOnExitHook set by
+      // one entry per remote file written (see FileIO.stagingTemp)
+      val tmp = FileIO.stagingTemp("graft-w", "." + format)
       // format writers create-exclusive; reserve the unique name only
       java.nio.file.Files.deleteIfExists(tmp)
       val inner = direct(tmp)

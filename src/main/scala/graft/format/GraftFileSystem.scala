@@ -176,6 +176,9 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
     if (!buffered(pos) && want >= readAhead) {
       // large sequential read (column chunk): fetch directly
       val got = fio.readRange(path, pos, want)
+      if (got.isEmpty) // inside [0, len): the object shrank under us
+        throw new EOFException(
+          s"$path: empty range read at $pos (expected len $len)")
       System.arraycopy(got, 0, b, off, got.length)
       pos += got.length
       got.length
@@ -221,6 +224,12 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
     } else {
       val got = fio.readRange(path, position,
         math.min(length.toLong, len - position).toInt)
+      // a zero-byte answer INSIDE [0, len) means the object shrank
+      // under us (len is captured at open): fail loudly — returning 0
+      // would spin readFully/IOUtils forever
+      if (got.isEmpty)
+        throw new EOFException(
+          s"$path: empty range read at $position (expected len $len)")
       System.arraycopy(got, 0, buffer, offset, got.length)
       got.length
     }

@@ -199,10 +199,14 @@ final class S3FileIO(
         val block = m.group(1)
         val k = "<Key>(.*?)</Key>".r.findFirstMatchIn(block)
           .map(km => xmlUnescape(km.group(1)))
+        // missing/unparseable LastModified must read as NEVER eligible
+        // for age-gated deletion (vacuum's in-flight-writer guard), so
+        // the unknown-mtime fallback is MaxValue, not 0
         val lm = "<LastModified>(.*?)</LastModified>".r
           .findFirstMatchIn(block)
-          .map(lmm => java.time.Instant.parse(lmm.group(1)).toEpochMilli)
-          .getOrElse(0L)
+          .flatMap(lmm => scala.util.Try(
+            java.time.Instant.parse(lmm.group(1)).toEpochMilli).toOption)
+          .getOrElse(Long.MaxValue)
         k.filter(key => key.startsWith(prefix) && key.length > prefix.length)
           .foreach(key => entries += FileIO.FileEntry(key.drop(prefix.length), lm))
       }
@@ -282,8 +286,9 @@ final class S3FileIO(
   override def createDirectories(dir: Path): Unit = () // implicit prefixes
 
   override def stageForRead(path: Path): Path = {
-    val tmp = Files.createTempFile("graft-s3-stage", ".dat")
-    tmp.toFile.deleteOnExit() // backstop for limit-truncated readers
+    // shared staging root (one shutdown sweep), not per-file
+    // deleteOnExit — see FileIO.stagingTemp
+    val tmp = FileIO.stagingTemp("graft-s3-stage", ".dat")
     Files.write(tmp, readBytes(path))
     tmp
   }

@@ -124,28 +124,31 @@ object Multimodal {
       if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
       val bb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var off = 12
+      // offset tracked as Long: a crafted 32-bit chunk size must not
+      // wrap the Int arithmetic into a negative index (hostile headers
+      // fall to the stub, they never throw)
+      var off = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, byteRate, bits
       var dataBytes = -1L
       while (off + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
-        val size = bb.getInt(off + 4).toLong & 0xFFFFFFFFL
-        if (tag(off, "fmt ")) {
+        val o = off.toInt
+        val size = bb.getInt(o + 4).toLong & 0xFFFFFFFFL
+        if (tag(o, "fmt ")) {
           if (off + 24 > bytes.length || size < 16) return None
-          val audioFormat = bb.getShort(off + 8).toInt
-          val channels = bb.getShort(off + 10).toInt
-          val rate = bb.getInt(off + 12)
-          val byteRate = bb.getInt(off + 16)
-          val bits = bb.getShort(off + 22).toInt
+          val audioFormat = bb.getShort(o + 8).toInt
+          val channels = bb.getShort(o + 10).toInt
+          val rate = bb.getInt(o + 12)
+          val byteRate = bb.getInt(o + 16)
+          val bits = bb.getShort(o + 22).toInt
           // PCM only; a hostile/corrupt header falls to the stub rather
           // than dividing by zero below
           if (audioFormat != 1 || channels <= 0 || rate <= 0 ||
             byteRate <= 0 || bits <= 0) return None
           fmt = Some((channels, rate, byteRate, bits))
-        } else if (tag(off, "data")) {
-          dataBytes = math.min(size, (bytes.length - off - 8).toLong)
+        } else if (tag(o, "data")) {
+          dataBytes = math.min(size, bytes.length - off - 8)
         }
-        if (size > Int.MaxValue - 16) return None
-        off += 8 + size.toInt + (size % 2).toInt // chunks pad to even
+        off += 8L + size + (size % 2) // chunks pad to even
       }
       fmt.collect { case (ch, rate, byteRate, bits) if dataBytes >= 0 =>
         WavMeta(rate, ch, bits, dataBytes * 1000L / byteRate)

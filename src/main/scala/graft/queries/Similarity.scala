@@ -229,8 +229,11 @@ object Similarity {
     QueryDef("d_embedding_lsh_neardup",
       (s, dir) => {
         val (agg, sigs) = lshNearDupAgg(s, dir)
-        val row = agg.collect()(0)
-        sigs.unpersist(blocking = true)
+        // finally: a failed collect (retry exhaustion, cancellation)
+        // must not leave the corpus-scale sig persist pinned
+        val row =
+          try agg.collect()(0)
+          finally sigs.unpersist(blocking = true)
         import s.implicits._
         Seq(row.getLong(0)).toDF("n_lsh_neardup_pairs")
       },
