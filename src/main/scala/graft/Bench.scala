@@ -82,6 +82,19 @@ object Bench {
         |      concat('w ', id, ' x  y   z ', id % 97))), '\\s+', ' ')) AS fp
         |    FROM range(20000)) GROUP BY fp) GROUP BY gs""".stripMargin).count()
     catch { case _: Throwable => () }
+    // same again for the streaming machinery: the first streaming query
+    // pays micro-batch planner + state-store + sink compilation (~0.5s
+    // on each of the four c_stream_* rows otherwise)
+    try {
+      val q = spark.readStream.format("rate").option("numPartitions", "1")
+        .load().groupBy("value").count()
+        .writeStream.format("memory").queryName("bench_stream_warmup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(30000)
+      spark.sql("DROP TABLE IF EXISTS bench_stream_warmup")
+    } catch { case _: Throwable => () }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
