@@ -86,7 +86,7 @@ object Dedup {
     // (one string array per doc), so deserialized MEMORY_ONLY would
     // evict under pressure and force a 4x shingle recompute — at 100 TB
     // the only viable levels are the spillable serialized ones.
-    val shingled = t(s, dir, "documents")
+    val shingled = tBalanced(s, dir, "documents")
       .select(col("doc_id"), tokens.as("toks"))
       .select(col("doc_id"), array_distinct(
         graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
@@ -292,7 +292,7 @@ object Dedup {
     // explode + 60 codegen'd conditional sums, one shuffle on doc_id.
     QueryDef("d_simhash",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tBalanced(s, dir, "documents")
         val toks = docs
           .select(col("doc_id"), explode(tokens).as("w"))
           .select(col("doc_id"), h60s(col("w")).as("h"))
@@ -348,7 +348,7 @@ object Dedup {
         // compute the 3-count result eagerly, then release the cache —
         // same persist→materialize→unpersist discipline as the LSH
         // pipeline above, so nothing outlives the query.
-        val sh = t(s, dir, "documents")
+        val sh = tBalanced(s, dir, "documents")
           .select(col("doc_id"), tokens.as("toks"))
           .select(col("doc_id"), array_distinct(
             graft.functions.TextFunctions.word_shingles(col("toks"), 5)).as("gs"))

@@ -62,7 +62,7 @@ object Similarity {
       dir: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
     val MaxSigBlock = 1000
-    val sigs = t(s, dir, "embeddings")
+    val sigs = tBalanced(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("nrm"), sigColumn.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -164,7 +164,7 @@ object Similarity {
     QueryDef("d_embedding_neardup",
       (s, dir) => {
         val MaxCellBlock = 1000
-        val emb = t(s, dir, "embeddings")
+        val emb = tBalanced(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), col("label"),
             vec_norm(col("embedding")).as("nrm"))
         val nblk = t(s, dir, "embeddings")
@@ -315,7 +315,7 @@ object Similarity {
     // float-typed subtraction on one side would diverge).
     QueryDef("s_quantize_int8",
       (s, dir) => {
-        val ex = t(s, dir, "embeddings")
+        val ex = tBalanced(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
         val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
         ex.join(broadcast(stats), "dim")

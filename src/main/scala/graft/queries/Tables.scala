@@ -32,6 +32,22 @@ object Tables {
     }
   }
 
+  /** [[t]] rebalanced to cluster parallelism when the source planned
+    * fewer input splits than half the cores — the CPU-heavy map stages
+    * (tokenize/shingle/hash) must not run on one core just because a
+    * small corpus landed in one parquet row group. At corpus scale the
+    * scan itself yields thousands of splits and this is a no-op, which
+    * is exactly the cluster-faithful behavior: the round-robin shuffle
+    * only ever pays when its cost (the raw column bytes, once) is
+    * dwarfed by the serial map stage it unblocks.
+    */
+  def tBalanced(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < parallelism) df.repartition(parallelism)
+    else df
+  }
+
   /** Exact bigint cents of a double money column: ROUND(x*100) as long. */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
