@@ -84,15 +84,24 @@ object Bench {
     catch { case _: Throwable => () }
     // same again for the streaming machinery: the first streaming query
     // pays micro-batch planner + state-store + sink compilation (~0.5s
-    // on each of the four c_stream_* rows otherwise)
+    // on each of the four c_stream_* rows otherwise). FILE source on
+    // purpose: it natively supports AvailableNow and actually pushes
+    // rows through the state store (the rate source falls back to one
+    // empty batch under AvailableNow, warming nothing).
     try {
-      val q = spark.readStream.format("rate").option("numPartitions", "1")
-        .load().groupBy("value").count()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("bench-stream-warm").toString
+      spark.range(2000).selectExpr("id", "id % 7 AS k")
+        .write.mode("overwrite").parquet(tmp)
+      val q = spark.readStream.schema("id BIGINT, k BIGINT").parquet(tmp)
+        .groupBy("k").count()
         .writeStream.format("memory").queryName("bench_stream_warmup")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(30000)
+      // a stream still running past the deadline must not compete with
+      // the timed queries
+      if (!q.awaitTermination(30000)) q.stop()
       spark.sql("DROP TABLE IF EXISTS bench_stream_warmup")
     } catch { case _: Throwable => () }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -39,6 +39,8 @@ final class S3FileIO(
   extends FileIO {
 
   private val http = HttpClient.newHttpClient()
+  private val mtimeWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
   private def host: String =
     Option(endpoint.getAuthority).getOrElse(endpoint.getHost)
 
@@ -201,11 +203,20 @@ final class S3FileIO(
           .map(km => xmlUnescape(km.group(1)))
         // missing/unparseable LastModified must read as NEVER eligible
         // for age-gated deletion (vacuum's in-flight-writer guard), so
-        // the unknown-mtime fallback is MaxValue, not 0
+        // the unknown-mtime fallback is MaxValue, not 0 — but warn once
+        // per client: a store whose timestamp format we cannot parse
+        // would otherwise turn orphan vacuum into a SILENT no-op
         val lm = "<LastModified>(.*?)</LastModified>".r
           .findFirstMatchIn(block)
-          .flatMap(lmm => scala.util.Try(
-            java.time.Instant.parse(lmm.group(1)).toEpochMilli).toOption)
+          .flatMap { lmm =>
+            val parsed = scala.util.Try(
+              java.time.Instant.parse(lmm.group(1)).toEpochMilli).toOption
+            if (parsed.isEmpty && mtimeWarned.compareAndSet(false, true))
+              System.err.println(s"[graft] WARN: unparseable LastModified " +
+                s"'${lmm.group(1)}' from $host/$bucket — treating as " +
+                "now-infinite; age-gated vacuum will not reclaim such keys")
+            parsed
+          }
           .getOrElse(Long.MaxValue)
         k.filter(key => key.startsWith(prefix) && key.length > prefix.length)
           .foreach(key => entries += FileIO.FileEntry(key.drop(prefix.length), lm))

@@ -156,14 +156,20 @@ object Dedup {
     // shingle cache can be released — otherwise `shingled` (one string
     // array per document, the largest intermediate in the repo) stays
     // pinned in executor storage for the life of the session and every
-    // later query inherits the memory pressure.
-    pairs.count()
-    // blocking: the next query in a bench run starts immediately, and an
-    // async release lets this corpus-scale cache contend with (and
-    // evict) the caches that query builds — the r6 d_dup_clusters 4.4x
-    // regression was exactly this contention.
-    shingled.unpersist(blocking = true)
-    allBands.unpersist(blocking = true)
+    // later query inherits the memory pressure. A FAILED count must
+    // release `pairs` too: computeIfAbsent stores nothing on throw, so
+    // a retry would re-persist on top of the leaked cache.
+    try pairs.count()
+    catch { case t: Throwable =>
+      pairs.unpersist(blocking = false); throw t
+    } finally {
+      // blocking: the next query in a bench run starts immediately,
+      // and an async release lets this corpus-scale cache contend with
+      // (and evict) the caches that query builds — the r6
+      // d_dup_clusters 4.4x regression was exactly this contention.
+      shingled.unpersist(blocking = true)
+      allBands.unpersist(blocking = true)
+    }
     pairs
   }
 
@@ -360,13 +366,16 @@ object Dedup {
           .select(col("doc_id"), explode(col("gs")).as("g"))
           .join(bench.select(explode(col("gs")).as("g")).distinct(), "g")
           .select("doc_id").distinct()
-        // one row per doc in `sh`, so plain counts = distinct doc counts
-        val row = contaminated.agg(count(lit(1)).as("n_contaminated"))
-          .crossJoin(bench.agg(count(lit(1)).as("n_benchmark_docs")))
-          .crossJoin(corpus.agg(count(lit(1)).as("n_checked_docs")))
-          .select("n_benchmark_docs", "n_checked_docs", "n_contaminated")
-          .collect()(0)
-        sh.unpersist(blocking = true)
+        // one row per doc in `sh`, so plain counts = distinct doc counts;
+        // finally: a failed collect must not leave the corpus-scale
+        // shingle persist pinned for the session
+        val row =
+          try contaminated.agg(count(lit(1)).as("n_contaminated"))
+            .crossJoin(bench.agg(count(lit(1)).as("n_benchmark_docs")))
+            .crossJoin(corpus.agg(count(lit(1)).as("n_checked_docs")))
+            .select("n_benchmark_docs", "n_checked_docs", "n_contaminated")
+            .collect()(0)
+          finally sh.unpersist(blocking = true)
         import s.implicits._
         Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
           .toDF("n_benchmark_docs", "n_checked_docs", "n_contaminated")

@@ -66,12 +66,18 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("nrm"), sigColumn.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // this agg also materializes the persist for the join below
-    val nblkOf = map(sigs.groupBy("sig")
-      .agg(count(lit(1)).as("n")).collect().flatMap { r =>
-        val nblk = ((r.getLong(1) + MaxSigBlock - 1) / MaxSigBlock).toInt
-        Seq(lit(r.getLong(0)), lit(nblk))
-      }.toSeq: _*)
+    // this agg also materializes the persist for the join below; if
+    // the materialization itself fails, release the persist before
+    // rethrowing — the caller never gets the handle on this path
+    val nblkOf =
+      try map(sigs.groupBy("sig")
+        .agg(count(lit(1)).as("n")).collect().flatMap { r =>
+          val nblk = ((r.getLong(1) + MaxSigBlock - 1) / MaxSigBlock).toInt
+          Seq(lit(r.getLong(0)), lit(nblk))
+        }.toSeq: _*)
+      catch { case t: Throwable =>
+        sigs.unpersist(blocking = false); throw t
+      }
     val a = sigs.select(col("vec_id").as("ida"), col("embedding").as("qv"),
         col("nrm").as("na"), col("sig"))
       .withColumn("blk",
