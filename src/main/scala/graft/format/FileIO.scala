@@ -35,6 +35,15 @@ trait FileIO {
   def putIfAbsent(path: Path, content: String): Boolean
   /** Immediate child file names of `dir` (empty when absent). */
   def list(dir: Path): Seq[String]
+  /** Immediate children of `dir` with size/mtime/kind, in ONE store
+    * round trip where the protocol allows it (a delimited LIST on
+    * object stores carries Size and LastModified per key — the
+    * per-child HEAD a `list`+`size` loop would cost is the classic N+1).
+    * Subdirectories come back with `isDir = true` (object stores:
+    * common prefixes). The default is the N+1 fallback for
+    * implementations without a richer listing primitive. */
+  def children(dir: Path): Seq[FileIO.FileEntry] =
+    list(dir).map(n => FileIO.FileEntry(n, 0L, size(dir.resolve(n))))
   /** Every FILE under `dir`, recursively, with its last-modified time —
     * the primitive orphan vacuum needs (a local walk; on object stores
     * one un-delimited paged LIST, whose entries carry LastModified).
@@ -71,9 +80,12 @@ trait FileIO {
 
 object FileIO {
 
-  /** One file in a recursive [[FileIO.walk]] listing: path relative to
-    * the walked directory plus its last-modified epoch millis. */
-  final case class FileEntry(relPath: String, lastModifiedMillis: Long)
+  /** One entry in a [[FileIO.walk]]/[[FileIO.children]] listing: path
+    * relative to the listed directory plus its last-modified epoch
+    * millis; `sizeBytes` where the listing carried it (-1 = unknown),
+    * `isDir` only ever true from [[FileIO.children]] (walks list files). */
+  final case class FileEntry(relPath: String, lastModifiedMillis: Long,
+    sizeBytes: Long = -1L, isDir: Boolean = false)
 
   /** Create a local staging temp under ONE per-JVM directory with ONE
     * shutdown-hook sweep. Per-file `deleteOnExit` would grow the JVM's
@@ -176,7 +188,19 @@ object FileIO {
         val s = Files.walk(dir)
         try s.iterator().asScala.filter(Files.isRegularFile(_))
           .map(p => FileIO.FileEntry(dir.relativize(p).toString,
-            Files.getLastModifiedTime(p).toMillis)).toList
+            Files.getLastModifiedTime(p).toMillis, Files.size(p))).toList
+        finally s.close()
+      }
+    override def children(dir: Path): Seq[FileIO.FileEntry] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map { p =>
+          val d = Files.isDirectory(p)
+          FileIO.FileEntry(p.getFileName.toString,
+            Files.getLastModifiedTime(p).toMillis,
+            if (d) 0L else Files.size(p), d)
+        }.toList
         finally s.close()
       }
     override def exists(path: Path): Boolean = Files.exists(path)
@@ -258,9 +282,28 @@ object FileIO {
       val prefix = key(dir) + "/"
       // unknown mtime reads as MaxValue: never eligible for age-gated
       // deletion (the vacuum's in-flight-writer guard must fail safe)
+      // flatMap over a second get: a key can vanish between the keySet
+      // snapshot and the read (concurrent vacuum) — skip it then
       blobs.keySet.asScala.iterator.filter(_.startsWith(prefix))
-        .map(k => FileIO.FileEntry(k.drop(prefix.length),
-          Option(mtimes.get(k)).fold(Long.MaxValue)(_.longValue))).toList
+        .flatMap(k => Option(blobs.get(k)).map(b =>
+          FileIO.FileEntry(k.drop(prefix.length),
+            Option(mtimes.get(k)).fold(Long.MaxValue)(_.longValue),
+            b.length.toLong))).toList
+    }
+    override def children(dir: Path): Seq[FileIO.FileEntry] = {
+      val prefix = key(dir) + "/"
+      val files = scala.collection.mutable.ArrayBuffer.empty[FileIO.FileEntry]
+      val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
+      blobs.keySet.asScala.iterator.filter(_.startsWith(prefix)).foreach { k =>
+        val rest = k.drop(prefix.length)
+        val slash = rest.indexOf('/')
+        if (slash < 0) Option(blobs.get(k)).foreach(b =>
+          files += FileIO.FileEntry(rest,
+            Option(mtimes.get(k)).fold(Long.MaxValue)(_.longValue),
+            b.length.toLong))
+        else dirs += rest.take(slash) // implicit prefix ≙ directory
+      }
+      (files ++ dirs.map(d => FileIO.FileEntry(d, 0L, 0L, isDir = true))).toList
     }
     override def exists(path: Path): Boolean = blobs.containsKey(key(path))
     override def delete(path: Path): Boolean = {

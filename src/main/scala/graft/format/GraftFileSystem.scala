@@ -62,18 +62,36 @@ final class GraftFileSystem extends FileSystem {
     new FSDataInputStream(new FileIOInputStream(fio, p, len))
   }
 
+  private val BlockSize = 128L * 1024 * 1024
+
   override def getFileStatus(f: HPath): FileStatus = {
     val p = nioPath(f)
     try
       // mtime 0: object stores don't expose one pre-listing, and the
       // parquet read path never consults it
-      new FileStatus(fio.size(p), false, 1, 128L * 1024 * 1024, 0L, f)
+      new FileStatus(fio.size(p), false, 1, BlockSize, 0L, f)
     catch { case _: java.nio.file.NoSuchFileException =>
-      throw new FileNotFoundException(f.toString) }
+      // object stores 404 a HEAD on a prefix: a key that does not exist
+      // as an object but has children IS a directory (Hadoop contract —
+      // consumers that stat parent paths expect a dir status, not FNF)
+      if (fio.children(p).nonEmpty)
+        new FileStatus(0L, true, 1, BlockSize, 0L, f)
+      else throw new FileNotFoundException(f.toString) }
   }
 
-  override def listStatus(f: HPath): Array[FileStatus] =
-    fio.list(nioPath(f)).map(n => getFileStatus(new HPath(f, n))).toArray
+  override def listStatus(f: HPath): Array[FileStatus] = {
+    val p = nioPath(f)
+    // one delimited LIST carries name+size+mtime+kind for every child —
+    // never a per-child HEAD (N+1 on a large directory)
+    val entries = fio.children(p)
+    if (entries.nonEmpty)
+      entries.map { e =>
+        new FileStatus(math.max(e.sizeBytes, 0L), e.isDir, 1, BlockSize,
+          e.lastModifiedMillis, new HPath(f, e.relPath))
+      }.toArray
+    else if (fio.exists(p)) Array(getFileStatus(f)) // a plain file
+    else throw new FileNotFoundException(f.toString)
+  }
 
   // the scan path is read-only; data-file writes go through
   // FileIO.publishFile (local temp + single PUT), never through Hadoop
@@ -130,8 +148,16 @@ object GraftFileSystem {
     * '%' (partition values). The FS decodes with `toUri.getPath`,
     * recovering the exact store key. */
   def uriFor(ioSpec: String, file: String): String =
-    if (ioSpec == null || ioSpec.isEmpty || ioSpec == "local") file
-    else {
+    if (ioSpec == null || ioSpec.isEmpty || ioSpec == "local") {
+      // pin the local filesystem explicitly: every consumer parses this
+      // with `new Path(String)`, which resolves a bare schemeless path
+      // against fs.defaultFS — on a deployment where that is HDFS, a
+      // bare path would silently target the wrong filesystem. `local`
+      // io means java.nio local files, so say `file:` out loud. Raw
+      // (unescaped) on purpose, same Path(String) contract as below.
+      val abs = java.nio.file.Paths.get(file).toAbsolutePath.normalize.toString
+      "file:" + abs
+    } else {
       val abs = if (file.startsWith("/")) file else "/" + file
       s"$Scheme://${encodeAuthority(ioSpec)}$abs"
     }
@@ -156,11 +182,19 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
   private var pos = 0L
   private var buf: Array[Byte] = Array.emptyByteArray
   private var bufStart = 0L
+  // Guards pos/buf/bufStart/readAhead. Hadoop's PositionedReadable
+  // contract makes positioned reads safe for CONCURRENT use (parquet's
+  // vectored/async IO does issue concurrent preads), while sequential
+  // read()/seek() stay single-caller — so sequential ops hold the lock
+  // for their whole body, and the positioned path only takes it for the
+  // buffer probe/copy, never across a store fetch (concurrent preads
+  // must still fetch in parallel; readRange itself is stateless).
+  private val lock = new Object
 
   private def buffered(at: Long): Boolean =
     at >= bufStart && at < bufStart + buf.length
 
-  override def read(): Int =
+  override def read(): Int = lock.synchronized {
     if (pos >= len) -1
     else {
       if (!buffered(pos)) fill(pos)
@@ -168,10 +202,12 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
       pos += 1
       b
     }
+  }
 
-  override def read(b: Array[Byte], off: Int, l: Int): Int = {
-    if (l == 0) return 0
-    if (pos >= len) return -1
+  override def read(b: Array[Byte], off: Int, l: Int): Int = lock.synchronized {
+    if (l == 0) 0
+    else if (pos >= len) -1
+    else {
     val want = math.min(l.toLong, len - pos).toInt
     if (!buffered(pos) && want >= readAhead) {
       // large sequential read (column chunk): fetch directly
@@ -189,6 +225,7 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
       pos += n
       n
     }
+    }
   }
 
   private def fill(at: Long): Unit = {
@@ -202,12 +239,12 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
       throw new EOFException(s"$path: empty range read at $at (len $len)")
   }
 
-  override def seek(p: Long): Unit = {
+  override def seek(p: Long): Unit = lock.synchronized {
     if (p < 0 || p > len)
       throw new EOFException(s"seek $p outside [0, $len] for $path")
     pos = p
   }
-  override def getPos: Long = pos
+  override def getPos: Long = lock.synchronized { pos }
   override def seekToNewSource(targetPos: Long): Boolean = false
 
   override def read(position: Long, buffer: Array[Byte], offset: Int,
@@ -215,13 +252,21 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
     if (position >= len) return -1
     if (length == 0) return 0
     // positioned reads leave `pos` untouched (Hadoop contract); serve
-    // from the read-ahead buffer when it already covers the range
-    if (buffered(position)) {
-      val n = math.min(length.toLong,
-        math.min(bufStart + buf.length - position, len - position)).toInt
-      System.arraycopy(buf, (position - bufStart).toInt, buffer, offset, n)
-      n
-    } else {
+    // from the read-ahead buffer when it already covers the range —
+    // probe and copy UNDER the lock (a racing fill() may otherwise swap
+    // buf mid-copy and hand back bytes from the wrong offset), fetch
+    // misses OUTSIDE it so concurrent preads still hit the store in
+    // parallel
+    val fromBuffer = lock.synchronized {
+      if (buffered(position)) {
+        val n = math.min(length.toLong,
+          math.min(bufStart + buf.length - position, len - position)).toInt
+        System.arraycopy(buf, (position - bufStart).toInt, buffer, offset, n)
+        n
+      } else -1
+    }
+    if (fromBuffer >= 0) fromBuffer
+    else {
       val got = fio.readRange(path, position,
         math.min(length.toLong, len - position).toInt)
       // a zero-byte answer INSIDE [0, len) means the object shrank
@@ -250,10 +295,11 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
   override def readFully(position: Long, buffer: Array[Byte]): Unit =
     readFully(position, buffer, 0, buffer.length)
 
-  override def available(): Int =
+  override def available(): Int = lock.synchronized {
     math.min(len - pos, Int.MaxValue.toLong).toInt
+  }
 
-  override def skip(n: Long): Long = {
+  override def skip(n: Long): Long = lock.synchronized {
     val d = math.max(0L, math.min(n, len - pos))
     pos += d
     d

@@ -78,11 +78,22 @@ final class S3FileIO(
         if (body == null) HttpRequest.BodyPublishers.noBody()
         else HttpRequest.BodyPublishers.ofByteArray(body))
       (headers ++ extraHeaders).foreach { case (k, v) => b.header(k, v) }
-      val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
-      if (r.statusCode() >= 500 && retriable && attempt < MaxRetries) {
-        attempt += 1
-        Thread.sleep(backoffMillis(attempt))
-      } else resp = r
+      try {
+        val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+        if (r.statusCode() >= 500 && retriable && attempt < MaxRetries) {
+          attempt += 1
+          Thread.sleep(backoffMillis(attempt))
+        } else resp = r
+      } catch {
+        // transport-level failures (connection reset, read timeout) are
+        // at least as common as 503 at scale and carry the same
+        // idempotency argument — same bounded backoff. The conditional
+        // PUT (retriable=false) still propagates immediately: its
+        // first attempt may have won server-side.
+        case _: IOException if retriable && attempt < MaxRetries =>
+          attempt += 1
+          Thread.sleep(backoffMillis(attempt))
+      }
     }
     resp
   }
@@ -125,7 +136,10 @@ final class S3FileIO(
       case 206 => resp.body()
       case 200 => // server ignored Range (some stubs do): slice locally
         val all = resp.body()
-        if (offset >= all.length) Array.emptyByteArray
+        // Long-safe: a JVM byte[] body is < 2 GiB, so offset >= length
+        // already routes any offset beyond Int.MaxValue to the empty
+        // branch; the .toInt below only ever sees offset < all.length.
+        if (offset >= all.length.toLong) Array.emptyByteArray
         else java.util.Arrays.copyOfRange(all, offset.toInt,
           math.min(all.length.toLong, offset + length).toInt)
       case 416 => Array.emptyByteArray // range starts beyond EOF
@@ -218,9 +232,60 @@ final class S3FileIO(
             parsed
           }
           .getOrElse(Long.MaxValue)
+        val sz = "<Size>(\\d+)</Size>".r.findFirstMatchIn(block)
+          .flatMap(sm => scala.util.Try(sm.group(1).toLong).toOption)
+          .getOrElse(-1L)
         k.filter(key => key.startsWith(prefix) && key.length > prefix.length)
-          .foreach(key => entries += FileIO.FileEntry(key.drop(prefix.length), lm))
+          .foreach(key =>
+            entries += FileIO.FileEntry(key.drop(prefix.length), lm, sz))
       }
+      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+        .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
+      more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
+    }
+    entries.toList
+  }
+
+  /** Immediate children from ONE delimited ListObjectsV2 per page —
+    * `<Contents>` entries are child files (with Size + LastModified in
+    * the same response, so no per-child HEAD), `<CommonPrefixes>` the
+    * child "directories". This is what [[GraftFileSystem.listStatus]]
+    * rides; the N+1 HEAD pattern it replaces costs a request per key on
+    * a million-object prefix. */
+  override def children(dir: Path): Seq[FileIO.FileEntry] = {
+    val prefix = keyFor(dir).stripSuffix("/") + "/"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[FileIO.FileEntry]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val query = Seq("list-type" -> "2", "prefix" -> prefix,
+        "delimiter" -> "/") ++ token.map("continuation-token" -> _)
+      val resp = send("GET", "", query, null)
+      if (resp.statusCode() != 200) fail("LIST", prefix, resp)
+      val xml = new String(resp.body(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "(?s)<Contents>(.*?)</Contents>".r.findAllMatchIn(xml).foreach { m =>
+        val block = m.group(1)
+        val lm = "<LastModified>(.*?)</LastModified>".r
+          .findFirstMatchIn(block)
+          .flatMap(lmm => scala.util.Try(
+            java.time.Instant.parse(lmm.group(1)).toEpochMilli).toOption)
+          .getOrElse(0L)
+        val sz = "<Size>(\\d+)</Size>".r.findFirstMatchIn(block)
+          .flatMap(sm => scala.util.Try(sm.group(1).toLong).toOption)
+          .getOrElse(-1L)
+        "<Key>(.*?)</Key>".r.findFirstMatchIn(block)
+          .map(km => xmlUnescape(km.group(1)))
+          .filter(k => k.startsWith(prefix) && k.length > prefix.length &&
+            !k.drop(prefix.length).contains('/'))
+          .foreach(k => entries += FileIO.FileEntry(k.drop(prefix.length), lm, sz))
+      }
+      "<Prefix>(.*?)</Prefix>".r.findAllMatchIn(xml)
+        .map(m => xmlUnescape(m.group(1)))
+        .filter(p => p.startsWith(prefix) && p.length > prefix.length)
+        .map(_.drop(prefix.length).stripSuffix("/"))
+        .filter(d => d.nonEmpty && !d.contains('/'))
+        .foreach(d => entries += FileIO.FileEntry(d, 0L, 0L, isDir = true))
       token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
         .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
       more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined

@@ -20,6 +20,11 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   // paths containing "flaky" fail with 503 SlowDown this many times
   private val flakyFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  // paths containing "reset" abort the exchange (connection closed with
+  // no response — the transport-level failure mode) this many times
+  private val resetFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  // every handled exchange counts — lets tests assert request budgets
+  private val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private var server: HttpServer = _
   private var io: graft.format.S3FileIO = _
 
@@ -44,37 +49,61 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         ex.close()
       }
+      requestCount.incrementAndGet()
       ex.getRequestMethod match {
+        case _ if path.contains("reset") && resetFailures.getAndDecrement() > 0 =>
+          ex.close() // no response at all: client sees an IOException
         case m if path.contains("flaky") && flakyFailures.getAndDecrement() > 0 =>
           respond(503, "<Error><Code>SlowDown</Code></Error>".getBytes("UTF-8"))
         case "GET" if params.get("list-type").contains("2") =>
+          // real stores escape XML-special AND control characters
+          // (the latter as numeric character references)
+          def esc(s: String): String = s.flatMap {
+            case '&' => "&amp;"
+            case '<' => "&lt;"
+            case '>' => "&gt;"
+            case c if c < 0x20 => f"&#x${c.toInt}%02X;"
+            case c => c.toString
+          }
+          def contents(k: String): String = {
+            val lm = java.time.Instant
+              .ofEpochMilli(putTimes.getOrDefault(k, 0L)).toString
+            s"<Contents><Key>${esc(k.stripPrefix("/lake/"))}</Key>" +
+              s"<LastModified>$lm</LastModified>" +
+              s"<Size>${store.get(k).length}</Size></Contents>"
+          }
           val prefix = "/lake/" + params.getOrElse("prefix", "")
           val all = store.keySet().stream().sorted().toArray
             .map(_.toString).filter(_.startsWith(prefix)).toSeq
-          val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
-          val page = all.slice(from, from + PageSize)
-          val truncated = from + PageSize < all.size
-          val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
-            s"<IsTruncated>$truncated</IsTruncated>" +
-            (if (truncated)
-              s"<NextContinuationToken>${from + PageSize}</NextContinuationToken>"
-            else "") +
-            page.map { k =>
-              val lm = java.time.Instant
-                .ofEpochMilli(putTimes.getOrDefault(k, 0L)).toString
-              // real stores escape XML-special AND control characters
-              // (the latter as numeric character references)
-              val escaped = k.stripPrefix("/lake/").flatMap {
-                case '&' => "&amp;"
-                case '<' => "&lt;"
-                case '>' => "&gt;"
-                case c if c < 0x20 => f"&#x${c.toInt}%02X;"
-                case c => c.toString
-              }
-              s"<Contents><Key>$escaped</Key>" +
-                s"<LastModified>$lm</LastModified></Contents>"
-            }.mkString +
-            "</ListBucketResult>"
+          val xml = params.get("delimiter") match {
+            case Some(d) =>
+              // delimiter form: direct-child keys as <Contents>, deeper
+              // keys rolled up into <CommonPrefixes>; small result sets
+              // fit one page (valid server behavior)
+              val (direct, deeper) =
+                all.partition(k => !k.stripPrefix(prefix).contains(d))
+              val groups = deeper.map(k => prefix +
+                k.stripPrefix(prefix).takeWhile(_ != d.head) + d).distinct
+              "<?xml version=\"1.0\"?><ListBucketResult>" +
+                "<IsTruncated>false</IsTruncated>" +
+                s"<Prefix>${esc(prefix.stripPrefix("/lake/"))}</Prefix>" +
+                direct.map(contents).mkString +
+                groups.map(g => "<CommonPrefixes><Prefix>" +
+                  esc(g.stripPrefix("/lake/")) +
+                  "</Prefix></CommonPrefixes>").mkString +
+                "</ListBucketResult>"
+            case None =>
+              val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
+              val page = all.slice(from, from + PageSize)
+              val truncated = from + PageSize < all.size
+              "<?xml version=\"1.0\"?><ListBucketResult>" +
+                s"<IsTruncated>$truncated</IsTruncated>" +
+                (if (truncated)
+                  s"<NextContinuationToken>${from + PageSize}</NextContinuationToken>"
+                else "") +
+                page.map(contents).mkString +
+                "</ListBucketResult>"
+          }
           respond(200, xml.getBytes("UTF-8"))
         case "GET" =>
           Option(store.get(path)) match {
@@ -225,6 +254,40 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
       io.putIfAbsent(Paths.get("/wh/flaky/commit"), "{}"))
     flakyFailures.set(0)
     assert(io.putIfAbsent(Paths.get("/wh/flaky/commit"), "{}"))
+  }
+
+  test("children lists sizes, mtimes and dirs in ONE request") {
+    (1 to 4).foreach(i => io.writeAtomic(
+      Paths.get(s"/wh/ch/f$i"), ("x" * i).getBytes("UTF-8")))
+    io.writeAtomic(Paths.get("/wh/ch/sub/deep"), "d".getBytes("UTF-8"))
+    io.writeAtomic(Paths.get("/wh/ch/sub2/a/b"), "e".getBytes("UTF-8"))
+    val before = requestCount.get()
+    val got = io.children(Paths.get("/wh/ch"))
+    assert(requestCount.get() - before == 1,
+      "children must cost one LIST, not a HEAD per key (N+1)")
+    val files = got.filterNot(_.isDir).map(e => e.relPath -> e.sizeBytes).toMap
+    assert(files == Map("f1" -> 1L, "f2" -> 2L, "f3" -> 3L, "f4" -> 4L), got)
+    assert(got.filter(_.isDir).map(_.relPath).sorted == List("sub", "sub2"), got)
+    assert(got.filterNot(_.isDir).forall(_.lastModifiedMillis > 0L), got)
+    assert(io.children(Paths.get("/wh/ch-absent")).isEmpty)
+  }
+
+  test("transport failures (connection reset) retry like 503s; commits do not") {
+    val p = Paths.get("/wh/reset/blob")
+    io.writeAtomic(p, "v1".getBytes("UTF-8"))
+    resetFailures.set(2)
+    assert(io.readString(p) == "v1", "GET must survive two connection resets")
+    resetFailures.set(2)
+    io.writeAtomic(p, "v2".getBytes("UTF-8")) // idempotent PUT retried too
+    assert(io.readString(p) == "v2")
+    // the conditional PUT must surface the transport failure unretried:
+    // its first attempt may have won server-side, and a blind retry
+    // would see 412 and misreport this committer as the loser
+    resetFailures.set(1)
+    intercept[java.io.IOException](
+      io.putIfAbsent(Paths.get("/wh/reset/commit"), "{}"))
+    resetFailures.set(0)
+    assert(io.putIfAbsent(Paths.get("/wh/reset/commit"), "{}"))
   }
 
   test("list round-trips keys with XML-special and control characters") {
