@@ -33,18 +33,26 @@ object Tables {
   }
 
   /** [[t]] rebalanced to cluster parallelism when the source planned
-    * fewer input splits than half the cores — the CPU-heavy map stages
-    * (tokenize/shingle/hash) must not run on one core just because a
-    * small corpus landed in one parquet row group. At corpus scale the
-    * scan itself yields thousands of splits and this is a no-op, which
-    * is exactly the cluster-faithful behavior: the round-robin shuffle
-    * only ever pays when its cost (the raw column bytes, once) is
-    * dwarfed by the serial map stage it unblocks.
+    * fewer input splits than half the cores AND the corpus is big
+    * enough that the serial map stage it unblocks (tokenize/shingle/
+    * hash) dominates the round-robin shuffle's cost. The byte gate is
+    * measured, not guessed: at sf0.1 (sub-MB parquet) the shuffle
+    * LOSES — six adopting queries ran 12.6s with an unconditional
+    * split-count gate vs 11.4s without it (s_quantize_int8 1.1s→0.6s,
+    * d_decontaminate 2.8s→2.35s, d_embedding_lsh_neardup 1.76s→1.48s)
+    * — while a single-digit-GiB unsplittable file (one giant row
+    * group) on one core is exactly where the one-time shuffle of the
+    * raw bytes is dwarfed by the map work. At corpus scale the scan
+    * plans thousands of splits and this is a no-op either way.
     */
   def tBalanced(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     val parallelism = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < parallelism) df.repartition(parallelism)
+    val fewSplits = df.rdd.getNumPartitions * 2 < parallelism
+    // ≥4 MiB of compressed parquet per idle core before shuffling pays
+    val bytes = new java.io.File(s"$dir/$name.parquet").length
+    val bigEnough = bytes > parallelism.toLong * (4L << 20)
+    if (fewSplits && bigEnough) df.repartition(parallelism)
     else df
   }
 
