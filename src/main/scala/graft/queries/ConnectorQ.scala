@@ -686,6 +686,37 @@ object ConnectorQ {
           COUNT(DISTINCT user_id) AS n_distinct_users
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // the WATERMARKED shape of c_stream_dedup — the 100 TB scale story:
+    // dropDuplicatesWithinWatermark bounds dedup state by the lateness
+    // window instead of the key space (StreamingSpec pins the actual
+    // eviction with a short delay). Here the delay exceeds the data's
+    // whole time span, so nothing evicts mid-run and the result equals
+    // plain DISTINCT — which keeps the row deterministic and DuckDB-
+    // restatable (a short delay would make the answer depend on which
+    // commit a duplicate landed in). Dedup emits first-seen rows
+    // immediately in append mode, so AvailableNow flushes everything.
+    QueryDef("c_stream_dedup_wm",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val sink = s"c_stream_dedup_wm_${st.ns}"
+        val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
+          .withWatermark("ts", "365 days")
+          .withColumn("hour_start", date_trunc("hour", col("ts")))
+          .dropDuplicatesWithinWatermark("hour_start", "user_id")
+          .select("hour_start", "user_id")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).groupBy("hour_start")
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .orderBy("hour_start")
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+          COUNT(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY 1 ORDER BY hour_start""")),
+
     // expire history down to the latest snapshot, vacuum unreferenced
     // files, then read: the merged state is unchanged (idempotent, so
     // repeat runs in one JVM are safe); the require proves the history

@@ -153,6 +153,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 15.0), (2L, 7.0)))
   }
 
+  test("watermarked dedup evicts state once the watermark passes") {
+    // the 100 TB dedup-at-ingest shape: dropDuplicatesWithinWatermark
+    // bounds state by the lateness window instead of the key space.
+    // Two commits → two AvailableNow micro-batches; commit 1 spans 3h
+    // of event time, commit 2 arrives 3h later — with a 10-minute
+    // delay, batch 2 must evict (nearly all of) batch 1's key state.
+    spark.sql("CREATE TABLE graft.default.s_wmd (ts TIMESTAMP, user_id BIGINT)")
+    spark.sql("INSERT INTO graft.default.s_wmd " +
+      "SELECT TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*36), " +
+      " id % 100 FROM range(300)") // 300 events over 3h, 100 keys
+    spark.sql("INSERT INTO graft.default.s_wmd " +
+      "SELECT TIMESTAMP'2024-01-01 06:00:00' + make_interval(0,0,0,0,0,0,id*36), " +
+      " 1000 + id % 10 FROM range(100)") // 10 fresh keys, 3h later
+    val q = spark.readStream.table("graft.default.s_wmd")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+      .writeStream.format("memory").queryName("s_wmd_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // every first-seen key row was emitted...
+    assert(spark.sql("SELECT count(DISTINCT user_id) FROM s_wmd_sink")
+      .collect()(0).getLong(0) == 110)
+    // ...but the final state holds only keys the watermark hasn't
+    // passed — batch 1's 100 keys are gone, not retained forever
+    val finalState = q.recentProgress.lastOption
+      .filter(_.stateOperators.nonEmpty)
+      .orElse(q.recentProgress.reverse.find(_.stateOperators.nonEmpty))
+      .map(_.stateOperators(0).numRowsTotal)
+    assert(finalState.exists(_ <= 20L),
+      s"state must be bounded by the lateness window, got $finalState " +
+        s"(progress: ${q.recentProgress.map(_.stateOperators.mkString).mkString("; ")})")
+    spark.sql("DROP TABLE IF EXISTS s_wmd_sink")
+  }
+
   test("$changelog view streams the input changelog (kind + sequence)") {
     spark.sql("CREATE TABLE graft.default.s_cl (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
