@@ -407,6 +407,31 @@ object ConnectorQ {
           CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // the STREAMING deployment shape over the remote data plane — an
+    // AvailableNow stream drains the memory:-io table through the same
+    // graftio:// ranged-read path the batch scan above uses, closing
+    // the last storage×engine combination the bench measures per round
+    // (batch/local, batch/remote, stream/local were already covered).
+    // ev_io has one commit → one micro-batch, so the streamed aggregate
+    // equals the batch answer.
+    QueryDef("c_io_stream_scan",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val sink = s"c_io_stream_scan_${st.ns}"
+        val q = s.readStream.table(s"graft_c.${st.ns}.ev_io")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // partitioned PK table: merge is bucket-local WITHIN each partition
     QueryDef("c_pk_partitioned",
       (s, dir) => {
