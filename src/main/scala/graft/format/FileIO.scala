@@ -41,9 +41,18 @@ trait FileIO {
     * per-child HEAD a `list`+`size` loop would cost is the classic N+1).
     * Subdirectories come back with `isDir = true` (object stores:
     * common prefixes). The default is the N+1 fallback for
-    * implementations without a richer listing primitive. */
+    * implementations without a richer listing primitive; a child whose
+    * size probe 404s is a prefix-only "directory" there. */
   def children(dir: Path): Seq[FileIO.FileEntry] =
-    list(dir).map(n => FileIO.FileEntry(n, 0L, size(dir.resolve(n))))
+    list(dir).map { n =>
+      try FileIO.FileEntry(n, 0L, size(dir.resolve(n)))
+      catch { case _: java.nio.file.NoSuchFileException =>
+        FileIO.FileEntry(n, 0L, 0L, isDir = true) }
+    }
+  /** True iff `dir` has at least one child. Implementations answer
+    * with a BOUNDED probe (object stores: one LIST with max-keys=1) —
+    * existence must never cost a full paginated listing. */
+  def hasChildren(dir: Path): Boolean = list(dir).nonEmpty
   /** Every FILE under `dir`, recursively, with its last-modified time —
     * the primitive orphan vacuum needs (a local walk; on object stores
     * one un-delimited paged LIST, whose entries carry LastModified).
@@ -186,9 +195,12 @@ object FileIO {
       if (!Files.isDirectory(dir)) Seq.empty
       else {
         val s = Files.walk(dir)
+        // sizeBytes stays unknown (-1): walk's consumers (vacuum,
+        // purge) never read it, and Files.size would add a stat
+        // syscall per file on every vacuum of a large table
         try s.iterator().asScala.filter(Files.isRegularFile(_))
           .map(p => FileIO.FileEntry(dir.relativize(p).toString,
-            Files.getLastModifiedTime(p).toMillis, Files.size(p))).toList
+            Files.getLastModifiedTime(p).toMillis)).toList
         finally s.close()
       }
     override def children(dir: Path): Seq[FileIO.FileEntry] =
@@ -202,6 +214,11 @@ object FileIO {
             if (d) 0L else Files.size(p), d)
         }.toList
         finally s.close()
+      }
+    override def hasChildren(dir: Path): Boolean =
+      Files.isDirectory(dir) && {
+        val s = Files.list(dir)
+        try s.iterator().hasNext finally s.close()
       }
     override def exists(path: Path): Boolean = Files.exists(path)
     override def delete(path: Path): Boolean = Files.deleteIfExists(path)
@@ -304,6 +321,10 @@ object FileIO {
         else dirs += rest.take(slash) // implicit prefix ≙ directory
       }
       (files ++ dirs.map(d => FileIO.FileEntry(d, 0L, 0L, isDir = true))).toList
+    }
+    override def hasChildren(dir: Path): Boolean = {
+      val prefix = key(dir) + "/"
+      blobs.keySet.asScala.exists(_.startsWith(prefix))
     }
     override def exists(path: Path): Boolean = blobs.containsKey(key(path))
     override def delete(path: Path): Boolean = {

@@ -169,29 +169,69 @@ final class S3FileIO(
     }
   }
 
-  override def list(dir: Path): Seq[String] = {
-    // ListObjectsV2, delimiter-rooted at the directory prefix; paged
-    val prefix = keyFor(dir).stripSuffix("/") + "/"
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** The one paged-ListObjectsV2 loop every listing verb rides —
+    * list/walk/children/hasChildren all parse pages this helper
+    * fetches, so a protocol fix (token escaping, truncation handling)
+    * lands exactly once. `maxKeys` bounds the probe to a single page
+    * (existence checks must never pay a full listing). */
+  private def listPages(prefix: String, delimited: Boolean,
+      maxKeys: Option[Int] = None)(onPage: String => Unit): Unit = {
     var token: Option[String] = None
     var more = true
     while (more) {
-      val query = Seq("list-type" -> "2", "prefix" -> prefix,
-        "delimiter" -> "/") ++ token.map("continuation-token" -> _)
+      val query = Seq("list-type" -> "2", "prefix" -> prefix) ++
+        (if (delimited) Seq("delimiter" -> "/") else Nil) ++
+        maxKeys.map(k => "max-keys" -> k.toString) ++
+        token.map("continuation-token" -> _)
       val resp = send("GET", "", query, null)
       if (resp.statusCode() != 200) fail("LIST", prefix, resp)
       val xml = new String(resp.body(),
         java.nio.charset.StandardCharsets.UTF_8)
-      // the two fields used are simple text elements; full XML parsing
-      // is not needed for them
+      onPage(xml)
+      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+        .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
+      more = maxKeys.isEmpty &&
+        xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
+    }
+  }
+
+  private def contentsBlocks(xml: String): Iterator[String] =
+    "(?s)<Contents>(.*?)</Contents>".r.findAllMatchIn(xml).map(_.group(1))
+
+  private def keyOf(block: String): Option[String] =
+    "<Key>(.*?)</Key>".r.findFirstMatchIn(block)
+      .map(km => xmlUnescape(km.group(1)))
+
+  private def sizeOf(block: String): Long =
+    "<Size>(\\d+)</Size>".r.findFirstMatchIn(block)
+      .flatMap(sm => scala.util.Try(sm.group(1).toLong).toOption)
+      .getOrElse(-1L)
+
+  private def mtimeOf(block: String, unknown: Long): Long =
+    "<LastModified>(.*?)</LastModified>".r.findFirstMatchIn(block)
+      .flatMap { lmm =>
+        val parsed = scala.util.Try(
+          java.time.Instant.parse(lmm.group(1)).toEpochMilli).toOption
+        // warn once per client on an unparseable format: with the
+        // MaxValue fallback below, age-gated vacuum would otherwise
+        // become a SILENT no-op on such a store
+        if (parsed.isEmpty && mtimeWarned.compareAndSet(false, true))
+          System.err.println(s"[graft] WARN: unparseable LastModified " +
+            s"'${lmm.group(1)}' from $host/$bucket — treating as " +
+            "now-infinite; age-gated vacuum will not reclaim such keys")
+        parsed
+      }.getOrElse(unknown)
+
+  override def list(dir: Path): Seq[String] = {
+    // ListObjectsV2, delimiter-rooted at the directory prefix; paged
+    val prefix = keyFor(dir).stripSuffix("/") + "/"
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    listPages(prefix, delimited = true) { xml =>
       names ++= "<Key>(.*?)</Key>".r.findAllMatchIn(xml)
         .map(m => xmlUnescape(m.group(1)))
         .filter(_.startsWith(prefix))
         .map(_.drop(prefix.length))
         .filter(n => n.nonEmpty && !n.contains('/'))
-      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
-        .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
-      more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
     }
     names.toList
   }
@@ -199,49 +239,18 @@ final class S3FileIO(
   override def walk(dir: Path): Seq[FileIO.FileEntry] = {
     // un-delimited ListObjectsV2: one paged listing covers the whole
     // subtree (object stores have no per-directory recursion), and each
-    // <Contents> entry carries the LastModified the vacuum compares
+    // <Contents> entry carries the LastModified the vacuum compares.
+    // Missing/unparseable LastModified reads as MaxValue: NEVER
+    // eligible for age-gated deletion (the in-flight-writer guard).
     val prefix = keyFor(dir).stripSuffix("/") + "/"
     val entries = scala.collection.mutable.ArrayBuffer.empty[FileIO.FileEntry]
-    var token: Option[String] = None
-    var more = true
-    while (more) {
-      val query = Seq("list-type" -> "2", "prefix" -> prefix) ++
-        token.map("continuation-token" -> _)
-      val resp = send("GET", "", query, null)
-      if (resp.statusCode() != 200) fail("LIST", prefix, resp)
-      val xml = new String(resp.body(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      "(?s)<Contents>(.*?)</Contents>".r.findAllMatchIn(xml).foreach { m =>
-        val block = m.group(1)
-        val k = "<Key>(.*?)</Key>".r.findFirstMatchIn(block)
-          .map(km => xmlUnescape(km.group(1)))
-        // missing/unparseable LastModified must read as NEVER eligible
-        // for age-gated deletion (vacuum's in-flight-writer guard), so
-        // the unknown-mtime fallback is MaxValue, not 0 — but warn once
-        // per client: a store whose timestamp format we cannot parse
-        // would otherwise turn orphan vacuum into a SILENT no-op
-        val lm = "<LastModified>(.*?)</LastModified>".r
-          .findFirstMatchIn(block)
-          .flatMap { lmm =>
-            val parsed = scala.util.Try(
-              java.time.Instant.parse(lmm.group(1)).toEpochMilli).toOption
-            if (parsed.isEmpty && mtimeWarned.compareAndSet(false, true))
-              System.err.println(s"[graft] WARN: unparseable LastModified " +
-                s"'${lmm.group(1)}' from $host/$bucket — treating as " +
-                "now-infinite; age-gated vacuum will not reclaim such keys")
-            parsed
-          }
-          .getOrElse(Long.MaxValue)
-        val sz = "<Size>(\\d+)</Size>".r.findFirstMatchIn(block)
-          .flatMap(sm => scala.util.Try(sm.group(1).toLong).toOption)
-          .getOrElse(-1L)
-        k.filter(key => key.startsWith(prefix) && key.length > prefix.length)
-          .foreach(key =>
-            entries += FileIO.FileEntry(key.drop(prefix.length), lm, sz))
+    listPages(prefix, delimited = false) { xml =>
+      contentsBlocks(xml).foreach { block =>
+        keyOf(block)
+          .filter(k => k.startsWith(prefix) && k.length > prefix.length)
+          .foreach(k => entries += FileIO.FileEntry(k.drop(prefix.length),
+            mtimeOf(block, unknown = Long.MaxValue), sizeOf(block)))
       }
-      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
-        .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
-      more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
     }
     entries.toList
   }
@@ -254,43 +263,37 @@ final class S3FileIO(
     * a million-object prefix. */
   override def children(dir: Path): Seq[FileIO.FileEntry] = {
     val prefix = keyFor(dir).stripSuffix("/") + "/"
-    val entries = scala.collection.mutable.ArrayBuffer.empty[FileIO.FileEntry]
-    var token: Option[String] = None
-    var more = true
-    while (more) {
-      val query = Seq("list-type" -> "2", "prefix" -> prefix,
-        "delimiter" -> "/") ++ token.map("continuation-token" -> _)
-      val resp = send("GET", "", query, null)
-      if (resp.statusCode() != 200) fail("LIST", prefix, resp)
-      val xml = new String(resp.body(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      "(?s)<Contents>(.*?)</Contents>".r.findAllMatchIn(xml).foreach { m =>
-        val block = m.group(1)
-        val lm = "<LastModified>(.*?)</LastModified>".r
-          .findFirstMatchIn(block)
-          .flatMap(lmm => scala.util.Try(
-            java.time.Instant.parse(lmm.group(1)).toEpochMilli).toOption)
-          .getOrElse(0L)
-        val sz = "<Size>(\\d+)</Size>".r.findFirstMatchIn(block)
-          .flatMap(sm => scala.util.Try(sm.group(1).toLong).toOption)
-          .getOrElse(-1L)
-        "<Key>(.*?)</Key>".r.findFirstMatchIn(block)
-          .map(km => xmlUnescape(km.group(1)))
+    val files = scala.collection.mutable.ArrayBuffer.empty[FileIO.FileEntry]
+    // a store may repeat a CommonPrefix across pages — dedupe
+    val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
+    listPages(prefix, delimited = true) { xml =>
+      contentsBlocks(xml).foreach { block =>
+        keyOf(block)
           .filter(k => k.startsWith(prefix) && k.length > prefix.length &&
             !k.drop(prefix.length).contains('/'))
-          .foreach(k => entries += FileIO.FileEntry(k.drop(prefix.length), lm, sz))
+          .foreach(k => files += FileIO.FileEntry(k.drop(prefix.length),
+            mtimeOf(block, unknown = 0L), sizeOf(block)))
       }
-      "<Prefix>(.*?)</Prefix>".r.findAllMatchIn(xml)
+      "(?s)<CommonPrefixes>(.*?)</CommonPrefixes>".r.findAllMatchIn(xml)
+        .flatMap(m => "<Prefix>(.*?)</Prefix>".r.findFirstMatchIn(m.group(1)))
         .map(m => xmlUnescape(m.group(1)))
         .filter(p => p.startsWith(prefix) && p.length > prefix.length)
         .map(_.drop(prefix.length).stripSuffix("/"))
         .filter(d => d.nonEmpty && !d.contains('/'))
-        .foreach(d => entries += FileIO.FileEntry(d, 0L, 0L, isDir = true))
-      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
-        .findFirstMatchIn(xml).map(m => xmlUnescape(m.group(1)))
-      more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
+        .foreach(dirs += _)
     }
-    entries.toList
+    (files ++ dirs.map(d => FileIO.FileEntry(d, 0L, 0L, isDir = true))).toList
+  }
+
+  override def hasChildren(dir: Path): Boolean = {
+    // bounded probe: one LIST page capped at a single key — existence
+    // of a million-child prefix must not cost a thousand LIST pages
+    val prefix = keyFor(dir).stripSuffix("/") + "/"
+    var found = false
+    listPages(prefix, delimited = true, maxKeys = Some(1)) { xml =>
+      found = xml.contains("<Key>") || xml.contains("<CommonPrefixes>")
+    }
+    found
   }
 
   /** The five named XML entities plus numeric character references —
