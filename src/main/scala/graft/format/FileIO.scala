@@ -315,8 +315,10 @@ object FileIO {
         val rest = k.drop(prefix.length)
         val slash = rest.indexOf('/')
         if (slash < 0) Option(blobs.get(k)).foreach(b =>
+          // unknown mtime is 0L here (matching S3FileIO.children) — the
+          // MaxValue fail-safe is only for walk's age-gated vacuum
           files += FileIO.FileEntry(rest,
-            Option(mtimes.get(k)).fold(Long.MaxValue)(_.longValue),
+            Option(mtimes.get(k)).fold(0L)(_.longValue),
             b.length.toLong))
         else dirs += rest.take(slash) // implicit prefix ≙ directory
       }

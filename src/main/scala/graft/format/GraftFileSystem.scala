@@ -73,8 +73,10 @@ final class GraftFileSystem extends FileSystem {
     catch { case _: java.nio.file.NoSuchFileException =>
       // object stores 404 a HEAD on a prefix: a key that does not exist
       // as an object but has children IS a directory (Hadoop contract —
-      // consumers that stat parent paths expect a dir status, not FNF)
-      if (fio.children(p).nonEmpty)
+      // consumers that stat parent paths expect a dir status, not FNF).
+      // hasChildren, not children: existence costs one bounded probe
+      // (max-keys=1 LIST), never a fully paginated listing
+      if (fio.hasChildren(p))
         new FileStatus(0L, true, 1, BlockSize, 0L, f)
       else throw new FileNotFoundException(f.toString) }
   }
@@ -185,58 +187,70 @@ final class FileIOInputStream(fio: FileIO, path: java.nio.file.Path, len: Long)
   // Guards pos/buf/bufStart/readAhead. Hadoop's PositionedReadable
   // contract makes positioned reads safe for CONCURRENT use (parquet's
   // vectored/async IO does issue concurrent preads), while sequential
-  // read()/seek() stay single-caller — so sequential ops hold the lock
-  // for their whole body, and the positioned path only takes it for the
-  // buffer probe/copy, never across a store fetch (concurrent preads
-  // must still fetch in parallel; readRange itself is stateless).
+  // read()/seek() stay single-caller — so NO path ever holds the lock
+  // across a store fetch: the sequential path decides under the lock,
+  // fetches outside it, then re-takes the lock to install buf/advance
+  // pos, mirroring the pread miss path (concurrent preads must still
+  // probe the buffer and fetch in parallel; readRange is stateless).
   private val lock = new Object
 
   private def buffered(at: Long): Boolean =
     at >= bufStart && at < bufStart + buf.length
 
-  override def read(): Int = lock.synchronized {
-    if (pos >= len) -1
-    else {
-      if (!buffered(pos)) fill(pos)
-      val b = buf((pos - bufStart).toInt) & 0xff
-      pos += 1
-      b
-    }
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    val n = read(one, 0, 1)
+    if (n <= 0) -1 else one(0) & 0xff
   }
 
-  override def read(b: Array[Byte], off: Int, l: Int): Int = lock.synchronized {
-    if (l == 0) 0
-    else if (pos >= len) -1
-    else {
-    val want = math.min(l.toLong, len - pos).toInt
-    if (!buffered(pos) && want >= readAhead) {
-      // large sequential read (column chunk): fetch directly
-      val got = fio.readRange(path, pos, want)
-      if (got.isEmpty) // inside [0, len): the object shrank under us
-        throw new EOFException(
-          s"$path: empty range read at $pos (expected len $len)")
-      System.arraycopy(got, 0, b, off, got.length)
-      pos += got.length
-      got.length
-    } else {
-      if (!buffered(pos)) fill(pos)
-      val n = math.min(want.toLong, bufStart + buf.length - pos).toInt
-      System.arraycopy(buf, (pos - bufStart).toInt, b, off, n)
-      pos += n
-      n
+  override def read(b: Array[Byte], off: Int, l: Int): Int = {
+    if (l == 0) return 0
+    // Decide under the lock; never fetch under it. The single-caller
+    // contract for sequential ops means pos/buf cannot change between
+    // releasing the lock here and re-taking it after the fetch (preads
+    // never mutate them).
+    val decision: Either[(Long, Int), (Long, Int)] = lock.synchronized {
+      if (pos >= len) return -1
+      val want = math.min(l.toLong, len - pos).toInt
+      if (buffered(pos)) {
+        val n = math.min(want.toLong, bufStart + buf.length - pos).toInt
+        System.arraycopy(buf, (pos - bufStart).toInt, b, off, n)
+        pos += n
+        return n
+      }
+      if (want >= readAhead) Left((pos, want)) // column chunk: direct
+      else {
+        val sequential = buf.nonEmpty && pos == bufStart + buf.length
+        readAhead =
+          if (sequential) math.min(readAhead << 1, MaxAhead) else MinAhead
+        Right((pos, math.min(readAhead.toLong, len - pos).toInt))
+      }
     }
+    decision match {
+      case Left((at, want)) =>
+        // large sequential read (column chunk): fetch directly, no copy
+        // through the read-ahead buffer
+        val got = fio.readRange(path, at, want)
+        if (got.isEmpty) // inside [0, len): the object shrank under us
+          throw new EOFException(
+            s"$path: empty range read at $at (expected len $len)")
+        System.arraycopy(got, 0, b, off, got.length)
+        lock.synchronized { pos += got.length }
+        got.length
+      case Right((at, want)) =>
+        val got = fio.readRange(path, at, want)
+        if (got.isEmpty && want > 0)
+          throw new EOFException(s"$path: empty range read at $at (len $len)")
+        lock.synchronized {
+          buf = got
+          bufStart = at
+          val n = math.min(math.min(l.toLong, len - pos),
+            bufStart + buf.length - pos).toInt
+          System.arraycopy(buf, (pos - bufStart).toInt, b, off, n)
+          pos += n
+          n
+        }
     }
-  }
-
-  private def fill(at: Long): Unit = {
-    val sequential = buf.nonEmpty && at == bufStart + buf.length
-    readAhead =
-      if (sequential) math.min(readAhead << 1, MaxAhead) else MinAhead
-    val want = math.min(readAhead.toLong, len - at).toInt
-    buf = fio.readRange(path, at, want)
-    bufStart = at
-    if (buf.isEmpty && want > 0)
-      throw new EOFException(s"$path: empty range read at $at (len $len)")
   }
 
   override def seek(p: Long): Unit = lock.synchronized {

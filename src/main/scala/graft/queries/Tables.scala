@@ -49,8 +49,16 @@ object Tables {
     val df = t(spark, dir, name)
     val parallelism = spark.sparkContext.defaultParallelism
     val fewSplits = df.rdd.getNumPartitions * 2 < parallelism
-    // ≥4 MiB of compressed parquet per idle core before shuffling pays
-    val bytes = new java.io.File(s"$dir/$name.parquet").length
+    // ≥4 MiB of compressed parquet per idle core before shuffling pays.
+    // Sum the actual input files: File.length on a DIRECTORY-backed
+    // parquet table returns the dir-entry size (~4 KiB), which would
+    // silently keep a large few-split corpus serial — the exact case
+    // this helper exists for. inputFiles comes from the already-planned
+    // scan (no extra listing) and works for non-local paths too.
+    val bytes = df.inputFiles.map { f =>
+      try new java.io.File(java.net.URI.create(f).getPath).length
+      catch { case _: IllegalArgumentException => 0L }
+    }.sum
     val bigEnough = bytes > parallelism.toLong * (4L << 20)
     if (fewSplits && bigEnough) df.repartition(parallelism)
     else df

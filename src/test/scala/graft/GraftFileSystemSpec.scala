@@ -113,4 +113,69 @@ class GraftFileSystemSpec extends AnyFunSuite {
     assert(errors.get() == null, String.valueOf(errors.get()))
     assert(total == 3L * body.length)
   }
+
+  test("preads proceed while a sequential read is mid-fetch") {
+    // the stall this pins: the sequential path must not hold the stream
+    // lock across its store fetch — a concurrent pread's buffer probe
+    // would otherwise block for the whole fetch. The offset-0 fetch
+    // (the sequential read's) parks until a pread lands; if the lock
+    // were held, the pread could never probe and the await times out.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val body = Array.tabulate[Byte](1 << 16)(i => (i * 7 % 251).toByte)
+    val mem = graft.format.FileIO.resolve("memory:gfs-lockfree")
+    val p = Paths.get("/wh/lockfree/blob")
+    mem.writeAtomic(p, body)
+    val seqFetchEntered = new CountDownLatch(1)
+    val preadDone = new CountDownLatch(1)
+    @volatile var preadArrivedInTime = true
+    val slow: graft.format.FileIO = new graft.format.FileIO {
+      override def readString(path: java.nio.file.Path) = mem.readString(path)
+      override def readBytes(path: java.nio.file.Path) = mem.readBytes(path)
+      override def writeAtomic(path: java.nio.file.Path, b: Array[Byte]) =
+        mem.writeAtomic(path, b)
+      override def putIfAbsent(path: java.nio.file.Path, c: String) =
+        mem.putIfAbsent(path, c)
+      override def list(dir: java.nio.file.Path) = mem.list(dir)
+      override def walk(dir: java.nio.file.Path) = mem.walk(dir)
+      override def exists(path: java.nio.file.Path) = mem.exists(path)
+      override def delete(path: java.nio.file.Path) = mem.delete(path)
+      override def size(path: java.nio.file.Path) = mem.size(path)
+      override def createDirectories(dir: java.nio.file.Path) =
+        mem.createDirectories(dir)
+      override def stageForRead(path: java.nio.file.Path) =
+        mem.stageForRead(path)
+      override def unstage(o: java.nio.file.Path, s: java.nio.file.Path) =
+        mem.unstage(o, s)
+      override def publishFile(t: java.nio.file.Path, tg: java.nio.file.Path) =
+        mem.publishFile(t, tg)
+      override def readRange(path: java.nio.file.Path, offset: Long,
+          length: Int): Array[Byte] = {
+        if (offset == 0L) {
+          seqFetchEntered.countDown()
+          preadArrivedInTime = preadDone.await(10, TimeUnit.SECONDS)
+        }
+        mem.readRange(path, offset, length)
+      }
+    }
+    val in = new graft.format.FileIOInputStream(slow, p, body.length.toLong)
+    val seqErr = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val seqThread = new Thread(() => {
+      try {
+        val b = new Array[Byte](100)
+        val n = in.read(b, 0, 100)
+        if (n != 100 || b.toSeq != body.take(100).toSeq)
+          seqErr.set(s"sequential read wrong: n=$n")
+      } catch { case t: Throwable => seqErr.set(t.toString) }
+    }, "seq-read")
+    seqThread.start()
+    assert(seqFetchEntered.await(10, TimeUnit.SECONDS))
+    val pb = new Array[Byte](64)
+    in.readFully(32768L, pb) // buffer miss at another offset
+    preadDone.countDown()
+    seqThread.join(30000)
+    assert(preadArrivedInTime,
+      "pread blocked behind a sequential store fetch — lock held across it")
+    assert(pb.toSeq == body.slice(32768, 32768 + 64).toSeq)
+    assert(seqErr.get() == null, String.valueOf(seqErr.get()))
+  }
 }

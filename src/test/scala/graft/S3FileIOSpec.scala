@@ -78,19 +78,34 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
           val xml = params.get("delimiter") match {
             case Some(d) =>
               // delimiter form: direct-child keys as <Contents>, deeper
-              // keys rolled up into <CommonPrefixes>; small result sets
-              // fit one page (valid server behavior)
-              val (direct, deeper) =
-                all.partition(k => !k.stripPrefix(prefix).contains(d))
-              val groups = deeper.map(k => prefix +
-                k.stripPrefix(prefix).takeWhile(_ != d.head) + d).distinct
+              // keys rolled up into <CommonPrefixes> — PAGED like the
+              // plain form, honoring max-keys (hasChildren's bounded
+              // probe sends max-keys=1 and must get one entry back).
+              // Deliberately one group occurrence PER deeper key (no
+              // pre-dedupe), so a CommonPrefix repeats across pages and
+              // the client's cross-page dedupe is exercised.
+              val entries: Seq[Either[String, String]] = all.map { k =>
+                val rest = k.stripPrefix(prefix)
+                if (!rest.contains(d)) Left(k)
+                else Right(prefix + rest.takeWhile(_ != d.head) + d)
+              }
+              val pageSize = math.min(PageSize,
+                params.get("max-keys").map(_.toInt).getOrElse(Int.MaxValue))
+              val from =
+                params.get("continuation-token").map(_.toInt).getOrElse(0)
+              val page = entries.slice(from, from + pageSize)
+              val truncated = from + pageSize < entries.size
               "<?xml version=\"1.0\"?><ListBucketResult>" +
-                "<IsTruncated>false</IsTruncated>" +
+                s"<IsTruncated>$truncated</IsTruncated>" +
+                (if (truncated)
+                  s"<NextContinuationToken>${from + pageSize}</NextContinuationToken>"
+                else "") +
                 s"<Prefix>${esc(prefix.stripPrefix("/lake/"))}</Prefix>" +
-                direct.map(contents).mkString +
-                groups.map(g => "<CommonPrefixes><Prefix>" +
-                  esc(g.stripPrefix("/lake/")) +
-                  "</Prefix></CommonPrefixes>").mkString +
+                page.map {
+                  case Left(k) => contents(k)
+                  case Right(g) => "<CommonPrefixes><Prefix>" +
+                    esc(g.stripPrefix("/lake/")) + "</Prefix></CommonPrefixes>"
+                }.mkString +
                 "</ListBucketResult>"
             case None =>
               val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
@@ -256,20 +271,43 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(io.putIfAbsent(Paths.get("/wh/flaky/commit"), "{}"))
   }
 
-  test("children lists sizes, mtimes and dirs in ONE request") {
-    (1 to 4).foreach(i => io.writeAtomic(
+  test("children lists sizes, mtimes and dirs in one LIST per page") {
+    (1 to 5).foreach(i => io.writeAtomic(
       Paths.get(s"/wh/ch/f$i"), ("x" * i).getBytes("UTF-8")))
     io.writeAtomic(Paths.get("/wh/ch/sub/deep"), "d".getBytes("UTF-8"))
     io.writeAtomic(Paths.get("/wh/ch/sub2/a/b"), "e".getBytes("UTF-8"))
+    // a second deeper key under sub/: entries are f1..f5, sub/, sub/,
+    // sub2/ — with PageSize 3 the two sub/ occurrences land on pages 2
+    // and 3, exercising the client's cross-page CommonPrefixes dedupe
+    io.writeAtomic(Paths.get("/wh/ch/sub/deep2"), "f".getBytes("UTF-8"))
     val before = requestCount.get()
     val got = io.children(Paths.get("/wh/ch"))
-    assert(requestCount.get() - before == 1,
-      "children must cost one LIST, not a HEAD per key (N+1)")
+    // 8 listing entries / PageSize 3 = 3 pages — one LIST each, never a
+    // HEAD per key (N+1)
+    assert(requestCount.get() - before == 3,
+      s"children must cost one LIST per page, got ${requestCount.get() - before}")
     val files = got.filterNot(_.isDir).map(e => e.relPath -> e.sizeBytes).toMap
-    assert(files == Map("f1" -> 1L, "f2" -> 2L, "f3" -> 3L, "f4" -> 4L), got)
+    assert(files == Map("f1" -> 1L, "f2" -> 2L, "f3" -> 3L,
+      "f4" -> 4L, "f5" -> 5L), got)
     assert(got.filter(_.isDir).map(_.relPath).sorted == List("sub", "sub2"), got)
     assert(got.filterNot(_.isDir).forall(_.lastModifiedMillis > 0L), got)
     assert(io.children(Paths.get("/wh/ch-absent")).isEmpty)
+  }
+
+  test("hasChildren is a single bounded LIST regardless of dir size") {
+    (1 to 9).foreach(i => io.writeAtomic(
+      Paths.get(s"/wh/hc/f$i"), "x".getBytes("UTF-8")))
+    val before = requestCount.get()
+    assert(io.hasChildren(Paths.get("/wh/hc")))
+    assert(requestCount.get() - before == 1,
+      s"hasChildren must probe with ONE max-keys=1 LIST, " +
+        s"got ${requestCount.get() - before} requests for 9 children")
+    // deeper-only prefix still answers true (CommonPrefixes count)
+    io.writeAtomic(Paths.get("/wh/hc2/sub/deep"), "x".getBytes("UTF-8"))
+    val b2 = requestCount.get()
+    assert(io.hasChildren(Paths.get("/wh/hc2")))
+    assert(requestCount.get() - b2 == 1)
+    assert(!io.hasChildren(Paths.get("/wh/hc-absent")))
   }
 
   test("transport failures (connection reset) retry like 503s; commits do not") {
