@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import Tables._
 
 /** Composite training-data-pipeline queries: the quality-filter
@@ -56,57 +55,101 @@ object Pipeline {
     } catch { case _: Throwable => () } // racing stop: storage already gone
 
   /** Near-duplicate cluster labels: DISTRIBUTED connected components
-    * over the LSH pair set — iterative min-label propagation to
-    * fixpoint (~diameter rounds; near-dup clusters are shallow).
-    * Nothing is collected to the driver, so a 100 TB corpus whose pair
-    * set is billions of edges still fits: each round is one join + one
-    * aggregation, lineage truncated per round. Min-label CC converges
-    * to the MINIMUM doc_id of each component, so `lbl` doubles as the
-    * cluster's canonical representative.
+    * over the LSH pair set via two-phase star contraction
+    * ([[starContractionCC]]). Nothing is collected to the driver, so a
+    * 100 TB corpus whose pair set is billions of edges still fits; the
+    * round count is O(log n) regardless of component diameter. Labels
+    * converge to the MINIMUM doc_id of each component, so `lbl`
+    * doubles as the cluster's canonical representative.
     */
   private def computeDupClusterLabels(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val pairs = Dedup.nearDupPairs(s, dir)
-    // spillable level: the edge cache is re-read every round, and an
-    // eviction here recomputes the whole LSH pair pipeline upstream
-    val edges = pairs.selectExpr("a AS src", "b AS dst")
-      .union(pairs.selectExpr("b AS src", "a AS dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // round 0 fused into init: label = min(self, neighbors); shallow
-    // (pair-shaped) clusters then converge in ONE verification round
-    var labels = edges.groupBy("src")
-      .agg(least(min(col("dst")), col("src")).as("lbl"))
-      .select(col("src").as("id"), col("lbl"))
-      .localCheckpoint()
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      round += 1
-      // observe() rides the checkpoint job, so each round is ONE
-      // materialization (join+agg) instead of checkpoint + a second
-      // changed-count scan — halves the per-round job count.
-      val obs = Observation(s"dup_clusters_round_$round")
-      val prop = edges
-        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
-        .groupBy(col("src").as("id")).agg(min("lbl").as("nbr"))
-      val next = labels.select(col("id"), col("lbl").as("old"))
-        .join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"),
-          (col("nbr").isNotNull && col("nbr") < col("old")).as("chg"))
-        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint()
-      changed = Option(obs.get("changed"))
+      dir: String): org.apache.spark.sql.DataFrame =
+    starContractionCC(Dedup.nearDupPairs(s, dir))._1
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round every node hooks its larger
+    * neighbors (large-star) then its smaller neighbors and itself
+    * (small-star) onto the minimum of the relevant neighborhood, which
+    * at least halves component height — O(log n) rounds where plain
+    * min-label propagation needs O(diameter), unbounded on an
+    * adversarial duplicate CHAIN (doc A ~ B ~ ... ~ Z).
+    *
+    * Input: undirected edges `(a, b)` with `a < b`, distinct node ids.
+    * Returns the `(id, lbl)` frame (every node appearing in `pairs`,
+    * `lbl` = component-minimum id; the representative maps to itself)
+    * as an eager localCheckpoint, plus the number of rounds run. Each
+    * round's intermediates are checkpointed (lineage truncated) and the
+    * previous round's blocks freed, so executor storage stays O(edges)
+    * over rounds; the fixpoint test (both star steps rewrote zero
+    * edges) rides the checkpoint jobs via `observe`, never a driver
+    * data path.
+    */
+  private[graft] def starContractionCC(
+      pairs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    // getOrEmpty, not get: the checkpoint has already materialized the
+    // action, and on an all-empty plan the metrics node may never fire
+    // (no partitions) — absent or null sum both mean zero rewrites
+    def changedOf(o: Observation): Long =
+      o.get.get("changed").flatMap(Option(_))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      // next is eagerly materialized above — the previous round's
-      // checkpoint blocks are dead; free them (RDD-level, see
-      // freeCheckpoint) so executor storage stays O(1) in rounds
-      // instead of waiting on the GC-driven ContextCleaner.
-      freeCheckpoint(labels)
-      labels = next.select("id", "lbl")
+    // orientation invariant throughout: hi > lo on every edge
+    var e = pairs.select(col("b").as("hi"), col("a").as("lo"))
+      .localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      // monotone contraction converges; the cap is a defense against a
+      // future edit breaking monotonicity into a silent infinite loop
+      require(rounds <= 100,
+        s"star contraction did not converge after $rounds rounds")
+      val obsL = Observation(s"dup_cc_large_$rounds")
+      val obsS = Observation(s"dup_cc_small_$rounds")
+      // large-star: each node u hooks its LARGER neighbors onto
+      // m = min(N(u) ∪ {u})
+      val sym = e.select(col("hi").as("src"), col("lo").as("dst"))
+        .union(e.select(col("lo").as("src"), col("hi").as("dst")))
+      val minsL = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = sym.filter(col("dst") > col("src"))
+        .join(minsL, "src")
+        .observe(obsL,
+          sum(when(col("m") =!= col("src"), 1L).otherwise(0L)).as("changed"))
+        .select(col("dst").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint()
+      // small-star: each node hooks its SMALLER neighbors and itself
+      // onto m = min of those neighbors. One pass over the join output
+      // (explode, not a self-union, which would recompute the join).
+      val minsS = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(minsS, "hi")
+        .observe(obsS,
+          sum(when(col("m") =!= col("lo"), 1L).otherwise(0L)).as("changed"))
+        .select(explode(array(col("lo"), col("hi"))).as("v"), col("m"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint()
+      changed = changedOf(obsL) + changedOf(obsS)
+      // ss is materialized — the previous edge set and the large-star
+      // intermediate are dead; free their blocks deterministically
+      freeCheckpoint(e)
+      freeCheckpoint(ls)
+      e = ss
     }
-    edges.unpersist()
-    labels
+    // fixpoint = one star per component, rooted at the component min:
+    // every non-root appears exactly once as hi. Roots (and only
+    // roots) are absent from the hi side — they label themselves.
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+    val labels = nodes
+      .join(e.select(col("hi").as("id"), col("lo").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+      .localCheckpoint()
+    freeCheckpoint(e)
+    (labels, rounds)
   }
 
   val defs: Seq[QueryDef] = Seq(
