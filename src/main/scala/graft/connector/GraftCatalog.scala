@@ -235,7 +235,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val options = props -- Seq("primary-key", "primary_keys", "comment",
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
-    val ts = TableSchema(0L, schema, partitionKeys, primaryKeys, options,
+    // reference parity (`pypaimon/py4j/util/java_utils.py:86-91`): a
+    // NULL-typed column (pyarrow `null`, Spark VOID) is coerced to
+    // STRING with a warning instead of rejected — an all-null column in
+    // an inferred source schema is almost always a string column
+    val coerced = StructType(schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.NullType) {
+        System.err.println(s"WARN: The type of column '${f.name}' is null, " +
+          "and it will be converted to string type by default. Please check " +
+          "if the original type is string. If not, please manually specify " +
+          s"the type of '${f.name}'.")
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      } else f
+    })
+    val ts = TableSchema(0L, coerced, partitionKeys, primaryKeys, options,
       props.get(TableCatalog.PROP_COMMENT)).validate()
     Files.createDirectories(dir)
     TableSchema.save(dir, ts)

@@ -89,6 +89,19 @@ final case class TableSchema(
     if (!Seq("min-heap", "loser-tree").contains(engine))
       throw new IllegalArgumentException(
         s"Unsupported sort-engine: $engine (expected min-heap or loser-tree)")
+    // reference read-parallelism knob (`java_implementation.py:315-320`):
+    // accepted with the same validation so ported configs round-trip,
+    // and intentionally a NO-OP — Spark schedules one task per input
+    // split, which supersedes a per-reader worker pool
+    options.get("max-workers").foreach { mw =>
+      val n =
+        try mw.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"Invalid max-workers value: '$mw' (expected a positive int)") }
+      if (n <= 0) throw new IllegalArgumentException(
+        "max_workers must be greater than 0")
+    }
     this
   }
 

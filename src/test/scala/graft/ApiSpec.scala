@@ -174,4 +174,44 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(n >= 3)
   }
+
+  test("NullType column coerces to STRING (reference test_data_types null)") {
+    // ≙ `test_data_types.py:70-73`: a pyarrow `null` column becomes
+    // STRING with a warning, not a rejection
+    catalog.createTable("default.nulltyped", Schema(StructType(Seq(
+      StructField("id", IntegerType), StructField("_null", NullType)))))
+    val t = catalog.getTable("default.nulltyped")
+    assert(t.tableSchema.fields("_null").dataType == StringType,
+      t.tableSchema.fields.treeString)
+    // and the coerced column is writable/readable as a string
+    import spark.implicits._
+    val wb = t.newBatchWriteBuilder()
+    val w = wb.newWrite()
+    w.write(Seq((1, null: String), (2, "x")).toDF("id", "_null"))
+    wb.newCommit().commit(w.prepareCommit())
+    val got = t.newReadBuilder().newRead().toDF().orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, null), (2, "x")))
+  }
+
+  test("max-workers is accepted, validated, and a no-op (reference knob)") {
+    // ≙ `java_implementation.py:315-320`: ported reference configs must
+    // round-trip; Spark's task-per-split scheduling supersedes the knob
+    catalog.createTable("default.mw",
+      Schema(StructType(Seq(StructField("f0", IntegerType))),
+        options = Map("max-workers" -> "8")))
+    val t = catalog.getTable("default.mw")
+    assert(t.tableSchema.options("max-workers") == "8")
+    assert(t.newReadBuilder().newRead().toDF().count() == 0L)
+    // same validation as the reference: must be a positive int
+    val zero = intercept[Exception](catalog.createTable("default.mw0",
+      Schema(StructType(Seq(StructField("f0", IntegerType))),
+        options = Map("max-workers" -> "0"))))
+    assert(zero.getMessage.contains("max_workers must be greater than 0"),
+      zero.getMessage)
+    val bad = intercept[Exception](catalog.createTable("default.mwx",
+      Schema(StructType(Seq(StructField("f0", IntegerType))),
+        options = Map("max-workers" -> "abc"))))
+    assert(bad.getMessage.contains("max-workers"), bad.getMessage)
+  }
 }
