@@ -338,7 +338,9 @@ final class BatchTableCommit(table: GraftTableHandle,
       io = graft.format.FileIO.resolve(table.tableSchema.ioSpec)),
       table.tableSchema.id, table.tableSchema.partitionKeys, messages, mode,
       resequence = graft.connector.GraftWriteSupport.resequenceInfo(
-        table.tableDir, table.tableSchema))
+        table.tableDir, table.tableSchema),
+      strictKeys = graft.connector.GraftWriteSupport.strictSequenceKeys(
+        table.tableSchema))
     // reference contract: a commit may publish a second, COMPACT snapshot
     graft.format.Compactor.maybeCompact(table.tableDir, table.tableSchema)
   }

@@ -98,7 +98,8 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
     val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten
     FileStoreCommit.commit(new SnapshotManager(tableDir, io = tableIo),
       schema.id, schema.partitionKeys, files.toSeq, mode,
-      resequence = GraftWriteSupport.resequenceInfo(tableDir, schema))
+      resequence = GraftWriteSupport.resequenceInfo(tableDir, schema),
+      strictKeys = GraftWriteSupport.strictSequenceKeys(schema))
     // "one commit may generate up to two snapshots" — data + compaction
     graft.format.Compactor.maybeCompact(tableDir, schema)
   }
@@ -112,6 +113,18 @@ final case class GraftCommitMessage(files: Seq[DataFileMeta])
   extends WriterCommitMessage
 
 object GraftWriteSupport {
+  /** Key columns+types for [[FileStoreCommit]]'s strict intra-commit
+    * ordering guard — non-empty only when the table opts in via
+    * `commit.strict-sequence=true` and has merge semantics to protect.
+    */
+  def strictSequenceKeys(schema: TableSchema)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    if (schema.isPrimaryKeyTable &&
+        schema.options.get("commit.strict-sequence").contains("true"))
+      schema.trimmedPrimaryKeys.map(k =>
+        k -> schema.fields(schema.fields.fieldIndex(k)).dataType)
+    else Seq.empty
+
   /** Conflict re-sequencing applies to PK tables only (append rows have
     * no merge semantics to order).
     */

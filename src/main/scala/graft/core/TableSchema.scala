@@ -89,6 +89,10 @@ final case class TableSchema(
     if (!Seq("min-heap", "loser-tree").contains(engine))
       throw new IllegalArgumentException(
         s"Unsupported sort-engine: $engine (expected min-heap or loser-tree)")
+    val strict = options.getOrElse("commit.strict-sequence", "false")
+    if (!Seq("true", "false").contains(strict))
+      throw new IllegalArgumentException(
+        s"Unsupported commit.strict-sequence: $strict (expected true/false)")
     // reference read-parallelism knob (`java_implementation.py:315-320`):
     // accepted with the same validation so ported configs round-trip,
     // and intentionally a NO-OP — Spark schedules one task per input

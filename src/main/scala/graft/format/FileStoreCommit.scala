@@ -28,7 +28,11 @@ object FileStoreCommit {
       partitionKeys: Seq[String],
       newFiles: Seq[DataFileMeta],
       mode: OverwriteMode,
-      resequence: Option[ResequenceInfo] = None): Snapshot = {
+      resequence: Option[ResequenceInfo] = None,
+      strictKeys: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq.empty): Snapshot = {
+
+    if (strictKeys.nonEmpty) strictSequenceCheck(newFiles, strictKeys)
 
     var attempt = 0
     var files = newFiles
@@ -96,6 +100,65 @@ object FileStoreCommit {
     }
     throw new IllegalStateException(
       "Commit conflict: gave up after 100 snapshot publish attempts")
+  }
+
+  /** `commit.strict-sequence=true` guard: within ONE commit, rows of
+    * the same key written by two different writer TASKS to the same
+    * bucket merge in task-id order, not wall-clock order (each task
+    * owns a disjoint 2^32 sequence block; cross-COMMIT order is
+    * globally correct via conflict re-sequencing). Strict mode detects
+    * the ambiguity and fails the commit instead of silently picking.
+    *
+    * Detection is metadata-only and conservative: files are clustered
+    * into writer tasks by their sequence blocks (two files belong to
+    * different tasks when their ranges sit > 2^31 apart — within a
+    * task, consecutive spill runs are dense; a single task would need
+    * >2^31 rows in one commit to defeat this), and two different tasks
+    * whose trimmed-PK min/max ranges overlap on every key column MAY
+    * share a key, so the commit fails. Overlapping ranges without an
+    * actual shared key also fail — strict mode trades completeness for
+    * never ordering silently.
+    */
+  private def strictSequenceCheck(newFiles: Seq[DataFileMeta],
+      keyTypes: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit = {
+    import graft.connector.Values
+    newFiles.groupBy(f => (f.partition, f.bucket)).foreach {
+      case ((pt, bucket), fs) if fs.size > 1 =>
+        val sorted = fs.sortBy(_.minSeq)
+        val tasks = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(sorted.head))
+        sorted.tail.foreach { f =>
+          if (f.minSeq - tasks.last.last.maxSeq > (1L << 31))
+            tasks += scala.collection.mutable.ArrayBuffer(f)
+          else tasks.last += f
+        }
+        for {
+          i <- tasks.indices
+          j <- (i + 1) until tasks.size
+          a <- tasks(i)
+          b <- tasks(j)
+        } {
+          val mayShareKey = keyTypes.forall { case (c, dt) =>
+            (a.keyStats.get(c), b.keyStats.get(c)) match {
+              case (Some((alo, ahi)), Some((blo, bhi))) =>
+                Values.compare(dt, Values.parse(dt, alo),
+                  Values.parse(dt, bhi)) <= 0 &&
+                Values.compare(dt, Values.parse(dt, blo),
+                  Values.parse(dt, ahi)) <= 0
+              case _ => true // missing stats: stay conservative
+            }
+          }
+          if (mayShareKey) throw new IllegalStateException(
+            "commit.strict-sequence: two writer tasks in one commit wrote " +
+              s"overlapping key ranges to partition " +
+              s"${pt.mkString("[", ",", "]")} bucket $bucket (files " +
+              s"${a.fileName}, ${b.fileName}); their merge order would be " +
+              "task id, not wall clock. Cluster the write by primary key " +
+              "(one task per key), commit each writer separately, or drop " +
+              "commit.strict-sequence to accept task-id order.")
+        }
+      case _ => ()
+    }
   }
 
   /** Metadata-only delete of an explicit live-file set (partition-level

@@ -207,4 +207,67 @@ class ConcurrencySpec extends AnyFunSuite {
       assert((1 to 8).contains(rows(0).getInt(1)))
     } finally spark.stop()
   }
+
+  test("commit.strict-sequence fails ambiguous same-key multi-task commits") {
+    val warehouse = Files.createTempDirectory("graft-conc4-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      import graft.api._
+      import org.apache.spark.sql.types._
+      val catalog = Catalog.create(spark,
+        Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+      catalog.createDatabase("c")
+      val fields = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)))
+      def twoTaskDf(rows: (Long, String)*) = {
+        // one row per RDD slice: the facade write turns each input
+        // partition into one writer task with its own sequence block
+        val rdd = spark.sparkContext.parallelize(rows, rows.size)
+        spark.createDataFrame(rdd.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), fields)
+      }
+
+      // default (no option): same key from two tasks commits silently,
+      // ordered by task id — existing behavior must not change
+      catalog.createTable("c.lax", Schema(fields,
+        primaryKeys = Seq("k"), options = Map("bucket" -> "1")))
+      val lax = catalog.getTable("c.lax")
+      val wbL = lax.newBatchWriteBuilder(); val wL = wbL.newWrite()
+      wL.write(twoTaskDf((1L, "t0"), (1L, "t1")))
+      wbL.newCommit().commit(wL.prepareCommit())
+      assert(spark.table("graft.c.lax").count() == 1L)
+
+      // strict: the same shape fails the commit with the ordering error
+      catalog.createTable("c.strict", Schema(fields,
+        primaryKeys = Seq("k"),
+        options = Map("bucket" -> "1", "commit.strict-sequence" -> "true")))
+      val st = catalog.getTable("c.strict")
+      val wb1 = st.newBatchWriteBuilder(); val w1 = wb1.newWrite()
+      w1.write(twoTaskDf((1L, "t0"), (1L, "t1")))
+      val boom = intercept[IllegalStateException](
+        wb1.newCommit().commit(w1.prepareCommit()))
+      assert(boom.getMessage.contains("commit.strict-sequence"), boom.getMessage)
+      assert(st.newReadBuilder().newRead().toDF().count() == 0L,
+        "failed commit must publish nothing")
+
+      // strict with DISJOINT keys across tasks: no ambiguity, commits
+      val wb2 = st.newBatchWriteBuilder(); val w2 = wb2.newWrite()
+      w2.write(twoTaskDf((1L, "a"), (2L, "b")))
+      wb2.newCommit().commit(w2.prepareCommit())
+      assert(spark.table("graft.c.strict").count() == 2L)
+
+      // strict single-task upsert of an existing key: cross-commit
+      // order is re-sequencing's job, not strict mode's — must commit
+      val wb3 = st.newBatchWriteBuilder(); val w3 = wb3.newWrite()
+      w3.write(twoTaskDf((1L, "later")))
+      wb3.newCommit().commit(w3.prepareCommit())
+      val got = spark.table("graft.c.strict").orderBy("k").collect()
+      assert(got.map(_.getString(1)).toSeq == Seq("later", "b"))
+    } finally spark.stop()
+  }
 }
