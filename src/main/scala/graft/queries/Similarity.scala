@@ -20,6 +20,34 @@ import Tables._
   */
 object Similarity {
 
+  /** Hard cap on the probe side of [[bruteForceCosine]]. 1024 probes ×
+    * 64 floats is ~256 KB broadcast — far under any broadcast
+    * threshold; anything larger has no business in the exact baseline.
+    */
+  private[graft] val MaxBruteForceProbes = 1024
+
+  /** Exact brute-force cosine scoring of `probes` (columns `query_id`,
+    * `qv`, `qn`, extras allowed) against `corpus` (`cand_id`, `cv`,
+    * `cn`): O(|corpus| × |probes|). This is the EXACT BASELINE the
+    * IVF/LSH variants are measured against, never a production path —
+    * the probe side is bounded with one early-stopping limit-count and
+    * the call fails rather than letting the cross join grow: misuse
+    * with a data-sized probe set would otherwise multiply the corpus
+    * scan by it.
+    */
+  private[graft] def bruteForceCosine(corpus: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = probes.limit(MaxBruteForceProbes + 1).count()
+    require(n <= MaxBruteForceProbes,
+      s"brute-force cosine is the exact O(corpus × probes) baseline and " +
+        s"caps the probe side at $MaxBruteForceProbes vectors; got more — " +
+        "use the IVF cell join or LSH-bucketed variant for large probe sets")
+    corpus.crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+  }
+
   /** The 8 deterministic hyperplanes shared by `s_hyperplane_lsh` and
     * `d_embedding_lsh_neardup`: h_j[i] = ((i+1)*(j+2)) % 17 - 8.
     * Integer patterns make every dot product exact in double, so the
@@ -105,9 +133,7 @@ object Similarity {
         val corpus = emb
           .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
             vec_norm(col("embedding")).as("cn"))
-        val scored = corpus.crossJoin(broadcast(probes))
-          .filter(col("cand_id") =!= col("query_id"))
-          .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        val scored = bruteForceCosine(corpus, probes)
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("cand_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -269,10 +295,7 @@ object Similarity {
           scored.withColumn("rank", row_number().over(w))
             .filter(col("rank") <= 5).select("query_id", "cand_id")
         }
-        val exact = top5(corpus.crossJoin(broadcast(probes))
-          .filter(col("cand_id") =!= col("query_id"))
-          .withColumn("cos",
-            vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+        val exact = top5(bruteForceCosine(corpus, probes))
         val ivf = top5(corpus.join(broadcast(probes),
             col("label") === col("cell") && col("cand_id") =!= col("query_id"))
           .withColumn("cos",

@@ -144,4 +144,23 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getLong(2)
     assert(top == 999999L, s"exact copy should rank 1, got $top")
   }
+
+  test("brute-force cosine refuses a data-sized probe set") {
+    // the exact baseline is O(corpus × probes): a probe side past the
+    // cap must fail at construction, not silently cross-join
+    val mk = (n: Long, idCol: String, vecCol: String, normCol: String) =>
+      spark.range(n).select(col("id").as(idCol),
+        array(lit(1.0f), lit(2.0f)).as(vecCol),
+        lit(1.0).as(normCol))
+    val corpus = mk(10L, "cand_id", "cv", "cn")
+    val okProbes = mk(3L, "query_id", "qv", "qn")
+    val scored = graft.queries.Similarity.bruteForceCosine(corpus, okProbes)
+    // 10 candidates × 3 probes minus the 3 self matches
+    assert(scored.count() == 27L)
+    val tooMany = mk(graft.queries.Similarity.MaxBruteForceProbes + 1L,
+      "query_id", "qv", "qn")
+    val boom = intercept[IllegalArgumentException](
+      graft.queries.Similarity.bruteForceCosine(corpus, tooMany))
+    assert(boom.getMessage.contains("probe"), boom.getMessage)
+  }
 }
