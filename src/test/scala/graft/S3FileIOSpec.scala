@@ -1,6 +1,5 @@
 package graft
 
-import com.sun.net.httpserver.HttpServer
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import java.nio.file.Paths
@@ -14,164 +13,25 @@ import java.nio.file.Paths
   */
 class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private val store =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
-  private val putTimes =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  // paths containing "flaky" fail with 503 SlowDown this many times
-  private val flakyFailures = new java.util.concurrent.atomic.AtomicInteger(0)
-  // paths containing "reset" abort the exchange (connection closed with
-  // no response — the transport-level failure mode) this many times
-  private val resetFailures = new java.util.concurrent.atomic.AtomicInteger(0)
-  // every handled exchange counts — lets tests assert request budgets
-  private val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
-  private var server: HttpServer = _
+  // small page size forces ListObjectsV2 pagination through the client;
+  // server behavior lives in the shared S3Stub (also runnable
+  // standalone via S3StubMain for RealS3SmokeSpec)
+  private val stub = new S3Stub(bucket = "lake", pageSize = 3)
+  private def store = stub.store
+  private def flakyFailures = stub.flakyFailures
+  private def resetFailures = stub.resetFailures
+  private def requestCount = stub.requestCount
   private var io: graft.format.S3FileIO = _
 
-  // small page size forces ListObjectsV2 pagination through the client
-  private val PageSize = 3
-
   override def beforeAll(): Unit = {
-    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", { ex =>
-      val path = ex.getRequestURI.getPath // "/lake/<key>"
-      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
-      val params = query.split("&").filter(_.contains("="))
-        .map { p =>
-          val Array(k, v) = p.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
-        }.toMap
-      def respond(code: Int, body: Array[Byte]): Unit = {
-        if (body.length == 0) ex.sendResponseHeaders(code, -1)
-        else {
-          ex.sendResponseHeaders(code, body.length)
-          ex.getResponseBody.write(body)
-        }
-        ex.close()
-      }
-      requestCount.incrementAndGet()
-      ex.getRequestMethod match {
-        case _ if path.contains("reset") && resetFailures.getAndDecrement() > 0 =>
-          ex.close() // no response at all: client sees an IOException
-        case m if path.contains("flaky") && flakyFailures.getAndDecrement() > 0 =>
-          respond(503, "<Error><Code>SlowDown</Code></Error>".getBytes("UTF-8"))
-        case "GET" if params.get("list-type").contains("2") =>
-          // real stores escape XML-special AND control characters
-          // (the latter as numeric character references)
-          def esc(s: String): String = s.flatMap {
-            case '&' => "&amp;"
-            case '<' => "&lt;"
-            case '>' => "&gt;"
-            case c if c < 0x20 => f"&#x${c.toInt}%02X;"
-            case c => c.toString
-          }
-          def contents(k: String): String = {
-            val lm = java.time.Instant
-              .ofEpochMilli(putTimes.getOrDefault(k, 0L)).toString
-            s"<Contents><Key>${esc(k.stripPrefix("/lake/"))}</Key>" +
-              s"<LastModified>$lm</LastModified>" +
-              s"<Size>${store.get(k).length}</Size></Contents>"
-          }
-          val prefix = "/lake/" + params.getOrElse("prefix", "")
-          val all = store.keySet().stream().sorted().toArray
-            .map(_.toString).filter(_.startsWith(prefix)).toSeq
-          val xml = params.get("delimiter") match {
-            case Some(d) =>
-              // delimiter form: direct-child keys as <Contents>, deeper
-              // keys rolled up into <CommonPrefixes> — PAGED like the
-              // plain form, honoring max-keys (hasChildren's bounded
-              // probe sends max-keys=1 and must get one entry back).
-              // Deliberately one group occurrence PER deeper key (no
-              // pre-dedupe), so a CommonPrefix repeats across pages and
-              // the client's cross-page dedupe is exercised.
-              val entries: Seq[Either[String, String]] = all.map { k =>
-                val rest = k.stripPrefix(prefix)
-                if (!rest.contains(d)) Left(k)
-                else Right(prefix + rest.takeWhile(_ != d.head) + d)
-              }
-              val pageSize = math.min(PageSize,
-                params.get("max-keys").map(_.toInt).getOrElse(Int.MaxValue))
-              val from =
-                params.get("continuation-token").map(_.toInt).getOrElse(0)
-              val page = entries.slice(from, from + pageSize)
-              val truncated = from + pageSize < entries.size
-              "<?xml version=\"1.0\"?><ListBucketResult>" +
-                s"<IsTruncated>$truncated</IsTruncated>" +
-                (if (truncated)
-                  s"<NextContinuationToken>${from + pageSize}</NextContinuationToken>"
-                else "") +
-                s"<Prefix>${esc(prefix.stripPrefix("/lake/"))}</Prefix>" +
-                page.map {
-                  case Left(k) => contents(k)
-                  case Right(g) => "<CommonPrefixes><Prefix>" +
-                    esc(g.stripPrefix("/lake/")) + "</Prefix></CommonPrefixes>"
-                }.mkString +
-                "</ListBucketResult>"
-            case None =>
-              val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
-              val page = all.slice(from, from + PageSize)
-              val truncated = from + PageSize < all.size
-              "<?xml version=\"1.0\"?><ListBucketResult>" +
-                s"<IsTruncated>$truncated</IsTruncated>" +
-                (if (truncated)
-                  s"<NextContinuationToken>${from + PageSize}</NextContinuationToken>"
-                else "") +
-                page.map(contents).mkString +
-                "</ListBucketResult>"
-          }
-          respond(200, xml.getBytes("UTF-8"))
-        case "GET" =>
-          Option(store.get(path)) match {
-            case Some(b) =>
-              Option(ex.getRequestHeaders.getFirst("Range")) match {
-                case Some(r) if r.startsWith("bytes=") =>
-                  val Array(s, e) = r.stripPrefix("bytes=").split("-", 2)
-                  val from = s.toLong
-                  if (from >= b.length) respond(416, Array.emptyByteArray)
-                  else {
-                    val to = math.min(e.toLong, b.length - 1L).toInt
-                    respond(206,
-                      java.util.Arrays.copyOfRange(b, from.toInt, to + 1))
-                  }
-                case _ => respond(200, b)
-              }
-            case None => respond(404, Array.emptyByteArray)
-          }
-        case "HEAD" =>
-          Option(store.get(path)) match {
-            case Some(b) =>
-              // HEAD: advertise length, send no body
-              ex.getResponseHeaders.add("Content-Length-Hint", b.length.toString)
-              ex.sendResponseHeaders(200, -1)
-              ex.close()
-            case None => respond(404, Array.emptyByteArray)
-          }
-        case "PUT" =>
-          val body = ex.getRequestBody.readAllBytes()
-          val conditional =
-            "*" == ex.getRequestHeaders.getFirst("If-None-Match")
-          if (conditional && store.putIfAbsent(path, body) != null)
-            respond(412, Array.emptyByteArray)
-          else {
-            if (!conditional) store.put(path, body)
-            putTimes.put(path, System.currentTimeMillis())
-            respond(200, Array.emptyByteArray)
-          }
-        case "DELETE" =>
-          if (store.remove(path) != null) respond(204, Array.emptyByteArray)
-          else respond(404, Array.emptyByteArray)
-        case _ => respond(405, Array.emptyByteArray)
-      }
-    })
-    server.start()
+    stub.start()
     io = new graft.format.S3FileIO(
-      endpoint = java.net.URI.create(
-        s"http://127.0.0.1:${server.getAddress.getPort}"),
+      endpoint = java.net.URI.create(s"http://127.0.0.1:${stub.port}"),
       region = "us-east-1", bucket = "lake",
       accessKey = "test-access", secretKey = "test-secret")
   }
 
-  override def afterAll(): Unit = server.stop(0)
+  override def afterAll(): Unit = stub.stop()
 
   test("io spec parsing keeps colons in the endpoint URI") {
     import graft.format.FileIO
