@@ -57,20 +57,75 @@ object Bench {
     */
   private def cleanupAfter(spark: SparkSession, name: String): Unit = {
     if (name.contains("stream")) {
-      // StateStore.unloadAll() is private[sql] at the Scala level but
-      // public bytecode; reflection keeps this out of Spark's package
-      // namespace.
-      try {
-        val cls = Class.forName(
-          "org.apache.spark.sql.execution.streaming.state.StateStore$")
-        val mod = cls.getField("MODULE$").get(null)
-        cls.getMethod("unloadAll").invoke(mod)
-      } catch { case _: Throwable => () }
+      unloadStateStores()
       try spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && t.name.startsWith(name))
         .foreach(t => spark.catalog.dropTempView(t.name))
       catch { case _: Throwable => () }
     }
+  }
+
+  /** StateStore.unloadAll() is private[sql] at the Scala level but
+    * public bytecode; reflection keeps this out of Spark's package
+    * namespace.
+    */
+  private def unloadStateStores(): Unit =
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val mod = cls.getField("MODULE$").get(null)
+      cls.getMethod("unloadAll").invoke(mod)
+    } catch { case _: Throwable => () }
+
+  /** Bench rows are grouped into FAMILIES by name prefix (`c_*`
+    * connector, `d_*` dedup, …); the c and d families intentionally
+    * share memoized storage across their rows (connector setup tables,
+    * the near-dup pair/label frames). Everything else must leave the
+    * executors exactly as it found them — a leak here is ballast for
+    * every later row and the prime suspect whenever an untouched plan
+    * regresses round-over-round.
+    */
+  private[graft] def familyOf(name: String): String = name.takeWhile(_ != '_')
+
+  /** Release the cross-row storage a finished family owns (untimed:
+    * session-lifecycle cost, not query cost), unload stream state, and
+    * report what is STILL alive — the caller warns (main) or asserts
+    * (BenchSpec) on the result, so a plan edit that starts leaking
+    * executor storage across families is caught the round it lands.
+    */
+  private[graft] def releaseFamily(spark: SparkSession, family: String,
+      sfDir: String): Seq[String] = {
+    family match {
+      case "d" =>
+        graft.queries.Pipeline.releaseAllDupClusterLabels()
+        graft.queries.Dedup.releaseAllNearDupPairs()
+      case "c" =>
+        try graft.queries.ConnectorQ.release(spark, sfDir)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+    unloadStateStores()
+    leakedStorage(spark)
+  }
+
+  /** Executor storage currently alive: cached/checkpointed RDD blocks
+    * plus loaded state-store providers (best effort via reflection).
+    * Empty ⇔ the next row starts on clean executors.
+    */
+  private[graft] def leakedStorage(spark: SparkSession): Seq[String] = {
+    val rdds = spark.sparkContext.getPersistentRDDs.values.toSeq
+      .map(r => s"cached RDD ${r.id} (${String.valueOf(r.name)})")
+    val stores =
+      try {
+        val cls = Class.forName(
+          "org.apache.spark.sql.execution.streaming.state.StateStore$")
+        val mod = cls.getField("MODULE$").get(null)
+        val f = cls.getDeclaredField("loadedProviders")
+        f.setAccessible(true)
+        val n = f.get(mod).asInstanceOf[scala.collection.mutable.Map[_, _]].size
+        if (n > 0) Seq(s"$n state-store providers loaded") else Seq.empty
+      } catch { case _: Throwable => Seq.empty } // field moved: no signal
+    rdds ++ stores
   }
 
   def main(args: Array[String]): Unit = {
@@ -141,13 +196,26 @@ object Bench {
     } catch { case _: Throwable => () }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // family isolation: when a family's last row finishes, release its
+    // memoized storage and VERIFY the executors are clean before the
+    // next family is timed — leaks are announced, never silent.
+    var prevFamily: String = null
+    def isolate(fam: String): Unit = {
+      if (prevFamily != null && fam != prevFamily)
+        releaseFamily(spark, prevFamily, sfDir).foreach(l =>
+          System.err.println(
+            s"[bench] WARN: storage leaked past family $prevFamily: $l"))
+      prevFamily = fam
+    }
     val results = selected.map { case (name, fn) =>
+      isolate(familyOf(name))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       cleanupAfter(spark, name)
       name -> dt
     }
+    if (prevFamily != null) isolate("__end__")
     val line = renderLine(results, sfDir)
     // Make the line the LAST output: stop Spark first so no shutdown
     // logging lands after it, and `Global / showSuccess := false`

@@ -41,4 +41,44 @@ class BenchSpec extends AnyFunSuite {
     assert(qs.map(_._1) == List("q_c", "q_a", "q_b")) // heaviest first
     assert(!qs.exists(_._1.startsWith("other_")))
   }
+
+  test("family isolation: memo-owning families release to CLEAN executors") {
+    // the r8/r9 lesson: untouched plans regressing round-over-round are
+    // first suspected of inherited executor storage — so the bench
+    // releases each family's memos at its boundary and verifies nothing
+    // survives. This pins that contract for the two memo-owning
+    // families on a live session.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir = "/root/testdata/sf0.001"
+
+      // d family: pairs + labels memos pin persisted/checkpointed RDDs
+      assert(SparkEntry.queries("d_dup_clusters")(spark, dir).count() >= 1)
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "the d family must be memo-backed while it runs")
+      val dLeaks = Bench.releaseFamily(spark, "d", dir)
+      assert(dLeaks.isEmpty, s"d family left storage behind: $dLeaks")
+
+      // c family: connector setup memo (tables + temp warehouse)
+      assert(SparkEntry.queries("c_append_scan")(spark, dir).count() > 0)
+      val cLeaks = Bench.releaseFamily(spark, "c", dir)
+      assert(cLeaks.isEmpty, s"c family left storage behind: $cLeaks")
+
+      // stream rows: state-store providers unload at the boundary
+      assert(SparkEntry.queries("c_stream_agg")(spark, dir).count() > 0)
+      val sLeaks = Bench.releaseFamily(spark, "c", dir)
+      assert(sLeaks.isEmpty, s"stream state survived the boundary: $sLeaks")
+
+      // a memo-free family releases to clean executors trivially
+      assert(SparkEntry.queries("q_topk_orders")(spark, dir).count() > 0)
+      assert(Bench.releaseFamily(spark, "q", dir).isEmpty)
+    } finally spark.stop()
+  }
 }
