@@ -83,6 +83,55 @@ final case class Schema(
     options: Map[String, String] = Map.empty,
     comment: Option[String] = None)
 
+object Schema {
+  /** Build a [[Schema]] from pyarrow-style `(name, type-name)` pairs, the
+    * porting path for reference users whose schemas are `pa.schema(...)`
+    * literals. Two widenings mirror the reference's own coercions:
+    * `float16`/`halffloat` → FLOAT (`pypaimon/py4j/util/java_utils.py:76-77`
+    * — Spark has no half type, same as Paimon) and `null` → STRING with
+    * a warning (`java_utils.py:86-91`, also applied by the catalog for
+    * Spark `NullType`). Everything else maps 1:1 onto the supported
+    * type set; unknown names are rejected with the reference's
+    * unsupported-type message.
+    */
+  def fromTypeNames(fields: Seq[(String, String)],
+      partitionKeys: Seq[String] = Seq.empty,
+      primaryKeys: Seq[String] = Seq.empty,
+      options: Map[String, String] = Map.empty,
+      comment: Option[String] = None): Schema = {
+    val structFields = fields.map { case (name, typeName) =>
+      val dt = typeName.trim.toLowerCase match {
+        case "int8" | "tinyint" | "byte" => ByteType
+        case "int16" | "smallint" | "short" => ShortType
+        case "int32" | "int" | "integer" => IntegerType
+        case "int64" | "bigint" | "long" => LongType
+        case "float16" | "halffloat" =>
+          System.err.println(s"WARN: The type of column '$name' is " +
+            "float16, which has no Spark equivalent; it will be widened " +
+            "to float.")
+          FloatType
+        case "float32" | "float" => FloatType
+        case "float64" | "double" => DoubleType
+        case "bool" | "boolean" => BooleanType
+        case "string" | "utf8" | "varchar" | "large_string" => StringType
+        case "binary" | "bytes" | "large_binary" => BinaryType
+        case "date32" | "date" => DateType
+        case t if t == "null" || t == "void" =>
+          System.err.println(s"WARN: The type of column '$name' is null, " +
+            "and it will be converted to string type by default. Please " +
+            "check if the original type is string. If not, please " +
+            s"manually specify the type of '$name'.")
+          StringType
+        case t if t.startsWith("timestamp") => TimestampType
+        case other => throw new IllegalArgumentException(
+          s"Found unsupported data type $other for field $name")
+      }
+      StructField(name, dt)
+    }
+    Schema(StructType(structFields), partitionKeys, primaryKeys, options, comment)
+  }
+}
+
 final class GraftTableHandle(spark: SparkSession, catalogName: String,
     val identifier: String, val tableDir: Path, val tableSchema: TableSchema) {
 
@@ -233,6 +282,15 @@ final case class Plan(splits: Seq[Split])
 final class TableRead(rb: ReadBuilder) {
   /** The whole-snapshot DataFrame — the Spark-native `to_arrow`. */
   def toDF(): DataFrame = rb.toDF()
+  /** ≙ `to_arrow` literally: the collected result as an Arrow IPC
+    * stream (schema + record batches), readable by pyarrow/arrow-java.
+    * Driver-local by design, like the reference; use [[toDF]] to keep
+    * the result distributed.
+    */
+  def toArrow(maxRowsPerBatch: Int = 4096): Array[Byte] = {
+    val df = rb.toDF()
+    ArrowSink.toIpcStream(df.schema, df.collect(), maxRowsPerBatch)
+  }
   /** ≙ `to_arrow().to_pandas()` — local rows. */
   def toLocalRows(): Array[org.apache.spark.sql.Row] = rb.toDF().collect()
   /** ≙ `to_arrow_batch_reader` — streaming local iterator. */

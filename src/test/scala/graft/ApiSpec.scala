@@ -8,6 +8,7 @@ import org.scalatest.BeforeAndAfterAll
 import graft.api._
 import graft.core.RowKind
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Facade API parity with the reference's builder surface
   * (`pypaimon/py4j/tests/`): catalog/table lifecycle, predicate builder
@@ -213,5 +214,106 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       Schema(StructType(Seq(StructField("f0", IntegerType))),
         options = Map("max-workers" -> "abc"))))
     assert(bad.getMessage.contains("max-workers"), bad.getMessage)
+  }
+
+  test("toArrow round-trips every supported type vs toDF().collect()") {
+    // ≙ `to_arrow` (`table_read.py:31-56`): the IPC stream a facade read
+    // emits must decode — via the arrow-java stream reader, i.e. any
+    // Arrow implementation — to exactly the rows Spark collects
+    catalog.createTable("default.arrow_all", Schema(StructType(Seq(
+      StructField("c_byte", ByteType), StructField("c_short", ShortType),
+      StructField("c_int", IntegerType), StructField("c_long", LongType),
+      StructField("c_float", FloatType), StructField("c_double", DoubleType),
+      StructField("c_bool", BooleanType), StructField("c_str", StringType),
+      StructField("c_bin", BinaryType), StructField("c_date", DateType),
+      StructField("c_ts", TimestampType)))))
+    val t = catalog.getTable("default.arrow_all")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1.toByte, 2.toShort, 3, 4L, 1.5f, 2.5,
+          true, "héllo", Array[Byte](1, 2, 3),
+          java.sql.Date.valueOf("2024-02-29"),
+          java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")),
+        org.apache.spark.sql.Row(null, null, null, null, null, null,
+          null, null, null, null, null)),
+      t.tableSchema.fields)
+    val wb = t.newBatchWriteBuilder()
+    val w = wb.newWrite()
+    w.write(df)
+    wb.newCommit().commit(w.prepareCommit())
+
+    val read = t.newReadBuilder().newRead()
+    val expected = read.toDF().orderBy("c_int").collect()
+    // batch size 1 forces the multi-batch path on a 2-row result
+    val ipc = t.newReadBuilder().newRead().toArrow(maxRowsPerBatch = 1)
+
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(ipc), alloc)
+    try {
+      val decoded = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      while (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        for (i <- 0 until root.getRowCount)
+          decoded += root.getFieldVectors.asScala.toSeq.map(v =>
+            if (v.isNull(i)) null else v.getObject(i))
+      }
+      val rows = decoded.sortBy(r => Option(r(2).asInstanceOf[Integer]).map(_.toInt))
+      assert(rows.length == expected.length)
+      val exp = expected.map { r =>
+        Seq[Any](r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5),
+          r.get(6), r.get(7),
+          Option(r.get(8)).map(_.asInstanceOf[Array[Byte]].toSeq).orNull,
+          Option(r.getAs[java.sql.Date](9)).map(_.toLocalDate).orNull,
+          Option(r.getAs[java.sql.Timestamp](10))
+            .map(ts => ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+              .toLocalDateTime).orNull)
+      }
+      val got = rows.map { r =>
+        // TZ-aware timestamp vectors surface getObject as epoch micros
+        // in some arrow-java versions and LocalDateTime in others —
+        // normalize both to UTC LocalDateTime
+        val ts = r(10) match {
+          case null => null
+          case l: java.lang.Long => java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(l, 1000000L),
+            (Math.floorMod(l, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          case other => other
+        }
+        // date32 getObject is the raw epoch-day Integer
+        val date = r(9) match {
+          case null => null
+          case d: java.lang.Integer => java.time.LocalDate.ofEpochDay(d.toLong)
+          case other => other
+        }
+        Seq[Any](r(0), r(1), r(2), r(3), r(4), r(5), r(6),
+          Option(r(7)).map(_.toString).orNull,
+          Option(r(8)).map(_.asInstanceOf[Array[Byte]].toSeq).orNull,
+          date, ts)
+      }
+      assert(got.toSeq == exp.toSeq, s"\ngot:      $got\nexpected: $exp")
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("Schema.fromTypeNames: float16 widens to FLOAT, null to STRING") {
+    // ≙ `java_utils.py:76-77` (half → float) and `:86-91` (null →
+    // string): pyarrow-schema ports round-trip instead of rejecting
+    val s = Schema.fromTypeNames(Seq(
+      "id" -> "int64", "half" -> "float16", "void_col" -> "null",
+      "ts" -> "timestamp[us]", "txt" -> "large_string"))
+    assert(s.fields("half").dataType == FloatType)
+    assert(s.fields("void_col").dataType == StringType)
+    assert(s.fields("id").dataType == LongType)
+    assert(s.fields("ts").dataType == TimestampType)
+    assert(s.fields("txt").dataType == StringType)
+    // a created table carries the widened types
+    catalog.createTable("default.half", s)
+    assert(catalog.getTable("default.half")
+      .tableSchema.fields("half").dataType == FloatType)
+    // unknown names keep the reference's unsupported-type error shape
+    val bad = intercept[IllegalArgumentException](
+      Schema.fromTypeNames(Seq("x" -> "decimal128(10,2)")))
+    assert(bad.getMessage.contains("Found unsupported data type"), bad.getMessage)
   }
 }
