@@ -202,6 +202,104 @@ object Text {
               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
               '[0-9]{4,}', '<NUM>', 'g') AS red
           FROM documents) q
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // Repetition quality signals (the Gopher/MassiveText repetition
+    // filters, Rae et al. 2021 §A1.1, adapted to token level): per doc
+    // the top-1-gram count, top-2-gram count, and duplicate-token
+    // count; rolled up per lang as exact integer sums with ONE double
+    // division each at the end, so the oracle hashes bit-identically.
+    // Everything per-doc is row-local array math over the token list
+    // (native higher-order expressions, no UDF, no shuffle) — at
+    // 100 TB this stage is map-only; the only shuffle is the per-lang
+    // rollup, whose partial aggregation reduces each task to a handful
+    // of rows. The repetitive-doc test multiplies instead of dividing
+    // (top1*5 > n_tok ⇔ top word >20%) to stay in exact integers.
+    QueryDef("t_rep_signals",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("toks", tokens)
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_dist", size(array_distinct(col("toks"))))
+        .withColumn("top1", coalesce(array_max(expr(
+          "transform(array_distinct(toks), w -> size(filter(toks, t -> t = w)))")),
+          lit(0)))
+        .withColumn("bigrams", when(col("n_tok") < 2,
+          expr("array()").cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
+        .withColumn("top2", coalesce(array_max(expr(
+          "transform(array_distinct(bigrams), " +
+            "w -> size(filter(bigrams, t -> t = w)))")), lit(0)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("sum_tok"),
+          (sum(col("top1").cast("long")).cast("double")
+            / sum(col("n_tok").cast("long")).cast("double")).as("top1_frac"),
+          (sum(col("top2").cast("long")).cast("double")
+            / sum(greatest(col("n_tok") - 1, lit(0)).cast("long"))
+              .cast("double")).as("top2_frac"),
+          ((sum(col("n_tok").cast("long")) - sum(col("n_dist").cast("long")))
+            .cast("double")
+            / sum(col("n_tok").cast("long")).cast("double")).as("dup_tok_frac"),
+          sum(when(col("top1") * 5 > col("n_tok"), 1L).otherwise(0L))
+            .as("n_repetitive"))
+        .orderBy("lang"),
+      Some(s"""WITH per_doc AS (
+          SELECT lang, len(toks) AS n_tok,
+            len(list_distinct(toks)) AS n_dist,
+            COALESCE(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, t -> t = w)))), 0) AS top1,
+            COALESCE(list_max(list_transform(list_distinct(bigrams),
+              w -> len(list_filter(bigrams, t -> t = w)))), 0) AS top2
+          FROM (
+            SELECT lang, toks,
+              CASE WHEN len(toks) < 2 THEN []
+                ELSE list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams
+            FROM (SELECT lang, $sqlTokens AS toks FROM documents) a) b)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+          CAST(SUM(top1) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS top1_frac,
+          CAST(SUM(top2) AS DOUBLE)
+            / CAST(SUM(GREATEST(n_tok - 1, 0)) AS DOUBLE) AS top2_frac,
+          CAST(SUM(n_tok) - SUM(n_dist) AS DOUBLE)
+            / CAST(SUM(n_tok) AS DOUBLE) AS dup_tok_frac,
+          CAST(SUM(CASE WHEN top1 * 5 > n_tok THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_repetitive
+        FROM per_doc GROUP BY lang ORDER BY lang""")),
+
+    // Mixture-weighted (stratified) sampling — the data-mixing step
+    // that reweights sources toward a target distribution (the Pile /
+    // DoReMi recipe): each source gets its own keep-rate, applied as a
+    // deterministic md5 gate on doc_id, so the sample is reproducible
+    // on any cluster size, re-run, or re-shard (the same property as
+    // t_hash_sample, per stratum). Map-only: the per-source threshold
+    // is a literal map lookup, no join, no global count; the rollup
+    // shows kept vs total per source. Unlisted sources default to the
+    // 75% gate.
+    QueryDef("t_stratified_sample",
+      (s, dir) => {
+        val thresholds = Seq(
+          "src0" -> "10", "src1" -> "20", "src2" -> "40", "src3" -> "80",
+          "src4" -> "08", "src5" -> "ff")
+        val mapArgs = thresholds.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        t(s, dir, "documents")
+          .withColumn("thr",
+            coalesce(element_at(map(mapArgs: _*), col("source")), lit("c0")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(substring(md5(col("doc_id").cast("string")), 1, 2)
+              < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_total,
+          CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE source
+              WHEN 'src0' THEN '10' WHEN 'src1' THEN '20'
+              WHEN 'src2' THEN '40' WHEN 'src3' THEN '80'
+              WHEN 'src4' THEN '08' WHEN 'src5' THEN 'ff'
+              ELSE 'c0' END
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 }
