@@ -424,6 +424,91 @@ object Dedup {
         JOIN (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS tk
               FROM documents) b
           ON b.doc_id = a.doc_id + 1
-        ORDER BY doc_a"""))
+        ORDER BY doc_a""")),
+
+    // Cross-source overlap matrix: for every pair of sources, the
+    // number of distinct 5-gram shingles they share plus the
+    // shingle-set Jaccard — the corpus-curation view of "how much does
+    // source A duplicate source B" (mirror detection, crawl-vs-recrawl
+    // diffing, licensing audits). Scale shape: ONE shuffle keyed on
+    // the shingle, per-shingle source sets bounded by the (tiny)
+    // source vocabulary — pair expansion happens AFTER that
+    // aggregation, inside rows of at most |sources| entries, never as
+    // a shingle-level self-join of two corpus-scale exploded sides.
+    // The per-source totals are a |sources|-row aggregate broadcast
+    // back onto |sources choose 2| pair rows, and the final result is
+    // constant-size, so nothing here grows faster than the one
+    // tokenize+shingle scan.
+    QueryDef("d_cross_source_overlap",
+      (s, dir) => {
+        // one row per distinct shingle with its sorted source set;
+        // collect_set dedupes (source, shingle) within the group, so
+        // no separate distinct shuffle is needed. Persisted because
+        // both the pair counts and the per-source totals read it.
+        val bySh = tBalanced(s, dir, "documents")
+          .select(col("source"), tokens.as("toks"))
+          .select(col("source"), explode(array_distinct(
+            graft.functions.TextFunctions.word_shingles(col("toks"), 5)))
+            .as("g"))
+          .groupBy("g")
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val perSource = bySh
+            .select(explode(col("srcs")).as("source"))
+            .groupBy("source").agg(count(lit(1)).as("n"))
+          // unordered pairs from the sorted set: (x, y) with x before
+          // y — lexicographic order matches the oracle's a.source <
+          // b.source join condition
+          val pairs = bySh.filter(size(col("srcs")) >= 2)
+            .select(explode(expr(
+              """flatten(transform(srcs, (x, i) ->
+                   transform(slice(srcs, i + 2, size(srcs)),
+                     y -> named_struct('sa', x, 'sb', y))))""")).as("p"))
+            .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+            .agg(count(lit(1)).as("n_shared_shingles"))
+          val out = pairs
+            .join(broadcast(perSource
+              .select(col("source").as("source_a"), col("n").as("na"))),
+              "source_a")
+            .join(broadcast(perSource
+              .select(col("source").as("source_b"), col("n").as("nb"))),
+              "source_b")
+            .select(col("source_a"), col("source_b"),
+              col("n_shared_shingles"),
+              (col("n_shared_shingles").cast("double")
+                / (col("na") + col("nb") - col("n_shared_shingles")))
+                .as("jaccard"))
+            .orderBy("source_a", "source_b")
+          // |sources choose 2| rows — materialize eagerly so the
+          // shingle cache never outlives the query (finally: a failed
+          // collect must not leave it pinned either)
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally bySh.unpersist(blocking = true)
+      },
+      Some("""WITH tok AS (
+          SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS toks
+          FROM documents),
+        sg AS (
+          SELECT DISTINCT source, g FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                range(1, len(toks) - 3),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                               toks[i+3], toks[i+4])))) AS g
+            FROM tok WHERE len(toks) >= 5) u),
+        per_source AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+        shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+            COUNT(*) AS n_shared_shingles
+          FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared_shingles,
+          CAST(n_shared_shingles AS DOUBLE)
+            / (pa.n + pb.n - n_shared_shingles) AS jaccard
+        FROM shared
+        JOIN per_source pa ON pa.source = shared.source_a
+        JOIN per_source pb ON pb.source = shared.source_b
+        ORDER BY source_a, source_b"""))
   )
 }

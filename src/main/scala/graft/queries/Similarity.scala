@@ -122,6 +122,127 @@ object Similarity {
     (agg, sigs)
   }
 
+  /** k for the IVF coarse quantizer shared by `s_ivf_train` and
+    * `s_ivf_search`.
+    */
+  private val IvfK = 8
+
+  /** Map-only int8 quantization of the embedding corpus (same
+    * arithmetic as `s_quantize_int8`), cached because training reads
+    * the codes once per Lloyd round and search reads them again for
+    * cell assignment. Codes are 1/4 the float size, so this is the
+    * cheapest representation to pin. Caller must unpersist.
+    */
+  private def ivfQuantizedCodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = tBalanced(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // per-dim min/max: one partial-agged explode, 64-row collect
+    val statRows = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("dim").collect()
+    val mnLit = array(statRows.map(r => lit(r.getFloat(1).toDouble)): _*)
+    val mxLit = array(statRows.map(r => lit(r.getFloat(2).toDouble)): _*)
+    emb
+      .withColumn("mn", mnLit).withColumn("mx", mxLit)
+      .withColumn("qv", expr(
+        """transform(embedding, (x, i) ->
+          CASE WHEN element_at(mx, i + 1) = element_at(mn, i + 1) THEN 0
+            ELSE least(255, greatest(0, CAST(floor(
+              (CAST(x AS DOUBLE) - element_at(mn, i + 1)) * 255.0
+              / (element_at(mx, i + 1) - element_at(mn, i + 1))) AS INT)))
+          END)"""))
+      .select(col("vec_id"), col("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** `(dist, cid)` struct per centroid, squared-L2 against the row's
+    * `qv` codes — centroids are inlined as literals so the whole array
+    * evaluates map-side with zero joins (the reason training/search
+    * sync traffic is constant-size).
+    */
+  private def ivfDistArray(
+      cents: Seq[(Long, Seq[Int])]): org.apache.spark.sql.Column =
+    array(cents.map { case (cid, cv) =>
+      val cvSql = cv.mkString("array(", ", ", ")")
+      struct(
+        expr(s"aggregate(zip_with(qv, $cvSql, " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, y) -> acc + y)")
+          .as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** Nearest-centroid assignment: arg-min = lexicographic struct min
+    * over (dist, cid) — ties break to the lowest centroid id on both
+    * engines.
+    */
+  private def ivfAssignment(qv: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Seq[Int])]): org.apache.spark.sql.DataFrame =
+    qv.withColumn("best", array_min(ivfDistArray(cents)))
+      .select(col("vec_id"), col("qv"),
+        col("best.cid").as("cid"), col("best.dist").as("dist"))
+
+  /** Deterministic coarse-quantizer training: seed with the quantized
+    * vectors of the `IvfK` lowest vec_ids, then one Lloyd update
+    * (centroid = floor of per-dim mean). The ONLY driver traffic is
+    * the k×64-int centroid table — the standard k-means sync point,
+    * independent of corpus size.
+    */
+  private def ivfTrainCentroids(
+      qv: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Int])] = {
+    val c0: Seq[(Long, Seq[Int])] = qv.filter(col("vec_id") < IvfK)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toSeq
+    ivfAssignment(qv, c0)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy("cid", "dim")
+      .agg(floor(sum(col("q").cast("long")).cast("double")
+        / count(lit(1))).cast("int").as("cq"))
+      .orderBy("cid", "dim").collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (cid, rows) => cid -> rows.map(_.getInt(2)).toSeq }
+      .sortBy(_._1)
+  }
+
+  /** DuckDB replay of [[ivfQuantizedCodes]] + [[ivfTrainCentroids]] +
+    * the final assignment distances (`d2`): quantize (`q`), seed
+    * (`c0`), assign (`d1`/`a1`), update (`c1`), re-score (`d2`).
+    * Shared verbatim by the `s_ivf_train` and `s_ivf_search` oracles
+    * so the two queries are checked against the SAME trained model.
+    */
+  private val sqlIvfTrainCtes = """ex AS (
+          SELECT vec_id, i AS dim, embedding[i + 1] AS x
+          FROM embeddings, range(64) AS r(i)),
+        stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+        q AS (
+          SELECT vec_id, dim,
+            CASE WHEN mx = mn THEN 0
+                 ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                   (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
+                   / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS INT)))
+            END AS q
+          FROM ex JOIN stats USING (dim)),
+        c0 AS (SELECT vec_id AS cid, dim, q AS cq FROM q WHERE vec_id < 8),
+        d1 AS (
+          SELECT q.vec_id, c.cid,
+            CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS dist
+          FROM q JOIN c0 c USING (dim) GROUP BY q.vec_id, c.cid),
+        a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, cid) AS rn
+            FROM d1) r WHERE rn = 1),
+        c1 AS (
+          SELECT a1.cid, q.dim,
+            CAST(FLOOR(CAST(SUM(q.q) AS DOUBLE) / COUNT(*)) AS INT) AS cq
+          FROM a1 JOIN q USING (vec_id) GROUP BY a1.cid, q.dim),
+        d2 AS (
+          SELECT q.vec_id, c.cid,
+            CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS dist
+          FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid)"""
+
   val defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
     QueryDef("s_cosine_topk",
@@ -403,106 +524,22 @@ object Similarity {
     // Seeding is deterministic: the k lowest vec_ids.
     QueryDef("s_ivf_train",
       (s, dir) => {
-        val spark = s
-        val K = 8
-        val emb = tBalanced(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-        // per-dim min/max: one partial-agged explode, 64-row collect
-        val statRows = emb
-          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-          .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-          .orderBy("dim").collect()
-        val mnLit = array(statRows.map(r => lit(r.getFloat(1).toDouble)): _*)
-        val mxLit = array(statRows.map(r => lit(r.getFloat(2).toDouble)): _*)
-        // map-only int8 quantization (same arithmetic as s_quantize_int8),
-        // cached across the Lloyd rounds — every round's assignment and
-        // update read these codes, and recomputing scan+quantize per
-        // round is the avoidable cost at corpus scale (codes are 1/4
-        // the float size, so the cache is the cheapest representation)
-        val qv = emb
-          .withColumn("mn", mnLit).withColumn("mx", mxLit)
-          .withColumn("qv", expr(
-            """transform(embedding, (x, i) ->
-              CASE WHEN element_at(mx, i + 1) = element_at(mn, i + 1) THEN 0
-                ELSE least(255, greatest(0, CAST(floor(
-                  (CAST(x AS DOUBLE) - element_at(mn, i + 1)) * 255.0
-                  / (element_at(mx, i + 1) - element_at(mn, i + 1))) AS INT)))
-              END)"""))
-          .select(col("vec_id"), col("qv"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // deterministic seed: quantized vectors of the K lowest vec_ids
-        var cents: Seq[(Long, Seq[Int])] = qv.filter(col("vec_id") < K)
-          .orderBy("vec_id").collect()
-          .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toSeq
-        def assigned = {
-          val distStructs = cents.map { case (cid, cv) =>
-            val cvSql = cv.mkString("array(", ", ", ")")
-            struct(
-              expr(s"aggregate(zip_with(qv, $cvSql, " +
-                "(a, b) -> (a - b) * (a - b)), 0L, (acc, y) -> acc + y)")
-                .as("dist"),
-              lit(cid).as("cid"))
-          }
-          // arg-min = lexicographic struct min: (dist, cid) — ties
-          // break to the lowest centroid id on both engines
-          qv.withColumn("best", array_min(array(distStructs: _*)))
-            .select(col("vec_id"), col("qv"),
-              col("best.cid").as("cid"), col("best.dist").as("dist"))
-        }
+        val qv = ivfQuantizedCodes(s, dir)
         try {
-          // Lloyd round 1: update centroids = floor of per-dim mean
-          cents = assigned
-            .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
-            .groupBy("cid", "dim")
-            .agg(floor(sum(col("q").cast("long")).cast("double")
-              / count(lit(1))).cast("int").as("cq"))
-            .orderBy("cid", "dim").collect()
-            .groupBy(_.getLong(0)).toSeq
-            .map { case (cid, rows) => cid -> rows.map(_.getInt(2)).toSeq }
-            .sortBy(_._1)
-          // Lloyd round 2: final assignment under the updated centroids.
-          // Materialized eagerly (k rows — constant-size like every
-          // other driver aggregate here) so the cache can be dropped
-          // before returning; the bench's family-boundary leak check
-          // stays silent.
-          val out = assigned.groupBy("cid")
+          val cents = ivfTrainCentroids(qv)
+          // Final assignment under the updated centroids. Materialized
+          // eagerly (k rows — constant-size like every other driver
+          // aggregate here) so the cache can be dropped before
+          // returning; the bench's family-boundary leak check stays
+          // silent.
+          val out = ivfAssignment(qv, cents).groupBy("cid")
             .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
             .orderBy("cid")
           val rows = out.collect()
-          spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
         } finally qv.unpersist(false)
       },
-      Some("""WITH ex AS (
-          SELECT vec_id, i AS dim, embedding[i + 1] AS x
-          FROM embeddings, range(64) AS r(i)),
-        stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
-        q AS (
-          SELECT vec_id, dim,
-            CASE WHEN mx = mn THEN 0
-                 ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
-                   (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
-                   / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS INT)))
-            END AS q
-          FROM ex JOIN stats USING (dim)),
-        c0 AS (SELECT vec_id AS cid, dim, q AS cq FROM q WHERE vec_id < 8),
-        d1 AS (
-          SELECT q.vec_id, c.cid,
-            CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS dist
-          FROM q JOIN c0 c USING (dim) GROUP BY q.vec_id, c.cid),
-        a1 AS (
-          SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-              ROW_NUMBER() OVER (PARTITION BY vec_id
-                ORDER BY dist, cid) AS rn
-            FROM d1) r WHERE rn = 1),
-        c1 AS (
-          SELECT a1.cid, q.dim,
-            CAST(FLOOR(CAST(SUM(q.q) AS DOUBLE) / COUNT(*)) AS INT) AS cq
-          FROM a1 JOIN q USING (vec_id) GROUP BY a1.cid, q.dim),
-        d2 AS (
-          SELECT q.vec_id, c.cid,
-            CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS dist
-          FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid),
+      Some(s"""WITH $sqlIvfTrainCtes,
         a2 AS (
           SELECT vec_id, cid, dist FROM (
             SELECT vec_id, cid, dist,
@@ -510,6 +547,89 @@ object Similarity {
                 ORDER BY dist, cid) AS rn
             FROM d2) r WHERE rn = 1)
         SELECT cid, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
-        FROM a2 GROUP BY cid ORDER BY cid"""))
+        FROM a2 GROUP BY cid ORDER BY cid""")),
+
+    // IVF-Flat SEARCH — the serving-path complement of s_ivf_train:
+    // assign every corpus vector to its trained cell once (the build
+    // step of the index), route each probe to its nprobe=2 nearest
+    // cells, then score ONLY those cells' members with exact cosine on
+    // the original floats and keep the top-5. The candidate join is an
+    // equi-join on cid — at 100 TB the cells are the table's partition
+    // keys, so a probe batch touches nprobe partitions and everything
+    // else is pruned at scan time; the probe side (probe × nprobe
+    // rows) broadcasts. Scoring reuses the codegen FloatVectorDot and
+    // the output is integer ranks with cand_id tiebreaks, so the
+    // oracle compares engine-portable ints (same argument as
+    // s_cosine_topk / s_ann_recall_eval).
+    QueryDef("s_ivf_search",
+      (s, dir) => {
+        val NProbe = 2
+        val qv = ivfQuantizedCodes(s, dir)
+        try {
+          val cents = ivfTrainCentroids(qv)
+          // index build: one map-side pass over the cached codes
+          val cells = ivfAssignment(qv, cents).select("vec_id", "cid")
+          // probe routing: nprobe nearest centroids by the SAME
+          // (dist, cid) order as assignment — slice of the sorted
+          // per-centroid distance array, all map-side
+          val probeCells = qv.filter(col("vec_id") < 10)
+            .withColumn("pc",
+              slice(array_sort(ivfDistArray(cents)), 1, NProbe))
+            .select(col("vec_id").as("query_id"),
+              explode(col("pc.cid")).as("cid"))
+          val embF = t(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding"),
+              vec_norm(col("embedding")).as("nrm"))
+          // each vector lives in exactly one cell, so (query_id,
+          // cand_id) pairs are already unique — no dedup shuffle
+          val cands = cells.join(broadcast(probeCells), "cid")
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("cand_id"))
+          val scored = cands
+            .join(broadcast(embF.select(col("vec_id").as("query_id"),
+              col("embedding").as("qe"), col("nrm").as("qn"))), "query_id")
+            .join(embF.select(col("vec_id").as("cand_id"),
+              col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
+            .withColumn("cos",
+              vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("cand_id"))
+          val out = scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5)
+            .select(col("query_id"), col("rank"), col("cand_id"))
+            .orderBy("query_id", "rank")
+          // <= 50 rows; materialize eagerly so the code cache is
+          // released before the bench's family-boundary leak check
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally qv.unpersist(false)
+      },
+      Some(s"""WITH $sqlIvfTrainCtes,
+        cell AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, cid) AS rn
+            FROM d2) r WHERE rn = 1),
+        pcell AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, cid) AS rn
+            FROM d2 WHERE vec_id < 10) r WHERE rn <= 2),
+        cands AS (
+          SELECT p.query_id, c.vec_id AS cand_id
+          FROM pcell p JOIN cell c USING (cid)
+          WHERE c.vec_id <> p.query_id),
+        scored AS (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY list_cosine_similarity(eq.embedding, ec.embedding)
+                DESC, cand_id) AS rank
+          FROM cands
+          JOIN embeddings eq ON eq.vec_id = cands.query_id
+          JOIN embeddings ec ON ec.vec_id = cands.cand_id)
+        SELECT query_id, rank, cand_id FROM scored
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }
