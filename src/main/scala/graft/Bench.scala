@@ -99,6 +99,8 @@ object Bench {
       case "d" =>
         graft.queries.Pipeline.releaseAllDupClusterLabels()
         graft.queries.Dedup.releaseAllNearDupPairs()
+      case "s" =>
+        graft.queries.Similarity.releaseAllIvfModels()
       case "c" =>
         try graft.queries.ConnectorQ.release(spark, sfDir)
         catch { case _: Throwable => () }

@@ -443,13 +443,18 @@ object Dedup {
       (s, dir) => {
         // one row per distinct shingle with its sorted source set;
         // collect_set dedupes (source, shingle) within the group, so
-        // no separate distinct shuffle is needed. Persisted because
-        // both the pair counts and the per-source totals read it.
+        // no separate distinct shuffle is needed. Shingles are h60-
+        // hashed BEFORE the shuffle — 8-byte keys instead of ~30-byte
+        // strings — and the oracle hashes with the same md5-derived
+        // h60, so the per-pair counts agree exactly on both engines
+        // even in the (2^-60) collision case. Persisted because both
+        // the pair counts and the per-source totals read it.
         val bySh = tBalanced(s, dir, "documents")
           .select(col("source"), tokens.as("toks"))
           .select(col("source"), explode(array_distinct(
             graft.functions.TextFunctions.word_shingles(col("toks"), 5)))
-            .as("g"))
+            .as("gstr"))
+          .select(col("source"), h60s(col("gstr")).as("g"))
           .groupBy("g")
           .agg(sort_array(collect_set(col("source"))).as("srcs"))
           .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -491,7 +496,9 @@ object Dedup {
           SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS toks
           FROM documents),
         sg AS (
-          SELECT DISTINCT source, g FROM (
+          SELECT DISTINCT source,
+            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
+          FROM (
             SELECT source, unnest(list_distinct(list_transform(
                 range(1, len(toks) - 3),
                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
