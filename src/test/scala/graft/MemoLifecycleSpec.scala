@@ -57,6 +57,27 @@ class MemoLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("ivf model memo trains once, is shared, and releases its codes") {
+    val d1 = "/root/testdata/sf0.001"
+    val train = SparkEntry.queries("s_ivf_train")(spark, d1)
+    assert(train.count() >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the memoized quantized-code frame is persisted")
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
+    // search must REUSE the trained model, not train a second one
+    assert(SparkEntry.queries("s_ivf_search")(spark, d1).count() >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pinned,
+      "s_ivf_search must not pin a second codes cache")
+    graft.queries.Similarity.releaseAllIvfModels()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.keySet}")
+    // double-release is a no-op; next use retrains from scratch
+    graft.queries.Similarity.releaseAllIvfModels()
+    assert(SparkEntry.queries("s_ivf_train")(spark, d1).count() >= 1)
+    graft.queries.Similarity.releaseAllIvfModels()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("dup-cluster label memo releases its checkpoint storage") {
     val d1 = "/root/testdata/sf0.001"
     assert(SparkEntry.queries("d_dup_clusters")(spark, d1).count() == 1)
