@@ -224,6 +224,61 @@ object Dedup {
                - len(list_filter(sa.sh, g -> list_contains(sb.sh, g)))) >= 0.5)"""
   }
 
+  /** The d_cross_source_overlap frames: the lazy pair/Jaccard result
+    * plus the persisted per-shingle source-set frame backing it
+    * (caller must unpersist after materializing). Exposed for
+    * PlanAuditSpec.
+    *
+    * One row per distinct shingle with its sorted source set;
+    * collect_set dedupes (source, shingle) within the group, so no
+    * separate distinct shuffle is needed. Shingles are h60-hashed
+    * BEFORE the shuffle — 8-byte keys instead of ~30-byte strings —
+    * and the oracle hashes with the same md5-derived h60, so the
+    * per-pair counts agree exactly on both engines even in the
+    * (2^-60) collision case. Persisted because both the pair counts
+    * and the per-source totals read it.
+    */
+  private[graft] def crossSourceOverlap(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val bySh = tBalanced(s, dir, "documents")
+      .select(col("source"), tokens.as("toks"))
+      .select(col("source"), explode(array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("toks"), 5)))
+        .as("gstr"))
+      .select(col("source"), h60s(col("gstr")).as("g"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // per-source distinct-shingle totals: a |sources|-row aggregate —
+    // collected once and inlined as a literal map (same constant-size
+    // driver-sync pattern as s_quantize_int8's stats), so the Jaccard
+    // denominators are a map-side lookup instead of two extra
+    // aggregations + broadcast joins (this also materializes the
+    // shingle cache for the pair pass)
+    val nOf = map(bySh
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .flatMap(r => Seq(lit(r.getString(0)), lit(r.getLong(1)))).toSeq: _*)
+    // unordered pairs from the sorted set: (x, y) with x before y —
+    // lexicographic order matches the oracle's a.source < b.source
+    // join condition
+    val out = bySh.filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+             transform(slice(srcs, i + 2, size(srcs)),
+               y -> named_struct('sa', x, 'sb', y))))""")).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .select(col("source_a"), col("source_b"),
+        col("n_shared_shingles"),
+        (col("n_shared_shingles").cast("double")
+          / (element_at(nOf, col("source_a"))
+            + element_at(nOf, col("source_b")) - col("n_shared_shingles")))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+    (out, bySh)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Exact dedup: hash-groupBy on a normalized fingerprint.
     QueryDef("d_exact",
@@ -441,53 +496,11 @@ object Dedup {
     // tokenize+shingle scan.
     QueryDef("d_cross_source_overlap",
       (s, dir) => {
-        // one row per distinct shingle with its sorted source set;
-        // collect_set dedupes (source, shingle) within the group, so
-        // no separate distinct shuffle is needed. Shingles are h60-
-        // hashed BEFORE the shuffle — 8-byte keys instead of ~30-byte
-        // strings — and the oracle hashes with the same md5-derived
-        // h60, so the per-pair counts agree exactly on both engines
-        // even in the (2^-60) collision case. Persisted because both
-        // the pair counts and the per-source totals read it.
-        val bySh = tBalanced(s, dir, "documents")
-          .select(col("source"), tokens.as("toks"))
-          .select(col("source"), explode(array_distinct(
-            graft.functions.TextFunctions.word_shingles(col("toks"), 5)))
-            .as("gstr"))
-          .select(col("source"), h60s(col("gstr")).as("g"))
-          .groupBy("g")
-          .agg(sort_array(collect_set(col("source"))).as("srcs"))
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val (out, bySh) = crossSourceOverlap(s, dir)
+        // |sources choose 2| rows — materialize eagerly so the
+        // shingle cache never outlives the query (finally: a failed
+        // collect must not leave it pinned either)
         try {
-          val perSource = bySh
-            .select(explode(col("srcs")).as("source"))
-            .groupBy("source").agg(count(lit(1)).as("n"))
-          // unordered pairs from the sorted set: (x, y) with x before
-          // y — lexicographic order matches the oracle's a.source <
-          // b.source join condition
-          val pairs = bySh.filter(size(col("srcs")) >= 2)
-            .select(explode(expr(
-              """flatten(transform(srcs, (x, i) ->
-                   transform(slice(srcs, i + 2, size(srcs)),
-                     y -> named_struct('sa', x, 'sb', y))))""")).as("p"))
-            .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
-            .agg(count(lit(1)).as("n_shared_shingles"))
-          val out = pairs
-            .join(broadcast(perSource
-              .select(col("source").as("source_a"), col("n").as("na"))),
-              "source_a")
-            .join(broadcast(perSource
-              .select(col("source").as("source_b"), col("n").as("nb"))),
-              "source_b")
-            .select(col("source_a"), col("source_b"),
-              col("n_shared_shingles"),
-              (col("n_shared_shingles").cast("double")
-                / (col("na") + col("nb") - col("n_shared_shingles")))
-                .as("jaccard"))
-            .orderBy("source_a", "source_b")
-          // |sources choose 2| rows — materialize eagerly so the
-          // shingle cache never outlives the query (finally: a failed
-          // collect must not leave it pinned either)
           val rows = out.collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
         } finally bySh.unpersist(blocking = true)

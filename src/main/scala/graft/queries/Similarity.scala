@@ -282,6 +282,46 @@ object Similarity {
             CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS dist
           FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid)"""
 
+  /** The lazy s_ivf_search plan (top-5 per probe under the trained
+    * index) — exposed for PlanAuditSpec; the QueryDef collects it.
+    */
+  private[graft] def ivfSearchTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val NProbe = 2
+    val m = ivfModel(s, dir)
+    // index build: one map-side pass over the cached codes
+    val cells = ivfAssignment(m.codes, m.cents).select("vec_id", "cid")
+    // probe routing: nprobe nearest centroids by the SAME (dist, cid)
+    // order as assignment — slice of the sorted per-centroid distance
+    // array, all map-side
+    val probeCells = m.codes.filter(col("vec_id") < 10)
+      .withColumn("pc",
+        slice(array_sort(ivfDistArray(m.cents)), 1, NProbe))
+      .select(col("vec_id").as("query_id"),
+        explode(col("pc.cid")).as("cid"))
+    val embF = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+    // each vector lives in exactly one cell, so (query_id, cand_id)
+    // pairs are already unique — no dedup shuffle
+    val cands = cells.join(broadcast(probeCells), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val scored = cands
+      .join(broadcast(embF.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), "query_id")
+      .join(embF.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
+      .withColumn("cos",
+        vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
     QueryDef("s_cosine_topk",
@@ -598,39 +638,7 @@ object Similarity {
     // s_cosine_topk / s_ann_recall_eval).
     QueryDef("s_ivf_search",
       (s, dir) => {
-        val NProbe = 2
-        val m = ivfModel(s, dir)
-        // index build: one map-side pass over the cached codes
-        val cells = ivfAssignment(m.codes, m.cents).select("vec_id", "cid")
-        // probe routing: nprobe nearest centroids by the SAME
-        // (dist, cid) order as assignment — slice of the sorted
-        // per-centroid distance array, all map-side
-        val probeCells = m.codes.filter(col("vec_id") < 10)
-          .withColumn("pc",
-            slice(array_sort(ivfDistArray(m.cents)), 1, NProbe))
-          .select(col("vec_id").as("query_id"),
-            explode(col("pc.cid")).as("cid"))
-        val embF = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            vec_norm(col("embedding")).as("nrm"))
-        // each vector lives in exactly one cell, so (query_id,
-        // cand_id) pairs are already unique — no dedup shuffle
-        val cands = cells.join(broadcast(probeCells), "cid")
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("cand_id"))
-        val scored = cands
-          .join(broadcast(embF.select(col("vec_id").as("query_id"),
-            col("embedding").as("qe"), col("nrm").as("qn"))), "query_id")
-          .join(embF.select(col("vec_id").as("cand_id"),
-            col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
-          .withColumn("cos",
-            vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("cand_id"))
-        val out = scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("cand_id"))
-          .orderBy("query_id", "rank")
+        val out = ivfSearchTopK(s, dir)
         // <= 50 rows; materialized eagerly — constant-size output
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)

@@ -125,6 +125,46 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"interval join must bin to an equi-join:\n$p")
   }
 
+  test("s_ivf_search: cell equi-join with broadcast probes, no cartesian") {
+    val df = graft.queries.Similarity.ivfSearchTopK(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the cid equi-join:\n$p")
+    // the probe-cell and probe-embedding sides are bounded (probes ×
+    // nprobe) and must broadcast; the corpus side must never build a
+    // broadcast relation
+    assert(p.contains("BroadcastExchange"),
+      s"bounded probe sides must broadcast:\n$p")
+    graft.queries.Similarity.releaseAllIvfModels()
+  }
+
+  test("d_cross_source_overlap: pairs expand after the shingle agg") {
+    val (out, bySh) = graft.queries.Dedup.crossSourceOverlap(spark, sf)
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"no all-pairs shapes anywhere:\n$p")
+      // no joins at all: denominators come from the literal per-source
+      // map, pairs expand inside per-shingle rows. The only hash
+      // shuffles are the cached shingle agg (embedded once in the
+      // InMemoryTableScan's build plan) and the pair agg; a corpus-
+      // scale (source,shingle) self-join would add join exchanges and
+      // fail these bounds
+      assert(!p.contains("Join"), s"pair counting must be join-free:\n$p")
+      // count shuffles in the LIVE plan only — the text below the
+      // first InMemoryRelation line is the cache's embedded build plan
+      // (the shingle agg's one shuffle), rendered once per reference
+      val live = p.linesIterator
+        .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+      assert(live.contains("InMemoryTableScan"),
+        s"pair pass must read the cached shingle sets:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(live).size <= 1,
+        s"one pair-agg shuffle only above the cache, got:\n$p")
+    } finally bySh.unpersist(blocking = true)
+  }
+
   test("d_dup_clusters: pair pipeline and propagation stay scale-sane") {
     // the LSH pair pipeline: its only broadcast is the bounded
     // mega-bucket guard (anti-join side capped at #buckets > MaxBucket),
