@@ -60,8 +60,11 @@ private[api] object ArrowSink {
 
   private def epochMicros(v: Any): Long = v match {
     case t: java.sql.Timestamp =>
-      Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
-        (t.getNanos / 1000L) % 1000000L)
+      // floorDiv, not /: getTime truncates toward zero while getNanos
+      // is always the non-negative sub-second part, so pre-epoch
+      // values with fractional seconds would otherwise shift +1 s
+      Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
+        1000000L), (t.getNanos / 1000L) % 1000000L)
     case i: java.time.Instant =>
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
         i.getNano / 1000L)

@@ -49,19 +49,33 @@ object Tables {
     val df = t(spark, dir, name)
     val parallelism = spark.sparkContext.defaultParallelism
     val fewSplits = df.rdd.getNumPartitions * 2 < parallelism
+    if (!fewSplits) return df
     // ≥4 MiB of compressed parquet per idle core before shuffling pays.
     // Sum the actual input files: File.length on a DIRECTORY-backed
     // parquet table returns the dir-entry size (~4 KiB), which would
     // silently keep a large few-split corpus serial — the exact case
     // this helper exists for. inputFiles comes from the already-planned
-    // scan (no extra listing) and works for non-local paths too.
+    // scan (no extra listing); non-file URIs go through their Hadoop
+    // filesystem (a File.length on a remote URI's path part would
+    // silently report 0 and re-introduce the serial failure mode).
+    // Only computed on the fewSplits path, so the status calls are
+    // bounded by a handful of files.
+    lazy val hconf = spark.sessionState.newHadoopConf()
     val bytes = df.inputFiles.map { f =>
-      try new java.io.File(java.net.URI.create(f).getPath).length
-      catch { case _: IllegalArgumentException => 0L }
+      try {
+        val uri = java.net.URI.create(f)
+        if (uri.getScheme == null || uri.getScheme == "file")
+          new java.io.File(uri.getPath).length
+        else {
+          val p = new org.apache.hadoop.fs.Path(uri)
+          p.getFileSystem(hconf).getFileStatus(p).getLen
+        }
+      } catch {
+        case _: IllegalArgumentException | _: java.io.IOException => 0L
+      }
     }.sum
     val bigEnough = bytes > parallelism.toLong * (4L << 20)
-    if (fewSplits && bigEnough) df.repartition(parallelism)
-    else df
+    if (bigEnough) df.repartition(parallelism) else df
   }
 
   /** Exact bigint cents of a double money column: ROUND(x*100) as long. */

@@ -234,6 +234,14 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
           true, "héllo", Array[Byte](1, 2, 3),
           java.sql.Date.valueOf("2024-02-29"),
           java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")),
+        // pre-epoch with fractional seconds: getTime truncates toward
+        // zero while getNanos is non-negative — pins the floorDiv in
+        // ArrowSink.epochMicros (a plain / shifted this value +1 s)
+        org.apache.spark.sql.Row(5.toByte, 6.toShort, 0, 7L, 0.5f, 1.25,
+          false, "pre-epoch", Array[Byte](9),
+          java.sql.Date.valueOf("1969-06-01"),
+          java.sql.Timestamp.from(
+            java.time.Instant.parse("1969-12-31T23:59:59.500Z"))),
         org.apache.spark.sql.Row(null, null, null, null, null, null,
           null, null, null, null, null)),
       t.tableSchema.fields)
@@ -244,7 +252,7 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val read = t.newReadBuilder().newRead()
     val expected = read.toDF().orderBy("c_int").collect()
-    // batch size 1 forces the multi-batch path on a 2-row result
+    // batch size 1 forces the multi-batch path on a 3-row result
     val ipc = t.newReadBuilder().newRead().toArrow(maxRowsPerBatch = 1)
 
     val alloc = new org.apache.arrow.memory.RootAllocator()

@@ -21,7 +21,15 @@ class MemoLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate shares the SparkContext with any suite that ran
+    // earlier in this JVM — start from a clean slate so the
+    // empty-storage assertions below are order-independent
+    graft.queries.Dedup.releaseAllNearDupPairs()
+    graft.queries.Pipeline.releaseAllDupClusterLabels()
+    graft.queries.Similarity.releaseAllIvfModels()
+  }
   override def afterAll(): Unit = spark.stop()
 
   test("connector setup releases its per-dir namespace and tables") {

@@ -126,17 +126,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("s_ivf_search: cell equi-join with broadcast probes, no cartesian") {
-    val df = graft.queries.Similarity.ivfSearchTopK(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"candidate generation must be the cid equi-join:\n$p")
-    // the probe-cell and probe-embedding sides are bounded (probes ×
-    // nprobe) and must broadcast; the corpus side must never build a
-    // broadcast relation
-    assert(p.contains("BroadcastExchange"),
-      s"bounded probe sides must broadcast:\n$p")
-    graft.queries.Similarity.releaseAllIvfModels()
+    try {
+      val df = graft.queries.Similarity.ivfSearchTopK(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"candidate generation must be the cid equi-join:\n$p")
+      // the probe-cell and probe-embedding sides are bounded (probes ×
+      // nprobe) and carry explicit broadcast() hints; the corpus side
+      // must never be FORCED to broadcast — every hint target in the
+      // analyzed plan must contain the probe bound (vec_id < 10).
+      // (Stats may still broadcast the tiny corpus at this sf — that
+      // decision belongs to stats, same rule as the fact-join test.)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.nonEmpty, s"bounded probe sides must carry hints:\n$p")
+      hints.foreach { h =>
+        val txt = h.child.toString
+        assert("""vec_id#\d+L? < (cast\()?10""".r.findFirstIn(txt).isDefined,
+          s"a forced-broadcast side is not probe-bounded — corpus " +
+            s"broadcast?\n$txt")
+      }
+    } finally graft.queries.Similarity.releaseAllIvfModels()
   }
 
   test("d_cross_source_overlap: pairs expand after the shingle agg") {
