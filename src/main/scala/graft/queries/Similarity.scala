@@ -296,6 +296,35 @@ object Similarity {
             CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS dist
           FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid)"""
 
+  /** DuckDB replay of the IVF-Flat SEARCH on top of [[sqlIvfTrainCtes]]
+    * (index build, nprobe=2 routing, exact-cosine re-rank) — shared by
+    * the `s_ivf_search` and `s_ivf_recall` oracles.
+    */
+  private val sqlIvfSearchCtes = """cell AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, cid) AS rn
+            FROM d2) r WHERE rn = 1),
+        pcell AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, cid) AS rn
+            FROM d2 WHERE vec_id < 10) r WHERE rn <= 2),
+        cands AS (
+          SELECT p.query_id, c.vec_id AS cand_id
+          FROM pcell p JOIN cell c USING (cid)
+          WHERE c.vec_id <> p.query_id),
+        scored AS (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY list_cosine_similarity(eq.embedding, ec.embedding)
+                DESC, cand_id) AS rank
+          FROM cands
+          JOIN embeddings eq ON eq.vec_id = cands.query_id
+          JOIN embeddings ec ON ec.vec_id = cands.cand_id)"""
+
   /** The lazy s_ivf_search plan (top-5 per probe under the trained
     * index) — exposed for PlanAuditSpec; the QueryDef collects it.
     */
@@ -661,31 +690,62 @@ object Similarity {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       Some(s"""WITH $sqlIvfTrainCtes,
-        cell AS (
-          SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-              ROW_NUMBER() OVER (PARTITION BY vec_id
-                ORDER BY dist, cid) AS rn
-            FROM d2) r WHERE rn = 1),
-        pcell AS (
-          SELECT vec_id AS query_id, cid FROM (
-            SELECT vec_id, cid,
-              ROW_NUMBER() OVER (PARTITION BY vec_id
-                ORDER BY dist, cid) AS rn
-            FROM d2 WHERE vec_id < 10) r WHERE rn <= 2),
-        cands AS (
-          SELECT p.query_id, c.vec_id AS cand_id
-          FROM pcell p JOIN cell c USING (cid)
-          WHERE c.vec_id <> p.query_id),
-        scored AS (
-          SELECT query_id, cand_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY list_cosine_similarity(eq.embedding, ec.embedding)
-                DESC, cand_id) AS rank
-          FROM cands
-          JOIN embeddings eq ON eq.vec_id = cands.query_id
-          JOIN embeddings ec ON ec.vec_id = cands.cand_id)
+        $sqlIvfSearchCtes
         SELECT query_id, rank, cand_id FROM scored
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Recall@5 of the TRAINED IVF index (nprobe=2 routing) against
+    // exact brute force — the eval that decides whether the trained
+    // quantizer + routing is good enough to serve, complementing
+    // s_ann_recall_eval (which scores the label-based cells). The
+    // expensive sides reuse the memoized model and the bounded exact
+    // baseline; the output is per-probe integer hit counts, so the
+    // oracle compares engine-portable ints.
+    QueryDef("s_ivf_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            vec_norm(col("embedding")).as("qn"))
+        val corpus = emb
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+            vec_norm(col("embedding")).as("cn"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand_id"))
+        val exact = bruteForceCosine(corpus, probes)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).select("query_id", "cand_id")
+        val ivf = ivfSearchTopK(s, dir).select("query_id", "cand_id")
+        val out = exact.join(ivf, Seq("query_id", "cand_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .join(probes.select("query_id"), Seq("query_id"), "right")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .orderBy("query_id")
+        // <= 10 rows; materialized eagerly — constant-size output
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      Some(s"""WITH $sqlIvfTrainCtes,
+        $sqlIvfSearchCtes,
+        ivf AS (SELECT query_id, cand_id FROM scored WHERE rank <= 5),
+        probes AS (
+          SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+        exact AS (
+          SELECT query_id, cand_id FROM (
+            SELECT p.query_id, c.vec_id AS cand_id,
+              ROW_NUMBER() OVER (PARTITION BY p.query_id
+                ORDER BY list_cosine_similarity(eq.embedding, c.embedding)
+                  DESC, c.vec_id) AS rank
+            FROM probes p
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings c ON c.vec_id <> p.query_id) q
+          WHERE rank <= 5)
+        SELECT p.query_id, CAST(COUNT(e.cand_id) AS BIGINT) AS n_hits
+        FROM probes p
+        LEFT JOIN (SELECT exact.* FROM exact
+                   JOIN ivf USING (query_id, cand_id)) e
+          ON p.query_id = e.query_id
+        GROUP BY p.query_id ORDER BY p.query_id"""))
   )
 }
