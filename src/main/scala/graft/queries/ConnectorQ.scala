@@ -60,6 +60,17 @@ object ConnectorQ {
     memo.computeIfAbsent(dir, _ => ConnectorQ.synchronized {
       if (!s.conf.getOption("spark.sql.catalog.graft_c").exists(_.nonEmpty)) {
         val wh = java.nio.file.Files.createTempDirectory("graft-qwh")
+        // release() drops namespaces, but the per-JVM warehouse root
+        // itself must not accumulate in the system temp dir across runs
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import java.nio.file.{Files, Path}
+            if (Files.exists(wh))
+              Files.walk(wh)
+                .sorted(java.util.Comparator.reverseOrder[Path]())
+                .forEach(p => Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }
+        }))
         s.conf.set("spark.sql.catalog.graft_c", "graft.connector.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_c.warehouse", wh.toString)
       }

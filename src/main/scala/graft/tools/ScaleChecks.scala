@@ -164,5 +164,14 @@ object ScaleChecks {
       s"snapshots=${raceSm.existingSnapshotIds.mkString(",")}")
 
     spark.stop()
+    // the 10M-row canary warehouse is ~600 MB — repeated runs must not
+    // accumulate it in the system temp dir
+    Seq(wh, ckpt, sink).foreach { d =>
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(d))
+        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }
