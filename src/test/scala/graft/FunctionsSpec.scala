@@ -33,6 +33,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.select(vec_dot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("cross-source pair expansion ≡ all unordered pairs of the sorted set") {
+    // the nested transform/slice expression in Dedup.crossSourceOverlap:
+    // for a SORTED array it must emit exactly the C(n,2) pairs (x, y)
+    // with x before y, for any size including 0 and 1
+    import spark.implicits._
+    val pairSql = """flatten(transform(srcs, (x, i) ->
+      transform(slice(srcs, i + 2, size(srcs)),
+        y -> named_struct('sa', x, 'sb', y))))"""
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 120).map { i =>
+      val n = i % 9 // sizes 0..8, each hit repeatedly with fresh draws
+      (i, rnd.shuffle((0 until 26).toList).take(n).map(k => s"s$k").sorted)
+    }
+    val got = cases.toDF("case_id", "srcs")
+      .selectExpr("case_id", s"$pairSql AS ps")
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p =>
+          (p.getString(0), p.getString(1))))
+      .toMap
+    cases.foreach { case (id, arr) =>
+      val expected = for {
+        i <- arr.indices; j <- (i + 1) until arr.length
+      } yield (arr(i), arr(j))
+      assert(got(id) == expected,
+        s"case $id srcs=$arr: got ${got(id)}, expected $expected")
+    }
+  }
+
   test("word_shingles matches the HOF formulation") {
     import spark.implicits._
     import graft.functions.TextFunctions.word_shingles
