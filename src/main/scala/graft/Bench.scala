@@ -174,6 +174,29 @@ object Bench {
         |      concat('w ', id, ' x  y   z ', id % 97))), '\\s+', ' ')) AS fp
         |    FROM range(20000)) GROUP BY fp) GROUP BY gs""".stripMargin).count()
     catch { case _: Throwable => () }
+    // ...and for the shingle/dedup kernels the first d-family row pays
+    // otherwise: the AsciiWords/WordShingles codegen expressions,
+    // ObjectHashAggregate (collect_set — a different agg path than the
+    // hash-agg above), and the interpreted higher-order
+    // transform/slice pair expansion.
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions
+      spark.range(3000)
+        .selectExpr("concat('s', id % 7) AS source",
+          "concat('alpha beta gamma delta epsilon zeta eta theta i', " +
+            "CAST(id % 13 AS STRING), ' iota kappa lambda mu') AS text")
+        .select(col("source"), explode(array_distinct(
+          TextFunctions.word_shingles(
+            TextFunctions.ascii_words(col("text")), 5))).as("gs"))
+        .select(col("source"), graft.queries.Tables.h60s(col("gs")).as("g"))
+        .groupBy("g")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .selectExpr("""explode(flatten(transform(srcs, (x, i) ->
+          transform(slice(srcs, i + 2, size(srcs)),
+            y -> named_struct('sa', x, 'sb', y))))) AS p""")
+        .groupBy("p.sa", "p.sb").count().count()
+    } catch { case _: Throwable => () }
     // same again for the streaming machinery: the first streaming query
     // pays micro-batch planner + state-store + sink compilation (~0.5s
     // on each of the four c_stream_* rows otherwise). FILE source on
