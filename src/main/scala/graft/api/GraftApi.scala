@@ -343,7 +343,8 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
 
     // align column order/names to table schema (+ optional kind column)
     val aligned = {
-      val renamed = dataCols.zip(expected).map { case (a, e) => col(a.name).as(e.name) }
+      val renamed = dataCols.zip(expected).toIndexedSeq
+        .map { case (a, e) => col(a.name).as(e.name) }
       if (hasKind) df.select(renamed :+ col(RowKind.ColumnName): _*)
       else df.select(renamed: _*)
     }

@@ -195,8 +195,10 @@ object Similarity {
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("dim").collect()
-    val mnLit = array(statRows.map(r => lit(r.getFloat(1).toDouble)): _*)
-    val mxLit = array(statRows.map(r => lit(r.getFloat(2).toDouble)): _*)
+    val mnLit =
+      array(statRows.toIndexedSeq.map(r => lit(r.getFloat(1).toDouble)): _*)
+    val mxLit =
+      array(statRows.toIndexedSeq.map(r => lit(r.getFloat(2).toDouble)): _*)
     emb
       .withColumn("mn", mnLit).withColumn("mx", mxLit)
       .withColumn("qv", expr(
