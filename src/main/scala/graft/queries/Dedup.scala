@@ -25,6 +25,12 @@ object Dedup {
   private val K = 16 // minhash signature length
   private val R = 4 // rows per LSH band -> B = K/R = 4 bands
 
+  private val SpanW = 12 // d_dup_spans window width in tokens
+  // the oracle's 12-term concat_ws(' ', toks[i], toks[i+1], …)
+  private val sqlSpanTerms =
+    (0 until SpanW).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(", ")
+
   /** Cross-query memo: `d_minhash_lsh` and `d_dup_clusters` share the
     * pair computation; within one session+dir the persisted result is
     * computed once (pipeline-stage reuse, not a cache of query results —
@@ -529,6 +535,56 @@ object Dedup {
         FROM shared
         JOIN per_source pa ON pa.source = shared.source_a
         JOIN per_source pb ON pb.source = shared.source_b
-        ORDER BY source_a, source_b"""))
+        ORDER BY source_a, source_b""")),
+
+    // Duplicated-span ratio — the distributed stand-in for exact
+    // substring dedup (suffix-array span removal a la "Deduplicating
+    // Training Data Makes Language Models Better"): fingerprint every
+    // 12-token window, call a window "duplicated" when >= 2 documents
+    // contain it, and report per document the fraction of its windows
+    // that are. That ratio is the signal a curation pass thresholds on
+    // to drop (or span-trim) boilerplate-heavy documents. Scale shape:
+    // the window explode is the same cost class as the MinHash shingle
+    // pass; the per-span doc count is a WINDOW over the 8-byte span
+    // hash (one shuffle, partitions bounded by docs-per-span) feeding
+    // straight into the per-doc fold (second shuffle) — one subtree,
+    // so no persist/collect is needed, and nothing is quadratic.
+    QueryDef("d_dup_spans",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        tBalanced(s, dir, "documents")
+          .select(col("doc_id"), tokens.as("toks"))
+          .filter(size(col("toks")) >= SpanW)
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.TextFunctions.word_shingles(col("toks"), SpanW)))
+            .as("g"))
+          .select(col("doc_id"), h60s(col("g")).as("h"))
+          .withColumn("n_docs", count(lit(1)).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+          .filter(col("n_dup_spans") > 0)
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            (col("n_dup_spans").cast("double") / col("n_spans"))
+              .as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+          FROM documents),
+        sp AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(toks) - ${SpanW - 2}),
+              i -> concat_ws(' ', $sqlSpanTerms)))) AS g
+          FROM tok WHERE len(toks) >= $SpanW),
+        h AS (SELECT doc_id, ${sqlH60s("g")} AS h FROM sp),
+        w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS n_docs FROM h),
+        pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+            SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+          FROM w GROUP BY doc_id)
+        SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+          CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+          CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_ratio
+        FROM pd WHERE n_dup_spans > 0 ORDER BY doc_id"""))
   )
 }

@@ -153,6 +153,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n >= 3, s"expected >=3 planted near-dup pairs, got $n")
   }
 
+  test("d_dup_spans flags an exact copy with dup_ratio 1.0") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // plant an exact copy of one long doc: every 12-token window of the
+    // copy exists in the original, so both report dup_ratio 1.0
+    val src = docs.filter(length(col("text")) > 300).limit(1)
+    val copy = src.withColumn("doc_id", col("doc_id") + 2000000L)
+    val tmp = java.nio.file.Files.createTempDirectory("ds").toString
+    docs.unionByName(copy).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("d_dup_spans")(spark, tmp)
+      .filter(col("doc_id") >= 2000000L).collect()
+    assert(out.length == 1 && out(0).getAs[Double]("dup_ratio") == 1.0,
+      s"planted copy must have all spans duplicated: ${out.mkString(",")}")
+  }
+
   test("simhash collides exact duplicates into the same band") {
     val sf = "/root/testdata/sf0.1" // has 8 exact duplicate texts
     val row = SparkEntry.queries("d_simhash")(spark, sf).collect()(0)

@@ -177,6 +177,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally bySh.unpersist(blocking = true)
   }
 
+  test("d_dup_spans: span-hash window + per-doc fold, no join, no cache") {
+    val p = plan("d_dup_spans")
+    // the doc count per span comes from a window over the 8-byte span
+    // hash feeding straight into the per-doc aggregate — a join back
+    // (or a persisted second subtree) would double the span explode
+    assert(!p.contains("Join"), s"dup-span ratio must be join-free:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"single-subtree plan must not cache:\n$p")
+    assert(p.contains("Window"), s"per-span doc count must be a window:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"hash(h) window + hash(doc_id) fold + final sort only, got:\n$p")
+  }
+
   test("d_dup_clusters: pair pipeline and propagation stay scale-sane") {
     // the LSH pair pipeline: its only broadcast is the bounded
     // mega-bucket guard (anti-join side capped at #buckets > MaxBucket),
