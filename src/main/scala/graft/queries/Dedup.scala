@@ -585,6 +585,93 @@ object Dedup {
         SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
           CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_ratio
-        FROM pd WHERE n_dup_spans > 0 ORDER BY doc_id"""))
+        FROM pd WHERE n_dup_spans > 0 ORDER BY doc_id""")),
+
+    // MinHash estimator-quality eval: for every VERIFIED near-dup pair,
+    // the K=16 signature-agreement Jaccard estimate vs the exact
+    // shingle-set Jaccard, plus the absolute error — the "is K big
+    // enough" tuning readout that closes the dedup loop the same way
+    // s_ann_recall_eval closes the ANN loop. Scale shape: the pair set
+    // is the (memoized, KB-scale) LSH output; its vertex set gates the
+    // document scan with a broadcast semi-join, so signatures and
+    // shingle sets are recomputed for PAIRED DOCS ONLY — the eval costs
+    // O(pairs), not a second corpus pass. jaccard_est = n_agree/16
+    // (exact: /2^4), jaccard_exact and abs_err are single IEEE ops over
+    // deterministic operands, so DuckDB replays all three bit-exactly.
+    QueryDef("d_minhash_est_error",
+      (s, dir) => {
+        val pairs = nearDupPairs(s, dir)
+        val verts = pairs.select(col("a").as("doc_id"))
+          .union(pairs.select(col("b").as("doc_id"))).distinct()
+        // shingle sets for paired docs only; referenced by the sig fold
+        // and both exact-verify branches — persist the (tiny) frame so
+        // the gated scan runs once, release after materializing
+        val sh = tBalanced(s, dir, "documents")
+          .join(broadcast(verts), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), tokens.as("toks"))
+          .select(col("doc_id"), array_distinct(
+            graft.functions.TextFunctions.word_shingles(col("toks"), 3))
+            .as("sh"))
+          .filter(size(col("sh")) > 0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val sigRows = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+          .select(col("doc_id"), md5(col("g").cast("string")).as("hx"))
+          .select(col("doc_id"),
+            conv(substring(col("hx"), 1, 14), 16, 10).cast("long").as("h1"),
+            conv(substring(col("hx"), 15, 14), 16, 10).cast("long").as("h2"))
+        val minCols = (0 until K).map(i =>
+          min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+        val sig = sigRows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val agreeExpr = (0 until K).map(i =>
+          when(col(s"sa.m$i") === col(s"sb.m$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val out = pairs
+          .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+          .join(sh.as("ta"), col("a") === col("ta.doc_id"))
+          .join(sh.as("tb"), col("b") === col("tb.doc_id"))
+          .withColumn("n_agree", agreeExpr)
+          .withColumn("inter",
+            size(array_intersect(col("ta.sh"), col("tb.sh"))))
+          .withColumn("jaccard_exact", col("inter").cast("double")
+            / (size(col("ta.sh")) + size(col("tb.sh")) - col("inter")))
+          .select(col("a"), col("b"), col("n_agree"),
+            (col("n_agree").cast("double") / K).as("jaccard_est"),
+            col("jaccard_exact"),
+            abs(col("n_agree").cast("double") / K - col("jaccard_exact"))
+              .as("abs_err"))
+          .orderBy("a", "b")
+        // one row per verified pair (KB-scale, same bound as the memo
+        // itself) — materialize eagerly so the gated-shingle cache never
+        // outlives the query, even on a failed collect
+        try {
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally sh.unpersist(blocking = true)
+      },
+      Some(s"""WITH RECURSIVE $sqlPairsCte,
+        agree AS (
+          SELECT p.a, p.b,
+            SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_agree
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.a
+          JOIN sig sb ON sb.doc_id = p.b AND sb.seed = sa.seed
+          GROUP BY p.a, p.b)
+        SELECT agree.a, agree.b, CAST(n_agree AS BIGINT) AS n_agree,
+          CAST(n_agree AS DOUBLE) / $K AS jaccard_est,
+          CAST(len(list_filter(sa.sh, g -> list_contains(sb.sh, g))) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh)
+               - len(list_filter(sa.sh, g -> list_contains(sb.sh, g))))
+            AS jaccard_exact,
+          ABS(CAST(n_agree AS DOUBLE) / $K
+            - CAST(len(list_filter(sa.sh, g -> list_contains(sb.sh, g)))
+                AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh)
+                 - len(list_filter(sa.sh, g -> list_contains(sb.sh, g)))))
+            AS abs_err
+        FROM agree
+        JOIN shing sa ON agree.a = sa.doc_id
+        JOIN shing sb ON agree.b = sb.doc_id
+        ORDER BY a, b"""))
   )
 }

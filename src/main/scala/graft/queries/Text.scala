@@ -300,6 +300,54 @@ object Text {
               WHEN 'src4' THEN '08' WHEN 'src5' THEN 'ff'
               ELSE 'c0' END
             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        FROM documents GROUP BY source ORDER BY source"""))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // Distinctive terms per source — TF-IDF's "what characterizes this
+    // slice" analysis with a rational weight (term frequency in the
+    // source / number of sources carrying the term) instead of a
+    // transcendental idf, so the score is a single division of exact
+    // integers and the DuckDB hash-compare stays bit-exact. Scale
+    // shape: ONE token explode into the (source, term) partial-agg
+    // shuffle; the cross-source document frequency is a WINDOW over
+    // the term (vocabulary-sized input, no join back, no second scan),
+    // and the per-source top-5 is a rank window — everything after the
+    // first aggregate operates on vocab×sources rows, never on the
+    // corpus.
+    QueryDef("t_distinctive_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = tBalanced(s, dir, "documents")
+          .select(col("source"), explode(tokens).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        val scored = tf
+          .withColumn("n_sources",
+            count(lit(1)).over(Window.partitionBy("term")))
+          .withColumn("score",
+            col("tf").cast("double") / col("n_sources"))
+        scored
+          .withColumn("rank", row_number().over(Window.partitionBy("source")
+            .orderBy(col("score").desc, col("term"))))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank").cast("long").as("rank"),
+            col("term"), col("tf"), col("n_sources"), col("score"))
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH tf AS (
+          SELECT source, term, COUNT(*) AS tf FROM (
+            SELECT source, unnest($sqlTokens) AS term FROM documents) u
+          GROUP BY source, term),
+        sc AS (
+          SELECT source, term, tf,
+            COUNT(*) OVER (PARTITION BY term) AS n_sources,
+            CAST(tf AS DOUBLE) / COUNT(*) OVER (PARTITION BY term) AS score
+          FROM tf),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY score DESC, term) AS rank
+          FROM sc)
+        SELECT source, CAST(rank AS BIGINT) AS rank, term,
+          CAST(tf AS BIGINT) AS tf, CAST(n_sources AS BIGINT) AS n_sources,
+          score
+        FROM rk WHERE rank <= 5 ORDER BY source, rank"""))
   )
 }

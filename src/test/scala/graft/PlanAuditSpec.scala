@@ -190,6 +190,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hash(h) window + hash(doc_id) fold + final sort only, got:\n$p")
   }
 
+  test("t_distinctive_terms: one corpus shuffle, then vocab-sized windows") {
+    val p = plan("t_distinctive_terms")
+    // the only corpus-scale exchange is the (source, term) partial agg;
+    // document frequency is a window over the term (no join back — a
+    // join would re-run the token explode), ranking a second window
+    assert(!p.contains("Join"), s"df-by-window must stay join-free:\n$p")
+    assert(p.contains("Window"), s"expected df/rank windows:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"agg + term window + source window + final sort only, got:\n$p")
+  }
+
   test("d_dup_clusters: pair pipeline and propagation stay scale-sane") {
     // the LSH pair pipeline: its only broadcast is the bounded
     // mega-bucket guard (anti-join side capped at #buckets > MaxBucket),
