@@ -34,9 +34,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: local[32] shuffles + stateful-stream state maps +
-  // driver-side memory sinks all share one JVM; 8g was enough for
-  // correctness but left shuffle-heavy queries GC-sensitive to
-  // whatever earlier rows pinned (the machine has 128 GiB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default: local[32] shuffles + stateful-stream state maps +
+  // driver-side memory sinks all share one JVM; 16g was enough when
+  // the machine was idle but left the heavy dedup/IVF rows GC-bound
+  // whenever the host ran contended (r10's bench tripled on untouched
+  // plans — classic allocation-stall amplification). Headroom is lazy:
+  // -Xmx reserves address space, not RSS (the machine has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

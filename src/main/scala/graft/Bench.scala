@@ -152,6 +152,18 @@ object Bench {
       .config("spark.sql.streaming.maxBatchesToRetainInMemory", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The CC rounds unpersist their own localCheckpoints after the next
+    // round materializes (deliberate — the data is dead); Spark WARNs
+    // "lineage has been truncated" on each. Harmless, but the driver
+    // parses the bench JSON out of a bounded log TAIL, and one late
+    // warning can crowd the line out of the window.
+    try {
+      val cfg = Class.forName("org.apache.logging.log4j.core.config.Configurator")
+      val lvl = Class.forName("org.apache.logging.log4j.Level")
+      cfg.getMethod("setLevel", classOf[String], lvl)
+        .invoke(null, "org.apache.spark.rdd.MapPartitionsRDD",
+          lvl.getField("ERROR").get(null))
+    } catch { case _: Throwable => () } // logging backend moved: cosmetic
     // Warmup: spin up executors + page in the input files once, so the
     // per-query timings measure query cost, not first-touch overhead.
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** md5-derived hash kernels, Java-callable from generated code.
+  *
+  * The engine-portable hashes (Tables.h60s, the minhash double hash)
+  * are DEFINED as hex-prefix slices of md5 — that definition is what
+  * lets DuckDB replay them bit-for-bit — but evaluating them as
+  * `conv(substring(md5(x), ...), 16, 10)` materializes a 32-char hex
+  * UTF8String per row and then re-parses it (twice, for the minhash
+  * split). These kernels fold the same nibbles straight out of the
+  * digest bytes: one MessageDigest call (thread-local instance, no
+  * per-row `getInstance`), zero intermediate strings. The hex
+  * formulation remains the oracle-side definition.
+  */
+object HashKernels {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex nibbles of md5(s) as a positive 60-bit long —
+    * bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)`.
+    */
+  def md5Prefix60(s: UTF8String): Long = {
+    val d = tl.get().digest(s.getBytes)
+    // nibbles 0..13 = bytes 0..6 whole; nibble 14 = high half of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xff) >>> 4)
+  }
+
+  /** The minhash double-hash split: hex nibbles [0,14) and [14,28) of
+    * md5(s) as two 56-bit longs — bit-identical to
+    * `conv(substring(md5(s), 1, 14), 16, 10)` and
+    * `conv(substring(md5(s), 15, 14), 16, 10)`. ONE digest per input.
+    */
+  def md5Split56(s: UTF8String): GenericArrayData = {
+    val d = tl.get().digest(s.getBytes)
+    var h1 = 0L
+    var i = 0
+    while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    var h2 = 0L
+    while (i < 14) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+    new GenericArrayData(Array[Any](h1, h2))
+  }
+}
+
+/** `md5_prefix60(s)`: see [[HashKernels.md5Prefix60]]. */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5Prefix60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.md5Prefix60($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `md5_split56(s)`: the two minhash base hashes `[h1, h2]` — see
+  * [[HashKernels.md5Split56]].
+  */
+case class Md5Split56(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5Split56(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.md5Split56($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  /** 60-bit md5-prefix hash of a string column (codegen). */
+  def md5_prefix60(c: Column): Column =
+    GraftShims.column(Md5Prefix60(GraftShims.expression(c)))
+
+  /** `[h1, h2]` 56-bit minhash base hashes of a string column. */
+  def md5_split56(c: Column): Column =
+    GraftShims.column(Md5Split56(GraftShims.expression(c)))
+}

@@ -56,9 +56,66 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two int-array vectors, accumulated in
+  * long — the IVF coarse-quantizer distance kernel over int8 codes.
+  * Same motivation as [[FloatVectorDot]]: the `aggregate(zip_with(...))`
+  * higher-order formulation evaluates its lambdas interpretively per
+  * element, which dominated the IVF assignment scans (k centroids × 64
+  * dims per row); this is a primitive loop inside whole-stage codegen.
+  *
+  * Arithmetic matches the HOF/DuckDB form exactly: per-dim difference
+  * and square in int (codes are 0..255, so |d| <= 255 and d*d <= 65025
+  * — no 32-bit overflow), summed into long left-to-right.
+  */
+case class IntVectorSqL2(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getInt(i) - y.getInt(i)
+      acc += (d * d).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $d = $a.getInt($i) - $b.getInt($i);
+         |  $acc += (long) ($d * $d);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
     GraftShims.column(FloatVectorDot(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Squared L2 over int-code vectors (see [[IntVectorSqL2]]). */
+  def vec_sql2_int(a: Column, b: Column): Column =
+    GraftShims.column(IntVectorSqL2(
       GraftShims.expression(a), GraftShims.expression(b)))
 
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))

@@ -103,13 +103,17 @@ object Dedup {
       // into two 56-bit halves h1/h2; seed i's hash is h1 + i*h2
       // (max 2^56 + 15*2^56 = 2^60 — no 64-bit overflow, so DuckDB's
       // checked BIGINT arithmetic computes the identical value). The
-      // previous form took 16 independent md5s per shingle and the md5
-      // work dominated the whole pair pipeline's runtime.
+      // codegen Md5Split56 kernel folds both halves out of one digest
+      // with no hex-string round-trip — bit-identical to the oracle's
+      // conv(substr(md5)) definition (FunctionsSpec pins it); the
+      // previous forms (16 independent md5s, then md5+2x conv parse)
+      // both made hashing dominate the pair pipeline's runtime.
       val rows = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
-        .select(col("doc_id"), md5(col("g").cast("string")).as("hx"))
         .select(col("doc_id"),
-          conv(substring(col("hx"), 1, 14), 16, 10).cast("long").as("h1"),
-          conv(substring(col("hx"), 15, 14), 16, 10).cast("long").as("h2"))
+          graft.functions.HashFunctions.md5_split56(col("g")).as("hs"))
+        .select(col("doc_id"),
+          element_at(col("hs"), 1).as("h1"),
+          element_at(col("hs"), 2).as("h2"))
       val minCols = (0 until K).map(i =>
         min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
       rows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -615,10 +619,11 @@ object Dedup {
           .filter(size(col("sh")) > 0)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val sigRows = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-          .select(col("doc_id"), md5(col("g").cast("string")).as("hx"))
           .select(col("doc_id"),
-            conv(substring(col("hx"), 1, 14), 16, 10).cast("long").as("h1"),
-            conv(substring(col("hx"), 15, 14), 16, 10).cast("long").as("h2"))
+            graft.functions.HashFunctions.md5_split56(col("g")).as("hs"))
+          .select(col("doc_id"),
+            element_at(col("hs"), 1).as("h1"),
+            element_at(col("hs"), 2).as("h2"))
         val minCols = (0 until K).map(i =>
           min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
         val sig = sigRows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)

@@ -215,16 +215,17 @@ object Similarity {
   /** `(dist, cid)` struct per centroid, squared-L2 against the row's
     * `qv` codes — centroids are inlined as literals so the whole array
     * evaluates map-side with zero joins (the reason training/search
-    * sync traffic is constant-size).
+    * sync traffic is constant-size). The distance is the codegen
+    * [[graft.functions.IntVectorSqL2]] kernel — the interpreted
+    * `aggregate(zip_with(...))` form it replaces dominated the
+    * assignment scans (k × 64 lambda evals per row).
     */
   private def ivfDistArray(
       cents: Seq[(Long, Seq[Int])]): org.apache.spark.sql.Column =
     array(cents.map { case (cid, cv) =>
-      val cvSql = cv.mkString("array(", ", ", ")")
       struct(
-        expr(s"aggregate(zip_with(qv, $cvSql, " +
-          "(a, b) -> (a - b) * (a - b)), 0L, (acc, y) -> acc + y)")
-          .as("dist"),
+        graft.functions.VectorFunctions.vec_sql2_int(
+          col("qv"), array(cv.map(lit(_)): _*)).as("dist"),
         lit(cid).as("cid"))
     }: _*)
 

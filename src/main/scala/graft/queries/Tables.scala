@@ -91,14 +91,18 @@ object Tables {
   /** Engine-portable 60-bit hash: first 15 hex chars of md5, parsed as
     * a (positive) BIGINT. Unlike xxhash64 (Spark-internal), md5 is
     * identical in DuckDB, so queries built on it stay oracle-checkable.
-    * The seeded variant appends `#seed` before hashing.
+    * The seeded variant appends `#seed` before hashing. Evaluated by
+    * the codegen [[graft.functions.Md5Prefix60]] kernel (one digest,
+    * no hex-string round-trip — bit-identical to the
+    * `conv(substring(md5(x), 1, 15), 16, 10)` definition the DuckDB
+    * oracles state; FunctionsSpec pins the equivalence).
     */
   def h60(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c.cast("string"), lit("#" + seed))), 1, 15),
-      16, 10).cast("long")
+    graft.functions.HashFunctions.md5_prefix60(
+      concat(c.cast("string"), lit("#" + seed)))
 
   def h60s(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5_prefix60(c.cast("string"))
 
   /** The same two hashes in DuckDB SQL. */
   def sqlH60(e: String, seed: Int): String =

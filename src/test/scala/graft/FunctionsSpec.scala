@@ -33,6 +33,60 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.select(vec_dot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("IntVectorSqL2 matches the aggregate(zip_with) fold it replaces") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextInt(256)),
+      Array.fill(64)(rnd.nextInt(256))))
+    val df = rows.toDF("qv", "cv")
+    val got = df.select(vec_sql2_int(col("qv"), col("cv")).as("d"))
+      .collect().map(_.getLong(0))
+    val ref = df.selectExpr(
+      """aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),
+         0L, (acc, y) -> acc + y) AS d""")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == ref.toSeq)
+    // extremes: |d| = 255 per dim, 64 dims
+    val ext = Seq((Array.fill(64)(0), Array.fill(64)(255))).toDF("qv", "cv")
+    assert(ext.select(vec_sql2_int(col("qv"), col("cv"))).collect()(0)
+      .getLong(0) == 64L * 255 * 255)
+    // null propagates
+    val withNull = Seq((Option.empty[Array[Int]], Array(1, 2))).toDF("qv", "cv")
+    assert(withNull.select(vec_sql2_int(col("qv"), col("cv"))).collect()(0)
+      .isNullAt(0))
+  }
+
+  test("md5 kernels ≡ conv(substring(md5)) hex definitions") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val strs = Seq("", "a", "the quick brown fox", "κόσμε unicode",
+      "x" * 300) ++ Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s")
+    val got = df.select(
+      graft.functions.HashFunctions.md5_prefix60(col("s")).as("p60"),
+      element_at(graft.functions.HashFunctions.md5_split56(col("s")), 1).as("h1"),
+      element_at(graft.functions.HashFunctions.md5_split56(col("s")), 2).as("h2"))
+      .collect()
+    val ref = df.selectExpr(
+      "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS p60",
+      "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) AS h1",
+      "CAST(conv(substring(md5(s), 15, 14), 16, 10) AS BIGINT) AS h2")
+      .collect()
+    got.zip(ref).foreach { case (g, r) =>
+      assert(g.getLong(0) == r.getLong(0))
+      assert(g.getLong(1) == r.getLong(1))
+      assert(g.getLong(2) == r.getLong(2))
+    }
+    // null propagates
+    val withNull = Seq(Option.empty[String]).toDF("s")
+    assert(withNull.select(
+      graft.functions.HashFunctions.md5_prefix60(col("s"))).collect()(0)
+      .isNullAt(0))
+  }
+
   test("cross-source pair expansion ≡ all unordered pairs of the sorted set") {
     // the nested transform/slice expression in Dedup.crossSourceOverlap:
     // for a SORTED array it must emit exactly the C(n,2) pairs (x, y)
