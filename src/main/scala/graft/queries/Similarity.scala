@@ -261,13 +261,11 @@ object Similarity {
       .sortBy(_._1)
   }
 
-  /** DuckDB replay of [[ivfQuantizedCodes]] + [[ivfTrainCentroids]] +
-    * the final assignment distances (`d2`): quantize (`q`), seed
-    * (`c0`), assign (`d1`/`a1`), update (`c1`), re-score (`d2`).
-    * Shared verbatim by the `s_ivf_train` and `s_ivf_search` oracles
-    * so the two queries are checked against the SAME trained model.
+  /** DuckDB replay of [[ivfQuantizedCodes]] alone: quantize every
+    * embedding to int8 codes per (vec_id, dim). Shared by the IVF and
+    * PQ training oracles.
     */
-  private val sqlIvfTrainCtes = """ex AS (
+  private val sqlQuantCtes = """ex AS (
           SELECT vec_id, i AS dim, embedding[i + 1] AS x
           FROM embeddings, range(64) AS r(i)),
         stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
@@ -278,7 +276,15 @@ object Similarity {
                    (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
                    / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS INT)))
             END AS q
-          FROM ex JOIN stats USING (dim)),
+          FROM ex JOIN stats USING (dim))"""
+
+  /** DuckDB replay of [[ivfQuantizedCodes]] + [[ivfTrainCentroids]] +
+    * the final assignment distances (`d2`): quantize (`q`), seed
+    * (`c0`), assign (`d1`/`a1`), update (`c1`), re-score (`d2`).
+    * Shared verbatim by the `s_ivf_train` and `s_ivf_search` oracles
+    * so the two queries are checked against the SAME trained model.
+    */
+  private val sqlIvfTrainCtes = sqlQuantCtes + """,
         c0 AS (SELECT vec_id AS cid, dim, q AS cq FROM q WHERE vec_id < 8),
         d1 AS (
           SELECT q.vec_id, c.cid,
@@ -370,6 +376,123 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"))
       .orderBy("query_id", "rank")
   }
+
+  /** Product-quantization geometry: M subspaces × D dims each over the
+    * 64-dim codes, K centroids per subspace — PQ codes are M bytes per
+    * vector (16x over the int8 codes, 64x over the floats), the
+    * standard memory budget that makes 100 TB ANN serving fit RAM.
+    */
+  private val PqM = 8
+  private val PqD = 8
+  private val PqK = 16
+
+  /** One Lloyd round of per-subspace k-means over the memoized int8
+    * codes — the PQ codebook trainer. Same distributed shape as the
+    * IVF trainer: centroids travel as literals (constant-size driver
+    * sync per round), assignment is map-side codegen
+    * [[graft.functions.IntVectorSqL2]] over the row's subvector
+    * slices, the update is one explode + partial agg. Integer math
+    * throughout, so DuckDB replays it exactly.
+    *
+    * Returns per (subspace, centroid): member count + inertia after
+    * re-assignment under the updated codebook.
+    */
+  private def pqTrainStats(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorFunctions.vec_sql2_int
+    val codes = ivfModel(s, dir).codes
+    // subvector slices projected ONCE per row (16 centroid distances
+    // then read the same slice)
+    val sub = codes.select(col("vec_id") +:
+      (0 until PqM).map(m =>
+        slice(col("qv"), m * PqD + 1, PqD).as(s"sv$m")): _*)
+    def distArr(m: Int, cents: Seq[(Long, Seq[Int])]) =
+      array(cents.map { case (cid, cv) =>
+        struct(vec_sql2_int(col(s"sv$m"), array(cv.map(lit(_)): _*)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+    // deterministic seeds: centroid j of every subspace = vec_id j's
+    // subvector (the PqK lowest vec_ids, like the IVF seeding)
+    val seedRows = codes.filter(col("vec_id") < PqK).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+    val seeds: Seq[Seq[(Long, Seq[Int])]] = (0 until PqM).map(m =>
+      seedRows.toSeq.map { case (cid, qv) =>
+        cid -> qv.slice(m * PqD, (m + 1) * PqD) })
+    // round-1 assignment + centroid update: per-dim sums as 8 agg
+    // columns (no 6.4M-row posexplode — element_at over the slice is
+    // codegen), floor-of-mean folded on the collected (<= M*K-row)
+    // constants; the driver sync stays M*K*D ints — the standard
+    // k-means checkpoint
+    val assigned1 = sub.select(col("vec_id") +:
+      (0 until PqM).flatMap(m => Seq(col(s"sv$m"),
+        array_min(distArr(m, seeds(m))).getField("cid").as(s"c$m"))): _*)
+    val dimSums = (0 until PqD).map(d =>
+      sum(element_at(col("sv"), d + 1).cast("long")).as(s"s$d"))
+    val c1 = assigned1
+      .select(explode(array((0 until PqM).map(m =>
+        struct(lit(m.toLong).as("m"), col(s"c$m").as("cid"),
+          col(s"sv$m").as("sv"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.sv").as("sv"))
+      .groupBy("m", "cid")
+      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .collect()
+    val book: Map[Long, Seq[(Long, Seq[Int])]] = c1
+      .map { r =>
+        val n = r.getLong(2).toDouble
+        (r.getLong(0), r.getLong(1),
+          (0 until PqD).map(d =>
+            math.floor(r.getLong(3 + d).toDouble / n).toInt))
+      }.toSeq
+      .groupBy(_._1)
+      .map { case (m, cs) =>
+        m -> cs.sortBy(_._2).map(t => t._2 -> t._3) }
+    // re-assign under the updated codebook; constant-size rollup
+    sub.select(explode(array((0 until PqM).map(m =>
+        struct(lit(m.toLong).as("m"),
+          array_min(distArr(m, book(m.toLong))).as("best"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.best.cid").as("cid"),
+        col("e.best.dist").as("dist"))
+      .groupBy("m", "cid")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
+      .orderBy("m", "cid")
+  }
+
+  /** The PQ trainer restated as DuckDB CTEs over [[sqlQuantCtes]]. */
+  private val sqlPqTrain = s"""WITH $sqlQuantCtes,
+        qq AS (SELECT vec_id, CAST(dim // $PqD AS BIGINT) AS m,
+                 dim % $PqD AS sd, q FROM q),
+        p0 AS (SELECT vec_id AS cid, m, sd, q AS cq
+               FROM qq WHERE vec_id < $PqK),
+        pd1 AS (
+          SELECT qq.vec_id, qq.m, c.cid,
+            CAST(SUM((qq.q - c.cq) * (qq.q - c.cq)) AS BIGINT) AS dist
+          FROM qq JOIN p0 c ON qq.m = c.m AND qq.sd = c.sd
+          GROUP BY qq.vec_id, qq.m, c.cid),
+        pa1 AS (
+          SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                ORDER BY dist, cid) AS rn
+            FROM pd1) r WHERE rn = 1),
+        pc1 AS (
+          SELECT a.m, a.cid, qq.sd,
+            CAST(FLOOR(CAST(SUM(qq.q) AS DOUBLE) / COUNT(*)) AS INT) AS cq
+          FROM pa1 a JOIN qq ON qq.vec_id = a.vec_id AND qq.m = a.m
+          GROUP BY a.m, a.cid, qq.sd),
+        pd2 AS (
+          SELECT qq.vec_id, qq.m, c.cid,
+            CAST(SUM((qq.q - c.cq) * (qq.q - c.cq)) AS BIGINT) AS dist
+          FROM qq JOIN pc1 c ON qq.m = c.m AND qq.sd = c.sd
+          GROUP BY qq.vec_id, qq.m, c.cid),
+        pa2 AS (
+          SELECT m, cid, dist FROM (
+            SELECT m, cid, dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                ORDER BY dist, cid) AS rn
+            FROM pd2) r WHERE rn = 1)
+        SELECT m, cid, COUNT(*) AS n_vecs,
+          CAST(SUM(dist) AS BIGINT) AS inertia
+        FROM pa2 GROUP BY m, cid ORDER BY m, cid"""
 
   val defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
@@ -749,6 +872,29 @@ object Similarity {
         LEFT JOIN (SELECT exact.* FROM exact
                    JOIN ivf USING (query_id, cand_id)) e
           ON p.query_id = e.query_id
-        GROUP BY p.query_id ORDER BY p.query_id"""))
+        GROUP BY p.query_id ORDER BY p.query_id""")),
+
+    // Product-quantization codebook training — the compression
+    // complement of the IVF coarse quantizer (IVF routes, PQ encodes:
+    // together they are the canonical IVF-PQ layout that fits 100 TB
+    // of vectors in serving RAM at M bytes per vector). One Lloyd
+    // round of per-subspace k-means (M=8 subspaces x D=8 dims, K=16
+    // centroids) over the SAME memoized int8 codes the IVF family
+    // trains on; assignment is the codegen IntVectorSqL2 kernel over
+    // subvector slices, centroids sync through the driver as the
+    // standard constant-size (M*K*D ints) k-means checkpoint. All
+    // integer math, so the oracle replays bit-exactly. Output: member
+    // count + inertia per (subspace, centroid) under the updated
+    // codebook.
+    QueryDef("s_pq_train",
+      (s, dir) => {
+        val out = pqTrainStats(s, dir)
+        // M*K rows max — constant-size; materialized eagerly (the
+        // codes cache is owned by the memo, released at the family
+        // boundary)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      Some(sqlPqTrain))
   )
 }

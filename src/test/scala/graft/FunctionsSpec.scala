@@ -244,6 +244,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(top == 999999L, s"exact copy should rank 1, got $top")
   }
 
+  test("PQ training partitions every vector in every subspace") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    try {
+      val rows = SparkEntry.queries("s_pq_train")(spark, dir).collect()
+      val nVecs = graft.queries.Tables.t(spark, dir, "embeddings").count()
+      assert(rows.nonEmpty)
+      val bySub = rows.groupBy(_.getLong(0))
+      assert(bySub.keySet == (0L until 8L).toSet,
+        s"expected 8 subspaces, got ${bySub.keySet}")
+      bySub.foreach { case (m, rs) =>
+        // every vector is assigned to exactly one centroid per subspace
+        assert(rs.map(_.getLong(2)).sum == nVecs,
+          s"subspace $m member counts must sum to the corpus")
+        // centroid ids come from the seed range; inertia non-negative
+        assert(rs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+        assert(rs.forall(_.getLong(3) >= 0L))
+      }
+    } finally graft.queries.Similarity.releaseAllIvfModels()
+  }
+
   test("brute-force cosine refuses a data-sized probe set") {
     // the exact baseline is O(corpus × probes): a probe side past the
     // cap must fail at construction, not silently cross-join
