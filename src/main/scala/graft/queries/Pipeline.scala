@@ -94,6 +94,7 @@ object Pipeline {
     def changedOf(o: Observation): Long =
       o.get.get("changed").flatMap(Option(_))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+    import org.apache.spark.sql.expressions.Window
     // orientation invariant throughout: hi > lo on every edge
     var e = pairs.select(col("b").as("hi"), col("a").as("lo"))
       .localCheckpoint()
@@ -107,24 +108,32 @@ object Pipeline {
         s"star contraction did not converge after $rounds rounds")
       val obsL = Observation(s"dup_cc_large_$rounds")
       val obsS = Observation(s"dup_cc_small_$rounds")
+      // Both star steps as WINDOW mins (whole-partition frame), so one
+      // round is ONE action over a single plan — the groupBy+self-join
+      // formulation referenced each intermediate twice, forcing a
+      // checkpoint per star step (2 jobs, 5 shuffles per round; on the
+      // KB-scale pair graphs the job latency, not the data, was the
+      // round cost). Windows keep every frame referenced once: 1 job,
+      // 3 shuffles, 1 checkpoint per round, same rows out (the
+      // intermediate dedup the join form needed is subsumed by the
+      // final distinct — duplicates cannot change a min or the
+      // zero-ness of the rewrite counts).
+      //
       // large-star: each node u hooks its LARGER neighbors onto
       // m = min(N(u) ∪ {u})
       val sym = e.select(col("hi").as("src"), col("lo").as("dst"))
         .union(e.select(col("lo").as("src"), col("hi").as("dst")))
-      val minsL = sym.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src"), least(col("mn"), col("src")).as("m"))
-      val ls = sym.filter(col("dst") > col("src"))
-        .join(minsL, "src")
+      val ls = sym
+        .withColumn("m",
+          least(min("dst").over(Window.partitionBy("src")), col("src")))
+        .filter(col("dst") > col("src"))
         .observe(obsL,
           sum(when(col("m") =!= col("src"), 1L).otherwise(0L)).as("changed"))
         .select(col("dst").as("hi"), col("m").as("lo"))
-        .distinct()
-        .localCheckpoint()
       // small-star: each node hooks its SMALLER neighbors and itself
-      // onto m = min of those neighbors. One pass over the join output
-      // (explode, not a self-union, which would recompute the join).
-      val minsS = ls.groupBy("hi").agg(min("lo").as("m"))
-      val ss = ls.join(minsS, "hi")
+      // onto m = min of those neighbors (all lo < hi by orientation)
+      val ss = ls
+        .withColumn("m", min("lo").over(Window.partitionBy("hi")))
         .observe(obsS,
           sum(when(col("m") =!= col("lo"), 1L).otherwise(0L)).as("changed"))
         .select(explode(array(col("lo"), col("hi"))).as("v"), col("m"))
@@ -133,10 +142,9 @@ object Pipeline {
         .distinct()
         .localCheckpoint()
       changed = changedOf(obsL) + changedOf(obsS)
-      // ss is materialized — the previous edge set and the large-star
-      // intermediate are dead; free their blocks deterministically
+      // ss is materialized — the previous edge set is dead; free its
+      // blocks deterministically
       freeCheckpoint(e)
-      freeCheckpoint(ls)
       e = ss
     }
     // fixpoint = one star per component, rooted at the component min:
