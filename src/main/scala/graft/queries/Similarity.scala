@@ -62,6 +62,28 @@ object Similarity {
         vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
   }
 
+  /** Distributed top-k per probe over a `(query_id, cand_id, cos)`
+    * frame: local top-k inside salted sub-partitions, then global
+    * top-k over the k·salts survivors. A bare
+    * `Window.partitionBy("query_id")` caps the sort's parallelism at
+    * the PROBE count (5-10 here) no matter how large the scored side
+    * is — the two-level shape keeps the heavy first pass spread over
+    * `query_id × salt` while changing no output row (any global top-k
+    * row is necessarily in its salt's local top-k; ties keep the
+    * deterministic cand_id break on both levels). Adds `rank`.
+    */
+  private def topKByCos(scored: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val wLocal = Window.partitionBy("query_id", "salt")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val wGlobal = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("salt", pmod(xxhash64(col("cand_id")), lit(32)).cast("int"))
+      .withColumn("lr", row_number().over(wLocal)).filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal)).filter(col("rank") <= k)
+  }
+
   /** The 8 deterministic hyperplanes shared by `s_hyperplane_lsh` and
     * `d_embedding_lsh_neardup`: h_j[i] = ((i+1)*(j+2)) % 17 - 8.
     * Integer patterns make every dot product exact in double, so the
@@ -369,10 +391,7 @@ object Similarity {
         col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
       .withColumn("cos",
         vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    topKByCos(scored, 5)
       .select(col("query_id"), col("rank"), col("cand_id"))
       .orderBy("query_id", "rank")
   }
@@ -506,10 +525,7 @@ object Similarity {
           .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
             vec_norm(col("embedding")).as("cn"))
         val scored = bruteForceCosine(corpus, probes)
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("cand_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
+        topKByCos(scored, 5)
           .select(col("query_id"), col("rank"), col("cand_id"))
           .orderBy("query_id", "rank")
       },
@@ -540,10 +556,7 @@ object Similarity {
         val scored = corpus.join(broadcast(probes),
             col("label") === col("cell") && col("cand_id") =!= col("query_id"))
           .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("cand_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
+        topKByCos(scored, 3)
           .select(col("query_id"), col("rank"), col("cand_id"))
           .orderBy("query_id", "rank")
       },
@@ -661,12 +674,8 @@ object Similarity {
         val corpus = emb
           .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
             vec_norm(col("embedding")).as("cn"), col("label"))
-        def top5(scored: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("query_id")
-            .orderBy(col("cos").desc, col("cand_id"))
-          scored.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= 5).select("query_id", "cand_id")
-        }
+        def top5(scored: org.apache.spark.sql.DataFrame) =
+          topKByCos(scored, 5).select("query_id", "cand_id")
         val exact = top5(bruteForceCosine(corpus, probes))
         val ivf = top5(corpus.join(broadcast(probes),
             col("label") === col("cell") && col("cand_id") =!= col("query_id"))
@@ -836,11 +845,8 @@ object Similarity {
         val corpus = emb
           .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
             vec_norm(col("embedding")).as("cn"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("cand_id"))
-        val exact = bruteForceCosine(corpus, probes)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5).select("query_id", "cand_id")
+        val exact = topKByCos(bruteForceCosine(corpus, probes), 5)
+          .select("query_id", "cand_id")
         val ivf = ivfSearchTopK(s, dir).select("query_id", "cand_id")
         val out = exact.join(ivf, Seq("query_id", "cand_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
