@@ -736,16 +736,28 @@ object ConnectorQ {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.streaming.Trigger
         val st = setup(s, dir)
-        val sink = s"c_stream_dedup_wm_${st.ns}"
+        // FILE sink, not memory: the dedup stream emits one row per
+        // distinct (hour, user) — corpus-sized, not value-bounded
+        // (~96k rows at sf0.1; ~all keys at 100 TB). A memory sink
+        // would collect that to the driver; the parquet sink keeps the
+        // output distributed, which is the shape an ingest-dedup
+        // pipeline actually ships. Lives under the setup warehouse so
+        // the existing shutdown cleanup owns the bytes; AvailableNow
+        // over the same checkpoint is a no-op on re-runs, so the read
+        // below stays idempotent within a JVM.
+        val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
+        val out = s"$wh/_streams/dedup_wm_${st.ns}"
         val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
           .withWatermark("ts", "365 days")
           .withColumn("hour_start", date_trunc("hour", col("ts")))
           .dropDuplicatesWithinWatermark("hour_start", "user_id")
           .select("hour_start", "user_id")
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/chk")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(sink).groupBy("hour_start")
+        s.read.parquet(s"$out/data").groupBy("hour_start")
           .agg(count(lit(1)).as("n_distinct_users"))
           .orderBy("hour_start")
       },
