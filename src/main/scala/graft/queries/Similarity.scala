@@ -72,17 +72,19 @@ object Similarity {
     * row is necessarily in its salt's local top-k; ties keep the
     * deterministic cand_id break on both levels). Adds `rank`.
     */
-  private def topKByCos(scored: org.apache.spark.sql.DataFrame,
-      k: Int): org.apache.spark.sql.DataFrame = {
-    val wLocal = Window.partitionBy("query_id", "salt")
-      .orderBy(col("cos").desc, col("cand_id"))
-    val wGlobal = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id"))
+  private def topKBy(scored: org.apache.spark.sql.DataFrame, k: Int,
+      ord: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val wLocal = Window.partitionBy("query_id", "salt").orderBy(ord: _*)
+    val wGlobal = Window.partitionBy("query_id").orderBy(ord: _*)
     scored
       .withColumn("salt", pmod(xxhash64(col("cand_id")), lit(32)).cast("int"))
       .withColumn("lr", row_number().over(wLocal)).filter(col("lr") <= k)
       .withColumn("rank", row_number().over(wGlobal)).filter(col("rank") <= k)
   }
+
+  private def topKByCos(scored: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    topKBy(scored, k, Seq(col("cos").desc, col("cand_id")))
 
   /** The 8 deterministic hyperplanes shared by `s_hyperplane_lsh` and
     * `d_embedding_lsh_neardup`: h_j[i] = ((i+1)*(j+2)) % 17 - 8.
@@ -200,6 +202,9 @@ object Similarity {
       } catch { case _: Throwable => () }
       it.remove()
     }
+    // the PQ codebook is derived from the same codes: driver-side
+    // constants only, but its lifetime follows the model's
+    pqMemo.clear()
   }
 
   /** Map-only int8 quantization of the embedding corpus (same
@@ -327,11 +332,11 @@ object Similarity {
             CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS dist
           FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid)"""
 
-  /** DuckDB replay of the IVF-Flat SEARCH on top of [[sqlIvfTrainCtes]]
-    * (index build, nprobe=2 routing, exact-cosine re-rank) — shared by
-    * the `s_ivf_search` and `s_ivf_recall` oracles.
+  /** DuckDB replay of the IVF index build + nprobe=2 probe routing
+    * (cell assignment per vector, routed cells per probe) — shared by
+    * the IVF-Flat search/recall oracles and the PQ ADC search oracle.
     */
-  private val sqlIvfSearchCtes = """cell AS (
+  private val sqlIvfRouteCtes = """cell AS (
           SELECT vec_id, cid FROM (
             SELECT vec_id, cid,
               ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -342,7 +347,13 @@ object Similarity {
             SELECT vec_id, cid,
               ROW_NUMBER() OVER (PARTITION BY vec_id
                 ORDER BY dist, cid) AS rn
-            FROM d2 WHERE vec_id < 10) r WHERE rn <= 2),
+            FROM d2 WHERE vec_id < 10) r WHERE rn <= 2)"""
+
+  /** DuckDB replay of the IVF-Flat SEARCH on top of [[sqlIvfTrainCtes]]
+    * (index build, nprobe=2 routing, exact-cosine re-rank) — shared by
+    * the `s_ivf_search` and `s_ivf_recall` oracles.
+    */
+  private val sqlIvfSearchCtes = sqlIvfRouteCtes + """,
         cands AS (
           SELECT p.query_id, c.vec_id AS cand_id
           FROM pcell p JOIN cell c USING (cid)
@@ -405,6 +416,75 @@ object Similarity {
   private val PqD = 8
   private val PqK = 16
 
+  /** The corpus codes with their M subvector slices projected once per
+    * row (each subspace's 16 centroid distances then read one slice).
+    */
+  private def pqSubvectors(
+      codes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    codes.select(col("vec_id") +:
+      (0 until PqM).map(m =>
+        slice(col("qv"), m * PqD + 1, PqD).as(s"sv$m")): _*)
+
+  /** `(dist, cid)` structs of subspace `m`'s centroids against the
+    * row's `sv{m}` slice — the PQ analogue of [[ivfDistArray]].
+    */
+  private def pqDistArr(m: Int,
+      cents: Seq[(Long, Seq[Int])]): org.apache.spark.sql.Column =
+    array(cents.map { case (cid, cv) =>
+      struct(graft.functions.VectorFunctions.vec_sql2_int(
+          col(s"sv$m"), array(cv.map(lit(_)): _*)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** Trained PQ codebook: per subspace, the (cid, centroid) list after
+    * one Lloyd round. Memoized per (session, dir) like the IVF model
+    * (plain driver-side constants — no executor storage to release);
+    * shared by `s_pq_train` and `s_pq_search`.
+    */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Map[Long, Seq[(Long, Seq[Int])]]]()
+
+  private def pqCodebook(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[Long, Seq[(Long, Seq[Int])]] =
+    pqMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val codes = ivfModel(s, dir).codes
+      val sub = pqSubvectors(codes)
+      // deterministic seeds: centroid j of every subspace = vec_id j's
+      // subvector (the PqK lowest vec_ids, like the IVF seeding)
+      val seedRows = codes.filter(col("vec_id") < PqK).orderBy("vec_id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+      val seeds: Seq[Seq[(Long, Seq[Int])]] = (0 until PqM).map(m =>
+        seedRows.toSeq.map { case (cid, qv) =>
+          cid -> qv.slice(m * PqD, (m + 1) * PqD) })
+      // round-1 assignment + centroid update: per-dim sums as 8 agg
+      // columns (no 6.4M-row posexplode — element_at over the slice is
+      // codegen), floor-of-mean folded on the collected (<= M*K-row)
+      // constants; the driver sync stays M*K*D ints — the standard
+      // k-means checkpoint
+      val assigned1 = sub.select(col("vec_id") +:
+        (0 until PqM).flatMap(m => Seq(col(s"sv$m"),
+          array_min(pqDistArr(m, seeds(m))).getField("cid").as(s"c$m"))): _*)
+      val dimSums = (0 until PqD).map(d =>
+        sum(element_at(col("sv"), d + 1).cast("long")).as(s"s$d"))
+      val c1 = assigned1
+        .select(explode(array((0 until PqM).map(m =>
+          struct(lit(m.toLong).as("m"), col(s"c$m").as("cid"),
+            col(s"sv$m").as("sv"))): _*)).as("e"))
+        .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.sv").as("sv"))
+        .groupBy("m", "cid")
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .collect()
+      c1.map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getLong(0), r.getLong(1),
+            (0 until PqD).map(d =>
+              math.floor(r.getLong(3 + d).toDouble / n).toInt): Seq[Int])
+        }.toSeq
+        .groupBy(_._1)
+        .map { case (m, cs) =>
+          m -> cs.sortBy(_._2).map(t => t._2 -> t._3) }
+    })
+
   /** One Lloyd round of per-subspace k-means over the memoized int8
     * codes — the PQ codebook trainer. Same distributed shape as the
     * IVF trainer: centroids travel as literals (constant-size driver
@@ -418,57 +498,12 @@ object Similarity {
     */
   private def pqTrainStats(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    import graft.functions.VectorFunctions.vec_sql2_int
-    val codes = ivfModel(s, dir).codes
-    // subvector slices projected ONCE per row (16 centroid distances
-    // then read the same slice)
-    val sub = codes.select(col("vec_id") +:
-      (0 until PqM).map(m =>
-        slice(col("qv"), m * PqD + 1, PqD).as(s"sv$m")): _*)
-    def distArr(m: Int, cents: Seq[(Long, Seq[Int])]) =
-      array(cents.map { case (cid, cv) =>
-        struct(vec_sql2_int(col(s"sv$m"), array(cv.map(lit(_)): _*)).as("dist"),
-          lit(cid).as("cid"))
-      }: _*)
-    // deterministic seeds: centroid j of every subspace = vec_id j's
-    // subvector (the PqK lowest vec_ids, like the IVF seeding)
-    val seedRows = codes.filter(col("vec_id") < PqK).orderBy("vec_id")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
-    val seeds: Seq[Seq[(Long, Seq[Int])]] = (0 until PqM).map(m =>
-      seedRows.toSeq.map { case (cid, qv) =>
-        cid -> qv.slice(m * PqD, (m + 1) * PqD) })
-    // round-1 assignment + centroid update: per-dim sums as 8 agg
-    // columns (no 6.4M-row posexplode — element_at over the slice is
-    // codegen), floor-of-mean folded on the collected (<= M*K-row)
-    // constants; the driver sync stays M*K*D ints — the standard
-    // k-means checkpoint
-    val assigned1 = sub.select(col("vec_id") +:
-      (0 until PqM).flatMap(m => Seq(col(s"sv$m"),
-        array_min(distArr(m, seeds(m))).getField("cid").as(s"c$m"))): _*)
-    val dimSums = (0 until PqD).map(d =>
-      sum(element_at(col("sv"), d + 1).cast("long")).as(s"s$d"))
-    val c1 = assigned1
-      .select(explode(array((0 until PqM).map(m =>
-        struct(lit(m.toLong).as("m"), col(s"c$m").as("cid"),
-          col(s"sv$m").as("sv"))): _*)).as("e"))
-      .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.sv").as("sv"))
-      .groupBy("m", "cid")
-      .agg(count(lit(1)).as("n"), dimSums: _*)
-      .collect()
-    val book: Map[Long, Seq[(Long, Seq[Int])]] = c1
-      .map { r =>
-        val n = r.getLong(2).toDouble
-        (r.getLong(0), r.getLong(1),
-          (0 until PqD).map(d =>
-            math.floor(r.getLong(3 + d).toDouble / n).toInt))
-      }.toSeq
-      .groupBy(_._1)
-      .map { case (m, cs) =>
-        m -> cs.sortBy(_._2).map(t => t._2 -> t._3) }
+    val book = pqCodebook(s, dir)
+    val sub = pqSubvectors(ivfModel(s, dir).codes)
     // re-assign under the updated codebook; constant-size rollup
     sub.select(explode(array((0 until PqM).map(m =>
         struct(lit(m.toLong).as("m"),
-          array_min(distArr(m, book(m.toLong))).as("best"))): _*)).as("e"))
+          array_min(pqDistArr(m, book(m.toLong))).as("best"))): _*)).as("e"))
       .select(col("e.m").as("m"), col("e.best.cid").as("cid"),
         col("e.best.dist").as("dist"))
       .groupBy("m", "cid")
@@ -476,9 +511,78 @@ object Similarity {
       .orderBy("m", "cid")
   }
 
-  /** The PQ trainer restated as DuckDB CTEs over [[sqlQuantCtes]]. */
-  private val sqlPqTrain = s"""WITH $sqlQuantCtes,
-        qq AS (SELECT vec_id, CAST(dim // $PqD AS BIGINT) AS m,
+  /** IVF-PQ SEARCH via asymmetric distance computation (ADC, Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search"): encode
+    * every corpus vector as M one-byte codes (argmin centroid per
+    * subspace — map-side codegen), route each probe to its nprobe=2
+    * IVF cells, then score candidates WITHOUT touching their vectors:
+    * the probe precomputes its distance to every (subspace, centroid)
+    * pair — an M×K lookup table, built on the driver from the
+    * constant-size codebook — and a candidate's approximate distance
+    * is the sum of M table lookups on its codes. At 100 TB this is
+    * the serving economics PQ exists for: the scan reads M bytes per
+    * candidate instead of the vector, the tables broadcast at
+    * probes×M×K rows, and the join keys (m, code) are 1 of M×K values.
+    * Integer end-to-end, so the oracle replays the ranks bit-exactly.
+    */
+  private[graft] def pqSearchTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val model = ivfModel(s, dir)
+    val book = pqCodebook(s, dir)
+    // PQ-encode the corpus: (cand_id, m, code), M rows per vector
+    val sub = pqSubvectors(model.codes)
+    val codeCols = (0 until PqM).map(m =>
+      array_min(pqDistArr(m, book(m.toLong))).getField("cid").as(s"c$m"))
+    val codesLong = sub.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id").as("cand_id"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m.toLong).as("m"), col(s"c$m").as("cid"))): _*)).as("e"))
+      .select(col("cand_id"), col("e.m").as("m"), col("e.cid").as("cid"))
+    // per-probe ADC tables: driver-side integer fold over the collected
+    // probe codes x the codebook (probes × M × K rows — broadcast-size
+    // by construction)
+    val probeRows = model.codes.filter(col("vec_id") < 10)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+    val dtabRows = for {
+      (qid, qv) <- probeRows.toSeq
+      m <- 0 until PqM
+      (cid, cv) <- book(m.toLong)
+    } yield {
+      var d = 0L
+      var i = 0
+      while (i < PqD) {
+        val x = qv(m * PqD + i) - cv(i); d += (x * x).toLong; i += 1
+      }
+      (qid, m.toLong, cid, d)
+    }
+    import s.implicits._
+    val dtab = dtabRows.toDF("query_id", "m", "cid", "d")
+    // IVF routing, same as ivfSearchTopK
+    val cells = ivfAssignment(model.codes, model.cents).select("vec_id", "cid")
+    val probeCells = model.codes.filter(col("vec_id") < 10)
+      .withColumn("pc", slice(array_sort(ivfDistArray(model.cents)), 1, 2))
+      .select(col("vec_id").as("query_id"), explode(col("pc.cid")).as("cid"))
+    val cands = cells.join(broadcast(probeCells), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    // ADC: M lookups per (probe, candidate), summed
+    val adc = cands.join(codesLong, "cand_id")
+      .join(broadcast(dtab), Seq("query_id", "m", "cid"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("d").as("adist"))
+    topKBy(adc, 5, Seq(col("adist"), col("cand_id")))
+      .select(col("query_id"), col("rank"), col("cand_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PQ codebook trainer (seed → assign → update → re-score) as
+    * DuckDB CTEs over [[sqlQuantCtes]]'s `q`; `pd2` holds every
+    * vector's distance to every updated (subspace, centroid) pair —
+    * the base both the train-stats and the ADC-search oracles read.
+    */
+  private val sqlPqCtes = s"""qq AS (
+          SELECT vec_id, CAST(dim // $PqD AS BIGINT) AS m,
                  dim % $PqD AS sd, q FROM q),
         p0 AS (SELECT vec_id AS cid, m, sd, q AS cq
                FROM qq WHERE vec_id < $PqK),
@@ -502,7 +606,11 @@ object Similarity {
           SELECT qq.vec_id, qq.m, c.cid,
             CAST(SUM((qq.q - c.cq) * (qq.q - c.cq)) AS BIGINT) AS dist
           FROM qq JOIN pc1 c ON qq.m = c.m AND qq.sd = c.sd
-          GROUP BY qq.vec_id, qq.m, c.cid),
+          GROUP BY qq.vec_id, qq.m, c.cid)"""
+
+  /** The PQ trainer's stats rollup over [[sqlPqCtes]]. */
+  private val sqlPqTrain = s"""WITH $sqlQuantCtes,
+        $sqlPqCtes,
         pa2 AS (
           SELECT m, cid, dist FROM (
             SELECT m, cid, dist,
@@ -512,6 +620,42 @@ object Similarity {
         SELECT m, cid, COUNT(*) AS n_vecs,
           CAST(SUM(dist) AS BIGINT) AS inertia
         FROM pa2 GROUP BY m, cid ORDER BY m, cid"""
+
+  /** The ADC search over [[sqlPqCtes]] + the IVF routing: per-vector
+    * PQ codes (`pcode` = argmin of `pd2`), per-probe lookup tables
+    * (`pdist` = `pd2` restricted to probes), candidate cells from the
+    * IVF route, approximate distance = sum of M lookups.
+    */
+  private val sqlPqSearch = s"""WITH $sqlIvfTrainCtes,
+        $sqlIvfRouteCtes,
+        $sqlPqCtes,
+        pcode AS (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT vec_id, m, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                ORDER BY dist, cid) AS rn
+            FROM pd2) r WHERE rn = 1),
+        pdist AS (
+          SELECT vec_id AS query_id, m, cid, dist
+          FROM pd2 WHERE vec_id < 10),
+        pq_cands AS (
+          SELECT p.query_id, c.vec_id AS cand_id
+          FROM pcell p JOIN cell c USING (cid)
+          WHERE c.vec_id <> p.query_id),
+        adc AS (
+          SELECT pq_cands.query_id, pq_cands.cand_id,
+            CAST(SUM(pd.dist) AS BIGINT) AS adist
+          FROM pq_cands
+          JOIN pcode pc ON pc.vec_id = pq_cands.cand_id
+          JOIN pdist pd ON pd.query_id = pq_cands.query_id
+                       AND pd.m = pc.m AND pd.cid = pc.code
+          GROUP BY 1, 2)
+        SELECT query_id, rank, cand_id FROM (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adist, cand_id) AS rank
+          FROM adc) q2
+        WHERE rank <= 5 ORDER BY query_id, rank"""
 
   val defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
@@ -901,6 +1045,20 @@ object Similarity {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
-      Some(sqlPqTrain))
+      Some(sqlPqTrain)),
+
+    // IVF-PQ serving path: ADC search (see pqSearchTopK) — corpus
+    // read as M one-byte codes, probes carry M×K distance tables,
+    // candidates restricted to the probe's nprobe IVF cells. The
+    // completion of the train(s_ivf_train/s_pq_train) →
+    // serve(s_ivf_search/s_pq_search) → eval(s_ivf_recall) loop.
+    QueryDef("s_pq_search",
+      (s, dir) => {
+        val out = pqSearchTopK(s, dir)
+        // <= 50 rows; materialized eagerly — constant-size output
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      Some(sqlPqSearch))
   )
 }

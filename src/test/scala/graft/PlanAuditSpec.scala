@@ -151,6 +151,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.queries.Similarity.releaseAllIvfModels()
   }
 
+  test("s_pq_search: ADC join on (m, code) with bounded broadcasts only") {
+    try {
+      val df = graft.queries.Similarity.pqSearchTopK(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"ADC scoring must stay equi-join shaped:\n$p")
+      // forced broadcasts: the probe-cell route (vec_id < 10) and the
+      // driver-built ADC lookup table (a LocalRelation of probes×M×K
+      // rows) — never the corpus code side
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.nonEmpty, s"bounded sides must carry hints:\n$p")
+      hints.foreach { h =>
+        val txt = h.child.toString
+        val probeBounded =
+          """vec_id#\d+L? < (cast\()?10""".r.findFirstIn(txt).isDefined
+        val localTable = h.child.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        assert(probeBounded || localTable,
+          s"a forced-broadcast side is neither probe-bounded nor a " +
+            s"constant-size local table — corpus broadcast?\n$txt")
+      }
+    } finally graft.queries.Similarity.releaseAllIvfModels()
+  }
+
   test("d_cross_source_overlap: pairs expand after the shingle agg") {
     val (out, bySh) = graft.queries.Dedup.crossSourceOverlap(spark, sf)
     try {
