@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -55,7 +55,10 @@ object HashKernels {
 }
 
 /** `md5_prefix60(s)`: see [[HashKernels.md5Prefix60]]. */
-case class Md5Prefix60(child: Expression) extends UnaryExpression {
+case class Md5Prefix60(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
 
@@ -73,7 +76,10 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
 /** `md5_split56(s)`: the two minhash base hashes `[h1, h2]` — see
   * [[HashKernels.md5Split56]].
   */
-case class Md5Split56(child: Expression) extends UnaryExpression {
+case class Md5Split56(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions.sqrt
   * HOF formulation it replaces.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def dataType: DataType = DoubleType
 
@@ -63,12 +66,19 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * element, which dominated the IVF assignment scans (k centroids × 64
   * dims per row); this is a primitive loop inside whole-stage codegen.
   *
-  * Arithmetic matches the HOF/DuckDB form exactly: per-dim difference
-  * and square in int (codes are 0..255, so |d| <= 255 and d*d <= 65025
-  * — no 32-bit overflow), summed into long left-to-right.
+  * Arithmetic matches the HOF/DuckDB form on the fixed-width inputs
+  * the IVF/PQ pipelines feed it: per-dim difference and square in int
+  * (codes are 0..255, so |d| <= 255 and d*d <= 65025 — no 32-bit
+  * overflow), summed into long left-to-right. Like [[FloatVectorDot]],
+  * a length mismatch folds over the common prefix (the HOF form would
+  * return NULL there) — all call sites pair a 64- or 8-wide code
+  * column with a literal of the same width.
   */
 case class IntVectorSqL2(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
 
   override def dataType: DataType = LongType
 

@@ -54,6 +54,24 @@ object ConnectorQ {
     Option(memo.remove(dir)).foreach { st =>
       try s.sql(s"DROP NAMESPACE IF EXISTS graft_c.${st.ns} CASCADE")
       catch { case _: Throwable => () } // already-stopped session
+      // stream checkpoints + file-sink output are keyed by ns too: a
+      // re-setup of the SAME dir rebuilds its tables with fresh
+      // snapshot ids, and a restarted stream must not resume from the
+      // dropped incarnation's offsets (or re-serve its sink files)
+      try {
+        import java.nio.file.{Files, Path, Paths}
+        s.conf.getOption("spark.sql.catalog.graft_c.warehouse").foreach { w =>
+          val streams = Paths.get(w, "_streams")
+          if (Files.exists(streams))
+            Files.list(streams)
+              .filter(p => p.getFileName.toString.endsWith("_" + st.ns))
+              .forEach { p =>
+                Files.walk(p)
+                  .sorted(java.util.Comparator.reverseOrder[Path]())
+                  .forEach(q => Files.deleteIfExists(q))
+              }
+        }
+      } catch { case _: Throwable => () }
     }
 
   private def setup(s: SparkSession, dir: String): Setup =

@@ -165,6 +165,12 @@ object Similarity {
     */
   private val IvfK = 8
 
+  /** Probe fan-out of the IVF route, shared by the Flat and PQ search
+    * paths AND hand-inlined as `rn <= 2` in [[sqlIvfRouteCtes]] —
+    * change all together.
+    */
+  private val IvfNProbe = 2
+
   /** Trained IVF model: the persisted int8 codes (the index build
     * input) plus the post-Lloyd centroids. Memoized per (session,
     * dir) — a real pipeline trains the coarse quantizer ONCE and both
@@ -239,20 +245,22 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** `(dist, cid)` struct per centroid, squared-L2 against the row's
-    * `qv` codes — centroids are inlined as literals so the whole array
-    * evaluates map-side with zero joins (the reason training/search
-    * sync traffic is constant-size). The distance is the codegen
-    * [[graft.functions.IntVectorSqL2]] kernel — the interpreted
-    * `aggregate(zip_with(...))` form it replaces dominated the
-    * assignment scans (k × 64 lambda evals per row).
+  /** `(dist, cid)` struct per centroid, squared-L2 of the centroid
+    * literals against the row's int-code column `v` (the full `qv`
+    * codes for IVF, a subvector slice for PQ) — centroids are inlined
+    * as literals so the whole array evaluates map-side with zero joins
+    * (the reason training/search sync traffic is constant-size). The
+    * distance is the codegen [[graft.functions.IntVectorSqL2]]
+    * kernel — the interpreted `aggregate(zip_with(...))` form it
+    * replaces dominated the assignment scans (k × 64 lambda evals per
+    * row).
     */
-  private def ivfDistArray(
-      cents: Seq[(Long, Seq[Int])]): org.apache.spark.sql.Column =
+  private def ivfDistArray(cents: Seq[(Long, Seq[Int])],
+      v: org.apache.spark.sql.Column = col("qv")): org.apache.spark.sql.Column =
     array(cents.map { case (cid, cv) =>
       struct(
         graft.functions.VectorFunctions.vec_sql2_int(
-          col("qv"), array(cv.map(lit(_)): _*)).as("dist"),
+          v, array(cv.map(lit(_)): _*)).as("dist"),
         lit(cid).as("cid"))
     }: _*)
 
@@ -367,31 +375,37 @@ object Similarity {
           JOIN embeddings eq ON eq.vec_id = cands.query_id
           JOIN embeddings ec ON ec.vec_id = cands.cand_id)"""
 
+  /** IVF candidate generation shared by the Flat and PQ search paths:
+    * assign every corpus vector to its trained cell (one map-side pass
+    * over the cached codes), route each probe to its [[IvfNProbe]]
+    * nearest centroids by the SAME (dist, cid) order as assignment
+    * (slice of the sorted per-centroid distance array, all map-side),
+    * and equi-join on the cell. Each vector lives in exactly one cell,
+    * so (query_id, cand_id) pairs are already unique — no dedup
+    * shuffle.
+    */
+  private def ivfCandidates(m: IvfModel): org.apache.spark.sql.DataFrame = {
+    val cells = ivfAssignment(m.codes, m.cents).select("vec_id", "cid")
+    val probeCells = m.codes.filter(col("vec_id") < 10)
+      .withColumn("pc",
+        slice(array_sort(ivfDistArray(m.cents)), 1, IvfNProbe))
+      .select(col("vec_id").as("query_id"),
+        explode(col("pc.cid")).as("cid"))
+    cells.join(broadcast(probeCells), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+  }
+
   /** The lazy s_ivf_search plan (top-5 per probe under the trained
     * index) — exposed for PlanAuditSpec; the QueryDef collects it.
     */
   private[graft] def ivfSearchTopK(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val NProbe = 2
     val m = ivfModel(s, dir)
-    // index build: one map-side pass over the cached codes
-    val cells = ivfAssignment(m.codes, m.cents).select("vec_id", "cid")
-    // probe routing: nprobe nearest centroids by the SAME (dist, cid)
-    // order as assignment — slice of the sorted per-centroid distance
-    // array, all map-side
-    val probeCells = m.codes.filter(col("vec_id") < 10)
-      .withColumn("pc",
-        slice(array_sort(ivfDistArray(m.cents)), 1, NProbe))
-      .select(col("vec_id").as("query_id"),
-        explode(col("pc.cid")).as("cid"))
     val embF = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("nrm"))
-    // each vector lives in exactly one cell, so (query_id, cand_id)
-    // pairs are already unique — no dedup shuffle
-    val cands = cells.join(broadcast(probeCells), "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val cands = ivfCandidates(m)
     val scored = cands
       // broadcast ONLY the probe vectors' floats (vec_id < 10) — the
       // unfiltered corpus side must never build a broadcast relation
@@ -426,15 +440,11 @@ object Similarity {
         slice(col("qv"), m * PqD + 1, PqD).as(s"sv$m")): _*)
 
   /** `(dist, cid)` structs of subspace `m`'s centroids against the
-    * row's `sv{m}` slice — the PQ analogue of [[ivfDistArray]].
+    * row's `sv{m}` slice — [[ivfDistArray]] over the subvector column.
     */
   private def pqDistArr(m: Int,
       cents: Seq[(Long, Seq[Int])]): org.apache.spark.sql.Column =
-    array(cents.map { case (cid, cv) =>
-      struct(graft.functions.VectorFunctions.vec_sql2_int(
-          col(s"sv$m"), array(cv.map(lit(_)): _*)).as("dist"),
-        lit(cid).as("cid"))
-    }: _*)
+    ivfDistArray(cents, col(s"sv$m"))
 
   /** Trained PQ codebook: per subspace, the (cid, centroid) list after
     * one Lloyd round. Memoized per (session, dir) like the IVF model
@@ -558,14 +568,7 @@ object Similarity {
     }
     import s.implicits._
     val dtab = dtabRows.toDF("query_id", "m", "cid", "d")
-    // IVF routing, same as ivfSearchTopK
-    val cells = ivfAssignment(model.codes, model.cents).select("vec_id", "cid")
-    val probeCells = model.codes.filter(col("vec_id") < 10)
-      .withColumn("pc", slice(array_sort(ivfDistArray(model.cents)), 1, 2))
-      .select(col("vec_id").as("query_id"), explode(col("pc.cid")).as("cid"))
-    val cands = cells.join(broadcast(probeCells), "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val cands = ivfCandidates(model)
     // ADC: M lookups per (probe, candidate), summed
     val adc = cands.join(codesLong, "cand_id")
       .join(broadcast(dtab), Seq("query_id", "m", "cid"))

@@ -86,6 +86,30 @@ class MemoLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("stream sink state does not survive a connector release") {
+    // the file-sink stream keys its checkpoint + output by ns; a
+    // release must delete both, or a re-setup of the same dir would
+    // resume from the dropped incarnation's offsets (and re-serve its
+    // old sink files) against freshly rebuilt tables
+    val dir = "/root/testdata/sf0.001"
+    val first = SparkEntry.queries("c_stream_dedup_wm")(spark, dir)
+      .collect().toSeq
+    assert(first.nonEmpty)
+    val wh = spark.conf.get("spark.sql.catalog.graft_c.warehouse")
+    val streams = java.nio.file.Paths.get(wh, "_streams")
+    assert(java.nio.file.Files.list(streams).count() > 0,
+      "the stream row must have created its sink dir")
+    graft.queries.ConnectorQ.release(spark, dir)
+    assert(!java.nio.file.Files.exists(streams) ||
+      java.nio.file.Files.list(streams).count() == 0,
+      "release must delete the per-ns stream state")
+    // the same dir re-runs from a fresh checkpoint and agrees
+    val second = SparkEntry.queries("c_stream_dedup_wm")(spark, dir)
+      .collect().toSeq
+    assert(second == first, s"re-run diverged: $second vs $first")
+    graft.queries.ConnectorQ.release(spark, dir)
+  }
+
   test("dup-cluster label memo releases its checkpoint storage") {
     val d1 = "/root/testdata/sf0.001"
     assert(SparkEntry.queries("d_dup_clusters")(spark, d1).count() == 1)
