@@ -591,6 +591,94 @@ object Dedup {
           CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_ratio
         FROM pd WHERE n_dup_spans > 0 ORDER BY doc_id""")),
 
+    // APPLY the duplicated-span signal — the span-REMOVAL step of
+    // exact-substring dedup ("Deduplicating Training Data Makes
+    // Language Models Better"): a window is duplicated when its
+    // 12-token fingerprint occurs >= 2 times in the corpus (cross- or
+    // intra-document); every token covered by a duplicated window gets
+    // trimmed, and the rollup reports per source how many tokens
+    // survive. Scale shape: positional window explode (same cost class
+    // as the d_dup_spans pass) -> one shuffle on the 8-byte span hash
+    // for the global occurrence count -> per-doc interval gap-merge as
+    // a WINDOW over (doc, position) — the sessionize pattern, so
+    // coverage union needs no per-doc collection: equal-length
+    // intervals merge into contiguous groups wherever consecutive
+    // starts are <= 11 apart, and each group covers (max - min + 12)
+    // tokens. Integer math end-to-end.
+    QueryDef("d_dup_span_trim",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tBalanced(s, dir, "documents")
+          .select(col("doc_id"), col("source"), tokens.as("toks"))
+        val base = docs.select(col("doc_id"), col("source"),
+          size(col("toks")).as("n_tokens"))
+        // positional spans: NO array_distinct — trimming needs every
+        // start position, and intra-doc repeats are duplications too
+        val starts = docs.filter(size(col("toks")) >= SpanW)
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextFunctions.word_shingles(
+              col("toks"), SpanW)).as(Seq("p", "g")))
+          .select(col("doc_id"), col("p"), h60s(col("g")).as("h"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("n") >= 2)
+          .select(col("doc_id"), col("p"))
+        val wSeq = Window.partitionBy("doc_id").orderBy("p")
+        val covered = starts
+          .withColumn("brk",
+            when(col("p") > lag("p", 1, -SpanW).over(wSeq) + (SpanW - 1), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum("brk").over(
+            wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "grp")
+          .agg((max("p") - min("p") + SpanW).as("span_len"))
+          .groupBy("doc_id")
+          .agg(sum("span_len").as("n_trimmed"))
+        base.join(covered, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            coalesce(sum(col("n_trimmed")), lit(0L)).as("n_trimmed_tokens"),
+            (sum(col("n_tokens"))
+              - coalesce(sum(col("n_trimmed")), lit(0L))).as("n_kept_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, source,
+            regexp_extract_all(lower(text), '[a-z]+') AS toks
+          FROM documents),
+        spl AS (
+          SELECT doc_id, unnest(list_transform(
+              range(1, len(toks) - ${SpanW - 2}),
+              i -> {'p': i, 'g': concat_ws(' ', $sqlSpanTerms)})) AS u
+          FROM tok WHERE len(toks) >= $SpanW),
+        sp AS (SELECT doc_id, u.p AS p, u.g AS g FROM spl),
+        st AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS n
+            FROM (SELECT doc_id, p, ${sqlH60s("g")} AS h FROM sp) hh) c
+          WHERE n >= 2),
+        gb AS (
+          SELECT doc_id, p,
+            CASE WHEN p > COALESCE(LAG(p) OVER w, -$SpanW)
+                      + ${SpanW - 1} THEN 1 ELSE 0 END AS brk
+          FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        gm AS (
+          SELECT doc_id, p,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS grp
+          FROM gb),
+        cov AS (
+          SELECT doc_id, SUM(span_len) AS n_trimmed FROM (
+            SELECT doc_id, grp, MAX(p) - MIN(p) + $SpanW AS span_len
+            FROM gm GROUP BY doc_id, grp) g GROUP BY doc_id)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(SUM(n_trimmed), 0) AS BIGINT) AS n_trimmed_tokens,
+          CAST(SUM(len(toks)) - COALESCE(SUM(n_trimmed), 0) AS BIGINT)
+            AS n_kept_tokens
+        FROM tok LEFT JOIN cov USING (doc_id)
+        GROUP BY source ORDER BY source""")),
+
     // MinHash estimator-quality eval: for every VERIFIED near-dup pair,
     // the K=16 signature-agreement Jaccard estimate vs the exact
     // shingle-set Jaccard, plus the absolute error — the "is K big

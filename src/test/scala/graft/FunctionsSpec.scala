@@ -221,6 +221,20 @@ class FunctionsSpec extends AnyFunSuite {
       .filter(col("doc_id") >= 2000000L).collect()
     assert(out.length == 1 && out(0).getAs[Double]("dup_ratio") == 1.0,
       s"planted copy must have all spans duplicated: ${out.mkString(",")}")
+    // ...and the APPLY row trims every token of such a doc: its spans
+    // are all duplicated and contiguous, so the interval union covers
+    // the doc end-to-end — trimmed tokens can't be fewer than a full
+    // doc's worth in the copy's source rollup
+    val nToks = graft.functions.TextFunctions
+    val copyTokens = spark.read.parquet(s"$tmp/documents.parquet")
+      .filter(col("doc_id") >= 2000000L)
+      .select(size(nToks.ascii_words(col("text"))).cast("long"))
+      .collect()(0).getLong(0)
+    val trim = SparkEntry.queries("d_dup_span_trim")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("n_trimmed_tokens")).sum
+    assert(trim >= copyTokens,
+      s"the planted copy's $copyTokens tokens must all be trimmed " +
+        s"(got $trim total trimmed)")
   }
 
   test("simhash collides exact duplicates into the same band") {
