@@ -209,6 +209,26 @@ object Bench {
             y -> named_struct('sa', x, 'sb', y))))) AS p""")
         .groupBy("p.sa", "p.sb").count().count()
     } catch { case _: Throwable => () }
+    // ...and for the similarity kernels: the first s-family row
+    // otherwise pays the FloatVectorDot/IntVectorSqL2 codegen
+    // compilation plus the ranking window's sort path (~0.5-1s
+    // measured landing on s_ann_ivf_cell).
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions._
+      val v = spark.range(2000)
+        .selectExpr("id AS query_id", "id AS cand_id",
+          "transform(sequence(1, 64), i -> CAST(id % 7 + i AS FLOAT)) AS fv",
+          "transform(sequence(1, 64), i -> CAST((id + i) % 256 AS INT)) AS qv")
+        .withColumn("cos", vec_dot(col("fv"), col("fv")))
+        .withColumn("d", vec_sql2_int(col("qv"), col("qv")))
+        .withColumn("salt", pmod(xxhash64(col("cand_id")), lit(32)))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("salt").orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("r") <= 5)
+      v.count()
+    } catch { case _: Throwable => () }
     // same again for the streaming machinery: the first streaming query
     // pays micro-batch planner + state-store + sink compilation (~0.5s
     // on each of the four c_stream_* rows otherwise). FILE source on
