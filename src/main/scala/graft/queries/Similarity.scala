@@ -181,7 +181,8 @@ object Similarity {
     */
   private[graft] case class IvfModel(
       codes: org.apache.spark.sql.DataFrame,
-      cents: Seq[(Long, Seq[Int])])
+      cents: Seq[(Long, Seq[Int])],
+      cells: org.apache.spark.sql.DataFrame)
 
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), IvfModel]()
@@ -190,8 +191,21 @@ object Similarity {
       dir: String): IvfModel =
     ivfMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
       val qv = ivfQuantizedCodes(s, dir)
-      try IvfModel(qv, ivfTrainCentroids(qv))
-      catch { case t: Throwable =>
+      try {
+        val cents = ivfTrainCentroids(qv)
+        // the INDEX: every vector's trained cell, built once and
+        // persisted (2 longs per vector — far smaller than the codes)
+        // — the Flat search, the PQ/ADC search, and the recall eval
+        // all serve from this one assignment pass, the way a real
+        // pipeline builds an index once and serves many queries
+        val cells = ivfAssignment(qv, cents).select("vec_id", "cid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cells.count() // materialize: the index is part of the model
+        catch { case t: Throwable =>
+          cells.unpersist(blocking = false); throw t
+        }
+        IvfModel(qv, cents, cells)
+      } catch { case t: Throwable =>
         // failed training must not leave the codes pinned — the memo
         // never got the handle
         qv.unpersist(blocking = false); throw t
@@ -203,8 +217,10 @@ object Similarity {
     while (it.hasNext) {
       val m = it.next().getValue
       try {
-        if (!m.codes.sparkSession.sparkContext.isStopped)
+        if (!m.codes.sparkSession.sparkContext.isStopped) {
           m.codes.unpersist(blocking = true)
+          m.cells.unpersist(blocking = true)
+        }
       } catch { case _: Throwable => () }
       it.remove()
     }
@@ -376,16 +392,15 @@ object Similarity {
           JOIN embeddings ec ON ec.vec_id = cands.cand_id)"""
 
   /** IVF candidate generation shared by the Flat and PQ search paths:
-    * assign every corpus vector to its trained cell (one map-side pass
-    * over the cached codes), route each probe to its [[IvfNProbe]]
-    * nearest centroids by the SAME (dist, cid) order as assignment
-    * (slice of the sorted per-centroid distance array, all map-side),
-    * and equi-join on the cell. Each vector lives in exactly one cell,
-    * so (query_id, cand_id) pairs are already unique — no dedup
-    * shuffle.
+    * read the model's memoized cell index (built once at training),
+    * route each probe to its [[IvfNProbe]] nearest centroids by the
+    * SAME (dist, cid) order as assignment (slice of the sorted
+    * per-centroid distance array, all map-side), and equi-join on the
+    * cell. Each vector lives in exactly one cell, so
+    * (query_id, cand_id) pairs are already unique — no dedup shuffle.
     */
   private def ivfCandidates(m: IvfModel): org.apache.spark.sql.DataFrame = {
-    val cells = ivfAssignment(m.codes, m.cents).select("vec_id", "cid")
+    val cells = m.cells
     val probeCells = m.codes.filter(col("vec_id") < 10)
       .withColumn("pc",
         slice(array_sort(ivfDistArray(m.cents)), 1, IvfNProbe))
