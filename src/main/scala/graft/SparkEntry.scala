@@ -14,7 +14,8 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++
       Relational4.defs ++ Predicates.defs ++
-      MergeOnRead.defs ++ Text.defs ++ Dedup.defs ++ Similarity.defs ++
+      MergeOnRead.defs ++ Text.defs ++ Curation.defs ++
+      Dedup.defs ++ Similarity.defs ++
       MultimodalQ.defs ++ Pipeline.defs ++ ConnectorQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -124,6 +124,40 @@ object Similarity {
     * (the COUNT is salt-invariant — the oracle stays the plain sig
     * join).
     */
+  /** Exact near-dup pairs (cos > 0.95) WITHIN each label cell, as the
+    * salted cell-blocked join d_embedding_neardup documents: the
+    * b-side of a hot cell splits into sub-blocks of <= MaxCellBlock
+    * vectors, the a-side replicates across them, so each unordered
+    * pair {x, y} with ida < idb matches exactly one (label, blk) task
+    * and per-task candidate pairs are bounded by n * MaxCellBlock,
+    * never n^2. Returns (label, ida, idb); shared by
+    * d_embedding_neardup (pair count) and s_semdedup (drop set).
+    */
+  private def cellNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val MaxCellBlock = 1000
+    val emb = tBalanced(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        vec_norm(col("embedding")).as("nrm"))
+    val nblk = t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(ceil(count(lit(1)).cast("double") / MaxCellBlock)
+        .cast("int").as("nblk"))
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("qv"),
+        col("nrm").as("na"), col("label"))
+      .join(nblk, Seq("label"))
+      .withColumn("blk", explode(sequence(lit(0), col("nblk") - 1)))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("cv"),
+        col("nrm").as("nb"), col("label"))
+      .join(nblk, Seq("label"))
+      .withColumn("blk", pmod(xxhash64(col("idb")), col("nblk")).cast("int"))
+    a.join(b, Seq("label", "blk"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("na") * col("nb")))
+      .filter(col("cos") > 0.95)
+      .select(col("label"), col("ida"), col("idb"))
+  }
+
   private[graft] def lshNearDupAgg(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
@@ -741,33 +775,47 @@ object Similarity {
     // so the count is unchanged while per-task pairs drop from n^2 to
     // n * MaxCellBlock.
     QueryDef("d_embedding_neardup",
-      (s, dir) => {
-        val MaxCellBlock = 1000
-        val emb = tBalanced(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), col("label"),
-            vec_norm(col("embedding")).as("nrm"))
-        val nblk = t(s, dir, "embeddings")
-          .groupBy("label")
-          .agg(ceil(count(lit(1)).cast("double") / MaxCellBlock)
-            .cast("int").as("nblk"))
-        val a = emb.select(col("vec_id").as("ida"), col("embedding").as("qv"),
-            col("nrm").as("na"), col("label"))
-          .join(nblk, Seq("label"))
-          .withColumn("blk", explode(sequence(lit(0), col("nblk") - 1)))
-        val b = emb.select(col("vec_id").as("idb"), col("embedding").as("cv"),
-            col("nrm").as("nb"), col("label"))
-          .join(nblk, Seq("label"))
-          .withColumn("blk", pmod(xxhash64(col("idb")), col("nblk")).cast("int"))
-        a.join(b, Seq("label", "blk"))
-          .filter(col("ida") < col("idb"))
-          .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("na") * col("nb")))
-          .filter(col("cos") > 0.95)
-          .agg(count(lit(1)).as("n_neardup_pairs"))
-      },
+      (s, dir) => cellNearDupPairs(s, dir)
+        .agg(count(lit(1)).as("n_neardup_pairs")),
       Some("""SELECT COUNT(*) AS n_neardup_pairs
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.95""")),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup inside each
+    // embedding cluster — a vector is DROPPED when a smaller-id
+    // neighbor in its cell sits above the cosine threshold, so each
+    // epsilon-ball keeps exactly its least-id member and the decision
+    // is order-free and deterministic. Candidate pairs come from the
+    // same salted cell-blocked join as d_embedding_neardup (per-task
+    // work bounded by n * MaxCellBlock, never n^2); the verdict fold
+    // is one DISTINCT on the dropped side plus a per-cell rollup —
+    // all integer counts.
+    QueryDef("s_semdedup",
+      (s, dir) => {
+        val dropped = cellNearDupPairs(s, dir)
+          .select(col("idb").as("vec_id")).distinct()
+          .withColumn("is_dropped", lit(1L))
+        t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+          .join(dropped, Seq("vec_id"), "left")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vectors"),
+            coalesce(sum("is_dropped"), lit(0L)).as("n_dropped"))
+          .withColumn("n_kept", col("n_vectors") - col("n_dropped"))
+          .orderBy("label")
+      },
+      Some("""WITH dropped AS (
+          SELECT DISTINCT b.vec_id AS vec_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.95)
+        SELECT label, COUNT(*) AS n_vectors,
+          CAST(COALESCE(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_dropped,
+          CAST(COUNT(*) - COALESCE(SUM(CASE WHEN d.vec_id IS NOT NULL
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+        FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+        GROUP BY label ORDER BY label""")),
 
     // Random-hyperplane LSH signatures — the bucketed ANN scale path:
     // vectors sharing an 8-bit signature land in one bucket, so
