@@ -783,6 +783,52 @@ object ConnectorQ {
           COUNT(DISTINCT user_id) AS n_distinct_users
         FROM events GROUP BY 1 ORDER BY hour_start""")),
 
+    // Budget-capped ingest ([[graft.streaming.QuotaCap]]): per
+    // event_type, admit events in event_id order while the running
+    // cents total stays within a 100k-cent budget — the "stop pulling
+    // from a source once its quota fills" step of a curation pipeline,
+    // as a stateful stream (one Long of state per key). ev_part is a
+    // single commit, so AvailableNow delivers one batch and the
+    // admitted set equals the batch prefix-sum window bit-for-bit
+    // (see QuotaCap's determinism note). The admitted set is
+    // budget-bounded by construction (~tens of rows per key), which is
+    // what justifies the memory sink.
+    QueryDef("c_stream_quota",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val sink = s"c_stream_quota_${st.ns}"
+        import s.implicits._
+        val in = s.readStream.table(s"graft_c.${st.ns}.ev_part")
+          .select(col("event_type").as("key"), col("event_id").as("id"),
+            col("cents").as("weight"))
+          .as[graft.streaming.QuotaCap.In]
+        val q = graft.streaming.QuotaCap.cap(in, 100000L)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).groupBy(col("key").as("event_type"))
+          .agg(count(lit(1)).as("n_admitted"),
+            sum("weight").as("cents_admitted"),
+            max("id").as("last_admitted_id"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (
+          SELECT event_type, event_id,
+            CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+          FROM events),
+        cum AS (
+          SELECT event_type, event_id, cents,
+            SUM(cents) OVER (PARTITION BY event_type ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING) AS run
+          FROM c)
+        SELECT event_type, COUNT(*) AS n_admitted,
+          CAST(SUM(cents) AS BIGINT) AS cents_admitted,
+          MAX(event_id) AS last_admitted_id
+        FROM cum WHERE run <= 100000
+        GROUP BY event_type ORDER BY event_type""")),
+
     // expire history down to the latest snapshot, vacuum unreferenced
     // files, then read: the merged state is unchanged (idempotent, so
     // repeat runs in one JVM are safe); the require proves the history

@@ -348,6 +348,78 @@ object Text {
         SELECT source, CAST(rank AS BIGINT) AS rank, term,
           CAST(tf AS BIGINT) AS tf, CAST(n_sources AS BIGINT) AS n_sources,
           score
-        FROM rk WHERE rank <= 5 ORDER BY source, rank"""))
+        FROM rk WHERE rank <= 5 ORDER BY source, rank""")),
+
+    // Trained language-ID with a held-out eval — the textcat-style
+    // profile method closing its own loop (train → predict → confusion
+    // matrix), the same shape as s_ivf_recall for ANN. Split: docs
+    // with h60(doc_id) % 5 = 0 are the test fold, the rest train.
+    // Train: per-language top-20 tokens by frequency (row_number with
+    // a token tiebreak — fully deterministic). Predict: a test doc's
+    // language = the profile sharing the most of its DISTINCT tokens
+    // (overlap count, ties to the lexicographically first language;
+    // zero overlap → 'unknown'). Integer counts end-to-end. Scale
+    // shape: profiles are L×20 rows (broadcast); the candidate fold
+    // shuffles on doc_id only — nothing wider.
+    QueryDef("t_langid_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tBalanced(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            array_distinct(tokens).as("toks"),
+            (pmod(h60s(col("doc_id")), lit(5L)) === 0L).as("is_test"))
+        val profile = docs.filter(!col("is_test"))
+          .select(col("lang").as("plang"), explode(col("toks")).as("tok"))
+          .groupBy("plang", "tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(Window.partitionBy("plang")
+            .orderBy(col("cnt").desc, col("tok"))))
+          .filter(col("rk") <= 20)
+          .select("plang", "tok")
+        val overlap = docs.filter(col("is_test"))
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .join(broadcast(profile), Seq("tok"))
+          .groupBy("doc_id", "plang").agg(count(lit(1)).as("n_overlap"))
+        val pred = overlap
+          .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("n_overlap").desc, col("plang"))))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("plang").as("lang_pred"))
+        docs.filter(col("is_test"))
+          .join(pred, Seq("doc_id"), "left")
+          .select(col("lang"),
+            coalesce(col("lang_pred"), lit("unknown")).as("lang_pred"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, lang,
+            list_distinct($sqlTokens) AS toks,
+            ${sqlH60s("CAST(doc_id AS VARCHAR)")} % 5 = 0 AS is_test
+          FROM documents),
+        pf AS (
+          SELECT plang, tok FROM (
+            SELECT lang AS plang, tok, COUNT(*) AS cnt,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY COUNT(*) DESC, tok) AS rk
+            FROM (SELECT lang, unnest(toks) AS tok FROM d WHERE NOT is_test) u
+            GROUP BY lang, tok) q
+          WHERE rk <= 20),
+        ov AS (
+          SELECT doc_id, plang, COUNT(*) AS n_overlap
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM d WHERE is_test) u
+          JOIN pf USING (tok)
+          GROUP BY doc_id, plang),
+        pr AS (
+          SELECT doc_id, plang AS lang_pred FROM (
+            SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY n_overlap DESC, plang) AS rk
+            FROM ov) q
+          WHERE rk = 1)
+        SELECT d.lang, COALESCE(pr.lang_pred, 'unknown') AS lang_pred,
+          COUNT(*) AS n_docs
+        FROM d LEFT JOIN pr USING (doc_id)
+        WHERE d.is_test
+        GROUP BY d.lang, COALESCE(pr.lang_pred, 'unknown')
+        ORDER BY lang, lang_pred"""))
   )
 }

@@ -103,6 +103,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       got(0).getTimestamp(2).toString.startsWith("2024-01-01 00:03"))
   }
 
+  test("QuotaCap carries the budget across commits and admits a prefix") {
+    spark.sql("CREATE TABLE graft.default.s_quota (k STRING, id BIGINT, w BIGINT)")
+    spark.sql("INSERT INTO graft.default.s_quota VALUES " +
+      "('a', 1, 4), ('a', 2, 3), ('b', 1, 10)")
+    val ckpt = Files.createTempDirectory("graft-quota-ckpt")
+    val sink = Files.createTempDirectory("graft-quota-sink")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def run(): Unit = {
+      val in = spark.readStream.table("graft.default.s_quota")
+        .select(col("k").as("key"), col("id"), col("w").as("weight"))
+        .as[graft.streaming.QuotaCap.In]
+      val q = graft.streaming.QuotaCap.cap(in, budget = 10L)
+        .writeStream.format("parquet").option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run() // batch 1: a has 7/10 used, b exactly fills its 10
+    // commit 2: a's id 3 (w=3) fits exactly; id 4 overflows; b is full
+    spark.sql("INSERT INTO graft.default.s_quota VALUES " +
+      "('a', 3, 3), ('a', 4, 1), ('b', 2, 1)")
+    run()
+    val got = spark.read.parquet(sink.toString)
+      .orderBy("key", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // prefix rule: a admits 1,2 (batch 1) then 3 (cum=10); a:4 pushes
+    // cum to 11 and b:2 to 11 -> both dropped, even though w=1 "fits"
+    assert(got.toSeq == Seq(("a", 1L, 4L), ("a", 2L, 3L), ("a", 3L, 3L),
+      ("b", 1L, 10L)), got.mkString(";"))
+  }
+
   test("stream-stream interval join of two graft streams") {
     spark.sql("CREATE TABLE graft.default.ss_click (cts TIMESTAMP, user_id BIGINT)")
     spark.sql("CREATE TABLE graft.default.ss_buy (bts TIMESTAMP, user_id BIGINT)")
