@@ -77,7 +77,103 @@ object Curation {
               * 1000000 // n_tokens) AS rate_micro
           FROM tots)"""
 
+  private val BpeRounds = 8
+
+  /** The unrolled-round DuckDB restatement of [[t_bpe_train]]: round r
+    * computes pair counts over v(r-1), picks the (count desc, pair
+    * asc) argmax, and rewrites v(r) with DuckDB's `replace` — whose
+    * left-to-right non-overlapping semantics match Java's exactly, and
+    * the `<sym>` sentinel rendering makes a match start with `<` and
+    * end with `>` so matches never consume a neighbouring delimiter or
+    * cross a symbol boundary.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH v0 AS (
+        SELECT word, COUNT(*) AS n,
+          trim(regexp_replace(word, '(.)', '<\\1> ', 'g')) AS sym
+        FROM (SELECT unnest($sqlTokens) AS word FROM documents) u
+        GROUP BY word), """
+    for (r <- 1 to rounds) {
+      b ++= s"""p$r AS (
+          SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, unnest(list_transform(range(1, len(syms)),
+              i -> syms[i] || ' ' || syms[i+1])) AS pair
+            FROM (SELECT n, string_split(sym, ' ') AS syms FROM v${r - 1}) q)
+            g
+          GROUP BY pair),
+        best$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair
+          LIMIT 1),
+        v$r AS (
+          SELECT word, n, replace(sym, (SELECT pair FROM best$r),
+            replace((SELECT pair FROM best$r), '> <', '')) AS sym
+          FROM v${r - 1}), """
+    }
+    // the CTE chain above always ends "…), " — drop the final comma
+    val ctes = b.result()
+    ctes.substring(0, ctes.lastIndexOf(',')) + " " + (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, " +
+        s"cnt AS n_occurrences FROM best$r")
+      .mkString("", " UNION ALL ", " ORDER BY round")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Distributed BPE-merge training (Sennrich et al. 2016) — the
+    // tokenizer-training step itself, not just its token counts: 8
+    // rounds of (adjacent-pair counts over the word-frequency table →
+    // global argmax → merge rewrite). The corpus is aggregated ONCE
+    // into (word, count) — every round after that shuffles only the
+    // vocabulary table, which is the published scale shape for corpus
+    // BPE (vocab ~1e8 rows at 100 TB, not the corpus). The per-round
+    // driver sync is the 1-row argmax (same constant-size-sync
+    // precedent as s_ivf_train's centroids); at production scale each
+    // round's rewrite would be checkpointed — here the rewrite chain
+    // over the persisted base is 8 narrow string ops, cheaper than 8
+    // cache round-trips. Symbols render as '<sym>' sentinels joined
+    // by single spaces, so the merge rewrite is a plain string
+    // `replace` whose matches cannot cross symbol boundaries and
+    // whose left-to-right non-overlap semantics are identical in Java
+    // and DuckDB — the whole loop replays bit-for-bit (counts are
+    // integer, ties break lexicographically). No end-of-word marker
+    // (merges stay within [a-z]+ words), documented divergence from
+    // canonical BPE.
+    QueryDef("t_bpe_train",
+      (s, dir) => {
+        val base = tBalanced(s, dir, "documents")
+          .select(explode(tokens).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .withColumn("sym",
+            expr("trim(regexp_replace(word, '(.)', '<$1> '))"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var cur = base.select(col("n"), col("sym"))
+          val merges = Seq.newBuilder[(Long, String, Long)]
+          var r = 1
+          var dry = false
+          while (r <= BpeRounds && !dry) {
+            val best = cur.select(col("n"), explode(
+                graft.functions.TextFunctions.word_shingles(
+                  split(col("sym"), " "), 2)).as("pair"))
+              .groupBy("pair").agg(sum("n").as("cnt"))
+              .orderBy(col("cnt").desc, col("pair")).limit(1)
+              .collect()
+            if (best.isEmpty) dry = true // no adjacent pairs left
+            else {
+              val (bp, bc) = (best(0).getString(0), best(0).getLong(1))
+              merges += ((r.toLong, bp, bc))
+              // pair alphabet is [a-z<> ] — safe to inline as a literal
+              val merged = bp.replace("> <", "")
+              cur = cur.withColumn("sym",
+                expr(s"replace(sym, '$bp', '$merged')"))
+            }
+            r += 1
+          }
+          val s2 = s
+          import s2.implicits._
+          merges.result().toDF("round", "pair", "n_occurrences")
+        } finally base.unpersist(blocking = false)
+      },
+      Some(bpeOracleSql(BpeRounds))),
     // Unigram-LM negative log-likelihood — the perplexity-proxy quality
     // signal (CCNet/KenLM-style, one-gram order): the corpus IS the
     // model, each token scores -ln(count/total), documents average

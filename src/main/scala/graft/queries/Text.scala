@@ -115,6 +115,57 @@ object Text {
         FROM (SELECT doc_id, $sqlTokens AS toks FROM documents) q
         ORDER BY doc_id""")),
 
+    // Per-source decile quality cut — the percentile form of quality
+    // filtering (threshold per DOMAIN, not global, so a uniformly
+    // lower-quality source isn't wiped out and a high-quality one
+    // isn't left untouched). Signal: stopword density in integer
+    // micro-units (`n_stop * 1e6 div n_tokens` — exact, so ranks are
+    // engine-portable; doc_id tiebreak makes the ordering total).
+    // Keep the top 90% per source: rank*10 <= count*9. One shuffle
+    // keyed by source; the windows run inside each source partition.
+    QueryDef("t_quality_decile_cut",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = t(s, dir, "documents")
+          .withColumn("toks", tokens)
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("source"), size(col("toks")).as("nt"),
+            expr("size(filter(toks, w -> w IN ('the','a','and','of','to')))" +
+              " * 1000000L div size(toks)").as("qscore"))
+        val w = Window.partitionBy("source")
+        scored
+          .withColumn("rn", row_number().over(Window.partitionBy("source")
+            .orderBy(col("qscore").desc, col("doc_id"))))
+          .withColumn("c", count(lit(1)).over(w))
+          .withColumn("kept", col("rn") * 10 <= col("c") * 9)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            min(when(col("kept"), col("qscore"))).as("decile_threshold"),
+            sum(when(col("kept"), col("nt")).otherwise(0L))
+              .as("n_tokens_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH sc AS (
+          SELECT doc_id, source, len(toks) AS nt,
+            len(list_filter(toks, w -> w IN ('the','a','and','of','to')))
+              * 1000000 // len(toks) AS qscore
+          FROM (SELECT doc_id, source, $sqlTokens AS toks FROM documents) q
+          WHERE len(toks) > 0),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY qscore DESC, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY source) AS c
+          FROM sc)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN rn*10 <= c*9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(MIN(CASE WHEN rn*10 <= c*9 THEN qscore END) AS BIGINT)
+            AS decile_threshold,
+          CAST(SUM(CASE WHEN rn*10 <= c*9 THEN nt ELSE 0 END) AS BIGINT)
+            AS n_tokens_kept
+        FROM rk GROUP BY source ORDER BY source""")),
+
     // Document fingerprint: md5 of whitespace-normalized lowercase text
     // (rolling-hash stand-in that both engines share bit-for-bit).
     QueryDef("t_fingerprint",

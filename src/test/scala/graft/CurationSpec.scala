@@ -89,6 +89,17 @@ class CurationSpec extends AnyFunSuite {
       second.map(_.toString).sorted), "sample must be reproducible")
   }
 
+  test("t_bpe_train learns chained merges and stops when pairs run dry") {
+    // every word is 'abc': round 1 ties <a><b> vs <b><c> at equal
+    // count -> lexicographic tiebreak picks <a> <b>; round 2 merges
+    // the chained <ab> <c>; round 3 has no pairs left -> dry stop
+    val dir = plantDocs((1L to 7L).map(i => (i, "s", "abc abc")))
+    val rows = SparkEntry.queries("t_bpe_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (1L, "<a> <b>", 14L), (2L, "<ab> <c>", 14L)), rows.mkString(";"))
+  }
+
   test("s_semdedup drops the planted duplicate, keeps the least id") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
