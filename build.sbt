@@ -41,4 +41,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // plans — classic allocation-stall amplification). Headroom is lazy:
   // -Xmx reserves address space, not RSS (the machine has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++
+  // local diagnostics hook (e.g. GRAFT_EXTRA_JVM="-Xlog:gc:file=/tmp/gc.log"
+  // to attribute bench-row stalls to collector pauses); empty in driver runs
+  sys.env.get("GRAFT_EXTRA_JVM").map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

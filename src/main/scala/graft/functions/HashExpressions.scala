@@ -52,6 +52,42 @@ object HashKernels {
     while (i < 14) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
     new GenericArrayData(Array[Any](h1, h2))
   }
+
+  /** The whole K-seed MinHash signature of a shingle SET in one
+    * map-side pass: sig[i] = min over shingles g of h1(g) + i*h2(g)
+    * (Kirsch-Mitzenmacher over [[md5Split56]]'s halves; h1 + 15*h2 <
+    * 2^60, no overflow). Identical values to exploding the array,
+    * hashing each element, and folding K per-doc `min` aggregates —
+    * minus the explode, the K-column aggregation stage, and its
+    * shuffle: the signature of a document never needs to leave the
+    * task that tokenized it. Empty input yields an empty signature
+    * (callers filter empty shingle sets before signing).
+    */
+  def minHashSigs(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = tl.get()
+    var j = 0
+    while (j < n) {
+      val d = md.digest(arr.getUTF8String(j).getBytes)
+      var h1 = 0L
+      var i = 0
+      while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+      var h2 = 0L
+      while (i < 14) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+      var s = 0
+      var v = h1
+      while (s < k) {
+        if (v < mins(s)) mins(s) = v
+        v += h2
+        s += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
 }
 
 /** `md5_prefix60(s)`: see [[HashKernels.md5Prefix60]]. */
@@ -94,6 +130,28 @@ case class Md5Split56(child: Expression)
     copy(child = newChild)
 }
 
+/** `minhash_sigs(shingles, k)`: the K-seed MinHash signature of a
+  * shingle array, computed map-side — see [[HashKernels.minHashSigs]].
+  */
+case class MinHashSigs(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minHashSigs(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minHashSigs($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** 60-bit md5-prefix hash of a string column (codegen). */
   def md5_prefix60(c: Column): Column =
@@ -102,4 +160,8 @@ object HashFunctions {
   /** `[h1, h2]` 56-bit minhash base hashes of a string column. */
   def md5_split56(c: Column): Column =
     GraftShims.column(Md5Split56(GraftShims.expression(c)))
+
+  /** K-seed map-side MinHash signature of an array<string> column. */
+  def minhash_sigs(c: Column, k: Int): Column =
+    GraftShims.column(MinHashSigs(GraftShims.expression(c), k))
 }

@@ -255,6 +255,14 @@ object ConnectorQ {
         // setup at large sf never trips it, but a genuine deadlock
         // fails with a stack-bearing TimeoutException instead of
         // hanging the bench silently forever.
+        //
+        // Pool WIDTH is capped at cores/4, not groups.size: every group
+        // is a full Spark statement wanting `shuffle.partitions` task
+        // slots, so 14 simultaneous statements on a 32-slot scheduler
+        // queue ~450 tasks and thrash (measured 13.4s wall vs 4.6-5.8s
+        // at width 6-10 for the identical statement set at sf0.1).
+        // Matches how a real deployment throttles concurrent table
+        // builds against one cluster.
         val tf = new java.util.concurrent.ThreadFactory {
           private val n = new java.util.concurrent.atomic.AtomicInteger
           override def newThread(r: Runnable): Thread = {
@@ -263,8 +271,12 @@ object ConnectorQ {
             t
           }
         }
+        val defaultWidth = math.min(groups.size,
+          math.max(2, s.sparkContext.defaultParallelism / 4))
         val pool =
-          java.util.concurrent.Executors.newFixedThreadPool(groups.size, tf)
+          java.util.concurrent.Executors.newFixedThreadPool(
+            sys.env.getOrElse("GRAFT_SETUP_POOL", defaultWidth.toString).toInt,
+            tf)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         try timed("all groups (concurrent)")(
           Await.result(Future.sequence(groups.map(g => Future(g()))), 6.hours))

@@ -98,26 +98,21 @@ object Dedup {
         graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val sigs = {
-      // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle split
-      // into two 56-bit halves h1/h2; seed i's hash is h1 + i*h2
-      // (max 2^56 + 15*2^56 = 2^60 — no 64-bit overflow, so DuckDB's
-      // checked BIGINT arithmetic computes the identical value). The
-      // codegen Md5Split56 kernel folds both halves out of one digest
-      // with no hex-string round-trip — bit-identical to the oracle's
-      // conv(substr(md5)) definition (FunctionsSpec pins it); the
-      // previous forms (16 independent md5s, then md5+2x conv parse)
-      // both made hashing dominate the pair pipeline's runtime.
-      val rows = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
-        .select(col("doc_id"),
-          graft.functions.HashFunctions.md5_split56(col("g")).as("hs"))
-        .select(col("doc_id"),
-          element_at(col("hs"), 1).as("h1"),
-          element_at(col("hs"), 2).as("h2"))
-      val minCols = (0 until K).map(i =>
-        min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
-      rows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    }
+    // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle split
+    // into two 56-bit halves h1/h2; seed i's hash is h1 + i*h2
+    // (max 2^56 + 15*2^56 = 2^60 — no 64-bit overflow, so DuckDB's
+    // checked BIGINT arithmetic computes the identical value). The
+    // codegen MinHashSigs kernel folds ALL K per-seed mins inside the
+    // task holding the shingle set — map-side, replacing the previous
+    // explode → md5 → K-column min-aggregate (a corpus×shingles
+    // shuffle input and the largest generated-code stage in the
+    // pipeline); bit-identical to the oracle's conv(substr(md5))
+    // per-seed MIN fold (FunctionsSpec pins it).
+    val sigs = shingled
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.minhash_sigs(col("sh"), K).as("ms"))
+      .select(col("doc_id") +:
+        (0 until K).map(i => element_at(col("ms"), i + 1).as(s"m$i")): _*)
     // band hash over its R signature slots — no arrays, pure codegen
     val bandCols = (0 until K / R).map { b =>
       val slots = (b * R until (b + 1) * R).map(i => col(s"m$i").cast("string"))
@@ -248,9 +243,23 @@ object Dedup {
     * (2^-60) collision case. Persisted because both the pair counts
     * and the per-source totals read it.
     */
-  private[graft] def crossSourceOverlap(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val bySh = tBalanced(s, dir, "documents")
+  /** One-pass cross-source overlap aggregate. Each per-shingle source
+    * set emits BOTH its singleton rows (`sb` NULL — these fold into
+    * per-source distinct-shingle totals) and its unordered pairs
+    * (`sa < sb` lexicographically, matching the oracle's
+    * `a.source < b.source`), so the whole computation is one
+    * tokenize+shingle scan and exactly two shuffles (shingle agg, pair
+    * agg) with NO executor cache and NO join: the previous shape
+    * persisted the corpus-scale shingle sets and re-read them from a
+    * serialized cache for the totals and pair passes — the cache write
+    * plus two deserializing reads cost ~4x the recompute at sf0.1, and
+    * at 100 TB the single-subtree form is strictly less state to
+    * manage. Output is <= |sources| + C(|sources|, 2) rows — a
+    * constant-size aggregate the caller collects.
+    */
+  private[graft] def crossSourceOverlapAgg(s: SparkSession,
+      dir: String): DataFrame =
+    tBalanced(s, dir, "documents")
       .select(col("source"), tokens.as("toks"))
       .select(col("source"), explode(array_distinct(
         graft.functions.TextFunctions.word_shingles(col("toks"), 5)))
@@ -258,36 +267,15 @@ object Dedup {
       .select(col("source"), h60s(col("gstr")).as("g"))
       .groupBy("g")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    // per-source distinct-shingle totals: a |sources|-row aggregate —
-    // collected once and inlined as a literal map (same constant-size
-    // driver-sync pattern as s_quantize_int8's stats), so the Jaccard
-    // denominators are a map-side lookup instead of two extra
-    // aggregations + broadcast joins (this also materializes the
-    // shingle cache for the pair pass)
-    val nOf = map(bySh
-      .select(explode(col("srcs")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n")).collect()
-      .flatMap(r => Seq(lit(r.getString(0)), lit(r.getLong(1)))).toSeq: _*)
-    // unordered pairs from the sorted set: (x, y) with x before y —
-    // lexicographic order matches the oracle's a.source < b.source
-    // join condition
-    val out = bySh.filter(size(col("srcs")) >= 2)
       .select(explode(expr(
-        """flatten(transform(srcs, (x, i) ->
-             transform(slice(srcs, i + 2, size(srcs)),
-               y -> named_struct('sa', x, 'sb', y))))""")).as("p"))
-      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
-      .agg(count(lit(1)).as("n_shared_shingles"))
-      .select(col("source_a"), col("source_b"),
-        col("n_shared_shingles"),
-        (col("n_shared_shingles").cast("double")
-          / (element_at(nOf, col("source_a"))
-            + element_at(nOf, col("source_b")) - col("n_shared_shingles")))
-          .as("jaccard"))
-      .orderBy("source_a", "source_b")
-    (out, bySh)
-  }
+        """concat(
+             transform(srcs, x ->
+               named_struct('sa', x, 'sb', CAST(NULL AS STRING))),
+             flatten(transform(srcs, (x, i) ->
+               transform(slice(srcs, i + 2, size(srcs)),
+                 y -> named_struct('sa', x, 'sb', y)))))""")).as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .agg(count(lit(1)).as("n"))
 
   val defs: Seq[QueryDef] = Seq(
     // Exact dedup: hash-groupBy on a normalized fingerprint.
@@ -506,14 +494,21 @@ object Dedup {
     // tokenize+shingle scan.
     QueryDef("d_cross_source_overlap",
       (s, dir) => {
-        val (out, bySh) = crossSourceOverlap(s, dir)
-        // |sources choose 2| rows — materialize eagerly so the
-        // shingle cache never outlives the query (finally: a failed
-        // collect must not leave it pinned either)
-        try {
-          val rows = out.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-        } finally bySh.unpersist(blocking = true)
+        // ONE job: totals (sb NULL) and shared counts arrive in the
+        // same <= |sources|^2-bounded collect; the Jaccard division is
+        // a single IEEE op over deterministic longs, identical on the
+        // driver and in DuckDB
+        val rows = crossSourceOverlapAgg(s, dir).collect()
+        val tot = rows.filter(_.isNullAt(1))
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+        import s.implicits._
+        rows.filter(!_.isNullAt(1))
+          .map { r =>
+            val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+            (a, b, n, n.toDouble / (tot(a) + tot(b) - n))
+          }
+          .sortBy(t => (t._1, t._2)).toSeq
+          .toDF("source_a", "source_b", "n_shared_shingles", "jaccard")
       },
       Some("""WITH tok AS (
           SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS toks
@@ -695,34 +690,29 @@ object Dedup {
         val pairs = nearDupPairs(s, dir)
         val verts = pairs.select(col("a").as("doc_id"))
           .union(pairs.select(col("b").as("doc_id"))).distinct()
-        // shingle sets for paired docs only; referenced by the sig fold
-        // and both exact-verify branches — persist the (tiny) frame so
-        // the gated scan runs once, release after materializing
-        val sh = tBalanced(s, dir, "documents")
+        // ONE per-doc frame for paired docs only: the gated scan
+        // computes the shingle set AND its map-side MinHash signature
+        // (codegen MinHashSigs — no explode, no per-seed aggregation
+        // stage) in the same projection; both join branches read it
+        // from the (tiny) persist, so the whole eval is TWO joins on
+        // the KB-scale pair frame instead of the previous four
+        val perDoc = tBalanced(s, dir, "documents")
           .join(broadcast(verts), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), tokens.as("toks"))
           .select(col("doc_id"), array_distinct(
             graft.functions.TextFunctions.word_shingles(col("toks"), 3))
             .as("sh"))
           .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh"),
+            graft.functions.HashFunctions.minhash_sigs(col("sh"), K).as("ms"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val sigRows = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-          .select(col("doc_id"),
-            graft.functions.HashFunctions.md5_split56(col("g")).as("hs"))
-          .select(col("doc_id"),
-            element_at(col("hs"), 1).as("h1"),
-            element_at(col("hs"), 2).as("h2"))
-        val minCols = (0 until K).map(i =>
-          min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
-        val sig = sigRows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
         val agreeExpr = (0 until K).map(i =>
-          when(col(s"sa.m$i") === col(s"sb.m$i"), 1L).otherwise(0L))
+          when(element_at(col("ta.ms"), i + 1)
+            === element_at(col("tb.ms"), i + 1), 1L).otherwise(0L))
           .reduce(_ + _)
         val out = pairs
-          .join(sig.as("sa"), col("a") === col("sa.doc_id"))
-          .join(sig.as("sb"), col("b") === col("sb.doc_id"))
-          .join(sh.as("ta"), col("a") === col("ta.doc_id"))
-          .join(sh.as("tb"), col("b") === col("tb.doc_id"))
+          .join(perDoc.as("ta"), col("a") === col("ta.doc_id"))
+          .join(perDoc.as("tb"), col("b") === col("tb.doc_id"))
           .withColumn("n_agree", agreeExpr)
           .withColumn("inter",
             size(array_intersect(col("ta.sh"), col("tb.sh"))))
@@ -735,12 +725,12 @@ object Dedup {
               .as("abs_err"))
           .orderBy("a", "b")
         // one row per verified pair (KB-scale, same bound as the memo
-        // itself) — materialize eagerly so the gated-shingle cache never
+        // itself) — materialize eagerly so the gated per-doc cache never
         // outlives the query, even on a failed collect
         try {
           val rows = out.collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-        } finally sh.unpersist(blocking = true)
+        } finally perDoc.unpersist(blocking = true)
       },
       Some(s"""WITH RECURSIVE $sqlPairsCte,
         agree AS (

@@ -87,6 +87,45 @@ class FunctionsSpec extends AnyFunSuite {
       .isNullAt(0))
   }
 
+  test("minhash_sigs ≡ explode + per-seed MIN fold of the hex definition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val K = 16
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(
+        rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString).distinct)
+    }
+    val df = docs.toDF("doc_id", "sh")
+    val got = df.select(col("doc_id"),
+      graft.functions.HashFunctions.minhash_sigs(col("sh"), K).as("ms"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference: the oracle-shaped explode + conv(substring(md5)) halves
+    // + per-seed min — the exact fold computeNearDupPairs used to run
+    // as an aggregation stage
+    val ref = df.select(col("doc_id"), explode(col("sh")).as("g"))
+      .selectExpr("doc_id",
+        "CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT) AS h1",
+        "CAST(conv(substring(md5(g), 15, 14), 16, 10) AS BIGINT) AS h2")
+      .groupBy("doc_id")
+      .agg(min(col("h1") + lit(0L) * col("h2")).as("m0"),
+        (1 until K).map(i =>
+          min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until K).map(i => r.getLong(i + 1))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, sigs) =>
+      assert(sigs == ref(id), s"doc $id: $sigs vs ${ref(id)}")
+    }
+    // empty set -> empty signature; null propagates
+    val edge = Seq((1L, Some(Seq.empty[String])), (2L, None))
+      .toDF("doc_id", "sh")
+      .select(graft.functions.HashFunctions.minhash_sigs(col("sh"), K))
+      .collect()
+    assert(edge(0).getSeq[Long](0).isEmpty)
+    assert(edge(1).isNullAt(0))
+  }
+
   test("cross-source pair expansion ≡ all unordered pairs of the sorted set") {
     // the nested transform/slice expression in Dedup.crossSourceOverlap:
     // for a SORTED array it must emit exactly the C(n,2) pairs (x, y)

@@ -178,30 +178,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.queries.Similarity.releaseAllIvfModels()
   }
 
-  test("d_cross_source_overlap: pairs expand after the shingle agg") {
-    val (out, bySh) = graft.queries.Dedup.crossSourceOverlap(spark, sf)
-    try {
-      val p = out.queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"),
-        s"no all-pairs shapes anywhere:\n$p")
-      // no joins at all: denominators come from the literal per-source
-      // map, pairs expand inside per-shingle rows. The only hash
-      // shuffles are the cached shingle agg (embedded once in the
-      // InMemoryTableScan's build plan) and the pair agg; a corpus-
-      // scale (source,shingle) self-join would add join exchanges and
-      // fail these bounds
-      assert(!p.contains("Join"), s"pair counting must be join-free:\n$p")
-      // count shuffles in the LIVE plan only — the text below the
-      // first InMemoryRelation line is the cache's embedded build plan
-      // (the shingle agg's one shuffle), rendered once per reference
-      val live = p.linesIterator
-        .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
-      assert(live.contains("InMemoryTableScan"),
-        s"pair pass must read the cached shingle sets:\n$p")
-      assert("Exchange hashpartitioning".r.findAllIn(live).size <= 1,
-        s"one pair-agg shuffle only above the cache, got:\n$p")
-    } finally bySh.unpersist(blocking = true)
+  test("d_cross_source_overlap: one pass, two shuffles, join-free") {
+    val agg = graft.queries.Dedup.crossSourceOverlapAgg(spark, sf)
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs shapes anywhere:\n$p")
+    // no joins and no cache: totals AND pair counts fold out of the
+    // same per-shingle source sets; a corpus-scale (source,shingle)
+    // self-join would add join exchanges, a persist would add an
+    // InMemoryRelation — both fail here
+    assert(!p.contains("Join"), s"pair counting must be join-free:\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      s"one-pass shape must not cache:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"shingle agg + pair agg only, got:\n$p")
   }
 
   test("d_dup_spans: span-hash window + per-doc fold, no join, no cache") {
