@@ -137,6 +137,35 @@ object Bench {
     // (unset in driver runs, so the full suite executes there)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Scratch I/O — shuffle files, streaming state stores + checkpoints,
+    // temp warehouses — belongs on node-local fast storage (a real
+    // cluster provisions spark.local.dir on NVMe). This container's
+    // /tmp is a shared virtual disk: its neighbor traffic surfaced as
+    // multi-second fsync stalls on exactly the stateful stream rows
+    // (c_stream_dedup_wm swung 3.1s..14.1s across otherwise-identical
+    // runs). Pin scratch to tmpfs when present so rows measure engine
+    // cost, not the host's disk queue; correctness runs (Verify) are
+    // untouched.
+    val scratch: Option[String] = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) {
+        val d = java.nio.file.Files.createTempDirectory(shm, "graft-bench-")
+        // temp stream checkpoints + connector temp warehouses resolve
+        // through java.io.tmpdir; set it before any Spark code caches it
+        System.setProperty("java.io.tmpdir", d.toString)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import java.nio.file.{Files, Path}
+            if (Files.exists(d))
+              Files.walk(d)
+                .sorted(java.util.Comparator.reverseOrder[Path]())
+                .forEach(p => Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }
+        }))
+        Some(d.toString)
+      } else None
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -150,6 +179,8 @@ object Bench {
       // (see cleanupAfter) so later shuffle-heavy queries don't inherit
       // the GC pressure.
       .config("spark.sql.streaming.maxBatchesToRetainInMemory", "1")
+      .config("spark.local.dir",
+        scratch.getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The CC rounds unpersist their own localCheckpoints after the next

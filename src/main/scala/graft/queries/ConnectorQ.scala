@@ -46,6 +46,23 @@ object ConnectorQ {
       r
     } else f
 
+  /** Size a stateful stream's STATE partitioning explicitly: a fresh
+    * checkpoint pins its state-store count to
+    * `spark.sql.shuffle.partitions` at first-batch planning, and every
+    * store costs a file-per-batch commit plus a loaded provider — pure
+    * per-partition overhead when per-key state is KB-scale. 8 is the
+    * deliberate local choice (a cluster deployment sizes this to
+    * executors×cores before the first run, exactly like this); the
+    * session value is restored for the batch rows. Bench rows run
+    * serially, so the temporary session-level override cannot leak
+    * into a concurrent batch plan.
+    */
+  private def withStreamStateParts[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Drop the memoized per-dir namespace (tables + temp-warehouse
     * bytes) so a long-lived session sweeping many dirs doesn't
     * accumulate one warehouse's worth of graft tables per dir. The
@@ -461,12 +478,14 @@ object ConnectorQ {
         import org.apache.spark.sql.streaming.Trigger
         val st = setup(s, dir)
         val sink = s"c_io_stream_scan_${st.ns}"
-        val q = s.readStream.table(s"graft_c.${st.ns}.ev_io")
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStreamStateParts(s) {
+          val q = s.readStream.table(s"graft_c.${st.ns}.ev_io")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(sink).orderBy("event_type")
       },
       Some(s"""SELECT event_type, COUNT(*) AS n_events,
@@ -584,13 +603,15 @@ object ConnectorQ {
         // CAUTION: the memory sink collects every output row to the
         // driver. Fine here (the aggregate is 5 rows); for any result
         // proportional to the data, write a parquet/table sink instead.
-        val q = s.readStream.table(s"graft_c.${st.ns}.ev_ppk")
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_upserts"),
-            sum(col("last_event_id")).as("sum_last"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStreamStateParts(s) {
+          val q = s.readStream.table(s"graft_c.${st.ns}.ev_ppk")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_upserts"),
+              sum(col("last_event_id")).as("sum_last"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(sink).orderBy("event_type")
       },
       Some(s"""WITH h1 AS (
@@ -739,13 +760,15 @@ object ConnectorQ {
         import org.apache.spark.sql.streaming.Trigger
         val st = setup(s, dir)
         val sink = s"c_stream_dedup_${st.ns}"
-        val q = s.readStream.table(s"graft_c.${st.ns}.ev_part")
-          .dropDuplicates("event_type", "user_id")
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_distinct_users"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStreamStateParts(s) {
+          val q = s.readStream.table(s"graft_c.${st.ns}.ev_part")
+            .dropDuplicates("event_type", "user_id")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_distinct_users"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(sink).orderBy("event_type")
       },
       Some("""SELECT event_type,
@@ -777,16 +800,18 @@ object ConnectorQ {
         // below stays idempotent within a JVM.
         val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
         val out = s"$wh/_streams/dedup_wm_${st.ns}"
-        val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
-          .withWatermark("ts", "365 days")
-          .withColumn("hour_start", date_trunc("hour", col("ts")))
-          .dropDuplicatesWithinWatermark("hour_start", "user_id")
-          .select("hour_start", "user_id")
-          .writeStream.format("parquet")
-          .option("path", s"$out/data")
-          .option("checkpointLocation", s"$out/chk")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStreamStateParts(s) {
+          val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
+            .withWatermark("ts", "365 days")
+            .withColumn("hour_start", date_trunc("hour", col("ts")))
+            .dropDuplicatesWithinWatermark("hour_start", "user_id")
+            .select("hour_start", "user_id")
+            .writeStream.format("parquet")
+            .option("path", s"$out/data")
+            .option("checkpointLocation", s"$out/chk")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$out/data").groupBy("hour_start")
           .agg(count(lit(1)).as("n_distinct_users"))
           .orderBy("hour_start")
@@ -816,10 +841,12 @@ object ConnectorQ {
           .select(col("event_type").as("key"), col("event_id").as("id"),
             col("cents").as("weight"))
           .as[graft.streaming.QuotaCap.In]
-        val q = graft.streaming.QuotaCap.cap(in, 100000L)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStreamStateParts(s) {
+          val q = graft.streaming.QuotaCap.cap(in, 100000L)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(sink).groupBy(col("key").as("event_type"))
           .agg(count(lit(1)).as("n_admitted"),
             sum("weight").as("cents_admitted"),
@@ -881,14 +908,16 @@ object ConnectorQ {
         import org.apache.spark.sql.streaming.Trigger
         val st = setup(s, dir)
         val sink = s"c_stream_window_${st.ns}"
-        val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
-          .groupBy(window(col("ts"), "1 hour"))
-          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
-          .select(col("window.start").as("hour_start"),
-            col("n_events"), col("sum_cents"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStreamStateParts(s) {
+          val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+            .select(col("window.start").as("hour_start"),
+              col("n_events"), col("sum_cents"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(sink).orderBy("hour_start")
       },
       Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
