@@ -87,6 +87,17 @@ object Dedup {
     */
   private val MaxBucket = 1000
 
+  /** Env-gated stage timer (`GRAFT_PIPE_TIMING=1`) for the pair
+    * pipeline — session-lifecycle diagnostics, untimed in driver runs.
+    */
+  private def ptimed[T](label: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_PIPE_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pipe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else f
+
   private def computeNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     // Serialized + spill-to-disk: this cache is roughly corpus-sized
     // (one string array per doc), so deserialized MEMORY_ONLY would
@@ -164,10 +175,10 @@ object Dedup {
     // later query inherits the memory pressure. A FAILED count must
     // release `pairs` too: computeIfAbsent stores nothing on throw, so
     // a retry would re-persist on top of the leaked cache.
-    try pairs.count()
+    try ptimed("pairs.count (whole pipeline)")(pairs.count())
     catch { case t: Throwable =>
       pairs.unpersist(blocking = false); throw t
-    } finally {
+    } finally ptimed("release shingle/band caches") {
       // blocking: the next query in a bench run starts immediately,
       // and an async release lets this corpus-scale cache contend with
       // (and evict) the caches that query builds — the r6

@@ -54,17 +54,74 @@ object Pipeline {
         }.foreach(_.unpersist(blocking = true))
     } catch { case _: Throwable => () } // racing stop: storage already gone
 
-  /** Near-duplicate cluster labels: DISTRIBUTED connected components
-    * over the LSH pair set via two-phase star contraction
-    * ([[starContractionCC]]). Nothing is collected to the driver, so a
-    * 100 TB corpus whose pair set is billions of edges still fits; the
-    * round count is O(log n) regardless of component diameter. Labels
-    * converge to the MINIMUM doc_id of each component, so `lbl`
-    * doubles as the cluster's canonical representative.
+  /** Edge-count threshold below which connected components run as a
+    * driver-side union-find instead of distributed star contraction:
+    * 500k (a, b) longs is ~8 MB on the driver — the constant-size sync
+    * every production CC implementation short-circuits to, because a
+    * distributed round costs whole-job latency regardless of data
+    * size (3 shuffles + a checkpoint per round vs one collect). The
+    * pair frame is already persisted AND counted by the memo, so the
+    * gate reads a cached count.
+    */
+  private[graft] val MaxDriverEdges = 500000L
+
+  /** Near-duplicate cluster labels. Above [[MaxDriverEdges]]:
+    * DISTRIBUTED connected components via two-phase star contraction
+    * ([[starContractionCC]]) — nothing is collected to the driver, so
+    * a 100 TB corpus whose pair set is billions of edges still fits,
+    * in O(log n) rounds regardless of component diameter. At or
+    * below it: [[driverUnionFind]] over the collected edge list. Both
+    * converge labels to the MINIMUM doc_id of each component, so
+    * `lbl` doubles as the cluster's canonical representative
+    * (PropertySpec pins the equivalence on random graphs).
     */
   private def computeDupClusterLabels(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    starContractionCC(Dedup.nearDupPairs(s, dir))._1
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = Dedup.nearDupPairs(s, dir)
+    if (pairs.count() <= MaxDriverEdges) driverUnionFind(s, pairs)
+    else starContractionCC(pairs)._1
+  }
+
+  /** Min-label connected components of a small edge set, on the
+    * driver: classic union-find with path compression + union by
+    * rank, then each node labels itself with its component's minimum
+    * id. Same output contract as [[starContractionCC]] — one
+    * `(id, lbl)` row per node appearing in `pairs`.
+    */
+  private[graft] def driverUnionFind(s: org.apache.spark.sql.SparkSession,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (qa, qb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (qa < qb) parent(ra) = rb
+        else if (qa > qb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = qa + 1 }
+      }
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { id =>
+      val r = find(id)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), id)
+    }
+    import s.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, minOf(find(id))))
+      .toDF("id", "lbl")
+  }
 
   /** Connected components by alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce

@@ -86,6 +86,26 @@ class StarContractionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds <= 3, s"shallow clusters took $rounds rounds")
   }
 
+  test("driverUnionFind ≡ starContractionCC ≡ model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val n = 10 + rnd.nextInt(40)
+      val ids = rnd.shuffle((0L until 500L).toList).take(n).toArray
+      val edges = (0 until 1 + rnd.nextInt(2 * n)).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val pairs = edges
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .distinct.toDF("a", "b")
+        val got = graft.queries.Pipeline.driverUnionFind(spark, pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == modelLabels(edges), s"trial $trial, edges $edges")
+      }
+    }
+  }
+
   test("empty pair set yields empty labels") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
