@@ -146,31 +146,74 @@ object Curation {
             expr("trim(regexp_replace(word, '(.)', '<$1> '))"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          var cur = base.select(col("n"), col("sym"))
-          val merges = Seq.newBuilder[(Long, String, Long)]
-          var r = 1
-          var dry = false
-          while (r <= BpeRounds && !dry) {
-            val best = cur.select(col("n"), explode(
-                graft.functions.TextFunctions.word_shingles(
-                  split(col("sym"), " "), 2)).as("pair"))
-              .groupBy("pair").agg(sum("n").as("cnt"))
-              .orderBy(col("cnt").desc, col("pair")).limit(1)
-              .collect()
-            if (best.isEmpty) dry = true // no adjacent pairs left
-            else {
-              val (bp, bc) = (best(0).getString(0), best(0).getLong(1))
-              merges += ((r.toLong, bp, bc))
-              // pair alphabet is [a-z<> ] — safe to inline as a literal
-              val merged = bp.replace("> <", "")
-              cur = cur.withColumn("sym",
-                expr(s"replace(sym, '$bp', '$merged')"))
-            }
-            r += 1
-          }
           val s2 = s
           import s2.implicits._
-          merges.result().toDF("round", "pair", "n_occurrences")
+          // Adaptive, like every production BPE trainer (HF tokenizers,
+          // SentencePiece): the corpus aggregates ONCE into the
+          // (word, count) vocabulary — distributed — and when that
+          // vocabulary fits the driver (<= 1M types, a few tens of MB)
+          // the merge rounds run locally: a distributed round costs a
+          // full job + a recompiled (round-deep) rewrite chain for
+          // work that is O(vocab). Above the gate (1e8 types at
+          // 100 TB) the rounds stay on the cluster. Both paths share
+          // Java `replace` left-to-right non-overlap semantics, which
+          // DuckDB's `replace` matches — the oracle replays either.
+          if (base.count() <= 1000000L) {
+            var vocab = base.select(col("n"), col("sym")).collect()
+              .map(r => (r.getLong(0), r.getString(1)))
+            val merges = Seq.newBuilder[(Long, String, Long)]
+            var r = 1
+            var dry = false
+            while (r <= BpeRounds && !dry) {
+              val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+              vocab.foreach { case (n, sym) =>
+                val syms = sym.split(' ')
+                var i = 0
+                while (i < syms.length - 1) {
+                  val p = syms(i) + " " + syms(i + 1)
+                  cnt.update(p, cnt.getOrElse(p, 0L) + n)
+                  i += 1
+                }
+              }
+              if (cnt.isEmpty) dry = true // no adjacent pairs left
+              else {
+                // argmax by (count desc, pair asc) — pairs are ASCII,
+                // so Java's compareTo is DuckDB's VARCHAR order
+                val (bp, bc) = cnt.minBy { case (p, c) => (-c, p) }
+                merges += ((r.toLong, bp, bc))
+                val merged = bp.replace("> <", "")
+                vocab = vocab.map { case (n, sym) =>
+                  (n, sym.replace(bp, merged))
+                }
+              }
+              r += 1
+            }
+            merges.result().toDF("round", "pair", "n_occurrences")
+          } else {
+            var cur = base.select(col("n"), col("sym"))
+            val merges = Seq.newBuilder[(Long, String, Long)]
+            var r = 1
+            var dry = false
+            while (r <= BpeRounds && !dry) {
+              val best = cur.select(col("n"), explode(
+                  graft.functions.TextFunctions.word_shingles(
+                    split(col("sym"), " "), 2)).as("pair"))
+                .groupBy("pair").agg(sum("n").as("cnt"))
+                .orderBy(col("cnt").desc, col("pair")).limit(1)
+                .collect()
+              if (best.isEmpty) dry = true // no adjacent pairs left
+              else {
+                val (bp, bc) = (best(0).getString(0), best(0).getLong(1))
+                merges += ((r.toLong, bp, bc))
+                // pair alphabet is [a-z<> ] — safe to inline literally
+                val merged = bp.replace("> <", "")
+                cur = cur.withColumn("sym",
+                  expr(s"replace(sym, '$bp', '$merged')"))
+              }
+              r += 1
+            }
+            merges.result().toDF("round", "pair", "n_occurrences")
+          }
         } finally base.unpersist(blocking = false)
       },
       Some(bpeOracleSql(BpeRounds))),

@@ -94,7 +94,10 @@ object Similarity {
   private def sigColumn: org.apache.spark.sql.Column =
     (0 until 8).map { j =>
       val h = (0 until 64).map(i => (((i + 1) * (j + 2)) % 17 - 8).toFloat)
-      when(vec_dot(col("embedding"), array(h.map(lit(_)): _*)) > 0d,
+      // typedlit: ONE array literal node per hyperplane instead of 64
+      // element literals — the 8x64 inline tree made analysis+codegen,
+      // not execution, the row's cost
+      when(vec_dot(col("embedding"), typedLit(h)) > 0d,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -278,10 +281,10 @@ object Similarity {
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("dim").collect()
-    val mnLit =
-      array(statRows.toIndexedSeq.map(r => lit(r.getFloat(1).toDouble)): _*)
-    val mxLit =
-      array(statRows.toIndexedSeq.map(r => lit(r.getFloat(2).toDouble)): _*)
+    // single array-literal nodes (not 64 element literals each): the
+    // quantize expression's tree size was analysis/codegen cost
+    val mnLit = typedLit(statRows.toIndexedSeq.map(_.getFloat(1).toDouble))
+    val mxLit = typedLit(statRows.toIndexedSeq.map(_.getFloat(2).toDouble))
     emb
       .withColumn("mn", mnLit).withColumn("mx", mxLit)
       .withColumn("qv", expr(
@@ -309,8 +312,11 @@ object Similarity {
       v: org.apache.spark.sql.Column = col("qv")): org.apache.spark.sql.Column =
     array(cents.map { case (cid, cv) =>
       struct(
+        // ONE array-literal node per centroid (not 64 element
+        // literals): K x 64 inline literals made the IVF plans cost
+        // seconds of analysis/codegen at any data size
         graft.functions.VectorFunctions.vec_sql2_int(
-          v, array(cv.map(lit(_)): _*)).as("dist"),
+          v, typedLit(cv)).as("dist"),
         lit(cid).as("cid"))
     }: _*)
 
