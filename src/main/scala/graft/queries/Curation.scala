@@ -87,35 +87,135 @@ object Curation {
     * end with `>` so matches never consume a neighbouring delimiter or
     * cross a symbol boundary.
     */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The BPE training replay as DuckDB CTEs ending with `v{rounds}`
+    * (the trained word → symbol-string vocabulary) — shared by the
+    * train oracle (reads each round's `best{r}`) and the encode oracle
+    * (joins the corpus against `v{rounds}`).
+    */
+  private def bpeCtes(rounds: Int): String = {
+    // MATERIALIZED: each vocabulary revision is referenced by BOTH the
+    // next round's pair scan and its own rewrite (and `best{r}` twice
+    // in the rewrite); DuckDB inlines plain CTEs, which turns the
+    // round chain into a 2^rounds re-evaluation of the corpus scan
     val b = new StringBuilder
-    b ++= s"""WITH v0 AS (
+    b ++= s"""v0 AS MATERIALIZED (
         SELECT word, COUNT(*) AS n,
           trim(regexp_replace(word, '(.)', '<\\1> ', 'g')) AS sym
         FROM (SELECT unnest($sqlTokens) AS word FROM documents) u
         GROUP BY word), """
     for (r <- 1 to rounds) {
-      b ++= s"""p$r AS (
+      b ++= s"""p$r AS MATERIALIZED (
           SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
             SELECT n, unnest(list_transform(range(1, len(syms)),
               i -> syms[i] || ' ' || syms[i+1])) AS pair
             FROM (SELECT n, string_split(sym, ' ') AS syms FROM v${r - 1}) q)
             g
           GROUP BY pair),
-        best$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair
-          LIMIT 1),
-        v$r AS (
+        best$r AS MATERIALIZED (SELECT pair, cnt FROM p$r
+          ORDER BY cnt DESC, pair LIMIT 1),
+        v$r AS MATERIALIZED (
           SELECT word, n, replace(sym, (SELECT pair FROM best$r),
             replace((SELECT pair FROM best$r), '> <', '')) AS sym
           FROM v${r - 1}), """
     }
     // the CTE chain above always ends "…), " — drop the final comma
     val ctes = b.result()
-    ctes.substring(0, ctes.lastIndexOf(',')) + " " + (1 to rounds)
+    ctes.substring(0, ctes.lastIndexOf(','))
+  }
+
+  private def bpeOracleSql(rounds: Int): String =
+    s"WITH ${bpeCtes(rounds)} " + (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, " +
         s"cnt AS n_occurrences FROM best$r")
       .mkString("", " UNION ALL ", " ORDER BY round")
-  }
+
+  /** Trained BPE merge list `(round, pair, n_occurrences)`, memoized
+    * per (session, dir): `t_bpe_train` reports it, `t_bpe_encode`
+    * applies it — ONE training pass serves both, the same
+    * train-once/serve-many pattern as the IVF model memo. Driver-side
+    * constants only (BpeRounds strings); nothing to release.
+    */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Seq[(Long, String, Long)]]()
+
+  private def bpeMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, Long)] =
+    bpeMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val base = tBalanced(s, dir, "documents")
+        .select(explode(tokens).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .withColumn("sym",
+          expr("trim(regexp_replace(word, '(.)', '<$1> '))"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Adaptive, like every production BPE trainer (HF tokenizers,
+        // SentencePiece): the corpus aggregates ONCE into the
+        // (word, count) vocabulary — distributed — and when that
+        // vocabulary fits the driver (<= 1M types, a few tens of MB)
+        // the merge rounds run locally: a distributed round costs a
+        // full job + a recompiled (round-deep) rewrite chain for work
+        // that is O(vocab). Above the gate (1e8 types at 100 TB) the
+        // rounds stay on the cluster. Both paths share Java `replace`
+        // left-to-right non-overlap semantics, which DuckDB's
+        // `replace` matches — the oracle replays either.
+        if (base.count() <= 1000000L) {
+          var vocab = base.select(col("n"), col("sym")).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val merges = Seq.newBuilder[(Long, String, Long)]
+          var r = 1
+          var dry = false
+          while (r <= BpeRounds && !dry) {
+            val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+            vocab.foreach { case (n, sym) =>
+              val syms = sym.split(' ')
+              var i = 0
+              while (i < syms.length - 1) {
+                val p = syms(i) + " " + syms(i + 1)
+                cnt.update(p, cnt.getOrElse(p, 0L) + n)
+                i += 1
+              }
+            }
+            if (cnt.isEmpty) dry = true // no adjacent pairs left
+            else {
+              // argmax by (count desc, pair asc) — pairs are ASCII,
+              // so Java's compareTo is DuckDB's VARCHAR order
+              val (bp, bc) = cnt.minBy { case (p, c) => (-c, p) }
+              merges += ((r.toLong, bp, bc))
+              val merged = bp.replace("> <", "")
+              vocab = vocab.map { case (n, sym) =>
+                (n, sym.replace(bp, merged))
+              }
+            }
+            r += 1
+          }
+          merges.result()
+        } else {
+          var cur = base.select(col("n"), col("sym"))
+          val merges = Seq.newBuilder[(Long, String, Long)]
+          var r = 1
+          var dry = false
+          while (r <= BpeRounds && !dry) {
+            val best = cur.select(col("n"), explode(
+                graft.functions.TextFunctions.word_shingles(
+                  split(col("sym"), " "), 2)).as("pair"))
+              .groupBy("pair").agg(sum("n").as("cnt"))
+              .orderBy(col("cnt").desc, col("pair")).limit(1)
+              .collect()
+            if (best.isEmpty) dry = true // no adjacent pairs left
+            else {
+              val (bp, bc) = (best(0).getString(0), best(0).getLong(1))
+              merges += ((r.toLong, bp, bc))
+              // pair alphabet is [a-z<> ] — safe to inline literally
+              val merged = bp.replace("> <", "")
+              cur = cur.withColumn("sym",
+                expr(s"replace(sym, '$bp', '$merged')"))
+            }
+            r += 1
+          }
+          merges.result()
+        }
+      } finally base.unpersist(blocking = false)
+    })
 
   val defs: Seq[QueryDef] = Seq(
     // Distributed BPE-merge training (Sennrich et al. 2016) — the
@@ -139,84 +239,49 @@ object Curation {
     // canonical BPE.
     QueryDef("t_bpe_train",
       (s, dir) => {
-        val base = tBalanced(s, dir, "documents")
-          .select(explode(tokens).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("n"))
-          .withColumn("sym",
-            expr("trim(regexp_replace(word, '(.)', '<$1> '))"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val s2 = s
-          import s2.implicits._
-          // Adaptive, like every production BPE trainer (HF tokenizers,
-          // SentencePiece): the corpus aggregates ONCE into the
-          // (word, count) vocabulary — distributed — and when that
-          // vocabulary fits the driver (<= 1M types, a few tens of MB)
-          // the merge rounds run locally: a distributed round costs a
-          // full job + a recompiled (round-deep) rewrite chain for
-          // work that is O(vocab). Above the gate (1e8 types at
-          // 100 TB) the rounds stay on the cluster. Both paths share
-          // Java `replace` left-to-right non-overlap semantics, which
-          // DuckDB's `replace` matches — the oracle replays either.
-          if (base.count() <= 1000000L) {
-            var vocab = base.select(col("n"), col("sym")).collect()
-              .map(r => (r.getLong(0), r.getString(1)))
-            val merges = Seq.newBuilder[(Long, String, Long)]
-            var r = 1
-            var dry = false
-            while (r <= BpeRounds && !dry) {
-              val cnt = scala.collection.mutable.HashMap.empty[String, Long]
-              vocab.foreach { case (n, sym) =>
-                val syms = sym.split(' ')
-                var i = 0
-                while (i < syms.length - 1) {
-                  val p = syms(i) + " " + syms(i + 1)
-                  cnt.update(p, cnt.getOrElse(p, 0L) + n)
-                  i += 1
-                }
-              }
-              if (cnt.isEmpty) dry = true // no adjacent pairs left
-              else {
-                // argmax by (count desc, pair asc) — pairs are ASCII,
-                // so Java's compareTo is DuckDB's VARCHAR order
-                val (bp, bc) = cnt.minBy { case (p, c) => (-c, p) }
-                merges += ((r.toLong, bp, bc))
-                val merged = bp.replace("> <", "")
-                vocab = vocab.map { case (n, sym) =>
-                  (n, sym.replace(bp, merged))
-                }
-              }
-              r += 1
-            }
-            merges.result().toDF("round", "pair", "n_occurrences")
-          } else {
-            var cur = base.select(col("n"), col("sym"))
-            val merges = Seq.newBuilder[(Long, String, Long)]
-            var r = 1
-            var dry = false
-            while (r <= BpeRounds && !dry) {
-              val best = cur.select(col("n"), explode(
-                  graft.functions.TextFunctions.word_shingles(
-                    split(col("sym"), " "), 2)).as("pair"))
-                .groupBy("pair").agg(sum("n").as("cnt"))
-                .orderBy(col("cnt").desc, col("pair")).limit(1)
-                .collect()
-              if (best.isEmpty) dry = true // no adjacent pairs left
-              else {
-                val (bp, bc) = (best(0).getString(0), best(0).getLong(1))
-                merges += ((r.toLong, bp, bc))
-                // pair alphabet is [a-z<> ] — safe to inline literally
-                val merged = bp.replace("> <", "")
-                cur = cur.withColumn("sym",
-                  expr(s"replace(sym, '$bp', '$merged')"))
-              }
-              r += 1
-            }
-            merges.result().toDF("round", "pair", "n_occurrences")
-          }
-        } finally base.unpersist(blocking = false)
+        val s2 = s
+        import s2.implicits._
+        bpeMerges(s, dir).toDF("round", "pair", "n_occurrences")
       },
       Some(bpeOracleSql(BpeRounds))),
+
+    // APPLY the trained tokenizer — the encode half of the BPE loop
+    // (train → encode, like the IVF family's train → serve → eval):
+    // every corpus token renders to its '<sym>' form and the trained
+    // merge list applies as BpeRounds chained `replace`s, MAP-SIDE —
+    // at 100 TB encoding is embarrassingly parallel (the merges are a
+    // driver constant; no join against a vocabulary table, no
+    // shuffle wider than `source`). Output: per source, words in,
+    // symbols out, and milli-symbols-per-word (integer math; the
+    // compression the tokenizer achieves on each source — the number
+    // a data pipeline watches to catch tokenizer/corpus mismatch).
+    QueryDef("t_bpe_encode",
+      (s, dir) => {
+        val merges = bpeMerges(s, dir)
+        val sym0: Column = expr("trim(regexp_replace(tok, '(.)', '<$1> '))")
+        val symN = merges.foldLeft(sym0) { case (c, (_, bp, _)) =>
+          org.apache.spark.sql.functions.replace(
+            c, lit(bp), lit(bp.replace("> <", "")))
+        }
+        tBalanced(s, dir, "documents")
+          .select(col("source"), explode(tokens).as("tok"))
+          .select(col("source"), size(split(symN, " ")).as("ns"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"))
+          .select(col("source"), col("n_words"), col("n_syms"),
+            expr("n_syms * 1000L div n_words").as("milli_syms_per_word"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${bpeCtes(BpeRounds)},
+        tokc AS (
+          SELECT source, unnest($sqlTokens) AS word FROM documents)
+        SELECT source, COUNT(*) AS n_words,
+          CAST(SUM(len(string_split(v$BpeRounds.sym, ' '))) AS BIGINT)
+            AS n_syms,
+          CAST(SUM(len(string_split(v$BpeRounds.sym, ' '))) AS BIGINT)
+            * 1000 // COUNT(*) AS milli_syms_per_word
+        FROM tokc JOIN v$BpeRounds USING (word)
+        GROUP BY source ORDER BY source""")),
     // Unigram-LM negative log-likelihood — the perplexity-proxy quality
     // signal (CCNet/KenLM-style, one-gram order): the corpus IS the
     // model, each token scores -ln(count/total), documents average
