@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++
       Relational4.defs ++ Predicates.defs ++
       MergeOnRead.defs ++ Text.defs ++ Curation.defs ++
-      Dedup.defs ++ Similarity.defs ++
+      Dedup.defs ++ Similarity.defs ++ Sketches.defs ++
       MultimodalQ.defs ++ Pipeline.defs ++ ConnectorQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

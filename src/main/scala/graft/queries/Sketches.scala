@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, SparkSession}
+import Tables._
+
+/** Engine-portable probabilistic sketches — THE profiling tools a
+  * 100 TB pipeline runs where exact answers would shuffle the corpus:
+  * HyperLogLog cardinality (one 64-register aggregate per group) and
+  * Count-Min heavy-hitter estimation (a d×w counter table that
+  * broadcasts). Both are built on the md5-derived [[Tables.h60]]
+  * hashes, so — unlike Spark's native `approx_count_distinct` /
+  * `count_min_sketch`, whose xxhash/murmur internals DuckDB cannot
+  * replay — every register value here is bit-reproducible in the
+  * oracle, and the single terminal division runs over deterministic
+  * integer operands (the [[Tables]] determinism discipline).
+  */
+object Sketches {
+
+  /** HLL geometry: m = 64 registers (6 bucket bits off the top of the
+    * 60-bit hash, 54 rank bits below). Registers hold
+    * rho = 1 + leading-zeros of the rank bits (1..55); the raw
+    * estimate is alpha_m * m^2 / sum(2^-rho_j). Scaling every term by
+    * 2^55 keeps the register sum an exact BIGINT (64 terms <= 2^55
+    * each), leaving alphaM2Scaled / S as the one floating-point op.
+    *
+    * No small-range (linear-counting) branch ON PURPOSE: it needs
+    * `ln`, which libm implementations round differently at the ulp —
+    * the raw estimator is a division of deterministic operands, so the
+    * oracle replays it bit-for-bit. At the cardinalities profiling
+    * targets (every register occupied) the correction is inactive
+    * anyway; the ~1.04/sqrt(64) ≈ 13% relative error is the m = 64
+    * trade-off, sized small here so the whole register table stays
+    * readable in the output of a demo corpus.
+    */
+  private val HllM = 64
+  private val HllBucketDiv = 1L << 54
+  private val hllAlpha = 0.7213 / (1 + 1.079 / HllM)
+  private val hllC = hllAlpha * HllM * HllM * math.pow(2.0, 55).toLong
+  // shortest round-trip decimal: DuckDB parses it back to the same double
+  private val hllCLit = java.lang.Double.toString(hllC)
+
+  /** CMS geometry: d = 4 hash rows × w = 64 columns — 256 BIGINT
+    * counters, broadcastable at any corpus size; estimates
+    * overcount by at most the collision mass of the lightest row
+    * (classic CMS guarantee), never undercount.
+    */
+  private val CmsD = 4
+  private val CmsW = 64L
+
+  /** The d per-seed CMS cells of a key column as one exploded array —
+    * shared by the build (all rows) and probe (top-k rows) sides.
+    */
+  private def cmsCells(key: Column): Column =
+    explode(array((0 until CmsD).map(r =>
+      struct(lit(r).as("r"), (h60(key, r) % CmsW).as("c"))): _*))
+
+  val defs: Seq[QueryDef] = Seq(
+    // Distinct users per event type, exact vs HLL: ONE pass builds all
+    // per-(type, bucket) registers — map-side partial max, 64 rows per
+    // group after the shuffle — where COUNT(DISTINCT) shuffles every
+    // distinct (type, user) pair. At 100 TB the register table for
+    // thousands of groups is still KB-scale; this is why every
+    // warehouse profiles cardinality with HLL.
+    QueryDef("q_hll_distinct_users",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("user_id"))
+        val regs = ev
+          .select(col("event_type"),
+            h60s(col("user_id")).as("h"))
+          .select(col("event_type"),
+            (col("h") / HllBucketDiv).cast("long").as("bucket"),
+            (col("h") % HllBucketDiv).as("w"))
+          .groupBy("event_type", "bucket")
+          .agg(max(when(col("w") === 0L, 55)
+            .otherwise(lit(55) - length(bin(col("w"))))).as("mj"))
+        val sreg = regs.groupBy("event_type")
+          .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))"))
+            + (lit(HllM.toLong) - count(lit(1)))
+              * (1L << 55)).as("sreg"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(sreg, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            (lit(hllC) / col("sreg")).as("hll_est"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (
+          SELECT event_type, user_id,
+            ${sqlH60s("CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        b AS (
+          SELECT event_type, h // ${HllBucketDiv} AS bucket,
+            h % ${HllBucketDiv} AS w
+          FROM h),
+        m AS (
+          SELECT event_type, bucket,
+            MAX(CASE WHEN w = 0 THEN 55
+                ELSE 55 - length(bin(w)) END) AS mj
+          FROM b GROUP BY 1, 2),
+        s AS (
+          SELECT event_type,
+            CAST(SUM(1::BIGINT << (55 - mj))
+              + ($HllM - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS sreg
+          FROM m GROUP BY 1),
+        e AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY 1)
+        SELECT event_type, n_exact, $hllCLit / sreg AS hll_est
+        FROM e JOIN s USING (event_type) ORDER BY event_type""")),
+
+    // Heavy hitters, exact vs Count-Min: the 256-counter table is a
+    // single aggregate (map-side combine collapses each partition to
+    // <= d*w rows before ONE tiny shuffle) and then broadcasts to
+    // score any probe set — at 100 TB the sketch is what you keep
+    // PER HOUR to answer "is this key hot" without re-scanning. The
+    // probe set here is the exact top-10 (so the row also verifies
+    // the CMS >= exact one-sided error bound on real data); estimates
+    // are integer minima of integer counters — bit-exact in DuckDB.
+    QueryDef("q_cms_heavy_hitters",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"))
+        val cells = ev
+          .select(cmsCells(col("user_id")).as("e"))
+          .groupBy(col("e.r").as("r"), col("e.c").as("c"))
+          .agg(count(lit(1)).as("n"))
+        val top = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+        top
+          .select(col("user_id"), col("n_exact"),
+            cmsCells(col("user_id")).as("e"))
+          .select(col("user_id"), col("n_exact"),
+            col("e.r").as("r"), col("e.c").as("c"))
+          .join(broadcast(cells), Seq("r", "c"))
+          .groupBy("user_id", "n_exact")
+          .agg(min("n").as("n_cms_est"))
+          .orderBy(col("n_exact").desc, col("user_id"))
+      },
+      Some {
+        val probes = (0 until CmsD).map(r =>
+          s"SELECT user_id, n_exact, $r AS r, " +
+            s"${sqlH60("CAST(user_id AS VARCHAR)", r)} % $CmsW AS c FROM ex")
+          .mkString(" UNION ALL ")
+        val raws = (0 until CmsD).map(r =>
+          s"SELECT $r AS r, " +
+            s"${sqlH60("CAST(user_id AS VARCHAR)", r)} % $CmsW AS c " +
+            "FROM events")
+          .mkString(" UNION ALL ")
+        s"""WITH cl AS (
+            SELECT r, c, COUNT(*) AS n FROM ($raws) q GROUP BY 1, 2),
+          ex AS (
+            SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1
+            ORDER BY n_exact DESC, user_id LIMIT 10),
+          pr AS ($probes)
+          SELECT user_id, n_exact, CAST(MIN(n) AS BIGINT) AS n_cms_est
+          FROM pr JOIN cl USING (r, c)
+          GROUP BY 1, 2 ORDER BY n_exact DESC, user_id"""
+      })
+  )
+}
