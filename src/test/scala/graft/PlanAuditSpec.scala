@@ -178,6 +178,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.queries.Similarity.releaseAllIvfModels()
   }
 
+  test("q_hll_distinct_users: register build is one aggregation pass") {
+    val p = plan("q_hll_distinct_users")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the exact side (COUNT DISTINCT) joins the 64-registers-per-group
+    // side on event_type — both are group-count-sized, so ANY join
+    // strategy is fine; what must never appear is a corpus-side
+    // broadcast build
+    assert(!p.contains("InMemoryRelation"), s"sketch must not cache:\n$p")
+  }
+
+  test("q_cms_heavy_hitters: counter table broadcasts, probes stay top-k") {
+    val p = plan("q_cms_heavy_hitters")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the d*w=256-counter table is the broadcast side by construction;
+    // the probe side must be bounded by a limit (exact top-10)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"CMS cells should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      s"probe side must be a bounded top-k:\n$p")
+  }
+
+  test("t_bpe_encode: pure map up to the per-source fold") {
+    val p = plan("t_bpe_encode")
+    assert(!p.contains("Join"), s"encode must not join a vocabulary:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"one per-source aggregation shuffle only:\n$p")
+  }
+
   test("d_cross_source_overlap: one pass, two shuffles, join-free") {
     val agg = graft.queries.Dedup.crossSourceOverlapAgg(spark, sf)
     val p = agg.queryExecution.executedPlan.toString
@@ -230,12 +260,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       !pp.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay equi-join shaped:\n$pp")
 
-    // the final clusters aggregate reads the checkpointed label RDD —
-    // the propagation loop's lineage must NOT be replayed per action
+    // the final clusters aggregate must read MATERIALIZED labels —
+    // either the star-contraction loop's localCheckpoint (ExistingRDD,
+    // big-graph path) or the driver union-find's constant-size local
+    // relation (LocalTableScan, <= MaxDriverEdges path); replayed
+    // propagation lineage would show neither
     val df = SparkEntry.queries("d_dup_clusters")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
-      s"labels must come from a checkpoint, not replayed lineage:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD") ||
+      p.contains("LocalTableScan"),
+      s"labels must come from a checkpoint or local relation:\n$p")
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"cluster-size rollup is two aggregations, got:\n$p")
   }
