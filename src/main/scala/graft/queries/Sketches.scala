@@ -110,6 +110,64 @@ object Sketches {
         SELECT event_type, n_exact, $hllCLit / sreg AS hll_est
         FROM e JOIN s USING (event_type) ORDER BY event_type""")),
 
+    // MERGE the per-type HLL sketches into the union estimate — the
+    // property that makes sketches the 100 TB profiling tool: a
+    // register table built per partition/day/source merges by plain
+    // per-bucket MAX into the sketch of the union, no rescan (exact
+    // distinct counts cannot merge). The merged estimate is checked
+    // against the exact global distinct; same deterministic
+    // integer-register + single-division discipline as
+    // q_hll_distinct_users.
+    QueryDef("q_hll_union",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("user_id"))
+        val perType = ev
+          .select(col("event_type"), h60s(col("user_id")).as("h"))
+          .select(col("event_type"),
+            (col("h") / HllBucketDiv).cast("long").as("bucket"),
+            (col("h") % HllBucketDiv).as("w"))
+          .groupBy("event_type", "bucket")
+          .agg(max(when(col("w") === 0L, 55)
+            .otherwise(lit(55) - length(bin(col("w"))))).as("mj"))
+        val merged = perType.groupBy("bucket").agg(max("mj").as("mj"))
+        val sreg = merged
+          .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))"))
+            + (lit(HllM.toLong) - count(lit(1)))
+              * (1L << 55)).as("sreg"))
+        val exact = ev.agg(
+          countDistinct(col("user_id")).as("n_exact_union"),
+          countDistinct(col("event_type")).as("n_sketches_merged"))
+        exact.crossJoin(sreg)
+          .select(col("n_sketches_merged"), col("n_exact_union"),
+            (lit(hllC) / col("sreg")).as("hll_union_est"))
+      },
+      Some(s"""WITH h AS (
+          SELECT event_type, user_id,
+            ${sqlH60s("CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        b AS (
+          SELECT event_type, h // ${HllBucketDiv} AS bucket,
+            h % ${HllBucketDiv} AS w
+          FROM h),
+        m AS (
+          SELECT event_type, bucket,
+            MAX(CASE WHEN w = 0 THEN 55
+                ELSE 55 - length(bin(w)) END) AS mj
+          FROM b GROUP BY 1, 2),
+        mg AS (SELECT bucket, MAX(mj) AS mj FROM m GROUP BY 1),
+        s AS (
+          SELECT CAST(SUM(1::BIGINT << (55 - mj))
+            + ($HllM - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS sreg
+          FROM mg),
+        e AS (
+          SELECT COUNT(DISTINCT user_id) AS n_exact_union,
+            COUNT(DISTINCT event_type) AS n_sketches_merged
+          FROM events)
+        SELECT n_sketches_merged, n_exact_union,
+          $hllCLit / sreg AS hll_union_est
+        FROM e, s""")),
+
     // Heavy hitters, exact vs Count-Min: the 256-counter table is a
     // single aggregate (map-side combine collapses each partition to
     // <= d*w rows before ONE tiny shuffle) and then broadcasts to

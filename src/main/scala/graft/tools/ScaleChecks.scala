@@ -163,6 +163,74 @@ object ScaleChecks {
     println(s"  rows=${spark.table("graft.d.race").count()} (expect 12); " +
       s"snapshots=${raceSm.existingSnapshotIds.mkString(",")}")
 
+    println("== dedup-pipeline canary: LSH pairs at 10k vs 50k docs")
+    // The minhash pipeline's scale contract is near-linearity in the
+    // corpus (the quadratic space exists only inside bounded LSH
+    // buckets). Run the REAL pipeline (Dedup.nearDupPairs +
+    // d_dup_spans via SparkEntry) over synthetic corpora at 4x and
+    // 20x the sf0.1 document count and require the 5x data step to
+    // cost well under a quadratic step. ~10% of docs are near-copies
+    // of a shared template (one token perturbed), so the pair stage
+    // has genuine work at both sizes.
+    def synthCorpus(n: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedup-canary")
+      // words must be PURE LETTERS (the tokenizer is [a-z]+): encode a
+      // word index as a 3-letter base-26 suffix. Template docs
+      // (id % 10 = 0) draw their stream from the shared template id
+      // (id div 1000) with ONE id-unique word at position 60 — ~99%
+      // shingle overlap within a template group; other docs are
+      // id-unique streams.
+      // murmur-mix (id, i) so word streams are unstructured — a linear
+      // v = a*id + b*i stream makes every doc an arithmetic progression
+      // sharing shingles with half the corpus (measured: 17M "near-dup"
+      // pairs from 100k docs)
+      val v = "pmod(hash((CASE WHEN id % 10 = 0 THEN (id div 1000)" +
+        " ELSE id END), i), 17576)"
+      val word = s"concat('w', char(97 + ($v) % 26), " +
+        s"char(97 + (($v) div 26) % 26), char(97 + (($v) div 676) % 26))"
+      val pert = "concat('x', char(97 + id % 26), " +
+        "char(97 + (id div 26) % 26), char(97 + (id div 676) % 26))"
+      spark.range(0, n, 1, 32).selectExpr(
+        "id AS doc_id",
+        "concat('s', id % 5) AS source",
+        "'en' AS lang",
+        s"""concat_ws(' ', transform(sequence(1, 120), i ->
+             CASE WHEN id % 10 = 0 AND i = 60 THEN $pert
+                  ELSE $word END)) AS text""")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir.toString
+    }
+    def runDedup(dir: String): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val nPairs = graft.queries.Dedup.nearDupPairs(spark, dir).count()
+      val nSpanDocs = graft.SparkEntry.queries("d_dup_spans")(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9 * 1000).toLong match {
+        case ms => (nPairs, nSpanDocs, ms / 1000.0)
+      }
+    }
+    val dirSmall = synthCorpus(10000)
+    val dirBig = synthCorpus(50000)
+    val (pairsS, spansS, tS) = runDedup(dirSmall)
+    val (pairsB, spansB, tB) = runDedup(dirBig)
+    graft.queries.Dedup.releaseAllNearDupPairs()
+    println(f"  10k docs: pairs=$pairsS spanDocs=$spansS in $tS%.1f s; " +
+      f"50k docs: pairs=$pairsB spanDocs=$spansB in $tB%.1f s " +
+      f"(ratio ${tB / tS}%.1f x for 5x data)")
+    require(pairsS > 0 && pairsB > pairsS,
+      s"near-dup structure must be detected at both sizes ($pairsS, $pairsB)")
+    require(spansB < 25000,
+      s"dup-span docs $spansB should be ~the template docs, not the corpus")
+    require(tB < 180,
+      f"50k-doc pipeline took $tB%.1f s — super-linear blowup somewhere")
+    require(tB / tS < 15,
+      f"5x data cost ${tB / tS}%.1f x — approaching quadratic (bound 15x)")
+    Seq(dirSmall, dirBig).foreach { d =>
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+
     spark.stop()
     // the 10M-row canary warehouse is ~600 MB — repeated runs must not
     // accumulate it in the system temp dir
