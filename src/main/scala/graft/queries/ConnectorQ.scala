@@ -925,6 +925,64 @@ object ConnectorQ {
           CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
         FROM events GROUP BY 1 ORDER BY hour_start""")),
 
+    // Ingestion dedup against a PERSISTENT fingerprint store — the
+    // production shape that ties the lakehouse layer to the dedup
+    // family: document fingerprints live in a primary-key graft table
+    // (bucketed BY the fingerprint, so the admit check is an equi-join
+    // on the PK — co-partitioned by bucket at scale, no corpus
+    // shuffle), each new batch admits only fps absent from the store,
+    // and the store itself is the durable state (survives restarts,
+    // compacts under LWW — unlike stream state, it is queryable and
+    // time-travelable). Batch A (even doc_ids) seeds commit 1; batch B
+    // (odd) admits its unseen fps in commit 2; provenance = first_doc
+    // parity, so the rollup is derivable from the final store alone
+    // and the row is idempotent within a JVM (re-runs skip the
+    // already-seeded table and re-read the same snapshot chain).
+    QueryDef("c_dedup_ingest",
+      (s, dir) => {
+        val st = setup(s, dir)
+        val tbl = s"graft_c.${st.ns}.doc_fp"
+        val view = s"docs_fp_${st.ns}"
+        t(s, dir, "documents").selectExpr("doc_id",
+          "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS fp")
+          .createOrReplaceTempView(view)
+        ConnectorQ.synchronized {
+          if (!s.catalog.tableExists(tbl)) {
+            s.sql(s"""CREATE TABLE $tbl (fp STRING, first_doc BIGINT)
+              TBLPROPERTIES ('primary-key'='fp', 'bucket'='2')""")
+            s.sql(s"""INSERT INTO $tbl
+              SELECT fp, MIN(doc_id) FROM $view
+              WHERE doc_id % 2 = 0 GROUP BY fp""")
+            s.sql(s"""INSERT INTO $tbl
+              SELECT fp, MIN(doc_id) FROM $view
+              WHERE doc_id % 2 = 1
+                AND fp NOT IN (SELECT fp FROM $tbl)
+              GROUP BY fp""")
+          }
+        }
+        s.sql(s"""SELECT
+            (SELECT COUNT(*) FROM $tbl) AS n_store_fps,
+            (SELECT COUNT(*) FROM $tbl WHERE first_doc % 2 = 0) AS n_seeded,
+            (SELECT COUNT(*) FROM $tbl WHERE first_doc % 2 = 1)
+              AS n_admitted_late,
+            (SELECT COUNT(DISTINCT fp) FROM $view WHERE doc_id % 2 = 1)
+              - (SELECT COUNT(*) FROM $tbl WHERE first_doc % 2 = 1)
+              AS n_rejected_dupes""")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id,
+            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        a AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+        b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 1),
+        nw AS (SELECT fp FROM b WHERE fp NOT IN (SELECT fp FROM a))
+        SELECT
+          (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM nw) AS n_store_fps,
+          (SELECT COUNT(*) FROM a) AS n_seeded,
+          (SELECT COUNT(*) FROM nw) AS n_admitted_late,
+          (SELECT COUNT(*) FROM b) - (SELECT COUNT(*) FROM nw)
+            AS n_rejected_dupes""")),
+
     // dynamic overwrite replaced only the 'click' partition
     QueryDef("c_dynamic_overwrite",
       (s, dir) => {
