@@ -260,6 +260,27 @@ object Bench {
         .filter(col("r") <= 5)
       v.count()
     } catch { case _: Throwable => () }
+    // ...and for the graft write path: c__setup_writes is otherwise the
+    // first code to run the schema/commit/manifest/parquet-writer
+    // stack, paying its interpreter->C2 compilation inside the timed
+    // row (~1-2s measured). One tiny PK table create+insert+read+drop
+    // in a throwaway warehouse compiles the whole path off the books.
+    try {
+      val wwh = java.nio.file.Files.createTempDirectory("bench-write-warm")
+      spark.conf.set("spark.sql.catalog.graft_warm",
+        "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_warm.warehouse", wwh.toString)
+      spark.sql("CREATE NAMESPACE graft_warm.w")
+      spark.sql("CREATE TABLE graft_warm.w.t (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='2')")
+      spark.sql("INSERT INTO graft_warm.w.t SELECT id, id * 2 FROM range(5000)")
+      spark.sql("INSERT INTO graft_warm.w.t SELECT id, id * 3 FROM range(2500)")
+      spark.sql("SELECT sum(v) FROM graft_warm.w.t").collect()
+      spark.sql("DROP NAMESPACE graft_warm.w CASCADE")
+      import java.nio.file.{Files, Path}
+      Files.walk(wwh).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
     // same again for the streaming machinery: the first streaming query
     // pays micro-batch planner + state-store + sink compilation (~0.5s
     // on each of the four c_stream_* rows otherwise). FILE source on
