@@ -61,10 +61,24 @@ object CurationDemo {
     println("\n#8 PACK into context windows")
     stage("t_pack_context_windows", "concat-and-chunk window counts")
 
-    println("\n#9 EMBEDDING index lifecycle (train → search → eval)")
+    println("\n#9 TOKENIZER lifecycle (train → encode)")
+    stage("t_bpe_train", "BPE merge table from distributed word counts")
+    stage("t_bpe_encode", "corpus encoded under the merges, per source")
+
+    println("\n#10 EMBEDDING index lifecycle (train → search → eval)")
     stage("s_ivf_train", "coarse quantizer: cell sizes + inertia")
     stage("s_ivf_search", "top-5 per probe under nprobe=2 routing", 5)
     stage("s_ivf_recall", "recall@5 vs exact brute force")
+
+    println("\n#11 PROFILE at scale with mergeable sketches")
+    stage("q_hll_distinct_users", "HLL cardinality vs exact, per group")
+    stage("q_hll_union", "per-group sketches merged -> union estimate")
+    stage("q_cms_heavy_hitters", "Count-Min estimates vs the exact top-10")
+
+    println("\n#12 INGEST-dedup against the persistent fingerprint store")
+    stage("c_dedup_ingest", "PK-table store: seeded, admitted, rejected")
+    try graft.queries.ConnectorQ.release(spark, dir)
+    catch { case _: Throwable => () }
 
     // the dedup/IVF stages share session-scoped memos — release them
     // the same way the bench does at family boundaries
