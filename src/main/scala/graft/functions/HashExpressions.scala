@@ -71,6 +71,10 @@ object HashKernels {
     val md = tl.get()
     var j = 0
     while (j < n) {
+      // defensive: the declared input type admits nullable elements
+      // even though every call site builds null-free shingle arrays
+      if (arr.isNullAt(j)) { j += 1 }
+      else {
       val d = md.digest(arr.getUTF8String(j).getBytes)
       var h1 = 0L
       var i = 0
@@ -85,6 +89,7 @@ object HashKernels {
         s += 1
       }
       j += 1
+      }
     }
     new GenericArrayData(mins.map(x => x: Any))
   }
