@@ -70,7 +70,10 @@ object Sketches {
           .select(col("event_type"),
             h60s(col("user_id")).as("h"))
           .select(col("event_type"),
-            (col("h") / HllBucketDiv).cast("long").as("bucket"),
+            // integer div, NOT `/` (double division: a 53-bit mantissa can
+            // round a hash near a multiple of 2^54 across the bucket
+            // boundary; the oracle's `//` is exact)
+            expr(s"h div $HllBucketDiv").as("bucket"),
             (col("h") % HllBucketDiv).as("w"))
           .groupBy("event_type", "bucket")
           .agg(max(when(col("w") === 0L, 55)
@@ -125,7 +128,10 @@ object Sketches {
         val perType = ev
           .select(col("event_type"), h60s(col("user_id")).as("h"))
           .select(col("event_type"),
-            (col("h") / HllBucketDiv).cast("long").as("bucket"),
+            // integer div, NOT `/` (double division: a 53-bit mantissa can
+            // round a hash near a multiple of 2^54 across the bucket
+            // boundary; the oracle's `//` is exact)
+            expr(s"h div $HllBucketDiv").as("bucket"),
             (col("h") % HllBucketDiv).as("w"))
           .groupBy("event_type", "bucket")
           .agg(max(when(col("w") === 0L, 55)
