@@ -44,4 +44,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // local diagnostics hook (e.g. GRAFT_EXTRA_JVM="-Xlog:gc:file=/tmp/gc.log"
   // to attribute bench-row stalls to collector pauses); empty in driver runs
-  sys.env.get("GRAFT_EXTRA_JVM").map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+  sys.env.get("GRAFT_EXTRA_JVM")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

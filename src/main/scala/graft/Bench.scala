@@ -148,21 +148,25 @@ object Bench {
     // untouched.
     val scratch: Option[String] = {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) {
+      // capacity gate: many containers mount /dev/shm at 64 MB; the
+      // run's scratch footprint (shuffle files + the sf0.1 connector
+      // warehouse + stream checkpoints) is hundreds of MB, and filling
+      // the tmpfs would turn a slow bench into a failed one. Require
+      // real headroom before opting in; otherwise keep the default dirs.
+      val usable =
+        try {
+          if (java.nio.file.Files.isDirectory(shm) &&
+              java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.getFileStore(shm).getUsableSpace
+          else 0L
+        } catch { case _: Throwable => 0L }
+      if (usable > (8L << 30)) {
         val d = java.nio.file.Files.createTempDirectory(shm, "graft-bench-")
         // temp stream checkpoints + connector temp warehouses resolve
         // through java.io.tmpdir; set it before any Spark code caches it
         System.setProperty("java.io.tmpdir", d.toString)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try {
-            import java.nio.file.{Files, Path}
-            if (Files.exists(d))
-              Files.walk(d)
-                .sorted(java.util.Comparator.reverseOrder[Path]())
-                .forEach(p => Files.deleteIfExists(p))
-          } catch { case _: Throwable => () }
-        }))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.util.Fs.deleteRecursively(d)))
         Some(d.toString)
       } else None
     }
@@ -277,9 +281,7 @@ object Bench {
       spark.sql("INSERT INTO graft_warm.w.t SELECT id, id * 3 FROM range(2500)")
       spark.sql("SELECT sum(v) FROM graft_warm.w.t").collect()
       spark.sql("DROP NAMESPACE graft_warm.w CASCADE")
-      import java.nio.file.{Files, Path}
-      Files.walk(wwh).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+      graft.util.Fs.deleteRecursively(wwh)
     } catch { case _: Throwable => () }
     // same again for the streaming machinery: the first streaming query
     // pays micro-batch planner + state-store + sink compilation (~0.5s

@@ -82,11 +82,7 @@ object ConnectorQ {
           if (Files.exists(streams))
             Files.list(streams)
               .filter(p => p.getFileName.toString.endsWith("_" + st.ns))
-              .forEach { p =>
-                Files.walk(p)
-                  .sorted(java.util.Comparator.reverseOrder[Path]())
-                  .forEach(q => Files.deleteIfExists(q))
-              }
+              .forEach(p => graft.util.Fs.deleteRecursively(p))
         }
       } catch { case _: Throwable => () }
     }
@@ -97,15 +93,8 @@ object ConnectorQ {
         val wh = java.nio.file.Files.createTempDirectory("graft-qwh")
         // release() drops namespaces, but the per-JVM warehouse root
         // itself must not accumulate in the system temp dir across runs
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try {
-            import java.nio.file.{Files, Path}
-            if (Files.exists(wh))
-              Files.walk(wh)
-                .sorted(java.util.Comparator.reverseOrder[Path]())
-                .forEach(p => Files.deleteIfExists(p))
-          } catch { case _: Throwable => () }
-        }))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.util.Fs.deleteRecursively(wh)))
         s.conf.set("spark.sql.catalog.graft_c", "graft.connector.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_c.warehouse", wh.toString)
       }
@@ -947,17 +936,28 @@ object ConnectorQ {
           "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS fp")
           .createOrReplaceTempView(view)
         ConnectorQ.synchronized {
+          // failure-atomic seeding: a half-seeded store (CREATE + first
+          // INSERT ok, second INSERT thrown) must not survive the guard
+          // — later runs in this JVM would silently reuse it and report
+          // zero late admissions. Same contract as the setup memo's
+          // "computeIfAbsent stores nothing on throw".
           if (!s.catalog.tableExists(tbl)) {
-            s.sql(s"""CREATE TABLE $tbl (fp STRING, first_doc BIGINT)
-              TBLPROPERTIES ('primary-key'='fp', 'bucket'='2')""")
-            s.sql(s"""INSERT INTO $tbl
-              SELECT fp, MIN(doc_id) FROM $view
-              WHERE doc_id % 2 = 0 GROUP BY fp""")
-            s.sql(s"""INSERT INTO $tbl
-              SELECT fp, MIN(doc_id) FROM $view
-              WHERE doc_id % 2 = 1
-                AND fp NOT IN (SELECT fp FROM $tbl)
-              GROUP BY fp""")
+            try {
+              s.sql(s"""CREATE TABLE $tbl (fp STRING, first_doc BIGINT)
+                TBLPROPERTIES ('primary-key'='fp', 'bucket'='2')""")
+              s.sql(s"""INSERT INTO $tbl
+                SELECT fp, MIN(doc_id) FROM $view
+                WHERE doc_id % 2 = 0 GROUP BY fp""")
+              s.sql(s"""INSERT INTO $tbl
+                SELECT fp, MIN(doc_id) FROM $view
+                WHERE doc_id % 2 = 1
+                  AND fp NOT IN (SELECT fp FROM $tbl)
+                GROUP BY fp""")
+            } catch { case t: Throwable =>
+              try s.sql(s"DROP TABLE IF EXISTS $tbl")
+              catch { case _: Throwable => () }
+              throw t
+            }
           }
         }
         s.sql(s"""SELECT

@@ -40,6 +40,51 @@ object Sketches {
   // shortest round-trip decimal: DuckDB parses it back to the same double
   private val hllCLit = java.lang.Double.toString(hllC)
 
+  /** Per-group HLL register table of `keyCol` in `df`: one row per
+    * (groupCols, bucket) with the register value `mj`. THE single copy
+    * of the bucket/rank derivation — both HLL queries and both their
+    * oracles derive from here ([[sqlHllRegisterCtes]]), so the
+    * integer-div determinism rule cannot drift between copies.
+    */
+  private def hllRegisters(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      keyCol: Column): org.apache.spark.sql.DataFrame =
+    df.select(groupCols.map(col) :+ h60s(keyCol).as("h"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        // integer div, NOT `/` (double division: a 53-bit mantissa can
+        // round a hash near a multiple of 2^54 across the bucket
+        // boundary; the oracle's `//` is exact)
+        expr(s"h div $HllBucketDiv").as("bucket"),
+        (col("h") % HllBucketDiv).as("w")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(when(col("w") === 0L, 55)
+        .otherwise(lit(55) - length(bin(col("w"))))).as("mj"))
+
+  /** The scaled-integer register sum: callers aggregate `mj` rows per
+    * group and divide [[hllC]] by the result.
+    */
+  private def hllRegisterSum: Column =
+    (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))"))
+      + (lit(HllM.toLong) - count(lit(1))) * (1L << 55)).as("sreg")
+
+  /** The same register derivation as DuckDB CTEs `h`/`b`/`m` over
+    * `events` (event_type, user_id) — shared by both HLL oracles.
+    */
+  private val sqlHllRegisterCtes: String =
+    s"""h AS (
+          SELECT event_type, user_id,
+            ${sqlH60s("CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        b AS (
+          SELECT event_type, h // ${HllBucketDiv} AS bucket,
+            h % ${HllBucketDiv} AS w
+          FROM h),
+        m AS (
+          SELECT event_type, bucket,
+            MAX(CASE WHEN w = 0 THEN 55
+                ELSE 55 - length(bin(w)) END) AS mj
+          FROM b GROUP BY 1, 2)"""
+
   /** CMS geometry: d = 4 hash rows × w = 64 columns — 256 BIGINT
     * counters, broadcastable at any corpus size; estimates
     * overcount by at most the collision mass of the lightest row
@@ -66,22 +111,8 @@ object Sketches {
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select(col("event_type"), col("user_id"))
-        val regs = ev
-          .select(col("event_type"),
-            h60s(col("user_id")).as("h"))
-          .select(col("event_type"),
-            // integer div, NOT `/` (double division: a 53-bit mantissa can
-            // round a hash near a multiple of 2^54 across the bucket
-            // boundary; the oracle's `//` is exact)
-            expr(s"h div $HllBucketDiv").as("bucket"),
-            (col("h") % HllBucketDiv).as("w"))
-          .groupBy("event_type", "bucket")
-          .agg(max(when(col("w") === 0L, 55)
-            .otherwise(lit(55) - length(bin(col("w"))))).as("mj"))
-        val sreg = regs.groupBy("event_type")
-          .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))"))
-            + (lit(HllM.toLong) - count(lit(1)))
-              * (1L << 55)).as("sreg"))
+        val regs = hllRegisters(ev, Seq("event_type"), col("user_id"))
+        val sreg = regs.groupBy("event_type").agg(hllRegisterSum)
         val exact = ev.groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("n_exact"))
         exact.join(sreg, Seq("event_type"))
@@ -89,19 +120,7 @@ object Sketches {
             (lit(hllC) / col("sreg")).as("hll_est"))
           .orderBy("event_type")
       },
-      Some(s"""WITH h AS (
-          SELECT event_type, user_id,
-            ${sqlH60s("CAST(user_id AS VARCHAR)")} AS h
-          FROM events),
-        b AS (
-          SELECT event_type, h // ${HllBucketDiv} AS bucket,
-            h % ${HllBucketDiv} AS w
-          FROM h),
-        m AS (
-          SELECT event_type, bucket,
-            MAX(CASE WHEN w = 0 THEN 55
-                ELSE 55 - length(bin(w)) END) AS mj
-          FROM b GROUP BY 1, 2),
+      Some(s"""WITH $sqlHllRegisterCtes,
         s AS (
           SELECT event_type,
             CAST(SUM(1::BIGINT << (55 - mj))
@@ -125,22 +144,9 @@ object Sketches {
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select(col("event_type"), col("user_id"))
-        val perType = ev
-          .select(col("event_type"), h60s(col("user_id")).as("h"))
-          .select(col("event_type"),
-            // integer div, NOT `/` (double division: a 53-bit mantissa can
-            // round a hash near a multiple of 2^54 across the bucket
-            // boundary; the oracle's `//` is exact)
-            expr(s"h div $HllBucketDiv").as("bucket"),
-            (col("h") % HllBucketDiv).as("w"))
-          .groupBy("event_type", "bucket")
-          .agg(max(when(col("w") === 0L, 55)
-            .otherwise(lit(55) - length(bin(col("w"))))).as("mj"))
+        val perType = hllRegisters(ev, Seq("event_type"), col("user_id"))
         val merged = perType.groupBy("bucket").agg(max("mj").as("mj"))
-        val sreg = merged
-          .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))"))
-            + (lit(HllM.toLong) - count(lit(1)))
-              * (1L << 55)).as("sreg"))
+        val sreg = merged.agg(hllRegisterSum)
         val exact = ev.agg(
           countDistinct(col("user_id")).as("n_exact_union"),
           countDistinct(col("event_type")).as("n_sketches_merged"))
@@ -148,19 +154,7 @@ object Sketches {
           .select(col("n_sketches_merged"), col("n_exact_union"),
             (lit(hllC) / col("sreg")).as("hll_union_est"))
       },
-      Some(s"""WITH h AS (
-          SELECT event_type, user_id,
-            ${sqlH60s("CAST(user_id AS VARCHAR)")} AS h
-          FROM events),
-        b AS (
-          SELECT event_type, h // ${HllBucketDiv} AS bucket,
-            h % ${HllBucketDiv} AS w
-          FROM h),
-        m AS (
-          SELECT event_type, bucket,
-            MAX(CASE WHEN w = 0 THEN 55
-                ELSE 55 - length(bin(w)) END) AS mj
-          FROM b GROUP BY 1, 2),
+      Some(s"""WITH $sqlHllRegisterCtes,
         mg AS (SELECT bucket, MAX(mj) AS mj FROM m GROUP BY 1),
         s AS (
           SELECT CAST(SUM(1::BIGINT << (55 - mj))

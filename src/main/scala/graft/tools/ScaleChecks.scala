@@ -210,36 +210,27 @@ object ScaleChecks {
     }
     val dirSmall = synthCorpus(10000)
     val dirBig = synthCorpus(50000)
-    val (pairsS, spansS, tS) = runDedup(dirSmall)
-    val (pairsB, spansB, tB) = runDedup(dirBig)
-    graft.queries.Dedup.releaseAllNearDupPairs()
-    println(f"  10k docs: pairs=$pairsS spanDocs=$spansS in $tS%.1f s; " +
-      f"50k docs: pairs=$pairsB spanDocs=$spansB in $tB%.1f s " +
-      f"(ratio ${tB / tS}%.1f x for 5x data)")
-    require(pairsS > 0 && pairsB > pairsS,
-      s"near-dup structure must be detected at both sizes ($pairsS, $pairsB)")
-    require(spansB < 25000,
-      s"dup-span docs $spansB should be ~the template docs, not the corpus")
-    require(tB < 180,
-      f"50k-doc pipeline took $tB%.1f s — super-linear blowup somewhere")
-    require(tB / tS < 15,
-      f"5x data cost ${tB / tS}%.1f x — approaching quadratic (bound 15x)")
-    Seq(dirSmall, dirBig).foreach { d =>
-      import java.nio.file.{Files, Path, Paths}
-      import java.util.Comparator
-      Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    try {
+      val (pairsS, spansS, tS) = runDedup(dirSmall)
+      val (pairsB, spansB, tB) = runDedup(dirBig)
+      graft.queries.Dedup.releaseAllNearDupPairs()
+      println(f"  10k docs: pairs=$pairsS spanDocs=$spansS in $tS%.1f s; " +
+        f"50k docs: pairs=$pairsB spanDocs=$spansB in $tB%.1f s " +
+        f"(ratio ${tB / tS}%.1f x for 5x data)")
+      require(pairsS > 0 && pairsB > pairsS,
+        s"near-dup structure must be detected at both sizes ($pairsS, $pairsB)")
+      require(spansB < 25000,
+        s"dup-span docs $spansB should be ~the template docs, not the corpus")
+      require(tB < 180,
+        f"50k-doc pipeline took $tB%.1f s — super-linear blowup somewhere")
+      require(tB / tS < 15,
+        f"5x data cost ${tB / tS}%.1f x — approaching quadratic (bound 15x)")
+    } finally Seq(dirSmall, dirBig).foreach(d =>
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
 
     spark.stop()
     // the 10M-row canary warehouse is ~600 MB — repeated runs must not
     // accumulate it in the system temp dir
-    Seq(wh, ckpt, sink).foreach { d =>
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(d))
-        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    }
+    Seq(wh, ckpt, sink).foreach(graft.util.Fs.deleteRecursively)
   }
 }
