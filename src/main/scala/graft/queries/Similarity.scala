@@ -745,6 +745,44 @@ object Similarity {
           FROM corpus, probes WHERE cand_id <> query_id) q
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // HARD-NEGATIVE mining — the contrastive-training data pass
+    // (DPR/Contriever-style): for each probe, the top-5 most similar
+    // vectors whose LABEL differs (same-class neighbors are positives,
+    // near-but-different-class are the hard negatives a retrieval
+    // trainer wants). Same bounded-probe exact scorer as
+    // s_cosine_topk, one extra label inequality; at scale the probe
+    // batch broadcasts and the corpus is scanned once — identical
+    // economics to the ANN baseline, so the production path swaps in
+    // the IVF candidate join unchanged.
+    QueryDef("s_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            vec_norm(col("embedding")).as("qn"), col("label").as("qlabel"))
+        val corpus = emb
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+            vec_norm(col("embedding")).as("cn"), col("label"))
+        val scored = bruteForceCosine(corpus, probes)
+          .filter(col("label") =!= col("qlabel"))
+        topKByCos(scored, 5)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            col("label").as("neg_label"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH probes AS (SELECT vec_id AS query_id, embedding AS qv,
+                  label AS qlabel
+                FROM embeddings WHERE vec_id < 5),
+             corpus AS (SELECT vec_id AS cand_id, embedding AS cv, label
+                FROM embeddings)
+        SELECT query_id, rank, cand_id, neg_label FROM (
+          SELECT query_id, cand_id, label AS neg_label,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rank
+          FROM corpus, probes
+          WHERE cand_id <> query_id AND label <> qlabel) q
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // IVF-style ANN: search only the probe's own cell (label).
     QueryDef("s_ann_ivf_cell",
       (s, dir) => {
