@@ -324,6 +324,80 @@ object Curation {
         FROM tok JOIN tv USING (tok)
         GROUP BY source ORDER BY source""")),
 
+    // Interpolated BIGRAM LM scoring — one order up from t_lm_score,
+    // the shape CCNet's KenLM filter actually has (higher-order
+    // conditionals interpolated with lower orders):
+    // p(w|v) = 0.75*c(vw)/ctx(v) + 0.25*c(w)/N, where ctx(v) counts v
+    // as a bigram left-context. Scale shape: ONE corpus shuffle builds
+    // the bigram table; its per-bigram NLL is precomputed on the
+    // (vocab-scale) distinct-bigram side, so the scoring pass is an
+    // equi-join on the bigram key — at 100 TB the bigram vocabulary is
+    // too large to broadcast, and a key join is exactly how KenLM
+    // shards. NLLs quantize to integer micro-nats pre-aggregation
+    // (same one-ulp-ln caveat as nllMicro, documented there); the
+    // interpolation chain is correctly-rounded IEEE ops over
+    // exact-integer-derived doubles, so DuckDB replays it.
+    QueryDef("t_lm2_score",
+      (s, dir) => {
+        val bg = tBalanced(s, dir, "documents")
+          .select(col("doc_id"), col("source"), explode(
+            graft.functions.TextFunctions.word_shingles(tokens, 2)).as("bg"))
+        val uni = tBalanced(s, dir, "documents")
+          .select(explode(tokens).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c1"))
+          .withColumn("n_total", sum("c1").over(Window.partitionBy()))
+        val bgStats = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+          .withColumn("v", substring_index(col("bg"), " ", 1))
+          .withColumn("w", substring_index(col("bg"), " ", -1))
+          .withColumn("ctx", sum("c2").over(Window.partitionBy("v")))
+        val bgNll = bgStats
+          .join(broadcast(uni.select(col("tok").as("w"), col("c1"),
+            col("n_total"))), Seq("w"))
+          .select(col("bg"),
+            floor(-log(
+              lit(0.75) * (col("c2").cast("double") / col("ctx"))
+                + lit(0.25) * (col("c1").cast("double") / col("n_total")))
+              * 1e6).cast("long").as("nll_micro"))
+        bg.join(bgNll, Seq("bg"))
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_bigrams"),
+            sum("nll_micro").as("sum_nll_micronats"))
+          .withColumn("avg_nll_micronats",
+            col("sum_nll_micronats").cast("double") / col("n_bigrams"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, $sqlTokens AS toks FROM documents),
+        bg AS (
+          SELECT doc_id, source, unnest(list_transform(
+              range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) AS bg
+          FROM tk WHERE len(toks) >= 2),
+        uni AS (
+          SELECT tok, COUNT(*) AS c1 FROM (
+            SELECT unnest(toks) AS tok FROM tk) u GROUP BY tok),
+        n AS (SELECT SUM(c1) AS n_total FROM uni),
+        bs AS (
+          SELECT bg, COUNT(*) AS c2,
+            string_split(bg, ' ')[1] AS v,
+            string_split(bg, ' ')[-1] AS w
+          FROM bg GROUP BY bg),
+        bc AS (
+          SELECT bs.*, SUM(c2) OVER (PARTITION BY v) AS ctx FROM bs),
+        bnll AS (
+          SELECT bg, CAST(FLOOR(-LN(
+              0.75 * (CAST(c2 AS DOUBLE) / ctx)
+              + 0.25 * (CAST(c1 AS DOUBLE) / n_total)) * 1000000.0)
+            AS BIGINT) AS nll_micro
+          FROM bc JOIN uni ON bc.w = uni.tok CROSS JOIN n)
+        SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+          COUNT(*) AS n_bigrams,
+          CAST(SUM(nll_micro) AS BIGINT) AS sum_nll_micronats,
+          CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) AS avg_nll_micronats
+        FROM bg JOIN bnll USING (bg)
+        GROUP BY source ORDER BY source""")),
+
     // Temperature-scaled source mixing (alpha = 0.5): upweight the
     // tail sources, downweight the head — the mixture step every
     // multi-source pretraining corpus runs (DoReMi, Dolma, The Pile
