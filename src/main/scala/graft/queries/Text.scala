@@ -59,6 +59,49 @@ object Text {
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
         FROM cums GROUP BY lang ORDER BY lang""")),
 
+    // SHARD the corpus — the terminal step of data prep (after dedup/
+    // filter/pack, the surviving documents are hash-assigned to N
+    // output shards a training job streams). Deterministic md5 gate
+    // (h60 % 64): a document's shard never depends on cluster size,
+    // partitioning, or re-runs — the same reproducibility argument as
+    // t_hash_sample. The rollup is the balance readout a pipeline
+    // alerts on: per-shard token counts should be tight around the
+    // mean (hash-balance), and max/min is the imbalance a skewed
+    // tokenizer or a pathological hash would show. One shuffle on the
+    // 64-value shard key; the summary is a 64-row aggregate.
+    QueryDef("t_shard_assignment",
+      (s, dir) => {
+        val NShards = 64L
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(tokens).as("nt"))
+          .select((h60s(col("doc_id")) % NShards).as("shard"), col("nt"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+          .agg(count(lit(1)).as("n_shards"),
+            sum("n_docs").as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            min("n_tokens").as("min_shard_tokens"),
+            max("n_tokens").as("max_shard_tokens"))
+          .select(col("n_shards"), col("n_docs"), col("n_tokens"),
+            col("min_shard_tokens"), col("max_shard_tokens"),
+            (col("max_shard_tokens").cast("double")
+              / col("min_shard_tokens")).as("imbalance"))
+      },
+      Some(s"""WITH sh AS (
+          SELECT ${sqlH60s("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
+            len($sqlTokens) AS nt
+          FROM documents),
+        per AS (
+          SELECT shard, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+          FROM sh GROUP BY shard)
+        SELECT COUNT(*) AS n_shards,
+          CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          CAST(MIN(n_tokens) AS BIGINT) AS min_shard_tokens,
+          CAST(MAX(n_tokens) AS BIGINT) AS max_shard_tokens,
+          CAST(MAX(n_tokens) AS DOUBLE) / MIN(n_tokens) AS imbalance
+        FROM per""")),
+
     QueryDef("t_token_count",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
