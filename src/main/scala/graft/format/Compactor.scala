@@ -2,9 +2,7 @@ package graft.format
 
 import org.apache.spark.sql.types._
 import graft.connector.Values
-import graft.core.RowKind
 import java.nio.file.Path
-import scala.collection.mutable
 
 /** Full compaction of one (partition, bucket) group: read every live
   * file, merge (PK tables: last-write-wins by sequence, then drop
@@ -44,45 +42,30 @@ object Compactor extends Serializable {
         StructField("_VALUE_KIND", IntegerType, nullable = false) +:
         dataFields.fields) else dataFields
 
-    val rows: Seq[org.apache.spark.sql.catalyst.InternalRow] =
+    // STREAMING rewrite: input files are already sorted by (key, seq),
+    // so the PK path is the same O(open files)-memory k-way
+    // SortMergeReader the read path uses (winners in key order,
+    // deletes dropped — safe because the WHOLE bucket is rewritten);
+    // the append path concatenates. The previous form materialized
+    // every live key's row in a heap-side map plus a sorted Seq —
+    // fine at test SF, an executor OOM on the 100 TB bucket this file
+    // is designed for. Stats/null-counts/sequence bounds accumulate
+    // inline on the single pass.
+    val rowIter: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
       if (isPk) {
         val keyIdx = trimmedPk.map(k => fileSchema.fieldIndex(k))
-        val keyTypes = trimmedPk.map(k => fileSchema(fileSchema.fieldIndex(k)).dataType)
-        val best = mutable.LinkedHashMap.empty[Seq[String],
-          (Long, org.apache.spark.sql.catalyst.InternalRow)]
-        fileNames.foreach { fn =>
+        val keyTypes = keyIdx.map(i => fileSchema(i).dataType)
+        val sources = fileNames.map { fn =>
           FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
             fileSchema, fileSchema, fieldIds, io = io)
-            .foreach { r =>
-              val key = keyIdx.zip(keyTypes).map { case (i, dt) =>
-                Values.encodeField(r, i, dt)
-              }
-              val seq = r.getLong(0)
-              best.get(key) match {
-                case Some((s, _)) if s >= seq => ()
-                case _ => best.update(key, (seq, r))
-              }
-            }
+            .map(r => (fn, r)): Iterator[(String,
+              org.apache.spark.sql.catalyst.InternalRow)]
         }
-        // whole-bucket rewrite → winners that are deletes vanish for good
-        val keyTs = trimmedPk.map(k => fileSchema(fileSchema.fieldIndex(k)).dataType)
-        best.values.toSeq
-          .filter { case (_, r) => RowKind.isAdd(r.getInt(1).toByte) }
-          .sortWith { case ((_, a), (_, b)) =>
-            var c = 0; var i = 0
-            while (c == 0 && i < keyIdx.length) {
-              val ia = keyIdx(i)
-              val av = if (a.isNullAt(ia)) null else a.get(ia, keyTs(i))
-              val bv = if (b.isNullAt(ia)) null else b.get(ia, keyTs(i))
-              c = Values.compare(keyTs(i), av, bv)
-              i += 1
-            }
-            c < 0
-          }.map(_._2)
+        new SortMergeReader(sources, keyIdx, keyTypes, 0, 1).map(_._2)
       } else
-        fileNames.flatMap(fn =>
+        fileNames.iterator.flatMap(fn =>
           FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
-            fileSchema, fileSchema, fieldIds, io = io).toSeq)
+            fileSchema, fileSchema, fieldIds, io = io))
 
     val partDir = partitionKeys.zip(partition)
       .map { case (k, v) => s"$k=$v" }.mkString("/")
@@ -92,10 +75,7 @@ object Compactor extends Serializable {
       FormatIO.extension(fileFormat)
     val w = FormatIO.writer(fileFormat, tableDir.resolve(rel), fileSchema,
       fieldIds, io = io)
-    rows.foreach(w.write)
-    w.close()
 
-    val seqs = if (isPk && rows.nonEmpty) rows.map(_.getLong(0)) else Seq(0L)
     // same stats policy as the writer: pk-column bounds for PK tables,
     // any-primitive-column bounds for append tables
     val statCols: Seq[(String, Int, org.apache.spark.sql.types.DataType)] =
@@ -104,18 +84,44 @@ object Compactor extends Serializable {
       else fileSchema.fields.toSeq.zipWithIndex.collect {
         case (f, i) if f.dataType != BinaryType => (f.name, i, f.dataType)
       }
-    val stats = statCols.flatMap { case (name, i, dt) =>
-      var lo: Any = null; var hi: Any = null
-      rows.foreach { r =>
-        val v = if (r.isNullAt(i)) null else r.get(i, dt)
-        if (v != null) {
-          if (lo == null || Values.compare(dt, v, lo) < 0) lo = v
-          if (hi == null || Values.compare(dt, v, hi) > 0) hi = v
+    val lo = Array.fill[Any](statCols.length)(null)
+    val hi = Array.fill[Any](statCols.length)(null)
+    val nulls = new Array[Long](fileSchema.length)
+    var n = 0L
+    var seqMin = Long.MaxValue
+    var seqMax = Long.MinValue
+    rowIter.foreach { r =>
+      w.write(r)
+      n += 1
+      if (isPk) {
+        val s = r.getLong(0)
+        if (s < seqMin) seqMin = s
+        if (s > seqMax) seqMax = s
+      }
+      var i = 0
+      while (i < statCols.length) {
+        val (_, idx, dt) = statCols(i)
+        if (!r.isNullAt(idx)) {
+          val v = r.get(idx, dt)
+          if (lo(i) == null || Values.compare(dt, v, lo(i)) < 0) lo(i) = v
+          if (hi(i) == null || Values.compare(dt, v, hi(i)) > 0) hi(i) = v
+        }
+        i += 1
+      }
+      if (!isPk) {
+        var j = 0
+        while (j < fileSchema.length) {
+          if (r.isNullAt(j)) nulls(j) += 1
+          j += 1
         }
       }
-      if (lo == null) None
+    }
+    w.close()
+
+    val stats = statCols.zipWithIndex.flatMap { case ((name, _, dt), i) =>
+      if (lo(i) == null) None
       else {
-        val (els, ehs) = (Values.encode(dt, lo), Values.encode(dt, hi))
+        val (els, ehs) = (Values.encode(dt, lo(i)), Values.encode(dt, hi(i)))
         if (els.length > 64 || ehs.length > 64) None
         else Some(name -> (els -> ehs))
       }
@@ -124,10 +130,11 @@ object Compactor extends Serializable {
     val nullCounts: Map[String, Long] =
       if (isPk) Map.empty
       else fileSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-        f.name -> rows.count(_.isNullAt(i)).toLong
+        f.name -> nulls(i)
       }.toMap
-    DataFileMeta(rel, io.size(tableDir.resolve(rel)), rows.length,
-      partition, bucket, seqs.min, seqs.max, stats, nullCounts)
+    DataFileMeta(rel, io.size(tableDir.resolve(rel)), n,
+      partition, bucket, if (n > 0 && isPk) seqMin else 0L,
+      if (n > 0 && isPk) seqMax else 0L, stats, nullCounts)
   }
 
   /** Rewrite + publish the given (partition, bucket) groups as one

@@ -59,9 +59,17 @@ object FileStoreCommit {
       val deletes: Seq[ManifestEntry] = mode match {
         case NoOverwrite => Seq.empty
         case StaticOverwrite(filter) =>
+          // an unknown filter column would otherwise match NO live file
+          // (indexOf = -1 fails the forall for every row) and silently
+          // turn INSERT OVERWRITE into a plain append — raise instead
+          val unknown = filter.keys.filterNot(partitionKeys.contains)
+          require(unknown.isEmpty,
+            s"static overwrite filter references non-partition column(s) " +
+              s"${unknown.mkString(", ")} (partition keys: " +
+              s"${partitionKeys.mkString(", ")})")
           val idx = filter.map { case (k, v) => partitionKeys.indexOf(k) -> v }
           live.filter(f => idx.forall { case (i, v) =>
-            i >= 0 && f.partition.lift(i).contains(v)
+            f.partition.lift(i).contains(v)
           }).map(f => ManifestEntry("DELETE", f))
         case DynamicOverwrite =>
           val touched = files.map(_.partition).toSet

@@ -100,29 +100,38 @@ object FormatIO {
       case other =>
         throw new IllegalArgumentException(s"Unsupported file.format: $other")
     }
-    if (staged eq path) direct
-    else {
-      val inner = direct
-      new RowFileReader {
-        private var released = false
-        private def release(): Unit = if (!released) {
-          released = true
-          inner.close()
-          io.unstage(path, staged)
-        }
-        // production read paths drain the iterator and drop it without
-        // calling close() — release the staging copy the moment the
-        // iterator is exhausted, with close() covering early
-        // termination (e.g. limit) and double-release staying a no-op
-        override def hasNext: Boolean = {
-          val h = !released && inner.hasNext
-          if (!h) release()
-          h
-        }
-        override def next(): InternalRow = inner.next()
-        override def close(): Unit = release()
-      }
+    if (staged eq path) format match {
+      // ParquetIO.RowReader self-closes at EOF; ORC/Avro readers hold
+      // an open RecordReader/DataFileReader until close() — and the
+      // drain-style callers (Compactor, Resequencer, merge reads) drop
+      // the iterator without calling it, which leaked one descriptor
+      // per compacted orc/avro file until GC finalization
+      case "parquet" => direct
+      case _ => releaseOnExhaustion(direct)(() => ())
     }
+    else releaseOnExhaustion(direct)(() => io.unstage(path, staged))
+  }
+
+  /** Wrap a reader so its resources release the moment the iterator is
+    * exhausted (production read paths drain and drop without calling
+    * close()); close() covers early termination (e.g. limit) and a
+    * double release is a no-op.
+    */
+  private def releaseOnExhaustion(inner: RowFileReader)(
+      onRelease: () => Unit): RowFileReader = new RowFileReader {
+    private var released = false
+    private def release(): Unit = if (!released) {
+      released = true
+      inner.close()
+      onRelease()
+    }
+    override def hasNext: Boolean = {
+      val h = !released && inner.hasNext
+      if (!h) release()
+      h
+    }
+    override def next(): InternalRow = inner.next()
+    override def close(): Unit = release()
   }
 
   /** Infer format from a data file name. */

@@ -36,29 +36,39 @@ object Maintenance {
     val reachable = retained.flatMap(s =>
       sm.liveFiles(s).map(_.fileName)).toSet
 
-    // candidate data files: local IO walks the bucket dirs (also
-    // sweeps aborted-write orphans); non-local IO enumerates every
-    // file any manifest mentions (object stores have no cheap walk;
-    // true orphans are vacuum's concern). Collected BEFORE manifests
-    // are deleted.
+    // Expiry is purely METADATA-DRIVEN: the deletable universe is what
+    // THIS table's known snapshots (expired + retained, read above)
+    // mention in their manifests, minus the retained live sets —
+    // covering both files that only expired history referenced and
+    // files the retained manifest chain still MENTIONS but has folded
+    // dead (pre-compaction/overwritten versions carry an ADD in an old
+    // chained manifest and a DELETE later in the same retained chain).
+    // Never derived from directory listings: a listing also surfaces
+    // (a) files an IN-FLIGHT writer staged before its commit published
+    // and (b) manifests/data of a commit racing this expiry — deleting
+    // either corrupts a snapshot that is about to exist. Those
+    // listing-only leftovers are vacuumOrphans' concern, which is
+    // age-gated for exactly this reason. Manifests are deleted only
+    // when referenced EXCLUSIVELY by expired snapshots. (A crashed
+    // expiry can strand a manifest whose snapshot JSON is already
+    // gone; such a stray is a few KB and harmless.)
+    val expiredIds = sm.existingSnapshotIds.filter(_ < cutoff)
+    val expiredSnaps = expiredIds.map(sm.snapshot)
+    val expiredManifests =
+      expiredSnaps.flatMap(_.manifests).distinct.filterNot(keepManifests)
     val candidates: Seq[String] =
-      if (ioSpec == "local")
-        dataFiles(tableDir).map(p => tableDir.relativize(p).toString)
-      else io.list(tableDir.resolve("manifest"))
-        .filter(_.startsWith("manifest-"))
+      (expiredManifests ++ keepManifests).distinct
         .flatMap(m => sm.readManifest(m).map(_.file.fileName)).distinct
 
     val snapshotDir = tableDir.resolve("snapshot")
     val manifestDir = tableDir.resolve("manifest")
     var expired = 0
-    (1L until cutoff).foreach { id =>
+    expiredIds.foreach { id =>
       if (io.delete(snapshotDir.resolve(s"snapshot-$id"))) expired += 1
     }
     var deletedManifests = 0
-    io.list(manifestDir).foreach { name =>
-      if (name.startsWith("manifest-") && !keepManifests.contains(name)) {
-        io.delete(manifestDir.resolve(name)); deletedManifests += 1
-      }
+    expiredManifests.foreach { name =>
+      if (io.delete(manifestDir.resolve(name))) deletedManifests += 1
     }
     var deletedData = 0
     candidates.foreach { rel =>
@@ -125,16 +135,4 @@ object Maintenance {
     deleted
   }
 
-  private def dataDirs(tableDir: Path): Seq[Path] =
-    Files.walk(tableDir).iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("bucket-"))
-      .toSeq
-
-  private def dataFiles(tableDir: Path): Seq[Path] =
-    dataDirs(tableDir).flatMap(d =>
-      Files.list(d).iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && !n.startsWith(".")
-      }.toSeq)
 }

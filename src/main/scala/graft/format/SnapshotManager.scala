@@ -74,7 +74,10 @@ final class SnapshotManager(val tableDir: Path,
   private def snapshotIds: Seq[Long] =
     io.list(snapshotDir)
       .filter(_.startsWith("snapshot-"))
-      .map(_.stripPrefix("snapshot-").toLong)
+      // toLongOption: a foreign file in the snapshot dir (operator
+      // backup "snapshot-7.bak", editor/sync artifacts) must not brick
+      // every read and commit with NumberFormatException
+      .flatMap(_.stripPrefix("snapshot-").toLongOption)
 
   def latestSnapshotId: Option[Long] = {
     // LATEST is a hint; the listing is authoritative (hint write races

@@ -168,6 +168,22 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1, "A"), (2, "b")))
   }
 
+  test("static overwrite with a non-partition filter column fails loudly") {
+    import spark.implicits._
+    // silently matching nothing would turn INSERT OVERWRITE into a
+    // plain append — the commit must reject the typo instead
+    val t = catalog.getTable("default.part_ow")
+    val wb = t.newBatchWriteBuilder().overwrite(Map("pt_typo" -> "1"))
+    val w = wb.newWrite()
+    w.write(Seq((3, "c")).toDF("pt", "v"))
+    val e = intercept[Exception] {
+      wb.newCommit().commit(w.prepareCommit())
+    }
+    assert(e.getMessage.contains("pt_typo"), e.getMessage)
+    // table unchanged by the failed overwrite
+    assert(t.newReadBuilder().newRead().toDF().count() == 2)
+  }
+
   test("temp view sink ≙ to_duckdb: full SQL over the snapshot") {
     val t = catalog.getTable("default.simple")
     t.newReadBuilder().newRead().createTempView("simple_view")

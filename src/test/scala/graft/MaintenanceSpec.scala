@@ -269,6 +269,46 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.vac").count() == 3)
   }
 
+  test("expiry never touches uncommitted staged files (in-flight writer)") {
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    spark.sql("CREATE TABLE graft.default.exp_inflight (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.exp_inflight VALUES ($i, 'v$i')"))
+    val t = catalog.getTable("default.exp_inflight")
+    // simulate a writer task that finished its file but whose commit
+    // has not published yet: the file exists in the bucket dir and no
+    // manifest references it. Expiry must leave it alone — deleting it
+    // would corrupt the snapshot about to be committed (only the
+    // age-gated vacuum may reclaim it if the commit never lands).
+    val staged = t.tableDir.resolve("bucket-0")
+      .resolve("data-inflight-test.parquet")
+    Files.write(staged, Array[Byte](9, 9, 9))
+    val res = t.expireSnapshots(retainLast = 1)
+    assert(res.expiredSnapshots >= 2)
+    assert(Files.exists(staged),
+      "expiry deleted an uncommitted staged data file")
+    Files.delete(staged)
+    assert(spark.table("graft.default.exp_inflight").count() == 3)
+  }
+
+  test("a foreign file in the snapshot dir does not brick the table") {
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    spark.sql("CREATE TABLE graft.default.exp_bak (k BIGINT)")
+    spark.sql("INSERT INTO graft.default.exp_bak VALUES (1), (2)")
+    val t = catalog.getTable("default.exp_bak")
+    // an operator backup next to a real snapshot must be ignored, not
+    // explode every listing with NumberFormatException
+    val snapDir = t.tableDir.resolve("snapshot")
+    Files.copy(snapDir.resolve("snapshot-1"),
+      snapDir.resolve("snapshot-1.bak"))
+    assert(spark.table("graft.default.exp_bak").count() == 2)
+    spark.sql("INSERT INTO graft.default.exp_bak VALUES (3)")
+    assert(spark.table("graft.default.exp_bak").count() == 3)
+  }
+
   test("upserts after compaction still win by sequence number") {
     spark.sql("INSERT INTO graft.default.cmp VALUES (2,'B2')")
     val got = spark.sql("SELECT k, v FROM graft.default.cmp ORDER BY k")
