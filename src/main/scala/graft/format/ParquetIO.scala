@@ -204,14 +204,39 @@ object ParquetIO {
   def footerFields(hadoopPath: String): Seq[FooterField] =
     footerFieldsAt(new HPath(hadoopPath))
 
+  /** Bounded footer-schema cache. Graft data files are IMMUTABLE once
+    * written (UUID-fresh names per commit; rewrites produce new files),
+    * so (path, length) identifies content; the length rides the same
+    * HadoopInputFile status the open needs anyway. Kills the second
+    * footer fetch per RowReader construction (footerFieldsAt +
+    * parquet-mr's own internal read — several ranged GETs each on the
+    * graftio:// remote path) and amortizes repeat scans of the same
+    * file across queries.
+    */
+  private val footerCache =
+    new java.util.LinkedHashMap[(String, Long), Seq[FooterField]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[FooterField]]): Boolean =
+        size() > 1024
+    }
+
   private def footerFieldsAt(hp: HPath): Seq[FooterField] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(hp, new Configuration())
+    val key = (hp.toString, in.getLength)
+    footerCache.synchronized {
+      val hit = footerCache.get(key)
+      if (hit != null) return hit
+    }
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(f => FooterField(f.getName, Option(f.getId).map(_.intValue()),
-        storedSparkType(f))).toSeq
-    finally r.close()
+    val fields =
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => FooterField(f.getName, Option(f.getId).map(_.intValue()),
+          storedSparkType(f))).toSeq
+      finally r.close()
+    footerCache.synchronized { footerCache.put(key, fields) }
+    fields
   }
 
   /** Inverse of [[toParquetSchema]] for the supported primitive matrix. */
