@@ -70,11 +70,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ----- namespaces ------------------------------------------------------
 
+  // Files.list streams hold a directory descriptor until closed — the
+  // listing verbs here close them explicitly (a long-lived driver
+  // serving many SHOW TABLES/NAMESPACES otherwise leaks one per call)
+  private def listDir[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator().asScala
+    listDir(warehouse)(_
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.endsWith(".db"))
       .map(p => Array(p.getFileName.toString.stripSuffix(".db")))
-      .toArray
+      .toArray)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) listNamespaces()
@@ -103,9 +111,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
     val dir = dbDir(namespace)
-    val hasTables = Files.list(dir).iterator().asScala.nonEmpty
+    val hasTables = listDir(dir)(_.nonEmpty)
     if (hasTables && !cascade)
       throw new IllegalStateException(s"Namespace ${namespace.mkString(".")} is not empty")
+    // route each table through dropTable: tables whose data plane is
+    // remote (io != local) purge their remote prefix there — a plain
+    // local deleteRecursively would leak every remote object and a
+    // later CREATE of the same name would resurrect the dropped data
+    if (cascade) listTables(namespace).foreach(dropTable)
     deleteRecursively(dir)
     true
   }
@@ -114,10 +127,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dbDir(namespace)).iterator().asScala
+    listDir(dbDir(namespace))(_
       .filter(Files.isDirectory(_))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+      .toArray)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -284,6 +297,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames().length == 1,
           "Nested column additions not supported")
         require(add.isNullable, "Added columns must be nullable")
+        // a duplicate name would collapse the field-id map (idMap is
+        // name-keyed) and make every later fieldIndex bind ambiguously
+        require(!fields.fieldNames.contains(add.fieldNames()(0)),
+          s"Column ${add.fieldNames()(0)} already exists")
         fields = StructType(fields.fields :+
           org.apache.spark.sql.types.StructField(
             add.fieldNames()(0), add.dataType(), nullable = true))
@@ -326,9 +343,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         fields = StructType(fields.fields.patch(at,
           Seq(fields.fields(at).copy(dataType = up.newDataType())), 1))
       case set: TableChange.SetProperty =>
+        // structural options are baked into the data layout: changing
+        // `bucket` would split existing keys across merge groups
+        // (overwritten rows resurrect, bucket pruning skips old
+        // files); changing `io` or `primary-key` orphans every
+        // existing snapshot/manifest/data file
+        require(!Set("bucket", "io", "primary-key")
+            .contains(set.property()) ||
+          ts.options.get(set.property()).contains(set.value()),
+          s"Table property '${set.property()}' is structural " +
+            "(baked into the existing data layout) and cannot change")
         if (set.property() == TableCatalog.PROP_COMMENT) comment = Some(set.value())
         else options += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
+        require(!Set("bucket", "io", "primary-key").contains(rm.property())
+            || !ts.options.contains(rm.property()),
+          s"Table property '${rm.property()}' is structural and " +
+            "cannot be removed")
         options -= rm.property()
       case other => throw new UnsupportedOperationException(
         s"Unsupported table change: $other")
@@ -375,7 +406,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      listDir(p)(_.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

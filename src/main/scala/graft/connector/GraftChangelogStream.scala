@@ -66,7 +66,20 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
         val delta = snap.manifests.lastOption.toSeq.flatMap(sm.readManifest)
           .filter(_.isAdd).map(_.file)
         val baseline =
-          if (id == 1) Seq.empty else sm.liveFiles(sm.snapshot(id - 1))
+          if (id == 1) Seq.empty
+          else sm.liveFiles(
+            // same retention guard as the delta read above: the
+            // BASELINE (id - 1) may be the snapshot just past the
+            // retention cutoff, and a raw NoSuchFileException here
+            // would replace the friendly restart instruction
+            try sm.snapshot(id - 1)
+            catch {
+              case _: java.nio.file.NoSuchFileException =>
+                throw new IllegalStateException(s"Snapshot ${id - 1} " +
+                  "(the retraction baseline) was expired from the " +
+                  "table's retention; restart from a retained snapshot " +
+                  "(fromSnapshot option)")
+            })
         delta.groupBy(f => (f.partition, f.bucket)).map {
           case ((part, bucket), deltaFiles) =>
             val base = baseline.filter(f =>
@@ -80,11 +93,21 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // retraction rows (-U/-D) are SYNTHESIZED against pre-commit state
+    // — they have no source data file, so _file is undefined here; the
+    // fallback assembler would otherwise throw a bare
+    // IllegalArgumentException from kvSchema.fieldIndex at reader
+    // creation on the executor
+    require(!required.fieldNames.contains("_file"),
+      "_file is not defined on the retraction changelog stream " +
+        "(synthesized -U/-D rows have no source file); read _file from " +
+        "the batch changelog view instead")
     GraftChangelogReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, required.json, schema.idMap,
       ioSpec = schema.ioSpec,
       sortEngine = schema.options.getOrElse("sort-engine", "min-heap"))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -352,9 +352,34 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
   }
 
   /** Live files at the scan's snapshot, after partition / key-stats /
-    * bucket pruning.
+    * bucket pruning. Memoized per runtime-filter state: Spark calls
+    * estimateStatistics, outputPartitioning, AND planInputPartitions
+    * on the same Scan, and each ride this — uncached, one query paid
+    * the snapshot + full manifest read three times (multiplied on the
+    * manifest counts the 100 TB case carries). Runtime filters
+    * (dynamic partition pruning, row-level _file groups) arrive AFTER
+    * the first call, so the key is that mutable state; a changed key
+    * recomputes. Caching also pins planning to ONE snapshot
+    * resolution per state — re-resolving per call could let a racing
+    * commit desync the partition count outputPartitioning advertised
+    * from the partitions actually planned.
     */
+  @volatile private var filesCache
+      : Option[(Seq[Filter], Option[Set[String]], Seq[DataFileMeta])] = None
+
   private def prunedFiles(): Seq[DataFileMeta] = {
+    val k1 = runtimeFilters.toSeq
+    val k2 = runtimeFiles
+    filesCache match {
+      case Some((f1, f2, files)) if f1 == k1 && f2 == k2 => files
+      case _ =>
+        val files = computePrunedFiles()
+        filesCache = Some((k1, k2, files))
+        files
+    }
+  }
+
+  private def computePrunedFiles(): Seq[DataFileMeta] = {
     val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
     val files = incremental match {
       case Some((from, to)) =>
@@ -697,14 +722,23 @@ final case class GraftReaderFactory(
         trimmedPk.contains(r) || partitionKeys.contains(r)))
       else dataFilters
 
-    // rows tagged with their source file ((file, row) — `_file` metadata)
+    // rows tagged with their source file ((file, row) — `_file`
+    // metadata). Every created file reader registers in `opened` so
+    // PartitionReader.close() can release it on EARLY termination
+    // (limit/take, join short-circuit, task kill) — readers otherwise
+    // only self-release on exhaustion, leaking descriptors + staged
+    // remote temps until GC.
+    val opened = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
     val rows: Iterator[(String, InternalRow)] =
-      if (needMerge) mergeOnRead(part, kvFileSchema, readSchema, safeFilters)
-      else part.filePaths.iterator.flatMap(f =>
-        FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
+      if (needMerge)
+        mergeOnRead(part, kvFileSchema, readSchema, safeFilters, opened)
+      else part.filePaths.iterator.flatMap { f =>
+        val r = FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
           if (isPk) kvFileSchema else dataFields, readSchema, fieldIds,
           safeFilters, io = fio, ioSpec = ioSpec)
-          .map(r => (f, r)))
+        opened += r
+        r.map(rr => (f, rr))
+      }
 
     // output assembly: required order; partition constants spliced in
     val pTypes = partitionKeys.zipWithIndex.map { case (k, i) =>
@@ -741,7 +775,8 @@ final case class GraftReaderFactory(
           true
         } else false
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit =
+        opened.foreach(r => try r.close() catch { case _: Throwable => () })
     }
   }
 
@@ -752,7 +787,8 @@ final case class GraftReaderFactory(
     */
   private def mergeOnRead(part: GraftInputPartition, kvFileSchema: StructType,
       readSchema: StructType,
-      keyFilters: Seq[org.apache.spark.sql.sources.Filter])
+      keyFilters: Seq[org.apache.spark.sql.sources.Filter],
+      opened: scala.collection.mutable.ArrayBuffer[AutoCloseable])
       : Iterator[(String, InternalRow)] = {
     val seqIdx = readSchema.fieldIndex("_SEQUENCE_NUMBER")
     val kindIdx = readSchema.fieldIndex("_VALUE_KIND")
@@ -763,9 +799,10 @@ final case class GraftReaderFactory(
     // row-group + record skipping below the merge preserves every
     // version of a surviving key (see RowReader)
     val sources = part.filePaths.toSeq.map { f =>
-      FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema,
+      val r = FormatIO.reader(FormatIO.ofFile(f), Paths.get(f), kvFileSchema,
         readSchema, fieldIds, keyFilters, io = fio, ioSpec = ioSpec)
-        .map(r => (f, r))
+      opened += r
+      r.map(rr => (f, rr))
     }
     new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx,
       kindIdx, sortEngine)

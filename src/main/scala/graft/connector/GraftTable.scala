@@ -79,7 +79,15 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
           case -1 => None
           case i => Some(Values.parse(pTypes(c), f.partition(i)))
         }
-      filters.forall(flt => Values.evalExact(flt, pTypes.get, value).getOrElse(false))
+      filters.forall {
+        // unconditional DELETE FROM t arrives as [AlwaysTrue]
+        // (references empty → canDeleteWhere accepts it); evalExact has
+        // no case for it, and getOrElse(false) would skip every file —
+        // a DELETE that reports success and deletes nothing
+        case _: org.apache.spark.sql.sources.AlwaysTrue => true
+        case _: org.apache.spark.sql.sources.AlwaysFalse => false
+        case flt => Values.evalExact(flt, pTypes.get, value).getOrElse(false)
+      }
     }
     if (doomed.nonEmpty)
       graft.format.FileStoreCommit.commitFileDeletes(sm, tableSchema.id,

@@ -39,6 +39,12 @@ class GraftWriteBuilder(tableDir: Path, schema: TableSchema, info: LogicalWriteI
       case EqualNullSafe(c, v) if schema.partitionKeys.contains(c) && v != null =>
         val dt = schema.fields(schema.fields.fieldIndex(c)).dataType
         partFilter(c) = Values.encode(dt, Values.toInternal(dt, v))
+      // `p <=> NULL` selects the null partition — writers store null
+      // partition values as NullToken, so it is a perfectly good
+      // static selector (plain EqualTo(p, null) stays unsupported:
+      // SQL equality with NULL matches nothing)
+      case EqualNullSafe(c, null) if schema.partitionKeys.contains(c) =>
+        partFilter(c) = Values.NullToken
       case other => throw new UnsupportedOperationException(
         s"Overwrite supports only partition equality filters, got $other")
     }

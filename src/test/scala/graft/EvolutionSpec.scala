@@ -252,5 +252,36 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DELETE FROM graft.default.del WHERE v = 'a'")
     assert(spark.table("graft.default.del").collect()
       .map(_.getString(1)).toSeq == Seq("c"))
+    // unconditional DELETE arrives as [AlwaysTrue] and must actually
+    // empty the table (it once reported success while deleting nothing)
+    spark.sql("DELETE FROM graft.default.del")
+    assert(spark.table("graft.default.del").count() == 0)
+  }
+
+  test("structural table properties cannot be altered") {
+    spark.sql("CREATE TABLE graft.default.struct_props (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='4')")
+    spark.sql("INSERT INTO graft.default.struct_props VALUES (1, 'a')")
+    // changing bucket would split existing keys across merge groups
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.default.struct_props SET TBLPROPERTIES ('bucket'='8')")
+    }
+    assert(e.getMessage.contains("structural"), e.getMessage)
+    // setting the SAME value is a harmless no-op
+    spark.sql(
+      "ALTER TABLE graft.default.struct_props SET TBLPROPERTIES ('bucket'='4')")
+    // non-structural options remain mutable
+    spark.sql("ALTER TABLE graft.default.struct_props " +
+      "SET TBLPROPERTIES ('compaction.trigger-file-count'='3')")
+    assert(spark.table("graft.default.struct_props").count() == 1)
+  }
+
+  test("ADD COLUMN rejects duplicate names") {
+    spark.sql("CREATE TABLE graft.default.dup_col (k BIGINT, v STRING)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.dup_col ADD COLUMN v STRING")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
   }
 }

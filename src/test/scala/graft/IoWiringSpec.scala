@@ -117,6 +117,22 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.io_drop").count() == 1)
   }
 
+  test("DROP NAMESPACE CASCADE purges remote tables too") {
+    spark.sql("CREATE NAMESPACE graft.nsio")
+    spark.sql("CREATE TABLE graft.nsio.t1 (id BIGINT) " +
+      "TBLPROPERTIES ('io'='memory:iow_ns')")
+    spark.sql("INSERT INTO graft.nsio.t1 VALUES (1), (2)")
+    spark.sql("DROP NAMESPACE graft.nsio CASCADE")
+    // a recreate of the same namespace + table name must start empty:
+    // cascade must have routed through dropTable's remote purge, not
+    // just deleted the local metadata dir
+    spark.sql("CREATE NAMESPACE graft.nsio")
+    spark.sql("CREATE TABLE graft.nsio.t1 (id BIGINT) " +
+      "TBLPROPERTIES ('io'='memory:iow_ns')")
+    assert(spark.table("graft.nsio.t1").count() == 0)
+    spark.sql("DROP NAMESPACE graft.nsio CASCADE")
+  }
+
   test("append scan on memory FileIO keeps the vectorized columnar path") {
     spark.sql("CREATE TABLE graft.default.io_col (id BIGINT, v DOUBLE) " +
       "TBLPROPERTIES ('io'='memory:iow1')")
