@@ -28,9 +28,19 @@ final class Catalog private (val spark: SparkSession, val warehouse: Path,
     spark.sql(s"CREATE NAMESPACE $ifNot$catalogName.$name")
   }
 
+  /** `db.table` split with a clear error — a dot-less identifier used
+    * to surface as an opaque scala.MatchError.
+    */
+  private def splitIdent(identifier: String): (String, String) =
+    identifier.split("\\.", 2) match {
+      case Array(db, tbl) if db.nonEmpty && tbl.nonEmpty => (db, tbl)
+      case _ => throw new IllegalArgumentException(
+        s"Invalid table identifier '$identifier' (expected database.table)")
+    }
+
   def createTable(identifier: String, schema: Schema,
       ignoreIfExists: Boolean = false): Unit = {
-    val Array(db, tbl) = identifier.split("\\.", 2)
+    val (db, tbl) = splitIdent(identifier)
     if (ignoreIfExists && tableExists(identifier)) return
     val fieldsDdl = schema.fields.map(f =>
       s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -42,16 +52,19 @@ final class Catalog private (val spark: SparkSession, val warehouse: Path,
     val tblProps = if (props.nonEmpty)
       " TBLPROPERTIES (" + props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
     else ""
-    spark.sql(s"CREATE TABLE $catalogName.$db.$tbl ($fieldsDdl)$partBy$tblProps")
+    val commentDdl = schema.comment
+      .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
+    spark.sql(
+      s"CREATE TABLE $catalogName.$db.$tbl ($fieldsDdl)$commentDdl$partBy$tblProps")
   }
 
   def tableExists(identifier: String): Boolean = {
-    val Array(db, tbl) = identifier.split("\\.", 2)
+    val (db, tbl) = splitIdent(identifier)
     Files.isDirectory(warehouse.resolve(s"$db.db/$tbl/schema"))
   }
 
   def getTable(identifier: String): GraftTableHandle = {
-    val Array(db, tbl) = identifier.split("\\.", 2)
+    val (db, tbl) = splitIdent(identifier)
     val dir = warehouse.resolve(s"$db.db/$tbl")
     val ts = TableSchema.load(dir).getOrElse(
       throw new IllegalArgumentException(s"Table $identifier doesn't exist"))
@@ -241,7 +254,7 @@ final class ReadBuilder(table: GraftTableHandle, spark: SparkSession,
     case None => table.tableSchema.fields.fields
   })
 
-  def newScan(): TableScan = new TableScan(table)
+  def newScan(): TableScan = new TableScan(table, filter, limitN)
 
   def newRead(): TableRead = new TableRead(this)
 
@@ -260,18 +273,59 @@ final case class Split(rowCount: Long, fileSize: Long, filePaths: Seq[String])
 /** ≙ `TableScan.plan().splits()` — snapshot-consistent enumeration of
   * split metadata (grouped per merge unit for PK tables).
   */
-final class TableScan(table: GraftTableHandle) {
+final class TableScan(table: GraftTableHandle,
+    filter: Option[Predicate] = None, limit: Option[Int] = None) {
+  /** Snapshot-consistent splits, PRUNED by the builder's pushdown like
+    * the reference planner: partition conjuncts evaluate exactly on
+    * partition values, everything else prunes on file zone maps
+    * (PK tables: trimmed-pk bounds only — non-key pruning below the
+    * merge would resurrect overwritten rows), and `with_limit` keeps
+    * whole splits until their rowCount covers n (the reference's
+    * split-granular limit, §2.3).
+    */
   def plan(): Plan = {
+    val ts = table.tableSchema
+    // Spark 4 Columns are ColumnNode trees; the shim walks the exact
+    // unresolved shapes PredicateBuilder constructs into
+    // sources.Filter conjuncts (unknown shapes → nothing: pruning
+    // only over-approximates)
+    val srcFilters = filter.toSeq.flatMap(p =>
+      org.apache.spark.sql.GraftShims.sourceFilters(p.column))
+    val pTypes = ts.partitionKeys
+      .map(k => k -> ts.fields(ts.fields.fieldIndex(k)).dataType).toMap
+    val statCols =
+      if (ts.isPrimaryKeyTable) ts.trimmedPrimaryKeys
+      else ts.fields.fieldNames.toSeq.filterNot(ts.partitionKeys.contains)
+    val keyTypes = statCols
+      .map(k => k -> ts.fields(ts.fields.fieldIndex(k)).dataType).toMap
     val files = new SnapshotManager(table.tableDir,
-      io = graft.format.FileIO.resolve(table.tableSchema.ioSpec)).liveFilesLatest
-    val splits =
-      if (table.tableSchema.isPrimaryKeyTable)
+      io = graft.format.FileIO.resolve(ts.ioSpec)).liveFilesLatest
+      .filter { f =>
+        val pValue: String => Option[Any] = c =>
+          ts.partitionKeys.indexOf(c) match {
+            case -1 => None
+            case i => Some(Values.parse(pTypes(c), f.partition(i)))
+          }
+        srcFilters.forall(flt =>
+          Values.evalExact(flt, pTypes.get, pValue).getOrElse(true)) &&
+          srcFilters.forall(flt =>
+            Values.evalRange(flt, keyTypes.get,
+              c => f.keyStats.get(c)).getOrElse(true))
+      }
+    val all =
+      if (ts.isPrimaryKeyTable)
         files.groupBy(f => (f.partition, f.bucket)).map { case (_, fs) =>
           Split(fs.map(_.rowCount).sum, fs.map(_.fileSize).sum,
             fs.map(f => table.tableDir.resolve(f.fileName).toString))
         }.toSeq
       else files.map(f => Split(f.rowCount, f.fileSize,
         Seq(table.tableDir.resolve(f.fileName).toString)))
+    val splits = limit match {
+      case Some(n) =>
+        var acc = 0L
+        all.takeWhile { s => val need = acc < n; acc += s.rowCount; need }
+      case None => all
+    }
     Plan(splits)
   }
 }
@@ -328,10 +382,20 @@ final class BatchWriteBuilder(table: GraftTableHandle, spark: SparkSession) {
   */
 final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
   private val messages = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
+  private var writeCalls = 0
 
   def write(df: DataFrame): BatchTableWrite = {
     val ts = table.tableSchema
     val hasKind = df.schema.fieldNames.contains(RowKind.ColumnName)
+    if (hasKind) {
+      val kdt = df.schema(RowKind.ColumnName).dataType
+      // the writer reads the kind with getByte — an IntegerType column
+      // (the natural lit(2)) would either ClassCastException or
+      // silently read a low byte depending on the row representation
+      require(kdt == ByteType,
+        s"${RowKind.ColumnName} must be TINYINT (ByteType), got " +
+          s"${kdt.simpleString} — cast the kind column to byte")
+    }
     val dataCols = df.schema.fields.filterNot(_.name == RowKind.ColumnName)
     val expected = ts.fields.fields
     val ok = dataCols.length == expected.length &&
@@ -364,12 +428,27 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     val fids = ts.idMap
     val ioSpec = ts.ioSpec // string travels into the task closure
 
+    // DISJOINT sequence ranges per write() CALL: baseSeq comes from the
+    // latest snapshot, which does not advance until commit — so two
+    // write() calls before one commit would otherwise hand identical
+    // (pid << 32) ranges to both, and a key present in both frames
+    // would tie on sequence number (merge winner = heap order, not
+    // "later write wins"). Folding the call index above the partition
+    // id keeps later calls strictly higher: (call * 2^20 + pid) << 32
+    // supports 1M partitions per call and 1024 calls within long range.
+    val callIdx = writeCalls
+    writeCalls += 1
+    require(callIdx < 1024,
+      "at most 1024 write() calls per BatchTableWrite before commit")
     val collected: Array[Seq[DataFileMeta]] =
       aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+        require(pid < (1 << 20),
+          s"write parallelism $pid exceeds the 2^20 sequence-range slots")
         val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
         val writer = new GraftDataWriter(Paths.get(tableDirStr), fields,
           partitionKeys, trimmedPk, isPk, numBuckets,
-          baseSeq + (pid.toLong << 32), writeSchema, hasRowKindCol = hasKind,
+          baseSeq + ((callIdx.toLong * (1L << 20) + pid) << 32),
+          writeSchema, hasRowKindCol = hasKind,
           fileFormat = fmt, spillRows = spill, fieldIds = fids,
           ioSpec = ioSpec)
         rows.foreach(writer.write)

@@ -31,6 +31,20 @@ object HashKernels {
     */
   def md5Prefix60(s: UTF8String): Long = {
     val d = tl.get().digest(s.getBytes)
+    prefix60(d)
+  }
+
+  /** Same 60-bit hash over a byte-array slice — the binary-payload
+    * callers' entry (frame hashing in [[graft.functions.Multimodal]]);
+    * one definition of the nibble fold for everyone.
+    */
+  def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = tl.get()
+    md.update(bytes, off, len)
+    prefix60(md.digest())
+  }
+
+  private def prefix60(d: Array[Byte]): Long = {
     // nibbles 0..13 = bytes 0..6 whole; nibble 14 = high half of byte 7
     var v = 0L
     var i = 0
@@ -69,6 +83,7 @@ object HashKernels {
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val mins = Array.fill(k)(Long.MaxValue)
     val md = tl.get()
+    var hashed = 0
     var j = 0
     while (j < n) {
       // defensive: the declared input type admits nullable elements
@@ -88,10 +103,16 @@ object HashKernels {
         v += h2
         s += 1
       }
+      hashed += 1
       j += 1
       }
     }
-    new GenericArrayData(mins.map(x => x: Any))
+    // an all-null array hashed nothing: emitting [Long.MaxValue x k]
+    // would make every such document signature-identical (guaranteed
+    // false-positive duplicates in every LSH band) — treat it like the
+    // empty set instead
+    if (hashed == 0) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(mins.map(x => x: Any))
   }
 }
 
@@ -140,6 +161,8 @@ case class Md5Split56(child: Expression)
   */
 case class MinHashSigs(child: Expression, k: Int)
   extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, s"minhash_sigs needs k >= 1, got $k")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 

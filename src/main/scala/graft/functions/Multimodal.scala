@@ -222,21 +222,18 @@ object Multimodal {
     */
   def sampleFrames(blobs: Dataset[MediaBlob], framesPer: Int): Dataset[MediaFrame] =
     blobs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { b =>
         val n = b.bytes.length
         (0 until framesPer).iterator.map { f =>
           val start = if (framesPer == 0 || n == 0) 0 else (n.toLong * f / framesPer).toInt
           val end = if (n == 0) 0 else math.min(n, start + math.max(1, n / math.max(framesPer, 1)))
-          // Frame content hash: first 60 bits of md5 — matches the
-          // engine-portable h60 used by the dedup family, so frame
-          // dedup stays DuckDB-oracle-checkable.
-          md.reset()
-          md.update(b.bytes, start, end - start)
-          val hex = md.digest().take(8)
-            .map(x => "%02x".format(java.lang.Byte.toUnsignedInt(x))).mkString
+          // Frame content hash: first 60 bits of md5 — the SAME
+          // HashKernels fold the dedup family's h60 uses (one
+          // definition to keep bit-identical with the DuckDB oracle;
+          // the previous inline form hex-formatted and re-parsed the
+          // digest per frame).
           MediaFrame(b.docId, f, (end - start).toLong,
-            java.lang.Long.parseLong(hex.substring(0, 15), 16))
+            HashKernels.md5Prefix60(b.bytes, start, end - start))
         }
       }
     }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -16,9 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * HOF lambdas interpret per element and re-materialize slices).
   */
 case class WordShingles(child: Expression, n: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  // analysis-time validation, like the sibling hash expressions — a
+  // wrong-typed column would otherwise ClassCastException mid-job
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -126,7 +130,10 @@ object AsciiWordsUtil {
   * sits under every dedup/text query, so it is the single hottest
   * scalar in the corpus pipeline.
   */
-case class AsciiWords(child: Expression) extends UnaryExpression {
+case class AsciiWords(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -66,8 +66,20 @@ object Sessionize {
                 case Some(o) if t - o.lastMs > gapMs =>
                   out += close(key, o)
                   open = Some(Open(t, t, 1, e.weight))
+                // LATE events (within the watermark, older than the
+                // open session): older than start-gap cannot merge
+                // under the batch gap rule — emit as a singleton
+                // session (best effort: the events that would have
+                // bridged it are already folded into the open
+                // session); within [start-gap, start) merges and
+                // EXTENDS the start, so session_start can never
+                // postdate an included event
+                case Some(o) if o.startMs - t > gapMs =>
+                  out += Session(key, new Timestamp(t), new Timestamp(t),
+                    1, e.weight)
                 case Some(o) =>
-                  open = Some(o.copy(lastMs = math.max(o.lastMs, t),
+                  open = Some(o.copy(startMs = math.min(o.startMs, t),
+                    lastMs = math.max(o.lastMs, t),
                     n = o.n + 1, weight = o.weight + e.weight))
                 case None =>
                   open = Some(Open(t, t, 1, e.weight))

@@ -105,6 +105,65 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splits.forall(_.filePaths.forall(_.endsWith(".parquet"))))
   }
 
+  test("newScan prunes splits by the builder's filter and limit") {
+    import spark.implicits._
+    catalog.createTable("default.scan_prune", Schema(
+      StructType(Seq(StructField("pt", IntegerType),
+        StructField("v", StringType))),
+      partitionKeys = Seq("pt")))
+    val t = catalog.getTable("default.scan_prune")
+    val wb = t.newBatchWriteBuilder()
+    val w = wb.newWrite()
+    w.write(Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("pt", "v"))
+    wb.newCommit().commit(w.prepareCommit())
+
+    val all = t.newReadBuilder().newScan().plan().splits
+    assert(all.map(_.rowCount).sum == 4)
+    // partition filter reaches split planning (≙ the reference's
+    // predicate-pruned TableScan.plan())
+    val rb = t.newReadBuilder()
+    val pruned = rb.withFilter(rb.newPredicateBuilder().equal("pt", 2))
+      .newScan().plan().splits
+    assert(pruned.map(_.rowCount).sum == 1, pruned)
+    // split-granular limit: whole splits kept until rowCount covers n
+    val limited = t.newReadBuilder().withLimit(1).newScan().plan().splits
+    assert(limited.nonEmpty && limited.map(_.rowCount).sum < 4)
+  }
+
+  test("two write() calls before one commit: later write wins the merge") {
+    import spark.implicits._
+    catalog.createTable("default.pk_two_writes", Schema(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> "1")))
+    val t = catalog.getTable("default.pk_two_writes")
+    val wb = t.newBatchWriteBuilder()
+    val w = wb.newWrite()
+    // the same key in both frames — sequence ranges per write() call
+    // must be DISJOINT and increasing, or the winner is heap order
+    w.write(Seq((1L, "first"), (2L, "x")).toDF("k", "v"))
+    w.write(Seq((1L, "second")).toDF("k", "v"))
+    wb.newCommit().commit(w.prepareCommit())
+    val got = t.newReadBuilder().newRead().toDF().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "second"), (2L, "x")), got.toSeq)
+  }
+
+  test("non-byte _row_kind column is rejected, not silently misread") {
+    import spark.implicits._
+    val t = catalog.getTable("default.pk_two_writes")
+    val w = t.newBatchWriteBuilder().newWrite()
+    val e = intercept[IllegalArgumentException] {
+      w.write(Seq((3L, "y")).toDF("k", "v")
+        .withColumn(RowKind.ColumnName, lit(2))) // IntegerType
+    }
+    assert(e.getMessage.contains("TINYINT"), e.getMessage)
+  }
+
+  test("dot-less identifiers fail clearly, not with MatchError") {
+    val e = intercept[IllegalArgumentException](catalog.getTable("nodot"))
+    assert(e.getMessage.contains("Invalid table identifier"), e.getMessage)
+  }
+
   test("PK table: insert then RowKind delete reads back empty") {
     import spark.implicits._
     catalog.createTable("default.pk_del", Schema(

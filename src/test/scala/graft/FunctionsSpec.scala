@@ -117,13 +117,19 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach { case (id, sigs) =>
       assert(sigs == ref(id), s"doc $id: $sigs vs ${ref(id)}")
     }
-    // empty set -> empty signature; null propagates
+    // empty set -> empty signature; null propagates; an ALL-NULL
+    // element array also yields empty (a [MaxValue x K] signature
+    // would make every such doc LSH-identical)
     val edge = Seq((1L, Some(Seq.empty[String])), (2L, None))
       .toDF("doc_id", "sh")
       .select(graft.functions.HashFunctions.minhash_sigs(col("sh"), K))
       .collect()
     assert(edge(0).getSeq[Long](0).isEmpty)
     assert(edge(1).isNullAt(0))
+    val allNull = spark.sql("SELECT array(CAST(NULL AS STRING)) AS sh")
+      .select(graft.functions.HashFunctions.minhash_sigs(col("sh"), K))
+      .collect()
+    assert(allNull(0).getSeq[Long](0).isEmpty)
   }
 
   test("cross-source pair expansion ≡ all unordered pairs of the sorted set") {

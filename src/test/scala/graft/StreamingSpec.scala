@@ -103,6 +103,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       got(0).getTimestamp(2).toString.startsWith("2024-01-01 00:03"))
   }
 
+  test("sessionization: late in-gap events extend session_start backward") {
+    spark.sql("CREATE TABLE graft.default.s_sess_late " +
+      "(ts TIMESTAMP, user_id BIGINT, v BIGINT)")
+    // batch 1 opens a session at 00:10
+    spark.sql("INSERT INTO graft.default.s_sess_late VALUES " +
+      "(TIMESTAMP'2024-01-01 00:10:00', 1, 10)")
+    val ckpt = Files.createTempDirectory("graft-sess-late-ckpt")
+    val sink = Files.createTempDirectory("graft-sess-late-sink")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def run(): Unit = {
+      val in = spark.readStream.table("graft.default.s_sess_late")
+        .withWatermark("ts", "2 hours") // late events stay in scope
+        .select(col("user_id"), col("ts"), col("v").as("weight"))
+        .as[graft.streaming.Sessionize.Ev]
+      val q = graft.streaming.Sessionize.sessions(in, gapSeconds = 600)
+        .writeStream.format("parquet").option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    // batch 2: a LATE event at 00:05 (within gap of the open session's
+    // 00:10 start) must merge AND pull session_start back — the batch
+    // gap rule would put both in one session starting 00:05
+    spark.sql("INSERT INTO graft.default.s_sess_late VALUES " +
+      "(TIMESTAMP'2024-01-01 00:05:00', 1, 3)")
+    run()
+    // batch 3: an event far later closes the session
+    spark.sql("INSERT INTO graft.default.s_sess_late VALUES " +
+      "(TIMESTAMP'2024-01-01 03:00:00', 1, 1)")
+    run()
+    val got = spark.read.parquet(sink.toString)
+      .orderBy("session_start").collect()
+    assert(got.nonEmpty, "no session closed")
+    val first = got(0)
+    assert(first.getTimestamp(1).toString.startsWith("2024-01-01 00:05"),
+      s"late in-gap event must extend the start: $first")
+    assert(first.getLong(3) == 2 && first.getLong(4) == 13, first.toString)
+  }
+
   test("QuotaCap carries the budget across commits and admits a prefix") {
     spark.sql("CREATE TABLE graft.default.s_quota (k STRING, id BIGINT, w BIGINT)")
     spark.sql("INSERT INTO graft.default.s_quota VALUES " +
