@@ -339,10 +339,11 @@ object Curation {
     // exact-integer-derived doubles, so DuckDB replays it.
     QueryDef("t_lm2_score",
       (s, dir) => {
-        val bg = tBalanced(s, dir, "documents")
+        val base = tBalanced(s, dir, "documents")
+        val bg = base
           .select(col("doc_id"), col("source"), explode(
             graft.functions.TextFunctions.word_shingles(tokens, 2)).as("bg"))
-        val uni = tBalanced(s, dir, "documents")
+        val uni = base
           .select(explode(tokens).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c1"))
           .withColumn("n_total", sum("c1").over(Window.partitionBy()))

@@ -62,6 +62,28 @@ object Similarity {
         vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
   }
 
+  /** Probe/corpus frames for the exact brute-force baselines — ONE
+    * definition of the rename + norm-precompute convention (probes =
+    * the nProbes lowest vec_ids as (query_id, qv, qn), corpus = every
+    * vector as (cand_id, cv, cn), optional extra columns aliased
+    * along), shared by s_cosine_topk / s_hard_negatives /
+    * s_ivf_recall so the baseline and its variants cannot drift.
+    */
+  private def probeCorpus(emb: org.apache.spark.sql.DataFrame, nProbes: Int,
+      probeExtra: Seq[(String, String)] = Seq.empty,
+      corpusExtra: Seq[(String, String)] = Seq.empty)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(Seq(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        vec_norm(col("embedding")).as("qn")) ++
+        probeExtra.map { case (c, a) => col(c).as(a) }: _*)
+    val corpus = emb
+      .select(Seq(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        vec_norm(col("embedding")).as("cn")) ++
+        corpusExtra.map { case (c, a) => col(c).as(a) }: _*)
+    (probes, corpus)
+  }
+
   /** Distributed top-k per probe over a `(query_id, cand_id, cos)`
     * frame: local top-k inside salted sub-partitions, then global
     * top-k over the k·salts survivors. A bare
@@ -719,13 +741,7 @@ object Similarity {
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
     QueryDef("s_cosine_topk",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val probes = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            vec_norm(col("embedding")).as("qn"))
-        val corpus = emb
-          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-            vec_norm(col("embedding")).as("cn"))
+        val (probes, corpus) = probeCorpus(t(s, dir, "embeddings"), 5)
         val scored = bruteForceCosine(corpus, probes)
         topKByCos(scored, 5)
           .select(col("query_id"), col("rank"), col("cand_id"))
@@ -756,13 +772,9 @@ object Similarity {
     // the IVF candidate join unchanged.
     QueryDef("s_hard_negatives",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val probes = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            vec_norm(col("embedding")).as("qn"), col("label").as("qlabel"))
-        val corpus = emb
-          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-            vec_norm(col("embedding")).as("cn"), col("label"))
+        val (probes, corpus) = probeCorpus(t(s, dir, "embeddings"), 5,
+          probeExtra = Seq("label" -> "qlabel"),
+          corpusExtra = Seq("label" -> "label"))
         val scored = bruteForceCosine(corpus, probes)
           .filter(col("label") =!= col("qlabel"))
         topKByCos(scored, 5)
@@ -1092,13 +1104,7 @@ object Similarity {
     // oracle compares engine-portable ints.
     QueryDef("s_ivf_recall",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val probes = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            vec_norm(col("embedding")).as("qn"))
-        val corpus = emb
-          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-            vec_norm(col("embedding")).as("cn"))
+        val (probes, corpus) = probeCorpus(t(s, dir, "embeddings"), 10)
         val exact = topKByCos(bruteForceCosine(corpus, probes), 5)
           .select("query_id", "cand_id")
         val ivf = ivfSearchTopK(s, dir).select("query_id", "cand_id")

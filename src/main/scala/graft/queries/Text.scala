@@ -84,8 +84,12 @@ object Text {
             max("n_tokens").as("max_shard_tokens"))
           .select(col("n_shards"), col("n_docs"), col("n_tokens"),
             col("min_shard_tokens"), col("max_shard_tokens"),
-            (col("max_shard_tokens").cast("double")
-              / col("min_shard_tokens")).as("imbalance"))
+            // explicit NULL when a shard holds zero tokens: Spark's
+            // non-ANSI divide returns NULL for x/0 but DuckDB returns
+            // +Inf (IEEE ops default) — guard both sides identically
+            when(col("min_shard_tokens") > 0,
+              col("max_shard_tokens").cast("double")
+                / col("min_shard_tokens")).as("imbalance"))
       },
       Some(s"""WITH sh AS (
           SELECT ${sqlH60s("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
@@ -99,7 +103,9 @@ object Text {
           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
           CAST(MIN(n_tokens) AS BIGINT) AS min_shard_tokens,
           CAST(MAX(n_tokens) AS BIGINT) AS max_shard_tokens,
-          CAST(MAX(n_tokens) AS DOUBLE) / MIN(n_tokens) AS imbalance
+          CASE WHEN MIN(n_tokens) > 0
+               THEN CAST(MAX(n_tokens) AS DOUBLE) / MIN(n_tokens)
+               ELSE NULL END AS imbalance
         FROM per""")),
 
     QueryDef("t_token_count",

@@ -43,6 +43,21 @@ class CurationSpec extends AnyFunSuite {
     assert(rows("srcA") >= 0.0)
   }
 
+  test("t_lm2_score: a source of unseen-bigram text scores higher NLL " +
+      "than a repetitive-bigram source") {
+    // srcA repeats ONE bigram ('the cat') — high bigram probability;
+    // srcB chains bigrams that each occur once — low probability mass
+    val common = (1L to 20L).map(i => (i, "srcA", "the cat the cat the cat"))
+    val rare = Seq((100L, "srcB", "zyzzyva quux corge grault garply"))
+    val dir = plantDocs(common ++ rare)
+    val rows = SparkEntry.queries("t_lm2_score")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("avg_nll_micronats"))
+      .toMap
+    assert(rows("srcB") > rows("srcA"),
+      s"unseen-bigram source must score higher: $rows")
+    assert(rows("srcA") >= 0.0)
+  }
+
   test("d_source_mix: temperature mixing upweights the tail source " +
       "relative to its token share, weights sum to ~1") {
     val big = (1L to 50L).map(i => (i, "big", "a b c d e f g h"))
