@@ -19,9 +19,19 @@ object Bench {
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros().toPlainString()
     val total = results.map(_._2).sum
+    // minimal JSON string escaping for the non-numeric fallback — a
+    // quote/backslash in the env-provided dir would otherwise break
+    // the line the driver parses
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val sf = sfDir.split("/").last.stripPrefix("sf") match {
       case s if s.nonEmpty && s.forall(c => c.isDigit || c == '.') => s
-      case _ => "\"" + sfDir + "\""
+      case _ => jstr(sfDir)
     }
     // 2000-char driver tail − newline = 1999; leave margin for the
     // fixed fields and the trailing "other" entry.
@@ -161,9 +171,18 @@ object Bench {
           else 0L
         } catch { case _: Throwable => 0L }
       if (usable > (8L << 30)) {
-        val d = java.nio.file.Files.createTempDirectory(shm, "graft-bench-")
+        // Build the scratch dir WITHOUT Files.createTempDirectory:
+        // both its overloads run through java.nio.file.TempFileHelper,
+        // whose class init captures java.io.tmpdir into a static final
+        // — calling it before the setProperty below would permanently
+        // pin every later prefix-only createTempDirectory (connector
+        // warehouses, stream checkpoints, warm dirs) to the ORIGINAL
+        // /tmp, silently defeating this whole block.
+        val d = shm.resolve(
+          s"graft-bench-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        java.nio.file.Files.createDirectories(d)
         // temp stream checkpoints + connector temp warehouses resolve
-        // through java.io.tmpdir; set it before any Spark code caches it
+        // through java.io.tmpdir; set it before any code caches it
         System.setProperty("java.io.tmpdir", d.toString)
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           graft.util.Fs.deleteRecursively(d)))
@@ -304,6 +323,10 @@ object Bench {
       // the timed queries
       if (!q.awaitTermination(30000)) q.stop()
       spark.sql("DROP TABLE IF EXISTS bench_stream_warmup")
+      // the warmup's own state-store providers must not ride into the
+      // first timed family as ballast (the family boundary unloads
+      // BEFORE its leak check, so this would also never be reported)
+      unloadStateStores()
     } catch { case _: Throwable => () }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -321,7 +344,15 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       isolate(familyOf(name))
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          // a throwing query must be LOUD: silently recording its
+          // partial elapsed time would read as a speedup in the JSON
+          System.err.println(
+            s"[bench] ERROR: $name threw ${t.getClass.getSimpleName}: " +
+              s"${String.valueOf(t.getMessage).linesIterator.next()}")
+          -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       cleanupAfter(spark, name)
       name -> dt

@@ -11,12 +11,19 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val allDefs: Seq[QueryDef] =
-    Relational.defs ++ Relational2.defs ++ Relational3.defs ++
-      Relational4.defs ++ Predicates.defs ++
-      MergeOnRead.defs ++ Text.defs ++ Curation.defs ++
-      Dedup.defs ++ Similarity.defs ++ Sketches.defs ++
-      MultimodalQ.defs ++ Pipeline.defs ++ ConnectorQ.defs
+  private val allDefs: Seq[QueryDef] = {
+    val defs =
+      Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+        Relational4.defs ++ Predicates.defs ++
+        MergeOnRead.defs ++ Text.defs ++ Curation.defs ++
+        Dedup.defs ++ Similarity.defs ++ Sketches.defs ++
+        MultimodalQ.defs ++ Pipeline.defs ++ ConnectorQ.defs
+    // a name collision across registries would silently shadow one
+    // query out of BOTH the bench and the correctness gate via toMap
+    val dup = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

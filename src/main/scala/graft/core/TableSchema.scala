@@ -78,6 +78,15 @@ final case class TableSchema(
     if (primaryKeys.nonEmpty && trimmedPrimaryKeys.isEmpty)
       throw new IllegalArgumentException(
         "Primary key constraint should not be same with partition fields")
+    // the bucket option must PARSE for every table kind — a bare
+    // .toInt in numBuckets would otherwise accept 'bucket'='abc' on an
+    // append table at CREATE and explode with a context-free
+    // NumberFormatException on the first INSERT
+    options.get("bucket").foreach { b =>
+      if (b.trim.toIntOption.isEmpty)
+        throw new IllegalArgumentException(
+          s"Invalid bucket value: '$b' (expected an int >= 1)")
+    }
     if (isPrimaryKeyTable && numBuckets < 1)
       throw new IllegalArgumentException(
         "Doesn't support writing dynamic bucket or cross partition table. " +
@@ -146,10 +155,18 @@ object TableSchema {
   def load(tableDir: Path): Option[TableSchema] = {
     val dir = tableDir.resolve("schema")
     if (!Files.isDirectory(dir)) return None
-    val latest = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("schema-"))
-      .map(p => p.getFileName.toString.stripPrefix("schema-").toLong -> p)
-      .toSeq.sortBy(_._1).lastOption
+    // close the listing stream (one leaked directory fd per call on a
+    // hot path otherwise — load runs on every table open); tolerate
+    // foreign files (schema-5.bak) via toLongOption like the snapshot
+    // listing does
+    val s = Files.list(dir)
+    val latest =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("schema-"))
+        .flatMap(p => p.getFileName.toString.stripPrefix("schema-")
+          .toLongOption.map(_ -> p))
+        .toSeq.sortBy(_._1).lastOption
+      finally s.close()
     latest.map { case (_, p) => fromJson(Files.readString(p)) }
   }
 
@@ -157,8 +174,15 @@ object TableSchema {
     val dir = tableDir.resolve("schema")
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, ".schema", ".tmp")
-    Files.writeString(tmp, schema.toJson)
-    Files.move(tmp, dir.resolve(s"schema-${schema.id}"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.writeString(tmp, schema.toJson)
+      Files.move(tmp, dir.resolve(s"schema-${schema.id}"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case t: Throwable =>
+      // a failed write/move (disk full, interrupt) must not strand
+      // .schema*.tmp files in the schema dir forever
+      try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+      throw t
+    }
   }
 }
