@@ -320,11 +320,16 @@ final class TableScan(table: GraftTableHandle,
         }.toSeq
       else files.map(f => Split(f.rowCount, f.fileSize,
         Seq(table.tableDir.resolve(f.fileName).toString)))
+    // Split-granular limit pruning is sound only where raw file row
+    // counts equal emitted rows (append tables). A PK merge group can
+    // collapse under last-write-wins (updates/deletes), so counting its
+    // pre-merge rowCount against the budget would under-deliver live
+    // rows — mirror the reference's append-only limit pushdown.
     val splits = limit match {
-      case Some(n) =>
+      case Some(n) if !ts.isPrimaryKeyTable =>
         var acc = 0L
         all.takeWhile { s => val need = acc < n; acc += s.rowCount; need }
-      case None => all
+      case _ => all
     }
     Plan(splits)
   }
@@ -382,7 +387,14 @@ final class BatchWriteBuilder(table: GraftTableHandle, spark: SparkSession) {
   */
 final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
   private val messages = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
-  private var writeCalls = 0
+  // Base for the NEXT write() call's sequence range. Seeded from the
+  // latest snapshot on the first call, then advanced to the actual max
+  // sequence written by the previous call (+1), so per-commit sequence
+  // growth stays proportional to what was written instead of a fixed
+  // 2^52-per-call stride (which exhausted the signed-Long space after
+  // ~2048 multi-call commits and made strict-sequence mode see one
+  // task's calls as unrelated ranges).
+  private var nextSeqBase: Option[Long] = None
 
   def write(df: DataFrame): BatchTableWrite = {
     val ts = table.tableSchema
@@ -420,9 +432,10 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     val trimmedPk = ts.trimmedPrimaryKeys
     val isPk = ts.isPrimaryKeyTable
     val numBuckets = ts.numBuckets
-    val baseSeq = new SnapshotManager(table.tableDir,
-      io = graft.format.FileIO.resolve(ts.ioSpec)).latestSnapshot
-      .map(_.lastSequenceNumber + 1).getOrElse(1L)
+    val baseSeq = nextSeqBase.getOrElse(
+      new SnapshotManager(table.tableDir,
+        io = graft.format.FileIO.resolve(ts.ioSpec)).latestSnapshot
+        .map(_.lastSequenceNumber + 1).getOrElse(1L))
     val fmt = ts.options.getOrElse("file.format", "parquet")
     val spill = GraftDataWriter.spillRows(ts.options)
     val fids = ts.idMap
@@ -433,13 +446,9 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     // write() calls before one commit would otherwise hand identical
     // (pid << 32) ranges to both, and a key present in both frames
     // would tie on sequence number (merge winner = heap order, not
-    // "later write wins"). Folding the call index above the partition
-    // id keeps later calls strictly higher: (call * 2^20 + pid) << 32
-    // supports 1M partitions per call and 1024 calls within long range.
-    val callIdx = writeCalls
-    writeCalls += 1
-    require(callIdx < 1024,
-      "at most 1024 write() calls per BatchTableWrite before commit")
+    // "later write wins"). Each call starts just above the previous
+    // call's actual max written sequence (nextSeqBase), so later calls
+    // are strictly higher without a per-call 2^52 stride.
     val collected: Array[Seq[DataFileMeta]] =
       aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         require(pid < (1 << 20),
@@ -447,7 +456,7 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
         val fields = DataType.fromJson(fieldsJson).asInstanceOf[StructType]
         val writer = new GraftDataWriter(Paths.get(tableDirStr), fields,
           partitionKeys, trimmedPk, isPk, numBuckets,
-          baseSeq + ((callIdx.toLong * (1L << 20) + pid) << 32),
+          baseSeq + (pid.toLong << 32),
           writeSchema, hasRowKindCol = hasKind,
           fileFormat = fmt, spillRows = spill, fieldIds = fids,
           ioSpec = ioSpec)
@@ -455,7 +464,10 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
         Iterator.single(
           writer.commit().asInstanceOf[GraftCommitMessage].files)
       }.collect()
-    messages ++= collected.toSeq.flatten
+    val written = collected.toSeq.flatten
+    nextSeqBase = Some(
+      ((written.map(_.maxSeq) :+ (baseSeq - 1)).max) + 1)
+    messages ++= written
     this
   }
 

@@ -49,7 +49,9 @@ final case class TableSchema(
   /** Column name → field id, for the IO layer. */
   def idMap: Map[String, Int] = fields.fieldNames.zip(ids).toMap
 
-  def numBuckets: Int = options.getOrElse("bucket", "-1").toInt
+  // .trim matches the CREATE-time validation below, so any value that
+  // passes validate() also parses here (e.g. 'bucket'=' 4 ')
+  def numBuckets: Int = options.getOrElse("bucket", "-1").trim.toInt
 
   /** Storage backend spec for the table's DATA PLANE (snapshots,
     * manifests, data files) — see [[graft.format.FileIO.resolve]].

@@ -399,4 +399,66 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       Schema.fromTypeNames(Seq("x" -> "decimal128(10,2)")))
     assert(bad.getMessage.contains("Found unsupported data type"), bad.getMessage)
   }
+
+  test("multi-call commits advance sequences by rows written, not 2^52 strides") {
+    import spark.implicits._
+    catalog.createTable("default.pk_seq_growth", Schema(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> "1")))
+    val t = catalog.getTable("default.pk_seq_growth")
+    // two commits of three write() calls each — the old per-call
+    // callIdx*2^52 stride would leave lastSequenceNumber ≈ 4*2^52 here
+    // and overflow Long after ~2048 such commits
+    (1 to 2).foreach { round =>
+      val wb = t.newBatchWriteBuilder()
+      val w = wb.newWrite()
+      w.write(Seq((1L, s"a$round"), (2L, s"b$round")).toDF("k", "v").coalesce(1))
+      w.write(Seq((1L, s"c$round")).toDF("k", "v").coalesce(1))
+      w.write(Seq((3L, s"d$round")).toDF("k", "v").coalesce(1))
+      wb.newCommit().commit(w.prepareCommit())
+    }
+    val sm = new graft.format.SnapshotManager(t.tableDir,
+      io = graft.format.FileIO.resolve(t.tableSchema.ioSpec))
+    val lastSeq = sm.latestSnapshot.get.lastSequenceNumber
+    assert(lastSeq < 1000L, s"sequence space leaked: $lastSeq")
+    // and later calls still strictly win the LWW merge
+    val got = t.newReadBuilder().newRead().toDF().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "c2"), (2L, "b2"), (3L, "d2")), got.toSeq)
+  }
+
+  test("PK tables skip split-granular limit pruning (merge may collapse rows)") {
+    import spark.implicits._
+    catalog.createTable("default.pk_limit", Schema(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> "2")))
+    val t = catalog.getTable("default.pk_limit")
+    // two commits of the SAME keys: raw rows = 8, live rows = 4
+    (1 to 2).foreach { round =>
+      val wb = t.newBatchWriteBuilder()
+      val w = wb.newWrite()
+      w.write((1L to 4L).map(k => (k, s"v$round")).toDF("k", "v"))
+      wb.newCommit().commit(w.prepareCommit())
+    }
+    val raw = t.newReadBuilder().newScan().plan().splits.map(_.rowCount).sum
+    // withLimit must NOT drop merge groups based on pre-merge counts —
+    // a pruned plan could under-deliver live rows
+    val limited = t.newReadBuilder().withLimit(3).newScan().plan().splits
+    assert(limited.map(_.rowCount).sum == raw,
+      s"PK plan pruned by raw counts: ${limited.map(_.rowCount).sum} vs $raw")
+  }
+
+  test("bucket option tolerates surrounding whitespace end-to-end") {
+    import spark.implicits._
+    catalog.createTable("default.pk_ws_bucket", Schema(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> " 4 ")))
+    val t = catalog.getTable("default.pk_ws_bucket")
+    assert(t.tableSchema.numBuckets == 4)
+    val wb = t.newBatchWriteBuilder()
+    val w = wb.newWrite()
+    w.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    wb.newCommit().commit(w.prepareCommit())
+    assert(t.newReadBuilder().newRead().toDF().count() == 2)
+  }
 }
