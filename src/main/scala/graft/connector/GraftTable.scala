@@ -23,15 +23,23 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** Copy-on-write DELETE/UPDATE/MERGE (non-partition predicates fall
+  /** Row-level DELETE/UPDATE/MERGE (non-partition predicates fall
     * through here when [[canDeleteWhere]] declines the metadata path).
+    * PK tables whose primary key covers the partition key go through
+    * merge-on-read RowKind appends ([[GraftMergeOnReadOperation]] — a
+    * 1-row UPDATE commits O(1) rows); append tables, and the exotic
+    * PK-with-partition-outside-key shape (whose partition columns stay
+    * nullable and so can't serve as a Spark row id), keep copy-on-write.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(!changelogView && pinnedSnapshot.isEmpty,
       "Row-level operations require the current table state")
-    () => new GraftRowLevelOperation(tableDir, tableSchema, info)
+    val mergeOnRead = tableSchema.isPrimaryKeyTable &&
+      tableSchema.partitionKeys.forall(tableSchema.primaryKeys.contains)
+    if (mergeOnRead) () => new GraftMergeOnReadOperation(tableDir, tableSchema, info)
+    else () => new GraftRowLevelOperation(tableDir, tableSchema, info)
   }
 
   /** System columns (≙ Paimon's metadata columns; the RowKind/sequence
@@ -97,12 +105,12 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
   override def name(): String = ident.toString
 
   override def schema(): StructType =
-    if (changelogView) StructType(tableSchema.fields.fields ++ Seq(
+    if (changelogView) StructType(GraftTable.readFields(tableSchema).fields ++ Seq(
       org.apache.spark.sql.types.StructField("_row_kind",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("_sequence_number",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    else tableSchema.fields
+    else GraftTable.readFields(tableSchema)
 
   override def partitioning(): Array[Transform] =
     tableSchema.partitionKeys.map(Expressions.identity).toArray
@@ -136,4 +144,16 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
     require(!changelogView, "Cannot write to a $changelog view")
     new GraftWriteBuilder(tableDir, tableSchema, info)
   }
+}
+
+object GraftTable {
+  /** Table fields as the connector reports them: primary-key columns
+    * are non-nullable on PK tables — the reference's own constraint
+    * (Paimon primary keys are NOT NULL; the writer enforces it), and
+    * what lets Spark's delta rewrite use the key as the row id.
+    */
+  def readFields(ts: TableSchema): StructType =
+    if (!ts.isPrimaryKeyTable) ts.fields
+    else StructType(ts.fields.fields.map(f =>
+      if (ts.primaryKeys.contains(f.name)) f.copy(nullable = false) else f))
 }

@@ -285,6 +285,11 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
     seq += 1
     val bucket =
       if (isPk) {
+        keyIdxInData.foreach { i =>
+          if (stored.isNullAt(i + 2)) throw new IllegalArgumentException(
+            s"Primary key column '${dataFields(i).name}' must not be null " +
+              "(primary keys are NOT NULL on primary-key tables)")
+        }
         val keyStrs = keyIdxInData.zip(keyTypes).map { case (i, dt) =>
           Values.encodeField(stored, i + 2, dt)
         }

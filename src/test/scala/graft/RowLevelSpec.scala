@@ -5,8 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import java.nio.file.Files
 
-/** Copy-on-write row-level DML through SQL: DELETE with non-partition
-  * predicates, UPDATE, MERGE INTO — on append and PK tables.
+/** Row-level DML through SQL: DELETE with non-partition predicates,
+  * UPDATE, MERGE INTO. Append tables use copy-on-write (affected files
+  * recomputed); PK tables use merge-on-read RowKind appends — a 1-row
+  * UPDATE commits O(1) rows, asserted below.
   */
 class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -56,7 +58,7 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 11L))
   }
 
-  test("UPDATE on PK table rewrites the bucket and wins the merge") {
+  test("UPDATE on PK table wins the merge (merge-on-read RowKind appends)") {
     spark.sql("CREATE TABLE graft.default.rl_pk (k BIGINT, v STRING, x DOUBLE) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='2')")
     spark.sql("INSERT INTO graft.default.rl_pk VALUES (1,'a',1.0), (2,'b',2.0), (3,'c',3.0)")
@@ -82,6 +84,67 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = spark.sql("SELECT k, v FROM graft.default.rl_pk ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == Seq((1L, "merged"), (2L, "B2"), (4L, "new")))
+  }
+
+  test("PK table: 1-row UPDATE commits O(1) rows, not a bucket rewrite") {
+    spark.sql("CREATE TABLE graft.default.rl_mor (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'compaction.trigger-file-count'='100')")
+    spark.sql("INSERT INTO graft.default.rl_mor " +
+      "SELECT id, concat('v', id) FROM range(0, 10000)")
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/rl_mor"))
+    val before = sm.liveFilesLatest
+    spark.sql("UPDATE graft.default.rl_mor SET v = 'updated' WHERE k = 42")
+    val after = sm.liveFilesLatest
+    // merge-on-read: the 10k-row base files survive untouched...
+    assert(before.map(_.fileName).toSet.subsetOf(after.map(_.fileName).toSet),
+      "base files were rewritten — copy-on-write leaked back in")
+    // ...and the delta is exactly one -D + one +I row
+    val delta = after.filterNot(f => before.exists(_.fileName == f.fileName))
+    assert(delta.map(_.rowCount).sum == 2,
+      s"expected 2 delta rows, got ${delta.map(_.rowCount).sum}")
+    assert(spark.sql("SELECT v FROM graft.default.rl_mor WHERE k = 42")
+      .collect()(0).getString(0) == "updated")
+    assert(spark.sql("SELECT count(*) FROM graft.default.rl_mor")
+      .collect()(0).getLong(0) == 10000L)
+  }
+
+  test("PK table: DELETE appends -D rows; key-chain UPDATE keeps after-state") {
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/rl_mor"))
+    val before = sm.liveFilesLatest.map(_.fileName).toSet
+    spark.sql("DELETE FROM graft.default.rl_mor WHERE k >= 9000")
+    assert(before.subsetOf(sm.liveFilesLatest.map(_.fileName).toSet))
+    assert(spark.sql("SELECT count(*) FROM graft.default.rl_mor")
+      .collect()(0).getLong(0) == 9000L)
+    // key-changing update: delete(old key) + insert(new key); a key
+    // deleted by one row's update and re-inserted by another's must
+    // resolve to the after-state (inserts outrank deletes in-sequence)
+    spark.sql("UPDATE graft.default.rl_mor SET k = k + 1 WHERE k < 10")
+    val low = spark.sql(
+      "SELECT k, v FROM graft.default.rl_mor WHERE k <= 11 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // keys 0..9 became 1..10; at key 10 the inserted row ("v9")
+    // outranks the untouched original ("v10") — the update's
+    // after-state wins, like an upsert; key 11 stays the original
+    assert(low.map(_._1).toSeq == (1L to 11L),
+      s"after-state wrong: ${low.toSeq}")
+    assert(low.take(10).map(_._2).toSeq ==
+      (0 until 10).map(i => s"v$i"), low.toSeq)
+    assert(low(10) == (11L, "v11"), low.toSeq)
+  }
+
+  test("PK table: null primary key is rejected loudly at write") {
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.default.rl_mor " +
+        "SELECT CAST(NULL AS BIGINT), 'x'")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).toSeq
+    assert(chain(e).exists(m => m.contains("NULL") || m.contains("null")),
+      chain(e).mkString("\n"))
   }
 
   test("partitioned table: partition DELETE stays metadata-only, row DELETE rewrites") {

@@ -295,7 +295,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
     spark.sql("INSERT INTO graft.default.s_ret VALUES (1,'a'), (2,'b')")
     spark.sql("INSERT INTO graft.default.s_ret VALUES (1,'A'), (3,'c')")
-    spark.sql("DELETE FROM graft.default.s_ret WHERE k = 2") // OVERWRITE: skipped
+    // merge-on-read DML: the DELETE appends a -D row in an ordinary
+    // APPEND snapshot, so the retraction stream surfaces it (the old
+    // copy-on-write path published an OVERWRITE snapshot the changelog
+    // had to skip — deletes were invisible to streams)
+    spark.sql("DELETE FROM graft.default.s_ret WHERE k = 2")
     spark.sql("INSERT INTO graft.default.s_ret VALUES (3,'C')")
 
     val q = spark.readStream
@@ -309,10 +313,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT k, v, _row_kind FROM s_ret_sink ORDER BY _sequence_number, _row_kind")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     // batch1: +I(1,a) +I(2,b); batch2: -U(1,a)+U(1,A), +I(3,c);
-    // batch4 (after the skipped OVERWRITE): -U(3,c)+U(3,C)
+    // batch3: -D(2,b) from the merge-on-read DELETE;
+    // batch4: -U(3,c)+U(3,C)
     assert(got.toSeq == Seq(
       (1L, "a", 0), (2L, "b", 0),
       (1L, "a", 1), (1L, "A", 2), (3L, "c", 0),
+      (2L, "b", 3),
       (3L, "c", 1), (3L, "C", 2)))
   }
 
