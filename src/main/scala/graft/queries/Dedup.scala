@@ -48,18 +48,32 @@ object Dedup {
     * the persisted pair RDD (the only executor storage the memo pins)
     * doesn't accumulate across dirs. Safe to call twice; the next
     * [[nearDupPairs]] for the same dir simply recomputes. */
-  def releaseNearDupPairs(s: SparkSession, dir: String): Unit =
+  def releaseNearDupPairs(s: SparkSession, dir: String): Unit = {
     Option(pairsMemo.remove((System.identityHashCode(s), dir)))
       .foreach(safeUnpersist)
+    Option(estPerDocMemo.remove((System.identityHashCode(s), dir)))
+      .foreach(safeUnpersist)
+  }
 
   /** Release every memoized pair frame (session teardown). */
   def releaseAllNearDupPairs(): Unit = {
-    val it = pairsMemo.entrySet().iterator()
-    while (it.hasNext) {
-      safeUnpersist(it.next().getValue)
-      it.remove()
+    Seq(pairsMemo, estPerDocMemo).foreach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        safeUnpersist(it.next().getValue)
+        it.remove()
+      }
     }
   }
+
+  /** Estimator-eval per-doc frame (shingle set + signature for paired
+    * docs only): persisted once per (session, dir) and released at the
+    * dedup family boundary with the pair memo — the eval result itself
+    * is never collected to the driver, so nothing here grows past the
+    * bounded pair set however large the corpus.
+    */
+  private val estPerDocMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
   /** A memo entry can outlive its session (the owner stopped without
     * releasing); unpersisting against a stopped context NPEs, and there
@@ -707,16 +721,18 @@ object Dedup {
         // stage) in the same projection; both join branches read it
         // from the (tiny) persist, so the whole eval is TWO joins on
         // the KB-scale pair frame instead of the previous four
-        val perDoc = tBalanced(s, dir, "documents")
-          .join(broadcast(verts), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), tokens.as("toks"))
-          .select(col("doc_id"), array_distinct(
-            graft.functions.TextFunctions.word_shingles(col("toks"), 3))
-            .as("sh"))
-          .filter(size(col("sh")) > 0)
-          .select(col("doc_id"), col("sh"),
-            graft.functions.HashFunctions.minhash_sigs(col("sh"), K).as("ms"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val perDoc = estPerDocMemo.computeIfAbsent(
+          (System.identityHashCode(s), dir), _ =>
+            tBalanced(s, dir, "documents")
+              .join(broadcast(verts), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), tokens.as("toks"))
+              .select(col("doc_id"), array_distinct(
+                graft.functions.TextFunctions.word_shingles(col("toks"), 3))
+                .as("sh"))
+              .filter(size(col("sh")) > 0)
+              .select(col("doc_id"), col("sh"),
+                graft.functions.HashFunctions.minhash_sigs(col("sh"), K).as("ms"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
         val agreeExpr = (0 until K).map(i =>
           when(element_at(col("ta.ms"), i + 1)
             === element_at(col("tb.ms"), i + 1), 1L).otherwise(0L))
@@ -735,13 +751,10 @@ object Dedup {
             abs(col("n_agree").cast("double") / K - col("jaccard_exact"))
               .as("abs_err"))
           .orderBy("a", "b")
-        // one row per verified pair (KB-scale, same bound as the memo
-        // itself) — materialize eagerly so the gated per-doc cache never
-        // outlives the query, even on a failed collect
-        try {
-          val rows = out.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-        } finally perDoc.unpersist(blocking = true)
+        // returned lazily — no driver collect of the pair-sized result;
+        // the gated per-doc persist is owned by estPerDocMemo and
+        // released at the dedup family boundary (IVF-memo lifecycle)
+        out
       },
       Some(s"""WITH RECURSIVE $sqlPairsCte,
         agree AS (
