@@ -138,6 +138,18 @@ object Curation {
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), Seq[(Long, String, Long)]]()
 
+  /** Vocabulary-size gate between the driver merge loop and the
+    * distributed rounds. Injectable so CurationSpec can force the
+    * distributed branch on a small corpus and pin its equivalence to
+    * the driver branch (the StarContractionSpec pattern — the branch
+    * the 100 TB story depends on must not be dead code under test).
+    */
+  @volatile private[graft] var bpeDriverGate: Long = 1000000L
+
+  /** Drop memoized merge lists (test hook: re-train after flipping
+    * [[bpeDriverGate]]; driver-side constants, nothing persisted). */
+  private[graft] def clearBpeMemo(): Unit = bpeMemo.clear()
+
   private def bpeMerges(s: SparkSession,
       dir: String): Seq[(Long, String, Long)] =
     bpeMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
@@ -158,7 +170,7 @@ object Curation {
         // rounds stay on the cluster. Both paths share Java `replace`
         // left-to-right non-overlap semantics, which DuckDB's
         // `replace` matches — the oracle replays either.
-        if (base.count() <= 1000000L) {
+        if (base.count() <= bpeDriverGate) {
           var vocab = base.select(col("n"), col("sym")).collect()
             .map(r => (r.getLong(0), r.getString(1)))
           val merges = Seq.newBuilder[(Long, String, Long)]

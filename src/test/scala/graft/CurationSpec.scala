@@ -115,6 +115,33 @@ class CurationSpec extends AnyFunSuite {
       (1L, "<a> <b>", 14L), (2L, "<ab> <c>", 14L)), rows.mkString(";"))
   }
 
+  test("BPE driver and distributed merge branches are equivalent") {
+    // a corpus rich enough for all 8 rounds with chained merges and
+    // count ties (mixed word lengths, shared prefixes, skewed counts)
+    val words = Seq(
+      "the" -> 30, "there" -> 12, "then" -> 9, "than" -> 7,
+      "cat" -> 11, "cater" -> 5, "dog" -> 8, "dodge" -> 4,
+      "a" -> 20, "ab" -> 6, "abc" -> 6, "banana" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val dir = plantDocs(Seq((1L, "s", text)))
+    def train(): Seq[(Long, String, Long)] =
+      SparkEntry.queries("t_bpe_train")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaDriver = train() // vocab << gate: driver merge loop
+    graft.queries.Curation.clearBpeMemo()
+    graft.queries.Curation.bpeDriverGate = 0L // force distributed rounds
+    try {
+      val viaCluster = train()
+      assert(viaCluster == viaDriver,
+        s"\ndistributed: $viaCluster\ndriver:      $viaDriver")
+      assert(viaDriver.nonEmpty && viaDriver.map(_._1) ==
+        (1L to viaDriver.length), viaDriver.toString)
+    } finally {
+      graft.queries.Curation.bpeDriverGate = 1000000L
+      graft.queries.Curation.clearBpeMemo()
+    }
+  }
+
   test("s_semdedup drops the planted duplicate, keeps the least id") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
