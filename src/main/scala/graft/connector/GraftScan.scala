@@ -513,8 +513,11 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
         org.apache.spark.sql.SparkSession.active
           .sparkContext.defaultParallelism)
       val totalCost = selected.map(_.fileSize + OpenCost).sum
-      val target = math.min(MaxSplit,
-        math.max(OpenCost, totalCost / parallelism + 1))
+      // `source.split.target-size` (reference knob) pins the packing
+      // target exactly; otherwise adapt between the 128 MiB cap and a
+      // cluster-parallelism floor
+      val target = schema.splitTargetSize.getOrElse(math.min(MaxSplit,
+        math.max(OpenCost, totalCost / parallelism + 1)))
       selected.groupBy(f => (f.partition, f.bucket)).iterator.flatMap {
         case ((part, bucket), fs) =>
           val keyVals: Array[Any] = part.zip(pTypes).map {

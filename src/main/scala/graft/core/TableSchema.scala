@@ -61,6 +61,15 @@ final case class TableSchema(
     */
   def ioSpec: String = options.getOrElse("io", "local")
 
+  /** Explicit split-packing target from `source.split.target-size`
+    * (reference knob, `test_pynative_reader.py:167`): scan planning
+    * packs files into splits of about this many bytes instead of the
+    * adaptive 128 MiB / parallelism-floor default.
+    */
+  def splitTargetSize: Option[Long] =
+    options.get("source.split.target-size")
+      .flatMap(TableSchema.parseMemorySize)
+
   /** Trimmed primary key: pk fields minus partition fields — the key the
     * merge compares (`sort_merge_reader.py:203-210`).
     */
@@ -88,6 +97,12 @@ final case class TableSchema(
       if (b.trim.toIntOption.isEmpty)
         throw new IllegalArgumentException(
           s"Invalid bucket value: '$b' (expected an int >= 1)")
+    }
+    options.get("source.split.target-size").foreach { v =>
+      if (TableSchema.parseMemorySize(v).forall(_ <= 0L))
+        throw new IllegalArgumentException(
+          s"Invalid source.split.target-size: '$v' " +
+            "(expected a positive size, e.g. '128mb', '1gb', or bytes)")
     }
     if (isPrimaryKeyTable && numBuckets < 1)
       throw new IllegalArgumentException(
@@ -138,6 +153,26 @@ object TableSchema {
   val supportedTypes: Seq[DataType] = Seq(
     ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
     BooleanType, StringType, DateType, TimestampType, BinaryType)
+
+  private val MemorySizeRe = "^([0-9]+)\\s*(b|kb|k|mb|m|gb|g|tb|t)?$".r
+
+  /** Paimon-style memory-size strings — `'1mb'`, `'128 mb'`, `'4kb'`,
+    * bare bytes — as used by `source.split.target-size`
+    * (`test_pynative_reader.py:167`). Binary multiples.
+    */
+  def parseMemorySize(s: String): Option[Long] =
+    s.trim.toLowerCase match {
+      case MemorySizeRe(num, unit) =>
+        val mult = unit match {
+          case null | "b" => 1L
+          case "kb" | "k" => 1L << 10
+          case "mb" | "m" => 1L << 20
+          case "gb" | "g" => 1L << 30
+          case "tb" | "t" => 1L << 40
+        }
+        num.toLongOption.map(_ * mult)
+      case _ => None
+    }
 
   def fromJson(json: String): TableSchema = {
     implicit val fmt: Formats = DefaultFormats

@@ -211,6 +211,34 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.t_lim").count() == 4)
   }
 
+  test("source.split.target-size drives split packing (reference knob)") {
+    // four single-row files per table; a tiny target keeps each file
+    // its own split (reference test_pynative_reader.py:167 semantics),
+    // a large explicit target packs everything into ONE split — unlike
+    // the adaptive default, which floors split count at parallelism
+    Seq("t_split_small" -> " TBLPROPERTIES ('source.split.target-size'='1kb')",
+        "t_split_big" -> " TBLPROPERTIES ('source.split.target-size'='64mb')",
+        "t_split_dflt" -> "").foreach { case (t, props) =>
+      spark.sql(s"CREATE TABLE graft.default.$t (f0 INT, f1 STRING)$props")
+      (1 to 4).foreach(i =>
+        spark.sql(s"INSERT INTO graft.default.$t VALUES ($i,'v$i')"))
+    }
+    def nsplits(t: String) = spark.table(s"graft.default.$t").rdd.getNumPartitions
+    assert(nsplits("t_split_small") == 4,
+      s"tiny target should keep 4 file-splits, got ${nsplits("t_split_small")}")
+    assert(nsplits("t_split_big") == 1,
+      s"64mb target should pack 4 small files into 1 split, got ${nsplits("t_split_big")}")
+    assert(nsplits("t_split_dflt") == 4,
+      s"default keeps the parallelism floor, got ${nsplits("t_split_dflt")}")
+    // the option changes packing, never results
+    assert(spark.table("graft.default.t_split_big").count() == 4)
+    // malformed size strings fail at CREATE, not at first scan
+    val e = intercept[IllegalArgumentException](spark.sql(
+      "CREATE TABLE graft.default.t_split_bad (f0 INT) " +
+        "TBLPROPERTIES ('source.split.target-size'='huge')"))
+    assert(e.getMessage.contains("source.split.target-size"), e.getMessage)
+  }
+
   test("append-table zone maps skip files on any filtered column") {
     spark.sql("CREATE TABLE graft.default.t_zone (id BIGINT, v STRING)")
     spark.sql("INSERT INTO graft.default.t_zone " +
