@@ -100,6 +100,46 @@ object Sketches {
     explode(array((0 until CmsD).map(r =>
       struct(lit(r).as("r"), (h60(key, r) % CmsW).as("c"))): _*))
 
+  /** Quantile-sketch geometry: an HDR-style log-bucketed histogram
+    * over positive BIGINT values. A value keeps its top QK+1
+    * significant bits; the bucket id packs (shift, kept bits) so ids
+    * are monotone in the value and every bucket's width is at most
+    * 2^-QK of its lower bound — a guaranteed <1% relative error at
+    * QK = 7 with at most ~2^QK buckets per octave (KB-scale total for
+    * any 64-bit domain). Everything is integer bit arithmetic
+    * (`length(bin(v))` is floor(log2)+1 in BOTH engines — the HLL
+    * rank derivation already pins that), so the oracle replays the
+    * sketch bit-for-bit. Unlike exact percentiles (a full sort at
+    * 100 TB), the histogram is ONE map-side-combined aggregate, and
+    * — the property this family exists to demonstrate — per-source
+    * histograms MERGE by plain per-bucket count addition into exactly
+    * the histogram of the union, no rescan.
+    */
+  private val QK = 7
+  private val QM = 1 << (QK + 1) // bucket-id low-part modulus (256)
+
+  /** Spark-SQL bucket id of positive BIGINT column `v`. */
+  private def qBucketSpark(v: String): String =
+    s"(greatest(length(bin($v)) - 1 - $QK, 0) * $QM + " +
+      s"shiftright($v, greatest(length(bin($v)) - 1 - $QK, 0)))"
+
+  /** The same bucket id in DuckDB (`>>` for shiftright, `//` for div). */
+  private def qBucketSql(v: String): String =
+    s"(greatest(length(bin($v)) - 1 - $QK, 0) * $QM + " +
+      s"(($v) >> CAST(greatest(length(bin($v)) - 1 - $QK, 0) AS INT)))"
+
+  /** Lower bound of bucket id `b` — the quantile estimate. */
+  private def qLowerSpark(b: String): String =
+    s"shiftleft($b % $QM, CAST($b div $QM AS INT))"
+  private def qLowerSql(b: String): String =
+    s"(($b % $QM) << CAST(($b // $QM) AS INT))"
+
+  /** Ceil-rank of percentile p over n rows, exact integer math. */
+  private def qRankSpark(n: String, p: String): String =
+    s"(($n * $p + 99) div 100)"
+  private def qRankSql(n: String, p: String): String =
+    s"(($n * $p + 99) // 100)"
+
   val defs: Seq[QueryDef] = Seq(
     // Distinct users per event type, exact vs HLL: ONE pass builds all
     // per-(type, bucket) registers — map-side partial max, 64 rows per
@@ -215,6 +255,145 @@ object Sketches {
           SELECT user_id, n_exact, CAST(MIN(n) AS BIGINT) AS n_cms_est
           FROM pr JOIN cl USING (r, c)
           GROUP BY 1, 2 ORDER BY n_exact DESC, user_id"""
+      }),
+
+    // p50/p90/p99 of lineitem price (cents) from the log-bucketed
+    // histogram, next to the exact interpolated percentile: ONE
+    // map-side-combined aggregate builds the KB-scale histogram (vs
+    // the full sort exact percentiles need at 100 TB); a window over
+    // the <=few-thousand-bucket table finds the ceil-rank bucket and
+    // its lower bound is the estimate, guaranteed within 2^-7 < 1%
+    // below the true order statistic. All derivation is integer bit
+    // math shared with the oracle; only the exact-percentile readout
+    // column interpolates (integral cents -> deterministic in both
+    // engines, the q_percentile precedent).
+    QueryDef("q_quantile_sketch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem")
+          .select(cents(col("l_extendedprice")).as("v"))
+        val hist = li.select(expr(qBucketSpark("v")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n"))
+        val cum = hist.withColumn("cum",
+          sum("n").over(Window.orderBy("b")))
+        val totals = hist.agg(sum("n").as("n_total"),
+          count(lit(1)).as("n_buckets"))
+        val exact = li.agg(
+          expr("percentile(v, 0.50)").as("e50"),
+          expr("percentile(v, 0.90)").as("e90"),
+          expr("percentile(v, 0.99)").as("e99"))
+          .select(expr(
+            "stack(3, 50L, e50, 90L, e90, 99L, e99) AS (p, exact_cents)"))
+        exact.crossJoin(totals)
+          .withColumn("rank", expr(qRankSpark("n_total", "p")))
+          .join(cum, col("cum") >= col("rank"))
+          .groupBy("p", "exact_cents", "n_total", "n_buckets")
+          .agg(min("b").as("bq"))
+          .withColumn("est_cents", expr(qLowerSpark("bq")))
+          .select("p", "n_total", "n_buckets", "exact_cents", "est_cents")
+          .orderBy("p")
+      },
+      Some {
+        val vc = sqlCents("l_extendedprice")
+        s"""WITH li AS (SELECT $vc AS v FROM lineitem),
+          hist AS (
+            SELECT ${qBucketSql("v")} AS b, COUNT(*) AS n
+            FROM li GROUP BY 1),
+          cm AS (
+            SELECT b, SUM(n) OVER (ORDER BY b) AS cum FROM hist),
+          totals AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+              COUNT(*) AS n_buckets FROM hist),
+          exact AS (
+            SELECT 50 AS p, quantile_cont(v, 0.50) AS exact_cents FROM li
+            UNION ALL
+            SELECT 90, quantile_cont(v, 0.90) FROM li
+            UNION ALL
+            SELECT 99, quantile_cont(v, 0.99) FROM li),
+          ranked AS (
+            SELECT p, exact_cents, n_total, n_buckets,
+              ${qRankSql("n_total", "p")} AS rank
+            FROM exact, totals),
+          est AS (
+            SELECT p, exact_cents, n_total, n_buckets, MIN(b) AS bq
+            FROM ranked JOIN cm ON cum >= rank
+            GROUP BY 1, 2, 3, 4)
+          SELECT CAST(p AS BIGINT) AS p, n_total, n_buckets, exact_cents,
+            CAST(${qLowerSql("bq")} AS BIGINT) AS est_cents
+          FROM est ORDER BY p"""
+      }),
+
+    // MERGE per-returnflag histograms into the union sketch — the
+    // q_hll_union counterpart, but for quantiles the merge is LOSSLESS:
+    // per-bucket count addition reproduces the union's histogram
+    // exactly, so the merged estimate EQUALS the directly-built one
+    // (both computed, both emitted — the row is the proof). At 100 TB
+    // this is the shape that matters: per-source/day sketches roll up
+    // into corpus quantiles with no rescan.
+    QueryDef("q_quantile_union",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            cents(col("l_extendedprice")).as("v"))
+        val perFlag = li
+          .select(col("l_returnflag"), expr(qBucketSpark("v")).as("b"))
+          .groupBy("l_returnflag", "b").agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val merged = perFlag.groupBy("b").agg(sum("n").as("n"))
+          val direct = li.select(expr(qBucketSpark("v")).as("b"))
+            .groupBy("b").agg(count(lit(1)).as("n"))
+          def estOf(hist: org.apache.spark.sql.DataFrame, name: String) = {
+            val cum = hist.withColumn("cum",
+              sum("n").over(Window.orderBy("b")))
+            val totals = hist.agg(sum("n").as("n_total"))
+            s.range(1).select(explode(typedLit(Seq(50L, 90L, 99L))).as("p"))
+              .crossJoin(totals)
+              .withColumn("rank", expr(qRankSpark("n_total", "p")))
+              .join(cum, col("cum") >= col("rank"))
+              .groupBy("p").agg(min("b").as("bq"))
+              .select(col("p"), expr(qLowerSpark("bq")).as(name))
+          }
+          val nMerged = perFlag.select(countDistinct("l_returnflag")
+            .as("n_sketches_merged"))
+          val out = estOf(merged, "est_merged_cents")
+            .join(estOf(direct, "est_direct_cents"), Seq("p"))
+            .crossJoin(nMerged)
+            .select("p", "n_sketches_merged", "est_merged_cents",
+              "est_direct_cents")
+            .orderBy("p")
+          // materialization bound: 3 rows; safe to collect to release
+          // the per-flag persist deterministically
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally perFlag.unpersist(blocking = true)
+      },
+      Some {
+        val vc = sqlCents("l_extendedprice")
+        s"""WITH li AS (
+            SELECT l_returnflag, $vc AS v FROM lineitem),
+          pf AS (
+            SELECT l_returnflag, ${qBucketSql("v")} AS b, COUNT(*) AS n
+            FROM li GROUP BY 1, 2),
+          merged AS (
+            SELECT b, CAST(SUM(n) AS BIGINT) AS n FROM pf GROUP BY 1),
+          cm AS (
+            SELECT b, SUM(n) OVER (ORDER BY b) AS cum FROM merged),
+          totals AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM merged),
+          ps AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(p)),
+          est AS (
+            SELECT p, MIN(b) AS bq
+            FROM (SELECT p, ${qRankSql("n_total", "p")} AS rank
+                  FROM ps, totals) r
+            JOIN cm ON cum >= rank GROUP BY 1),
+          nm AS (
+            SELECT COUNT(DISTINCT l_returnflag) AS n_sketches_merged
+            FROM pf)
+          SELECT CAST(p AS BIGINT) AS p, n_sketches_merged,
+            CAST(${qLowerSql("bq")} AS BIGINT) AS est_merged_cents,
+            CAST(${qLowerSql("bq")} AS BIGINT) AS est_direct_cents
+          FROM est, nm ORDER BY p"""
       })
   )
 }

@@ -46,4 +46,43 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"HLL for ${r.getString(0)}: est $est vs exact $exact")
     }
   }
+
+  test("quantile sketch: estimate brackets the ceil-rank order statistic " +
+      "within the 2^-7 relative bound") {
+    val rows = graft.SparkEntry.queries("q_quantile_sketch")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    // recompute the exact order statistic the sketch targets
+    // (ceil-rank; the query's exact_cents column interpolates, so the
+    // contract is checked against the true kth value)
+    val vs = graft.queries.Tables.t(spark, sf, "lineitem")
+      .select(graft.queries.Tables.cents(
+        org.apache.spark.sql.functions.col("l_extendedprice")).as("v"))
+      .orderBy("v").collect().map(_.getLong(0))
+    rows.foreach { r =>
+      val p = r.getLong(0)
+      val n = r.getLong(1)
+      assert(n == vs.length)
+      val est = r.getLong(4)
+      val kth = vs(((n * p + 99) / 100).toInt - 1)
+      // est is the lower bound of the bucket holding the kth value:
+      // est <= kth < est * (1 + 2^-7) + 1
+      assert(est <= kth, s"p$p: est $est above kth $kth")
+      assert(kth < est + (est >> 7) + 1,
+        s"p$p: bucket width bound violated — est $est, kth $kth")
+      // sketch stays KB-scale
+      assert(r.getLong(2) < 8192, s"bucket blowup: ${r.getLong(2)}")
+    }
+  }
+
+  test("quantile sketch merge is lossless: merged == direct estimates") {
+    val rows = graft.SparkEntry.queries("q_quantile_union")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"p${r.getLong(0)}: merged ${r.getLong(2)} != direct ${r.getLong(3)}")
+      assert(r.getLong(1) >= 2, "merge demo needs >= 2 sketches")
+    }
+  }
 }
