@@ -13,7 +13,8 @@ object Bench {
     * "other" entry plus a count, greedily filling a hard character
     * budget that keeps the whole line under the 1999-char tail window.
     */
-  def renderLine(results: Seq[(String, Double)], sfDir: String): String = {
+  def renderLine(results: Seq[(String, Double)], sfDir: String,
+      noise: Option[(Double, Double)] = None): String = {
     def num(v: Double): String =
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
@@ -34,8 +35,9 @@ object Bench {
       case _ => jstr(sfDir)
     }
     // 2000-char driver tail − newline = 1999; leave margin for the
-    // fixed fields and the trailing "other" entry.
-    val budget = 1800
+    // fixed fields (incl. the noise marker) and the trailing "other"
+    // entry.
+    val budget = 1720
     val byTime = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -52,7 +54,17 @@ object Bench {
       entries += "\"other_" + (byTime.size - taken) + "_queries\":" + num(restSum)
     }
     val qs = entries.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":$sf}"""
+    // host-noise marker (BASELINE.md documents a 60-93 s band for
+    // identical binaries): the same fixed probe timed before and after
+    // the run; a large spread means the total is not comparable
+    // round-over-round without a re-run
+    val noiseJson = noise.map { case (a, b) =>
+      val spread =
+        if (math.min(a, b) > 0) (math.abs(a - b) / math.min(a, b)) * 100
+        else 0.0
+      s""","noise_probe_start_sec":${num(a)},"noise_probe_end_sec":${num(b)},"noise_spread_pct":${num(spread)}"""
+    }.getOrElse("")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$noiseJson,"sf":$sf}"""
   }
 
   /** Untimed session hygiene between rows, mirroring what a real
@@ -328,6 +340,21 @@ object Bench {
       // BEFORE its leak check, so this would also never be reported)
       unloadStateStores()
     } catch { case _: Throwable => () }
+    // Noise probe: a fixed synthetic shuffle+agg workload timed before
+    // and after the query loop (median of 3). It never touches query
+    // state or the input data, so any start→end drift is the HOST
+    // (neighbor load, disk queue), not the engine — the marker that
+    // makes the total interpretable against BASELINE.md's noise band.
+    def noiseProbe(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 20000000L, 1, 32).selectExpr("id % 9973 AS k")
+          .groupBy("k").count().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    val probeStart = try noiseProbe() catch { case _: Throwable => 0.0 }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // family isolation: when a family's last row finishes, release its
@@ -358,7 +385,8 @@ object Bench {
       name -> dt
     }
     if (prevFamily != null) isolate("__end__")
-    val line = renderLine(results, sfDir)
+    val probeEnd = try noiseProbe() catch { case _: Throwable => 0.0 }
+    val line = renderLine(results, sfDir, Some((probeStart, probeEnd)))
     // Make the line the LAST output: stop Spark first so no shutdown
     // logging lands after it, and `Global / showSuccess := false`
     // keeps sbt quiet too.

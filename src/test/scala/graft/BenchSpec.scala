@@ -14,7 +14,14 @@ class BenchSpec extends AnyFunSuite {
   test("200-query bench line fits the driver tail window and parses") {
     val results = (1 to 200).map(i =>
       (f"q_some_rather_long_query_name_$i%03d", i * 0.037))
-    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1",
+      noise = Some((0.41, 0.63)))
+    // the noise marker rides along and stays parseable
+    val vn = JsonMethods.parse(line)
+    assert((vn \ "noise_probe_start_sec")
+      .extract[Double](DefaultFormats, manifest[Double]) == 0.41)
+    assert((vn \ "noise_spread_pct")
+      .extract[Double](DefaultFormats, manifest[Double]) > 50.0)
     assert(line.length < 1999, s"line is ${line.length} chars")
     val v = JsonMethods.parse(line) // throws on malformed JSON
     assert((v \ "n_queries").extract[Int](DefaultFormats, manifest[Int]) == 200)
