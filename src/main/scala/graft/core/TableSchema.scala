@@ -98,6 +98,12 @@ final case class TableSchema(
         throw new IllegalArgumentException(
           s"Invalid bucket value: '$b' (expected an int >= 1)")
     }
+    options.get("bucket.rows-warning-threshold").foreach { v =>
+      if (v.trim.toLongOption.isEmpty)
+        throw new IllegalArgumentException(
+          s"Invalid bucket.rows-warning-threshold: '$v' " +
+            "(expected a row count; <= 0 disables the warning)")
+    }
     options.get("source.split.target-size").foreach { v =>
       if (TableSchema.parseMemorySize(v).forall(_ <= 0L))
         throw new IllegalArgumentException(

@@ -196,12 +196,42 @@ object Compactor extends Serializable {
     if (trigger <= 0) return 0
     val sm = new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec))
     if (sm.latestSnapshot.isEmpty) return 0
-    val groups = sm.liveFilesLatest
+    val byBucket = sm.liveFilesLatest
       .groupBy(f => (f.partition, f.bucket))
-      .filter(_._2.size >= trigger).toSeq
+    warnHotBuckets(tableDir, schema, byBucket)
+    val groups = byBucket.filter(_._2.size >= trigger).toSeq
     compactGroups(org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession),
       tableDir, schema, groups)
+  }
+
+  /** Straggler guidance: a (partition, bucket) is one merge task, so a
+    * hot bucket caps read parallelism and becomes the straggler at
+    * scale (ScaleChecks' hot-bucket canary quantifies it; README
+    * "Bucket sizing"). Warn — once per table per process — when any
+    * bucket's live pre-merge rows exceed `bucket.rows-warning-
+    * threshold` (default 64M ≈ tens of seconds of single-task merge;
+    * <= 0 disables). Metadata-only: the counts come from the manifest
+    * entries already in hand.
+    */
+  private val hotBucketWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnHotBuckets(tableDir: Path, schema: graft.core.TableSchema,
+      byBucket: Map[(Seq[String], Int), Seq[DataFileMeta]]): Unit = {
+    val warnRows = schema.options.get("bucket.rows-warning-threshold")
+      .flatMap(_.trim.toLongOption).getOrElse(64L << 20)
+    if (warnRows <= 0) return
+    val hot = byBucket.iterator
+      .map { case (k, fs) => (k, fs.map(_.rowCount).sum) }
+      .filter(_._2 > warnRows).toSeq
+    if (hot.nonEmpty && hotBucketWarned.add(tableDir.toString)) {
+      val worst = hot.maxBy(_._2)
+      System.err.println(s"[graft] WARN: table $tableDir has " +
+        s"${hot.size} bucket(s) over $warnRows pre-merge rows (worst: " +
+        s"partition=${worst._1._1.mkString("/")} bucket=${worst._1._2} " +
+        s"rows=${worst._2}); a bucket is one merge task - raise the " +
+        "'bucket' count (see README: Bucket sizing) or compact more often")
+    }
   }
 
   /** Publish a COMPACT snapshot replacing `deleteNames` with `adds`.

@@ -107,6 +107,37 @@ object ScaleChecks {
         "SELECT * FROM graft.d.rg WHERE k = 1999999").collect().mkString)
     }
 
+    println("== hot-bucket straggler canary: one 4M-row bucket vs 16 balanced")
+    // a (partition, bucket) is one merge task: the same data in one
+    // bucket reads on one core, in 16 buckets on 16 — the measured
+    // ratio is the straggler cost a mis-bucketed 100 TB table pays,
+    // and the basis for the README bucket-sizing guidance + the
+    // commit-time hot-bucket warning (threshold shrunk here to see it
+    // fire on 4M rows). Two commits each so the read truly merges.
+    Seq(("hot1", 1), ("hot16", 16)).foreach { case (t, b) =>
+      spark.sql(s"CREATE TABLE graft.d.$t (k BIGINT, v BIGINT) " +
+        s"TBLPROPERTIES ('primary-key'='k','bucket'='$b'," +
+        "'bucket.rows-warning-threshold'='1000000')")
+      spark.sql(s"INSERT INTO graft.d.$t SELECT id, id FROM range(0, 4000000)")
+      spark.sql(s"INSERT INTO graft.d.$t " +
+        "SELECT id * 4, -id FROM range(0, 1000000)")
+    }
+    val tHot = { val t0 = System.nanoTime()
+      spark.sql("SELECT count(*), sum(v) FROM graft.d.hot1").collect()
+      (System.nanoTime() - t0) / 1e9 }
+    val tBal = { val t0 = System.nanoTime()
+      spark.sql("SELECT count(*), sum(v) FROM graft.d.hot16").collect()
+      (System.nanoTime() - t0) / 1e9 }
+    println(f"  merged read: 1 bucket $tHot%.1f s vs 16 buckets $tBal%.1f s " +
+      f"(straggler cost ${tHot / tBal}%.1f x; ~${4000000 / tHot / 1e6}%.1f M " +
+      "pre-merge rows/s per merge task)")
+    // merge-on-read DML: a 1-row UPDATE must not scale with bucket size
+    val tUpd = { val t0 = System.nanoTime()
+      spark.sql("UPDATE graft.d.hot1 SET v = 0 WHERE k = 42")
+      (System.nanoTime() - t0) / 1e9 }
+    println(f"  1-row UPDATE on the 4M-row bucket: $tUpd%.1f s " +
+      "(merge-on-read: O(1) rows appended, no bucket rewrite)")
+
     println("== 10M-row spill canary: small write buffer forces multi-run " +
       "spills, second commit trips compaction")
     // write-buffer-rows=250k on 10M rows / 16 buckets means each bucket

@@ -237,6 +237,13 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CREATE TABLE graft.default.t_split_bad (f0 INT) " +
         "TBLPROPERTIES ('source.split.target-size'='huge')"))
     assert(e.getMessage.contains("source.split.target-size"), e.getMessage)
+    // same CREATE-time guard for the hot-bucket warning threshold
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      "CREATE TABLE graft.default.t_warn_bad (k BIGINT) TBLPROPERTIES " +
+        "('primary-key'='k','bucket'='1'," +
+        "'bucket.rows-warning-threshold'='lots')"))
+    assert(e2.getMessage.contains("bucket.rows-warning-threshold"),
+      e2.getMessage)
   }
 
   test("append-table zone maps skip files on any filtered column") {
