@@ -258,69 +258,84 @@ object Sketches {
       }),
 
     // p50/p90/p99 of lineitem price (cents) from the log-bucketed
-    // histogram, next to the exact interpolated percentile: ONE
-    // map-side-combined aggregate builds the KB-scale histogram (vs
-    // the full sort exact percentiles need at 100 TB); a window over
-    // the <=few-thousand-bucket table finds the ceil-rank bucket and
-    // its lower bound is the estimate, guaranteed within 2^-7 < 1%
-    // below the true order statistic. All derivation is integer bit
-    // math shared with the oracle; only the exact-percentile readout
-    // column interpolates (integral cents -> deterministic in both
-    // engines, the q_percentile precedent).
+    // histogram, next to the exact ceil-rank order statistic: ONE
+    // map-side-combined aggregate builds the value-count table; the
+    // KB-scale histogram rolls up from it, a window over the
+    // <=few-thousand-bucket table finds the ceil-rank bucket, and its
+    // lower bound is the estimate — guaranteed within 2^-7 < 1% below
+    // the true order statistic, which the readout column computes from
+    // the same value counts (a distinct-values window — the EVAL
+    // baseline; the sketch itself never needs it, and at 100 TB you'd
+    // drop the readout and keep the bounded histogram path). All
+    // integer bit math, shared with the oracle.
     QueryDef("q_quantile_sketch",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val li = t(s, dir, "lineitem")
+        // ONE corpus scan builds the value-count table; the histogram,
+        // its totals, AND the exact ceil-rank order statistic (the
+        // readout column) all derive from it — the exact side costs a
+        // window over distinct values, not a percentile() value map
+        // per target. The KB-scale persist is released before return
+        // (3-row bounded collect, the q_quantile_union pattern).
+        val vc = t(s, dir, "lineitem")
           .select(cents(col("l_extendedprice")).as("v"))
-        val hist = li.select(expr(qBucketSpark("v")).as("b"))
-          .groupBy("b").agg(count(lit(1)).as("n"))
-        val cum = hist.withColumn("cum",
-          sum("n").over(Window.orderBy("b")))
-        val totals = hist.agg(sum("n").as("n_total"),
-          count(lit(1)).as("n_buckets"))
-        val exact = li.agg(
-          expr("percentile(v, 0.50)").as("e50"),
-          expr("percentile(v, 0.90)").as("e90"),
-          expr("percentile(v, 0.99)").as("e99"))
-          .select(expr(
-            "stack(3, 50L, e50, 90L, e90, 99L, e99) AS (p, exact_cents)"))
-        exact.crossJoin(totals)
-          .withColumn("rank", expr(qRankSpark("n_total", "p")))
-          .join(cum, col("cum") >= col("rank"))
-          .groupBy("p", "exact_cents", "n_total", "n_buckets")
-          .agg(min("b").as("bq"))
-          .withColumn("est_cents", expr(qLowerSpark("bq")))
-          .select("p", "n_total", "n_buckets", "exact_cents", "est_cents")
-          .orderBy("p")
+          .groupBy("v").agg(count(lit(1)).as("nv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val hist = vc.select(expr(qBucketSpark("v")).as("b"), col("nv"))
+            .groupBy("b").agg(sum("nv").as("n"))
+          val cum = hist.withColumn("cum",
+            sum("n").over(Window.orderBy("b")))
+          val totals = hist.agg(sum("n").as("n_total"),
+            count(lit(1)).as("n_buckets"))
+          val vcum = vc.withColumn("cumv",
+            sum("nv").over(Window.orderBy("v")))
+          val ranked = s.range(1)
+            .select(explode(typedLit(Seq(50L, 90L, 99L))).as("p"))
+            .crossJoin(totals)
+            .withColumn("rank", expr(qRankSpark("n_total", "p")))
+          val exact = ranked.join(vcum, col("cumv") >= col("rank"))
+            .groupBy("p", "n_total", "n_buckets")
+            .agg(min("v").as("exact_cents"))
+          val est = ranked.join(cum, col("cum") >= col("rank"))
+            .groupBy("p").agg(min("b").as("bq"))
+            .withColumn("est_cents", expr(qLowerSpark("bq")))
+          val out = exact.join(est, Seq("p"))
+            .select("p", "n_total", "n_buckets", "exact_cents", "est_cents")
+            .orderBy("p")
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally vc.unpersist(blocking = true)
       },
       Some {
-        val vc = sqlCents("l_extendedprice")
-        s"""WITH li AS (SELECT $vc AS v FROM lineitem),
+        val vcents = sqlCents("l_extendedprice")
+        s"""WITH vc AS (
+            SELECT $vcents AS v, COUNT(*) AS nv FROM lineitem GROUP BY 1),
           hist AS (
-            SELECT ${qBucketSql("v")} AS b, COUNT(*) AS n
-            FROM li GROUP BY 1),
+            SELECT ${qBucketSql("v")} AS b, CAST(SUM(nv) AS BIGINT) AS n
+            FROM vc GROUP BY 1),
           cm AS (
             SELECT b, SUM(n) OVER (ORDER BY b) AS cum FROM hist),
           totals AS (
             SELECT CAST(SUM(n) AS BIGINT) AS n_total,
               COUNT(*) AS n_buckets FROM hist),
-          exact AS (
-            SELECT 50 AS p, quantile_cont(v, 0.50) AS exact_cents FROM li
-            UNION ALL
-            SELECT 90, quantile_cont(v, 0.90) FROM li
-            UNION ALL
-            SELECT 99, quantile_cont(v, 0.99) FROM li),
+          vcum AS (
+            SELECT v, SUM(nv) OVER (ORDER BY v) AS cumv FROM vc),
+          ps AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(p)),
           ranked AS (
-            SELECT p, exact_cents, n_total, n_buckets,
+            SELECT p, n_total, n_buckets,
               ${qRankSql("n_total", "p")} AS rank
-            FROM exact, totals),
+            FROM ps, totals),
+          exact AS (
+            SELECT p, n_total, n_buckets, MIN(v) AS exact_cents
+            FROM ranked JOIN vcum ON cumv >= rank
+            GROUP BY 1, 2, 3),
           est AS (
-            SELECT p, exact_cents, n_total, n_buckets, MIN(b) AS bq
-            FROM ranked JOIN cm ON cum >= rank
-            GROUP BY 1, 2, 3, 4)
+            SELECT p, MIN(b) AS bq
+            FROM ranked JOIN cm ON cum >= rank GROUP BY 1)
           SELECT CAST(p AS BIGINT) AS p, n_total, n_buckets, exact_cents,
             CAST(${qLowerSql("bq")} AS BIGINT) AS est_cents
-          FROM est ORDER BY p"""
+          FROM exact JOIN est USING (p) ORDER BY p"""
       }),
 
     // MERGE per-returnflag histograms into the union sketch — the

@@ -65,6 +65,9 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n == vs.length)
       val est = r.getLong(4)
       val kth = vs(((n * p + 99) / 100).toInt - 1)
+      // the query's exact readout IS the ceil-rank order statistic
+      assert(r.getLong(3) == kth,
+        s"p$p: exact_cents ${r.getLong(3)} != independent kth $kth")
       // est is the lower bound of the bucket holding the kth value:
       // est <= kth < est * (1 + 2^-7) + 1
       assert(est <= kth, s"p$p: est $est above kth $kth")
