@@ -112,12 +112,16 @@ class GraftReplaceBatchWrite(tableDir: Path, schema: TableSchema,
   *
   * Mechanics: Spark's delta rewrite (`SupportsDelta`) projects the
   * primary key as the row id (PK columns are non-nullable on PK
-  * tables, the reference's own constraint) and splits updates into
-  * delete+insert ([[representUpdateAsDeleteAndInsert]]), which also
-  * handles key-changing updates. Sequence ordering within one
-  * statement: every insert outranks every delete (disjoint sub-ranges
-  * per task), so `UPDATE SET k = k + 1` chains resolve to "apply all
-  * deletes, then all inserts" — exactly SQL's after-state.
+  * tables, the reference's own constraint). Updates arrive whole
+  * (`representUpdateAsDeleteAndInsert` = false) and the writer emits
+  * -U then +U for the SAME key with consecutive sequences in the same
+  * task, so the after-image always outranks the retraction. Updates
+  * that would CHANGE a primary-key column are rejected (the
+  * reference's own rule) — allowing them would let one source row's
+  * -D and another's +I collide on a key across tasks, where
+  * sequence-range order is arbitrary; with immutable keys every key
+  * is touched by at most one source row per statement and ordering is
+  * purely intra-task.
   */
 class GraftMergeOnReadOperation(tableDir: Path, schema: TableSchema,
     info: RowLevelOperationInfo)
@@ -141,7 +145,7 @@ class GraftMergeOnReadOperation(tableDir: Path, schema: TableSchema,
   override def rowId(): Array[NamedReference] =
     schema.primaryKeys.map(Expressions.column).toArray
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array.empty // no group tracking: nothing is replaced
@@ -207,15 +211,16 @@ final case class GraftDeltaWriterFactory(
     new GraftDeltaWriter(this, partitionId)
 }
 
-/** Per-task delta writer: routes -D rows (built from the projected row
-  * id, non-key values null) and +I rows through two [[GraftDataWriter]]s
-  * whose sequence sub-ranges put every insert of this statement above
-  * every delete — the LWW order delete+insert semantics need when the
-  * same key is deleted by one source row and re-inserted by another.
-  * Per-task range layout within one commit: task pid owns
-  * `[base+pid*2^32, base+(pid+1)*2^32)`; deletes take the lower half,
-  * inserts the upper. The sub-range gap is < 2^31, so strict-sequence
-  * task clustering still sees one task.
+/** Per-task delta writer over ONE [[GraftDataWriter]] with the same
+  * `base + pid·2^32` sequence layout as ordinary writes: rows rank by
+  * in-task write order. A delete emits a -D row built from the
+  * projected row id (non-key values null); an update emits -U then +U
+  * for the same key with consecutive sequences, so the after-image
+  * wins the merge and the pair reads as a proper changelog retraction.
+  * Key-changing updates are rejected here — the projected row id and
+  * the new row disagree on a primary-key column — because cross-task
+  * sequence order between two tasks' rows for one key is arbitrary
+  * (see [[GraftMergeOnReadOperation]]).
   */
 class GraftDeltaWriter(f: GraftDeltaWriterFactory, pid: Int)
   extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
@@ -236,21 +241,24 @@ class GraftDeltaWriter(f: GraftDeltaWriterFactory, pid: Int)
 
   require(pid < (1 << 20),
     s"write parallelism $pid exceeds the 2^20 sequence-range slots")
-  private def mkWriter(seqStart: Long) =
+  private val writer =
     new GraftDataWriter(Paths.get(f.tableDirStr), fields, f.partitionKeys,
-      f.trimmedPk, isPk = true, f.numBuckets, seqStart, writeSchema,
+      f.trimmedPk, isPk = true, f.numBuckets,
+      f.baseSeq + (pid.toLong << 32), writeSchema,
       hasRowKindCol = true, fileFormat = f.fileFormat,
       spillRows = f.spillRows, fieldIds = f.fieldIds,
       blockSize = f.blockSize, ioSpec = f.ioSpec)
-  private lazy val delWriter = mkWriter(f.baseSeq + (pid.toLong << 32))
-  private lazy val insWriter =
-    mkWriter(f.baseSeq + (pid.toLong << 32) + (1L << 31))
 
   // scratch row reused across calls — GraftDataWriter.write copies
   // values out synchronously, so holding borrowed references is safe
   private val scratch = new GenericInternalRow(writeSchema.length)
   private val rowPos = rowSchema.fields.map(x => fields.fieldIndex(x.name))
   private val idPos = rowIdSchema.fields.map(x => fields.fieldIndex(x.name))
+  // row-id columns as positions into the update row's schema, for the
+  // key-immutability check (null = the update row lacks the column,
+  // which cannot happen for a full-row update but is guarded anyway)
+  private val idPosInRow = rowIdSchema.fields.map(x =>
+    rowSchema.fields.indexWhere(_.name == x.name))
 
   private def fill(positions: Array[Int], src: InternalRow,
       srcSchema: StructType, kind: Byte): Unit = {
@@ -265,32 +273,41 @@ class GraftDeltaWriter(f: GraftDeltaWriterFactory, pid: Int)
     scratch.update(fields.length, kind)
   }
 
-  override def insert(row: InternalRow): Unit = {
-    fill(rowPos, row, rowSchema, RowKind.Insert)
-    insWriter.write(scratch)
+  private def fillAndWrite(positions: Array[Int], src: InternalRow,
+      srcSchema: StructType, kind: Byte): Unit = {
+    fill(positions, src, srcSchema, kind)
+    writer.write(scratch)
   }
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    fill(idPos, id, rowIdSchema, RowKind.Delete)
-    delWriter.write(scratch)
-  }
+  override def insert(row: InternalRow): Unit =
+    fillAndWrite(rowPos, row, rowSchema, RowKind.Insert)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    fillAndWrite(idPos, id, rowIdSchema, RowKind.Delete)
 
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
-    // representUpdateAsDeleteAndInsert means Spark pre-splits updates;
-    // kept for completeness should a future rewrite call it directly
-    delete(meta, id)
-    insert(row)
+    var i = 0
+    while (i < idPos.length) {
+      val dt = rowIdSchema(i).dataType
+      val old = if (id.isNullAt(i)) null else id.get(i, dt)
+      val j = idPosInRow(i)
+      val neu =
+        if (j < 0 || row.isNullAt(j)) null else row.get(j, dt)
+      if (Values.compare(dt, old, neu) != 0)
+        throw new UnsupportedOperationException(
+          s"Cannot update primary key column '${rowIdSchema(i).name}' " +
+            s"(old=$old, new=$neu): primary keys are immutable on " +
+            "primary-key tables")
+      i += 1
+    }
+    fillAndWrite(idPos, id, rowIdSchema, RowKind.UpdateBefore)
+    fillAndWrite(rowPos, row, rowSchema, RowKind.UpdateAfter)
   }
 
-  override def commit(): WriterCommitMessage = {
-    val d = delWriter.commit().asInstanceOf[GraftCommitMessage]
-    val i = insWriter.commit().asInstanceOf[GraftCommitMessage]
-    GraftCommitMessage(d.files ++ i.files)
-  }
-
-  override def abort(): Unit = { delWriter.abort(); insWriter.abort() }
-  override def close(): Unit = { delWriter.close(); insWriter.close() }
+  override def commit(): WriterCommitMessage = writer.commit()
+  override def abort(): Unit = writer.abort()
+  override def close(): Unit = writer.close()
 }
 
 /** Runtime-filtering hooks mixed into the row-level scan. */

@@ -110,7 +110,7 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 10000L)
   }
 
-  test("PK table: DELETE appends -D rows; key-chain UPDATE keeps after-state") {
+  test("PK table: DELETE appends -D rows; primary-key updates rejected") {
     val sm = new graft.format.SnapshotManager(
       warehouse.resolve("default.db/rl_mor"))
     val before = sm.liveFilesLatest.map(_.fileName).toSet
@@ -118,21 +118,24 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before.subsetOf(sm.liveFilesLatest.map(_.fileName).toSet))
     assert(spark.sql("SELECT count(*) FROM graft.default.rl_mor")
       .collect()(0).getLong(0) == 9000L)
-    // key-changing update: delete(old key) + insert(new key); a key
-    // deleted by one row's update and re-inserted by another's must
-    // resolve to the after-state (inserts outrank deletes in-sequence)
-    spark.sql("UPDATE graft.default.rl_mor SET k = k + 1 WHERE k < 10")
-    val low = spark.sql(
-      "SELECT k, v FROM graft.default.rl_mor WHERE k <= 11 ORDER BY k")
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    // keys 0..9 became 1..10; at key 10 the inserted row ("v9")
-    // outranks the untouched original ("v10") — the update's
-    // after-state wins, like an upsert; key 11 stays the original
-    assert(low.map(_._1).toSeq == (1L to 11L),
-      s"after-state wrong: ${low.toSeq}")
-    assert(low.take(10).map(_._2).toSeq ==
-      (0 until 10).map(i => s"v$i"), low.toSeq)
-    assert(low(10) == (11L, "v11"), low.toSeq)
+    // key-changing update: rejected like the reference (one source
+    // row's -D and another's +I could collide on a key across tasks,
+    // where sequence order is arbitrary — immutable keys remove the
+    // hazard instead of papering over it)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.default.rl_mor SET k = k + 1 WHERE k < 10")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).toSeq
+    assert(chain(e).exists(_.contains("primary key")), chain(e).mkString("\n"))
+    // the failed statement must not have committed anything
+    assert(spark.sql("SELECT count(*) FROM graft.default.rl_mor")
+      .collect()(0).getLong(0) == 9000L)
+    // non-key updates still flow, -U/+U pair visible to the changelog
+    spark.sql("UPDATE graft.default.rl_mor SET v = 'u7' WHERE k = 7")
+    assert(spark.sql("SELECT v FROM graft.default.rl_mor WHERE k = 7")
+      .collect()(0).getString(0) == "u7")
   }
 
   test("PK table: null primary key is rejected loudly at write") {
