@@ -208,6 +208,37 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("concurrent row-level UPDATEs on disjoint keys all land (MoR deltas)") {
+    val warehouse = Files.createTempDirectory("graft-conc5-wh")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      spark.sql("CREATE TABLE graft.c.updpk (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k','bucket'='2')")
+      spark.sql("INSERT INTO graft.c.updpk SELECT id, 0 FROM range(0, 64)")
+      // 8 racing delta commits; optimistic retry + conflict
+      // re-sequencing must serialize them without losing an update
+      val futures = (0 until 8).map { i =>
+        Future(spark.sql(
+          s"UPDATE graft.c.updpk SET v = ${i + 1} WHERE k % 8 = $i"))
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+      val got = spark.table("graft.c.updpk").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 64)
+      got.foreach { case (k, v) =>
+        assert(v == k % 8 + 1, s"k=$k lost its update: v=$v")
+      }
+    } finally spark.stop()
+  }
+
   test("commit.strict-sequence fails ambiguous same-key multi-task commits") {
     val warehouse = Files.createTempDirectory("graft-conc4-wh")
     val spark = SparkSession.builder()

@@ -150,6 +150,47 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       chain(e).mkString("\n"))
   }
 
+  test("randomized DML series matches a driver-side model (fuzz)") {
+    // 30 random INSERT/UPDATE/DELETE statements against a PK table
+    // with mid-series compaction (trigger=3), checked after EVERY op
+    // against a plain Map model — the merge-on-read delta path, the
+    // LWW merge, and compaction interleaving must agree with SQL
+    // semantics at every step
+    spark.sql("CREATE TABLE graft.default.rl_fuzz (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='2'," +
+      "'compaction.trigger-file-count'='3')")
+    val rnd = new scala.util.Random(20260814L)
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    for (step <- 1 to 30) {
+      rnd.nextInt(3) match {
+        case 0 => // upsert a batch of distinct keys
+          val keys = rnd.shuffle((0L until 40L).toList).take(1 + rnd.nextInt(6))
+          val vals = keys.map(k => k -> rnd.nextLong(1000000L))
+          spark.sql("INSERT INTO graft.default.rl_fuzz VALUES " +
+            vals.map { case (k, v) => s"($k,$v)" }.mkString(","))
+          vals.foreach { case (k, v) => model(k) = v }
+        case 1 => // arithmetic update of a residue class
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          spark.sql("UPDATE graft.default.rl_fuzz " +
+            s"SET v = v * 3 + 1 WHERE k % $m = $r")
+          model.keys.filter(_ % m == r).toSeq
+            .foreach(k => model(k) = model(k) * 3 + 1)
+        case 2 => // row-level delete of a residue class
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          spark.sql(s"DELETE FROM graft.default.rl_fuzz WHERE k % $m = $r")
+          model.keys.filter(_ % m == r).toSeq.foreach(model.remove)
+      }
+      val got = spark.sql("SELECT k, v FROM graft.default.rl_fuzz")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model.toMap, s"diverged at step $step:\n" +
+        s"extra: ${(got.keySet -- model.keySet).toSeq.sorted}\n" +
+        s"missing: ${(model.keySet -- got.keySet).toSeq.sorted}\n" +
+        s"wrong: ${got.keySet.intersect(model.keySet)
+          .filter(k => got(k) != model(k)).toSeq.sorted}")
+    }
+    assert(model.nonEmpty, "fuzz series ended empty — weak run")
+  }
+
   test("partitioned table: partition DELETE stays metadata-only, row DELETE rewrites") {
     spark.sql("CREATE TABLE graft.default.rl_part (pt INT, v STRING) PARTITIONED BY (pt)")
     spark.sql("INSERT INTO graft.default.rl_part VALUES (1,'a'), (1,'b'), (2,'c')")
