@@ -354,7 +354,16 @@ object Bench {
       }
       ts.sorted.apply(1)
     }
-    val probeStart = try noiseProbe() catch { case _: Throwable => 0.0 }
+    // a failed probe must be LOUD and absent, not a 0.0 that renders
+    // as a perfectly quiet host
+    def tryProbe(tag: String): Option[Double] =
+      try Some(noiseProbe()) catch {
+        case t: Throwable =>
+          System.err.println(
+            s"[bench] ERROR: $tag noise probe threw ${t.getClass.getSimpleName}")
+          None
+      }
+    val probeStart = tryProbe("start")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // family isolation: when a family's last row finishes, release its
@@ -385,8 +394,8 @@ object Bench {
       name -> dt
     }
     if (prevFamily != null) isolate("__end__")
-    val probeEnd = try noiseProbe() catch { case _: Throwable => 0.0 }
-    val line = renderLine(results, sfDir, Some((probeStart, probeEnd)))
+    val probeEnd = tryProbe("end")
+    val line = renderLine(results, sfDir, probeStart.zip(probeEnd))
     // Make the line the LAST output: stop Spark first so no shutdown
     // logging lands after it, and `Global / showSuccess := false`
     // keeps sbt quiet too.

@@ -166,7 +166,8 @@ final case class GraftChangelogReaderFactory(
     delta.foreach { r =>
       val key = keyOf(r)
       val seq = r.getLong(0)
-      val newIsAdd = RowKind.isAdd(r.getInt(1).toByte)
+      val rawKind = r.getInt(1).toByte
+      val newIsAdd = RowKind.isAdd(rawKind)
       val old = state.get(key)
       old match {
         case Some(prev) if newIsAdd =>
@@ -174,10 +175,20 @@ final case class GraftChangelogReaderFactory(
           out += ((RowKind.UpdateAfter, seq, r))
           state.update(key, r)
         case Some(prev) =>
-          out += ((RowKind.Delete, seq, prev))
+          // preserve the producer's kind: a -U (the retraction half of
+          // a merge-on-read UPDATE pair) must not read as a delete —
+          // its +U partner follows at the next sequence. The emitted
+          // values are the PRIOR state (richer than the raw -U row,
+          // whose non-key columns are null).
+          out += ((if (rawKind == RowKind.UpdateBefore) RowKind.UpdateBefore
+            else RowKind.Delete, seq, prev))
           state.remove(key)
         case None if newIsAdd =>
-          out += ((RowKind.Insert, seq, r))
+          // a raw +U lands here right after its -U partner retracted
+          // the state — surface it with its own kind so the pair reads
+          // -U/+U; plain inserts (+I) stay +I
+          out += ((if (rawKind == RowKind.UpdateAfter) RowKind.UpdateAfter
+            else RowKind.Insert, seq, r))
           state.update(key, r)
         case None => () // delete of an absent key: no event
       }

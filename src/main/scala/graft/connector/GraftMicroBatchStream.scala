@@ -49,7 +49,9 @@ trait GraftAvailableNowStream extends SupportsTriggerAvailableNow {
   *    a consistent changelog would need -D retractions — out of scope).
   *  - PK tables stream the raw upsert rows (+I/+U wins are NOT merged
   *    across batches — downstream dedups per key, e.g. with
-  *    `dropDuplicates` or `flatMapGroupsWithState`).
+  *    `dropDuplicates` or `flatMapGroupsWithState`). Retraction rows
+  *    (-U/-D) are NOT surfaced — deletes are invisible here by
+  *    contract; consume `$changelog` with `retractions` to see them.
   */
 final case class GraftOffset(snapshotId: Long) extends Offset {
   override def json(): String = s"""{"snapshotId":$snapshotId}"""
@@ -114,11 +116,14 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
   override def createReaderFactory(): PartitionReaderFactory =
     // per-file raw reads: PK tables stream upsert rows without
     // cross-batch merge (merge=false keeps the KV file layout but skips
-    // the dedup)
+    // the dedup). Retraction rows (-U/-D — merge-on-read DML appends
+    // them with null non-key columns) are dropped: deletes are
+    // documented invisible to the plain stream; `$changelog` with
+    // `retractions` carries them as first-class -D/-U events.
     GraftReaderFactory(schema.fields.json, schema.partitionKeys,
       schema.trimmedPrimaryKeys, isPk = schema.isPrimaryKeyTable,
       required.json, merge = false, fieldIds = schema.idMap,
-      ioSpec = schema.ioSpec)
+      ioSpec = schema.ioSpec, dropNonAdd = true)
 
   override def commit(end: Offset): Unit = ()
 

@@ -172,22 +172,13 @@ class GraftDeltaBatchWrite(tableDir: Path, schema: TableSchema,
       GraftDataWriter.blockSize(schema.options), schema.ioSpec)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten
-    graft.format.FileStoreCommit.commit(
-      new SnapshotManager(tableDir,
-        io = graft.format.FileIO.resolve(schema.ioSpec)),
-      schema.id, schema.partitionKeys, files.toSeq,
-      graft.format.FileStoreCommit.NoOverwrite,
-      resequence = GraftWriteSupport.resequenceInfo(tableDir, schema),
-      strictKeys = GraftWriteSupport.strictSequenceKeys(schema))
-    graft.format.Compactor.maybeCompact(tableDir, schema)
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteSupport.commitFiles(tableDir, schema,
+      messages.collect { case m: GraftCommitMessage => m.files }
+        .flatten.toSeq, graft.format.FileStoreCommit.NoOverwrite)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GraftCommitMessage => m.files }.flatten
-      .foreach(f => graft.format.FileIO.resolve(schema.ioSpec)
-        .delete(tableDir.resolve(f.fileName)))
+    GraftWriteSupport.abortFiles(tableDir, schema, messages)
 }
 
 final case class GraftDeltaWriterFactory(

@@ -575,7 +575,13 @@ final case class GraftReaderFactory(
     fieldIds: Map[String, Int] = Map.empty,
     dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     ioSpec: String = "local",
-    sortEngine: String = "min-heap")
+    sortEngine: String = "min-heap",
+    // raw (merge=false) PK reads that must NOT surface retraction rows
+    // (-U/-D, whose non-key columns are null) as data — the plain
+    // micro-batch stream: its contract is "raw upsert rows, dedup
+    // downstream", and deletes are documented invisible there. The
+    // $changelog view keeps every kind (its readers consume kinds).
+    dropNonAdd: Boolean = false)
   extends PartitionReaderFactory {
 
   // resolved per task from the serialized spec (FileIO itself is not
@@ -708,7 +714,7 @@ final case class GraftReaderFactory(
       .filter(n => required.fieldNames.contains(n) ||
         (needMerge && trimmedPk.contains(n)))
     val wantsKv = required.fieldNames.exists(
-      n => n == "_sequence_number" || n == "_row_kind")
+      n => n == "_sequence_number" || n == "_row_kind") || dropNonAdd
     val readSchema = if (needMerge || (isPk && wantsKv)) StructType(
       kvFileSchema.fields.filter(f => f.name == "_SEQUENCE_NUMBER" ||
         f.name == "_VALUE_KIND" || requiredData.contains(f.name)))
@@ -735,12 +741,20 @@ final case class GraftReaderFactory(
     val rows: Iterator[(String, InternalRow)] =
       if (needMerge)
         mergeOnRead(part, kvFileSchema, readSchema, safeFilters, opened)
-      else part.filePaths.iterator.flatMap { f =>
-        val r = FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
-          if (isPk) kvFileSchema else dataFields, readSchema, fieldIds,
-          safeFilters, io = fio, ioSpec = ioSpec)
-        opened += r
-        r.map(rr => (f, rr))
+      else {
+        val rawKindIdx =
+          if (isPk && dropNonAdd) readSchema.fieldIndex("_VALUE_KIND") else -1
+        part.filePaths.iterator.flatMap { f =>
+          val r = FormatIO.reader(FormatIO.ofFile(f), Paths.get(f),
+            if (isPk) kvFileSchema else dataFields, readSchema, fieldIds,
+            safeFilters, io = fio, ioSpec = ioSpec)
+          opened += r
+          val tagged = r.map(rr => (f, rr))
+          if (rawKindIdx < 0) tagged
+          else tagged.filter { case (_, rr) =>
+            graft.core.RowKind.isAdd(rr.getInt(rawKindIdx).toByte)
+          }
+        }
       }
 
     // output assembly: required order; partition constants spliced in

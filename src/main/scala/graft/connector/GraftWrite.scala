@@ -100,25 +100,44 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
       ioSpec = schema.ioSpec)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten
-    FileStoreCommit.commit(new SnapshotManager(tableDir, io = tableIo),
-      schema.id, schema.partitionKeys, files.toSeq, mode,
-      resequence = GraftWriteSupport.resequenceInfo(tableDir, schema),
-      strictKeys = GraftWriteSupport.strictSequenceKeys(schema))
-    // "one commit may generate up to two snapshots" — data + compaction
-    graft.format.Compactor.maybeCompact(tableDir, schema)
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteSupport.commitFiles(tableDir, schema,
+      messages.collect { case m: GraftCommitMessage => m.files }
+        .flatten.toSeq, mode)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GraftCommitMessage => m.files }.flatten
-      .foreach(f => tableIo.delete(tableDir.resolve(f.fileName)))
+    GraftWriteSupport.abortFiles(tableDir, schema, messages)
 }
 
 final case class GraftCommitMessage(files: Seq[DataFileMeta])
   extends WriterCommitMessage
 
 object GraftWriteSupport {
+  /** THE commit recipe shared by append ([[GraftBatchWrite]]) and
+    * delta ([[GraftDeltaBatchWrite]]) writes: snapshot publication
+    * with conflict re-sequencing + strict-sequence guard, then the
+    * optional trailing COMPACT snapshot. One copy, so the two commit
+    * paths cannot drift.
+    */
+  def commitFiles(tableDir: Path, schema: TableSchema,
+      files: Seq[DataFileMeta],
+      mode: FileStoreCommit.OverwriteMode): Unit = {
+    FileStoreCommit.commit(
+      new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec)),
+      schema.id, schema.partitionKeys, files, mode,
+      resequence = resequenceInfo(tableDir, schema),
+      strictKeys = strictSequenceKeys(schema))
+    // "one commit may generate up to two snapshots" — data + compaction
+    Compactor.maybeCompact(tableDir, schema)
+  }
+
+  /** Abort counterpart: delete the staged (uncommitted) data files. */
+  def abortFiles(tableDir: Path, schema: TableSchema,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftCommitMessage => m.files }.flatten
+      .foreach(f => FileIO.resolve(schema.ioSpec)
+        .delete(tableDir.resolve(f.fileName)))
+
   /** Key columns+types for [[FileStoreCommit]]'s strict intra-commit
     * ordering guard — non-empty only when the table opts in via
     * `commit.strict-sequence=true` and has merge semantics to protect.

@@ -176,7 +176,11 @@ object TableSchema {
           case "gb" | "g" => 1L << 30
           case "tb" | "t" => 1L << 40
         }
-        num.toLongOption.map(_ * mult)
+        // multiplyExact: a wrapping product could pass validation as a
+        // small positive size and silently mis-pack splits
+        num.toLongOption.flatMap(n =>
+          try Some(Math.multiplyExact(n, mult))
+          catch { case _: ArithmeticException => None })
       case _ => None
     }
 

@@ -189,16 +189,19 @@ object Compactor extends Serializable {
     */
   def maybeCompact(tableDir: Path, schema: graft.core.TableSchema): Int = {
     if (!schema.isPrimaryKeyTable) return 0
+    val sm = new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec))
+    if (sm.latestSnapshot.isEmpty) return 0
+    val byBucket = sm.liveFilesLatest
+      .groupBy(f => (f.partition, f.bucket))
+    // the warning must fire BEFORE the opt-outs: write-only tables and
+    // disabled compaction are exactly the configurations where hot
+    // buckets accumulate worst
+    warnHotBuckets(tableDir, schema, byBucket)
     if (schema.options.get("write-only").exists(_.equalsIgnoreCase("true")))
       return 0
     val trigger = schema.options.get("compaction.trigger-file-count")
       .map(_.toInt).getOrElse(5)
     if (trigger <= 0) return 0
-    val sm = new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec))
-    if (sm.latestSnapshot.isEmpty) return 0
-    val byBucket = sm.liveFilesLatest
-      .groupBy(f => (f.partition, f.bucket))
-    warnHotBuckets(tableDir, schema, byBucket)
     val groups = byBucket.filter(_._2.size >= trigger).toSeq
     compactGroups(org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession),

@@ -129,8 +129,8 @@ object ScaleChecks {
       spark.sql("SELECT count(*), sum(v) FROM graft.d.hot16").collect()
       (System.nanoTime() - t0) / 1e9 }
     println(f"  merged read: 1 bucket $tHot%.1f s vs 16 buckets $tBal%.1f s " +
-      f"(straggler cost ${tHot / tBal}%.1f x; ~${4000000 / tHot / 1e6}%.1f M " +
-      "pre-merge rows/s per merge task)")
+      f"(straggler cost ${tHot / tBal}%.1f x; ~${5000000 / tHot / 1e6}%.1f M " +
+      "pre-merge rows/s per merge task)") // 4M + 1M upsert = 5M pre-merge
     // merge-on-read DML: a 1-row UPDATE must not scale with bucket size
     val tUpd = { val t0 = System.nanoTime()
       spark.sql("UPDATE graft.d.hot1 SET v = 0 WHERE k = 42")

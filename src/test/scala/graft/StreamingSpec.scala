@@ -322,6 +322,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "c", 1), (3L, "C", 2)))
   }
 
+  test("MoR DML streams: UPDATE reads -U/+U, plain stream never sees " +
+      "retraction rows") {
+    spark.sql("CREATE TABLE graft.default.s_dml (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.s_dml VALUES (1,'a'), (2,'b')")
+    spark.sql("UPDATE graft.default.s_dml SET v = 'A' WHERE k = 1")
+    spark.sql("DELETE FROM graft.default.s_dml WHERE k = 2")
+
+    // retraction changelog: the UPDATE must read as a -U/+U pair (not
+    // delete+insert), the DELETE as -D carrying the prior values
+    val q = spark.readStream
+      .option("retractions", "true")
+      .table("graft.default.`s_dml$changelog`")
+      .writeStream.format("memory").queryName("s_dml_cl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val cl = spark.sql(
+      "SELECT k, v, _row_kind FROM s_dml_cl ORDER BY _sequence_number, _row_kind")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(cl.toSeq == Seq(
+      (1L, "a", 0), (2L, "b", 0),   // inserts
+      (1L, "a", 1), (1L, "A", 2),   // UPDATE: -U(prev)/+U(new)
+      (2L, "b", 3)),                // DELETE: -D with prior values
+      cl.toSeq)
+
+    // plain micro-batch stream: only add rows; no phantom (k, NULL)
+    // rows from the -U/-D deltas
+    val q2 = spark.readStream.table("graft.default.s_dml")
+      .writeStream.format("memory").queryName("s_dml_raw")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val raw = spark.sql("SELECT k, v FROM s_dml_raw ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(raw.forall(_._2.nonEmpty), s"phantom null-valued rows: ${raw.toSeq}")
+    assert(raw.toSeq == Seq((1L, Some("a")), (1L, Some("A")), (2L, Some("b"))),
+      raw.toSeq)
+  }
+
   test("incremental batch read over a snapshot range") {
     spark.sql("CREATE TABLE graft.default.s_inc (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
