@@ -296,6 +296,11 @@ class GraftDeltaWriter(f: GraftDeltaWriterFactory, pid: Int)
     fillAndWrite(rowPos, row, rowSchema, RowKind.UpdateAfter)
   }
 
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    // carry-over of an existing row (some rewrite shapes emit these):
+    // under LWW an upsert of the same values is semantically a no-op
+    insert(row)
+
   override def commit(): WriterCommitMessage = writer.commit()
   override def abort(): Unit = writer.abort()
   override def close(): Unit = writer.close()

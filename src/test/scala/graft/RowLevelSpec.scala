@@ -86,6 +86,24 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, "merged"), (2L, "B2"), (4L, "new")))
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE actions") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.default.rl_nmbs (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.rl_nmbs VALUES " +
+      "(1,'a'), (2,'b'), (3,'c')")
+    Seq((2L, "B"), (4L, "d")).toDF("k", "v").createOrReplaceTempView("nmbs_src")
+    // target rows absent from the source are deleted; matched update;
+    // unmatched source inserts
+    spark.sql("""MERGE INTO graft.default.rl_nmbs t USING nmbs_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = spark.sql("SELECT k, v FROM graft.default.rl_nmbs ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((2L, "B"), (4L, "d")), got.toSeq)
+  }
+
   test("PK table: 1-row UPDATE commits O(1) rows, not a bucket rewrite") {
     spark.sql("CREATE TABLE graft.default.rl_mor (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
