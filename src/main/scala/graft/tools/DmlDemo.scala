@@ -2,7 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Live walkthrough of copy-on-write row-level DML.
+/** Live walkthrough of row-level DML: merge-on-read RowKind appends on
+  * PK tables (a 1-row UPDATE commits O(1) rows), copy-on-write on
+  * append tables.
   * {{{ sbt "runMain graft.tools.DmlDemo" }}}
   */
 object DmlDemo {
@@ -24,8 +26,15 @@ object DmlDemo {
     spark.sql("INSERT INTO graft.demo.acct VALUES " +
       "(1,'ann',10.0), (2,'bob',20.0), (3,'cid',30.0), (4,'dee',40.0)")
 
-    println("== UPDATE with value predicate")
+    println("== UPDATE with value predicate (merge-on-read: appends -U/+U)")
+    val filesBefore = new graft.format.SnapshotManager(
+      wh.resolve("demo.db/acct")).liveFilesLatest.map(_.fileName).toSet
     spark.sql("UPDATE graft.demo.acct SET bal = bal + 5 WHERE owner IN ('ann','cid')")
+    val after = new graft.format.SnapshotManager(
+      wh.resolve("demo.db/acct")).liveFilesLatest
+    val delta = after.filterNot(f => filesBefore.contains(f.fileName))
+    println(s"  base files untouched: ${filesBefore.forall(n => after.exists(_.fileName == n))}; " +
+      s"delta rows committed: ${delta.map(_.rowCount).sum} (2 updates -> 2x -U/+U)")
     spark.sql("SELECT * FROM graft.demo.acct ORDER BY k").show()
 
     println("== DELETE with value predicate")

@@ -60,6 +60,22 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, "a", null), (2L, "B", 9.5)))
   }
 
+  test("ADD COLUMN then row-level DML: delta rows carry the new schema") {
+    spark.sql("CREATE TABLE graft.default.ev_dml (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.ev_dml VALUES (1,'a'), (2,'b')")
+    spark.sql("ALTER TABLE graft.default.ev_dml ADD COLUMN x INT")
+    // merge-on-read UPDATE across schema eras: the -U/+U delta rows
+    // are written with the evolved schema while the base files stay
+    // old-era; the merge maps both by field id
+    spark.sql("UPDATE graft.default.ev_dml SET x = 7 WHERE k = 1")
+    spark.sql("DELETE FROM graft.default.ev_dml WHERE k = 2")
+    val got = spark.sql("SELECT k, v, x FROM graft.default.ev_dml ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    assert(got.toSeq == Seq((1L, "a", Some(7))), got.toSeq)
+  }
+
   test("RENAME COLUMN: old files keep serving data under the new name") {
     spark.sql("CREATE TABLE graft.default.evo_rn (f0 INT, f1 STRING)")
     spark.sql("INSERT INTO graft.default.evo_rn VALUES (1,'a'), (2,'b')")
