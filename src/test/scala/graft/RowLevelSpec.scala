@@ -179,8 +179,13 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       "'compaction.trigger-file-count'='3')")
     val rnd = new scala.util.Random(20260814L)
     val model = scala.collection.mutable.Map.empty[Long, Long]
+    // facade handle on the SAME table: RowKind writes and SQL DML must
+    // interleave on one sequence history
+    val fcat = graft.api.Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "gfuzz"))
+    val ftable = fcat.getTable("default.rl_fuzz")
     for (step <- 1 to 30) {
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => // upsert a batch of distinct keys
           val keys = rnd.shuffle((0L until 40L).toList).take(1 + rnd.nextInt(6))
           val vals = keys.map(k => k -> rnd.nextLong(1000000L))
@@ -197,6 +202,17 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
           val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
           spark.sql(s"DELETE FROM graft.default.rl_fuzz WHERE k % $m = $r")
           model.keys.filter(_ % m == r).toSeq.foreach(model.remove)
+        case 3 => // facade RowKind delete batch (reference write path)
+          import spark.implicits._
+          import org.apache.spark.sql.functions.{lit, col}
+          val keys = rnd.shuffle((0L until 40L).toList).take(1 + rnd.nextInt(4))
+          val wb = ftable.newBatchWriteBuilder()
+          val w = wb.newWrite()
+          w.write(keys.map(k => (k, 0L)).toDF("k", "v")
+            .withColumn(graft.core.RowKind.ColumnName,
+              lit(graft.core.RowKind.Delete).cast("byte")))
+          wb.newCommit().commit(w.prepareCommit())
+          keys.foreach(model.remove)
       }
       val got = spark.sql("SELECT k, v FROM graft.default.rl_fuzz")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
