@@ -225,6 +225,46 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(model.nonEmpty, "fuzz series ended empty — weak run")
   }
 
+  test("partitioned PK table (partition in key): DML routes merge-on-read") {
+    spark.sql("CREATE TABLE graft.default.rl_ppk (pt INT, k BIGINT, v STRING) " +
+      "PARTITIONED BY (pt) " +
+      "TBLPROPERTIES ('primary-key'='pt,k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.rl_ppk VALUES " +
+      "(1,1,'a'), (1,2,'b'), (2,1,'c')")
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/rl_ppk"))
+    val before = sm.liveFilesLatest.map(_.fileName).toSet
+    spark.sql("UPDATE graft.default.rl_ppk SET v = 'A' WHERE pt = 1 AND k = 1")
+    spark.sql("DELETE FROM graft.default.rl_ppk WHERE v = 'b'")
+    // merge-on-read: base files survive, deltas land in the right
+    // partition directories
+    val after = sm.liveFilesLatest
+    assert(before.subsetOf(after.map(_.fileName).toSet),
+      "partitioned PK DML fell back to a rewrite")
+    val delta = after.filterNot(f => before.contains(f.fileName))
+    assert(delta.forall(_.fileName.startsWith("pt=1/")),
+      s"delta files landed outside the touched partition: " +
+        delta.map(_.fileName))
+    val got = spark.sql(
+      "SELECT pt, k, v FROM graft.default.rl_ppk ORDER BY pt, k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1, 1L, "A"), (2, 1L, "c")), got.toSeq)
+  }
+
+  test("partitioned PK table (partition outside key): COW fallback still works") {
+    spark.sql("CREATE TABLE graft.default.rl_ppk2 (pt INT, k BIGINT, v STRING) " +
+      "PARTITIONED BY (pt) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.rl_ppk2 VALUES " +
+      "(1,1,'a'), (1,2,'b'), (2,3,'c')")
+    spark.sql("UPDATE graft.default.rl_ppk2 SET v = 'B' WHERE k = 2")
+    spark.sql("DELETE FROM graft.default.rl_ppk2 WHERE v = 'c'")
+    val got = spark.sql(
+      "SELECT pt, k, v FROM graft.default.rl_ppk2 ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1, 1L, "a"), (1, 2L, "B")), got.toSeq)
+  }
+
   test("partitioned table: partition DELETE stays metadata-only, row DELETE rewrites") {
     spark.sql("CREATE TABLE graft.default.rl_part (pt INT, v STRING) PARTITIONED BY (pt)")
     spark.sql("INSERT INTO graft.default.rl_part VALUES (1,'a'), (1,'b'), (2,'c')")
