@@ -239,6 +239,33 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("commit.strict-sequence accepts merge-on-read DML (-U/+U one task)") {
+    val warehouse = Files.createTempDirectory("graft-conc6-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      spark.sql("CREATE TABLE graft.c.strictpk (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+        "'commit.strict-sequence'='true')")
+      spark.sql("INSERT INTO graft.c.strictpk VALUES (1,'a'), (2,'b')")
+      // an UPDATE writes -U/+U for the same key in ONE task with
+      // consecutive sequences — well-ordered, so the strict guard
+      // must accept it; ditto a DELETE's single -D
+      spark.sql("UPDATE graft.c.strictpk SET v = 'A' WHERE k = 1")
+      spark.sql("DELETE FROM graft.c.strictpk WHERE k = 2")
+      val got = spark.table("graft.c.strictpk").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((1L, "A")), got.toSeq)
+    } finally spark.stop()
+  }
+
   test("commit.strict-sequence fails ambiguous same-key multi-task commits") {
     val warehouse = Files.createTempDirectory("graft-conc4-wh")
     val spark = SparkSession.builder()
