@@ -78,6 +78,42 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("log-bucket function: monotone, bounded width, bounded count " +
+      "across the full positive 64-bit domain") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7L)
+    // cover every octave: mixed magnitudes from 1 to Long.MaxValue
+    val vs = (Seq(1L, 2L, 255L, 256L, 257L, Long.MaxValue) ++
+      (1 to 2000).map { _ =>
+        val bits = 1 + rnd.nextInt(63)
+        (rnd.nextLong().abs % (1L << (bits - 1)).max(1)) + (1L << (bits - 1))
+      }).distinct.sorted
+    import spark.implicits._
+    val rows = vs.toDF("v")
+      .selectExpr("v",
+        "(greatest(length(bin(v)) - 1 - 7, 0) * 256 + " +
+          "shiftright(v, greatest(length(bin(v)) - 1 - 7, 0))) AS b")
+      .selectExpr("v", "b",
+        "shiftleft(b % 256, CAST(b div 256 AS INT)) AS lo",
+        "CAST(b div 256 AS INT) AS shift")
+      .orderBy("v").collect()
+    var prevB = Long.MinValue
+    rows.foreach { r =>
+      val (v, b, lo, shift) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(b >= prevB, s"bucket id not monotone at v=$v")
+      prevB = b
+      // v lies in [lo, lo + 2^shift) and the width is <= 2^-7 of lo
+      // (checked as v-lo to avoid Long overflow at the domain top)
+      assert(lo <= v && (v - lo) < (1L << shift).max(1L),
+        s"v=$v outside bucket [lo=$lo, +2^$shift)")
+      assert(shift == 0 || (1L << shift) <= (lo >> 7).max(1),
+        s"width bound violated at v=$v: shift=$shift lo=$lo")
+    }
+    // total distinct buckets for the whole 63-octave domain stays KB-scale
+    assert(rows.map(_.getLong(1)).distinct.length < 8192)
+  }
+
   test("quantile sketch merge is lossless: merged == direct estimates") {
     val rows = graft.SparkEntry.queries("q_quantile_union")(spark, sf)
       .collect()
