@@ -271,41 +271,57 @@ object Sketches {
     QueryDef("q_quantile_sketch",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // ONE corpus scan builds the value-count table; the histogram,
-        // its totals, AND the exact ceil-rank order statistic (the
-        // readout column) all derive from it — the exact side costs a
-        // window over distinct values, not a percentile() value map
-        // per target. The KB-scale persist is released before return
-        // (3-row bounded collect, the q_quantile_union pattern).
-        val vc = t(s, dir, "lineitem")
+        // Sketch: one map-side-combined aggregate → KB-scale histogram;
+        // a window over it finds the ceil-rank bucket. Exact readout:
+        // sketch-guided REFINEMENT — a second scan filtered to the 3
+        // crossing buckets (range filters, pushdown-friendly), then a
+        // per-p value-count window bounded by the bucket's VALUE RANGE
+        // (<= 2^-7 of its lower bound — independent of corpus size),
+        // picking the (rank − rows-below-bucket)-th value inside. The
+        // exact column is itself 100 TB-shaped: no corpus-wide distinct
+        // window, no percentile value map. The KB-scale persist is
+        // released before return (3-row bounded collect).
+        val li = t(s, dir, "lineitem")
           .select(cents(col("l_extendedprice")).as("v"))
-          .groupBy("v").agg(count(lit(1)).as("nv"))
+        val hist = li.select(expr(qBucketSpark("v")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val hist = vc.select(expr(qBucketSpark("v")).as("b"), col("nv"))
-            .groupBy("b").agg(sum("nv").as("n"))
           val cum = hist.withColumn("cum",
             sum("n").over(Window.orderBy("b")))
           val totals = hist.agg(sum("n").as("n_total"),
             count(lit(1)).as("n_buckets"))
-          val vcum = vc.withColumn("cumv",
-            sum("nv").over(Window.orderBy("v")))
           val ranked = s.range(1)
             .select(explode(typedLit(Seq(50L, 90L, 99L))).as("p"))
             .crossJoin(totals)
             .withColumn("rank", expr(qRankSpark("n_total", "p")))
-          val exact = ranked.join(vcum, col("cumv") >= col("rank"))
-            .groupBy("p", "n_total", "n_buckets")
+          // crossing bucket per p + rows strictly below it
+          val cr = ranked.join(cum, col("cum") >= col("rank"))
+            .groupBy("p", "rank", "n_total", "n_buckets")
+            .agg(min("b").as("bq"))
+            .join(cum.select(col("b"), col("n"), col("cum")),
+              col("bq") === col("b"))
+            .select(col("p"), col("rank"), col("n_total"), col("n_buckets"),
+              (col("cum") - col("n")).as("below"),
+              expr(qLowerSpark("bq")).as("est_cents"),
+              expr(s"CAST(bq div $QM AS INT)").as("shift"))
+          val exact = li
+            .join(broadcast(cr), col("v") >= col("est_cents") &&
+              col("v") - col("est_cents") < expr("shiftleft(1L, shift)"))
+            .groupBy("p", "rank", "below", "n_total", "n_buckets",
+              "est_cents", "v")
+            .agg(count(lit(1)).as("nv"))
+            .withColumn("cumv",
+              sum("nv").over(Window.partitionBy("p").orderBy("v")))
+            .filter(col("below") + col("cumv") >= col("rank"))
+            .groupBy("p", "n_total", "n_buckets", "est_cents")
             .agg(min("v").as("exact_cents"))
-          val est = ranked.join(cum, col("cum") >= col("rank"))
-            .groupBy("p").agg(min("b").as("bq"))
-            .withColumn("est_cents", expr(qLowerSpark("bq")))
-          val out = exact.join(est, Seq("p"))
+          val out = exact
             .select("p", "n_total", "n_buckets", "exact_cents", "est_cents")
             .orderBy("p")
           val rows = out.collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-        } finally vc.unpersist(blocking = true)
+        } finally hist.unpersist(blocking = true)
       },
       Some {
         val vcents = sqlCents("l_extendedprice")
