@@ -110,6 +110,14 @@ class GraftReplaceBatchWrite(tableDir: Path, schema: TableSchema,
   * had at scale. The bucket's [[graft.format.SortMergeReader]] resolves
   * winners at read time; compaction folds the deltas later.
   *
+  * File-count shape: the delta write requests no distribution (delete
+  * rows carry only key columns, insert rows only data columns — no
+  * single clustering expression covers both), so a large MERGE writes
+  * up to tasks × buckets delta files. Commit-triggered compaction
+  * bounds every bucket's live file count at O(trigger) right after
+  * (ScaleChecks' merge canary measures it), so read amplification
+  * never accumulates.
+  *
   * Mechanics: Spark's delta rewrite (`SupportsDelta`) projects the
   * primary key as the row id (PK columns are non-nullable on PK
   * tables, the reference's own constraint). Updates arrive whole

@@ -137,6 +137,23 @@ object ScaleChecks {
       (System.nanoTime() - t0) / 1e9 }
     println(f"  1-row UPDATE on the 4M-row bucket: $tUpd%.1f s " +
       "(merge-on-read: O(1) rows appended, no bucket rewrite)")
+    // large-MERGE delta-file shape: unclustered delta writes may cut
+    // tasks x buckets files, but commit-triggered compaction bounds
+    // live files per bucket at O(trigger) immediately
+    val tMrg = { val t0 = System.nanoTime()
+      spark.sql("""MERGE INTO graft.d.hot16 t
+        USING (SELECT id * 2 AS k, -1 * id AS v FROM range(0, 500000)) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      (System.nanoTime() - t0) / 1e9 }
+    val mrgFiles = new graft.format.SnapshotManager(
+      wh.resolve("d.db/hot16")).liveFilesLatest
+    val perBucket = mrgFiles.groupBy(_.bucket).map(_._2.size)
+    println(f"  500k-row MERGE into 16 buckets: $tMrg%.1f s; live files " +
+      s"after compaction: ${mrgFiles.size} (max/bucket ${perBucket.max})")
+    require(perBucket.max <= 5,
+      s"compaction failed to bound delta files: ${perBucket.max}/bucket")
 
     println("== 10M-row spill canary: small write buffer forces multi-run " +
       "spills, second commit trips compaction")
