@@ -69,8 +69,9 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
 
   /** Metadata-only DELETE: drop whole partitions when the predicate
     * touches only partition columns (file-level DELETE entries, no
-    * rewrite). Row-level deletes on PK tables go through RowKind
-    * writes (facade) instead.
+    * rewrite). Other predicates fall through to the row-level path:
+    * merge-on-read -D appends on PK tables, copy-on-write on append
+    * tables ([[newRowLevelOperationBuilder]]).
     */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(_.references.forall(tableSchema.partitionKeys.contains))

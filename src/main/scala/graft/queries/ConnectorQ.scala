@@ -132,7 +132,7 @@ object ConnectorQ {
         // PK table, 2 commits (merge-on-read across files)
         () => argmaxTable(s"graft_c.$ns.ev_pk", pkProps),
 
-        // same shape + row-level DELETE (copy-on-write DML path)
+        // same shape + row-level DELETE (merge-on-read -D appends)
         () => {
           argmaxTable(s"graft_c.$ns.ev_pk_del", pkProps)
           timed("delete ev_pk_del")(
@@ -182,8 +182,8 @@ object ConnectorQ {
           """TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
             'compaction.trigger-file-count'='2')"""),
 
-        // UPDATE: copy-on-write rewrite of matched buckets; the updated
-        // rows win the subsequent merge by sequence number
+        // UPDATE: merge-on-read -U/+U appends; the after-images win
+        // the subsequent merge by sequence number
         () => {
           argmaxTable(s"graft_c.$ns.ev_pk_upd", pkProps)
           timed("update ev_pk_upd")(s.sql(s"""UPDATE graft_c.$ns.ev_pk_upd
