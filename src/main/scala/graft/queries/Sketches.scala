@@ -134,6 +134,32 @@ object Sketches {
   private def qLowerSql(b: String): String =
     s"(($b % $QM) << CAST(($b // $QM) AS INT))"
 
+  /** Bloom geometry: m = 4096 bit positions × k = 4 md5-kernel hashes.
+    * The filter is materialized as its SET of set positions (<= 4096
+    * rows, broadcastable at any corpus size) rather than packed words —
+    * the set IS the sketch, unions are plain DISTINCT-unions (exact,
+    * like the quantile histogram's count-addition), and both engines
+    * derive every position from the same [[Tables.h60]] integers, so
+    * membership answers replay bit-for-bit. Classic one-sided
+    * guarantee: a member's positions are all present by construction
+    * (no false negatives); non-members answer yes only on full k-way
+    * collision. Sizing rule (standard Bloom math): ~10 bits per
+    * expected member for ~1% false positives — production picks m from
+    * the member-count estimate (the HLL row's output, fittingly); the
+    * demo slices the member set so m = 4096 stays in that regime at
+    * the test scale factors.
+    */
+  private val BloomM = 4096L
+  private val BloomK = 4
+
+  /** The k bit positions of a key, one row each. */
+  private def bloomPos(key: Column): Column =
+    explode(array((0 until BloomK).map(r => h60(key, r) % BloomM): _*))
+
+  private def sqlBloomPos(e: String): String =
+    (0 until BloomK).map(r => s"${sqlH60(e, r)} % $BloomM")
+      .mkString("unnest([", ", ", "])")
+
   /** Ceil-rank of percentile p over n rows, exact integer math. */
   private def qRankSpark(n: String, p: String): String =
     s"(($n * $p + 99) div 100)"
@@ -425,6 +451,112 @@ object Sketches {
             CAST(${qLowerSql("bq")} AS BIGINT) AS est_merged_cents,
             CAST(${qLowerSql("bq")} AS BIGINT) AS est_direct_cents
           FROM est, nm ORDER BY p"""
+      }),
+
+    // Bloom membership, exact vs sketch: the BUILDING-segment customer
+    // set becomes a <= 1024-position filter built in ONE aggregate;
+    // probing any key set is a broadcast join against it — the "was
+    // this id in that corpus" primitive a pipeline answers per shard
+    // without shipping the corpus. The row shows the one-sided
+    // contract on real data: every true member answers yes (no false
+    // negatives, n_bloom_yes == n_probes on the member side); the
+    // non-member side counts the k-way-collision false positives.
+    QueryDef("q_bloom_membership",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val member = col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey") % 10 === 1
+        val bits = cust.filter(member)
+          .select(bloomPos(col("c_custkey")).as("pos")).distinct()
+        val ppos = cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"), member.as("is_member"),
+            bloomPos(col("c_custkey")).as("pos")).distinct()
+        ppos
+          .join(broadcast(bits.withColumn("present", lit(1))),
+            Seq("pos"), "left")
+          .groupBy("k", "is_member")
+          .agg((count(lit(1)) === count(col("present"))).as("bloom_yes"))
+          .groupBy("is_member")
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("bloom_yes"), 1L).otherwise(0L)).as("n_bloom_yes"))
+          .orderBy("is_member")
+      },
+      Some {
+        val key = "CAST(c_custkey AS VARCHAR)"
+        s"""WITH bits AS (
+            SELECT DISTINCT ${sqlBloomPos(key)} AS pos
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 1),
+          ppos AS (
+            SELECT DISTINCT c_custkey AS k,
+              c_mktsegment = 'BUILDING' AND c_custkey % 10 = 1 AS is_member,
+              ${sqlBloomPos(key)} AS pos
+            FROM customer WHERE c_custkey % 3 = 0),
+          per AS (
+            SELECT k, is_member,
+              COUNT(*) = COUNT(b.pos) AS bloom_yes
+            FROM ppos p LEFT JOIN bits b USING (pos)
+            GROUP BY 1, 2)
+          SELECT is_member, COUNT(*) AS n_probes,
+            CAST(SUM(CASE WHEN bloom_yes THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_bloom_yes
+          FROM per GROUP BY 1 ORDER BY is_member"""
+      }),
+
+    // MERGE per-segment Bloom filters into the union filter — position
+    // sets union by plain DISTINCT (exact, like quantile histograms
+    // and unlike HLL's approximate union): the merged filter answers
+    // membership for the union of segments identically to one built
+    // directly, proven by probing every customer key through both.
+    QueryDef("q_bloom_union",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val segs = Seq("BUILDING", "MACHINERY")
+        val inSeg = col("c_mktsegment").isin(segs: _*) &&
+          col("c_custkey") % 10 === 1
+        val perSeg = cust.filter(inSeg)
+          .select(col("c_mktsegment").as("seg"),
+            bloomPos(col("c_custkey")).as("pos")).distinct()
+        val merged = perSeg.select("pos").distinct()
+        val direct = cust.filter(inSeg)
+          .select(bloomPos(col("c_custkey")).as("pos")).distinct()
+        val probes = cust
+          .select(col("c_custkey").as("k"), bloomPos(col("c_custkey")).as("pos"))
+          .distinct()
+        def yes(filter: org.apache.spark.sql.DataFrame, name: String) =
+          probes
+            .join(broadcast(filter.withColumn("present", lit(1))),
+              Seq("pos"), "left")
+            .groupBy("k")
+            .agg((count(lit(1)) === count(col("present"))).as("y"))
+            .agg(sum(when(col("y"), 1L).otherwise(0L)).as(name))
+        yes(merged, "n_yes_merged")
+          .crossJoin(yes(direct, "n_yes_direct"))
+          .crossJoin(perSeg.agg(
+            countDistinct("seg").as("n_sketches_merged")))
+          .select("n_sketches_merged", "n_yes_merged", "n_yes_direct")
+      },
+      Some {
+        val key = "CAST(c_custkey AS VARCHAR)"
+        s"""WITH pseg AS (
+            SELECT DISTINCT c_mktsegment AS seg, ${sqlBloomPos(key)} AS pos
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+              AND c_custkey % 10 = 1),
+          merged AS (SELECT DISTINCT pos FROM pseg),
+          probes AS (
+            SELECT DISTINCT c_custkey AS k, ${sqlBloomPos(key)} AS pos
+            FROM customer),
+          per AS (
+            SELECT k, COUNT(*) = COUNT(m.pos) AS y
+            FROM probes p LEFT JOIN merged m USING (pos)
+            GROUP BY 1)
+          SELECT
+            (SELECT COUNT(DISTINCT seg) FROM pseg) AS n_sketches_merged,
+            CAST((SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) FROM per)
+              AS BIGINT) AS n_yes_merged,
+            CAST((SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) FROM per)
+              AS BIGINT) AS n_yes_direct"""
       })
   )
 }

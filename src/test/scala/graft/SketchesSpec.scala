@@ -114,6 +114,23 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).distinct.length < 8192)
   }
 
+  test("Bloom filter: zero false negatives; union merge is lossless") {
+    val rows = graft.SparkEntry.queries("q_bloom_membership")(spark, sf)
+      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+    val members = rows.find(_._1).get
+    val non = rows.find(!_._1).get
+    // one-sided guarantee: every true member answers yes
+    assert(members._2 == members._3,
+      s"false negatives: ${members._2 - members._3} of ${members._2}")
+    // false positives exist but stay a minority at this density
+    assert(non._3 < non._2,
+      s"non-member probes all answered yes (${non._3}/${non._2}) — filter saturated")
+    val u = graft.SparkEntry.queries("q_bloom_union")(spark, sf).collect()(0)
+    assert(u.getLong(1) == u.getLong(2),
+      s"merged ${u.getLong(1)} != direct ${u.getLong(2)}")
+    assert(u.getLong(0) == 2)
+  }
+
   test("quantile sketch merge is lossless: merged == direct estimates") {
     val rows = graft.SparkEntry.queries("q_quantile_union")(spark, sf)
       .collect()
