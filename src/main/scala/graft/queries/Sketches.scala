@@ -115,11 +115,14 @@ object Sketches {
     * histograms MERGE by plain per-bucket count addition into exactly
     * the histogram of the union, no rescan.
     */
-  private val QK = 7
-  private val QM = 1 << (QK + 1) // bucket-id low-part modulus (256)
+  private[graft] val QK = 7
+  private[graft] val QM = 1 << (QK + 1) // bucket-id low-part modulus (256)
 
-  /** Spark-SQL bucket id of positive BIGINT column `v`. */
-  private def qBucketSpark(v: String): String =
+  /** Spark-SQL bucket id of positive BIGINT column `v`.
+    * `private[graft]`: SketchesSpec's full-domain property test MUST
+    * exercise THIS definition, not its own copy of the formula.
+    */
+  private[graft] def qBucketSpark(v: String): String =
     s"(greatest(length(bin($v)) - 1 - $QK, 0) * $QM + " +
       s"shiftright($v, greatest(length(bin($v)) - 1 - $QK, 0)))"
 
@@ -129,7 +132,7 @@ object Sketches {
       s"(($v) >> CAST(greatest(length(bin($v)) - 1 - $QK, 0) AS INT)))"
 
   /** Lower bound of bucket id `b` — the quantile estimate. */
-  private def qLowerSpark(b: String): String =
+  private[graft] def qLowerSpark(b: String): String =
     s"shiftleft($b % $QM, CAST($b div $QM AS INT))"
   private def qLowerSql(b: String): String =
     s"(($b % $QM) << CAST(($b // $QM) AS INT))"
@@ -145,9 +148,13 @@ object Sketches {
     * (no false negatives); non-members answer yes only on full k-way
     * collision. Sizing rule (standard Bloom math): ~10 bits per
     * expected member for ~1% false positives — production picks m from
-    * the member-count estimate (the HLL row's output, fittingly); the
-    * demo slices the member set so m = 4096 stays in that regime at
-    * the test scale factors.
+    * the member-count estimate (the HLL row's output, fittingly). The
+    * demo's fixed m = 4096 with the %10 member slice sits in that
+    * regime through sf0.1 (the tested range); at larger corpora the
+    * filter saturates gracefully (false-positive rate rises, the
+    * no-false-negative and lossless-union contracts are unconditional
+    * and the oracle equality holds at ANY fill) — a production build
+    * would simply raise m.
     */
   private val BloomM = 4096L
   private val BloomK = 4
@@ -454,7 +461,7 @@ object Sketches {
       }),
 
     // Bloom membership, exact vs sketch: the BUILDING-segment customer
-    // set becomes a <= 1024-position filter built in ONE aggregate;
+    // set becomes a <= 4096-position filter built in ONE aggregate;
     // probing any key set is a broadcast join against it — the "was
     // this id in that corpus" primitive a pipeline answers per shard
     // without shipping the corpus. The row shows the one-sided
@@ -520,21 +527,29 @@ object Sketches {
         val merged = perSeg.select("pos").distinct()
         val direct = cust.filter(inSeg)
           .select(bloomPos(col("c_custkey")).as("pos")).distinct()
+        // the heaviest intermediate (all-customer exploded position
+        // set) feeds BOTH probe passes — persist once, release before
+        // return (1-row bounded collect, the quantile pattern)
         val probes = cust
           .select(col("c_custkey").as("k"), bloomPos(col("c_custkey")).as("pos"))
           .distinct()
-        def yes(filter: org.apache.spark.sql.DataFrame, name: String) =
-          probes
-            .join(broadcast(filter.withColumn("present", lit(1))),
-              Seq("pos"), "left")
-            .groupBy("k")
-            .agg((count(lit(1)) === count(col("present"))).as("y"))
-            .agg(sum(when(col("y"), 1L).otherwise(0L)).as(name))
-        yes(merged, "n_yes_merged")
-          .crossJoin(yes(direct, "n_yes_direct"))
-          .crossJoin(perSeg.agg(
-            countDistinct("seg").as("n_sketches_merged")))
-          .select("n_sketches_merged", "n_yes_merged", "n_yes_direct")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          def yes(filter: org.apache.spark.sql.DataFrame, name: String) =
+            probes
+              .join(broadcast(filter.withColumn("present", lit(1))),
+                Seq("pos"), "left")
+              .groupBy("k")
+              .agg((count(lit(1)) === count(col("present"))).as("y"))
+              .agg(sum(when(col("y"), 1L).otherwise(0L)).as(name))
+          val out = yes(merged, "n_yes_merged")
+            .crossJoin(yes(direct, "n_yes_direct"))
+            .crossJoin(perSeg.agg(
+              countDistinct("seg").as("n_sketches_merged")))
+            .select("n_sketches_merged", "n_yes_merged", "n_yes_direct")
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally probes.unpersist(blocking = true)
       },
       Some {
         val key = "CAST(c_custkey AS VARCHAR)"

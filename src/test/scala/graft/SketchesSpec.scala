@@ -89,13 +89,13 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         (rnd.nextLong().abs % (1L << (bits - 1)).max(1)) + (1L << (bits - 1))
       }).distinct.sorted
     import spark.implicits._
+    // the SHIPPED definitions, not a private copy of the formula —
+    // tuning QK/QM in Sketches must flow into this pin
     val rows = vs.toDF("v")
-      .selectExpr("v",
-        "(greatest(length(bin(v)) - 1 - 7, 0) * 256 + " +
-          "shiftright(v, greatest(length(bin(v)) - 1 - 7, 0))) AS b")
+      .selectExpr("v", graft.queries.Sketches.qBucketSpark("v") + " AS b")
       .selectExpr("v", "b",
-        "shiftleft(b % 256, CAST(b div 256 AS INT)) AS lo",
-        "CAST(b div 256 AS INT) AS shift")
+        graft.queries.Sketches.qLowerSpark("b") + " AS lo",
+        s"CAST(b div ${graft.queries.Sketches.QM} AS INT) AS shift")
       .orderBy("v").collect()
     var prevB = Long.MinValue
     rows.foreach { r =>
@@ -107,7 +107,7 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       // (checked as v-lo to avoid Long overflow at the domain top)
       assert(lo <= v && (v - lo) < (1L << shift).max(1L),
         s"v=$v outside bucket [lo=$lo, +2^$shift)")
-      assert(shift == 0 || (1L << shift) <= (lo >> 7).max(1),
+      assert(shift == 0 || (1L << shift) <= (lo >> graft.queries.Sketches.QK).max(1),
         s"width bound violated at v=$v: shift=$shift lo=$lo")
     }
     // total distinct buckets for the whole 63-octave domain stays KB-scale
