@@ -173,7 +173,76 @@ object Sketches {
   private def qRankSql(n: String, p: String): String =
     s"(($n * $p + 99) // 100)"
 
+  /** Columns the one-pass profiler sweeps: integer/string/date only —
+    * their VARCHAR renderings are identical in Spark and DuckDB
+    * (integers verbatim, dates ISO-8601; doubles can diverge at
+    * scientific-notation thresholds, so they stay out of the
+    * hash-profiled set).
+    */
+  private val ProfileCols = Seq("l_returnflag", "l_linestatus",
+    "l_shipdate", "l_orderkey", "l_suppkey", "l_linenumber")
+
   val defs: Seq[QueryDef] = Seq(
+    // ONE-PASS column profiler — the first thing a pipeline runs on a
+    // new corpus: per-column row/null counts, exact distinct (the eval
+    // readout), and the HLL estimate, all fed by a single scan that
+    // unpivots the profiled columns into (col_name, value) rows. At
+    // 100 TB the exact-distinct column drops and the remaining plan is
+    // one map-side-combined pass over the corpus producing a KB-scale
+    // register table for EVERY column at once — versus one
+    // COUNT(DISTINCT) shuffle per column.
+    QueryDef("q_profile_columns",
+      (s, dir) => {
+        val n = ProfileCols.length
+        val stacked = t(s, dir, "lineitem").select(expr(
+          s"stack($n, " + ProfileCols.map(c =>
+            s"'$c', CAST($c AS STRING)").mkString(", ") +
+            ") AS (col_name, value)"))
+        val counts = stacked.groupBy("col_name").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct("value").as("n_distinct"))
+        val est = hllRegisters(stacked.filter(col("value").isNotNull),
+            Seq("col_name"), col("value"))
+          .groupBy("col_name").agg(hllRegisterSum)
+          .select(col("col_name"), (lit(hllC) / col("sreg")).as("distinct_est"))
+        counts.join(est, Seq("col_name"))
+          .select("col_name", "n_rows", "n_nulls", "n_distinct",
+            "distinct_est")
+          .orderBy("col_name")
+      },
+      Some {
+        val st = ProfileCols.map(c =>
+          s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value " +
+            "FROM lineitem").mkString(" UNION ALL ")
+        s"""WITH st AS ($st),
+          counts AS (
+            SELECT col_name, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+              COUNT(DISTINCT value) AS n_distinct
+            FROM st GROUP BY 1),
+          h AS (
+            SELECT col_name, ${sqlH60s("value")} AS h
+            FROM st WHERE value IS NOT NULL),
+          b AS (
+            SELECT col_name, h // $HllBucketDiv AS bucket,
+              h % $HllBucketDiv AS w
+            FROM h),
+          m AS (
+            SELECT col_name, bucket,
+              MAX(CASE WHEN w = 0 THEN 55
+                  ELSE 55 - length(bin(w)) END) AS mj
+            FROM b GROUP BY 1, 2),
+          sr AS (
+            SELECT col_name,
+              CAST(SUM(1::BIGINT << (55 - mj))
+                + ($HllM - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS sreg
+            FROM m GROUP BY 1)
+          SELECT col_name, n_rows, n_nulls, n_distinct,
+            $hllCLit / sreg AS distinct_est
+          FROM counts JOIN sr USING (col_name) ORDER BY col_name"""
+      }),
     // Distinct users per event type, exact vs HLL: ONE pass builds all
     // per-(type, bucket) registers — map-side partial max, 64 rows per
     // group after the shuffle — where COUNT(DISTINCT) shuffles every

@@ -114,6 +114,28 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).distinct.length < 8192)
   }
 
+  test("column profiler: per-column HLL estimates within the m=64 band") {
+    val rows = graft.SparkEntry.queries("q_profile_columns")(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    val band = 5 * 1.04 / math.sqrt(64.0)
+    rows.foreach { r =>
+      val (name, nRows, nNulls, exact, est) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nRows > 0 && nNulls >= 0 && exact >= 1 && est > 0)
+      // the raw estimator (no linear-counting branch BY DESIGN — see
+      // the HLL geometry doc) is only in-band once the register table
+      // is reasonably occupied; tiny-cardinality columns overestimate
+      // (that's what the exact column in the same row is for)
+      if (exact >= 64)
+        assert(math.abs(est - exact) <= band * exact,
+          s"$name: est $est vs exact $exact")
+    }
+    // sanity: flag columns are tiny-cardinality, keys are large
+    val byName = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byName("l_returnflag") <= 5 && byName("l_orderkey") > 1000)
+  }
+
   test("Bloom filter: zero false negatives; union merge is lossless") {
     val rows = graft.SparkEntry.queries("q_bloom_membership")(spark, sf)
       .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
