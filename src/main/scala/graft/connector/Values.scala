@@ -17,7 +17,38 @@ object Values {
   final val NullToken = "__GRAFT_NULL__"
 
   def encode(dt: DataType, v: Any): String =
-    if (v == null) NullToken else v.toString // UTF8String.toString; micros/days via Long/Int
+    if (v == null) NullToken
+    else dt match {
+      // hex, 2 chars/byte: unambiguous, and lexicographic hex order ==
+      // unsigned byte order, so encoded-string comparisons agree with
+      // compare() below (stat bounds, bucket routing stay consistent)
+      case BinaryType => toHex(v.asInstanceOf[Array[Byte]])
+      case _ => v.toString // UTF8String.toString; micros/days via Long/Int
+    }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(2 * i) = HexDigits(v >> 4)
+      out(2 * i + 1) = HexDigits(v & 15)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def fromHex(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
 
   /** Parse canonical string to the Catalyst-internal value. */
   def parse(dt: DataType, s: String): Any =
@@ -31,6 +62,7 @@ object Values {
       case DoubleType => s.toDouble
       case BooleanType => s.toBoolean
       case StringType => UTF8String.fromString(s)
+      case BinaryType => fromHex(s)
       case other => throw new IllegalArgumentException(s"partition type $other")
     }
 
@@ -60,6 +92,19 @@ object Values {
       case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
       case BooleanType => a.asInstanceOf[Boolean].compare(b.asInstanceOf[Boolean])
       case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case BinaryType =>
+        // unsigned lexicographic, ≙ the reference comparator's binary
+        // branch (`sort_merge_reader.py:57-62`: pyarrow binary compares
+        // bytewise-unsigned)
+        val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
       case other => throw new IllegalArgumentException(s"compare $other")
     }
   }
@@ -195,6 +240,7 @@ object Values {
       case DoubleType => row.getDouble(ordinal).toString
       case BooleanType => row.getBoolean(ordinal).toString
       case StringType => row.getUTF8String(ordinal).toString
+      case BinaryType => toHex(row.getBinary(ordinal))
       case other => throw new IllegalArgumentException(s"encode $other")
     }
 }

@@ -190,18 +190,25 @@ object Compactor extends Serializable {
   def maybeCompact(tableDir: Path, schema: graft.core.TableSchema): Int = {
     if (!schema.isPrimaryKeyTable) return 0
     val sm = new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec))
-    if (sm.latestSnapshot.isEmpty) return 0
-    val byBucket = sm.liveFilesLatest
-      .groupBy(f => (f.partition, f.bucket))
-    // the warning must fire BEFORE the opt-outs: write-only tables and
-    // disabled compaction are exactly the configurations where hot
-    // buckets accumulate worst
-    warnHotBuckets(tableDir, schema, byBucket)
-    if (schema.options.get("write-only").exists(_.equalsIgnoreCase("true")))
-      return 0
+    val latest = sm.latestSnapshot.getOrElse(return 0)
+    val writeOnly =
+      schema.options.get("write-only").exists(_.equalsIgnoreCase("true"))
     val trigger = schema.options.get("compaction.trigger-file-count")
       .map(_.toInt).getOrElse(5)
-    if (trigger <= 0) return 0
+    if (writeOnly || trigger <= 0) {
+      // opted-out configurations exist precisely to keep bulk-load
+      // commits cheap, so the per-commit manifest fold is exactly the
+      // cost they must not pay. They are ALSO where hot buckets
+      // accumulate worst — so keep the audit, but rate-limit it: every
+      // 16th snapshot, and never again once the table has warned.
+      if (!hotBucketWarned.contains(tableDir.toString) && latest.id % 16 == 0)
+        warnHotBuckets(tableDir, schema,
+          sm.liveFiles(latest).groupBy(f => (f.partition, f.bucket)))
+      return 0
+    }
+    val byBucket = sm.liveFiles(latest)
+      .groupBy(f => (f.partition, f.bucket))
+    warnHotBuckets(tableDir, schema, byBucket)
     val groups = byBucket.filter(_._2.size >= trigger).toSeq
     compactGroups(org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession),
@@ -215,7 +222,9 @@ object Compactor extends Serializable {
     * bucket's live pre-merge rows exceed `bucket.rows-warning-
     * threshold` (default 64M ≈ tens of seconds of single-task merge;
     * <= 0 disables). Metadata-only: the counts come from the manifest
-    * entries already in hand.
+    * entries the compaction check already folded; tables that opt out
+    * of compaction (`write-only`, disabled trigger) audit only every
+    * 16th snapshot so bulk-load commits stay free of the fold.
     */
   private val hotBucketWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

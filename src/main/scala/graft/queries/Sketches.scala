@@ -206,7 +206,9 @@ object Sketches {
             Seq("col_name"), col("value"))
           .groupBy("col_name").agg(hllRegisterSum)
           .select(col("col_name"), (lit(hllC) / col("sreg")).as("distinct_est"))
-        counts.join(est, Seq("col_name"))
+        // LEFT join: an all-null column yields no HLL register rows at
+        // all — an inner join would silently drop it from the profile
+        counts.join(est, Seq("col_name"), "left")
           .select("col_name", "n_rows", "n_nulls", "n_distinct",
             "distinct_est")
           .orderBy("col_name")
@@ -241,7 +243,7 @@ object Sketches {
             FROM m GROUP BY 1)
           SELECT col_name, n_rows, n_nulls, n_distinct,
             $hllCLit / sreg AS distinct_est
-          FROM counts JOIN sr USING (col_name) ORDER BY col_name"""
+          FROM counts LEFT JOIN sr USING (col_name) ORDER BY col_name"""
       }),
     // Distinct users per event type, exact vs HLL: ONE pass builds all
     // per-(type, bucket) registers — map-side partial max, 64 rows per
@@ -514,19 +516,29 @@ object Sketches {
           cm AS (
             SELECT b, SUM(n) OVER (ORDER BY b) AS cum FROM merged),
           totals AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM merged),
+          direct AS (
+            SELECT ${qBucketSql("v")} AS b, COUNT(*) AS n FROM li GROUP BY 1),
+          cmd AS (
+            SELECT b, SUM(n) OVER (ORDER BY b) AS cum FROM direct),
+          totd AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM direct),
           ps AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(p)),
           est AS (
             SELECT p, MIN(b) AS bq
             FROM (SELECT p, ${qRankSql("n_total", "p")} AS rank
                   FROM ps, totals) r
             JOIN cm ON cum >= rank GROUP BY 1),
+          estd AS (
+            SELECT p, MIN(b) AS bq
+            FROM (SELECT p, ${qRankSql("n_total", "p")} AS rank
+                  FROM ps, totd) r
+            JOIN cmd ON cum >= rank GROUP BY 1),
           nm AS (
             SELECT COUNT(DISTINCT l_returnflag) AS n_sketches_merged
             FROM pf)
           SELECT CAST(p AS BIGINT) AS p, n_sketches_merged,
-            CAST(${qLowerSql("bq")} AS BIGINT) AS est_merged_cents,
-            CAST(${qLowerSql("bq")} AS BIGINT) AS est_direct_cents
-          FROM est, nm ORDER BY p"""
+            CAST(${qLowerSql("est.bq")} AS BIGINT) AS est_merged_cents,
+            CAST(${qLowerSql("estd.bq")} AS BIGINT) AS est_direct_cents
+          FROM est JOIN estd USING (p), nm ORDER BY p"""
       }),
 
     // Bloom membership, exact vs sketch: the BUILDING-segment customer

@@ -122,6 +122,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("binary comparator: unsigned lexicographic, hex encode round-trips") {
+    forAllSampled(Gen.listOf(Gen.listOf(
+        Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))) { xs =>
+      // order agrees with the canonical unsigned-lexicographic model
+      val viaValues = xs.sortWith((a, b) => Values.compare(BinaryType, a, b) < 0)
+      val model = xs.sortBy(_.map(b => (b & 0xff).toChar).mkString)
+      assert(viaValues.map(_.toSeq) == model.map(_.toSeq))
+      xs.foreach { a =>
+        val enc = Values.encode(BinaryType, a)
+        // hex encode/parse round-trip, and encoded order == value order
+        assert(Values.parse(BinaryType, enc)
+          .asInstanceOf[Array[Byte]].toSeq == a.toSeq)
+      }
+      // lexicographic order of the hex strings matches compare()
+      val encSorted = xs.map(a => Values.encode(BinaryType, a)).sorted
+      assert(encSorted == viaValues.map(a => Values.encode(BinaryType, a)))
+    }
+  }
+
   test("range pruning is sound: never excludes a file containing a match") {
     import org.apache.spark.sql.sources._
     val dt: String => Option[org.apache.spark.sql.types.DataType] =

@@ -156,6 +156,37 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getString(0) == "u7")
   }
 
+  test("PK table with BINARY key: writes, merge reads, and UPDATE all work") {
+    // binary keys flow through every key path: bucket routing
+    // (encodeField hex), write-side sort + merge read (unsigned
+    // lexicographic compare, ≙ the reference comparator's binary
+    // branch), and the DML key-immutability check that previously
+    // threw 'compare BinaryType' on EVERY update
+    spark.sql("CREATE TABLE graft.default.rl_bin (k BINARY, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='4')")
+    spark.sql("INSERT INTO graft.default.rl_bin " +
+      "SELECT CAST(concat('key-', id) AS BINARY), concat('v', id) " +
+      "FROM range(0, 50)")
+    // upsert half the keys in a second commit: merge must dedup
+    spark.sql("INSERT INTO graft.default.rl_bin " +
+      "SELECT CAST(concat('key-', id) AS BINARY), concat('u', id) " +
+      "FROM range(0, 25)")
+    assert(spark.sql("SELECT count(*) FROM graft.default.rl_bin")
+      .collect()(0).getLong(0) == 50L)
+    assert(spark.sql("SELECT v FROM graft.default.rl_bin " +
+      "WHERE k = CAST('key-7' AS BINARY)").collect()(0).getString(0) == "u7")
+    // non-key UPDATE: the immutability check compares binary keys
+    spark.sql("UPDATE graft.default.rl_bin SET v = 'updated' " +
+      "WHERE k = CAST('key-3' AS BINARY)")
+    assert(spark.sql("SELECT v FROM graft.default.rl_bin " +
+      "WHERE k = CAST('key-3' AS BINARY)").collect()(0).getString(0) == "updated")
+    // DELETE by binary key
+    spark.sql("DELETE FROM graft.default.rl_bin " +
+      "WHERE k = CAST('key-9' AS BINARY)")
+    assert(spark.sql("SELECT count(*) FROM graft.default.rl_bin")
+      .collect()(0).getLong(0) == 49L)
+  }
+
   test("PK table: null primary key is rejected loudly at write") {
     val e = intercept[Exception] {
       spark.sql("INSERT INTO graft.default.rl_mor " +

@@ -163,4 +163,31 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(1) >= 2, "merge demo needs >= 2 sketches")
     }
   }
+
+  test("column profiler: an all-null column still appears (NULL estimate)") {
+    // an all-null column produces NO HLL register rows; only a LEFT
+    // join keeps it in the profile (the DuckDB oracle mirrors this)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("profile-null-")
+    try {
+      (1 to 50).map(i => (s"R$i", Option.empty[String],
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          i.toLong, i.toLong % 7, i))
+        .toDF("l_returnflag", "l_linestatus", "l_shipdate",
+          "l_orderkey", "l_suppkey", "l_linenumber")
+        .write.parquet(s"$dir/lineitem.parquet")
+      val rows = graft.SparkEntry.queries("q_profile_columns")(
+        spark, dir.toString).collect()
+      assert(rows.length == 6, s"expected all 6 profiled columns, got " +
+        rows.map(_.getString(0)).mkString(", "))
+      val ls = rows.find(_.getString(0) == "l_linestatus").get
+      assert(ls.getLong(2) == 50 && ls.getLong(3) == 0, // n_nulls, n_distinct
+        s"all-null column counts wrong: $ls")
+      assert(ls.isNullAt(4), s"all-null column estimate should be NULL: $ls")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
