@@ -339,8 +339,15 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     // streaming reuses the incremental option as the start offset;
     // fromSnapshot=-1 means "latest" (stream only new commits)
     val start = incremental.map(_._1)
-    if (changelogView && retractions)
+    if (changelogView && retractions) {
+      // the retraction producer replays LWW state transitions; other
+      // merge engines fold runs by different rules, so a synthesized
+      // -U/+U pair would misstate their pre-commit state
+      require(schema.mergeSpec.isPlainDeduplicate,
+        "retractions are only defined for merge-engine 'deduplicate' " +
+          "without ignore-delete; read the raw $changelog instead")
       new GraftChangelogStream(tableDir, schema, required, start)
+    }
     else new GraftMicroBatchStream(tableDir, schema, required, start)
   }
 
@@ -551,6 +558,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
       merge = !changelogView, fieldIds = schema.idMap,
       ioSpec = schema.ioSpec,
       sortEngine = schema.options.getOrElse("sort-engine", "min-heap"),
+      mergeSpec = schema.mergeSpec,
       // A row-level rewrite scan must surface EVERY row of the groups
       // it reads — its pushed condition selects which rows get
       // DELETED/UPDATED, so it may only prune whole groups (files),
@@ -576,6 +584,8 @@ final case class GraftReaderFactory(
     dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     ioSpec: String = "local",
     sortEngine: String = "min-heap",
+    mergeSpec: graft.format.MergeFunction.Spec =
+      graft.format.MergeFunction.Spec("deduplicate", false, Map.empty),
     // raw (merge=false) PK reads that must NOT surface retraction rows
     // (-U/-D, whose non-key columns are null) as data — the plain
     // micro-batch stream: its contract is "raw upsert rows, dedup
@@ -822,7 +832,9 @@ final case class GraftReaderFactory(
       r.map(rr => (f, rr))
     }
     new graft.format.SortMergeReader(sources, keyIdx, keyTypes, seqIdx,
-      kindIdx, sortEngine)
+      kindIdx, sortEngine,
+      graft.format.MergeFunction.create(mergeSpec, readSchema, keyIdx,
+        seqIdx, kindIdx))
   }
 }
 

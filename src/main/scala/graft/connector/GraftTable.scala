@@ -36,8 +36,16 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(!changelogView && pinnedSnapshot.isEmpty,
       "Row-level operations require the current table state")
+    // Non-default merge engines (first-row / partial-update /
+    // aggregation / ignore-delete) fold RowKind appends by their own
+    // rules — a -D/+U pair is NOT an update there (first-row ignores
+    // it; partial-update keeps old non-nulls through a SET x = NULL) —
+    // so they take the copy-on-write route: the row-level scan
+    // materializes the ENGINE-MERGED rows, Spark applies the DML, and
+    // whole merge units are rewritten. Engine-exact at rewrite cost.
     val mergeOnRead = tableSchema.isPrimaryKeyTable &&
-      tableSchema.partitionKeys.forall(tableSchema.primaryKeys.contains)
+      tableSchema.partitionKeys.forall(tableSchema.primaryKeys.contains) &&
+      tableSchema.mergeSpec.isPlainDeduplicate
     if (mergeOnRead) () => new GraftMergeOnReadOperation(tableDir, tableSchema, info)
     else () => new GraftRowLevelOperation(tableDir, tableSchema, info)
   }

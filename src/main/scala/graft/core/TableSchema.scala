@@ -76,6 +76,10 @@ final case class TableSchema(
   def trimmedPrimaryKeys: Seq[String] =
     primaryKeys.filterNot(partitionKeys.contains)
 
+  /** Merge-engine configuration (validated at CREATE). */
+  def mergeSpec: graft.format.MergeFunction.Spec =
+    graft.format.MergeFunction.specOf(options)
+
   def validate(): TableSchema = {
     fields.fields.foreach { f =>
       if (!TableSchema.supportedTypes.exists(_ == f.dataType))
@@ -121,6 +125,47 @@ final case class TableSchema(
     if (!Seq("min-heap", "loser-tree").contains(engine))
       throw new IllegalArgumentException(
         s"Unsupported sort-engine: $engine (expected min-heap or loser-tree)")
+    // merge-engine family (table-format semantics beyond the
+    // reference's shipped deduplicate; the seam itself ≙
+    // `sort_merge_reader.py:78` `DeduplicateMergeFunction`)
+    val mergeEngine = options.getOrElse("merge-engine", "deduplicate")
+    if (!graft.format.MergeFunction.Engines.contains(mergeEngine))
+      throw new IllegalArgumentException(
+        s"Unsupported merge-engine: $mergeEngine (expected " +
+          graft.format.MergeFunction.Engines.mkString(", ") + ")")
+    if (mergeEngine != "deduplicate" && !isPrimaryKeyTable)
+      throw new IllegalArgumentException(
+        s"merge-engine '$mergeEngine' requires a primary-key table")
+    options.get("ignore-delete").foreach { v =>
+      if (!Seq("true", "false").contains(v.trim.toLowerCase))
+        throw new IllegalArgumentException(
+          s"Unsupported ignore-delete: $v (expected true/false)")
+    }
+    options.keys.filter(k =>
+        k.startsWith("fields.") && k.endsWith(".aggregate-function"))
+      .foreach { k =>
+        val col = k.stripPrefix("fields.").stripSuffix(".aggregate-function")
+        val fn = options(k).trim
+        if (mergeEngine != "aggregation")
+          throw new IllegalArgumentException(
+            s"'$k' requires merge-engine 'aggregation' (got '$mergeEngine')")
+        if (!names.contains(col))
+          throw new IllegalArgumentException(
+            s"The field $col of '$k' is not in field list " +
+              fields.fieldNames.mkString("[", ", ", "]"))
+        if (primaryKeys.contains(col) || partitionKeys.contains(col))
+          throw new IllegalArgumentException(
+            s"'$k': key and partition columns are never aggregated")
+        if (!graft.format.MergeFunction.AggFunctions.contains(fn))
+          throw new IllegalArgumentException(
+            s"Unsupported aggregate-function: $fn (expected " +
+              graft.format.MergeFunction.AggFunctions.mkString(", ") + ")")
+        val dt = fields(fields.fieldIndex(col)).dataType
+        if (!graft.format.MergeFunction.FieldAgg.validFor(fn, dt))
+          throw new IllegalArgumentException(
+            s"aggregate-function '$fn' does not support column $col " +
+              s"of type ${dt.simpleString}")
+      }
     val strict = options.getOrElse("commit.strict-sequence", "false")
     if (!Seq("true", "false").contains(strict))
       throw new IllegalArgumentException(

@@ -32,7 +32,9 @@ object Compactor extends Serializable {
       fileNames: Seq[String],
       fileFormat: String = "parquet",
       fieldIds: Map[String, Int] = Map.empty,
-      ioSpec: String = "local"): DataFileMeta = {
+      ioSpec: String = "local",
+      mergeSpec: MergeFunction.Spec =
+        MergeFunction.Spec("deduplicate", false, Map.empty)): DataFileMeta = {
 
     val io = FileIO.resolve(ioSpec)
     val dataFields = StructType(
@@ -61,7 +63,9 @@ object Compactor extends Serializable {
             .map(r => (fn, r)): Iterator[(String,
               org.apache.spark.sql.catalyst.InternalRow)]
         }
-        new SortMergeReader(sources, keyIdx, keyTypes, 0, 1).map(_._2)
+        new SortMergeReader(sources, keyIdx, keyTypes, 0, 1,
+          mergeFn = MergeFunction.create(mergeSpec, fileSchema, keyIdx, 0, 1))
+          .map(_._2)
       } else
         fileNames.iterator.flatMap(fn =>
           FormatIO.reader(FormatIO.ofFile(fn), tableDir.resolve(fn),
@@ -154,6 +158,7 @@ object Compactor extends Serializable {
     val fmt = schema.options.getOrElse("file.format", "parquet")
     val fids = schema.idMap
     val ioSpec = schema.ioSpec // string travels into the task closure
+    val mspec = schema.mergeSpec // compaction folds with the table's engine
     val work = groups.map { case ((part, bucket), fs) =>
       (part, bucket, fs.map(_.fileName))
     }
@@ -161,7 +166,7 @@ object Compactor extends Serializable {
       rewriteGroup(Path.of(dirStr),
         org.apache.spark.sql.types.DataType.fromJson(fieldsJson)
           .asInstanceOf[StructType],
-        pks, tpk, isPk, part, bucket, names, fmt, fids, ioSpec)
+        pks, tpk, isPk, part, bucket, names, fmt, fids, ioSpec, mspec)
     val adds = spark match {
       case Some(s) => s.sparkContext.parallelize(work, work.size)
         .map { case (part, bucket, names) => rewrite(part, bucket, names) }

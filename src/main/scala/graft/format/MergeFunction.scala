@@ -1,0 +1,246 @@
+package graft.format
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import graft.connector.Values
+import graft.core.RowKind
+
+/** Per-key-run fold, pluggable into [[SortMergeReader]] — the Spark
+  * counterpart of the reference's merge-function seam
+  * (`pypaimon/pynative/reader/sort_merge_reader.py:78-108`:
+  * `DeduplicateMergeFunction(ignore_delete)` behind a
+  * `merge_function.add/get_result` protocol). The reference ships only
+  * deduplicate; the table format family this engine implements also
+  * defines `first-row`, `partial-update` and `aggregation` engines, so
+  * all four are first-class here, selected by the `merge-engine` table
+  * option (validated at CREATE, see TableSchema.validate).
+  *
+  * Contract: `reset()` once per equal-key run, `add(...)` per entry in
+  * ascending sequence order, `result()` = the surviving row or null.
+  * All engines are FIELD-LOCAL folds — merging a projected row subset
+  * equals projecting the merged full row — so running them above the
+  * reader's pruned schema is exact, and per-bucket results written by
+  * compaction fold losslessly with later appends at read time (the
+  * partial-aggregate property that makes pre-aggregated storage work
+  * at 100 TB: a sum-engine table absorbs upserts map-side at ingest
+  * instead of re-scanning the corpus).
+  */
+trait MergeFunction {
+  def reset(): Unit
+  def add(file: String, row: InternalRow, seq: Long, kind: Byte): Unit
+  /** Surviving (file, row) of the run, or null when the key drops. */
+  def result(): (String, InternalRow)
+}
+
+object MergeFunction {
+
+  val Engines: Seq[String] =
+    Seq("deduplicate", "first-row", "partial-update", "aggregation")
+
+  val AggFunctions: Seq[String] = Seq("sum", "min", "max", "last_value",
+    "last_non_null_value", "first_value", "first_non_null_value",
+    "bool_and", "bool_or")
+
+  /** Engine spec extracted from table options (pre-validated). */
+  final case class Spec(engine: String, ignoreDelete: Boolean,
+      aggFns: Map[String, String]) {
+    /** The built-in fast path in SortMergeReader IS deduplicate. */
+    def isPlainDeduplicate: Boolean = engine == "deduplicate" && !ignoreDelete
+  }
+
+  def specOf(options: Map[String, String]): Spec = Spec(
+    options.getOrElse("merge-engine", "deduplicate"),
+    options.get("ignore-delete").exists(_.trim.equalsIgnoreCase("true")),
+    options.collect { case (k, v)
+        if k.startsWith("fields.") && k.endsWith(".aggregate-function") =>
+      k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v.trim
+    })
+
+  /** Build the merge function for a run over rows of `rowSchema`
+    * (must contain `_SEQUENCE_NUMBER`/`_VALUE_KIND`; possibly
+    * projection-pruned). Returns null for plain deduplicate — the
+    * caller keeps SortMergeReader's allocation-free LWW loop.
+    */
+  def create(spec: Spec, rowSchema: StructType, keyIdx: Seq[Int],
+      seqIdx: Int, kindIdx: Int): MergeFunction = {
+    if (spec.isPlainDeduplicate) return null
+    val keySet = keyIdx.toSet
+    // non-key value positions (seq/kind handled explicitly)
+    val valueIdx = rowSchema.fields.indices.filter(i =>
+      i != seqIdx && i != kindIdx && !keySet.contains(i)).toArray
+    val valueTypes = valueIdx.map(i => rowSchema(i).dataType)
+    spec.engine match {
+      case "deduplicate" => new DeduplicateMerge(spec.ignoreDelete)
+      case "first-row" => new FirstRowMerge
+      case "partial-update" | "aggregation" =>
+        val fns: Array[FieldAgg] = valueIdx.zip(valueTypes).map {
+          case (i, dt) =>
+            if (spec.engine == "partial-update") LastNonNull
+            else FieldAgg.of(
+              spec.aggFns.getOrElse(rowSchema(i).name, "last_non_null_value"),
+              dt)
+        }
+        new AccumulatingMerge(rowSchema.fields.map(_.dataType), valueIdx,
+          fns, seqIdx, kindIdx, spec.ignoreDelete)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported merge-engine: $other")
+    }
+  }
+
+  /** Per-field fold of the aggregation engine. `fold` is called for
+    * every entry after the first (the first copies the whole row), so
+    * first_* semantics key off the accumulated value alone.
+    */
+  sealed trait FieldAgg {
+    def fold(acc: Any, v: Any): Any
+  }
+  case object LastValue extends FieldAgg {
+    def fold(acc: Any, v: Any): Any = v
+  }
+  case object LastNonNull extends FieldAgg {
+    def fold(acc: Any, v: Any): Any = if (v == null) acc else v
+  }
+  case object FirstValue extends FieldAgg {
+    def fold(acc: Any, v: Any): Any = acc
+  }
+  case object FirstNonNull extends FieldAgg {
+    def fold(acc: Any, v: Any): Any = if (acc == null) v else acc
+  }
+  final case class MinMax(dt: DataType, wantMin: Boolean) extends FieldAgg {
+    def fold(acc: Any, v: Any): Any =
+      if (v == null) acc
+      else if (acc == null) v
+      else if (Values.compare(dt, v, acc) < 0 == wantMin) v else acc
+  }
+  /** SQL-style sum in the column's own type (nulls ignored; integer
+    * sums wrap like Spark's non-ANSI sum over the same narrow type).
+    */
+  final case class Sum(dt: DataType) extends FieldAgg {
+    def fold(acc: Any, v: Any): Any =
+      if (v == null) acc
+      else if (acc == null) v
+      else dt match {
+        case ByteType => (acc.asInstanceOf[Byte] + v.asInstanceOf[Byte]).toByte
+        case ShortType => (acc.asInstanceOf[Short] + v.asInstanceOf[Short]).toShort
+        case IntegerType => acc.asInstanceOf[Int] + v.asInstanceOf[Int]
+        case LongType => acc.asInstanceOf[Long] + v.asInstanceOf[Long]
+        case FloatType => acc.asInstanceOf[Float] + v.asInstanceOf[Float]
+        case DoubleType => acc.asInstanceOf[Double] + v.asInstanceOf[Double]
+        case other => throw new IllegalArgumentException(s"sum over $other")
+      }
+  }
+  final case class BoolOp(isAnd: Boolean) extends FieldAgg {
+    def fold(acc: Any, v: Any): Any =
+      if (v == null) acc
+      else if (acc == null) v
+      else if (isAnd) acc.asInstanceOf[Boolean] && v.asInstanceOf[Boolean]
+      else acc.asInstanceOf[Boolean] || v.asInstanceOf[Boolean]
+  }
+
+  object FieldAgg {
+    def of(name: String, dt: DataType): FieldAgg = name match {
+      case "sum" => Sum(dt)
+      case "min" => MinMax(dt, wantMin = true)
+      case "max" => MinMax(dt, wantMin = false)
+      case "last_value" => LastValue
+      case "last_non_null_value" => LastNonNull
+      case "first_value" => FirstValue
+      case "first_non_null_value" => FirstNonNull
+      case "bool_and" => BoolOp(isAnd = true)
+      case "bool_or" => BoolOp(isAnd = false)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported aggregate-function: $other " +
+          s"(expected one of ${AggFunctions.mkString(", ")})")
+    }
+
+    /** CREATE-time type check. */
+    def validFor(name: String, dt: DataType): Boolean = name match {
+      case "sum" => dt match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _ => false
+      }
+      case "bool_and" | "bool_or" => dt == BooleanType
+      case _ => true
+    }
+  }
+
+  /** ≙ the reference's `DeduplicateMergeFunction(ignore_delete=True)`:
+    * DELETE entries are skipped, the latest surviving entry wins, and
+    * the winner still drops downstream unless it is an add kind.
+    */
+  private final class DeduplicateMerge(ignoreDelete: Boolean)
+      extends MergeFunction {
+    private var file: String = _
+    private var row: InternalRow = _
+    private var kind: Byte = _
+    private var any = false
+    def reset(): Unit = { any = false; row = null; file = null }
+    def add(f: String, r: InternalRow, seq: Long, k: Byte): Unit = {
+      if (ignoreDelete && k == RowKind.Delete) return
+      file = f; row = r; kind = k; any = true
+    }
+    def result(): (String, InternalRow) =
+      if (any && RowKind.isAdd(kind)) (file, row) else null
+  }
+
+  /** First add wins; retractions are ignored (a first-row table's
+    * contract is insert-only — deletes cannot un-see the first row
+    * without replaying history, which merge-on-read cannot do).
+    */
+  private final class FirstRowMerge extends MergeFunction {
+    private var file: String = _
+    private var row: InternalRow = _
+    def reset(): Unit = { row = null; file = null }
+    def add(f: String, r: InternalRow, seq: Long, k: Byte): Unit =
+      if (row == null && RowKind.isAdd(k)) { file = f; row = r }
+    def result(): (String, InternalRow) = if (row == null) null else (file, row)
+  }
+
+  /** Shared accumulator of `partial-update` (every field last-non-null)
+    * and `aggregation` (per-field [[FieldAgg]]). UPDATE_BEFORE entries
+    * are ignored (the paired UPDATE_AFTER carries the new image);
+    * DELETE clears the accumulated row (remove-record-on-delete
+    * semantics) unless `ignore-delete`. The synthesized result carries
+    * the run's max sequence and INSERT kind, so compacted partials
+    * keep folding exactly with later appends.
+    */
+  private final class AccumulatingMerge(types: Array[DataType],
+      valueIdx: Array[Int], fns: Array[FieldAgg], seqIdx: Int, kindIdx: Int,
+      ignoreDelete: Boolean) extends MergeFunction {
+    private var acc: GenericInternalRow = _
+    private var file: String = _
+    def reset(): Unit = { acc = null; file = null }
+    def add(f: String, r: InternalRow, seq: Long, k: Byte): Unit = {
+      if (k == RowKind.UpdateBefore) return
+      if (k == RowKind.Delete) {
+        if (!ignoreDelete) reset()
+        return
+      }
+      file = f
+      if (acc == null) {
+        acc = new GenericInternalRow(types.length)
+        var i = 0
+        while (i < types.length) {
+          acc.update(i,
+            if (i == kindIdx) RowKind.Insert.toInt
+            else if (r.isNullAt(i)) null
+            else r.get(i, types(i)))
+          i += 1
+        }
+      } else {
+        var j = 0
+        while (j < valueIdx.length) {
+          val i = valueIdx(j)
+          acc.update(i, fns(j).fold(
+            acc.values(i),
+            if (r.isNullAt(i)) null else r.get(i, types(i))))
+          j += 1
+        }
+        acc.update(seqIdx, seq)
+      }
+    }
+    def result(): (String, InternalRow) = if (acc == null) null else (file, acc)
+  }
+}

@@ -35,7 +35,12 @@ final class SortMergeReader(
     keyTypes: Seq[DataType],
     seqIdx: Int,
     kindIdx: Int,
-    sortEngine: String = "min-heap") extends Iterator[(String, InternalRow)] {
+    sortEngine: String = "min-heap",
+    // non-null routes each equal-key run through a pluggable
+    // MergeFunction (first-row / partial-update / aggregation /
+    // ignore-delete); null keeps the allocation-free LWW loop below —
+    // the default deduplicate engine pays nothing for the seam
+    mergeFn: MergeFunction = null) extends Iterator[(String, InternalRow)] {
 
   private def keyOf(r: InternalRow): Array[Any] = {
     val out = new Array[Any](keyIdx.length)
@@ -170,13 +175,25 @@ final class SortMergeReader(
   private def advance(): Unit = {
     nextOut = null
     while (nextOut == null && queue.peek != null) {
-      // pop the full equal-key run; the LAST popped (highest seq) wins
-      var winner = queue.pop()
-      val runKey = winner.key
-      while (queue.peek != null && compareKeys(queue.peek.key, runKey) == 0)
-        winner = queue.pop() // queue yields ascending seq within the run
-      if (RowKind.isAdd(winner.row.getInt(kindIdx).toByte))
-        nextOut = (winner.file, winner.row)
+      if (mergeFn == null) {
+        // pop the full equal-key run; the LAST popped (highest seq) wins
+        var winner = queue.pop()
+        val runKey = winner.key
+        while (queue.peek != null && compareKeys(queue.peek.key, runKey) == 0)
+          winner = queue.pop() // queue yields ascending seq within the run
+        if (RowKind.isAdd(winner.row.getInt(kindIdx).toByte))
+          nextOut = (winner.file, winner.row)
+      } else {
+        mergeFn.reset()
+        var e = queue.pop()
+        val runKey = e.key
+        mergeFn.add(e.file, e.row, e.seq, e.row.getInt(kindIdx).toByte)
+        while (queue.peek != null && compareKeys(queue.peek.key, runKey) == 0) {
+          e = queue.pop() // ascending seq within the run
+          mergeFn.add(e.file, e.row, e.seq, e.row.getInt(kindIdx).toByte)
+        }
+        nextOut = mergeFn.result()
+      }
     }
   }
 

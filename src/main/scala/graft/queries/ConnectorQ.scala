@@ -250,6 +250,56 @@ object ConnectorQ {
             SELECT ts, user_id, $C FROM ev_src WHERE event_id <= $mid"""))
           timed("insert ev_ts 2")(s.sql(s"""INSERT INTO graft_c.$ns.ev_ts
             SELECT ts, user_id, $C FROM ev_src WHERE event_id > $mid"""))
+        },
+
+        // merge-engine family (deduplicate is every PK table above).
+        // first-row: commit 1 carries the SECOND half's per-user
+        // arg-max, commit 2 the first half's — the engine keeps the
+        // EARLIEST committed row per key, so the merged table is
+        // "second-half row if the user has one, else first-half row":
+        // a statement DuckDB can make without seeing the format
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_fr
+            (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+            TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
+              'merge-engine'='first-row')""")
+          argmaxInsert(s"graft_c.$ns.ev_pk_fr", s"event_id > $mid")
+          argmaxInsert(s"graft_c.$ns.ev_pk_fr", s"event_id <= $mid")
+        },
+
+        // partial-update: each half-commit fills ITS column and NULLs
+        // the other; the merge stitches both per key — the
+        // column-stitching shape feature stores use this engine for
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_pu
+            (user_id BIGINT, cents_first BIGINT, cents_second BIGINT)
+            TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
+              'merge-engine'='partial-update')""")
+          timed("insert ev_pk_pu h1")(s.sql(s"""INSERT INTO graft_c.$ns.ev_pk_pu
+            SELECT user_id, SUM($C), CAST(NULL AS BIGINT) FROM ev_src
+            WHERE event_id <= $mid GROUP BY user_id"""))
+          timed("insert ev_pk_pu h2")(s.sql(s"""INSERT INTO graft_c.$ns.ev_pk_pu
+            SELECT user_id, CAST(NULL AS BIGINT), SUM($C) FROM ev_src
+            WHERE event_id > $mid GROUP BY user_id"""))
+        },
+
+        // aggregation: per-half partial aggregates fold AT READ into
+        // whole-corpus totals — pre-aggregated storage, the shape that
+        // absorbs upserts map-side instead of rescanning the corpus
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_ag
+            (user_id BIGINT, total_cents BIGINT, n_events BIGINT, max_event BIGINT)
+            TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
+              'merge-engine'='aggregation',
+              'fields.total_cents.aggregate-function'='sum',
+              'fields.n_events.aggregate-function'='sum',
+              'fields.max_event.aggregate-function'='max')""")
+          def agIns(where: String): Unit =
+            timed("insert ev_pk_ag")(s.sql(s"""INSERT INTO graft_c.$ns.ev_pk_ag
+              SELECT user_id, SUM($C), COUNT(*), MAX(event_id) FROM ev_src
+              WHERE $where GROUP BY user_id"""))
+          agIns(s"event_id <= $mid")
+          agIns(s"event_id > $mid")
         })
       locally {
         import scala.concurrent.{Await, ExecutionContext, Future}
@@ -332,7 +382,8 @@ object ConnectorQ {
           ${n("ev_pk_orc")} AS n_orc, ${n("ev_pk_avro")} AS n_avro,
           ${n("ev_evo")} AS n_evo, ${n("ev_pk_upd")} AS n_upd,
           ${n("ev_pk_mrg")} AS n_mrg, ${n("ev_ts")} AS n_ts,
-          ${n("ev_pk_exp")} AS n_exp""")
+          ${n("ev_pk_exp")} AS n_exp, ${n("ev_pk_fr")} AS n_fr,
+          ${n("ev_pk_pu")} AS n_pu, ${n("ev_pk_ag")} AS n_ag""")
       },
       Some(s"""SELECT
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pk,
@@ -352,7 +403,60 @@ object ConnectorQ {
           (SELECT COUNT(DISTINCT user_id) FROM events
              WHERE user_id % 10 <> 5) + 1 AS n_mrg,
           (SELECT COUNT(*) FROM events) AS n_ts,
-          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exp""")),
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exp,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_fr,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pu,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_ag""")),
+
+    // first-row engine: earliest committed row per key survives.
+    // Setup wrote the SECOND half first, so per user: second-half
+    // arg-max if present, else first-half arg-max.
+    QueryDef("c_pk_first_row",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_fr ORDER BY user_id")
+      },
+      Some {
+        val halves = Seq(s"event_id > $sqlMid", s"event_id <= $sqlMid")
+          .map(w => s"""SELECT user_id, MAX(event_id) AS last_event_id,
+            ARG_MAX(event_type, event_id) AS last_type,
+            ARG_MAX(${sqlCents("value")}, event_id) AS last_cents
+            FROM events WHERE $w GROUP BY user_id""")
+        s"""WITH h2 AS (${halves(0)}), h1 AS (${halves(1)})
+          SELECT * FROM h2
+          UNION ALL
+          SELECT * FROM h1 WHERE user_id NOT IN (SELECT user_id FROM h2)
+          ORDER BY user_id"""
+      }),
+
+    // partial-update engine: the merged row stitches each half's
+    // column (per-field last non-null) == a FULL OUTER JOIN of the
+    // two half aggregates
+    QueryDef("c_pk_partial_update",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_pu ORDER BY user_id")
+      },
+      Some(s"""WITH h1 AS (
+          SELECT user_id, CAST(SUM(${sqlCents("value")}) AS BIGINT) AS cents_first
+          FROM events WHERE event_id <= $sqlMid GROUP BY user_id),
+        h2 AS (
+          SELECT user_id, CAST(SUM(${sqlCents("value")}) AS BIGINT) AS cents_second
+          FROM events WHERE event_id > $sqlMid GROUP BY user_id)
+        SELECT user_id, cents_first, cents_second
+        FROM h1 FULL OUTER JOIN h2 USING (user_id) ORDER BY user_id""")),
+
+    // aggregation engine: per-half partials fold at read == the
+    // whole-corpus per-user aggregate
+    QueryDef("c_pk_agg",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_ag ORDER BY user_id")
+      },
+      Some(s"""SELECT user_id,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS total_cents,
+          COUNT(*) AS n_events, MAX(event_id) AS max_event
+        FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // merged read across two PK commits == global arg-max per key
     QueryDef("c_pk_merge_read",

@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+import graft.core.RowKind
+import graft.api.{Catalog, Schema}
+
+/** The merge-engine family end-to-end through SQL and the facade:
+  * `deduplicate` (default; + `ignore-delete`, ≙ the reference's
+  * `DeduplicateMergeFunction(ignore_delete)`), `first-row`,
+  * `partial-update`, `aggregation` with per-field
+  * `fields.<col>.aggregate-function`. Each engine is checked through
+  * the read path AND through commit-triggered compaction (the folded
+  * partial must keep folding with later appends), plus the CREATE-time
+  * validation and the DML routing contract.
+  */
+class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var warehouse: java.nio.file.Path = _
+
+  lazy val spark: SparkSession = {
+    warehouse = Files.createTempDirectory("graft-me-wh")
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.default")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("first-row: earliest insert wins across commits and compaction") {
+    spark.sql("CREATE TABLE graft.default.me_first (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
+      "'merge-engine'='first-row', 'compaction.trigger-file-count'='3')")
+    spark.sql("INSERT INTO graft.default.me_first VALUES (1,'a1'), (2,'b1')")
+    spark.sql("INSERT INTO graft.default.me_first VALUES (1,'a2'), (3,'c1')")
+    assert(rows("SELECT k, v FROM graft.default.me_first ORDER BY k") ==
+      Seq(Seq(1L, "a1"), Seq(2L, "b1"), Seq(3L, "c1")))
+    // force the compaction trigger; the kept row must stay the FIRST
+    spark.sql("INSERT INTO graft.default.me_first VALUES (1,'a3'), (4,'d1')")
+    spark.sql("INSERT INTO graft.default.me_first VALUES (1,'a4')")
+    assert(rows("SELECT v FROM graft.default.me_first WHERE k = 1") ==
+      Seq(Seq("a1")))
+    // and post-compaction appends still lose to the compacted first row
+    spark.sql("INSERT INTO graft.default.me_first VALUES (1,'a5')")
+    assert(rows("SELECT v FROM graft.default.me_first WHERE k = 1") ==
+      Seq(Seq("a1")))
+  }
+
+  test("partial-update: per-field last non-null across commits") {
+    spark.sql("CREATE TABLE graft.default.me_pu " +
+      "(k BIGINT, a STRING, b STRING, c BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
+      "'merge-engine'='partial-update')")
+    spark.sql("INSERT INTO graft.default.me_pu VALUES " +
+      "(1, 'a1', NULL, 10), (2, NULL, 'b2', NULL)")
+    spark.sql("INSERT INTO graft.default.me_pu VALUES " +
+      "(1, NULL, 'b1', NULL), (2, 'a2', NULL, 20)")
+    assert(rows("SELECT k, a, b, c FROM graft.default.me_pu ORDER BY k") ==
+      Seq(Seq(1L, "a1", "b1", 10L), Seq(2L, "a2", "b2", 20L)))
+    // a later non-null overwrites; a later null does NOT
+    spark.sql("INSERT INTO graft.default.me_pu VALUES (1, 'a9', NULL, NULL)")
+    assert(rows("SELECT a, b, c FROM graft.default.me_pu WHERE k = 1") ==
+      Seq(Seq("a9", "b1", 10L)))
+  }
+
+  private lazy val facade: Catalog = Catalog.create(spark,
+    Map("warehouse" -> warehouse.toString, "catalog-name" -> "gme"))
+
+  test("partial-update: RowKind delete removes the accumulated row") {
+    val catalog = facade
+    catalog.createTable("default.me_pud", Schema(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "merge-engine" -> "partial-update")))
+    import spark.implicits._
+    val t = catalog.getTable("default.me_pud")
+    val wb1 = t.newBatchWriteBuilder(); val w1 = wb1.newWrite()
+    w1.write(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    wb1.newCommit().commit(w1.prepareCommit())
+    val wb2 = t.newBatchWriteBuilder(); val w2 = wb2.newWrite()
+    w2.write(Seq((1L, "x")).toDF("k", "v")
+      .withColumn(RowKind.ColumnName, lit(RowKind.Delete).cast("byte")))
+    wb2.newCommit().commit(w2.prepareCommit())
+    assert(t.newReadBuilder().newRead().toDF().collect().map(_.getLong(0))
+      .toSeq == Seq(2L))
+    // an add AFTER the delete rebuilds from scratch
+    val wb3 = t.newBatchWriteBuilder(); val w3 = wb3.newWrite()
+    w3.write(Seq((1L, "z")).toDF("k", "v"))
+    wb3.newCommit().commit(w3.prepareCommit())
+    assert(t.newReadBuilder().newRead().toDF().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "z"), (2L, "y")))
+  }
+
+  test("aggregation: per-field sum/min/max/last fold across commits " +
+      "and compaction keeps folding with later appends") {
+    spark.sql("CREATE TABLE graft.default.me_agg " +
+      "(k BIGINT, total BIGINT, lo BIGINT, hi BIGINT, note STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
+      "'merge-engine'='aggregation', " +
+      "'fields.total.aggregate-function'='sum', " +
+      "'fields.lo.aggregate-function'='min', " +
+      "'fields.hi.aggregate-function'='max', " +
+      "'compaction.trigger-file-count'='3')")
+    spark.sql("INSERT INTO graft.default.me_agg VALUES " +
+      "(1, 10, 5, 5, 'first'), (2, 100, 50, 50, 'x')")
+    spark.sql("INSERT INTO graft.default.me_agg VALUES " +
+      "(1, 7, 3, 9, 'second')")
+    // sum folds, min/max extremize, unconfigured note = last non-null
+    assert(rows("SELECT total, lo, hi, note FROM graft.default.me_agg " +
+      "WHERE k = 1") == Seq(Seq(17L, 3L, 9L, "second")))
+    // cross the compaction trigger, then keep aggregating on top
+    spark.sql("INSERT INTO graft.default.me_agg VALUES (1, 1, 4, 4, NULL)")
+    spark.sql("INSERT INTO graft.default.me_agg VALUES (1, 2, 8, 20, 'post')")
+    assert(rows("SELECT total, lo, hi, note FROM graft.default.me_agg " +
+      "WHERE k = 1") == Seq(Seq(20L, 3L, 20L, "post")))
+    assert(rows("SELECT total FROM graft.default.me_agg WHERE k = 2") ==
+      Seq(Seq(100L)))
+    // the compaction really happened (COMPACT snapshot exists)
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/me_agg"))
+    assert(sm.existingSnapshotIds.map(sm.snapshot)
+      .exists(_.commitKind == "COMPACT"))
+  }
+
+  test("deduplicate + ignore-delete: RowKind deletes are ignored at merge " +
+      "(reference DeduplicateMergeFunction(ignore_delete=True))") {
+    val catalog = facade
+    catalog.createTable("default.me_igdel", Schema(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "ignore-delete" -> "true")))
+    import spark.implicits._
+    val t = catalog.getTable("default.me_igdel")
+    val wb1 = t.newBatchWriteBuilder(); val w1 = wb1.newWrite()
+    w1.write(Seq((1L, "keep"), (2L, "also")).toDF("k", "v"))
+    wb1.newCommit().commit(w1.prepareCommit())
+    val wb2 = t.newBatchWriteBuilder(); val w2 = wb2.newWrite()
+    w2.write(Seq((1L, "keep")).toDF("k", "v")
+      .withColumn(RowKind.ColumnName, lit(RowKind.Delete).cast("byte")))
+    wb2.newCommit().commit(w2.prepareCommit())
+    // the -D row is ignored; the insert survives
+    assert(t.newReadBuilder().newRead().toDF().count() == 2)
+    // a later upsert still wins
+    val wb3 = t.newBatchWriteBuilder(); val w3 = wb3.newWrite()
+    w3.write(Seq((1L, "updated")).toDF("k", "v"))
+    wb3.newCommit().commit(w3.prepareCommit())
+    assert(t.newReadBuilder().newRead().toDF()
+      .filter(col("k") === 1).collect()(0).getString(1) == "updated")
+  }
+
+  test("SQL DML on non-default engines routes copy-on-write, engine-exact") {
+    // partial-update: UPDATE ... SET b = NULL must STICK (the COW
+    // rewrite materializes merged rows first) — the exact case a
+    // naive -D/+U merge-on-read pair would get wrong
+    spark.sql("UPDATE graft.default.me_pu SET b = NULL WHERE k = 1")
+    assert(rows("SELECT a, b, c FROM graft.default.me_pu WHERE k = 1") ==
+      Seq(Seq("a9", null, 10L)))
+    // first-row: DELETE removes the row even though merge ignores -D
+    spark.sql("DELETE FROM graft.default.me_first WHERE k = 2")
+    assert(rows("SELECT k FROM graft.default.me_first ORDER BY k") ==
+      Seq(Seq(1L), Seq(3L), Seq(4L)))
+    // and the first-row contract still holds after the rewrite
+    spark.sql("INSERT INTO graft.default.me_first VALUES (1,'a6')")
+    assert(rows("SELECT v FROM graft.default.me_first WHERE k = 1") ==
+      Seq(Seq("a1")))
+  }
+
+  test("CREATE-time validation of the merge-engine option family") {
+    def failing(ddl: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(ddl))
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+      assert(chain(e).exists(_.contains(needle)),
+        s"expected '$needle' in:\n${chain(e).mkString("\n")}")
+      spark.sql("DROP TABLE IF EXISTS graft.default.me_bad")
+    }
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='lsm-tree')", "Unsupported merge-engine")
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('merge-engine'='aggregation')",
+      "requires a primary-key table")
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='aggregation'," +
+      "'fields.v.aggregate-function'='sum')", "does not support column")
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='aggregation'," +
+      "'fields.k.aggregate-function'='sum')", "never aggregated")
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'fields.v.aggregate-function'='sum')",
+      "requires merge-engine 'aggregation'")
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='aggregation'," +
+      "'fields.v.aggregate-function'='median')",
+      "Unsupported aggregate-function")
+  }
+
+  test("retraction streaming is rejected for non-deduplicate engines") {
+    val q = spark.readStream.option("retractions", "true")
+      .table("graft.default.`me_agg$changelog`")
+      .writeStream.format("noop").start()
+    try {
+      val e = intercept[Exception](q.processAllAvailable())
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+      assert(chain(e).exists(_.contains("merge-engine")), chain(e).mkString("\n"))
+    } finally q.stop()
+  }
+
+  test("projection-pruned reads still merge correctly (field-local folds)") {
+    // read ONLY the sum column: the run folds over the pruned schema
+    assert(rows("SELECT total FROM graft.default.me_agg WHERE k = 1") ==
+      Seq(Seq(20L)))
+    // and only a non-aggregated column
+    assert(rows("SELECT note FROM graft.default.me_agg WHERE k = 1") ==
+      Seq(Seq("post")))
+  }
+}
