@@ -722,7 +722,8 @@ final case class GraftReaderFactory(
     val needMerge = isPk && merge
     val requiredData = dataFields.fields.map(_.name)
       .filter(n => required.fieldNames.contains(n) ||
-        (needMerge && trimmedPk.contains(n)))
+        (needMerge && (trimmedPk.contains(n) ||
+          mergeSpec.seqField.contains(n))))
     val wantsKv = required.fieldNames.exists(
       n => n == "_sequence_number" || n == "_row_kind") || dropNonAdd
     val readSchema = if (needMerge || (isPk && wantsKv)) StructType(

@@ -136,6 +136,29 @@ final case class TableSchema(
     if (mergeEngine != "deduplicate" && !isPrimaryKeyTable)
       throw new IllegalArgumentException(
         s"merge-engine '$mergeEngine' requires a primary-key table")
+    // LWW ordered by a data column (out-of-order ingest): must be a
+    // real non-key comparable column, deduplicate engine only (other
+    // engines fold runs by rules a reordering would contradict)
+    options.get("sequence.field").map(_.trim).filter(_.nonEmpty).foreach { sf =>
+      if (!isPrimaryKeyTable) throw new IllegalArgumentException(
+        "sequence.field requires a primary-key table")
+      if (!names.contains(sf)) throw new IllegalArgumentException(
+        s"The field $sf of 'sequence.field' is not in field list " +
+          fields.fieldNames.mkString("[", ", ", "]"))
+      if (primaryKeys.contains(sf) || partitionKeys.contains(sf))
+        throw new IllegalArgumentException(
+          "sequence.field must not be a key or partition column")
+      val dt = fields(fields.fieldIndex(sf)).dataType
+      if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType,
+          DateType, TimestampType).contains(dt))
+        throw new IllegalArgumentException(
+          s"sequence.field $sf has unsupported type ${dt.simpleString} " +
+            "(expected an integer, date, or timestamp column)")
+      if (mergeEngine != "deduplicate")
+        throw new IllegalArgumentException(
+          s"sequence.field is only supported with merge-engine " +
+            s"'deduplicate' (got '$mergeEngine')")
+    }
     options.get("ignore-delete").foreach { v =>
       if (!Seq("true", "false").contains(v.trim.toLowerCase))
         throw new IllegalArgumentException(

@@ -42,11 +42,17 @@ object MergeFunction {
     "last_non_null_value", "first_value", "first_non_null_value",
     "bool_and", "bool_or")
 
-  /** Engine spec extracted from table options (pre-validated). */
+  /** Engine spec extracted from table options (pre-validated).
+    * `seqField`: LWW ordered by a DATA column instead of commit order
+    * (`sequence.field` — the out-of-order-ingest knob: the row with
+    * the largest field value wins no matter which commit carried it;
+    * ties resolve to the later commit).
+    */
   final case class Spec(engine: String, ignoreDelete: Boolean,
-      aggFns: Map[String, String]) {
+      aggFns: Map[String, String], seqField: Option[String] = None) {
     /** The built-in fast path in SortMergeReader IS deduplicate. */
-    def isPlainDeduplicate: Boolean = engine == "deduplicate" && !ignoreDelete
+    def isPlainDeduplicate: Boolean =
+      engine == "deduplicate" && !ignoreDelete && seqField.isEmpty
   }
 
   def specOf(options: Map[String, String]): Spec = Spec(
@@ -55,7 +61,8 @@ object MergeFunction {
     options.collect { case (k, v)
         if k.startsWith("fields.") && k.endsWith(".aggregate-function") =>
       k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v.trim
-    })
+    },
+    options.get("sequence.field").map(_.trim).filter(_.nonEmpty))
 
   /** Build the merge function for a run over rows of `rowSchema`
     * (must contain `_SEQUENCE_NUMBER`/`_VALUE_KIND`; possibly
@@ -71,6 +78,10 @@ object MergeFunction {
       i != seqIdx && i != kindIdx && !keySet.contains(i)).toArray
     val valueTypes = valueIdx.map(i => rowSchema(i).dataType)
     spec.engine match {
+      case "deduplicate" if spec.seqField.isDefined =>
+        val i = rowSchema.fieldIndex(spec.seqField.get)
+        new SequenceFieldDeduplicate(i, rowSchema(i).dataType,
+          spec.ignoreDelete)
       case "deduplicate" => new DeduplicateMerge(spec.ignoreDelete)
       case "first-row" => new FirstRowMerge
       case "partial-update" | "aggregation" =>
@@ -180,6 +191,33 @@ object MergeFunction {
     def add(f: String, r: InternalRow, seq: Long, k: Byte): Unit = {
       if (ignoreDelete && k == RowKind.Delete) return
       file = f; row = r; kind = k; any = true
+    }
+    def result(): (String, InternalRow) =
+      if (any && RowKind.isAdd(kind)) (file, row) else null
+  }
+
+  /** `sequence.field` deduplicate: the entry with the LARGEST field
+    * value wins (NULL smallest, ties → later commit, matching the
+    * plain engine). A late-arriving old version — including a -D
+    * carrying an old field value — loses to the newer row it could
+    * not have retracted, which is exactly the out-of-order contract.
+    */
+  private final class SequenceFieldDeduplicate(fieldIdx: Int, dt: DataType,
+      ignoreDelete: Boolean) extends MergeFunction {
+    private var file: String = _
+    private var row: InternalRow = _
+    private var kind: Byte = _
+    private var best: Any = _
+    private var any = false
+    def reset(): Unit = { any = false; row = null; file = null; best = null }
+    def add(f: String, r: InternalRow, seq: Long, k: Byte): Unit = {
+      if (ignoreDelete && k == RowKind.Delete) return
+      val v = if (r.isNullAt(fieldIdx)) null else r.get(fieldIdx, dt)
+      // >=: entries arrive in ascending physical sequence, so an equal
+      // field value from a later commit replaces the earlier one
+      if (!any || Values.compare(dt, v, best) >= 0) {
+        file = f; row = r; kind = k; best = v; any = true
+      }
     }
     def result(): (String, InternalRow) =
       if (any && RowKind.isAdd(kind)) (file, row) else null

@@ -267,6 +267,21 @@ object ConnectorQ {
           argmaxInsert(s"graft_c.$ns.ev_pk_fr", s"event_id <= $mid")
         },
 
+        // sequence.field: commits arrive OUT of order (second half
+        // first), but LWW ranks by the last_event_id DATA column, so
+        // the merge still lands on the GLOBAL arg-max per key — the
+        // exact oracle c_pk_merge_read states for in-order commits.
+        // Plain commit-order LWW would keep the first half's stale
+        // rows for every shared user; this table proves it doesn't.
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_sf
+            (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+            TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
+              'sequence.field'='last_event_id')""")
+          argmaxInsert(s"graft_c.$ns.ev_pk_sf", s"event_id > $mid")
+          argmaxInsert(s"graft_c.$ns.ev_pk_sf", s"event_id <= $mid")
+        },
+
         // partial-update: each half-commit fills ITS column and NULLs
         // the other; the merge stitches both per key — the
         // column-stitching shape feature stores use this engine for
@@ -383,7 +398,8 @@ object ConnectorQ {
           ${n("ev_evo")} AS n_evo, ${n("ev_pk_upd")} AS n_upd,
           ${n("ev_pk_mrg")} AS n_mrg, ${n("ev_ts")} AS n_ts,
           ${n("ev_pk_exp")} AS n_exp, ${n("ev_pk_fr")} AS n_fr,
-          ${n("ev_pk_pu")} AS n_pu, ${n("ev_pk_ag")} AS n_ag""")
+          ${n("ev_pk_pu")} AS n_pu, ${n("ev_pk_ag")} AS n_ag,
+          ${n("ev_pk_sf")} AS n_sf""")
       },
       Some(s"""SELECT
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pk,
@@ -406,7 +422,18 @@ object ConnectorQ {
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exp,
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_fr,
           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_pu,
-          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_ag""")),
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_ag,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_sf""")),
+
+    // sequence.field: out-of-order commits, LWW by the data column —
+    // the merged table equals the global arg-max, same statement as
+    // the in-order c_pk_merge_read table
+    QueryDef("c_pk_seq_field",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_sf ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(""))),
 
     // first-row engine: earliest committed row per key survives.
     // Setup wrote the SECOND half first, so per user: second-half

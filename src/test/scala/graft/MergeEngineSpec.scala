@@ -183,6 +183,75 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Seq("a1")))
   }
 
+  test("sequence.field: out-of-order commits resolve by the data column") {
+    spark.sql("CREATE TABLE graft.default.me_sf " +
+      "(k BIGINT, ver BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
+      "'sequence.field'='ver')")
+    // newest version arrives FIRST; stale versions follow
+    spark.sql("INSERT INTO graft.default.me_sf VALUES (1, 30, 'new'), (2, 5, 'b')")
+    spark.sql("INSERT INTO graft.default.me_sf VALUES (1, 10, 'stale'), (3, 1, 'c')")
+    assert(rows("SELECT k, ver, v FROM graft.default.me_sf ORDER BY k") ==
+      Seq(Seq(1L, 30L, "new"), Seq(2L, 5L, "b"), Seq(3L, 1L, "c")))
+    // equal versions: later commit wins (matches plain LWW)
+    spark.sql("INSERT INTO graft.default.me_sf VALUES (2, 5, 'b2')")
+    assert(rows("SELECT v FROM graft.default.me_sf WHERE k = 2") ==
+      Seq(Seq("b2")))
+    // a late DELETE carrying an OLD version cannot retract the newer row
+    val catalog = facade
+    import spark.implicits._
+    val t = catalog.getTable("default.me_sf")
+    val wb = t.newBatchWriteBuilder(); val w = wb.newWrite()
+    w.write(Seq((1L, 10L, "stale")).toDF("k", "ver", "v")
+      .withColumn(RowKind.ColumnName, lit(RowKind.Delete).cast("byte")))
+    wb.newCommit().commit(w.prepareCommit())
+    assert(rows("SELECT v FROM graft.default.me_sf WHERE k = 1") ==
+      Seq(Seq("new")))
+    // ...but a delete at the CURRENT version does retract
+    val wb2 = t.newBatchWriteBuilder(); val w2 = wb2.newWrite()
+    w2.write(Seq((1L, 30L, "new")).toDF("k", "ver", "v")
+      .withColumn(RowKind.ColumnName, lit(RowKind.Delete).cast("byte")))
+    wb2.newCommit().commit(w2.prepareCommit())
+    assert(rows("SELECT k FROM graft.default.me_sf ORDER BY k") ==
+      Seq(Seq(2L), Seq(3L)))
+  }
+
+  test("sequence.field: projection that drops the field still merges by it") {
+    // the scan must RETAIN ver below the merge even though the query
+    // never asks for it
+    assert(rows("SELECT v FROM graft.default.me_sf WHERE k = 2") ==
+      Seq(Seq("b2")))
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/me_sf"))
+    assert(sm.latestSnapshot.nonEmpty) // table really lives on disk
+  }
+
+  test("sequence.field validation and DML routing") {
+    def failing(ddl: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(ddl))
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+      assert(chain(e).exists(_.contains(needle)),
+        s"expected '$needle' in:\n${chain(e).mkString("\n")}")
+      spark.sql("DROP TABLE IF EXISTS graft.default.me_bad")
+    }
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'sequence.field'='v')", "unsupported type")
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'sequence.field'='k')", "key or partition")
+    failing("CREATE TABLE graft.default.me_bad (k BIGINT, ver BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='first-row','sequence.field'='ver')",
+      "only supported with merge-engine")
+    // UPDATE routes copy-on-write (a MoR -D would carry a NULL version
+    // and silently lose); the result must reflect the update
+    spark.sql("UPDATE graft.default.me_sf SET v = 'upd' WHERE k = 3")
+    assert(rows("SELECT v FROM graft.default.me_sf WHERE k = 3") ==
+      Seq(Seq("upd")))
+  }
+
   test("CREATE-time validation of the merge-engine option family") {
     def failing(ddl: String, needle: String): Unit = {
       val e = intercept[Exception](spark.sql(ddl))
