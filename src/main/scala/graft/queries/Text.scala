@@ -520,6 +520,77 @@ object Text {
         FROM d LEFT JOIN pr USING (doc_id)
         WHERE d.is_test
         GROUP BY d.lang, COALESCE(pr.lang_pred, 'unknown')
-        ORDER BY lang, lang_pred"""))
+        ORDER BY lang, lang_pred""")),
+
+    // BM25 keyword retrieval: top-20 docs for a fixed query-term set —
+    // the retrieval primitive behind decontamination lookups and
+    // quality-targeted corpus search. Engine-portable by construction:
+    // k1 = 1.2 = 6/5 and b = 0.75 = 3/4 clear to the integer form
+    //   tf_factor = 44·tf·avgdl / (20·tf·avgdl + 6·avgdl + 18·dl)
+    // (multiply through by 20·avgdl), quantized to milli-units in ONE
+    // integer division; the IDF is the rational surrogate
+    // (N-df)·1000 // (df+1) (same device as t_distinctive_terms), so
+    // the score is a BIGINT both engines derive bit-identically.
+    // Scale: per-term tf comes from array filters MAP-SIDE (no explode,
+    // no corpus-wide (doc, word) shuffle); the corpus-level stats are
+    // ONE 1-row aggregate broadcast back; the only other exchange is
+    // the final top-20 TakeOrdered. Milli-scaled factors keep every
+    // product under 2^63 at any corpus size (idf ≤ N·1000, factor ≤
+    // 2200 milli).
+    QueryDef("t_bm25_topk",
+      (s, dir) => {
+        val terms = Seq("dup", "stream", "vector", "window")
+        val base = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.ascii_words(col("text")).as("toks"))
+        val perDoc = base.select(
+          (col("doc_id") +: size(col("toks")).as("dl") +:
+            terms.map(tm => size(filter(col("toks"),
+              w => w === lit(tm))).as(s"tf_$tm"))): _*)
+        val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("total") +:
+          terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L))
+            .as(s"df_$tm"))
+        val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+        val termScore = terms.map { tm =>
+          s"""CASE WHEN tf_$tm > 0 THEN
+              (((n - df_$tm) * 1000) div (df_$tm + 1)) *
+              ((tf_$tm * 44 * (total div n) * 1000) div
+               (20 * tf_$tm * (total div n) + 6 * (total div n) + 18 * dl))
+            ELSE 0L END"""
+        }.mkString("(", " + ", ")")
+        perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"), expr(termScore).as("score_micro"))
+          .filter(col("score_micro") > 0)
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val terms = Seq("dup", "stream", "vector", "window")
+        val tfs = terms.map(tm =>
+          s"len(list_filter(toks, w -> w = '$tm')) AS tf_$tm").mkString(", ")
+        val dfs = terms.map(tm =>
+          s"CAST(SUM(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$tm")
+          .mkString(", ")
+        val score = terms.map { tm =>
+          s"""CASE WHEN tf_$tm > 0 THEN
+              (((n - df_$tm) * 1000) // (df_$tm + 1)) *
+              ((tf_$tm * 44 * (total // n) * 1000) //
+               (20 * tf_$tm * (total // n) + 6 * (total // n) + 18 * dl))
+            ELSE 0 END"""
+        }.mkString("(", " + ", ")")
+        s"""WITH d AS (
+            SELECT doc_id, $sqlTokens AS toks FROM documents
+            WHERE text IS NOT NULL),
+          p AS (
+            SELECT doc_id, len(toks) AS dl, $tfs FROM d),
+          st AS (
+            SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total, $dfs
+            FROM p)
+          SELECT doc_id, CAST($score AS BIGINT) AS score_micro
+          FROM p, st
+          WHERE $score > 0
+          ORDER BY score_micro DESC, doc_id LIMIT 20"""
+      })
   )
 }
