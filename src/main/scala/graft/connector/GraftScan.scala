@@ -348,7 +348,24 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
           "without ignore-delete; read the raw $changelog instead")
       new GraftChangelogStream(tableDir, schema, required, start)
     }
-    else new GraftMicroBatchStream(tableDir, schema, required, start)
+    else {
+      // the plain table stream's contract is "raw upsert rows, dedup
+      // last-wins downstream" — correct for the deduplicate engine
+      // (ignore-delete included: the stream drops -D rows, and the
+      // engine ignores them too), but an INVERSION of first-row, a
+      // single partial for aggregation/partial-update, and arrival
+      // order for sequence.field. Those tables stream through the raw
+      // $changelog view, which exposes kinds/sequence/field columns
+      // for an engine-aware consumer fold.
+      val spec = schema.mergeSpec
+      require(!schema.isPrimaryKeyTable || changelogView ||
+          (spec.engine == "deduplicate" && spec.seqField.isEmpty),
+        "plain streaming reads assume deduplicate merge semantics " +
+          s"(table has merge-engine '${spec.engine}'" +
+          spec.seqField.map(f => s", sequence.field '$f'").getOrElse("") +
+          "); stream the $changelog view and fold with the engine's rules")
+      new GraftMicroBatchStream(tableDir, schema, required, start)
+    }
   }
 
   override def description(): String = {

@@ -26,29 +26,11 @@ object Values {
       case _ => v.toString // UTF8String.toString; micros/days via Long/Int
     }
 
-  private val HexDigits = "0123456789abcdef".toCharArray
+  private val Hex = java.util.HexFormat.of() // lowercase, 2 chars/byte
 
-  private def toHex(b: Array[Byte]): String = {
-    val out = new Array[Char](b.length * 2)
-    var i = 0
-    while (i < b.length) {
-      val v = b(i) & 0xff
-      out(2 * i) = HexDigits(v >> 4)
-      out(2 * i + 1) = HexDigits(v & 15)
-      i += 1
-    }
-    new String(out)
-  }
+  private def toHex(b: Array[Byte]): String = Hex.formatHex(b)
 
-  private def fromHex(s: String): Array[Byte] = {
-    val out = new Array[Byte](s.length / 2)
-    var i = 0
-    while (i < out.length) {
-      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
-      i += 1
-    }
-    out
-  }
+  private def fromHex(s: String): Array[Byte] = Hex.parseHex(s)
 
   /** Parse canonical string to the Catalyst-internal value. */
   def parse(dt: DataType, s: String): Any =

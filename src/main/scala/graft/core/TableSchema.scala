@@ -102,6 +102,12 @@ final case class TableSchema(
         throw new IllegalArgumentException(
           s"Invalid bucket value: '$b' (expected an int >= 1)")
     }
+    options.get("compaction.trigger-file-count").foreach { v =>
+      if (v.trim.toIntOption.isEmpty)
+        throw new IllegalArgumentException(
+          s"Invalid compaction.trigger-file-count: '$v' " +
+            "(expected a file count; <= 0 disables compaction)")
+    }
     options.get("bucket.rows-warning-threshold").foreach { v =>
       if (v.trim.toLongOption.isEmpty)
         throw new IllegalArgumentException(
@@ -127,19 +133,21 @@ final case class TableSchema(
         s"Unsupported sort-engine: $engine (expected min-heap or loser-tree)")
     // merge-engine family (table-format semantics beyond the
     // reference's shipped deduplicate; the seam itself ≙
-    // `sort_merge_reader.py:78` `DeduplicateMergeFunction`)
-    val mergeEngine = options.getOrElse("merge-engine", "deduplicate")
-    if (!graft.format.MergeFunction.Engines.contains(mergeEngine))
+    // `sort_merge_reader.py:78` `DeduplicateMergeFunction`).
+    // Validation inspects the SAME decoded Spec the read/compaction
+    // paths use (MergeFunction.specOf) — one parser, no drift.
+    val mspec = mergeSpec
+    if (!graft.format.MergeFunction.Engines.contains(mspec.engine))
       throw new IllegalArgumentException(
-        s"Unsupported merge-engine: $mergeEngine (expected " +
+        s"Unsupported merge-engine: ${mspec.engine} (expected " +
           graft.format.MergeFunction.Engines.mkString(", ") + ")")
-    if (mergeEngine != "deduplicate" && !isPrimaryKeyTable)
+    if (mspec.engine != "deduplicate" && !isPrimaryKeyTable)
       throw new IllegalArgumentException(
-        s"merge-engine '$mergeEngine' requires a primary-key table")
+        s"merge-engine '${mspec.engine}' requires a primary-key table")
     // LWW ordered by a data column (out-of-order ingest): must be a
     // real non-key comparable column, deduplicate engine only (other
     // engines fold runs by rules a reordering would contradict)
-    options.get("sequence.field").map(_.trim).filter(_.nonEmpty).foreach { sf =>
+    mspec.seqField.foreach { sf =>
       if (!isPrimaryKeyTable) throw new IllegalArgumentException(
         "sequence.field requires a primary-key table")
       if (!names.contains(sf)) throw new IllegalArgumentException(
@@ -154,41 +162,39 @@ final case class TableSchema(
         throw new IllegalArgumentException(
           s"sequence.field $sf has unsupported type ${dt.simpleString} " +
             "(expected an integer, date, or timestamp column)")
-      if (mergeEngine != "deduplicate")
+      if (mspec.engine != "deduplicate")
         throw new IllegalArgumentException(
           s"sequence.field is only supported with merge-engine " +
-            s"'deduplicate' (got '$mergeEngine')")
+            s"'deduplicate' (got '${mspec.engine}')")
     }
+    // specOf treats anything but 'true' as false — reject typos loudly
     options.get("ignore-delete").foreach { v =>
       if (!Seq("true", "false").contains(v.trim.toLowerCase))
         throw new IllegalArgumentException(
           s"Unsupported ignore-delete: $v (expected true/false)")
     }
-    options.keys.filter(k =>
-        k.startsWith("fields.") && k.endsWith(".aggregate-function"))
-      .foreach { k =>
-        val col = k.stripPrefix("fields.").stripSuffix(".aggregate-function")
-        val fn = options(k).trim
-        if (mergeEngine != "aggregation")
-          throw new IllegalArgumentException(
-            s"'$k' requires merge-engine 'aggregation' (got '$mergeEngine')")
-        if (!names.contains(col))
-          throw new IllegalArgumentException(
-            s"The field $col of '$k' is not in field list " +
-              fields.fieldNames.mkString("[", ", ", "]"))
-        if (primaryKeys.contains(col) || partitionKeys.contains(col))
-          throw new IllegalArgumentException(
-            s"'$k': key and partition columns are never aggregated")
-        if (!graft.format.MergeFunction.AggFunctions.contains(fn))
-          throw new IllegalArgumentException(
-            s"Unsupported aggregate-function: $fn (expected " +
-              graft.format.MergeFunction.AggFunctions.mkString(", ") + ")")
-        val dt = fields(fields.fieldIndex(col)).dataType
-        if (!graft.format.MergeFunction.FieldAgg.validFor(fn, dt))
-          throw new IllegalArgumentException(
-            s"aggregate-function '$fn' does not support column $col " +
-              s"of type ${dt.simpleString}")
-      }
+    mspec.aggFns.foreach { case (colName, fn) =>
+      val k = s"fields.$colName.aggregate-function"
+      if (mspec.engine != "aggregation")
+        throw new IllegalArgumentException(
+          s"'$k' requires merge-engine 'aggregation' (got '${mspec.engine}')")
+      if (!names.contains(colName))
+        throw new IllegalArgumentException(
+          s"The field $colName of '$k' is not in field list " +
+            fields.fieldNames.mkString("[", ", ", "]"))
+      if (primaryKeys.contains(colName) || partitionKeys.contains(colName))
+        throw new IllegalArgumentException(
+          s"'$k': key and partition columns are never aggregated")
+      if (!graft.format.MergeFunction.AggFunctions.contains(fn))
+        throw new IllegalArgumentException(
+          s"Unsupported aggregate-function: $fn (expected " +
+            graft.format.MergeFunction.AggFunctions.mkString(", ") + ")")
+      val dt = fields(fields.fieldIndex(colName)).dataType
+      if (!graft.format.MergeFunction.FieldAgg.validFor(fn, dt))
+        throw new IllegalArgumentException(
+          s"aggregate-function '$fn' does not support column $colName " +
+            s"of type ${dt.simpleString}")
+    }
     val strict = options.getOrElse("commit.strict-sequence", "false")
     if (!Seq("true", "false").contains(strict))
       throw new IllegalArgumentException(

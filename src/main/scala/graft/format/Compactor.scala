@@ -198,8 +198,11 @@ object Compactor extends Serializable {
     val latest = sm.latestSnapshot.getOrElse(return 0)
     val writeOnly =
       schema.options.get("write-only").exists(_.equalsIgnoreCase("true"))
+    // validated at CREATE; a malformed legacy value degrades to the
+    // default rather than failing a commit whose snapshot is already
+    // published (the data write must never look failed-but-durable)
     val trigger = schema.options.get("compaction.trigger-file-count")
-      .map(_.toInt).getOrElse(5)
+      .flatMap(_.trim.toIntOption).getOrElse(5)
     if (writeOnly || trigger <= 0) {
       // opted-out configurations exist precisely to keep bulk-load
       // commits cheap, so the per-commit manifest fold is exactly the

@@ -296,6 +296,22 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
       assert(chain(e).exists(_.contains("merge-engine")), chain(e).mkString("\n"))
     } finally q.stop()
+    // the PLAIN table stream is rejected too: its raw-upsert/dedup-
+    // downstream contract misstates every non-deduplicate fold (the
+    // engine-agnostic path is the raw $changelog view)
+    val q2 = spark.readStream.table("graft.default.me_agg")
+      .writeStream.format("noop").start()
+    try {
+      val e2 = intercept[Exception](q2.processAllAvailable())
+      def chain2(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+      assert(chain2(e2).exists(_.contains("deduplicate merge semantics")),
+        chain2(e2).mkString("\n"))
+    } finally q2.stop()
+    // ...and the raw $changelog stream of the same table is ALLOWED
+    val q3 = spark.readStream.table("graft.default.`me_agg$changelog`")
+      .writeStream.format("noop").start()
+    try q3.processAllAvailable() finally q3.stop()
   }
 
   test("projection-pruned reads still merge correctly (field-local folds)") {
