@@ -196,6 +196,44 @@ object ScaleChecks {
     require(wallS < 300,
       f"10M-row canary took $wallS%.1f s — quadratic blowup somewhere")
 
+    println("== aggregation-engine canary: pre-aggregated storage absorbs " +
+      "upserts at ingest")
+    // 8 commits x 1M partial rows over 100k keys: the aggregation
+    // engine folds sums inside the bucket merge, so steady-state state
+    // is O(keys) files (compaction) and the READ costs O(keys) — the
+    // raw-events alternative stores 8M rows and pays a corpus
+    // groupBy+shuffle on every query. The sums are exact-checkable:
+    // sum over all commits of (k + c) for each key k.
+    spark.sql("CREATE TABLE graft.d.preagg (k BIGINT, total BIGINT, n BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='8'," +
+      "'merge-engine'='aggregation'," +
+      "'fields.total.aggregate-function'='sum'," +
+      "'fields.n.aggregate-function'='sum'," +
+      "'compaction.trigger-file-count'='4')")
+    val tAggIngest = { val t0 = System.nanoTime()
+      (0 until 8).foreach { c =>
+        spark.sql("INSERT INTO graft.d.preagg " +
+          s"SELECT id % 100000, SUM(id % 100000 + $c), COUNT(*) " +
+          "FROM range(0, 1000000) GROUP BY id % 100000")
+      }
+      (System.nanoTime() - t0) / 1e9 }
+    val tAggRead = { val t0 = System.nanoTime()
+      val r = spark.sql(
+        "SELECT COUNT(*), SUM(total), SUM(n) FROM graft.d.preagg")
+        .collect()(0)
+      // per key k: 8 commits x 10 rows x (k + c) summed over c=0..7
+      // = 80k + 280; total = 80*sum(k) + 280*100000
+      val expectTotal = 80L * (99999L * 100000L / 2) + 280L * 100000L
+      require(r.getLong(0) == 100000L && r.getLong(1) == expectTotal &&
+        r.getLong(2) == 8000000L,
+        s"aggregation fold wrong: $r (expect total=$expectTotal)")
+      (System.nanoTime() - t0) / 1e9 }
+    val aggFiles = new graft.format.SnapshotManager(wh.resolve("d.db/preagg"))
+      .liveFilesLatest
+    println(f"  8x1M-row partial commits: ingest $tAggIngest%.1f s, " +
+      f"folded read over 100k keys $tAggRead%.1f s, " +
+      s"live files ${aggFiles.size} (state is O(keys), not O(events))")
+
     println("== probe: $snapshots on a missing table")
     try spark.sql("SELECT * FROM graft.d.`nope$snapshots`").collect()
     catch { case e: Exception => println("  rejected: " + e.getMessage.linesIterator.next()) }
