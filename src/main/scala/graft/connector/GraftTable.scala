@@ -135,8 +135,8 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
 
   override def capabilities(): util.Set[TableCapability] = {
     import TableCapability._
-    Set(BATCH_READ, BATCH_WRITE, MICRO_BATCH_READ, TRUNCATE,
-      OVERWRITE_BY_FILTER, OVERWRITE_DYNAMIC).asJava
+    Set(BATCH_READ, BATCH_WRITE, MICRO_BATCH_READ, STREAMING_WRITE,
+      TRUNCATE, OVERWRITE_BY_FILTER, OVERWRITE_DYNAMIC).asJava
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

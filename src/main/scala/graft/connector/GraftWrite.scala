@@ -68,6 +68,8 @@ class GraftWriteBuilder(tableDir: Path, schema: TableSchema, info: LogicalWriteI
     if (clusterCols.isEmpty)
       new Write {
         override def toBatch: BatchWrite = new GraftBatchWrite(tableDir, schema, mode)
+        override def toStreaming: streaming.StreamingWrite =
+          new GraftStreamingWrite(tableDir, schema, mode, info.queryId())
       }
     else
       new Write with RequiresDistributionAndOrdering {
@@ -79,6 +81,8 @@ class GraftWriteBuilder(tableDir: Path, schema: TableSchema, info: LogicalWriteI
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           Array.empty
         override def toBatch: BatchWrite = new GraftBatchWrite(tableDir, schema, mode)
+        override def toStreaming: streaming.StreamingWrite =
+          new GraftStreamingWrite(tableDir, schema, mode, info.queryId())
       }
   }
 }
@@ -109,6 +113,91 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
     GraftWriteSupport.abortFiles(tableDir, schema, messages)
 }
 
+/** Streaming sink (`df.writeStream.toTable(...)`) — each micro-batch
+  * epoch commits one snapshot through the SAME recipe as batch writes
+  * (clustered distribution, conflict re-sequencing, strict-sequence
+  * guard, trailing COMPACT). Spark creates the writer factory PER
+  * epoch, so sequences re-base above the table's current high-water
+  * mark each batch — no cross-epoch spacing tricks, and a concurrent
+  * batch writer just triggers the normal re-sequencing path.
+  *
+  * Idempotent epoch replay: the published snapshot records
+  * `<queryId>/<epochId>`; a commit whose epoch is already at-or-below
+  * the table's newest epoch for this query (the crash-between-
+  * sink-commit-and-checkpoint window) deletes its staged files and
+  * returns instead of double-committing — load-bearing for PK
+  * aggregation tables, where a duplicate batch would double-count.
+  * Complete output mode arrives here as truncate → each epoch
+  * publishes a full OVERWRITE, the correct restatement semantics.
+  */
+class GraftStreamingWrite(tableDir: Path, schema: TableSchema,
+    mode: FileStoreCommit.OverwriteMode, queryId: String)
+  extends streaming.StreamingWrite {
+
+  private def tableIo: FileIO = FileIO.resolve(schema.ioSpec)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    // per-epoch call (MicroBatchWrite wraps one per batch): baseSeq is
+    // read fresh, so this epoch's rows outrank everything committed
+    val sm = new SnapshotManager(tableDir, io = tableIo)
+    val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
+    val batch = GraftWriterFactory(tableDir.toString, schema.fields.json,
+      schema.partitionKeys, schema.trimmedPrimaryKeys,
+      schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
+      schema.options.getOrElse("file.format", "parquet"),
+      GraftDataWriter.spillRows(schema.options), schema.idMap,
+      GraftDataWriter.blockSize(schema.options),
+      ioSpec = schema.ioSpec)
+    GraftStreamingWriterFactory(batch)
+  }
+
+  /** Newest epoch this query already committed to THIS table, walking
+    * the snapshot chain newest-first. Bounded walk: the replay window
+    * is the last uncommitted batch, so a match (when one exists) sits
+    * within the newest few snapshots — 100 covers interleaved
+    * compactions and concurrent writers with a wide margin.
+    */
+  private def lastCommittedEpoch(sm: SnapshotManager): Option[Long] = {
+    val prefix = queryId + "/"
+    sm.existingSnapshotIds.sorted.reverse.take(100).iterator.flatMap { id =>
+      try sm.snapshot(id).commitIdentifier
+        .filter(_.startsWith(prefix))
+        .flatMap(_.stripPrefix(prefix).toLongOption).iterator
+      catch { case _: Throwable => Iterator.empty } // expired mid-walk
+    }.nextOption()
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val sm = new SnapshotManager(tableDir, io = tableIo)
+    if (lastCommittedEpoch(sm).exists(_ >= epochId)) {
+      // replayed epoch: the table already has it — drop the staged
+      // files this re-run produced
+      GraftWriteSupport.abortFiles(tableDir, schema, messages)
+      return
+    }
+    GraftWriteSupport.commitFiles(tableDir, schema,
+      messages.collect { case m: GraftCommitMessage => m.files }
+        .flatten.toSeq, mode,
+      identifier = Some(s"$queryId/$epochId"))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteSupport.abortFiles(tableDir, schema, messages)
+}
+
+/** Per-epoch task factory: sequence blocks are the batch factory's
+  * (partition-id × 2^32 within the epoch's fresh baseSeq).
+  */
+final case class GraftStreamingWriterFactory(batch: GraftWriterFactory)
+  extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    batch.createWriter(partitionId, taskId)
+}
+
 final case class GraftCommitMessage(files: Seq[DataFileMeta])
   extends WriterCommitMessage
 
@@ -121,12 +210,14 @@ object GraftWriteSupport {
     */
   def commitFiles(tableDir: Path, schema: TableSchema,
       files: Seq[DataFileMeta],
-      mode: FileStoreCommit.OverwriteMode): Unit = {
+      mode: FileStoreCommit.OverwriteMode,
+      identifier: Option[String] = None): Unit = {
     FileStoreCommit.commit(
       new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec)),
       schema.id, schema.partitionKeys, files, mode,
       resequence = resequenceInfo(tableDir, schema),
-      strictKeys = strictSequenceKeys(schema))
+      strictKeys = strictSequenceKeys(schema),
+      identifier = identifier)
     // "one commit may generate up to two snapshots" — data + compaction
     Compactor.maybeCompact(tableDir, schema)
   }

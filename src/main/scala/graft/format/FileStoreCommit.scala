@@ -30,7 +30,8 @@ object FileStoreCommit {
       mode: OverwriteMode,
       resequence: Option[ResequenceInfo] = None,
       strictKeys: Seq[(String, org.apache.spark.sql.types.DataType)] =
-        Seq.empty): Snapshot = {
+        Seq.empty,
+      identifier: Option[String] = None): Snapshot = {
 
     if (strictKeys.nonEmpty) strictSequenceCheck(newFiles, strictKeys)
 
@@ -102,7 +103,8 @@ object FileStoreCommit {
         lastSequenceNumber = math.max(
           base.map(_.lastSequenceNumber).getOrElse(0L),
           (files.map(_.maxSeq) :+ 0L).max),
-        totalRecordCount = newTotal)
+        totalRecordCount = newTotal,
+        commitIdentifier = identifier)
       if (sm.tryCommitSnapshot(snap)) return snap
       attempt += 1
     }

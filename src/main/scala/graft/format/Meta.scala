@@ -81,7 +81,13 @@ final case class Snapshot(
     timeMillis: Long,
     manifests: Seq[String],
     lastSequenceNumber: Long,
-    totalRecordCount: Long) {
+    totalRecordCount: Long,
+    // streaming-sink epoch identity ("<queryId>/<epochId>") — lets a
+    // replayed micro-batch commit be recognized and skipped after a
+    // failure between sink commit and checkpoint write. Absent on
+    // batch/compaction snapshots and in pre-existing tables (optional
+    // in the JSON round-trip, so old snapshots still parse).
+    commitIdentifier: Option[String] = None) {
 
   def toJson: String = {
     val j: JObject =
@@ -89,7 +95,8 @@ final case class Snapshot(
         ("commitKind" -> commitKind) ~ ("timeMillis" -> timeMillis) ~
         ("manifests" -> manifests) ~
         ("lastSequenceNumber" -> lastSequenceNumber) ~
-        ("totalRecordCount" -> totalRecordCount)
+        ("totalRecordCount" -> totalRecordCount) ~
+        ("commitIdentifier" -> commitIdentifier)
     JsonMethods.pretty(JsonMethods.render(j))
   }
 }
@@ -105,6 +112,7 @@ object Snapshot {
       (v \ "timeMillis").extract[Long],
       (v \ "manifests").extract[Seq[String]],
       (v \ "lastSequenceNumber").extract[Long],
-      (v \ "totalRecordCount").extract[Long])
+      (v \ "totalRecordCount").extract[Long],
+      (v \ "commitIdentifier").extractOpt[String])
   }
 }

@@ -490,4 +490,79 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ReadLimit.allAvailable())
       .asInstanceOf[graft.connector.GraftOffset].snapshotId == 2L)
   }
+
+  test("streaming WRITE: graft source -> transform -> graft PK sink") {
+    // the full streaming pipeline over the format: commits on the
+    // source become micro-batches, each epoch publishes one snapshot
+    // on the sink through the shared commit recipe (clustered writes,
+    // re-sequencing, trailing COMPACT)
+    spark.sql("CREATE TABLE graft.default.sw_src (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.default.sw_dst (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2')")
+    spark.sql("INSERT INTO graft.default.sw_src VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO graft.default.sw_src VALUES (1, 11), (3, 30)")
+    val ckpt = Files.createTempDirectory("graft-swck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft.default.sw_src")
+        .selectExpr("k", "v * 2 AS v")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.default.sw_dst")
+      q.awaitTermination()
+    }
+    drain()
+    // PK sink upserts: k=1 resolved to the LAST commit's value
+    assert(spark.sql("SELECT k, v FROM graft.default.sw_dst ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 22L), (2L, 40L), (3L, 60L)))
+    // resume from the checkpoint: only NEW source commits flow
+    spark.sql("INSERT INTO graft.default.sw_src VALUES (2, 25)")
+    drain()
+    assert(spark.sql("SELECT v FROM graft.default.sw_dst WHERE k = 2")
+      .collect()(0).getLong(0) == 50L)
+    // epoch identities are recorded on the sink's snapshots
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/sw_dst"))
+    val idents = sm.existingSnapshotIds.map(sm.snapshot)
+      .flatMap(_.commitIdentifier)
+    assert(idents.nonEmpty, "streaming commits must carry epoch identifiers")
+  }
+
+  test("streaming WRITE: a replayed epoch commit is skipped, not doubled") {
+    // drive the StreamingWrite protocol directly: the same epoch
+    // committed twice (the crash-between-sink-commit-and-checkpoint
+    // replay) must publish ONE snapshot — on an aggregation table a
+    // double commit would double-count
+    spark.sql("CREATE TABLE graft.default.sw_agg (k BIGINT, total BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='aggregation'," +
+      "'fields.total.aggregate-function'='sum')")
+    val tableDir = warehouse.resolve("default.db/sw_agg")
+    val schema = graft.core.TableSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Files.list(tableDir.resolve("schema")).iterator().next()))
+    val sw = new graft.connector.GraftStreamingWrite(
+      tableDir, schema, graft.format.FileStoreCommit.NoOverwrite, "q-test")
+    def writeEpoch(epoch: Long, vals: Seq[(Long, Long)]): Unit = {
+      val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      }
+      val w = sw.createStreamingWriterFactory(info).createWriter(0, 0L, epoch)
+      vals.foreach { case (k, v) =>
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](k, v))
+        w.write(row)
+      }
+      sw.commit(epoch, Array(w.commit()))
+    }
+    writeEpoch(0L, Seq((1L, 5L), (2L, 7L)))
+    writeEpoch(0L, Seq((1L, 5L), (2L, 7L))) // replay of epoch 0
+    writeEpoch(1L, Seq((1L, 3L)))
+    val got = spark.sql("SELECT k, total FROM graft.default.sw_agg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 8L), (2L, 7L)), s"replayed epoch double-counted: $got")
+    val sm = new graft.format.SnapshotManager(tableDir)
+    assert(sm.existingSnapshotIds.size == 2,
+      s"expected 2 snapshots (epoch 0 + epoch 1), got ${sm.existingSnapshotIds}")
+  }
 }
