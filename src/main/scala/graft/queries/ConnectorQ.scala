@@ -940,6 +940,47 @@ object ConnectorQ {
           COUNT(DISTINCT user_id) AS n_distinct_users
         FROM events GROUP BY 1 ORDER BY hour_start""")),
 
+    // Streaming WRITE sink + aggregation engine, driver-checked: raw
+    // events stream INTO a PK aggregation table, so the per-user sums
+    // come out of the FORMAT's merge — no stateful streaming aggregate,
+    // no update-mode sink, state is O(keys) files instead of a state
+    // store. Each source commit is one epoch = one sink snapshot with
+    // an idempotent '<queryId>/<epochId>' identity; AvailableNow over
+    // the fixed checkpoint makes re-runs no-ops, so the read below is
+    // idempotent within a JVM. The oracle restates the whole thing as
+    // a plain GROUP BY over events.
+    QueryDef("c_stream_sink",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
+        val out = s"$wh/_streams/sink_${st.ns}"
+        val sinkTable = s"graft_c.${st.ns}.ev_sink_agg"
+        s.sql(s"""CREATE TABLE IF NOT EXISTS $sinkTable
+          (user_id BIGINT, total_cents BIGINT, n_events BIGINT)
+          TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
+            'merge-engine'='aggregation',
+            'fields.total_cents.aggregate-function'='sum',
+            'fields.n_events.aggregate-function'='sum')""")
+        withStreamStateParts(s) {
+          val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
+            .select(col("user_id"), col("cents").as("total_cents"),
+              lit(1L).as("n_events"))
+            .writeStream
+            .option("checkpointLocation", s"$out/chk")
+            .trigger(Trigger.AvailableNow())
+            .toTable(sinkTable)
+          q.awaitTermination()
+        }
+        s.sql(s"SELECT * FROM $sinkTable ORDER BY user_id")
+      },
+      Some("""SELECT user_id,
+          CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+            AS total_cents,
+          COUNT(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Budget-capped ingest ([[graft.streaming.QuotaCap]]): per
     // event_type, admit events in event_id order while the running
     // cents total stays within a 100k-cent budget — the "stop pulling
