@@ -127,6 +127,38 @@ object StreamingDemo {
         (SELECT SUM(CASE WHEN _row_kind IN (0,2) THEN amount ELSE -amount END) FROM ret_sink) AS changelog_total,
         (SELECT SUM(amount) FROM graft.demo.bal) AS merged_total""").show()
 
+    println("== streaming WRITE: events stream into a PK aggregation sink")
+    // the full loop over the format: graft source -> transform -> graft
+    // sink; the sink's aggregation engine does the summing at merge
+    // time, so there is no stateful streaming aggregate and no
+    // update-mode sink — state is the table itself
+    spark.sql("CREATE TABLE graft.demo.impressions (user_id BIGINT, n BIGINT)")
+    spark.sql("CREATE TABLE graft.demo.click_totals " +
+      "(user_id BIGINT, total BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='user_id','bucket'='2'," +
+      "'merge-engine'='aggregation'," +
+      "'fields.total.aggregate-function'='sum')")
+    spark.sql("INSERT INTO graft.demo.impressions VALUES (1, 2), (2, 3)")
+    spark.sql("INSERT INTO graft.demo.impressions VALUES (1, 5), (3, 1)")
+    val ck = java.nio.file.Files.createTempDirectory("demo-swck").toString
+    def pump(): Unit = {
+      val q = spark.readStream.table("graft.demo.impressions")
+        .selectExpr("user_id", "n AS total")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.demo.click_totals")
+      q.awaitTermination(60000)
+    }
+    pump()
+    println("  folded totals after 2 epochs:")
+    spark.sql("SELECT * FROM graft.demo.click_totals ORDER BY user_id").show()
+    spark.sql("INSERT INTO graft.demo.impressions VALUES (2, 10)")
+    pump() // resumes from the checkpoint: only the new commit flows
+    println("  after one more source commit (epoch identities on snapshots):")
+    spark.sql("SELECT * FROM graft.demo.click_totals ORDER BY user_id").show()
+    spark.sql("SELECT snapshot_id, commit_kind FROM " +
+      "graft.demo.`click_totals$snapshots` ORDER BY snapshot_id").show()
+
     spark.stop()
   }
 }
