@@ -183,6 +183,27 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     graft.format.Maintenance.vacuumOrphans(tableDir, olderThanMillis,
       ioSpec = tableSchema.ioSpec)
 
+  /** Tag a snapshot (default: latest) under a stable name — a
+    * retention pin: the tagged state stays readable as
+    * `VERSION AS OF '<name>'` no matter what expireSnapshots retains
+    * (the dataset-versioning "freeze corpus v1" primitive). Tags are
+    * listed by the `t$tags` system table.
+    */
+  def createTag(name: String, snapshotId: Option[Long] = None): Unit =
+    new SnapshotManager(tableDir,
+      io = graft.format.FileIO.resolve(tableSchema.ioSpec))
+      .createTag(name, snapshotId)
+
+  /** Remove a tag; the snapshot's files become expirable again. */
+  def deleteTag(name: String): Boolean =
+    new SnapshotManager(tableDir,
+      io = graft.format.FileIO.resolve(tableSchema.ioSpec)).deleteTag(name)
+
+  def listTags(): Seq[(String, Long)] =
+    new SnapshotManager(tableDir,
+      io = graft.format.FileIO.resolve(tableSchema.ioSpec))
+      .listTags.map { case (n, s) => (n, s.id) }
+
   private[api] def sqlName: String = s"$catalogName.$identifier"
 }
 

@@ -170,6 +170,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return new StaticRowsTable(ident.toString, MetaTables.filesSchema,
         () => MetaTables.fileRows(dir, ts))
     }
+    if (ident.name().endsWith("$tags")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$tags"))
+      val dir = tableDir(base)
+      val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
+      return new StaticRowsTable(ident.toString, MetaTables.tagsSchema,
+        () => MetaTables.tagRows(dir, ts.ioSpec))
+    }
     val dir = tableDir(ident)
     TableSchema.load(dir) match {
       case Some(schema) => new GraftTable(ident, dir, schema)
@@ -177,18 +185,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** Time travel: `SELECT ... FROM t VERSION AS OF <snapshotId>`. */
+  /** Time travel: `SELECT ... FROM t VERSION AS OF <snapshotId | 'tag'>`.
+    * A non-numeric version names a TAG; tagged snapshots resolve even
+    * after expiry (the tag file carries a snapshot copy).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     TableSchema.load(dir) match {
       case Some(schema) =>
         val sm = new graft.format.SnapshotManager(dir,
           io = graft.format.FileIO.resolve(schema.ioSpec))
-        val id = version.toLong
-        require(sm.existingSnapshotIds.contains(id),
-          s"Snapshot $version does not exist for table $ident " +
-            "(never created, or expired by expireSnapshots)")
-        new GraftTable(ident, dir, schema, Some(id))
+        version.toLongOption match {
+          case Some(id) =>
+            require(sm.existingSnapshotIds.contains(id),
+              s"Snapshot $version does not exist for table $ident " +
+                "(never created, or expired by expireSnapshots)")
+            new GraftTable(ident, dir, schema, Some(id))
+          case None =>
+            val tagged = sm.tag(version).getOrElse(
+              throw new IllegalArgumentException(
+                s"Tag '$version' does not exist for table $ident " +
+                  s"(known tags: ${sm.listTags.map(_._1).mkString(", ")})"))
+            new GraftTable(ident, dir, schema, Some(tagged.id))
+        }
       case None => throw new NoSuchTableException(ident)
     }
   }

@@ -115,7 +115,7 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     lazy val liveFiles: Seq[DataFileMeta] = {
       val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
       pinnedSnapshot match {
-        case Some(id) => sm.liveFiles(sm.snapshot(id))
+        case Some(id) => sm.liveFiles(sm.snapshotOrTagged(id))
         case None => sm.liveFilesLatest
       }
     }
@@ -414,7 +414,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
           .flatMap(s => s.manifests.lastOption.toSeq.flatMap(sm.readManifest)
             .filter(_.isAdd).map(_.file))
       case None => pinnedSnapshot match {
-        case Some(id) => sm.liveFiles(sm.snapshot(id))
+        case Some(id) => sm.liveFiles(sm.snapshotOrTagged(id))
         case None => sm.liveFilesLatest
       }
     }
@@ -944,7 +944,7 @@ final class GraftAggScan(tableDir: Path, schema: TableSchema,
   override def planInputPartitions(): Array[InputPartition] = {
     val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
     val allFiles = pinnedSnapshot match {
-      case Some(id) => sm.liveFiles(sm.snapshot(id))
+      case Some(id) => sm.liveFiles(sm.snapshotOrTagged(id))
       case None => sm.liveFilesLatest
     }
     // accepted partition-only conjuncts (strict: undecided ⇒ drop)

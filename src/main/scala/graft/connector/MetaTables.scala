@@ -48,6 +48,21 @@ object MetaTables {
     }
   }
 
+  val tagsSchema: StructType = StructType(Seq(
+    StructField("tag_name", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("schema_id", LongType, nullable = false),
+    StructField("commit_time", TimestampType, nullable = false),
+    StructField("record_count", LongType, nullable = false)))
+
+  def tagRows(dir: Path, ioSpec: String = "local"): Seq[Array[Any]] = {
+    val sm = new SnapshotManager(dir, io = graft.format.FileIO.resolve(ioSpec))
+    sm.listTags.map { case (name, s) =>
+      Array[Any](UTF8String.fromString(name), s.id, s.schemaId,
+        s.timeMillis * 1000L, s.totalRecordCount)
+    }
+  }
+
   val partitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType),
     StructField("record_count", LongType, nullable = false),

@@ -27,7 +27,11 @@ object Maintenance {
     val cutoff = latest - retainLast + 1
     if (cutoff <= 1) return ExpireResult(0, 0, 0)
 
-    val retained = (cutoff to latest).map(sm.snapshot)
+    // tagged snapshots are retention pins: their manifests and live
+    // files survive any retainLast (the snapshot JSON itself may still
+    // expire — the tag file carries a full copy, so `VERSION AS OF
+    // '<tag>'` keeps resolving)
+    val retained = (cutoff to latest).map(sm.snapshot) ++ sm.listTags.map(_._2)
     val keepManifests = retained.flatMap(_.manifests).toSet
     // reachable data files = union of the retained snapshots' LIVE
     // sets (ADDs folded against DELETEs per snapshot) — files dropped
@@ -99,8 +103,11 @@ object Maintenance {
     // un-delimited LIST on an object store) — so orphan cleanup works
     // exactly where orphans are most costly, the remote data plane
     val sm = new SnapshotManager(tableDir, io = io)
-    val referenced = sm.existingSnapshotIds
-      .flatMap(id => sm.snapshot(id).manifests)
+    // tags count as references: a tagged snapshot whose JSON was
+    // expired is reachable only through its tag copy
+    val referenced = (sm.existingSnapshotIds.map(sm.snapshot) ++
+        sm.listTags.map(_._2))
+      .flatMap(_.manifests)
       .distinct.flatMap(m => sm.readManifest(m).map(_.file.fileName)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     // only files inside a bucket-* segment are data candidates;

@@ -94,6 +94,64 @@ final class SnapshotManager(val tableDir: Path,
   def snapshot(id: Long): Snapshot =
     Snapshot.fromJson(io.readString(snapshotDir.resolve(s"snapshot-$id")))
 
+  // ---- tags: named snapshots ("freeze corpus v1") ----------------
+  // A tag file is a full COPY of the snapshot JSON, so the tag keeps
+  // resolving after expireSnapshots removes the snapshot file itself;
+  // expiry treats tagged snapshots as retained (their manifests and
+  // live files survive), so `VERSION AS OF '<tag>'` reads stay exact
+  // at any retention setting.
+
+  private def tagDir = tableDir.resolve("tag")
+
+  /** Valid tag names exclude digits-only (ambiguous with snapshot ids
+    * in `VERSION AS OF`).
+    */
+  def validateTagName(name: String): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_.-]+"),
+      s"Invalid tag name '$name' (allowed: letters, digits, _ . -)")
+    require(name.exists(!_.isDigit),
+      s"Invalid tag name '$name': digits-only names are ambiguous " +
+        "with snapshot ids in VERSION AS OF")
+  }
+
+  /** Publish a tag for `snapshotId` (defaults to latest). Atomic: a
+    * concurrent create of the same name loses with a clear error.
+    */
+  def createTag(name: String, snapshotId: Option[Long] = None): Snapshot = {
+    validateTagName(name)
+    val id = snapshotId.orElse(latestSnapshotId).getOrElse(
+      throw new IllegalStateException("Cannot tag an empty table"))
+    val s = snapshot(id)
+    io.createDirectories(tagDir)
+    if (!pub.putIfAbsent(tagDir.resolve(s"tag-$name"), s.toJson))
+      throw new IllegalArgumentException(s"Tag '$name' already exists")
+    s
+  }
+
+  def deleteTag(name: String): Boolean =
+    io.delete(tagDir.resolve(s"tag-$name"))
+
+  def tag(name: String): Option[Snapshot] =
+    if (!io.exists(tagDir.resolve(s"tag-$name"))) None
+    else Some(Snapshot.fromJson(io.readString(tagDir.resolve(s"tag-$name"))))
+
+  def listTags: Seq[(String, Snapshot)] =
+    io.list(tagDir)
+      .filter(_.startsWith("tag-"))
+      .map(f => f.stripPrefix("tag-") ->
+        Snapshot.fromJson(io.readString(tagDir.resolve(f))))
+      .sortBy(_._1)
+
+  /** Resolve a pinned snapshot id, falling back to a tag COPY when the
+    * snapshot file itself has been expired (tagged history stays
+    * readable).
+    */
+  def snapshotOrTagged(id: Long): Snapshot =
+    try snapshot(id)
+    catch { case e: Throwable =>
+      listTags.map(_._2).find(_.id == id).getOrElse(throw e)
+    }
+
   def readManifest(name: String): Seq[ManifestEntry] = {
     implicit val fmt: Formats = DefaultFormats
     val v = JsonMethods.parse(io.readString(manifestDir.resolve(name)))

@@ -315,4 +315,62 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == Seq((1L, "A"), (2L, "B2"), (3L, "c")))
   }
+
+  test("tags: VERSION AS OF '<name>' pins the tagged snapshot and " +
+      "survives expiry") {
+    spark.sql("CREATE TABLE graft.default.tg (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.default.tg VALUES (1,'v1')")
+    val sm = new SnapshotManager(warehouse.resolve("default.db/tg"))
+    sm.createTag("corpus-v1") // pins snapshot 1
+    (2 to 6).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.tg VALUES ($i,'v$i')"))
+    // by-name time travel
+    assert(spark.sql(
+      "SELECT k FROM graft.default.tg VERSION AS OF 'corpus-v1'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // t$tags lists it
+    val tags = spark.sql("SELECT tag_name, snapshot_id FROM " +
+      "graft.default.`tg$tags`").collect()
+    assert(tags.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("corpus-v1", 1L)))
+    // retention: expire everything but the last 2 snapshots — the
+    // tagged state must STILL read exactly, even though snapshot-1's
+    // own JSON is gone
+    graft.format.Maintenance.expireSnapshots(
+      warehouse.resolve("default.db/tg"), retainLast = 2)
+    assert(!sm.existingSnapshotIds.contains(1L),
+      "snapshot 1's JSON should have expired (the tag carries a copy)")
+    assert(spark.sql(
+      "SELECT k, v FROM graft.default.tg VERSION AS OF 'corpus-v1'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "v1")))
+    // vacuum must not touch tag-pinned data either
+    graft.format.Maintenance.vacuumOrphans(
+      warehouse.resolve("default.db/tg"), olderThanMillis = 0L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.default.tg VERSION AS OF 'corpus-v1'")
+      .collect()(0).getLong(0) == 1L)
+    // current reads unaffected
+    assert(spark.table("graft.default.tg").count() == 6L)
+  }
+
+  test("tags: name validation, duplicates, delete frees retention") {
+    val dir = warehouse.resolve("default.db/tg")
+    val sm = new SnapshotManager(dir)
+    intercept[IllegalArgumentException](sm.createTag("1234")) // digits-only
+    intercept[IllegalArgumentException](sm.createTag("bad name"))
+    intercept[IllegalArgumentException](sm.createTag("corpus-v1")) // dup
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.default.tg VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    // deleting the tag releases the pin: after expiry the old state is
+    // unreachable and the files become vacuumable
+    assert(sm.deleteTag("corpus-v1"))
+    graft.format.Maintenance.expireSnapshots(dir, retainLast = 2)
+    graft.format.Maintenance.vacuumOrphans(dir, olderThanMillis = 0L)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.default.tg VERSION AS OF 'corpus-v1'").collect())
+    assert(e2.getMessage.contains("corpus-v1"))
+    assert(spark.table("graft.default.tg").count() == 6L)
+  }
 }
