@@ -129,8 +129,18 @@ object ConnectorQ {
       }
       val pkProps = "TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4')"
       val groups: Seq[() => Unit] = Seq(
-        // PK table, 2 commits (merge-on-read across files)
-        () => argmaxTable(s"graft_c.$ns.ev_pk", pkProps),
+        // PK table, 2 commits (merge-on-read across files); the first
+        // commit is tagged 'half1' for the tag-name time-travel row
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk
+            (user_id BIGINT, last_event_id BIGINT, last_type STRING, last_cents BIGINT)
+            $pkProps""")
+          argmaxInsert(s"graft_c.$ns.ev_pk", s"event_id <= $mid")
+          new graft.format.SnapshotManager(java.nio.file.Paths.get(
+            s.conf.get("spark.sql.catalog.graft_c.warehouse"),
+            s"$ns.db", "ev_pk")).createTag("half1")
+          argmaxInsert(s"graft_c.$ns.ev_pk", s"event_id > $mid")
+        },
 
         // same shape + row-level DELETE (merge-on-read -D appends)
         () => {
@@ -522,6 +532,17 @@ object ConnectorQ {
           .format(ts1.toInstant)
         s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk " +
           s"TIMESTAMP AS OF '$utc' ORDER BY user_id")
+      },
+      Some(sqlArgmax.format(s"WHERE event_id <= $sqlMid"))),
+
+    // tag-name time travel: 'half1' is pinned on snapshot 1 by setup;
+    // the tagged read equals the first-half arg-max — same oracle as
+    // c_time_travel, resolved through the tag file instead of the id
+    QueryDef("c_time_travel_tag",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk " +
+          "VERSION AS OF 'half1' ORDER BY user_id")
       },
       Some(sqlArgmax.format(s"WHERE event_id <= $sqlMid"))),
 

@@ -85,6 +85,19 @@ object MaintenanceDemo {
     catch { case e: Exception =>
       println("  rejected: " + e.getMessage.linesIterator.next()) }
 
+    println("== tags: freeze a corpus version, expire around it")
+    val tf = cat.getTable("demo.facts")
+    tf.createTag("corpus-v1")
+    spark.sql("INSERT INTO graft.demo.facts VALUES (4, 4.5), (5, 5.5)")
+    spark.sql("INSERT INTO graft.demo.facts VALUES (6, 6.5)")
+    println(s"  tags: ${tf.listTags().mkString(", ")}")
+    spark.sql("SELECT * FROM graft.demo.`facts$tags`").show()
+    val exp = tf.expireSnapshots(retainLast = 1)
+    println(s"  expired ${exp.expiredSnapshots} snapshot(s); tagged read " +
+      "still exact:")
+    spark.sql("SELECT * FROM graft.demo.facts VERSION AS OF 'corpus-v1' " +
+      "ORDER BY k").show()
+
     spark.stop()
   }
 }
