@@ -92,17 +92,8 @@ class GraftBatchWrite(tableDir: Path, schema: TableSchema,
 
   private def tableIo: FileIO = FileIO.resolve(schema.ioSpec)
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val sm = new SnapshotManager(tableDir, io = tableIo)
-    val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
-    GraftWriterFactory(tableDir.toString, schema.fields.json,
-      schema.partitionKeys, schema.trimmedPrimaryKeys,
-      schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
-      schema.options.getOrElse("file.format", "parquet"),
-      GraftDataWriter.spillRows(schema.options), schema.idMap,
-      GraftDataWriter.blockSize(schema.options),
-      ioSpec = schema.ioSpec)
-  }
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftWriteSupport.writerFactory(tableDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftWriteSupport.commitFiles(tableDir, schema,
@@ -137,20 +128,11 @@ class GraftStreamingWrite(tableDir: Path, schema: TableSchema,
   private def tableIo: FileIO = FileIO.resolve(schema.ioSpec)
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     // per-epoch call (MicroBatchWrite wraps one per batch): baseSeq is
     // read fresh, so this epoch's rows outrank everything committed
-    val sm = new SnapshotManager(tableDir, io = tableIo)
-    val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
-    val batch = GraftWriterFactory(tableDir.toString, schema.fields.json,
-      schema.partitionKeys, schema.trimmedPrimaryKeys,
-      schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
-      schema.options.getOrElse("file.format", "parquet"),
-      GraftDataWriter.spillRows(schema.options), schema.idMap,
-      GraftDataWriter.blockSize(schema.options),
-      ioSpec = schema.ioSpec)
-    GraftStreamingWriterFactory(batch)
-  }
+    GraftStreamingWriterFactory(
+      GraftWriteSupport.writerFactory(tableDir, schema))
 
   /** Newest epoch this query already committed to THIS table, walking
     * the snapshot chain newest-first. Bounded walk: the replay window
@@ -160,11 +142,17 @@ class GraftStreamingWrite(tableDir: Path, schema: TableSchema,
     */
   private def lastCommittedEpoch(sm: SnapshotManager): Option[Long] = {
     val prefix = queryId + "/"
-    sm.existingSnapshotIds.sorted.reverse.take(100).iterator.flatMap { id =>
+    // existingSnapshotIds is already ascending; walk newest-first.
+    // ONLY a vanished file (expired mid-walk) may be skipped — any
+    // other read error must FAIL the batch (Spark retries it): reading
+    // a transient IO error as "never committed" would wave a replayed
+    // epoch through to a double commit, the exact bug this walk
+    // prevents.
+    sm.existingSnapshotIds.reverse.take(100).iterator.flatMap { id =>
       try sm.snapshot(id).commitIdentifier
         .filter(_.startsWith(prefix))
         .flatMap(_.stripPrefix(prefix).toLongOption).iterator
-      catch { case _: Throwable => Iterator.empty } // expired mid-walk
+      catch { case _: java.nio.file.NoSuchFileException => Iterator.empty }
     }.nextOption()
   }
 
@@ -208,6 +196,24 @@ object GraftWriteSupport {
     * optional trailing COMPACT snapshot. One copy, so the two commit
     * paths cannot drift.
     */
+  /** THE writer-factory recipe shared by batch and streaming writes:
+    * fresh baseSeq above the table's current high-water mark, one
+    * sequence block per task. One copy, so the two write paths cannot
+    * drift.
+    */
+  def writerFactory(tableDir: Path, schema: TableSchema): GraftWriterFactory = {
+    val sm = new SnapshotManager(tableDir,
+      io = FileIO.resolve(schema.ioSpec))
+    val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
+    GraftWriterFactory(tableDir.toString, schema.fields.json,
+      schema.partitionKeys, schema.trimmedPrimaryKeys,
+      schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
+      schema.options.getOrElse("file.format", "parquet"),
+      GraftDataWriter.spillRows(schema.options), schema.idMap,
+      GraftDataWriter.blockSize(schema.options),
+      ioSpec = schema.ioSpec)
+  }
+
   def commitFiles(tableDir: Path, schema: TableSchema,
       files: Seq[DataFileMeta],
       mode: FileStoreCommit.OverwriteMode,

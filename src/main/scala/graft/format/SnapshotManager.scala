@@ -103,14 +103,15 @@ final class SnapshotManager(val tableDir: Path,
 
   private def tagDir = tableDir.resolve("tag")
 
-  /** Valid tag names exclude digits-only (ambiguous with snapshot ids
-    * in `VERSION AS OF`).
+  /** Valid tag names exclude anything that parses as a Long ('7',
+    * '-1') — such a name would take the numeric branch of
+    * `VERSION AS OF` and never resolve as a tag.
     */
   def validateTagName(name: String): Unit = {
     require(name.nonEmpty && name.matches("[A-Za-z0-9_.-]+"),
       s"Invalid tag name '$name' (allowed: letters, digits, _ . -)")
-    require(name.exists(!_.isDigit),
-      s"Invalid tag name '$name': digits-only names are ambiguous " +
+    require(name.toLongOption.isEmpty,
+      s"Invalid tag name '$name': numeric names are ambiguous " +
         "with snapshot ids in VERSION AS OF")
   }
 
@@ -125,6 +126,20 @@ final class SnapshotManager(val tableDir: Path,
     io.createDirectories(tagDir)
     if (!pub.putIfAbsent(tagDir.resolve(s"tag-$name"), s.toJson))
       throw new IllegalArgumentException(s"Tag '$name' already exists")
+    // An expiry racing this create may have listed tags BEFORE the
+    // publish and be deleting this snapshot's files right now. Expiry
+    // removes the snapshot JSON first, so re-checking it after the
+    // publish closes the common case: roll the tag back and fail
+    // loudly instead of leaving a permanently broken pin. (A
+    // mid-deletion interleaving can still slip through — tag creation
+    // and aggressive expiry of the SAME snapshot are operationally
+    // exclusive; tag first, expire after.)
+    if (!io.exists(snapshotDir.resolve(s"snapshot-$id"))) {
+      io.delete(tagDir.resolve(s"tag-$name"))
+      throw new IllegalStateException(
+        s"Tag '$name' lost a race with snapshot expiry " +
+          s"(snapshot $id no longer exists); re-tag a retained snapshot")
+    }
     s
   }
 
@@ -135,11 +150,28 @@ final class SnapshotManager(val tableDir: Path,
     if (!io.exists(tagDir.resolve(s"tag-$name"))) None
     else Some(Snapshot.fromJson(io.readString(tagDir.resolve(s"tag-$name"))))
 
+  /** Hardened like the snapshot listing above: a foreign file in tag/
+    * (backup, sync artifact) must not brick maintenance — files whose
+    * name fails validation or whose content is not a snapshot JSON are
+    * skipped with a warning, never thrown. This listing sits on the
+    * expiry/vacuum critical path.
+    */
   def listTags: Seq[(String, Snapshot)] =
     io.list(tagDir)
       .filter(_.startsWith("tag-"))
-      .map(f => f.stripPrefix("tag-") ->
-        Snapshot.fromJson(io.readString(tagDir.resolve(f))))
+      .flatMap { f =>
+        val name = f.stripPrefix("tag-")
+        val ok = name.nonEmpty && name.matches("[A-Za-z0-9_.-]+") &&
+          name.toLongOption.isEmpty
+        if (!ok) None
+        else try Some(name ->
+          Snapshot.fromJson(io.readString(tagDir.resolve(f))))
+        catch { case _: Throwable =>
+          System.err.println(s"[graft] WARN: ignoring unreadable tag " +
+            s"file $tagDir/$f (not a snapshot JSON)")
+          None
+        }
+      }
       .sortBy(_._1)
 
   /** Resolve a pinned snapshot id, falling back to a tag COPY when the

@@ -357,7 +357,8 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("tags: name validation, duplicates, delete frees retention") {
     val dir = warehouse.resolve("default.db/tg")
     val sm = new SnapshotManager(dir)
-    intercept[IllegalArgumentException](sm.createTag("1234")) // digits-only
+    intercept[IllegalArgumentException](sm.createTag("1234")) // numeric
+    intercept[IllegalArgumentException](sm.createTag("-1")) // parses as Long
     intercept[IllegalArgumentException](sm.createTag("bad name"))
     intercept[IllegalArgumentException](sm.createTag("corpus-v1")) // dup
     val e = intercept[Exception](spark.sql(
