@@ -227,4 +227,54 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 2L)
     assertDataPlaneRemote("io_str")
   }
+
+  test("streaming WRITE lands on the remote data plane; epochs dedup") {
+    spark.sql("CREATE TABLE graft.default.io_swsrc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('io'='memory:iow1')")
+    spark.sql("CREATE TABLE graft.default.io_swdst (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', 'io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_swsrc VALUES (1, 10), (2, 20)")
+    val ck = java.nio.file.Files.createTempDirectory("iow-swck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft.default.io_swsrc")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.default.io_swdst")
+      q.awaitTermination()
+    }
+    drain()
+    spark.sql("INSERT INTO graft.default.io_swsrc VALUES (1, 11)")
+    drain() // checkpoint resume over the remote plane
+    assert(spark.sql("SELECT k, v FROM graft.default.io_swdst ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 11L), (2L, 20L)))
+    assertDataPlaneRemote("io_swdst")
+    // the epoch identity is readable through the remote snapshot chain
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/io_swdst"),
+      io = graft.format.FileIO.resolve("memory:iow1"))
+    assert(sm.existingSnapshotIds.map(sm.snapshot)
+      .flatMap(_.commitIdentifier).nonEmpty)
+  }
+
+  test("tags pin remote snapshots through the seam") {
+    spark.sql("CREATE TABLE graft.default.io_tag (k BIGINT) " +
+      "TBLPROPERTIES ('io'='memory:iow1')")
+    spark.sql("INSERT INTO graft.default.io_tag VALUES (1)")
+    val dir = warehouse.resolve("default.db/io_tag")
+    val sm = new graft.format.SnapshotManager(dir,
+      io = graft.format.FileIO.resolve("memory:iow1"))
+    sm.createTag("v1")
+    spark.sql("INSERT INTO graft.default.io_tag VALUES (2), (3)")
+    spark.sql("INSERT INTO graft.default.io_tag VALUES (4)")
+    graft.format.Maintenance.expireSnapshots(dir, retainLast = 1,
+      ioSpec = "memory:iow1")
+    // tag file + pinned data live on the store, not the local fs
+    assert(!java.nio.file.Files.exists(dir.resolve("tag")),
+      "tag metadata must live on the remote plane")
+    assert(spark.sql(
+      "SELECT k FROM graft.default.io_tag VERSION AS OF 'v1'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.table("graft.default.io_tag").count() == 4L)
+  }
 }
