@@ -22,7 +22,40 @@ import scala.jdk.CollectionConverters._
   * `Schema(primary_keys=[...])`.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** Maintenance procedures under the virtual `sys` namespace:
+    * `CALL graft.sys.compact('db.t')` etc. — see [[GraftProcedures]].
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("sys")),
+      s"Procedures live under the 'sys' namespace " +
+        s"(CALL $catalogName.sys.<name>), got ${ident}")
+    GraftProcedures.load(this, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("sys")))
+      GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  /** Procedure-side table resolution: 'db.table' → (dir, schema). */
+  private[connector] def resolveForMaintenance(
+      tableArg: String): (Path, TableSchema) = {
+    val ident = tableArg.split("\\.", 2) match {
+      case Array(db, t) if db.nonEmpty && t.nonEmpty =>
+        Identifier.of(Array(db), t)
+      case _ => throw new IllegalArgumentException(
+        s"Invalid table argument '$tableArg' (expected 'database.table')")
+    }
+    val dir = tableDir(ident)
+    TableSchema.load(dir) match {
+      case Some(s) => (dir, s)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
 
   /** Custom functions under the virtual `sys` namespace:
     * `SELECT graft.sys.vec_dot(a, b)` etc. — see [[GraftFunctions]].

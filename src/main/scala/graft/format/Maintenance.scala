@@ -85,6 +85,64 @@ object Maintenance {
     ExpireResult(expired, deletedData, deletedManifests)
   }
 
+  final case class RollbackResult(deletedSnapshots: Int,
+      deletedManifests: Int, deletedDataFiles: Int)
+
+  /** Roll the table back to `target`: snapshots ABOVE it are deleted
+    * (newest-first, so the authoritative listing's max falls
+    * monotonically toward the target even if this crashes mid-way),
+    * then their exclusively-referenced manifests and the data files
+    * only they reached. Tags above the target block the rollback (a
+    * pinned state must not silently vanish); delete the tag first.
+    * Maintenance op: run without concurrent writers — a commit racing
+    * the rollback may land on the doomed suffix and be rolled away.
+    */
+  def rollbackTo(tableDir: Path, target: Long,
+      ioSpec: String = "local"): RollbackResult = {
+    val io = FileIO.resolve(ioSpec)
+    val sm = new SnapshotManager(tableDir, io = io)
+    val ids = sm.existingSnapshotIds
+    require(ids.contains(target),
+      s"Snapshot $target does not exist (existing: ${ids.mkString(", ")})")
+    val doomed = ids.filter(_ > target)
+    if (doomed.isEmpty) return RollbackResult(0, 0, 0)
+    val pinned = sm.listTags.filter(_._2.id > target)
+    require(pinned.isEmpty,
+      s"Rollback to $target would strand tag(s) " +
+        pinned.map(t => s"'${t._1}' (snapshot ${t._2.id})").mkString(", ") +
+        "; delete them first")
+
+    val kept = ids.filter(_ <= target).map(sm.snapshot) ++ sm.listTags.map(_._2)
+    val keepManifests = kept.flatMap(_.manifests).toSet
+    val reachable = kept.flatMap(s => sm.liveFiles(s).map(_.fileName)).toSet
+    val doomedSnaps = doomed.map(sm.snapshot)
+    val doomedManifests =
+      doomedSnaps.flatMap(_.manifests).distinct.filterNot(keepManifests)
+    val candidates = doomedManifests
+      .flatMap(m => sm.readManifest(m).map(_.file.fileName)).distinct
+
+    val snapshotDir = tableDir.resolve("snapshot")
+    val manifestDir = tableDir.resolve("manifest")
+    var snaps = 0
+    doomed.sorted.reverse.foreach { id =>
+      if (io.delete(snapshotDir.resolve(s"snapshot-$id"))) snaps += 1
+    }
+    io.writeAtomicString(snapshotDir.resolve("LATEST"), target.toString)
+    var manifests = 0
+    doomedManifests.foreach { m =>
+      if (io.delete(manifestDir.resolve(m))) manifests += 1
+    }
+    var data = 0
+    candidates.foreach { rel =>
+      if (!reachable.contains(rel)) {
+        if (io.delete(tableDir.resolve(rel))) data += 1
+        val p = tableDir.resolve(rel)
+        io.delete(p.getParent.resolve("." + p.getFileName + ".crc"))
+      }
+    }
+    RollbackResult(snaps, manifests, data)
+  }
+
   /** Delete data files (and Hadoop .crc sidecars) no manifest of any
     * existing snapshot references — aborted-write leftovers. Only files
     * older than `olderThanMillis` are touched, so in-flight writers
