@@ -22,7 +22,7 @@ import java.nio.file.Path
 object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "expire_snapshots", "vacuum",
-    "create_tag", "delete_tag", "list_tags", "rollback")
+    "create_tag", "delete_tag", "list_tags", "rollback", "rollback_to_tag")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure =
     name match {
@@ -33,6 +33,7 @@ object GraftProcedures {
       case "delete_tag" => new DeleteTag(catalog)
       case "list_tags" => new ListTags(catalog)
       case "rollback" => new Rollback(catalog)
+      case "rollback_to_tag" => new RollbackToTag(catalog)
       case other => throw new IllegalArgumentException(
         s"Unknown procedure sys.$other (available: ${names.mkString(", ")})")
     }
@@ -177,6 +178,31 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (dir, schema) = resolve(input)
       val target = input.getLong(1)
+      val r = Maintenance.rollbackTo(dir, target, schema.ioSpec)
+      result(StructType(Seq(
+        StructField("deleted_snapshots", IntegerType),
+        StructField("deleted_manifests", IntegerType),
+        StructField("deleted_data_files", IntegerType),
+        StructField("current_snapshot_id", LongType))),
+        Seq(Array[Any](r.deletedSnapshots, r.deletedManifests,
+          r.deletedDataFiles, target)))
+    }
+  }
+
+  private final class RollbackToTag(catalog: GraftCatalog)
+      extends Base(catalog, "rollback_to_tag") {
+    override def description(): String =
+      "roll back to the snapshot a tag pins (the tag itself survives)"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+      ProcedureParameter.in("tag", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (dir, schema) = resolve(input)
+      val tagName = input.getUTF8String(1).toString
+      val sm = new SnapshotManager(dir,
+        io = graft.format.FileIO.resolve(schema.ioSpec))
+      val target = sm.tag(tagName).getOrElse(throw new IllegalArgumentException(
+        s"Tag '$tagName' does not exist " +
+          s"(known: ${sm.listTags.map(_._1).mkString(", ")})")).id
       val r = Maintenance.rollbackTo(dir, target, schema.ioSpec)
       result(StructType(Seq(
         StructField("deleted_snapshots", IntegerType),

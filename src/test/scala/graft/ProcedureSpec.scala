@@ -102,6 +102,23 @@ class ProcedureSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"chain should continue at 2, got ${sm.existingSnapshotIds}")
   }
 
+  test("CALL sys.rollback_to_tag: the tag's state returns, the tag survives") {
+    spark.sql("CREATE TABLE graft.default.prt (k BIGINT)")
+    spark.sql("INSERT INTO graft.default.prt VALUES (1)")
+    spark.sql("CALL graft.sys.create_tag('default.prt', 'stable')")
+    spark.sql("INSERT INTO graft.default.prt VALUES (2)")
+    spark.sql("INSERT INTO graft.default.prt VALUES (3)")
+    val r = spark.sql(
+      "CALL graft.sys.rollback_to_tag('default.prt', 'stable')").collect()
+    assert(r(0).getInt(0) == 2 && r(0).getLong(3) == 1L, r.toSeq.toString)
+    assert(spark.table("graft.default.prt").count() == 1L)
+    // the tag is untouched and still resolves
+    assert(spark.sql("CALL graft.sys.list_tags('default.prt')").count() == 1L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.prt VERSION AS OF 'stable'")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("CALL sys.vacuum deletes aged orphans; errors are actionable") {
     spark.sql("CREATE TABLE graft.default.pv (k BIGINT)")
     spark.sql("INSERT INTO graft.default.pv VALUES (1)")
