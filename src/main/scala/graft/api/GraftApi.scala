@@ -158,15 +158,8 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     * group) and published as a COMPACT snapshot. Returns the number of
     * groups compacted. See [[graft.format.Compactor]].
     */
-  def compact(): Int = {
-    val sm = new SnapshotManager(tableDir,
-      io = graft.format.FileIO.resolve(tableSchema.ioSpec))
-    val groups = sm.liveFilesLatest
-      .groupBy(f => (f.partition, f.bucket))
-      .filter(_._2.size > 1).toSeq
-    graft.format.Compactor.compactGroups(Some(spark), tableDir,
-      tableSchema, groups)
-  }
+  def compact(): Int =
+    graft.format.Compactor.compactAll(Some(spark), tableDir, tableSchema)
 
   /** Expire all but the last `retainLast` snapshots (time travel stays
     * valid within the retained window); returns counts of deleted

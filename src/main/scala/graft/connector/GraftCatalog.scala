@@ -41,14 +41,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
     else Array.empty
 
-  /** Procedure-side table resolution: 'db.table' → (dir, schema). */
+  /** Procedure-side table resolution: 'db.table' → (dir, schema). A
+    * leading segment equal to this catalog's name is accepted and
+    * stripped — users naturally pass the identifier they query with
+    * ('graft.default.t'); anything else with >1 dot is rejected with
+    * the expected form rather than a misleading not-found.
+    */
   private[connector] def resolveForMaintenance(
       tableArg: String): (Path, TableSchema) = {
-    val ident = tableArg.split("\\.", 2) match {
+    val parts = tableArg.split("\\.") match {
+      case Array(c, db, t) if c == catalogName => Array(db, t)
+      case other => other
+    }
+    val ident = parts match {
       case Array(db, t) if db.nonEmpty && t.nonEmpty =>
         Identifier.of(Array(db), t)
       case _ => throw new IllegalArgumentException(
-        s"Invalid table argument '$tableArg' (expected 'database.table')")
+        s"Invalid table argument '$tableArg' " +
+          s"(expected 'database.table' or '$catalogName.database.table')")
     }
     val dir = tableDir(ident)
     TableSchema.load(dir) match {

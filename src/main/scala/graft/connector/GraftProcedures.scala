@@ -71,12 +71,8 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(tableParam)
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (dir, schema) = resolve(input)
-      val sm = new SnapshotManager(dir,
-        io = graft.format.FileIO.resolve(schema.ioSpec))
-      val groups = sm.liveFilesLatest
-        .groupBy(f => (f.partition, f.bucket)).filter(_._2.size > 1).toSeq
-      val n = graft.format.Compactor.compactGroups(
-        org.apache.spark.sql.SparkSession.getActiveSession, dir, schema, groups)
+      val n = graft.format.Compactor.compactAll(
+        org.apache.spark.sql.SparkSession.getActiveSession, dir, schema)
       result(StructType(Seq(StructField("compacted_groups", IntegerType))),
         Seq(Array[Any](n)))
     }
@@ -169,30 +165,31 @@ object GraftProcedures {
     }
   }
 
+  private val RollbackSchema = StructType(Seq(
+    StructField("from_snapshot_id", LongType),
+    StructField("target_snapshot_id", LongType),
+    StructField("new_snapshot_id", LongType)))
+
   private final class Rollback(catalog: GraftCatalog)
       extends Base(catalog, "rollback") {
     override def description(): String =
-      "delete every snapshot above snapshot_id, restoring that state"
+      "publish a revert commit restoring the state of snapshot_id " +
+        "(nothing deleted; expiry reclaims the rolled-away history)"
     override def parameters(): Array[ProcedureParameter] = Array(tableParam,
       ProcedureParameter.in("snapshot_id", LongType).build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (dir, schema) = resolve(input)
-      val target = input.getLong(1)
-      val r = Maintenance.rollbackTo(dir, target, schema.ioSpec)
-      result(StructType(Seq(
-        StructField("deleted_snapshots", IntegerType),
-        StructField("deleted_manifests", IntegerType),
-        StructField("deleted_data_files", IntegerType),
-        StructField("current_snapshot_id", LongType))),
-        Seq(Array[Any](r.deletedSnapshots, r.deletedManifests,
-          r.deletedDataFiles, target)))
+      val r = Maintenance.rollbackTo(dir, input.getLong(1), schema.ioSpec)
+      result(RollbackSchema, Seq(Array[Any](
+        r.fromSnapshotId, r.targetSnapshotId, r.newSnapshotId)))
     }
   }
 
   private final class RollbackToTag(catalog: GraftCatalog)
       extends Base(catalog, "rollback_to_tag") {
     override def description(): String =
-      "roll back to the snapshot a tag pins (the tag itself survives)"
+      "revert commit restoring the snapshot a tag pins (works even " +
+        "after the snapshot itself expired — the tag carries a copy)"
     override def parameters(): Array[ProcedureParameter] = Array(tableParam,
       ProcedureParameter.in("tag", StringType).build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -204,13 +201,8 @@ object GraftProcedures {
         s"Tag '$tagName' does not exist " +
           s"(known: ${sm.listTags.map(_._1).mkString(", ")})")).id
       val r = Maintenance.rollbackTo(dir, target, schema.ioSpec)
-      result(StructType(Seq(
-        StructField("deleted_snapshots", IntegerType),
-        StructField("deleted_manifests", IntegerType),
-        StructField("deleted_data_files", IntegerType),
-        StructField("current_snapshot_id", LongType))),
-        Seq(Array[Any](r.deletedSnapshots, r.deletedManifests,
-          r.deletedDataFiles, target)))
+      result(RollbackSchema, Seq(Array[Any](
+        r.fromSnapshotId, r.targetSnapshotId, r.newSnapshotId)))
     }
   }
 }

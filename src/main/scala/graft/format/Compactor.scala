@@ -223,6 +223,19 @@ object Compactor extends Serializable {
       tableDir, schema, groups)
   }
 
+  /** Full compaction of every multi-file group — THE entry point
+    * shared by the facade handle and the `sys.compact` SQL procedure
+    * (one copy of the grouping policy).
+    */
+  def compactAll(spark: Option[org.apache.spark.sql.SparkSession],
+      tableDir: Path, schema: graft.core.TableSchema): Int = {
+    val sm = new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec))
+    val groups = sm.liveFilesLatest
+      .groupBy(f => (f.partition, f.bucket))
+      .filter(_._2.size > 1).toSeq
+    compactGroups(spark, tableDir, schema, groups)
+  }
+
   /** Straggler guidance: a (partition, bucket) is one merge task, so a
     * hot bucket caps read parallelism and becomes the straggler at
     * scale (ScaleChecks' hot-bucket canary quantifies it; README

@@ -85,62 +85,59 @@ object Maintenance {
     ExpireResult(expired, deletedData, deletedManifests)
   }
 
-  final case class RollbackResult(deletedSnapshots: Int,
-      deletedManifests: Int, deletedDataFiles: Int)
+  final case class RollbackResult(fromSnapshotId: Long,
+      targetSnapshotId: Long, newSnapshotId: Long)
 
-  /** Roll the table back to `target`: snapshots ABOVE it are deleted
-    * (newest-first, so the authoritative listing's max falls
-    * monotonically toward the target even if this crashes mid-way),
-    * then their exclusively-referenced manifests and the data files
-    * only they reached. Tags above the target block the rollback (a
-    * pinned state must not silently vanish); delete the tag first.
-    * Maintenance op: run without concurrent writers — a commit racing
-    * the rollback may land on the doomed suffix and be rolled away.
+  /** Roll the table back to `target` by publishing a REVERT COMMIT: a
+    * new snapshot whose manifest list is the target's. Nothing is
+    * deleted —
+    *  - snapshot ids stay monotone, so streaming-reader checkpoints
+    *    (offsets ARE snapshot ids) and recorded `VERSION AS OF <id>`
+    *    references never silently alias different data;
+    *  - the rolled-away history remains time-travelable until
+    *    expireSnapshots reclaims it like any other old snapshot
+    *    (the revert snapshot references the target's manifests, so the
+    *    restored state itself is retention-reachable);
+    *  - an expired-but-TAGGED target still restores (the tag file
+    *    carries the snapshot copy) — the "restore corpus v1" flow
+    *    works exactly when expiry has run;
+    *  - the publish is one atomic putIfAbsent with the normal
+    *    optimistic retry, so a crash leaves either the old or the new
+    *    state, never a half-deleted chain.
+    * The sequence high-water mark carries forward (max of both sides):
+    * rows written after the rollback outrank everything ever written,
+    * including the rolled-away rows they can no longer collide with.
+    * Kind = ROLLBACK: every incremental consumer whitelists APPEND, so
+    * streams and changelog diffs skip the restatement (like OVERWRITE).
     */
   def rollbackTo(tableDir: Path, target: Long,
       ioSpec: String = "local"): RollbackResult = {
     val io = FileIO.resolve(ioSpec)
     val sm = new SnapshotManager(tableDir, io = io)
-    val ids = sm.existingSnapshotIds
-    require(ids.contains(target),
-      s"Snapshot $target does not exist (existing: ${ids.mkString(", ")})")
-    val doomed = ids.filter(_ > target)
-    if (doomed.isEmpty) return RollbackResult(0, 0, 0)
-    val pinned = sm.listTags.filter(_._2.id > target)
-    require(pinned.isEmpty,
-      s"Rollback to $target would strand tag(s) " +
-        pinned.map(t => s"'${t._1}' (snapshot ${t._2.id})").mkString(", ") +
-        "; delete them first")
-
-    val kept = ids.filter(_ <= target).map(sm.snapshot) ++ sm.listTags.map(_._2)
-    val keepManifests = kept.flatMap(_.manifests).toSet
-    val reachable = kept.flatMap(s => sm.liveFiles(s).map(_.fileName)).toSet
-    val doomedSnaps = doomed.map(sm.snapshot)
-    val doomedManifests =
-      doomedSnaps.flatMap(_.manifests).distinct.filterNot(keepManifests)
-    val candidates = doomedManifests
-      .flatMap(m => sm.readManifest(m).map(_.file.fileName)).distinct
-
-    val snapshotDir = tableDir.resolve("snapshot")
-    val manifestDir = tableDir.resolve("manifest")
-    var snaps = 0
-    doomed.sorted.reverse.foreach { id =>
-      if (io.delete(snapshotDir.resolve(s"snapshot-$id"))) snaps += 1
+    val targetSnap = sm.snapshotOrTagged(target) // tag copy counts
+    var attempt = 0
+    while (attempt < 100) {
+      val latest = sm.latestSnapshot.getOrElse(
+        throw new IllegalStateException("Cannot roll back an empty table"))
+      if (latest.id == target)
+        return RollbackResult(latest.id, target, latest.id) // no-op
+      require(target < latest.id,
+        s"Cannot roll back forward to $target (latest is ${latest.id})")
+      val snap = Snapshot(
+        id = latest.id + 1,
+        schemaId = targetSnap.schemaId,
+        commitKind = "ROLLBACK",
+        timeMillis = System.currentTimeMillis(),
+        manifests = targetSnap.manifests,
+        lastSequenceNumber = math.max(latest.lastSequenceNumber,
+          targetSnap.lastSequenceNumber),
+        totalRecordCount = targetSnap.totalRecordCount)
+      if (sm.tryCommitSnapshot(snap))
+        return RollbackResult(latest.id, target, snap.id)
+      attempt += 1
     }
-    io.writeAtomicString(snapshotDir.resolve("LATEST"), target.toString)
-    var manifests = 0
-    doomedManifests.foreach { m =>
-      if (io.delete(manifestDir.resolve(m))) manifests += 1
-    }
-    var data = 0
-    candidates.foreach { rel =>
-      if (!reachable.contains(rel)) {
-        if (io.delete(tableDir.resolve(rel))) data += 1
-        val p = tableDir.resolve(rel)
-        io.delete(p.getParent.resolve("." + p.getFileName + ".crc"))
-      }
-    }
-    RollbackResult(snaps, manifests, data)
+    throw new IllegalStateException(
+      "Rollback conflict: gave up after 100 snapshot publish attempts")
   }
 
   /** Delete data files (and Hadoop .crc sidecars) no manifest of any

@@ -77,7 +77,7 @@ final case class ManifestEntry(kind: String, file: DataFileMeta) {
 final case class Snapshot(
     id: Long,
     schemaId: Long,
-    commitKind: String, // APPEND | OVERWRITE | COMPACT
+    commitKind: String, // APPEND | OVERWRITE | COMPACT | ROLLBACK
     timeMillis: Long,
     manifests: Seq[String],
     lastSequenceNumber: Long,

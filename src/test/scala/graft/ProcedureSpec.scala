@@ -75,48 +75,67 @@ class ProcedureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("CALL graft.sys.list_tags('default.pt')").count() == 1L)
   }
 
-  test("CALL sys.rollback restores an earlier snapshot; tags block it") {
+  test("CALL sys.rollback publishes a revert commit: ids stay monotone, " +
+      "history intact, streams never see recycled offsets") {
     spark.sql("CREATE TABLE graft.default.pr (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
     spark.sql("INSERT INTO graft.default.pr VALUES (1,'a'), (2,'b')")
     spark.sql("INSERT INTO graft.default.pr VALUES (1,'A2')")
     spark.sql("INSERT INTO graft.default.pr VALUES (3,'c')")
-    // a tag above the target blocks the rollback
-    spark.sql("CALL graft.sys.create_tag('default.pr', 'keep', snapshot_id => 3)")
-    val blocked = intercept[Exception](spark.sql(
-      "CALL graft.sys.rollback('default.pr', 1)").collect())
-    assert(blocked.getMessage.contains("keep"), blocked.getMessage)
-    spark.sql("CALL graft.sys.delete_tag('default.pr', 'keep')")
     val r = spark.sql("CALL graft.sys.rollback('default.pr', 1)").collect()
-    assert(r(0).getInt(0) == 2 && r(0).getLong(3) == 1L, r.toSeq.toString)
+    assert(r(0).getLong(0) == 3L && r(0).getLong(1) == 1L &&
+      r(0).getLong(2) == 4L, r.toSeq.toString)
     // the table reads as of snapshot 1 again
     assert(spark.sql("SELECT k, v FROM graft.default.pr ORDER BY k")
       .collect().map(x => (x.getLong(0), x.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b")))
-    // and new commits continue the chain from the target
+    // nothing was deleted: the rolled-away state is still time-travelable
+    assert(spark.sql("SELECT v FROM graft.default.pr VERSION AS OF 2 " +
+      "WHERE k = 1").collect()(0).getString(0) == "A2")
+    // new commits continue ABOVE the old head — never recycling an id a
+    // streaming checkpoint may hold
     spark.sql("INSERT INTO graft.default.pr VALUES (4,'d')")
     assert(spark.table("graft.default.pr").count() == 3L)
     val sm = new graft.format.SnapshotManager(
       warehouse.resolve("default.db/pr"))
-    assert(sm.latestSnapshotId.contains(2L),
-      s"chain should continue at 2, got ${sm.existingSnapshotIds}")
+    assert(sm.latestSnapshotId.contains(5L),
+      s"chain should continue at 5, got ${sm.existingSnapshotIds}")
+    // the revert snapshot is skipped by incremental consumers
+    assert(sm.snapshot(4L).commitKind == "ROLLBACK")
+    // rolling forward is rejected; rollback to current is a no-op
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.sys.rollback('default.pr', 99)").collect())
+    assert(e.getMessage.contains("99"), e.getMessage)
+    val noop = spark.sql("CALL graft.sys.rollback('default.pr', 5)").collect()
+    assert(noop(0).getLong(2) == 5L)
   }
 
-  test("CALL sys.rollback_to_tag: the tag's state returns, the tag survives") {
+  test("CALL sys.rollback_to_tag restores an EXPIRED tagged state") {
     spark.sql("CREATE TABLE graft.default.prt (k BIGINT)")
     spark.sql("INSERT INTO graft.default.prt VALUES (1)")
     spark.sql("CALL graft.sys.create_tag('default.prt', 'stable')")
     spark.sql("INSERT INTO graft.default.prt VALUES (2)")
     spark.sql("INSERT INTO graft.default.prt VALUES (3)")
+    // expire PAST the tagged snapshot: its JSON is gone, the tag's
+    // copy (and its pinned manifests/files) remain — the exact state
+    // tags exist to make restorable
+    spark.sql("CALL graft.sys.expire_snapshots('default.prt', 1)")
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/prt"))
+    assert(!sm.existingSnapshotIds.contains(1L))
     val r = spark.sql(
       "CALL graft.sys.rollback_to_tag('default.prt', 'stable')").collect()
-    assert(r(0).getInt(0) == 2 && r(0).getLong(3) == 1L, r.toSeq.toString)
-    assert(spark.table("graft.default.prt").count() == 1L)
+    assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 4L, r.toSeq.toString)
+    assert(spark.table("graft.default.prt").collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
     // the tag is untouched and still resolves
     assert(spark.sql("CALL graft.sys.list_tags('default.prt')").count() == 1L)
     assert(spark.sql(
       "SELECT count(*) FROM graft.default.prt VERSION AS OF 'stable'")
       .collect()(0).getLong(0) == 1L)
+    // catalog-qualified 3-part names resolve too
+    assert(spark.sql("CALL graft.sys.list_tags('graft.default.prt')")
+      .count() == 1L)
   }
 
   test("CALL sys.vacuum deletes aged orphans; errors are actionable") {
