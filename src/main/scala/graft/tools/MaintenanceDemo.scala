@@ -98,6 +98,11 @@ object MaintenanceDemo {
     spark.sql("SELECT * FROM graft.demo.facts VERSION AS OF 'corpus-v1' " +
       "ORDER BY k").show()
 
+    println("== SQL CALL procedures: rollback to the tag (revert commit)")
+    spark.sql("CALL graft.sys.rollback_to_tag('demo.facts', 'corpus-v1')").show()
+    spark.sql("SELECT * FROM graft.demo.facts ORDER BY k").show()
+    spark.sql("CALL graft.sys.list_tags('demo.facts')").show()
+
     spark.stop()
   }
 }
