@@ -409,16 +409,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // `bucket` would split existing keys across merge groups
         // (overwritten rows resurrect, bucket pruning skips old
         // files); changing `io` or `primary-key` orphans every
-        // existing snapshot/manifest/data file
-        require(!Set("bucket", "io", "primary-key")
-            .contains(set.property()) ||
+        // existing snapshot/manifest/data file. MERGE-SEMANTICS options
+        // are equally baked in — flipping merge-engine / sequence.field
+        // / ignore-delete / a field's aggregate-function would re-fold
+        // every already-committed run under different rules (silent
+        // history reinterpretation, e.g. a dedup table re-read as sums)
+        require(!GraftCatalog.isStructuralProperty(set.property()) ||
           ts.options.get(set.property()).contains(set.value()),
           s"Table property '${set.property()}' is structural " +
-            "(baked into the existing data layout) and cannot change")
+            "(baked into the existing data layout / merge semantics) " +
+            "and cannot change")
         if (set.property() == TableCatalog.PROP_COMMENT) comment = Some(set.value())
         else options += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
-        require(!Set("bucket", "io", "primary-key").contains(rm.property())
+        require(!GraftCatalog.isStructuralProperty(rm.property())
             || !ts.options.contains(rm.property()),
           s"Table property '${rm.property()}' is structural and " +
             "cannot be removed")
@@ -471,4 +475,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       listDir(p)(_.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+}
+
+object GraftCatalog {
+  /** Options baked into existing data — layout (`bucket`, `io`,
+    * `primary-key`) and merge semantics (`merge-engine`,
+    * `sequence.field`, `ignore-delete`,
+    * `fields.<col>.aggregate-function`) — immutable after CREATE.
+    */
+  def isStructuralProperty(name: String): Boolean =
+    Set("bucket", "io", "primary-key", "merge-engine", "sequence.field",
+      "ignore-delete").contains(name) ||
+      (name.startsWith("fields.") && name.endsWith(".aggregate-function"))
 }

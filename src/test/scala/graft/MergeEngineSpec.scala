@@ -286,6 +286,35 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Unsupported aggregate-function")
   }
 
+  test("merge-semantics options are immutable after CREATE") {
+    // flipping merge-engine / sequence.field / ignore-delete / a
+    // field's aggregate-function would re-fold every already-committed
+    // run under different rules — silent history reinterpretation
+    def rejected(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+      assert(chain(e).exists(_.contains("structural")),
+        s"expected structural rejection for: $sql\n${chain(e).mkString("\n")}")
+    }
+    rejected("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('merge-engine'='deduplicate')")
+    rejected("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('fields.total.aggregate-function'='max')")
+    rejected("ALTER TABLE graft.default.me_agg " +
+      "UNSET TBLPROPERTIES ('merge-engine')")
+    rejected("ALTER TABLE graft.default.me_sf " +
+      "SET TBLPROPERTIES ('sequence.field'='k')")
+    // re-stating the SAME value is fine (idempotent config pushes),
+    // and non-structural options still change
+    spark.sql("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('merge-engine'='aggregation')")
+    spark.sql("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('sort-engine'='loser-tree')")
+    assert(rows("SELECT total FROM graft.default.me_agg WHERE k = 1") ==
+      Seq(Seq(20L)))
+  }
+
   test("retraction streaming is rejected for non-deduplicate engines") {
     val q = spark.readStream.option("retractions", "true")
       .table("graft.default.`me_agg$changelog`")
