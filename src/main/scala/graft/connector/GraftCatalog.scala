@@ -49,11 +49,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private[connector] def resolveForMaintenance(
       tableArg: String): (Path, TableSchema) = {
-    val parts = tableArg.split("\\.") match {
-      case Array(c, db, t) if c == catalogName => Array(db, t)
-      case other => other
-    }
-    val ident = parts match {
+    // strip ONE leading '<catalogName>.' if present, then split at the
+    // FIRST remaining dot — so dotted table names stay addressable
+    // ('default.a.b' → db=default, table=a.b) and a database literally
+    // named like the catalog is reachable as 'graft.graft.t'
+    val local = if (tableArg.startsWith(catalogName + "."))
+      tableArg.stripPrefix(catalogName + ".") else tableArg
+    val ident = local.split("\\.", 2) match {
       case Array(db, t) if db.nonEmpty && t.nonEmpty =>
         Identifier.of(Array(db), t)
       case _ => throw new IllegalArgumentException(
@@ -415,7 +417,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // every already-committed run under different rules (silent
         // history reinterpretation, e.g. a dedup table re-read as sums)
         require(!GraftCatalog.isStructuralProperty(set.property()) ||
-          ts.options.get(set.property()).contains(set.value()),
+          GraftCatalog.isStructuralNoop(set.property(), set.value(),
+            ts.options.get(set.property())),
           s"Table property '${set.property()}' is structural " +
             "(baked into the existing data layout / merge semantics) " +
             "and cannot change")
@@ -487,4 +490,23 @@ object GraftCatalog {
     Set("bucket", "io", "primary-key", "merge-engine", "sequence.field",
       "ignore-delete").contains(name) ||
       (name.startsWith("fields.") && name.endsWith(".aggregate-function"))
+
+  /** A SET of a structural property is a semantic no-op — and therefore
+    * allowed — when it re-states the stored value, or states the
+    * option's DEFAULT while the option is absent (config-management
+    * pushes write defaults explicitly). Options with no meaningful
+    * default (bucket, io, primary-key, sequence.field) are never
+    * no-op-settable when absent.
+    */
+  def isStructuralNoop(name: String, value: String,
+      current: Option[String]): Boolean = current match {
+    case Some(v) => v == value
+    case None => name match {
+      case "merge-engine" => value == "deduplicate"
+      case "ignore-delete" => value.equalsIgnoreCase("false")
+      case n if n.endsWith(".aggregate-function") =>
+        value == "last_non_null_value"
+      case _ => false
+    }
+  }
 }

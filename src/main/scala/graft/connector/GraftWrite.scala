@@ -139,6 +139,12 @@ class GraftStreamingWrite(tableDir: Path, schema: TableSchema,
     * is the last uncommitted batch, so a match (when one exists) sits
     * within the newest few snapshots — 100 covers interleaved
     * compactions and concurrent writers with a wide margin.
+    *
+    * Operational caveat: the walk reads epoch identities from the
+    * snapshot chain, so a ROLLBACK below a sink's last commit followed
+    * by expiry of that snapshot forgets the epoch — a replay after
+    * such an interleaving re-commits. Stop a streaming sink (or let
+    * its checkpoint advance) before rolling back past its commits.
     */
   private def lastCommittedEpoch(sm: SnapshotManager): Option[Long] = {
     val prefix = queryId + "/"

@@ -114,13 +114,26 @@ object Maintenance {
       ioSpec: String = "local"): RollbackResult = {
     val io = FileIO.resolve(ioSpec)
     val sm = new SnapshotManager(tableDir, io = io)
-    val targetSnap = sm.snapshotOrTagged(target) // tag copy counts
+    require(sm.latestSnapshotId.nonEmpty, "Cannot roll back an empty table")
+    val targetSnap =
+      try sm.snapshotOrTagged(target) // tag copy counts
+      catch { case _: java.nio.file.NoSuchFileException =>
+        throw new IllegalArgumentException(
+          s"Snapshot $target does not exist and no tag pins it " +
+            s"(existing: ${sm.existingSnapshotIds.mkString(", ")}; " +
+            s"tags: ${sm.listTags.map(t => s"${t._1}=${t._2.id}")
+              .mkString(", ")})")
+      }
     var attempt = 0
     while (attempt < 100) {
       val latest = sm.latestSnapshot.getOrElse(
         throw new IllegalStateException("Cannot roll back an empty table"))
-      if (latest.id == target)
-        return RollbackResult(latest.id, target, latest.id) // no-op
+      // no-op when the current state already IS the target — including
+      // a repeated rollback retry, whose latest is a revert snapshot
+      // carrying the target's manifests (publishing another identical
+      // revert would just burn retention slots)
+      if (latest.id == target || latest.manifests == targetSnap.manifests)
+        return RollbackResult(latest.id, target, latest.id)
       require(target < latest.id,
         s"Cannot roll back forward to $target (latest is ${latest.id})")
       val snap = Snapshot(

@@ -306,9 +306,12 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rejected("ALTER TABLE graft.default.me_sf " +
       "SET TBLPROPERTIES ('sequence.field'='k')")
     // re-stating the SAME value is fine (idempotent config pushes),
+    // as is writing the DEFAULT where the option was never stored,
     // and non-structural options still change
     spark.sql("ALTER TABLE graft.default.me_agg " +
       "SET TBLPROPERTIES ('merge-engine'='aggregation')")
+    spark.sql("ALTER TABLE graft.default.me_sf " +
+      "SET TBLPROPERTIES ('merge-engine'='deduplicate')") // absent → default
     spark.sql("ALTER TABLE graft.default.me_agg " +
       "SET TBLPROPERTIES ('sort-engine'='loser-tree')")
     assert(rows("SELECT total FROM graft.default.me_agg WHERE k = 1") ==

@@ -92,6 +92,10 @@ class ProcedureSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nothing was deleted: the rolled-away state is still time-travelable
     assert(spark.sql("SELECT v FROM graft.default.pr VERSION AS OF 2 " +
       "WHERE k = 1").collect()(0).getString(0) == "A2")
+    // RETRYING the rollback is a no-op (latest is a revert carrying
+    // the target's manifests) — no revert stacking
+    val retry = spark.sql("CALL graft.sys.rollback('default.pr', 1)").collect()
+    assert(retry(0).getLong(2) == 4L, retry.toSeq.toString)
     // new commits continue ABOVE the old head — never recycling an id a
     // streaming checkpoint may hold
     spark.sql("INSERT INTO graft.default.pr VALUES (4,'d')")
@@ -102,10 +106,12 @@ class ProcedureSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"chain should continue at 5, got ${sm.existingSnapshotIds}")
     // the revert snapshot is skipped by incremental consumers
     assert(sm.snapshot(4L).commitKind == "ROLLBACK")
-    // rolling forward is rejected; rollback to current is a no-op
+    // a nonexistent target gets an actionable message, not a raw
+    // NoSuchFileException
     val e = intercept[Exception](spark.sql(
       "CALL graft.sys.rollback('default.pr', 99)").collect())
-    assert(e.getMessage.contains("99"), e.getMessage)
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // rollback to current is a no-op
     val noop = spark.sql("CALL graft.sys.rollback('default.pr', 5)").collect()
     assert(noop(0).getLong(2) == 5L)
   }
