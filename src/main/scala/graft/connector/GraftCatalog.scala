@@ -242,7 +242,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           io = graft.format.FileIO.resolve(schema.ioSpec))
         version.toLongOption match {
           case Some(id) =>
-            require(sm.existingSnapshotIds.contains(id),
+            // a tag pinning this id keeps numeric references valid
+            // after the snapshot's own JSON expires (the scan resolves
+            // through the tag copy) — recorded `VERSION AS OF <id>`
+            // notebooks keep working exactly like the tag name does
+            require(sm.existingSnapshotIds.contains(id) ||
+                sm.listTags.exists(_._2.id == id),
               s"Snapshot $version does not exist for table $ident " +
                 "(never created, or expired by expireSnapshots)")
             new GraftTable(ident, dir, schema, Some(id))

@@ -135,10 +135,8 @@ class GraftStreamingWrite(tableDir: Path, schema: TableSchema,
       GraftWriteSupport.writerFactory(tableDir, schema))
 
   /** Newest epoch this query already committed to THIS table, walking
-    * the snapshot chain newest-first. Bounded walk: the replay window
-    * is the last uncommitted batch, so a match (when one exists) sits
-    * within the newest few snapshots — 100 covers interleaved
-    * compactions and concurrent writers with a wide margin.
+    * the snapshot chain newest-first (lazy; terminates at the first
+    * match, normally within the newest few snapshots).
     *
     * Operational caveat: the walk reads epoch identities from the
     * snapshot chain, so a ROLLBACK below a sink's last commit followed
@@ -148,13 +146,17 @@ class GraftStreamingWrite(tableDir: Path, schema: TableSchema,
     */
   private def lastCommittedEpoch(sm: SnapshotManager): Option[Long] = {
     val prefix = queryId + "/"
-    // existingSnapshotIds is already ascending; walk newest-first.
-    // ONLY a vanished file (expired mid-walk) may be skipped — any
-    // other read error must FAIL the batch (Spark retries it): reading
-    // a transient IO error as "never committed" would wave a replayed
-    // epoch through to a double commit, the exact bug this walk
-    // prevents.
-    sm.existingSnapshotIds.reverse.take(100).iterator.flatMap { id =>
+    // existingSnapshotIds is already ascending; walk newest-first,
+    // UNBOUNDED: the walk is lazy and terminates at this query's
+    // newest identity — normally within the first few snapshots. Only
+    // a fresh query's first commit (no match anywhere) pays a full
+    // pass, once; capping instead would wave a replayed epoch through
+    // whenever OTHER writers published more snapshots than the cap
+    // while the sink was down. ONLY a vanished file (expired mid-walk)
+    // may be skipped — any other read error must FAIL the batch (Spark
+    // retries it): reading a transient IO error as "never committed"
+    // would double-commit the replay.
+    sm.existingSnapshotIds.reverse.iterator.flatMap { id =>
       try sm.snapshot(id).commitIdentifier
         .filter(_.startsWith(prefix))
         .flatMap(_.stripPrefix(prefix).toLongOption).iterator

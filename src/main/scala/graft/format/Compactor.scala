@@ -63,8 +63,13 @@ object Compactor extends Serializable {
             .map(r => (fn, r)): Iterator[(String,
               org.apache.spark.sql.catalyst.InternalRow)]
         }
+        // keepDeletes on sequence.field tables: the winning tombstone's
+        // field value must survive the rewrite, or a later out-of-order
+        // stale insert would resurrect the deleted key (commit-order
+        // engines can drop deletes — later commits always outrank)
         new SortMergeReader(sources, keyIdx, keyTypes, 0, 1,
-          mergeFn = MergeFunction.create(mergeSpec, fileSchema, keyIdx, 0, 1))
+          mergeFn = MergeFunction.create(mergeSpec, fileSchema, keyIdx, 0, 1,
+            keepDeletes = mergeSpec.seqField.isDefined))
           .map(_._2)
       } else
         fileNames.iterator.flatMap(fn =>

@@ -30,8 +30,11 @@ object Maintenance {
     // tagged snapshots are retention pins: their manifests and live
     // files survive any retainLast (the snapshot JSON itself may still
     // expire — the tag file carries a full copy, so `VERSION AS OF
-    // '<tag>'` keeps resolving)
-    val retained = (cutoff to latest).map(sm.snapshot) ++ sm.listTags.map(_._2)
+    // '<tag>'` keeps resolving). EXISTING ids only: a previous tighter
+    // expiry may have already removed part of this retention window,
+    // and reading a gap id would fail the whole maintenance run.
+    val retained = sm.existingSnapshotIds.filter(_ >= cutoff)
+      .map(sm.snapshot) ++ sm.listTags.map(_._2)
     val keepManifests = retained.flatMap(_.manifests).toSet
     // reachable data files = union of the retained snapshots' LIVE
     // sets (ADDs folded against DELETEs per snapshot) — files dropped

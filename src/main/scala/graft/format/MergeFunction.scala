@@ -69,8 +69,17 @@ object MergeFunction {
     * projection-pruned). Returns null for plain deduplicate — the
     * caller keeps SortMergeReader's allocation-free LWW loop.
     */
+  /** `keepDeletes`: compaction of a `sequence.field` table must WRITE
+    * the winning delete back instead of dropping it — the tombstone
+    * carries the field value a later out-of-order stale insert has to
+    * lose against; dropping it (fine under commit-order LWW, where
+    * later commits always outrank) would let compaction timing change
+    * the visible state. Read paths keep the default (deletes drop
+    * after the merge).
+    */
   def create(spec: Spec, rowSchema: StructType, keyIdx: Seq[Int],
-      seqIdx: Int, kindIdx: Int): MergeFunction = {
+      seqIdx: Int, kindIdx: Int,
+      keepDeletes: Boolean = false): MergeFunction = {
     if (spec.isPlainDeduplicate) return null
     val keySet = keyIdx.toSet
     // non-key value positions (seq/kind handled explicitly)
@@ -81,7 +90,7 @@ object MergeFunction {
       case "deduplicate" if spec.seqField.isDefined =>
         val i = rowSchema.fieldIndex(spec.seqField.get)
         new SequenceFieldDeduplicate(i, rowSchema(i).dataType,
-          spec.ignoreDelete)
+          spec.ignoreDelete, keepDeletes)
       case "deduplicate" => new DeduplicateMerge(spec.ignoreDelete)
       case "first-row" => new FirstRowMerge
       case "partial-update" | "aggregation" =>
@@ -203,7 +212,8 @@ object MergeFunction {
     * not have retracted, which is exactly the out-of-order contract.
     */
   private final class SequenceFieldDeduplicate(fieldIdx: Int, dt: DataType,
-      ignoreDelete: Boolean) extends MergeFunction {
+      ignoreDelete: Boolean, keepDeletes: Boolean = false)
+      extends MergeFunction {
     private var file: String = _
     private var row: InternalRow = _
     private var kind: Byte = _
@@ -220,7 +230,7 @@ object MergeFunction {
       }
     }
     def result(): (String, InternalRow) =
-      if (any && RowKind.isAdd(kind)) (file, row) else null
+      if (any && (keepDeletes || RowKind.isAdd(kind))) (file, row) else null
   }
 
   /** First add wins; retractions are ignored (a first-row table's

@@ -152,9 +152,11 @@ final class SnapshotManager(val tableDir: Path,
 
   /** Hardened like the snapshot listing above: a foreign file in tag/
     * (backup, sync artifact) must not brick maintenance — files whose
-    * name fails validation or whose content is not a snapshot JSON are
-    * skipped with a warning, never thrown. This listing sits on the
-    * expiry/vacuum critical path.
+    * name fails validation or whose CONTENT is not a snapshot JSON are
+    * skipped with a warning; a tag deleted mid-walk is skipped too.
+    * But a genuine IO error PROPAGATES: this listing feeds expiry's
+    * reachability set, and reading a transient store error as "no tag"
+    * would un-pin the tag and let expiry delete its data.
     */
   def listTags: Seq[(String, Snapshot)] =
     io.list(tagDir)
@@ -164,12 +166,20 @@ final class SnapshotManager(val tableDir: Path,
         val ok = name.nonEmpty && name.matches("[A-Za-z0-9_.-]+") &&
           name.toLongOption.isEmpty
         if (!ok) None
-        else try Some(name ->
-          Snapshot.fromJson(io.readString(tagDir.resolve(f))))
-        catch { case _: Throwable =>
-          System.err.println(s"[graft] WARN: ignoring unreadable tag " +
-            s"file $tagDir/$f (not a snapshot JSON)")
-          None
+        else {
+          val content =
+            try Some(io.readString(tagDir.resolve(f)))
+            catch { case _: java.nio.file.NoSuchFileException =>
+              None // concurrent deleteTag
+            } // other IO errors propagate
+          content.flatMap { c =>
+            try Some(name -> Snapshot.fromJson(c))
+            catch { case _: Throwable =>
+              System.err.println(s"[graft] WARN: ignoring unreadable " +
+                s"tag file $tagDir/$f (not a snapshot JSON)")
+              None
+            }
+          }
         }
       }
       .sortBy(_._1)

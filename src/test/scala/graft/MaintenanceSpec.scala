@@ -352,6 +352,15 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 1L)
     // current reads unaffected
     assert(spark.table("graft.default.tg").count() == 6L)
+    // a RECORDED numeric reference to the tagged snapshot keeps
+    // working too (resolved through the tag copy, like the name)
+    assert(spark.sql("SELECT k FROM graft.default.tg VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // widening the retention AFTER a tighter expiry must not trip over
+    // the ids the earlier run already removed (gap-safe window)
+    val r2 = graft.format.Maintenance.expireSnapshots(
+      warehouse.resolve("default.db/tg"), retainLast = 4)
+    assert(r2.expiredSnapshots == 0, r2.toString)
   }
 
   test("tags: name validation, duplicates, delete frees retention") {

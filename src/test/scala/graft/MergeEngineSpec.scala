@@ -216,6 +216,34 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Seq(2L), Seq(3L)))
   }
 
+  test("sequence.field: compaction keeps the tombstone — a stale insert " +
+      "cannot resurrect a deleted key") {
+    spark.sql("CREATE TABLE graft.default.me_sfc (k BIGINT, ver BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'sequence.field'='ver')")
+    spark.sql("INSERT INTO graft.default.me_sfc VALUES (1, 30, 'live')")
+    // delete at the CURRENT version
+    val catalog = facade
+    import spark.implicits._
+    val t = catalog.getTable("default.me_sfc")
+    val wb = t.newBatchWriteBuilder(); val w = wb.newWrite()
+    w.write(Seq((1L, 30L, "live")).toDF("k", "ver", "v")
+      .withColumn(RowKind.ColumnName, lit(RowKind.Delete).cast("byte")))
+    wb.newCommit().commit(w.prepareCommit())
+    assert(spark.table("graft.default.me_sfc").count() == 0L)
+    // full compaction rewrites the bucket; without tombstone retention
+    // the ver=30 delete would vanish here
+    t.compact()
+    // a LATE, STALE insert (ver=10 < 30) must still lose
+    spark.sql("INSERT INTO graft.default.me_sfc VALUES (1, 10, 'stale')")
+    assert(spark.table("graft.default.me_sfc").count() == 0L,
+      "compaction dropped the sequence.field tombstone; stale insert resurrected")
+    // ...while a genuinely newer version wins
+    spark.sql("INSERT INTO graft.default.me_sfc VALUES (1, 40, 'reborn')")
+    assert(rows("SELECT v FROM graft.default.me_sfc WHERE k = 1") ==
+      Seq(Seq("reborn")))
+  }
+
   test("sequence.field: projection that drops the field still merges by it") {
     // the scan must RETAIN ver below the merge even though the query
     // never asks for it
