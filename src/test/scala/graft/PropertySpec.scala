@@ -91,6 +91,115 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("merge engines over random sorted runs ≡ per-engine fold models") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import graft.core.RowKind
+    // rows: (key, kind, a: Option[Long], b: Option[Long]); schema
+    // [_SEQUENCE_NUMBER, _VALUE_KIND, k, a, b]
+    val rowGen2 = for {
+      k <- Gen.choose(0L, 6L)
+      kind <- Gen.frequency(5 -> Gen.const(RowKind.Insert),
+        1 -> Gen.const(RowKind.Delete), 1 -> Gen.const(RowKind.UpdateAfter),
+        1 -> Gen.const(RowKind.UpdateBefore))
+      a <- Gen.option(Gen.choose(-50L, 50L))
+      b <- Gen.option(Gen.choose(-50L, 50L))
+    } yield (k, kind, a, b)
+
+    val schema = StructType(Seq(
+      StructField("_SEQUENCE_NUMBER", LongType), StructField("_VALUE_KIND", IntegerType),
+      StructField("k", LongType), StructField("a", LongType), StructField("b", LongType)))
+
+    def runEngine(opts: Map[String, String],
+        rows: Seq[(Long, Long, Byte, Option[Long], Option[Long])],
+        nFiles: Int): Map[Long, (Option[Long], Option[Long])] = {
+      val files = rows.zipWithIndex.groupMap(_._2 % nFiles)(_._1)
+        .values.toSeq.map(_.sortBy(r => (r._1, r._2)))
+      val sources = files.map(_.iterator.map { case (k, seq, kind, a, b) =>
+        val r = new GenericInternalRow(5)
+        r.update(0, seq); r.update(1, kind.toInt); r.update(2, k)
+        r.update(3, a.map(Long.box).orNull); r.update(4, b.map(Long.box).orNull)
+        ("f", r: org.apache.spark.sql.catalyst.InternalRow)
+      })
+      val fn = graft.format.MergeFunction.create(
+        graft.format.MergeFunction.specOf(opts), schema, Seq(2), 0, 1)
+      new graft.format.SortMergeReader(sources, Seq(2), Seq(LongType), 0, 1,
+        mergeFn = fn).toSeq.map { case (_, r) =>
+        r.getLong(2) -> ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      }.toMap
+    }
+
+    forAllSampled(Gen.zip(Gen.listOf(rowGen2), Gen.choose(1, 5)), n = 60) {
+      case (raw, nFiles) =>
+        val rows = raw.zipWithIndex.map { case ((k, kind, a, b), i) =>
+          (k, i.toLong, kind, a, b)
+        }
+        val byKey = rows.groupBy(_._1)
+
+        // first-row: first add per key
+        val firstModel = byKey.flatMap { case (k, rs) =>
+          rs.find(r => RowKind.isAdd(r._3)).map(r => k -> ((r._4, r._5)))
+        }
+        assert(runEngine(Map("merge-engine" -> "first-row"), rows, nFiles)
+          == firstModel)
+
+        // partial-update: fold adds in seq order, last non-null per
+        // field; -U ignored; -D clears
+        val puModel = byKey.flatMap { case (k, rs) =>
+          val st = rs.foldLeft(
+              Option.empty[(Option[Long], Option[Long])]) { (acc, r) =>
+            r._3 match {
+              case RowKind.UpdateBefore => acc
+              case RowKind.Delete => None
+              case _ =>
+                val (a0, b0) = acc.getOrElse((None, None))
+                Some((r._4.orElse(a0), r._5.orElse(b0)))
+            }
+          }
+          st.map(k -> _)
+        }
+        assert(runEngine(Map("merge-engine" -> "partial-update"),
+          rows, nFiles) == puModel)
+
+        // aggregation: a=sum, b=max (defaults elsewhere); -D clears
+        val agModel = byKey.flatMap { case (k, rs) =>
+          val st = rs.foldLeft(
+              Option.empty[(Option[Long], Option[Long])]) { (acc, r) =>
+            r._3 match {
+              case RowKind.UpdateBefore => acc
+              case RowKind.Delete => None
+              case _ =>
+                val (a0, b0) = acc.getOrElse((None, None))
+                Some((
+                  (a0, r._4) match {
+                    case (Some(x), Some(y)) => Some(x + y)
+                    case (x, y) => y.orElse(x)
+                  },
+                  (b0, r._5) match {
+                    case (Some(x), Some(y)) => Some(math.max(x, y))
+                    case (x, y) => y.orElse(x)
+                  }))
+            }
+          }
+          st.map(k -> _)
+        }
+        assert(runEngine(Map("merge-engine" -> "aggregation",
+          "fields.a.aggregate-function" -> "sum",
+          "fields.b.aggregate-function" -> "max"), rows, nFiles) == agModel)
+
+        // sequence.field on a: argmax by (a NULLS FIRST, then seq);
+        // winner dropped if delete
+        val sfModel = byKey.flatMap { case (k, rs) =>
+          val winner = rs.maxBy(r => (r._4.isDefined, r._4.getOrElse(0L), r._2))
+          if (RowKind.isAdd(winner._3)) Some(k -> ((winner._4, winner._5)))
+          else None
+        }
+        assert(runEngine(Map("sequence.field" -> "a"), rows, nFiles)
+          == sfModel)
+    }
+  }
+
   test("bucket routing: deterministic, in range, spread across buckets") {
     forAllSampled(Gen.zip(
       Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
