@@ -491,10 +491,16 @@ object GraftCatalog {
     * `sequence.field`, `ignore-delete`,
     * `fields.<col>.aggregate-function`) — immutable after CREATE.
     */
+  /** `fields.<col>.aggregate-function` is deliberately NOT structural:
+    * the ADD COLUMN → configure-its-fold workflow on aggregation
+    * tables requires setting it post-CREATE (a fresh column has only
+    * null history, which every fold treats identically). Changing an
+    * EXISTING column's function re-folds its un-compacted runs — a
+    * documented field-local caveat, matching the format family.
+    */
   def isStructuralProperty(name: String): Boolean =
     Set("bucket", "io", "primary-key", "merge-engine", "sequence.field",
-      "ignore-delete").contains(name) ||
-      (name.startsWith("fields.") && name.endsWith(".aggregate-function"))
+      "ignore-delete").contains(name)
 
   /** A SET of a structural property is a semantic no-op — and therefore
     * allowed — when it re-states the stored value, or states the
@@ -509,8 +515,6 @@ object GraftCatalog {
     case None => name match {
       case "merge-engine" => value == "deduplicate"
       case "ignore-delete" => value.equalsIgnoreCase("false")
-      case n if n.endsWith(".aggregate-function") =>
-        value == "last_non_null_value"
       case _ => false
     }
   }

@@ -314,6 +314,24 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Unsupported aggregate-function")
   }
 
+  test("schema evolution composes with engines: added columns fold " +
+      "from null-fill across pre-ADD files") {
+    spark.sql("CREATE TABLE graft.default.me_evo (k BIGINT, total BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'merge-engine'='aggregation', " +
+      "'fields.total.aggregate-function'='sum')")
+    spark.sql("INSERT INTO graft.default.me_evo VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.default.me_evo ADD COLUMN hi BIGINT")
+    spark.sql("ALTER TABLE graft.default.me_evo " +
+      "SET TBLPROPERTIES ('fields.hi.aggregate-function'='max')")
+    spark.sql("INSERT INTO graft.default.me_evo VALUES (1, 5, 7), (3, 30, 3)")
+    spark.sql("INSERT INTO graft.default.me_evo VALUES (1, 1, 2)")
+    // pre-ADD rows contribute null to hi (ignored by max); sums still
+    // fold across the era boundary
+    assert(rows("SELECT k, total, hi FROM graft.default.me_evo ORDER BY k") ==
+      Seq(Seq(1L, 16L, 7L), Seq(2L, 20L, null), Seq(3L, 30L, 3L)))
+  }
+
   test("merge-semantics options are immutable after CREATE") {
     // flipping merge-engine / sequence.field / ignore-delete / a
     // field's aggregate-function would re-fold every already-committed
@@ -327,8 +345,6 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     rejected("ALTER TABLE graft.default.me_agg " +
       "SET TBLPROPERTIES ('merge-engine'='deduplicate')")
-    rejected("ALTER TABLE graft.default.me_agg " +
-      "SET TBLPROPERTIES ('fields.total.aggregate-function'='max')")
     rejected("ALTER TABLE graft.default.me_agg " +
       "UNSET TBLPROPERTIES ('merge-engine')")
     rejected("ALTER TABLE graft.default.me_sf " +
