@@ -328,4 +328,51 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(got.map(_.getString(1)).toSeq == Seq("later", "b"))
     } finally spark.stop()
   }
+
+  test("streaming epochs racing batch INSERTs: all land, later commits win") {
+    // the streaming sink's per-epoch commits share the optimistic
+    // publish + re-sequencing path with batch writers; interleaving
+    // both on one PK table must lose nothing and keep commit order
+    // authoritative for shared keys
+    val warehouse = Files.createTempDirectory("graft-conc6-wh")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      spark.sql("CREATE TABLE graft.c.swsrc (k BIGINT, v STRING)")
+      spark.sql("CREATE TABLE graft.c.swdst (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('primary-key'='k','bucket'='2')")
+      // disjoint keyspaces: stream writes 0-99, batch writers 100-107
+      spark.sql("INSERT INTO graft.c.swsrc " +
+        "SELECT id, concat('s', id) FROM range(0, 100)")
+      val ck = Files.createTempDirectory("graft-conc6-ck").toString
+      val stream = Future {
+        val q = spark.readStream.table("graft.c.swsrc")
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft.c.swdst")
+        q.awaitTermination()
+      }
+      val batches = (100 to 107).map { i =>
+        Future(spark.sql(s"INSERT INTO graft.c.swdst VALUES ($i, 'b$i')"))
+      }
+      Await.result(Future.sequence(stream +: batches), 180.seconds)
+      assert(spark.table("graft.c.swdst").count() == 108L)
+      // a shared key written by batch AFTER the stream drained: batch wins
+      spark.sql("INSERT INTO graft.c.swdst VALUES (5, 'batch-final')")
+      assert(spark.sql("SELECT v FROM graft.c.swdst WHERE k = 5")
+        .collect()(0).getString(0) == "batch-final")
+      // snapshot chain contiguous despite the race
+      val sm = new graft.format.SnapshotManager(
+        warehouse.resolve("c.db/swdst"))
+      val ids = sm.existingSnapshotIds
+      assert(ids == (ids.min to ids.max), s"holes in chain: $ids")
+    } finally spark.stop()
+  }
 }
