@@ -165,9 +165,11 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     * valid within the retained window); returns counts of deleted
     * snapshots/files/manifests. See [[graft.format.Maintenance]].
     */
-  def expireSnapshots(retainLast: Int): graft.format.Maintenance.ExpireResult =
+  def expireSnapshots(retainLast: Int,
+      olderThanMillis: Option[Long] = None)
+      : graft.format.Maintenance.ExpireResult =
     graft.format.Maintenance.expireSnapshots(tableDir, retainLast,
-      ioSpec = tableSchema.ioSpec)
+      ioSpec = tableSchema.ioSpec, olderThanMillis = olderThanMillis)
 
   /** Delete unreferenced data files older than the given age (aborted
     * writes, stray sidecars); returns the number deleted.

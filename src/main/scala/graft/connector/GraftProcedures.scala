@@ -81,12 +81,17 @@ object GraftProcedures {
   private final class ExpireSnapshots(catalog: GraftCatalog)
       extends Base(catalog, "expire_snapshots") {
     override def description(): String =
-      "expire all but the last retain_last snapshots (tags stay pinned)"
+      "expire all but the last retain_last snapshots (tags stay " +
+        "pinned; older_than_millis keeps younger snapshots regardless)"
     override def parameters(): Array[ProcedureParameter] = Array(tableParam,
-      ProcedureParameter.in("retain_last", IntegerType).build())
+      ProcedureParameter.in("retain_last", IntegerType).build(),
+      ProcedureParameter.in("older_than_millis", LongType)
+        .defaultValue("NULL").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (dir, schema) = resolve(input)
-      val r = Maintenance.expireSnapshots(dir, input.getInt(1), schema.ioSpec)
+      val age = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val r = Maintenance.expireSnapshots(dir, input.getInt(1),
+        schema.ioSpec, age)
       result(StructType(Seq(
         StructField("expired_snapshots", IntegerType),
         StructField("deleted_data_files", IntegerType),

@@ -17,15 +17,21 @@ object Maintenance {
     * and every data file unreachable from the retained snapshots'
     * live sets (a file still live anywhere retained survives, so time
     * travel within the retained window keeps working).
+    * `olderThanMillis` adds an AGE floor: snapshots younger than the
+    * age stay retained even beyond `retainLast` — the production
+    * combination ("keep at least N, and everything from the last 7
+    * days").
     */
   def expireSnapshots(tableDir: Path, retainLast: Int,
-      ioSpec: String = "local"): ExpireResult = {
+      ioSpec: String = "local",
+      olderThanMillis: Option[Long] = None): ExpireResult = {
     require(retainLast >= 1, "must retain at least one snapshot")
     val io = FileIO.resolve(ioSpec)
     val sm = new SnapshotManager(tableDir, io = io)
     val latest = sm.latestSnapshotId.getOrElse(return ExpireResult(0, 0, 0))
     val cutoff = latest - retainLast + 1
     if (cutoff <= 1) return ExpireResult(0, 0, 0)
+    val now = System.currentTimeMillis()
 
     // tagged snapshots are retention pins: their manifests and live
     // files survive any retainLast (the snapshot JSON itself may still
@@ -33,8 +39,12 @@ object Maintenance {
     // '<tag>'` keeps resolving). EXISTING ids only: a previous tighter
     // expiry may have already removed part of this retention window,
     // and reading a gap id would fail the whole maintenance run.
-    val retained = sm.existingSnapshotIds.filter(_ >= cutoff)
-      .map(sm.snapshot) ++ sm.listTags.map(_._2)
+    def isRetained(id: Long, s: Snapshot): Boolean =
+      id >= cutoff || olderThanMillis.exists(a => s.timeMillis >= now - a)
+    val existing = sm.existingSnapshotIds.map(id => id -> sm.snapshot(id))
+    val retained = existing.collect {
+      case (id, s) if isRetained(id, s) => s
+    } ++ sm.listTags.map(_._2)
     val keepManifests = retained.flatMap(_.manifests).toSet
     // reachable data files = union of the retained snapshots' LIVE
     // sets (ADDs folded against DELETEs per snapshot) — files dropped
@@ -59,8 +69,9 @@ object Maintenance {
     // when referenced EXCLUSIVELY by expired snapshots. (A crashed
     // expiry can strand a manifest whose snapshot JSON is already
     // gone; such a stray is a few KB and harmless.)
-    val expiredIds = sm.existingSnapshotIds.filter(_ < cutoff)
-    val expiredSnaps = expiredIds.map(sm.snapshot)
+    val expiredPairs = existing.filterNot { case (id, s) => isRetained(id, s) }
+    val expiredIds = expiredPairs.map(_._1)
+    val expiredSnaps = expiredPairs.map(_._2)
     val expiredManifests =
       expiredSnaps.flatMap(_.manifests).distinct.filterNot(keepManifests)
     val candidates: Seq[String] =

@@ -144,6 +144,25 @@ class ProcedureSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 1L)
   }
 
+  test("expire_snapshots older_than_millis keeps young history beyond " +
+      "retain_last") {
+    spark.sql("CREATE TABLE graft.default.pe (k BIGINT)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.pe VALUES ($i)"))
+    // age floor of a day: everything is younger, nothing expires even
+    // with retain_last = 1
+    val kept = spark.sql("CALL graft.sys.expire_snapshots('default.pe', 1, " +
+      "older_than_millis => 86400000)").collect()
+    assert(kept(0).getInt(0) == 0, kept.toSeq.toString)
+    assert(spark.sql("SELECT count(*) FROM graft.default.`pe$snapshots`")
+      .collect()(0).getLong(0) == 4L)
+    // age floor of zero: the count rule alone applies
+    val gone = spark.sql("CALL graft.sys.expire_snapshots('default.pe', 1, " +
+      "older_than_millis => 0)").collect()
+    assert(gone(0).getInt(0) == 3, gone.toSeq.toString)
+    assert(spark.table("graft.default.pe").count() == 4L) // data intact
+  }
+
   test("CALL sys.vacuum deletes aged orphans; errors are actionable") {
     spark.sql("CREATE TABLE graft.default.pv (k BIGINT)")
     spark.sql("INSERT INTO graft.default.pv VALUES (1)")
