@@ -391,6 +391,11 @@ object Sketches {
           .groupBy("b").agg(count(lit(1)).as("n"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // Unpartitioned window BY DESIGN: `hist` is the aggregated
+          // histogram (≤ a few thousand log-buckets regardless of
+          // corpus size), so the single-partition running sum moves KB,
+          // not data. Spark's WindowExec WARN for this shape is quieted
+          // in the harnesses (Bench main / test log4j2.properties).
           val cum = hist.withColumn("cum",
             sum("n").over(Window.orderBy("b")))
           val totals = hist.agg(sum("n").as("n_total"),
@@ -480,6 +485,8 @@ object Sketches {
           val direct = li.select(expr(qBucketSpark("v")).as("b"))
             .groupBy("b").agg(count(lit(1)).as("n"))
           def estOf(hist: org.apache.spark.sql.DataFrame, name: String) = {
+            // unpartitioned window by design — KB-scale histogram input
+            // (same bound + logger note as q_quantile_sketch above)
             val cum = hist.withColumn("cum",
               sum("n").over(Window.orderBy("b")))
             val totals = hist.agg(sum("n").as("n_total"))

@@ -15,13 +15,15 @@ class BenchSpec extends AnyFunSuite {
     val results = (1 to 200).map(i =>
       (f"q_some_rather_long_query_name_$i%03d", i * 0.037))
     val line = Bench.renderLine(results, "/root/testdata/sf0.1",
-      noise = Some((0.41, 0.63)))
+      noise = Seq(0.41, 0.63))
     // the noise marker rides along and stays parseable
     val vn = JsonMethods.parse(line)
     assert((vn \ "noise_probe_start_sec")
       .extract[Double](DefaultFormats, manifest[Double]) == 0.41)
     assert((vn \ "noise_spread_pct")
       .extract[Double](DefaultFormats, manifest[Double]) > 50.0)
+    // a single-pass line carries no pass marker (nothing to certify)
+    assert((vn \ "passes") == JNothing)
     assert(line.length < 1999, s"line is ${line.length} chars")
     val v = JsonMethods.parse(line) // throws on malformed JSON
     assert((v \ "n_queries").extract[Int](DefaultFormats, manifest[Int]) == 200)
@@ -38,6 +40,28 @@ class BenchSpec extends AnyFunSuite {
     val sumParts = qs.map(_._2.extract[Double](DefaultFormats, manifest[Double])).sum
     assert(math.abs(total - sumParts) < 0.01 * qs.size,
       s"total $total vs summed entries $sumParts")
+  }
+
+  test("two-pass line carries passes, pass_totals, mid probe — and fits") {
+    // the noisy-host path: three probes (start/mid/end), spread is the
+    // WORST pairwise drift, and the pass summary self-certifies that
+    // every figure is a minimum over two full passes
+    val results = (1 to 200).map(i =>
+      (f"q_some_rather_long_query_name_$i%03d", i * 0.037))
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1",
+      noise = Seq(0.40, 0.80, 0.44), passes = 2,
+      passTotals = Seq(115.62, 62.24))
+    assert(line.length < 1999, s"line is ${line.length} chars")
+    val v = JsonMethods.parse(line)
+    assert((v \ "passes").extract[Int](DefaultFormats, manifest[Int]) == 2)
+    val JArray(pt) = (v \ "pass_totals"): @unchecked
+    assert(pt.map(_.extract[Double](DefaultFormats, manifest[Double]))
+      == List(115.62, 62.24))
+    assert((v \ "noise_probe_mid_sec")
+      .extract[Double](DefaultFormats, manifest[Double]) == 0.8)
+    // worst pairwise: (0.80 - 0.40) / 0.40 = 100%
+    assert(math.abs((v \ "noise_spread_pct")
+      .extract[Double](DefaultFormats, manifest[Double]) - 100.0) < 0.01)
   }
 
   test("small inventory emits every query with no folding") {
