@@ -427,6 +427,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"Table property '${set.property()}' is structural " +
             "(baked into the existing data layout / merge semantics) " +
             "and cannot change")
+        GraftCatalog.fieldAggColumn(set.property()).foreach { c =>
+          val cur = ts.options.get(set.property())
+          // no-op: re-stating the stored fold, or stating the engine
+          // default while unconfigured (config-management pushes)
+          val noop = cur.contains(set.value()) ||
+            (cur.isEmpty && set.value().trim == "last_non_null_value")
+          if (!noop) requireFoldChangeSafe(dir, ts, c, set.property())
+        }
         if (set.property() == TableCatalog.PROP_COMMENT) comment = Some(set.value())
         else options += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
@@ -434,6 +442,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             || !ts.options.contains(rm.property()),
           s"Table property '${rm.property()}' is structural and " +
             "cannot be removed")
+        // UNSET of a configured fold is a fold CHANGE (back to the
+        // engine default) — same re-fold hazard as SET
+        GraftCatalog.fieldAggColumn(rm.property()).foreach { c =>
+          if (ts.options.contains(rm.property()))
+            requireFoldChangeSafe(dir, ts, c, rm.property())
+        }
         options -= rm.property()
       case other => throw new UnsupportedOperationException(
         s"Unsupported table change: $other")
@@ -442,6 +456,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ts.primaryKeys, options, comment, ids, highest).validate()
     TableSchema.save(dir, next)
     new GraftTable(ident, dir, next)
+  }
+
+  /** Guard against silent history reinterpretation: changing (or
+    * unsetting) `fields.<col>.aggregate-function` re-folds the column's
+    * un-compacted committed runs under the NEW function on the next
+    * merge/compaction — the result would depend on whether compaction
+    * happened to race the ALTER. The change is allowed only while it
+    * provably cannot reinterpret anything:
+    *   - the table has no committed rows at all, or
+    *   - the column was added post-CREATE (ADD COLUMN workflow) and no
+    *     commit has landed since the schema that introduced it — every
+    *     committed file null-fills the column, and every fold maps
+    *     all-null history identically.
+    */
+  private def requireFoldChangeSafe(dir: Path, ts: TableSchema,
+      col: String, prop: String): Unit = {
+    val sm = new graft.format.SnapshotManager(dir,
+      io = graft.format.FileIO.resolve(ts.ioSpec))
+    val latest = sm.latestSnapshot
+    if (latest.forall(_.totalRecordCount == 0L)) return // no committed rows
+    // first schema version that contains the column; 0 = CREATE schema.
+    // Absent from every persisted schema ⇒ the column is being added in
+    // this very ALTER call — brand new, trivially safe (a nonexistent
+    // column with no accompanying ADD is rejected by validate() below).
+    val intro = TableSchema.listIds(dir)
+      .find(id => TableSchema.loadById(dir, id)
+        .exists(_.fields.fieldNames.contains(col)))
+      .getOrElse(return)
+    val safe = intro > 0L && latest.exists(_.schemaId < intro)
+    require(safe,
+      s"Cannot change table property '$prop': column '$col' has " +
+        "committed history, and its un-compacted runs would be " +
+        "re-folded under the new aggregate-function on the next " +
+        "merge/compaction (silent history reinterpretation). Declare " +
+        "the function in CREATE TABLE, or set it immediately after " +
+        "ADD COLUMN before any write commits.")
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -491,16 +541,28 @@ object GraftCatalog {
     * `sequence.field`, `ignore-delete`,
     * `fields.<col>.aggregate-function`) — immutable after CREATE.
     */
-  /** `fields.<col>.aggregate-function` is deliberately NOT structural:
-    * the ADD COLUMN → configure-its-fold workflow on aggregation
-    * tables requires setting it post-CREATE (a fresh column has only
-    * null history, which every fold treats identically). Changing an
-    * EXISTING column's function re-folds its un-compacted runs — a
-    * documented field-local caveat, matching the format family.
+  /** `fields.<col>.aggregate-function` is NOT in this set — it is
+    * field-local and must stay settable post-CREATE for the ADD COLUMN
+    * → configure-its-fold workflow on aggregation tables. It gets its
+    * own data-aware guard instead ([[GraftCatalog.requireFoldChangeSafe]]):
+    * SET/UNSET is allowed only while the column provably has no
+    * committed non-null history to reinterpret.
     */
   def isStructuralProperty(name: String): Boolean =
     Set("bucket", "io", "primary-key", "merge-engine", "sequence.field",
       "ignore-delete").contains(name)
+
+  /** The column a `fields.<col>.aggregate-function` property names, if
+    * the property is shaped so.
+    */
+  def fieldAggColumn(name: String): Option[String] = {
+    val pre = "fields."
+    val suf = ".aggregate-function"
+    if (name.startsWith(pre) && name.endsWith(suf) &&
+        name.length > pre.length + suf.length)
+      Some(name.stripPrefix(pre).stripSuffix(suf))
+    else None
+  }
 
   /** A SET of a structural property is a semantic no-op — and therefore
     * allowed — when it re-states the stored value, or states the

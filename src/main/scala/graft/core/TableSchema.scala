@@ -273,6 +273,31 @@ object TableSchema {
       highestFieldId = (v \ "highestFieldId").extractOpt[Int].getOrElse(-1))
   }
 
+  /** Ids of all persisted schema versions, ascending. Schema files are
+    * immutable and never deleted (each ALTER appends `schema-<id+1>`),
+    * so the listing is the table's full schema lineage — id 0 is the
+    * CREATE schema.
+    */
+  def listIds(tableDir: Path): Seq[Long] = {
+    val dir = tableDir.resolve("schema")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("schema-"))
+      .flatMap(_.getFileName.toString.stripPrefix("schema-").toLongOption)
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** A specific persisted schema version (None if that id was never
+    * written — callers walking the lineage must tolerate gaps never
+    * existing, since ids are dense by construction).
+    */
+  def loadById(tableDir: Path, id: Long): Option[TableSchema] = {
+    val p = tableDir.resolve("schema").resolve(s"schema-$id")
+    if (Files.isRegularFile(p)) Some(fromJson(Files.readString(p))) else None
+  }
+
   def load(tableDir: Path): Option[TableSchema] = {
     val dir = tableDir.resolve("schema")
     if (!Files.isDirectory(dir)) return None

@@ -330,6 +330,37 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fold across the era boundary
     assert(rows("SELECT k, total, hi FROM graft.default.me_evo ORDER BY k") ==
       Seq(Seq(1L, 16L, 7L), Seq(2L, 20L, null), Seq(3L, 30L, 3L)))
+    // but once commits have landed SINCE the ADD, the added column has
+    // real (non-null) history too — a later fold change is the same
+    // re-fold hazard as on a CREATE column, and is rejected
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.default.me_evo " +
+        "SET TBLPROPERTIES ('fields.hi.aggregate-function'='min')"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.toString.contains("re-folded")))
+  }
+
+  test("fold configuration stays free while the table has no rows") {
+    // the guard is data-aware, not a blanket freeze: an empty table's
+    // folds can be reconfigured at will (nothing exists to reinterpret)
+    spark.sql("CREATE TABLE graft.default.me_cfg (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'merge-engine'='aggregation', " +
+      "'fields.v.aggregate-function'='sum')")
+    spark.sql("ALTER TABLE graft.default.me_cfg " +
+      "SET TBLPROPERTIES ('fields.v.aggregate-function'='max')")
+    spark.sql("ALTER TABLE graft.default.me_cfg " +
+      "UNSET TBLPROPERTIES ('fields.v.aggregate-function')")
+    spark.sql("ALTER TABLE graft.default.me_cfg " +
+      "SET TBLPROPERTIES ('fields.v.aggregate-function'='min')")
+    spark.sql("INSERT INTO graft.default.me_cfg VALUES (1, 5), (1, 9)")
+    assert(rows("SELECT v FROM graft.default.me_cfg") == Seq(Seq(5L)))
+    // first row committed → the door closes
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.default.me_cfg " +
+        "SET TBLPROPERTIES ('fields.v.aggregate-function'='max')"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.toString.contains("re-folded")))
   }
 
   test("merge-semantics options are immutable after CREATE") {
@@ -349,6 +380,35 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "UNSET TBLPROPERTIES ('merge-engine')")
     rejected("ALTER TABLE graft.default.me_sf " +
       "SET TBLPROPERTIES ('sequence.field'='k')")
+    // `fields.<col>.aggregate-function` has a DATA-AWARE guard instead
+    // of blanket immutability: with committed history present, changing
+    // the configured fold, unsetting it, or configuring a fold on a
+    // CREATE-schema column are all re-fold hazards → rejected; the
+    // error must name the reinterpretation, not "structural"
+    def refoldRejected(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+      assert(chain(e).exists(_.contains("re-folded")),
+        s"expected re-fold rejection for: $sql\n${chain(e).mkString("\n")}")
+    }
+    refoldRejected("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('fields.total.aggregate-function'='max')")
+    refoldRejected("ALTER TABLE graft.default.me_agg " +
+      "UNSET TBLPROPERTIES ('fields.total.aggregate-function')")
+    refoldRejected("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('fields.note.aggregate-function'='first_value')")
+    // ...and the post-compaction state cannot have been re-folded: the
+    // sum is still the sum (the guard exists exactly so this number
+    // can never silently depend on ALTER-vs-compaction timing)
+    assert(rows("SELECT total FROM graft.default.me_agg WHERE k = 1") ==
+      Seq(Seq(20L)))
+    // no-ops stay allowed with data present: re-stating the stored
+    // fold, or stating the engine default on an unconfigured column
+    spark.sql("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('fields.total.aggregate-function'='sum')")
+    spark.sql("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('fields.note.aggregate-function'='last_non_null_value')")
     // re-stating the SAME value is fine (idempotent config pushes),
     // as is writing the DEFAULT where the option was never stored,
     // and non-structural options still change
