@@ -138,11 +138,13 @@ class GraftStreamingWrite(tableDir: Path, schema: TableSchema,
     * the snapshot chain newest-first (lazy; terminates at the first
     * match, normally within the newest few snapshots).
     *
-    * Operational caveat: the walk reads epoch identities from the
-    * snapshot chain, so a ROLLBACK below a sink's last commit followed
-    * by expiry of that snapshot forgets the epoch — a replay after
-    * such an interleaving re-commits. Stop a streaming sink (or let
-    * its checkpoint advance) before rolling back past its commits.
+    * The walk reads epoch identities from the snapshot chain, so
+    * `expireSnapshots` retains the newest identity snapshot per
+    * distinct queryId (Maintenance.scala) — a query down across an
+    * expiry run still finds its last epoch on restart and skips the
+    * replay instead of double-committing. Rollback deletes nothing, so
+    * a rolled-away identity snapshot also stays findable until the
+    * same query commits a newer epoch.
     */
   private def lastCommittedEpoch(sm: SnapshotManager): Option[Long] = {
     val prefix = queryId + "/"

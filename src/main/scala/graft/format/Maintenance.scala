@@ -24,24 +24,52 @@ object Maintenance {
     */
   def expireSnapshots(tableDir: Path, retainLast: Int,
       ioSpec: String = "local",
-      olderThanMillis: Option[Long] = None): ExpireResult = {
+      olderThanMillis: Option[Long] = None): ExpireResult =
+    expireSnapshots(tableDir, retainLast, FileIO.resolve(ioSpec),
+      olderThanMillis)
+
+  /** Variant taking a resolved [[FileIO]] — like [[vacuumOrphans]]'s,
+    * it lets contract tests drive expiry through instrumented stores
+    * (e.g. to interleave a tag publish mid-run deterministically).
+    */
+  def expireSnapshots(tableDir: Path, retainLast: Int, io: FileIO,
+      olderThanMillis: Option[Long]): ExpireResult = {
     require(retainLast >= 1, "must retain at least one snapshot")
-    val io = FileIO.resolve(ioSpec)
     val sm = new SnapshotManager(tableDir, io = io)
     val latest = sm.latestSnapshotId.getOrElse(return ExpireResult(0, 0, 0))
     val cutoff = latest - retainLast + 1
     if (cutoff <= 1) return ExpireResult(0, 0, 0)
     val now = System.currentTimeMillis()
 
-    // tagged snapshots are retention pins: their manifests and live
+    // EXISTING ids only: a previous tighter expiry may have already
+    // removed part of this retention window, and reading a gap id
+    // would fail the whole maintenance run.
+    val existing = sm.existingSnapshotIds.map(id => id -> sm.snapshot(id))
+    // Streaming-sink replay pins: a sink restarting after a crash
+    // between commit and checkpoint re-runs its last epoch and relies
+    // on finding "<queryId>/<epochId>" in the snapshot chain to skip
+    // the duplicate (GraftStreamingWrite.lastCommittedEpoch). Expiring
+    // a query's NEWEST identity snapshot while that query is down would
+    // let the replay double-commit on aggregation tables — so the
+    // newest snapshot per distinct queryId is always retained. Bounded:
+    // one pin per distinct streaming query ever writing the table, and
+    // a pin ages out as soon as the same query commits a newer epoch.
+    val newestPerQuery: Set[Long] = existing
+      .flatMap { case (id, s) =>
+        s.commitIdentifier.map(ci => ci.take(ci.lastIndexOf('/').max(0)) -> id)
+      }
+      .groupBy(_._1).values.map(_.map(_._2).max).toSet
+    def isRetained(id: Long, s: Snapshot): Boolean =
+      id >= cutoff || newestPerQuery.contains(id) ||
+        olderThanMillis.exists(a => s.timeMillis >= now - a)
+    // tagged snapshots are retention pins too: their manifests and live
     // files survive any retainLast (the snapshot JSON itself may still
     // expire — the tag file carries a full copy, so `VERSION AS OF
-    // '<tag>'` keeps resolving). EXISTING ids only: a previous tighter
-    // expiry may have already removed part of this retention window,
-    // and reading a gap id would fail the whole maintenance run.
-    def isRetained(id: Long, s: Snapshot): Boolean =
-      id >= cutoff || olderThanMillis.exists(a => s.timeMillis >= now - a)
-    val existing = sm.existingSnapshotIds.map(id => id -> sm.snapshot(id))
+    // '<tag>'` keeps resolving). Tags are listed TWICE: here, and again
+    // immediately before the delete phase — a tag published while this
+    // run reads manifests would otherwise be invisible and its files
+    // deleted (createTag's post-publish snapshot re-check closes the
+    // remaining sliver from the other side).
     val retained = existing.collect {
       case (id, s) if isRetained(id, s) => s
     } ++ sm.listTags.map(_._2)
@@ -78,6 +106,16 @@ object Maintenance {
       (expiredManifests ++ keepManifests).distinct
         .flatMap(m => sm.readManifest(m).map(_.file.fileName)).distinct
 
+    // Second tag listing, immediately before anything irreversible:
+    // tags that appeared during the manifest reads above can only
+    // WIDEN the keep-sets (their manifests leave the delete list,
+    // their live files join the reachable set) — never shrink them,
+    // so the earlier computation stays valid as a lower bound.
+    val lateTags = sm.listTags.map(_._2)
+    val lateKeep = keepManifests ++ lateTags.flatMap(_.manifests)
+    val lateReachable = reachable ++
+      lateTags.flatMap(s => sm.liveFiles(s).map(_.fileName))
+
     val snapshotDir = tableDir.resolve("snapshot")
     val manifestDir = tableDir.resolve("manifest")
     var expired = 0
@@ -85,12 +123,12 @@ object Maintenance {
       if (io.delete(snapshotDir.resolve(s"snapshot-$id"))) expired += 1
     }
     var deletedManifests = 0
-    expiredManifests.foreach { name =>
+    expiredManifests.filterNot(lateKeep).foreach { name =>
       if (io.delete(manifestDir.resolve(name))) deletedManifests += 1
     }
     var deletedData = 0
     candidates.foreach { rel =>
-      if (!reachable.contains(rel)) {
+      if (!lateReachable.contains(rel)) {
         if (io.delete(tableDir.resolve(rel))) deletedData += 1
         val p = tableDir.resolve(rel)
         io.delete(p.getParent.resolve("." + p.getFileName + ".crc"))

@@ -186,11 +186,15 @@ final class SnapshotManager(val tableDir: Path,
 
   /** Resolve a pinned snapshot id, falling back to a tag COPY when the
     * snapshot file itself has been expired (tagged history stays
-    * readable).
+    * readable). The fallback triggers ONLY on not-found (every FileIO
+    * maps a missing key to NoSuchFileException): any other error —
+    * corrupt JSON, transient store failure, OOM — must propagate
+    * directly, not take an O(tags) listing detour first and surface as
+    * whichever exception the tag scan happens to produce.
     */
   def snapshotOrTagged(id: Long): Snapshot =
     try snapshot(id)
-    catch { case e: Throwable =>
+    catch { case e: java.nio.file.NoSuchFileException =>
       listTags.map(_._2).find(_.id == id).getOrElse(throw e)
     }
 

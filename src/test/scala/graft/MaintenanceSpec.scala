@@ -383,4 +383,121 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("corpus-v1"))
     assert(spark.table("graft.default.tg").count() == 6L)
   }
+
+  test("expiry retains each streaming query's newest identity snapshot") {
+    // the replay guard (GraftStreamingWrite.lastCommittedEpoch) reads
+    // "<queryId>/<epochId>" identities from the snapshot chain; if
+    // expiry dropped a down query's newest identity snapshot, its
+    // replayed epoch would double-commit on aggregation tables. The
+    // newest snapshot per distinct queryId must therefore survive any
+    // retainLast; SUPERSEDED identities of the same query expire.
+    spark.sql("CREATE TABLE graft.default.exp_q (k BIGINT, v BIGINT)")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.exp_q VALUES ($i, $i)"))
+    val dir = warehouse.resolve("default.db/exp_q")
+    val sm = new SnapshotManager(dir)
+    // forge streaming-identity snapshots on top of the batch chain
+    // (same manifests as latest — identity is all expiry looks at)
+    val base = sm.latestSnapshot.get // id 3
+    def forge(id: Long, ident: String): Unit = assert(sm.tryCommitSnapshot(
+      base.copy(id = id, commitIdentifier = Some(ident),
+        timeMillis = System.currentTimeMillis())))
+    forge(4L, "qA/7")
+    forge(5L, "qA/8") // qA's newest
+    forge(6L, "qB/3") // qB's newest
+    (7 to 8).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.exp_q VALUES ($i, $i)"))
+    val res = graft.format.Maintenance.expireSnapshots(dir, retainLast = 1)
+    val left = sm.existingSnapshotIds
+    assert(left.contains(5L), s"qA's newest identity must survive: $left")
+    assert(left.contains(6L), s"qB's newest identity must survive: $left")
+    assert(!left.contains(4L), s"superseded qA/7 must expire: $left")
+    assert(!left.contains(3L) && !left.contains(1L),
+      s"plain batch history must still expire: $left")
+    assert(res.expiredSnapshots > 0)
+    // the pinned snapshots stay fully READABLE (their manifests and
+    // files survived), so the replay guard can also keep time-walking
+    assert(sm.snapshot(5L).commitIdentifier.contains("qA/8"))
+    assert(sm.liveFiles(sm.snapshot(5L)).nonEmpty)
+    assert(spark.table("graft.default.exp_q").count() == 5L)
+  }
+
+  test("snapshotOrTagged: only not-found falls back to tags; corruption " +
+      "propagates") {
+    spark.sql("CREATE TABLE graft.default.sot (k BIGINT)")
+    spark.sql("INSERT INTO graft.default.sot VALUES (1)")
+    spark.sql("INSERT INTO graft.default.sot VALUES (2)")
+    val dir = warehouse.resolve("default.db/sot")
+    val sm = new SnapshotManager(dir)
+    sm.createTag("pin1", Some(1L))
+    // corrupt (not remove) snapshot-1: resolution must surface the
+    // corruption instead of silently serving the tag copy — masking it
+    // would hide real store damage behind an O(tags) detour
+    val f = dir.resolve("snapshot").resolve("snapshot-1")
+    val original = Files.readString(f)
+    Files.writeString(f, "{ this is not a snapshot }")
+    val e = intercept[Throwable](sm.snapshotOrTagged(1L))
+    assert(!e.isInstanceOf[java.nio.file.NoSuchFileException], e.toString)
+    // genuinely MISSING still resolves through the tag copy
+    Files.delete(f)
+    assert(sm.snapshotOrTagged(1L).id == 1L)
+    Files.writeString(f, original) // restore for later suites
+  }
+
+  test("expiry re-lists tags before deleting: a tag published mid-run " +
+      "keeps its files") {
+    spark.sql("CREATE TABLE graft.default.exp_race (k BIGINT, v BIGINT)")
+    // snapshot 1's files must be genuinely at risk: the OVERWRITE makes
+    // them dead in every later snapshot, so only a tag can save them
+    spark.sql("INSERT INTO graft.default.exp_race VALUES (1, 1)")
+    spark.sql("INSERT OVERWRITE graft.default.exp_race VALUES (2, 2)")
+    (3 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.exp_race VALUES ($i, $i)"))
+    val dir = warehouse.resolve("default.db/exp_race")
+    val plain = graft.format.FileIO.local
+    // instrumented store: the first MANIFEST read (i.e. after expiry's
+    // initial tag listing, while it computes reachability) publishes a
+    // tag pinning snapshot 1 — exactly the interleaving the second
+    // listing exists for
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val io = new graft.format.FileIO {
+      private def hook(p: java.nio.file.Path): Unit =
+        if (p.getParent != null &&
+            p.getParent.getFileName.toString == "manifest" &&
+            fired.compareAndSet(false, true))
+          new SnapshotManager(dir).createTag("mid-run", Some(1L))
+      def readString(p: java.nio.file.Path): String = {
+        hook(p); plain.readString(p)
+      }
+      def readBytes(p: java.nio.file.Path): Array[Byte] = plain.readBytes(p)
+      def writeAtomic(p: java.nio.file.Path, b: Array[Byte]): Unit =
+        plain.writeAtomic(p, b)
+      def putIfAbsent(p: java.nio.file.Path, c: String): Boolean =
+        plain.putIfAbsent(p, c)
+      def list(d: java.nio.file.Path): Seq[String] = plain.list(d)
+      def walk(d: java.nio.file.Path): Seq[graft.format.FileIO.FileEntry] =
+        plain.walk(d)
+      def exists(p: java.nio.file.Path): Boolean = plain.exists(p)
+      def delete(p: java.nio.file.Path): Boolean = plain.delete(p)
+      def size(p: java.nio.file.Path): Long = plain.size(p)
+      def createDirectories(d: java.nio.file.Path): Unit =
+        plain.createDirectories(d)
+      def stageForRead(p: java.nio.file.Path): java.nio.file.Path =
+        plain.stageForRead(p)
+      def unstage(o: java.nio.file.Path, s: java.nio.file.Path): Unit =
+        plain.unstage(o, s)
+      def publishFile(t: java.nio.file.Path, tg: java.nio.file.Path): Unit =
+        plain.publishFile(t, tg)
+    }
+    graft.format.Maintenance.expireSnapshots(dir, retainLast = 1, io,
+      olderThanMillis = None)
+    assert(fired.get, "instrumentation never fired — test wiring broke")
+    // the mid-run tag's state must read back exactly: its files were
+    // candidates for deletion under the FIRST listing and only the
+    // second listing saved them
+    assert(spark.sql(
+      "SELECT k FROM graft.default.exp_race VERSION AS OF 'mid-run'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.table("graft.default.exp_race").count() == 3L)
+  }
 }
