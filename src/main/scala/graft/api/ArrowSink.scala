@@ -88,6 +88,94 @@ private[api] object ArrowSink {
       s"Unsupported Arrow vector ${other.getClass.getSimpleName}")
   }
 
+  /** Arrow → Spark field mapping, the exact inverse of [[arrowField]]
+    * — so an IPC stream produced by any Arrow implementation with these
+    * types decodes to a schema the write path can check positionally.
+    */
+  private def sparkField(f: Field): StructField = {
+    val dt: DataType = f.getType match {
+      case t: ArrowType.Int if t.getIsSigned => t.getBitWidth match {
+        case 8 => ByteType
+        case 16 => ShortType
+        case 32 => IntegerType
+        case 64 => LongType
+        case w => throw new IllegalArgumentException(
+          s"Unsupported Arrow int width $w for field ${f.getName}")
+      }
+      case t: ArrowType.FloatingPoint =>
+        if (t.getPrecision == FloatingPointPrecision.SINGLE) FloatType
+        else DoubleType
+      case _: ArrowType.Bool => BooleanType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Binary => BinaryType
+      case _: ArrowType.Date => DateType
+      case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND =>
+        TimestampType
+      case other => throw new IllegalArgumentException(
+        s"Found unsupported data type $other for field ${f.getName}")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  private def getValue(vec: FieldVector, i: Int): Any = vec match {
+    case x: TinyIntVector => x.get(i)
+    case x: SmallIntVector => x.get(i)
+    case x: IntVector => x.get(i)
+    case x: BigIntVector => x.get(i)
+    case x: Float4Vector => x.get(i)
+    case x: Float8Vector => x.get(i)
+    case x: BitVector => x.get(i) == 1
+    case x: VarCharVector =>
+      new String(x.get(i), StandardCharsets.UTF_8)
+    case x: VarBinaryVector => x.get(i)
+    case x: DateDayVector =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+    case x: TimeStampMicroTZVector =>
+      val us = x.get(i)
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    case other => throw new IllegalArgumentException(
+      s"Unsupported Arrow vector ${other.getClass.getSimpleName}")
+  }
+
+  /** Decode an Arrow IPC stream into a Spark schema + rows — the
+    * write-side counterpart of [[toIpcStream]], for the facade's
+    * `write_arrow` mapping. Driver-local and bounded like `toArrow`:
+    * the reference's write API also receives whole serialized batches
+    * (`pypaimon/api/table_write.py:27-48`, decoded JVM-side in
+    * `BytesWriter.java:38-99`).
+    */
+  def fromIpcStream(bytes: Array[Byte]): (StructType, Seq[Row]) = {
+    val allocator = new RootAllocator()
+    try {
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), allocator)
+      try {
+        val root = reader.getVectorSchemaRoot
+        val schema = StructType(
+          root.getSchema.getFields.asScala.map(sparkField).toSeq)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (reader.loadNextBatch()) {
+          val n = root.getRowCount
+          var i = 0
+          while (i < n) {
+            val vals = new Array[Any](schema.length)
+            var c = 0
+            while (c < schema.length) {
+              val vec = root.getVector(c)
+              vals(c) = if (vec.isNull(i)) null else getValue(vec, i)
+              c += 1
+            }
+            rows += Row.fromSeq(vals.toIndexedSeq)
+            i += 1
+          }
+        }
+        (schema, rows.toSeq)
+      } finally reader.close()
+    } finally allocator.close()
+  }
+
   /** Encode collected rows as one Arrow IPC stream (schema + batches of
     * `maxRowsPerBatch`). Returns the serialized stream — readable by any
     * Arrow implementation's stream reader (pyarrow, arrow-java, …).

@@ -487,6 +487,21 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     this
   }
 
+  /** ≙ `write_arrow` / `write_arrow_batch` (the reference's write API
+    * receives serialized Arrow batches — `pypaimon/api/table_write.py:
+    * 27-48` — and decodes them JVM-side, `BytesWriter.java:38-99`):
+    * decode an IPC stream on the driver and run it through the same
+    * distributed write as [[write]], so the schema check (types exact,
+    * nullability ignored) and sequence-range discipline apply
+    * identically. Driver-local and bounded like `toArrow` — callers
+    * stream big corpora through write(df) instead.
+    */
+  def writeArrow(ipcStream: Array[Byte]): BatchTableWrite = {
+    val (schema, rows) = ArrowSink.fromIpcStream(ipcStream)
+    import scala.jdk.CollectionConverters._
+    write(spark.createDataFrame(rows.asJava, schema))
+  }
+
   /** ≙ `prepare_commit()` → the accumulated commit messages. */
   def prepareCommit(): Seq[DataFileMeta] = messages.toSeq
 }

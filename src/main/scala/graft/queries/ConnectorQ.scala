@@ -891,6 +891,59 @@ object ConnectorQ {
           CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Write-side Arrow IPC ingestion (≙ `write_arrow`,
+    // `pypaimon/api/table_write.py:27-48`, decoded JVM-side in
+    // `BytesWriter.java:38-99`): the per-type revenue rollup is staged
+    // into an append table, exported as an Arrow IPC stream
+    // (`to_arrow`), ingested THROUGH writeArrow into a separate
+    // primary-key table, and the row returns the PK table's merged
+    // read — green only if the bytes survive encode → decode → schema
+    // check → distributed write → merge read. Seeding is guarded +
+    // failure-atomic like c_dedup_ingest, so re-runs in one JVM reuse
+    // the committed result.
+    QueryDef("c_api_arrow",
+      (s, dir) => {
+        val st = setup(s, dir)
+        val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
+        val cat = graft.api.Catalog.create(s,
+          Map("warehouse" -> wh, "catalog-name" -> "graft_c"))
+        val stage = s"graft_c.${st.ns}.arrow_stage"
+        val ingest = s"graft_c.${st.ns}.arrow_ingest"
+        ConnectorQ.synchronized {
+          if (!s.catalog.tableExists(ingest)) {
+            try {
+              s.sql(s"""CREATE TABLE $stage
+                (event_type STRING, n_events BIGINT, sum_cents BIGINT)""")
+              s.sql(s"""INSERT INTO $stage
+                SELECT event_type, COUNT(*), SUM(cents)
+                FROM graft_c.${st.ns}.ev_part GROUP BY event_type""")
+              s.sql(s"""CREATE TABLE $ingest
+                (event_type STRING, n_events BIGINT, sum_cents BIGINT)
+                TBLPROPERTIES ('primary-key'='event_type', 'bucket'='1')""")
+              // batch size 2 forces the multi-batch decode path
+              val ipc = cat.getTable(s"${st.ns}.arrow_stage")
+                .newReadBuilder().newRead().toArrow(maxRowsPerBatch = 2)
+              val tIn = cat.getTable(s"${st.ns}.arrow_ingest")
+              val wb = tIn.newBatchWriteBuilder()
+              val w = wb.newWrite()
+              w.writeArrow(ipc)
+              wb.newCommit().commit(w.prepareCommit())
+            } catch { case t: Throwable =>
+              try {
+                s.sql(s"DROP TABLE IF EXISTS $stage")
+                s.sql(s"DROP TABLE IF EXISTS $ingest")
+              } catch { case _: Throwable => () }
+              throw t
+            }
+          }
+        }
+        s.sql(s"""SELECT event_type, n_events, sum_cents
+          FROM $ingest ORDER BY event_type""")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // streaming dedup-at-ingest: dropDuplicates holds one state row per
     // key (the 100 TB shape: the key space must be value-bounded like
     // here, or watermarked); the per-type distinct-user rollup is

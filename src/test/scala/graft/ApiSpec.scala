@@ -379,6 +379,74 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("writeArrow: Arrow IPC in → commit → identical Arrow IPC out") {
+    // ≙ `write_arrow` (`table_write.py:27-48` / `BytesWriter.java:38-99`):
+    // serialized Arrow batches are a first-class INPUT. Source table →
+    // toArrow → writeArrow into a second table → both read identically,
+    // covering every supported type including nulls and pre-epoch
+    // timestamps (the bytes come from the facade's own encoder, which
+    // the previous test pins against arrow-java's reference reader).
+    val allTypes = StructType(Seq(
+      StructField("c_byte", ByteType), StructField("c_short", ShortType),
+      StructField("c_int", IntegerType), StructField("c_long", LongType),
+      StructField("c_float", FloatType), StructField("c_double", DoubleType),
+      StructField("c_bool", BooleanType), StructField("c_str", StringType),
+      StructField("c_bin", BinaryType), StructField("c_date", DateType),
+      StructField("c_ts", TimestampType)))
+    catalog.createTable("default.arrow_src", Schema(allTypes))
+    catalog.createTable("default.arrow_dst", Schema(allTypes))
+    val src = catalog.getTable("default.arrow_src")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1.toByte, 2.toShort, 3, 4L, 1.5f, 2.5,
+          true, "héllo", Array[Byte](1, 2, 3),
+          java.sql.Date.valueOf("2024-02-29"),
+          java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")),
+        org.apache.spark.sql.Row(5.toByte, 6.toShort, 0, 7L, 0.5f, 1.25,
+          false, "pre-epoch", Array[Byte](9),
+          java.sql.Date.valueOf("1969-06-01"),
+          java.sql.Timestamp.from(
+            java.time.Instant.parse("1969-12-31T23:59:59.500Z"))),
+        org.apache.spark.sql.Row(null, null, null, null, null, null,
+          null, null, null, null, null)),
+      src.tableSchema.fields)
+    val swb = src.newBatchWriteBuilder(); val sw = swb.newWrite()
+    sw.write(df); swb.newCommit().commit(sw.prepareCommit())
+    // batch size 1 forces writeArrow through the multi-batch path
+    val ipc = src.newReadBuilder().newRead().toArrow(maxRowsPerBatch = 1)
+
+    val dst = catalog.getTable("default.arrow_dst")
+    val wb = dst.newBatchWriteBuilder(); val w = wb.newWrite()
+    w.writeArrow(ipc)
+    wb.newCommit().commit(w.prepareCommit())
+    def canon(t: graft.api.GraftTableHandle): Seq[Seq[Any]] =
+      t.newReadBuilder().newRead().toDF().orderBy("c_int").collect().toSeq
+        .map(r => r.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case v => v
+        })
+    assert(canon(dst) == canon(src))
+    // ...and the re-exported IPC stream is byte-identical to the input
+    // (same rows, same schema, same batching): full in→out fidelity
+    assert(dst.newReadBuilder().newRead().toArrow(maxRowsPerBatch = 1)
+      .sameElements(ipc))
+
+    // schema mismatch surfaces the reference's error text against the
+    // DECODED batch (types exact, nullability ignored)
+    catalog.createTable("default.arrow_badsrc", Schema(StructType(Seq(
+      StructField("c_int", LongType)))))
+    val bad = catalog.getTable("default.arrow_badsrc")
+    val bwb = bad.newBatchWriteBuilder(); val bw = bwb.newWrite()
+    import spark.implicits._
+    bw.write(Seq(1L).toDF("c_int"))
+    bwb.newCommit().commit(bw.prepareCommit())
+    val badIpc = bad.newReadBuilder().newRead().toArrow()
+    val e = intercept[RuntimeException](
+      dst.newBatchWriteBuilder().newWrite().writeArrow(badIpc))
+    assert(e.getMessage.contains("Input schema isn't consistent with table schema"),
+      e.getMessage)
+  }
+
   test("Schema.fromTypeNames: float16 widens to FLOAT, null to STRING") {
     // ≙ `java_utils.py:76-77` (half → float) and `:86-91` (null →
     // string): pyarrow-schema ports round-trip instead of rejecting
