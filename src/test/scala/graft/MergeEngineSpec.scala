@@ -363,6 +363,119 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(_.toString.contains("re-folded")))
   }
 
+  test("property: evolved aggregation folds ≡ SQL model across random " +
+      "commit/ADD/compaction interleavings") {
+    // The risky composition is END-TO-END: pre-ADD files null-fill the
+    // added column through the field-id mapping, the fold consumes that
+    // null-fill (sum/max skip nulls), commit-triggered compaction
+    // REWRITES old files under the NEW schema mid-history, and later
+    // appends keep folding on top. Randomized but seeded: each trial
+    // draws batches, inserts an ADD COLUMN + post-ADD fold config
+    // (the guard's allowed window) at a random commit boundary, and
+    // compares the table against a Spark-SQL fold model of the same
+    // batches. (Reader-level null-fill ≡ None is already covered by
+    // PropertySpec's fold models — Gen.option generates exactly the
+    // null-filled shape — so this pins the full stack instead.)
+    val rnd = new scala.util.Random(20250814L)
+    for (trial <- 0 until 3) {
+      val tbl = s"graft.default.me_prop_$trial"
+      val trigger = 2 + rnd.nextInt(3) // compaction fires mid-history
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, total BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
+        "'merge-engine'='aggregation', " +
+        "'fields.total.aggregate-function'='sum', " +
+        s"'compaction.trigger-file-count'='$trigger')")
+      def batch(nCols: Int): Seq[(Long, Option[Long], Option[Long])] =
+        (0 until 2 + rnd.nextInt(4)).map { _ =>
+          (rnd.nextInt(5).toLong,
+            if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(100).toLong),
+            if (nCols < 3 || rnd.nextInt(5) == 0) None
+            else Some(rnd.nextInt(100).toLong))
+        }
+      def lit(v: Option[Long]): String = v.map(_.toString).getOrElse("NULL")
+      val preBatches = (0 until 1 + rnd.nextInt(3)).map(_ => batch(2))
+      preBatches.foreach { b =>
+        spark.sql(s"INSERT INTO $tbl VALUES " +
+          b.map(r => s"(${r._1}, ${lit(r._2)})").mkString(", "))
+      }
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN hi BIGINT")
+      spark.sql(s"ALTER TABLE $tbl " +
+        "SET TBLPROPERTIES ('fields.hi.aggregate-function'='max')")
+      val postBatches = (1 until 2 + rnd.nextInt(3)).map(_ => batch(3))
+      postBatches.foreach { b =>
+        spark.sql(s"INSERT INTO $tbl VALUES " +
+          b.map(r => s"(${r._1}, ${lit(r._2)}, ${lit(r._3)})").mkString(", "))
+      }
+      // model: per key, total = SQL sum over ALL batches (nulls
+      // skipped; all-null → null), hi = max over post-ADD batches
+      val all = preBatches.flatten.map(r => (r._1, r._2, None: Option[Long])) ++
+        postBatches.flatten
+      val model = all.groupBy(_._1).map { case (k, rs) =>
+        val sums = rs.flatMap(_._2)
+        val his = rs.flatMap(_._3)
+        (k, if (sums.isEmpty) null else Long.box(sums.sum),
+          if (his.isEmpty) null else Long.box(his.max))
+      }.toSeq.sortBy(_._1)
+      val got = rows(s"SELECT k, total, hi FROM $tbl ORDER BY k")
+        .map(r => (r(0).asInstanceOf[Long], r(1), r(2)))
+      assert(got == model,
+        s"trial $trial (trigger=$trigger):\ngot:   $got\nmodel: $model")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("property: evolved partial-update ≡ last-non-null model with " +
+      "pre-ADD null-fill") {
+    // same stack for partial-update: the added column's LastNonNull
+    // fold must treat pre-ADD history as absent (null-fill), never
+    // resurrect it through compaction, and keep folding afterwards
+    val rnd = new scala.util.Random(46151L)
+    for (trial <- 0 until 3) {
+      val tbl = s"graft.default.me_pup_$trial"
+      val trigger = 2 + rnd.nextInt(3)
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, a BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
+        "'merge-engine'='partial-update', " +
+        s"'compaction.trigger-file-count'='$trigger')")
+      // keys are UNIQUE within a batch: two same-key rows in one commit
+      // reach the writer in shuffle order, so "later VALUES row wins"
+      // would be nondeterministic — across commits the sequence number
+      // orders them, which is what the model folds over
+      def batch(nCols: Int): Seq[(Long, Option[Long], Option[Long])] =
+        rnd.shuffle((0L until 5L).toList).take(2 + rnd.nextInt(3)).map { k =>
+          (k,
+            if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(100).toLong),
+            if (nCols < 3 || rnd.nextInt(3) == 0) None
+            else Some(rnd.nextInt(100).toLong))
+        }
+      def lit(v: Option[Long]): String = v.map(_.toString).getOrElse("NULL")
+      val preBatches = (0 until 1 + rnd.nextInt(3)).map(_ => batch(2))
+      preBatches.foreach { b =>
+        spark.sql(s"INSERT INTO $tbl VALUES " +
+          b.map(r => s"(${r._1}, ${lit(r._2)})").mkString(", "))
+      }
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN b BIGINT")
+      val postBatches = (1 until 2 + rnd.nextInt(3)).map(_ => batch(3))
+      postBatches.foreach { b =>
+        spark.sql(s"INSERT INTO $tbl VALUES " +
+          b.map(r => s"(${r._1}, ${lit(r._2)}, ${lit(r._3)})").mkString(", "))
+      }
+      // model: last non-null per field in batch-row order (batches are
+      // sequenced per commit; within a batch later VALUES rows win)
+      val all = preBatches.flatten.map(r => (r._1, r._2, None: Option[Long])) ++
+        postBatches.flatten
+      val model = all.groupBy(_._1).map { case (k, rs) =>
+        (k, rs.flatMap(_._2).lastOption.map(Long.box).orNull,
+          rs.flatMap(_._3).lastOption.map(Long.box).orNull)
+      }.toSeq.sortBy(_._1)
+      val got = rows(s"SELECT k, a, b FROM $tbl ORDER BY k")
+        .map(r => (r(0).asInstanceOf[Long], r(1), r(2)))
+      assert(got == model,
+        s"trial $trial (trigger=$trigger):\ngot:   $got\nmodel: $model")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("merge-semantics options are immutable after CREATE") {
     // flipping merge-engine / sequence.field / ignore-delete / a
     // field's aggregate-function would re-fold every already-committed
