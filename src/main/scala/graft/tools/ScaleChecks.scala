@@ -175,6 +175,9 @@ object ScaleChecks {
       spark.sql("INSERT INTO graft.d.huge " +
         "SELECT id * 10, 'updated', 0.0 FROM range(0, 1000000)")
     }
+    // ingest-only wall time (write + upsert + their compactions) — the
+    // deduplicate-engine baseline the aggregation canary compares to
+    val tDedupIngest = (System.nanoTime() - t10) / 1e9
     val hugeSm = new graft.format.SnapshotManager(wh.resolve("d.db/huge"))
     val hugeFiles = hugeSm.liveFilesLatest
     val hugeKinds = hugeSm.existingSnapshotIds
@@ -198,12 +201,13 @@ object ScaleChecks {
 
     println("== aggregation-engine canary: pre-aggregated storage absorbs " +
       "upserts at ingest")
-    // 8 commits x 1M partial rows over 100k keys: the aggregation
-    // engine folds sums inside the bucket merge, so steady-state state
-    // is O(keys) files (compaction) and the READ costs O(keys) — the
-    // raw-events alternative stores 8M rows and pays a corpus
-    // groupBy+shuffle on every query. The sums are exact-checkable:
-    // sum over all commits of (k + c) for each key k.
+    // 10 commits x 1M partial rows over 100k keys (10M rows, matching
+    // the deduplicate canary's scale): the aggregation engine folds
+    // sums inside the bucket merge, so steady-state state is O(keys)
+    // files (compaction) and the READ costs O(keys) — the raw-events
+    // alternative stores 10M rows and pays a corpus groupBy+shuffle on
+    // every query. The sums are exact-checkable: sum over all commits
+    // of (k + c) for each key k.
     spark.sql("CREATE TABLE graft.d.preagg (k BIGINT, total BIGINT, n BIGINT) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='8'," +
       "'merge-engine'='aggregation'," +
@@ -211,7 +215,7 @@ object ScaleChecks {
       "'fields.n.aggregate-function'='sum'," +
       "'compaction.trigger-file-count'='4')")
     val tAggIngest = { val t0 = System.nanoTime()
-      (0 until 8).foreach { c =>
+      (0 until 10).foreach { c =>
         spark.sql("INSERT INTO graft.d.preagg " +
           s"SELECT id % 100000, SUM(id % 100000 + $c), COUNT(*) " +
           "FROM range(0, 1000000) GROUP BY id % 100000")
@@ -221,18 +225,71 @@ object ScaleChecks {
       val r = spark.sql(
         "SELECT COUNT(*), SUM(total), SUM(n) FROM graft.d.preagg")
         .collect()(0)
-      // per key k: 8 commits x 10 rows x (k + c) summed over c=0..7
-      // = 80k + 280; total = 80*sum(k) + 280*100000
-      val expectTotal = 80L * (99999L * 100000L / 2) + 280L * 100000L
+      // per key k: 10 commits x 10 rows x (k + c) summed over c=0..9
+      // = 100k + 450; total = 100*sum(k) + 450*100000
+      val expectTotal = 100L * (99999L * 100000L / 2) + 450L * 100000L
       require(r.getLong(0) == 100000L && r.getLong(1) == expectTotal &&
-        r.getLong(2) == 8000000L,
+        r.getLong(2) == 10000000L,
         s"aggregation fold wrong: $r (expect total=$expectTotal)")
       (System.nanoTime() - t0) / 1e9 }
     val aggFiles = new graft.format.SnapshotManager(wh.resolve("d.db/preagg"))
       .liveFilesLatest
-    println(f"  8x1M-row partial commits: ingest $tAggIngest%.1f s, " +
+    println(f"  10x1M-row partial commits: ingest $tAggIngest%.1f s, " +
       f"folded read over 100k keys $tAggRead%.1f s, " +
       s"live files ${aggFiles.size} (state is O(keys), not O(events))")
+    // no super-linear blowup vs the deduplicate engine at the same 10M
+    // scale: the per-field fold must stay an O(rows) pass inside the
+    // same k-way merge. 3x headroom absorbs host noise and the extra
+    // per-commit groupBy the aggregation ingest pays up front.
+    println(f"  aggregation/deduplicate ingest ratio: " +
+      f"${tAggIngest / tDedupIngest}%.2f (dedup baseline $tDedupIngest%.1f s)")
+    require(tAggIngest < 3 * tDedupIngest,
+      f"aggregation ingest $tAggIngest%.1f s vs dedup $tDedupIngest%.1f s " +
+        "— super-linear fold cost")
+
+    println("== streaming-sink aggregation canary: 10M rows across 5 epochs")
+    // the streaming write path (per-epoch writer factory + identity
+    // commit + trigger compaction) must sustain the same aggregation
+    // fold: 5 AvailableNow micro-batches of 2M raw rows each, folded
+    // at ingest into 100k running (sum, count) rows
+    val aggSrc = java.nio.file.Files.createTempDirectory("graft-aggstream")
+    (0 until 5).foreach { e =>
+      spark.range(e * 2000000L, (e + 1) * 2000000L)
+        .selectExpr("id % 100000 AS k", "id AS total", "CAST(1 AS BIGINT) AS n")
+        .coalesce(1).write.mode("append").parquet(aggSrc.toString)
+    }
+    spark.sql("CREATE TABLE graft.d.aggsink (k BIGINT, total BIGINT, n BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='8'," +
+      "'merge-engine'='aggregation'," +
+      "'fields.total.aggregate-function'='sum'," +
+      "'fields.n.aggregate-function'='sum'," +
+      "'compaction.trigger-file-count'='4')")
+    val aggChk = java.nio.file.Files.createTempDirectory("graft-aggstream-chk")
+    val tAggStream = { val t0 = System.nanoTime()
+      val q = spark.readStream
+        .schema("k BIGINT, total BIGINT, n BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(aggSrc.toString)
+        .writeStream
+        .option("checkpointLocation", aggChk.toString)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.d.aggsink")
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9 }
+    val rs = spark.sql(
+      "SELECT COUNT(*), SUM(total), SUM(n) FROM graft.d.aggsink").collect()(0)
+    require(rs.getLong(0) == 100000L &&
+      rs.getLong(1) == 9999999L * 10000000L / 2 &&
+      rs.getLong(2) == 10000000L,
+      s"streamed aggregation fold wrong: $rs")
+    val sinkSm = new graft.format.SnapshotManager(wh.resolve("d.db/aggsink"))
+    val sinkKinds = sinkSm.existingSnapshotIds.map(id =>
+      sinkSm.snapshot(id).commitKind)
+    require(sinkKinds.contains("COMPACT"),
+      s"streaming epochs must trip compaction: ${sinkKinds.mkString(",")}")
+    println(f"  5-epoch streamed ingest: $tAggStream%.1f s, " +
+      s"live files ${sinkSm.liveFilesLatest.size}, " +
+      s"snapshots ${sinkKinds.mkString(",")}")
 
     println("== probe: $snapshots on a missing table")
     try spark.sql("SELECT * FROM graft.d.`nope$snapshots`").collect()
