@@ -447,6 +447,58 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage)
   }
 
+  test("writeArrow carries _row_kind: a delete batch removes its key") {
+    // the reference's bridge writes row KINDS, not just inserts
+    // (`GenericRow(RowKind.DELETE, ...)` through the same byte path) —
+    // an Arrow batch with a tinyint _row_kind column must behave like
+    // write(df) with the same column: decoded as ByteType, stripped
+    // from stored values, and applied as a changelog kind
+    catalog.createTable("default.arrow_kind", Schema(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> "1")))
+    val t = catalog.getTable("default.arrow_kind")
+    import spark.implicits._
+    val wb1 = t.newBatchWriteBuilder(); val w1 = wb1.newWrite()
+    w1.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    wb1.newCommit().commit(w1.prepareCommit())
+    // build the delete batch DIRECTLY with arrow-java (an external
+    // producer's bytes, not the facade's own encoder): schema
+    // [k: int64, v: utf8, _row_kind: int8], one row (1, "a", DELETE)
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+    val aSchema = new ASchema(Seq(
+      new Field("k", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("v", FieldType.nullable(ArrowType.Utf8.INSTANCE), null),
+      new Field(graft.core.RowKind.ColumnName,
+        FieldType.nullable(new ArrowType.Int(8, true)), null)).asJava)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val ipc = try {
+      val root = org.apache.arrow.vector.VectorSchemaRoot.create(aSchema, alloc)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val wr = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+          root, null, java.nio.channels.Channels.newChannel(out))
+        wr.start()
+        root.allocateNew()
+        root.getVector(0).asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          .setSafe(0, 1L)
+        root.getVector(1).asInstanceOf[org.apache.arrow.vector.VarCharVector]
+          .setSafe(0, "a".getBytes("UTF-8"))
+        root.getVector(2).asInstanceOf[org.apache.arrow.vector.TinyIntVector]
+          .setSafe(0, graft.core.RowKind.Delete)
+        root.setRowCount(1)
+        wr.writeBatch(); wr.end()
+        out.toByteArray
+      } finally root.close()
+    } finally alloc.close()
+
+    val wb2 = t.newBatchWriteBuilder(); val w2 = wb2.newWrite()
+    w2.writeArrow(ipc)
+    wb2.newCommit().commit(w2.prepareCommit())
+    assert(t.newReadBuilder().newRead().toDF().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("Schema.fromTypeNames: float16 widens to FLOAT, null to STRING") {
     // ≙ `java_utils.py:76-77` (half → float) and `:86-91` (null →
     // string): pyarrow-schema ports round-trip instead of rejecting
