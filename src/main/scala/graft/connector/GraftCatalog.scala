@@ -469,6 +469,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *     commit has landed since the schema that introduced it — every
     *     committed file null-fills the column, and every fold maps
     *     all-null history identically.
+    *
+    * TOCTOU caveat: a write committing between this check and the
+    * schema save can still slip data under the old fold (schema
+    * publication is not fenced against snapshot publication — the same
+    * window the format family has). Operationally: reconfigure folds
+    * while no writer is live. DROP COLUMN + re-ADD of the same name is
+    * conservatively rejected too (the lineage walk finds the retired
+    * era's schema), though field-id retirement means the old values
+    * could never resurrect.
     */
   private def requireFoldChangeSafe(dir: Path, ts: TableSchema,
       col: String, prop: String): Unit = {
