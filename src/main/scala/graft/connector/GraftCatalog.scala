@@ -223,6 +223,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return new StaticRowsTable(ident.toString, MetaTables.tagsSchema,
         () => MetaTables.tagRows(dir, ts.ioSpec))
     }
+    if (ident.name().endsWith("$options")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$options"))
+      val dir = tableDir(base)
+      val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
+      return new StaticRowsTable(ident.toString, MetaTables.optionsSchema,
+        () => MetaTables.optionRows(
+          TableSchema.load(dir).getOrElse(ts))) // re-read: ALTERs visible
+    }
+    if (ident.name().endsWith("$schemas")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$schemas"))
+      val dir = tableDir(base)
+      TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
+      return new StaticRowsTable(ident.toString, MetaTables.schemasSchema,
+        () => MetaTables.schemaRows(dir))
+    }
+    if (ident.name().endsWith("$manifests")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$manifests"))
+      val dir = tableDir(base)
+      val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
+      return new StaticRowsTable(ident.toString, MetaTables.manifestsSchema,
+        () => MetaTables.manifestRows(dir, ts.ioSpec))
+    }
     val dir = tableDir(ident)
     TableSchema.load(dir) match {
       case Some(schema) => new GraftTable(ident, dir, schema)

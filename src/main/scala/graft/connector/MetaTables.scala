@@ -84,6 +84,74 @@ object MetaTables {
       }
   }
 
+  val optionsSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** ≙ the format family's `t$options` view: the table's dynamic
+    * options as key/value rows (structural ones included — they ARE
+    * options, just immutable ones).
+    */
+  def optionRows(schema: TableSchema): Seq[Array[Any]] =
+    schema.options.toSeq.sortBy(_._1).map { case (k, v) =>
+      Array[Any](UTF8String.fromString(k), UTF8String.fromString(v))
+    }
+
+  val schemasSchema: StructType = StructType(Seq(
+    StructField("schema_id", LongType, nullable = false),
+    StructField("fields", StringType, nullable = false),
+    StructField("partition_keys", StringType, nullable = false),
+    StructField("primary_keys", StringType, nullable = false),
+    StructField("options", StringType, nullable = false),
+    StructField("comment", StringType)))
+
+  /** ≙ `t$schemas`: the full persisted schema lineage (ids are dense
+    * from 0 = CREATE; schema files are immutable and never expire), so
+    * an operator can audit exactly which fields/options each historical
+    * file era was written under. JSON-rendered columns match the
+    * on-disk representation.
+    */
+  def schemaRows(dir: Path): Seq[Array[Any]] = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    TableSchema.listIds(dir).flatMap(id => TableSchema.loadById(dir, id))
+      .map { s =>
+        Array[Any](s.id,
+          UTF8String.fromString(s.fields.json),
+          UTF8String.fromString(
+            JsonMethods.compact(JsonMethods.render(s.partitionKeys))),
+          UTF8String.fromString(
+            JsonMethods.compact(JsonMethods.render(s.primaryKeys))),
+          UTF8String.fromString(JsonMethods.compact(JsonMethods.render(
+            scala.collection.immutable.ListMap(
+              s.options.toSeq.sortBy(_._1): _*)))),
+          s.comment.map(UTF8String.fromString).orNull)
+      }
+  }
+
+  val manifestsSchema: StructType = StructType(Seq(
+    StructField("manifest_name", StringType, nullable = false),
+    StructField("num_added_files", LongType, nullable = false),
+    StructField("num_deleted_files", LongType, nullable = false),
+    StructField("added_row_count", LongType, nullable = false),
+    StructField("deleted_row_count", LongType, nullable = false)))
+
+  /** ≙ `t$manifests`: the CURRENT snapshot's manifest chain in commit
+    * order with per-manifest ADD/DELETE entry rollups — the view that
+    * shows whether reads are planning over a folded chain or a long
+    * tail of deltas.
+    */
+  def manifestRows(dir: Path, ioSpec: String = "local"): Seq[Array[Any]] = {
+    val sm = new SnapshotManager(dir, io = graft.format.FileIO.resolve(ioSpec))
+    sm.latestSnapshot.toSeq.flatMap(_.manifests).map { name =>
+      val entries = sm.readManifest(name)
+      val (adds, dels) = entries.partition(_.isAdd)
+      Array[Any](UTF8String.fromString(name),
+        adds.size.toLong, dels.size.toLong,
+        adds.map(_.file.rowCount).sum, dels.map(_.file.rowCount).sum)
+    }
+  }
+
   def fileRows(dir: Path, schema: TableSchema): Seq[Array[Any]] = {
     new SnapshotManager(dir, io = graft.format.FileIO.resolve(schema.ioSpec))
       .liveFilesLatest.map { f =>

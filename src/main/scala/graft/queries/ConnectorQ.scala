@@ -1229,6 +1229,35 @@ object ConnectorQ {
           (SELECT COUNT(*) FROM b) - (SELECT COUNT(*) FROM nw)
             AS n_rejected_dupes""")),
 
+    // Metadata system tables as a driver-checked row: $schemas walks
+    // ev_evo's full lineage (CREATE + ADD + RENAME + TYPE = ids 0..3),
+    // $options exposes ev_pk_ag's three per-field fold configs, and
+    // $manifests shows ev_pk's two-commit chain (no compaction
+    // configured → exactly 2 manifests, adds only). All counts are
+    // determined by the setup DDL alone, so DuckDB states them as
+    // constants — the row is green only if the catalog serves the
+    // metadata views exactly.
+    QueryDef("c_meta_tables",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"""SELECT
+          (SELECT COUNT(*) FROM graft_c.${st.ns}.`ev_evo$$schemas`)
+            AS n_schemas,
+          (SELECT MAX(schema_id) FROM graft_c.${st.ns}.`ev_evo$$schemas`)
+            AS max_schema,
+          (SELECT COUNT(*) FROM graft_c.${st.ns}.`ev_pk_ag$$options`
+             WHERE key LIKE 'fields.%') AS n_fold_options,
+          (SELECT COUNT(*) FROM graft_c.${st.ns}.`ev_pk$$manifests`)
+            AS n_manifests,
+          (SELECT SUM(num_deleted_files)
+             FROM graft_c.${st.ns}.`ev_pk$$manifests`) AS n_deleted""")
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS n_schemas,
+          CAST(3 AS BIGINT) AS max_schema,
+          CAST(3 AS BIGINT) AS n_fold_options,
+          CAST(2 AS BIGINT) AS n_manifests,
+          CAST(0 AS BIGINT) AS n_deleted""")),
+
     // dynamic overwrite replaced only the 'click' partition
     QueryDef("c_dynamic_overwrite",
       (s, dir) => {

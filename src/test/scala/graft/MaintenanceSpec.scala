@@ -384,6 +384,52 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.tg").count() == 6L)
   }
 
+  test("$options, $schemas and $manifests system tables") {
+    spark.sql("CREATE TABLE graft.default.meta3 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
+      "'merge-engine'='aggregation', " +
+      "'fields.v.aggregate-function'='sum', " +
+      "'compaction.trigger-file-count'='3')")
+    spark.sql("INSERT INTO graft.default.meta3 VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO graft.default.meta3 VALUES (1, 5)")
+    spark.sql("ALTER TABLE graft.default.meta3 ADD COLUMN w BIGINT")
+
+    // $options: the stored option map as rows (structural ones too)
+    val opts = spark.sql(
+      "SELECT key, value FROM graft.default.`meta3$options`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(opts("merge-engine") == "aggregation")
+    assert(opts("fields.v.aggregate-function") == "sum")
+    assert(opts("bucket") == "2")
+
+    // $schemas: the full lineage — CREATE (id 0) and the ADD (id 1);
+    // the added column appears only in the later era's field JSON
+    val schemas = spark.sql("SELECT schema_id, fields, primary_keys " +
+      "FROM graft.default.`meta3$schemas` ORDER BY schema_id").collect()
+    assert(schemas.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(!schemas(0).getString(1).contains("\"w\""))
+    assert(schemas(1).getString(1).contains("\"w\""))
+    assert(schemas.forall(_.getString(2).contains("\"k\"")))
+
+    // $manifests: two append commits → two manifests, adds only
+    val m1 = spark.sql("SELECT num_added_files, num_deleted_files, " +
+      "added_row_count FROM graft.default.`meta3$manifests`").collect()
+    assert(m1.length == 2, m1.mkString(","))
+    assert(m1.map(_.getLong(2)).sum == 3L) // 3 physical rows written
+    assert(m1.forall(_.getLong(1) == 0L))
+    // trip compaction (per-bucket trigger: key 1's bucket reaches 3
+    // files): the COMPACT snapshot's chain carries DELETEs of the
+    // folded-away files
+    spark.sql("INSERT INTO graft.default.meta3 VALUES (1, 1, NULL)")
+    val m2 = spark.sql("SELECT num_deleted_files " +
+      "FROM graft.default.`meta3$manifests`").collect()
+    assert(m2.map(_.getLong(0)).sum > 0L,
+      "post-compaction chain must record deleted files")
+    // and the folded table still reads correctly through it all
+    assert(spark.sql("SELECT v FROM graft.default.meta3 WHERE k = 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(16L))
+  }
+
   test("expiry retains each streaming query's newest identity snapshot") {
     // the replay guard (GraftStreamingWrite.lastCommittedEpoch) reads
     // "<queryId>/<epochId>" identities from the snapshot chain; if
