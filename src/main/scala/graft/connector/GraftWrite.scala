@@ -142,9 +142,12 @@ class GraftStreamingWrite(tableDir: Path, schema: TableSchema,
     * `expireSnapshots` retains the newest identity snapshot per
     * distinct queryId (Maintenance.scala) — a query down across an
     * expiry run still finds its last epoch on restart and skips the
-    * replay instead of double-committing. Rollback deletes nothing, so
-    * a rolled-away identity snapshot also stays findable until the
-    * same query commits a newer epoch.
+    * replay instead of double-committing. The pin lapses after
+    * `streaming.identity.retain-millis` (default 7 days): a query down
+    * longer than that must be treated like one resuming past source
+    * retention — restart it from a fresh checkpoint. Rollback deletes
+    * nothing, so a rolled-away identity snapshot also stays findable
+    * until the same query commits a newer epoch.
     */
   private def lastCommittedEpoch(sm: SnapshotManager): Option[Long] = {
     val prefix = queryId + "/"

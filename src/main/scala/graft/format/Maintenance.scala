@@ -51,14 +51,28 @@ object Maintenance {
     // the duplicate (GraftStreamingWrite.lastCommittedEpoch). Expiring
     // a query's NEWEST identity snapshot while that query is down would
     // let the replay double-commit on aggregation tables — so the
-    // newest snapshot per distinct queryId is always retained. Bounded:
-    // one pin per distinct streaming query ever writing the table, and
-    // a pin ages out as soon as the same query commits a newer epoch.
+    // newest snapshot per distinct queryId is retained. Bounded TWO
+    // ways: a pin ages out the moment the same query commits a newer
+    // epoch, and — because a pinned snapshot keeps its LIVE FILES
+    // reachable, which must not anchor a dead ad-hoc query's table
+    // state forever — a pin lapses once the identity snapshot is older
+    // than `streaming.identity.retain-millis` (default 7 days; a query
+    // down longer than that cannot resume coherently against ANY
+    // source whose retention has passed, so the trade is explicit and
+    // symmetric with source-retention semantics).
+    val identityTtl = graft.core.TableSchema.load(tableDir)
+      .flatMap(_.options.get("streaming.identity.retain-millis"))
+      .flatMap(_.trim.toLongOption)
+      .getOrElse(7L * 24 * 3600 * 1000)
     val newestPerQuery: Set[Long] = existing
       .flatMap { case (id, s) =>
         s.commitIdentifier.map(ci => ci.take(ci.lastIndexOf('/').max(0)) -> id)
       }
-      .groupBy(_._1).values.map(_.map(_._2).max).toSet
+      .groupBy(_._1).values.map(_.map(_._2).max)
+      .filter(id => existing.collectFirst {
+        case (i, s) if i == id => s.timeMillis >= now - identityTtl
+      }.getOrElse(false))
+      .toSet
     def isRetained(id: Long, s: Snapshot): Boolean =
       id >= cutoff || newestPerQuery.contains(id) ||
         olderThanMillis.exists(a => s.timeMillis >= now - a)

@@ -466,6 +466,24 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sm.snapshot(5L).commitIdentifier.contains("qA/8"))
     assert(sm.liveFiles(sm.snapshot(5L)).nonEmpty)
     assert(spark.table("graft.default.exp_q").count() == 5L)
+    // ...but a pin must not anchor a DEAD query's files forever: once
+    // the identity snapshot exceeds streaming.identity.retain-millis,
+    // the pin lapses and normal retention reclaims it
+    spark.sql("ALTER TABLE graft.default.exp_q " +
+      "SET TBLPROPERTIES ('streaming.identity.retain-millis'='60000')")
+    val old = sm.snapshot(5L)
+    assert(sm.existingSnapshotIds.contains(5L))
+    // rewrite snapshot-5 with a time beyond the 60s TTL (test-only
+    // surgery; identity and manifests unchanged)
+    java.nio.file.Files.writeString(
+      dir.resolve("snapshot").resolve("snapshot-5"),
+      old.copy(timeMillis = old.timeMillis - 120000).toJson)
+    graft.format.Maintenance.expireSnapshots(dir, retainLast = 1)
+    val left2 = sm.existingSnapshotIds
+    assert(!left2.contains(5L),
+      s"a TTL-lapsed identity pin must expire: $left2")
+    assert(left2.contains(6L), s"a young pin still survives: $left2")
+    assert(spark.table("graft.default.exp_q").count() == 5L)
   }
 
   test("snapshotOrTagged: only not-found falls back to tags; corruption " +
