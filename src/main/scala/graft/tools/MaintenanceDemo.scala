@@ -80,6 +80,13 @@ object MaintenanceDemo {
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
     println(s"  vacuum removed ${t.vacuum(olderThanMillis = 3600000L)} orphan(s); orphan exists=${java.nio.file.Files.exists(orphan)}")
 
+    println("== metadata system tables: $options / $schemas / $manifests")
+    spark.sql("SELECT * FROM graft.demo.`t$options`").show(truncate = false)
+    spark.sql("ALTER TABLE graft.demo.t ADD COLUMN note STRING")
+    spark.sql("SELECT schema_id, fields FROM graft.demo.`t$schemas`")
+      .show(truncate = false)
+    spark.sql("SELECT * FROM graft.demo.`t$manifests`").show(truncate = false)
+
     println("== probe: _sequence_number on an append table")
     try spark.sql("SELECT _sequence_number FROM graft.demo.facts").collect()
     catch { case e: Exception =>

@@ -499,6 +499,19 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("writeArrow rejects malformed bytes with a clean error") {
+    val t = catalog.getTable("default.arrow_dst")
+    val w = t.newBatchWriteBuilder().newWrite()
+    // truncated/garbage streams must fail loudly (no partial write, no
+    // hang); empty input is not a valid IPC stream either
+    for (bad <- Seq(Array[Byte](), Array[Byte](1, 2, 3, 4, 5),
+        "not arrow at all".getBytes("UTF-8"))) {
+      intercept[Exception](w.writeArrow(bad))
+    }
+    // nothing staged: prepareCommit stays empty after the failures
+    assert(w.prepareCommit().isEmpty)
+  }
+
   test("Schema.fromTypeNames: float16 widens to FLOAT, null to STRING") {
     // ≙ `java_utils.py:76-77` (half → float) and `:86-91` (null →
     // string): pyarrow-schema ports round-trip instead of rejecting
