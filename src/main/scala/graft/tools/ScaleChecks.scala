@@ -371,6 +371,68 @@ object ScaleChecks {
     } finally Seq(dirSmall, dirBig).foreach(d =>
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
 
+    println("== ANN scaling canary: IVF cell-routed search at 200k vs 1M vectors")
+    // The serving contract of the s-family: search cost is linear in
+    // the corpus (cells bound the candidate set per probe; there is no
+    // probes x corpus cartesian). Same kernels as the bench queries
+    // (IntVectorSqL2 codegen, array_min cell routing) over synthetic
+    // 64-dim int8-range vectors; a quadratic regression would show as
+    // a ~25x step for 5x data.
+    def annSearch(n: Long): Double = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions._
+      val t0 = System.nanoTime()
+      val vecs = spark.range(0, n, 1, 32).selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), d -> CAST(pmod(xxhash64(id, d), 256) AS INT)) AS qv")
+      // 16 cells seeded from the first 16 vectors (constant-size
+      // driver sync — centroids travel as literals, like the trainer;
+      // 16 keeps the routing expression inside one codegen method —
+      // 64 cells measured 25x slower via interpreted fallback)
+      val cents = vecs.filter(col("vec_id") < 16).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toSeq
+      def cdists(v: org.apache.spark.sql.Column) =
+        array(cents.map { case (cid, cv) =>
+          struct(vec_sql2_int(v, typedLit(cv)).as("dist"),
+            lit(cid).as("cid")) }: _*)
+      // persist: the assignment scan feeds both the probe routing and
+      // the candidate side of the join; at 1M x 16 cells x 64 dims the
+      // recompute dwarfs the cache round-trip
+      val assigned = vecs
+        .withColumn("cell", array_min(cdists(col("qv"))).getField("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // 10 probes route to their nprobe=2 nearest cells
+        val probes = assigned.filter(col("vec_id") < 10)
+          .withColumn("cd", cdists(col("qv")))
+          .select(col("vec_id").as("query_id"), col("qv").as("pqv"),
+            explode(expr(
+              "transform(slice(array_sort(cd), 1, 2), x -> x.cid)")).as("cell"))
+        val top = probes.join(assigned.select(
+            col("vec_id").as("cand_id"), col("qv"), col("cell")), "cell")
+          .withColumn("dist", vec_sql2_int(col("pqv"), col("qv")))
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("dist"), col("cand_id"))))
+          .filter(col("rank") <= 5)
+          .select("query_id", "rank", "cand_id", "dist").collect()
+        require(top.length == 50, s"expected 10x5 results, got ${top.length}")
+        // each probe is in the corpus and routes to its own cell: top-1
+        // must be itself at distance 0
+        require(top.filter(_.getInt(1) == 1).forall(r =>
+          r.getLong(0) == r.getLong(2) && r.getLong(3) == 0L),
+          "probe must find itself at rank 1")
+      } finally assigned.unpersist(blocking = true)
+      (System.nanoTime() - t0) / 1e9
+    }
+    annSearch(20000) // untimed: JIT + codegen warmup off the books
+    val tAnnS = annSearch(200000)
+    val tAnnB = annSearch(1000000)
+    println(f"  200k vecs: $tAnnS%.1f s; 1M vecs: $tAnnB%.1f s " +
+      f"(ratio ${tAnnB / tAnnS}%.1f x for 5x data)")
+    require(tAnnB / tAnnS < 12,
+      f"5x vectors cost ${tAnnB / tAnnS}%.1f x — candidate set is not " +
+        "cell-bounded (bound 12x)")
+
     spark.stop()
     // the 10M-row canary warehouse is ~600 MB — repeated runs must not
     // accumulate it in the system temp dir
