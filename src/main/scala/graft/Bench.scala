@@ -115,6 +115,26 @@ object Bench {
       cls.getMethod("unloadAll").invoke(mod)
     } catch { case _: Throwable => () }
 
+  /** Merge two passes into per-query minima — over SUCCESSFUL
+    * measurements only. A throwing query records its time-to-FAILURE
+    * (often a fast transient error), which must never masquerade as a
+    * speedup under `passes:2` self-certification: prefer the min of
+    * the ok measurements, fall back to the other pass's ok time, and
+    * only when both passes failed report the (loudly-logged) elapsed.
+    */
+  private[graft] def mergePasses(
+      pass1: Seq[(String, Double, Boolean)],
+      pass2: Seq[(String, Double, Boolean)]): Seq[(String, Double)] =
+    pass1.zip(pass2).map { case ((n1, t1, ok1), (n2, t2, ok2)) =>
+      require(n1 == n2, s"pass order diverged: $n1 vs $n2")
+      n1 -> ((ok1, ok2) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case (false, false) => math.min(t1, t2)
+      })
+    }
+
   /** Bench rows are grouped into FAMILIES by name prefix (`c_*`
     * connector, `d_*` dedup, …); the c and d families intentionally
     * share memoized storage across their rows (connector setup tables,
@@ -400,7 +420,7 @@ object Bench {
     // announced, never silent), and the final __end__ release leaves
     // the session exactly as the pass found it, so a second pass
     // re-measures the same work from the same cold-family state.
-    def runPass(): Seq[(String, Double)] = {
+    def runPass(): Seq[(String, Double, Boolean)] = {
       var prevFamily: String = null
       def isolate(fam: String): Unit = {
         if (prevFamily != null && fam != prevFamily)
@@ -412,18 +432,19 @@ object Bench {
       val rs = selected.map { case (name, fn) =>
         isolate(familyOf(name))
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case t: Throwable =>
-            // a throwing query must be LOUD: silently recording its
-            // partial elapsed time would read as a speedup in the JSON
-            System.err.println(
-              s"[bench] ERROR: $name threw ${t.getClass.getSimpleName}: " +
-                s"${String.valueOf(t.getMessage).linesIterator.next()}")
-            -1L
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case t: Throwable =>
+              // a throwing query must be LOUD: silently recording its
+              // partial elapsed time would read as a speedup in the JSON
+              System.err.println(
+                s"[bench] ERROR: $name threw ${t.getClass.getSimpleName}: " +
+                  s"${String.valueOf(t.getMessage).linesIterator.next()}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         cleanupAfter(spark, name)
-        name -> dt
+        (name, dt, ok)
       }
       if (prevFamily != null) isolate("__end__")
       rs
@@ -451,7 +472,7 @@ object Bench {
     }
     val (results, passes, passTotals, probes) =
       if (quiet)
-        (pass1, 1, Seq(pass1.map(_._2).sum),
+        (pass1.map(r => r._1 -> r._2), 1, Seq(pass1.map(_._2).sum),
           Seq(probeStart, probeMid).flatten)
       else {
         System.err.println(
@@ -459,11 +480,8 @@ object Bench {
             "second full pass and reporting per-query minima")
         val pass2 = runPass()
         val probeEnd = tryProbe("end")
-        val merged = pass1.zip(pass2).map { case ((n1, t1), (n2, t2)) =>
-          require(n1 == n2, s"pass order diverged: $n1 vs $n2")
-          n1 -> math.min(t1, t2)
-        }
-        (merged, 2, Seq(pass1.map(_._2).sum, pass2.map(_._2).sum),
+        (Bench.mergePasses(pass1, pass2), 2,
+          Seq(pass1.map(_._2).sum, pass2.map(_._2).sum),
           Seq(probeStart, probeMid, probeEnd).flatten)
       }
     val line = renderLine(results, sfDir, probes, passes, passTotals)

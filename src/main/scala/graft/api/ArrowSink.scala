@@ -130,13 +130,23 @@ private[api] object ArrowSink {
     case x: VarBinaryVector => x.get(i)
     case x: DateDayVector =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
-    case x: TimeStampMicroTZVector =>
-      val us = x.get(i)
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
+    // date64 (millis): pyarrow/other producers emit it for dates too
+    case x: DateMilliVector =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(x.get(i), 86400000L)))
+    case x: TimeStampMicroTZVector => microsToTimestamp(x.get(i))
+    // tz-NAIVE timestamp[us] — pyarrow's DEFAULT pa.timestamp('us').
+    // Interpreted as UTC instants, matching the facade's session
+    // timezone contract (the encoder stamps UTC on the way out).
+    case x: TimeStampMicroVector => microsToTimestamp(x.get(i))
     case other => throw new IllegalArgumentException(
       s"Unsupported Arrow vector ${other.getClass.getSimpleName}")
+  }
+
+  private def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
   }
 
   /** Decode an Arrow IPC stream into a Spark schema + rows — the

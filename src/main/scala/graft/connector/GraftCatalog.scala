@@ -453,12 +453,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(baked into the existing data layout / merge semantics) " +
             "and cannot change")
         GraftCatalog.fieldAggColumn(set.property()).foreach { c =>
-          val cur = ts.options.get(set.property())
+          val cur = ts.options.get(set.property()).map(_.trim)
           // no-op: re-stating the stored fold, or stating the engine
           // default while unconfigured (config-management pushes)
-          val noop = cur.contains(set.value()) ||
+          val noop = cur.contains(set.value().trim) ||
             (cur.isEmpty && set.value().trim == "last_non_null_value")
-          if (!noop) requireFoldChangeSafe(dir, ts, c, set.property())
+          if (!noop) requireFoldChangeSafe(dir, ts, c, set.property(),
+            // the in-flight name→id view: a same-call ADD or RENAME has
+            // already updated fields/ids when the SET is processed
+            fields.fieldNames.zip(ids).toMap.get(c))
         }
         if (set.property() == TableCatalog.PROP_COMMENT) comment = Some(set.value())
         else options += (set.property() -> set.value())
@@ -468,10 +471,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"Table property '${rm.property()}' is structural and " +
             "cannot be removed")
         // UNSET of a configured fold is a fold CHANGE (back to the
-        // engine default) — same re-fold hazard as SET
+        // engine default) — same re-fold hazard as SET. Symmetric
+        // no-op: unsetting a stored value that IS the engine default
+        // changes nothing and stays allowed (idempotent config removal)
         GraftCatalog.fieldAggColumn(rm.property()).foreach { c =>
-          if (ts.options.contains(rm.property()))
-            requireFoldChangeSafe(dir, ts, c, rm.property())
+          val cur = ts.options.get(rm.property()).map(_.trim)
+          if (cur.exists(_ != "last_non_null_value"))
+            requireFoldChangeSafe(dir, ts, c, rm.property(),
+              fields.fieldNames.zip(ids).toMap.get(c))
         }
         options -= rm.property()
       case other => throw new UnsupportedOperationException(
@@ -505,18 +512,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * could never resurrect.
     */
   private def requireFoldChangeSafe(dir: Path, ts: TableSchema,
-      col: String, prop: String): Unit = {
+      col: String, prop: String, fieldId: Option[Int]): Unit = {
     val sm = new graft.format.SnapshotManager(dir,
       io = graft.format.FileIO.resolve(ts.ioSpec))
     val latest = sm.latestSnapshot
     if (latest.forall(_.totalRecordCount == 0L)) return // no committed rows
-    // first schema version that contains the column; 0 = CREATE schema.
-    // Absent from every persisted schema ⇒ the column is being added in
-    // this very ALTER call — brand new, trivially safe (a nonexistent
-    // column with no accompanying ADD is rejected by validate() below).
+    // An unknown column (no field id even in the in-flight ALTER view)
+    // is rejected by validate() below — nothing to guard here.
+    val fid = fieldId.getOrElse(return)
+    // First schema version that contains the column's FIELD ID; 0 =
+    // CREATE schema. Ids, not names: RENAME COLUMN keeps the id, so a
+    // renamed data-bearing column must NOT look like a fresh post-ADD
+    // one (its committed values serve under the new name via the id
+    // mapping — exactly the history a fold change would reinterpret).
+    // Id absent from every persisted schema ⇒ the column is being added
+    // in this very ALTER call — brand new, trivially safe.
     val intro = TableSchema.listIds(dir)
-      .find(id => TableSchema.loadById(dir, id)
-        .exists(_.fields.fieldNames.contains(col)))
+      .find(id => TableSchema.loadById(dir, id).exists(_.ids.contains(fid)))
       .getOrElse(return)
     val safe = intro > 0L && latest.exists(_.schemaId < intro)
     require(safe,

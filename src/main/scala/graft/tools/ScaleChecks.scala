@@ -434,8 +434,10 @@ object ScaleChecks {
         "cell-bounded (bound 12x)")
 
     spark.stop()
-    // the 10M-row canary warehouse is ~600 MB — repeated runs must not
-    // accumulate it in the system temp dir
-    Seq(wh, ckpt, sink).foreach(graft.util.Fs.deleteRecursively)
+    // the 10M-row canary warehouse and the streamed-aggregation source
+    // are ~600 MB+ — repeated runs must not accumulate them in the
+    // system temp dir
+    Seq(wh, ckpt, sink, aggSrc, aggChk)
+      .foreach(graft.util.Fs.deleteRecursively)
   }
 }

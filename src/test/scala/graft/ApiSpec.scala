@@ -499,6 +499,60 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("writeArrow accepts external producers' tz-naive timestamps " +
+      "and date64") {
+    // pyarrow's DEFAULT pa.timestamp('us') is timezone-NAIVE and dates
+    // often travel as date64 (millis) — both must decode, interpreted
+    // as UTC instants / epoch days, not fail mid-batch on the vector
+    // class the facade's own encoder happens not to emit
+    catalog.createTable("default.arrow_ext", Schema(StructType(Seq(
+      StructField("c_ts", TimestampType), StructField("c_date", DateType)))))
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
+    import scala.jdk.CollectionConverters._
+    val aSchema = new ASchema(Seq(
+      new Field("c_ts", FieldType.nullable(
+        new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)), null), // naive
+      new Field("c_date", FieldType.nullable(
+        new ArrowType.Date(DateUnit.MILLISECOND)), null)).asJava)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val ipc = try {
+      val root = org.apache.arrow.vector.VectorSchemaRoot.create(aSchema, alloc)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val wr = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+          root, null, java.nio.channels.Channels.newChannel(out))
+        wr.start(); root.allocateNew()
+        // 2024-02-29T12:34:56.789Z + a pre-epoch fractional instant
+        val us1 = java.time.Instant.parse("2024-02-29T12:34:56.789Z")
+        val us2 = java.time.Instant.parse("1969-12-31T23:59:59.500Z")
+        def micros(i: java.time.Instant): Long =
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        val tsVec = root.getVector(0)
+          .asInstanceOf[org.apache.arrow.vector.TimeStampMicroVector]
+        tsVec.setSafe(0, micros(us1)); tsVec.setSafe(1, micros(us2))
+        val dVec = root.getVector(1)
+          .asInstanceOf[org.apache.arrow.vector.DateMilliVector]
+        dVec.setSafe(0, 19782L * 86400000L) // 2024-02-29 as date64
+        dVec.setSafe(1, -214L * 86400000L)  // 1969-06-01
+        root.setRowCount(2)
+        wr.writeBatch(); wr.end()
+        out.toByteArray
+      } finally root.close()
+    } finally alloc.close()
+    val t = catalog.getTable("default.arrow_ext")
+    val wb = t.newBatchWriteBuilder(); val w = wb.newWrite()
+    w.writeArrow(ipc)
+    wb.newCommit().commit(w.prepareCommit())
+    val got = t.newReadBuilder().newRead().toDF()
+      .orderBy(org.apache.spark.sql.functions.desc("c_ts"))
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString,
+        r.getDate(1).toLocalDate.toString)).toSeq
+    assert(got == Seq(
+      ("2024-02-29T12:34:56.789Z", "2024-02-29"),
+      ("1969-12-31T23:59:59.500Z", "1969-06-01")), got.toString)
+  }
+
   test("writeArrow rejects malformed bytes with a clean error") {
     val t = catalog.getTable("default.arrow_dst")
     val w = t.newBatchWriteBuilder().newWrite()

@@ -64,6 +64,19 @@ class BenchSpec extends AnyFunSuite {
       .extract[Double](DefaultFormats, manifest[Double]) - 100.0) < 0.01)
   }
 
+  test("pass merge prefers successful measurements over fast failures") {
+    // a query that throws records its time-to-failure — often a FAST
+    // transient error — which must never win the min under passes:2
+    val merged = Bench.mergePasses(
+      Seq(("a", 1.2, true), ("b", 0.05, false), ("c", 0.3, false),
+        ("d", 2.0, true)),
+      Seq(("a", 1.5, true), ("b", 1.1, true), ("c", 0.4, false),
+        ("d", 1.8, true)))
+    assert(merged == Seq("a" -> 1.2, "b" -> 1.1, "c" -> 0.3, "d" -> 1.8))
+    intercept[IllegalArgumentException](
+      Bench.mergePasses(Seq(("a", 1.0, true)), Seq(("b", 1.0, true))))
+  }
+
   test("small inventory emits every query with no folding") {
     val line = Bench.renderLine(
       Seq(("q_a", 1.234), ("q_b", 0.001), ("q_c", 12.0)), "/root/testdata/sf0.01")

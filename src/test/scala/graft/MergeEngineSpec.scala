@@ -522,6 +522,17 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SET TBLPROPERTIES ('fields.total.aggregate-function'='sum')")
     spark.sql("ALTER TABLE graft.default.me_agg " +
       "SET TBLPROPERTIES ('fields.note.aggregate-function'='last_non_null_value')")
+    // ...and UNSET is symmetric: removing a stored value that IS the
+    // engine default changes no fold (idempotent config removal)
+    spark.sql("ALTER TABLE graft.default.me_agg " +
+      "UNSET TBLPROPERTIES ('fields.note.aggregate-function')")
+    // RENAME must not launder history past the guard: the fold walk
+    // tracks FIELD IDS, and a renamed data-bearing column carries its
+    // committed values under the new name
+    spark.sql("ALTER TABLE graft.default.me_agg RENAME COLUMN note TO memo")
+    refoldRejected("ALTER TABLE graft.default.me_agg " +
+      "SET TBLPROPERTIES ('fields.memo.aggregate-function'='first_value')")
+    spark.sql("ALTER TABLE graft.default.me_agg RENAME COLUMN memo TO note")
     // re-stating the SAME value is fine (idempotent config pushes),
     // as is writing the DEFAULT where the option was never stored,
     // and non-structural options still change
