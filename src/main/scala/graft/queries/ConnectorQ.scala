@@ -28,7 +28,14 @@ object ConnectorQ {
 
   final private case class Setup(ns: String, mid: Long, minUser: Long)
 
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Setup]()
+  // Keyed by (session identity, dir) like every sibling memo
+  // (Dedup/Similarity/Curation/Pipeline): the mapping CONFIGURES the
+  // session's graft_c catalog, so a second SparkSession in the same
+  // JVM must run its own setup (its session conf has no catalog and
+  // gets its own temp warehouse), not inherit a Setup built on another
+  // session's conf.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Setup]()
 
   /** Spark-SQL exact-cents of `value` — same expression as sqlCents. */
   private val C = "CAST(ROUND(value*100, 0) AS BIGINT)"
@@ -67,8 +74,13 @@ object ConnectorQ {
     * bytes) so a long-lived session sweeping many dirs doesn't
     * accumulate one warehouse's worth of graft tables per dir. The
     * next query against the same dir re-runs setup from scratch. */
+  /** Test hook: the live namespace a (session, dir) setup owns. */
+  private[graft] def activeNamespace(s: SparkSession,
+      dir: String): Option[String] =
+    Option(memo.get((System.identityHashCode(s), dir))).map(_.ns)
+
   def release(s: SparkSession, dir: String): Unit =
-    Option(memo.remove(dir)).foreach { st =>
+    Option(memo.remove((System.identityHashCode(s), dir))).foreach { st =>
       try s.sql(s"DROP NAMESPACE IF EXISTS graft_c.${st.ns} CASCADE")
       catch { case _: Throwable => () } // already-stopped session
       // stream checkpoints + file-sink output are keyed by ns too: a
@@ -76,19 +88,25 @@ object ConnectorQ {
       // snapshot ids, and a restarted stream must not resume from the
       // dropped incarnation's offsets (or re-serve its sink files)
       try {
-        import java.nio.file.{Files, Path, Paths}
+        import java.nio.file.{Files, Paths}
         s.conf.getOption("spark.sql.catalog.graft_c.warehouse").foreach { w =>
           val streams = Paths.get(w, "_streams")
-          if (Files.exists(streams))
-            Files.list(streams)
-              .filter(p => p.getFileName.toString.endsWith("_" + st.ns))
+          if (Files.exists(streams)) {
+            // close the listing stream: one leaked directory fd per
+            // release otherwise — and release runs at every bench
+            // family boundary for the session's whole life
+            val ls = Files.list(streams)
+            try ls.filter(p => p.getFileName.toString.endsWith("_" + st.ns))
               .forEach(p => graft.util.Fs.deleteRecursively(p))
+            finally ls.close()
+          }
         }
       } catch { case _: Throwable => () }
     }
 
   private def setup(s: SparkSession, dir: String): Setup =
-    memo.computeIfAbsent(dir, _ => ConnectorQ.synchronized {
+    memo.computeIfAbsent((System.identityHashCode(s), dir),
+        _ => ConnectorQ.synchronized {
       if (!s.conf.getOption("spark.sql.catalog.graft_c").exists(_.nonEmpty)) {
         val wh = java.nio.file.Files.createTempDirectory("graft-qwh")
         // release() drops namespaces, but the per-JVM warehouse root
@@ -98,8 +116,24 @@ object ConnectorQ {
         s.conf.set("spark.sql.catalog.graft_c", "graft.connector.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_c.warehouse", wh.toString)
       }
-      val ns = "c" + math.abs(dir.hashCode).toString
+      // floorMod, not math.abs (abs(Int.MinValue) is negative and
+      // would produce an unparseable identifier); the session hash
+      // keeps two sessions SHARING a warehouse (inherited catalog
+      // conf) out of each other's tables, matching the memo key
+      val ns = s"c${math.floorMod(System.identityHashCode(s), 1 << 20)}" +
+        s"_${math.floorMod(dir.hashCode, 1 << 30)}"
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_c.$ns")
+      setupBody(s, dir, ns)
+    })
+
+  /** The actual table builds, failure-ATOMIC: any thrown statement
+    * drops the whole namespace before rethrowing, so a later retry (the
+    * memo stores nothing on throw) re-runs against a clean slate
+    * instead of hitting TableAlreadyExists forever — the same contract
+    * the guarded seed rows (c_dedup_ingest, c_api_arrow) implement.
+    */
+  private def setupBody(s: SparkSession, dir: String, ns: String): Setup =
+    try {
       t(s, dir, "events").createOrReplaceTempView("ev_src")
       val Array(mid, minUser) = s.sql(
         "SELECT CAST(FLOOR(MAX(event_id)/2.0) AS BIGINT), MIN(user_id) FROM ev_src")
@@ -381,7 +415,14 @@ object ConnectorQ {
       finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
 
       Setup(ns, mid, minUser)
-    })
+    } catch { case t: Throwable =>
+      // half-created tables must not strand the namespace: drop it all
+      // so the retry's CREATEs start clean (warehouse dir is per-JVM
+      // and swept by the shutdown hook)
+      try s.sql(s"DROP NAMESPACE IF EXISTS graft_c.$ns CASCADE")
+      catch { case _: Throwable => () }
+      throw t
+    }
 
   private val sqlArgmax =
     """SELECT user_id, MAX(event_id) AS last_event_id,
@@ -1049,9 +1090,8 @@ object ConnectorQ {
         }
         s.sql(s"SELECT * FROM $sinkTable ORDER BY user_id")
       },
-      Some("""SELECT user_id,
-          CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
-            AS total_cents,
+      Some(s"""SELECT user_id,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) AS total_cents,
           COUNT(*) AS n_events
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
@@ -1088,9 +1128,8 @@ object ConnectorQ {
             max("id").as("last_admitted_id"))
           .orderBy("event_type")
       },
-      Some("""WITH c AS (
-          SELECT event_type, event_id,
-            CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+      Some(s"""WITH c AS (
+          SELECT event_type, event_id, ${sqlCents("value")} AS cents
           FROM events),
         cum AS (
           SELECT event_type, event_id, cents,
@@ -1178,9 +1217,12 @@ object ConnectorQ {
         val st = setup(s, dir)
         val tbl = s"graft_c.${st.ns}.doc_fp"
         val view = s"docs_fp_${st.ns}"
-        t(s, dir, "documents").selectExpr("doc_id",
-          "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS fp")
-          .createOrReplaceTempView(view)
+        locally {
+          import org.apache.spark.sql.functions.col
+          t(s, dir, "documents")
+            .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+            .createOrReplaceTempView(view)
+        }
         ConnectorQ.synchronized {
           // failure-atomic seeding: a half-seeded store (CREATE + first
           // INSERT ok, second INSERT thrown) must not survive the guard
@@ -1215,9 +1257,8 @@ object ConnectorQ {
               - (SELECT COUNT(*) FROM $tbl WHERE first_doc % 2 = 1)
               AS n_rejected_dupes""")
       },
-      Some("""WITH f AS (
-          SELECT doc_id,
-            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      Some(s"""WITH f AS (
+          SELECT doc_id, ${sqlFingerprint("text")} AS fp
           FROM documents),
         a AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
         b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 1),

@@ -103,6 +103,12 @@ object Curation {
           trim(regexp_replace(word, '(.)', '<\\1> ', 'g')) AS sym
         FROM (SELECT unnest($sqlTokens) AS word FROM documents) u
         GROUP BY word), """
+    // COALESCE in v$r: a DRY round (no adjacent pairs left — tiny
+    // corpus or fully-merged words) has an EMPTY best$r, and DuckDB's
+    // replace(sym, NULL, NULL) would NULL-poison every later
+    // vocabulary while the Spark trainer stops at the dry round and
+    // keeps the last real one. chr(1) never occurs in sym, so the
+    // guarded replace is the identity — matching Spark's dry-stop.
     for (r <- 1 to rounds) {
       b ++= s"""p$r AS MATERIALIZED (
           SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
@@ -114,8 +120,10 @@ object Curation {
         best$r AS MATERIALIZED (SELECT pair, cnt FROM p$r
           ORDER BY cnt DESC, pair LIMIT 1),
         v$r AS MATERIALIZED (
-          SELECT word, n, replace(sym, (SELECT pair FROM best$r),
-            replace((SELECT pair FROM best$r), '> <', '')) AS sym
+          SELECT word, n, replace(sym,
+            COALESCE((SELECT pair FROM best$r), chr(1)),
+            COALESCE(replace((SELECT pair FROM best$r), '> <', ''), ''))
+            AS sym
           FROM v${r - 1}), """
     }
     // the CTE chain above always ends "…), " — drop the final comma

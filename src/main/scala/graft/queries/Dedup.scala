@@ -306,29 +306,26 @@ object Dedup {
     // Exact dedup: hash-groupBy on a normalized fingerprint.
     QueryDef("d_exact",
       (s, dir) => t(s, dir, "documents")
-        .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
-          .as("fp"))
+        .select(fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fp")).as("n_unique"),
           (count(lit(1)) - countDistinct(col("fp"))).as("n_dups")),
-      Some("""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+      Some(s"""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
           COUNT(*) - COUNT(DISTINCT fp) AS n_dups
-        FROM (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM (SELECT ${sqlFingerprint("text")} AS fp
               FROM documents) q""")),
 
     // Exact dedup, keep-first: group-size histogram.
     QueryDef("d_exact_keep_first",
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .groupBy("fp").agg(min(col("doc_id")).as("keep_doc_id"),
           count(lit(1)).as("group_size"))
         .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
         .orderBy("group_size"),
-      Some("""SELECT group_size, COUNT(*) AS n_groups FROM (
+      Some(s"""SELECT group_size, COUNT(*) AS n_groups FROM (
           SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size
-          FROM (SELECT doc_id,
-              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          FROM (SELECT doc_id, ${sqlFingerprint("text")} AS fp
             FROM documents) q GROUP BY fp) g
         GROUP BY group_size ORDER BY group_size""")),
 
@@ -343,7 +340,7 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         val fp = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+            fingerprint(col("text")).as("fp"))
         fp.withColumn("keep_doc_id",
             min("doc_id").over(Window.partitionBy("fp")))
           .groupBy("source")
@@ -352,8 +349,8 @@ object Dedup {
               .as("n_kept"))
           .orderBy("source")
       },
-      Some("""WITH f AS (SELECT doc_id, source,
-            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      Some(s"""WITH f AS (SELECT doc_id, source,
+            ${sqlFingerprint("text")} AS fp
           FROM documents),
         k AS (SELECT fp, MIN(doc_id) AS keep_doc_id FROM f GROUP BY fp)
         SELECT source, COUNT(*) AS n_docs,

@@ -27,27 +27,40 @@ object Relational2 {
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // As-of join: each purchase matched to the user's most recent
-    // signup at-or-before it. Spark expresses it as a running
-    // last-ignore-nulls window (sort-merge, no quadratic blowup); the
-    // oracle is DuckDB's native ASOF JOIN — two independent
-    // implementations of the same semantics.
+    // signup at-or-before it, TIES INCLUDED and pinned — "at-or-before"
+    // means s.ts <= p.ts regardless of event-id order within the
+    // timestamp, and among equal-ts signups the largest event_id wins.
+    // Spark expresses it as a running max(struct(ts, event_id)) over a
+    // RANGE frame (the default frame includes ALL peer rows of the
+    // current ts — a ROWS frame ordered by (ts, event_id) would miss a
+    // same-ts signup with a larger event_id, which DuckDB-style ASOF
+    // semantics match); sort-merge window, no quadratic blowup. The
+    // oracle is an independent per-purchase lookup (correlated
+    // ORDER BY/LIMIT 1) with the same explicit tiebreak — DuckDB's
+    // native ASOF JOIN leaves equal-ts winner choice unspecified, so
+    // it cannot pin this contract.
     QueryDef("q_asof_join",
       (s, dir) => {
         val ev = t(s, dir, "events")
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val w = Window.partitionBy("user_id").orderBy("ts") // RANGE frame
         ev.withColumn("last_signup",
-            last(when(col("event_type") === "signup", col("event_id")),
-              ignoreNulls = true).over(w))
+            max(when(col("event_type") === "signup",
+              struct(col("ts"), col("event_id")))).over(w)
+              .getField("event_id"))
           .filter(col("event_type") === "purchase" && col("last_signup").isNotNull)
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("last_signup").as("signup_id"))
           .orderBy("user_id", "purchase_id")
       },
-      Some("""SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-          ON p.user_id = s.user_id AND p.ts >= s.ts
-        ORDER BY p.user_id, purchase_id""")),
+      Some("""SELECT user_id, purchase_id, signup_id FROM (
+          SELECT p.user_id, p.event_id AS purchase_id,
+            (SELECT s.event_id FROM events s
+             WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+               AND s.ts <= p.ts
+             ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_id
+          FROM events p WHERE p.event_type = 'purchase') x
+        WHERE signup_id IS NOT NULL
+        ORDER BY user_id, purchase_id""")),
 
     // Range (interval) join, BINNED: each event_type's campaign window
     // [first event, +3 days] is matched against ALL events by time

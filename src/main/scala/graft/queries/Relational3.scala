@@ -68,13 +68,12 @@ object Relational3 {
     // SQL-expressible cousin of LSH banding, fully oracle-checked.
     QueryDef("d_fingerprint_band",
       (s, dir) => t(s, dir, "documents")
-        .select(substring(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")),
-          1, 3).as("band"))
+        .select(substring(fingerprint(col("text")), 1, 3).as("band"))
         .groupBy("band").agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .orderBy("band"),
-      Some("""SELECT band, COUNT(*) AS n FROM (
-          SELECT substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 3) AS band
+      Some(s"""SELECT band, COUNT(*) AS n FROM (
+          SELECT substring(${sqlFingerprint("text")}, 1, 3) AS band
           FROM documents) q
         GROUP BY band HAVING COUNT(*) > 1 ORDER BY band""")),
 

@@ -79,6 +79,20 @@ object Tables {
   }
 
   /** Exact bigint cents of a double money column: ROUND(x*100) as long. */
+  /** Whitespace-normalized md5 document fingerprint — THE document
+    * identity the exact-dedup / ingest-dedup / fingerprint-banding
+    * families share. One definition per engine dialect (the Spark and
+    * DuckDB forms must stay equivalent: Java `\s+` vs RE2 global
+    * flag); every site routes through here so an edit to the
+    * normalization moves the whole family together.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+
+  /** [[fingerprint]] in DuckDB SQL over an expression. */
+  def sqlFingerprint(e: String): String =
+    s"md5(regexp_replace(trim(lower($e)), '\\s+', ' ', 'g'))"
+
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
   /** sum of exact cents back to a 2-decimal double — deterministic. */

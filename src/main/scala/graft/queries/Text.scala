@@ -146,21 +146,27 @@ object Text {
 
     // Quality features: token count, mean token length, stopword ratio.
     // Ratios are one exact-int division → bitwise deterministic.
+    // NULLIF guards the zero-token case on BOTH sides: Spark's 0.0/0
+    // is NULL but DuckDB's is NaN under ieee_floating_point_ops
+    // (default-on from 1.1) — x/NULL is NULL in both engines at every
+    // version, so a digits/punctuation-only document scores NULL
+    // ratios instead of diverging.
     QueryDef("t_quality_score",
       (s, dir) => t(s, dir, "documents")
         .withColumn("toks", tokens)
         .select(col("doc_id"),
           size(col("toks")).as("n_tokens"),
           (expr("aggregate(toks, 0L, (a, w) -> a + length(w))").cast("double") /
-            size(col("toks"))).as("mean_tok_len"),
+            nullif(size(col("toks")), lit(0))).as("mean_tok_len"),
           (expr("size(filter(toks, w -> w IN ('the','a','and','of','to')))")
-            .cast("double") / size(col("toks"))).as("stopword_ratio"))
+            .cast("double") / nullif(size(col("toks")), lit(0)))
+            .as("stopword_ratio"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, len(toks) AS n_tokens,
           (CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-            / len(toks)) AS mean_tok_len,
+            / NULLIF(len(toks), 0)) AS mean_tok_len,
           (CAST(len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) AS DOUBLE)
-            / len(toks)) AS stopword_ratio
+            / NULLIF(len(toks), 0)) AS stopword_ratio
         FROM (SELECT doc_id, $sqlTokens AS toks FROM documents) q
         ORDER BY doc_id""")),
 
@@ -219,12 +225,10 @@ object Text {
     // (rolling-hash stand-in that both engines share bit-for-bit).
     QueryDef("t_fingerprint",
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
-            .as("fingerprint"))
+        .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      Some(s"""SELECT doc_id,
+          ${sqlFingerprint("text")} AS fingerprint
         FROM documents ORDER BY doc_id""")),
 
     // Language profile: per-language corpus stats (exact ints).
@@ -542,8 +546,7 @@ object Text {
         val terms = Seq("dup", "stream", "vector", "window")
         val base = t(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"),
-            graft.functions.TextFunctions.ascii_words(col("text")).as("toks"))
+          .select(col("doc_id"), tokens.as("toks"))
         val perDoc = base.select(
           (col("doc_id") +: size(col("toks")).as("dl") +:
             terms.map(tm => size(filter(col("toks"),

@@ -35,7 +35,8 @@ class MemoLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("connector setup releases its per-dir namespace and tables") {
     val dir = "/root/testdata/sf0.001"
     assert(SparkEntry.queries("c_append_scan")(spark, dir).count() > 0)
-    val ns = "c" + math.abs(dir.hashCode).toString
+    val ns = graft.queries.ConnectorQ.activeNamespace(spark, dir)
+      .getOrElse(fail("setup must have memoized its namespace"))
     assert(spark.sql(s"SHOW TABLES IN graft_c.$ns").count() > 0,
       "setup must have created tables in the per-dir namespace")
     graft.queries.ConnectorQ.release(spark, dir)
@@ -44,6 +45,22 @@ class MemoLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!nss.contains(ns), s"namespace $ns must be dropped, got $nss")
     // the same dir sets up again from scratch on next use
     assert(SparkEntry.queries("c_append_scan")(spark, dir).count() > 0)
+    graft.queries.ConnectorQ.release(spark, dir)
+  }
+
+  test("a second session in the same JVM gets its own connector setup") {
+    // the memo keys by (session identity, dir): serving session A's
+    // Setup to session B would hand B a namespace in a catalog B's
+    // session conf never configured ("Catalog graft_c not found")
+    val dir = "/root/testdata/sf0.001"
+    assert(SparkEntry.queries("c_append_scan")(spark, dir).count() > 0)
+    val s2 = spark.newSession()
+    assert(SparkEntry.queries("c_append_scan")(s2, dir).count() > 0)
+    assert(graft.queries.ConnectorQ.activeNamespace(s2, dir).isDefined)
+    assert(graft.queries.ConnectorQ.activeNamespace(s2, dir) !=
+      graft.queries.ConnectorQ.activeNamespace(spark, dir),
+      "sessions must not share a namespace")
+    graft.queries.ConnectorQ.release(s2, dir)
     graft.queries.ConnectorQ.release(spark, dir)
   }
 
