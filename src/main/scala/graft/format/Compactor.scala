@@ -181,8 +181,15 @@ object Compactor extends Serializable {
       }
     }
     val deleteNames = groups.flatMap(_._2.map(_.fileName)).toSet
-    commit(new SnapshotManager(tableDir, io = FileIO.resolve(schema.ioSpec)),
-      schema.id, adds, deleteNames, tableDir)
+    // a group whose merge dropped EVERY key (all tombstones folded
+    // away) must commit as a pure DELETE: an empty data file with
+    // fabricated 0/0 seq bounds would otherwise be ADDed and opened by
+    // every later scan and recompaction of that bucket forever
+    val (kept, empty) = adds.partition(_.rowCount > 0)
+    val fio = FileIO.resolve(schema.ioSpec)
+    empty.foreach(f => fio.delete(tableDir.resolve(f.fileName)))
+    commit(new SnapshotManager(tableDir, io = fio),
+      schema.id, kept, deleteNames, tableDir)
     groups.size
   }
 
@@ -293,17 +300,22 @@ object Compactor extends Serializable {
         .map(f => ManifestEntry("DELETE", f)) ++
         adds.map(f => ManifestEntry("ADD", f))
       val manifest = sm.writeManifest(entries)
+      // compaction commits fold the chain too: a table maintained by
+      // repeated sys.compact (or partition DELETEs) must not grow its
+      // manifest list past the bound data commits respect
+      val (manifests, extra) = sm.chainWithFold(Some(base), live, manifest)
       val snap = Snapshot(
         id = base.id + 1,
         schemaId = schemaId,
         commitKind = kind,
         timeMillis = System.currentTimeMillis(),
-        manifests = base.manifests :+ manifest,
+        manifests = manifests,
         lastSequenceNumber = math.max(base.lastSequenceNumber,
           (adds.map(_.maxSeq) :+ 0L).max),
         totalRecordCount = live.filterNot(f => deleteNames.contains(f.fileName))
           .map(_.rowCount).sum + adds.map(_.rowCount).sum)
       if (sm.tryCommitSnapshot(snap)) return true
+      (manifest +: extra).foreach(sm.deleteManifest)
       attempt += 1
     }
     false

@@ -83,17 +83,10 @@ object FileStoreCommit {
       val deletedNames = deletes.map(_.file.fileName).toSet
       val newTotal = live.filterNot(f => deletedNames.contains(f.fileName))
         .map(_.rowCount).sum + files.map(_.rowCount).sum
-      // Manifest folding: the chain grows by one per commit; past a
-      // threshold, collapse history into a single full manifest so read
-      // planning stays O(live files), not O(commits).
-      val baseManifests = base.map(_.manifests).getOrElse(Seq.empty)
-      val manifests =
-        if (baseManifests.size >= 50) {
-          val full = sm.writeManifest(
-            sm.liveFiles(base.get).filterNot(f => deletedNames.contains(f.fileName))
-              .map(f => ManifestEntry("ADD", f)))
-          Seq(full, manifest)
-        } else baseManifests :+ manifest
+      // Manifest folding past the 50-chain bound — `live` is already
+      // the folded base set, no second chain read (the delta's DELETE
+      // entries drop the overwritten files at fold time).
+      val (manifests, extra) = sm.chainWithFold(base, live, manifest)
       val snap = Snapshot(
         id = base.map(_.id + 1).getOrElse(1L),
         schemaId = schemaId,
@@ -106,6 +99,8 @@ object FileStoreCommit {
         totalRecordCount = newTotal,
         commitIdentifier = identifier)
       if (sm.tryCommitSnapshot(snap)) return snap
+      // loser side: these manifests are referenced by no snapshot ever
+      (manifest +: extra).foreach(sm.deleteManifest)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -183,16 +178,18 @@ object FileStoreCommit {
       val live = sm.liveFiles(base)
       val doomed = live.filter(f => deleteNames.contains(f.fileName))
       val manifest = sm.writeManifest(doomed.map(f => ManifestEntry("DELETE", f)))
+      val (manifests, extra) = sm.chainWithFold(Some(base), live, manifest)
       val snap = Snapshot(
         id = base.id + 1,
         schemaId = schemaId,
         commitKind = "OVERWRITE",
         timeMillis = System.currentTimeMillis(),
-        manifests = base.manifests :+ manifest,
+        manifests = manifests,
         lastSequenceNumber = base.lastSequenceNumber,
         totalRecordCount = live.filterNot(f => deleteNames.contains(f.fileName))
           .map(_.rowCount).sum)
       if (sm.tryCommitSnapshot(snap)) return snap
+      (manifest +: extra).foreach(sm.deleteManifest)
       attempt += 1
     }
     throw new IllegalStateException("DELETE commit conflict")
@@ -220,19 +217,29 @@ object Resequencer {
       s"data-${java.util.UUID.randomUUID()}.${FormatIO.extension(info.fileFormat)}"
     val w = FormatIO.writer(info.fileFormat, info.tableDir.resolve(rel),
       info.kvFileSchema, info.fieldIds, io = io)
-    FormatIO.reader(FormatIO.ofFile(meta.fileName), src,
-      info.kvFileSchema, info.kvFileSchema, info.fieldIds, io = io).foreach { r =>
-      val out = new GenericInternalRow(info.kvFileSchema.length)
-      out.update(0, r.getLong(0) + delta)
-      var i = 1
-      while (i < info.kvFileSchema.length) {
-        out.update(i, if (r.isNullAt(i)) null
-        else r.get(i, info.kvFileSchema(i).dataType))
-        i += 1
+    try {
+      FormatIO.reader(FormatIO.ofFile(meta.fileName), src,
+        info.kvFileSchema, info.kvFileSchema, info.fieldIds, io = io).foreach { r =>
+        val out = new GenericInternalRow(info.kvFileSchema.length)
+        out.update(0, r.getLong(0) + delta)
+        var i = 1
+        while (i < info.kvFileSchema.length) {
+          out.update(i, if (r.isNullAt(i)) null
+          else r.get(i, info.kvFileSchema(i).dataType))
+          i += 1
+        }
+        w.write(out)
       }
-      w.write(out)
+      w.close()
+    } catch { case t: Throwable =>
+      // a mid-copy failure must not leak the writer handle or strand a
+      // partial data file in the LIVE bucket dir (only age-gated vacuum
+      // would ever reclaim it)
+      try w.close() catch { case _: Throwable => () }
+      try io.delete(info.tableDir.resolve(rel))
+      catch { case _: Throwable => () }
+      throw t
     }
-    w.close()
     io.delete(src)
     meta.copy(fileName = rel,
       fileSize = io.size(info.tableDir.resolve(rel)),

@@ -88,12 +88,27 @@ object Maintenance {
       case (id, s) if isRetained(id, s) => s
     } ++ sm.listTags.map(_._2)
     val keepManifests = retained.flatMap(_.manifests).toSet
+    // Per-run manifest cache: successive snapshots share most of their
+    // chain (manifests are immutable and reused), so folding each
+    // retained snapshot's live set through raw readManifest would cost
+    // O(retained × chain) reads — thousands of redundant GETs per
+    // scheduled expiry on an object store — for O(distinct manifests)
+    // distinct content.
+    val mcache = scala.collection.mutable.HashMap.empty[String, Seq[ManifestEntry]]
+    def readM(name: String): Seq[ManifestEntry] =
+      mcache.getOrElseUpdate(name, sm.readManifest(name))
+    def liveOf(s: Snapshot): Seq[DataFileMeta] = {
+      val entries = s.manifests.flatMap(readM)
+      val deleted = entries.filterNot(_.isAdd).map(_.file.fileName).toSet
+      entries.filter(e => e.isAdd && !deleted.contains(e.file.fileName))
+        .map(_.file)
+    }
     // reachable data files = union of the retained snapshots' LIVE
     // sets (ADDs folded against DELETEs per snapshot) — files dropped
     // by compaction/overwrite before the cutoff become garbage even
     // though old manifests still mention them
     val reachable = retained.flatMap(s =>
-      sm.liveFiles(s).map(_.fileName)).toSet
+      liveOf(s).map(_.fileName)).toSet
 
     // Expiry is purely METADATA-DRIVEN: the deletable universe is what
     // THIS table's known snapshots (expired + retained, read above)
@@ -118,7 +133,7 @@ object Maintenance {
       expiredSnaps.flatMap(_.manifests).distinct.filterNot(keepManifests)
     val candidates: Seq[String] =
       (expiredManifests ++ keepManifests).distinct
-        .flatMap(m => sm.readManifest(m).map(_.file.fileName)).distinct
+        .flatMap(m => readM(m).map(_.file.fileName)).distinct
 
     // Second tag listing, immediately before anything irreversible:
     // tags that appeared during the manifest reads above can only
@@ -128,7 +143,7 @@ object Maintenance {
     val lateTags = sm.listTags.map(_._2)
     val lateKeep = keepManifests ++ lateTags.flatMap(_.manifests)
     val lateReachable = reachable ++
-      lateTags.flatMap(s => sm.liveFiles(s).map(_.fileName))
+      lateTags.flatMap(s => liveOf(s).map(_.fileName))
 
     val snapshotDir = tableDir.resolve("snapshot")
     val manifestDir = tableDir.resolve("manifest")
@@ -211,8 +226,36 @@ object Maintenance {
         lastSequenceNumber = math.max(latest.lastSequenceNumber,
           targetSnap.lastSequenceNumber),
         totalRecordCount = targetSnap.totalRecordCount)
-      if (sm.tryCommitSnapshot(snap))
-        return RollbackResult(latest.id, target, snap.id)
+      if (sm.tryCommitSnapshot(snap)) {
+        // Post-publish re-check (createTag's pattern from the other
+        // side): an expiry racing this rollback may have read its
+        // retention set BEFORE our revert existed and be deleting the
+        // target's manifests/files right now — the revert would then
+        // be latest yet unreadable. Expiry deletes the snapshot JSON
+        // first, so target-still-pinned (live snapshot file or a tag
+        // copy) after our publish proves the interleaving didn't
+        // happen; otherwise UNDO by restoring the pre-rollback state
+        // (its manifests are retention-safe — it was latest) and fail
+        // loudly. (A mid-deletion sliver remains — rolling back to a
+        // snapshot an aggressive expiry is reclaiming is operationally
+        // exclusive; tag the target first to pin it.)
+        val stillPinned =
+          sm.existingSnapshotIds.contains(target) ||
+            sm.listTags.exists(_._2.id == target)
+        if (stillPinned) return RollbackResult(latest.id, target, snap.id)
+        sm.tryCommitSnapshot(Snapshot(
+          id = snap.id + 1,
+          schemaId = latest.schemaId,
+          commitKind = "ROLLBACK",
+          timeMillis = System.currentTimeMillis(),
+          manifests = latest.manifests,
+          lastSequenceNumber = snap.lastSequenceNumber,
+          totalRecordCount = latest.totalRecordCount))
+        throw new IllegalStateException(
+          s"Rollback to $target lost a race with snapshot expiry (the " +
+            "target was reclaimed mid-rollback); state restored to " +
+            s"snapshot ${latest.id}. Tag the target to pin it, then retry.")
+      }
       attempt += 1
     }
     throw new IllegalStateException(
@@ -238,11 +281,20 @@ object Maintenance {
     // exactly where orphans are most costly, the remote data plane
     val sm = new SnapshotManager(tableDir, io = io)
     // tags count as references: a tagged snapshot whose JSON was
-    // expired is reachable only through its tag copy
-    val referenced = (sm.existingSnapshotIds.map(sm.snapshot) ++
+    // expired is reachable only through its tag copy. Reads tolerate
+    // NOT-FOUND only (a concurrent expireSnapshots deleting a listed
+    // snapshot/manifest mid-vacuum must not crash the run — the
+    // vanished object's references vanish with it); real IO errors
+    // still propagate, since a silently-shrunken reference set would
+    // delete live data.
+    def tolerant[A](read: => Seq[A]): Seq[A] =
+      try read catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+    val referenced = (sm.existingSnapshotIds
+        .flatMap(id => tolerant(Seq(sm.snapshot(id)))) ++
         sm.listTags.map(_._2))
       .flatMap(_.manifests)
-      .distinct.flatMap(m => sm.readManifest(m).map(_.file.fileName)).toSet
+      .distinct.flatMap(m =>
+        tolerant(sm.readManifest(m)).map(_.file.fileName)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     // only files inside a bucket-* segment are data candidates;
     // snapshot/, manifest/, schema/ are metadata and never touched

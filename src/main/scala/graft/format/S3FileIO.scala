@@ -38,7 +38,15 @@ final class S3FileIO(
     clock: () => java.time.Instant = () => java.time.Instant.now())
   extends FileIO {
 
-  private val http = HttpClient.newHttpClient()
+  // Explicit timeouts: java.net.http defaults to INFINITE connect and
+  // response timeouts, so one black-holed connection (NAT reset,
+  // dropped pod) would hang the carrying Spark task — and any snapshot
+  // commit on it — forever, without ever reaching the retry/backoff
+  // path below. A thrown HttpTimeoutException IS an IOException, so it
+  // takes the same bounded-retry route as a connection reset.
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(20))
+    .build()
   private val mtimeWarned =
     new java.util.concurrent.atomic.AtomicBoolean(false)
   private def host: String =
@@ -74,9 +82,13 @@ final class S3FileIO(
       // sign per attempt: x-amz-date must be fresh after a backoff
       val headers = SigV4.headers(method, canonicalUri, query, host,
         payloadHash, clock(), region, accessKey, secretKey)
-      val b = HttpRequest.newBuilder(uri).method(method,
-        if (body == null) HttpRequest.BodyPublishers.noBody()
-        else HttpRequest.BodyPublishers.ofByteArray(body))
+      // generous: a data-plane object can be hundreds of MB on a slow
+      // link; the point is "finite", not "fast"
+      val b = HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofMinutes(5))
+        .method(method,
+          if (body == null) HttpRequest.BodyPublishers.noBody()
+          else HttpRequest.BodyPublishers.ofByteArray(body))
       (headers ++ extraHeaders).foreach { case (k, v) => b.header(k, v) }
       try {
         val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())

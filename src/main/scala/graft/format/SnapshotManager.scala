@@ -25,8 +25,8 @@ object AtomicPublisher {
   val local: AtomicPublisher = new AtomicPublisher {
     override def putIfAbsent(target: Path, content: String): Boolean = {
       val tmp = Files.createTempFile(target.getParent, ".s", ".tmp")
-      Files.writeString(tmp, content)
       try {
+        Files.writeString(tmp, content)
         // atomic create-exclusive: fails with FileAlreadyExistsException
         // if the target exists — a rename would silently REPLACE a
         // concurrent committer's snapshot (POSIX rename semantics) and
@@ -37,6 +37,11 @@ object AtomicPublisher {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp); false
+        case t: Throwable =>
+          // disk-full on the write, or a no-hard-link filesystem: the
+          // temp must not litter snapshot/ on every retrying attempt
+          try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+          throw t
       }
     }
   }
@@ -219,6 +224,34 @@ final class SnapshotManager(val tableDir: Path,
     io.writeAtomicString(manifestDir.resolve(name),
       JsonMethods.compact(JsonMethods.render(j)))
     name
+  }
+
+  /** Delete an (orphaned) manifest — the LOSER-side cleanup of an
+    * optimistic commit retry: a manifest written for an attempt whose
+    * snapshot publish lost the race is referenced by no snapshot ever,
+    * and neither expiry (deletes only manifests referenced exclusively
+    * by expired snapshots) nor vacuum (bucket-* data only) would ever
+    * reclaim it — unbounded manifest/ garbage on contended tables
+    * otherwise.
+    */
+  def deleteManifest(name: String): Boolean =
+    io.delete(manifestDir.resolve(name))
+
+  /** Chain the base's manifest list with a new delta manifest, FOLDING
+    * past the 50-manifest bound: history collapses into one full ADD
+    * manifest of the base's live set, so read planning stays O(live
+    * files), not O(commits) — for EVERY commit kind (append, overwrite,
+    * compaction, partition delete), not just data commits. Returns
+    * (manifest list, manifests written here) so retry loops can clean
+    * up the loser side.
+    */
+  def chainWithFold(base: Option[Snapshot],
+      live: => Seq[DataFileMeta], delta: String): (Seq[String], Seq[String]) = {
+    val baseManifests = base.map(_.manifests).getOrElse(Seq.empty)
+    if (baseManifests.size >= 50) {
+      val full = writeManifest(live.map(f => ManifestEntry("ADD", f)))
+      (Seq(full, delta), Seq(full))
+    } else (baseManifests :+ delta, Seq.empty)
   }
 
   /** Fold the manifest chain of a snapshot into the live file set. */

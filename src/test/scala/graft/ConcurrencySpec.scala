@@ -6,6 +6,7 @@ import java.nio.file.Files
 import scala.concurrent.{Await, Future}
 import scala.concurrent.duration._
 import scala.concurrent.ExecutionContext.Implicits.global
+import scala.jdk.CollectionConverters._
 
 /** Optimistic-commit contention: parallel INSERTs race on snapshot ids;
   * the retry loop must serialize them without losing a commit.
@@ -39,6 +40,21 @@ class ConcurrencySpec extends AnyFunSuite {
         warehouse.resolve("c.db/t"))
       assert(sm.existingSnapshotIds == (1L to 16L))
       assert(sm.latestSnapshot.get.totalRecordCount == 16)
+      // loser-side manifests are cleaned up: under 16-way contention the
+      // retry loops wrote many manifests whose publish lost — every
+      // manifest left on disk must be referenced by some snapshot, or
+      // contended tables would accumulate unbounded manifest/ garbage
+      // no maintenance path ever reclaims
+      val referenced = sm.existingSnapshotIds
+        .flatMap(id => sm.snapshot(id).manifests).toSet
+      val onDisk = java.nio.file.Files.list(
+        warehouse.resolve("c.db/t/manifest"))
+      val orphans =
+        try onDisk.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("manifest-") && !referenced.contains(n))
+          .toSeq
+        finally onDisk.close()
+      assert(orphans.isEmpty, s"orphan loser manifests left: $orphans")
     } finally spark.stop()
   }
 

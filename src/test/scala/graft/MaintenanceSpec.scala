@@ -430,6 +430,50 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq == Seq(16L))
   }
 
+  test("manifest chain folds under compaction-heavy histories too") {
+    // trigger-file-count=1 makes EVERY insert publish data + COMPACT
+    // snapshots; 30 inserts = 60 commits, past the 50-manifest bound.
+    // Folding used to live only in the data-commit path, so a table
+    // maintained by compaction grew its chain without limit — O(commits)
+    // manifest reads on every plan instead of O(live files).
+    spark.sql("CREATE TABLE graft.default.foldc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'compaction.trigger-file-count'='1')")
+    (1 to 30).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.foldc VALUES (${i % 7}, $i)"))
+    val sm = new SnapshotManager(warehouse.resolve("default.db/foldc"))
+    val chain = sm.latestSnapshot.get.manifests
+    assert(chain.size <= 51, s"chain must fold: ${chain.size} manifests")
+    // reads stay exact through the folded chain (LWW per key: the
+    // largest i <= 30 with i % 7 == k wins)
+    assert(spark.sql("SELECT k, v FROM graft.default.foldc ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq(0L -> 28L, 1L -> 29L, 2L -> 30L, 3L -> 24L, 4L -> 25L,
+        5L -> 26L, 6L -> 27L))
+  }
+
+  test("compaction of an all-tombstone bucket commits a pure delete") {
+    // delete every key, then force compaction: the merge drops all
+    // rows, and the COMPACT snapshot must carry only DELETEs — an
+    // empty data file would be opened by every later scan forever
+    spark.sql("CREATE TABLE graft.default.alldel (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    spark.sql("INSERT INTO graft.default.alldel VALUES (1, 1), (2, 2)")
+    spark.sql("DELETE FROM graft.default.alldel WHERE k >= 0")
+    assert(spark.table("graft.default.alldel").count() == 0L)
+    spark.sql("CALL graft.sys.compact('default.alldel')")
+    val sm = new SnapshotManager(warehouse.resolve("default.db/alldel"))
+    assert(sm.existingSnapshotIds.map(id => sm.snapshot(id).commitKind)
+      .contains("COMPACT"))
+    val live = sm.liveFilesLatest
+    assert(live.isEmpty, s"all-tombstone compaction left files: " +
+      live.map(f => s"${f.fileName}(${f.rowCount})").mkString(", "))
+    assert(spark.table("graft.default.alldel").count() == 0L)
+    // ...and the table keeps working after (insert into the emptied bucket)
+    spark.sql("INSERT INTO graft.default.alldel VALUES (3, 3)")
+    assert(spark.table("graft.default.alldel").count() == 1L)
+  }
+
   test("expiry retains each streaming query's newest identity snapshot") {
     // the replay guard (GraftStreamingWrite.lastCommittedEpoch) reads
     // "<queryId>/<epochId>" identities from the snapshot chain; if
