@@ -463,7 +463,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // already updated fields/ids when the SET is processed
             fields.fieldNames.zip(ids).toMap.get(c))
         }
-        if (set.property() == TableCatalog.PROP_COMMENT) comment = Some(set.value())
+        // `COMMENT ON TABLE t IS NULL` arrives as SET comment -> ""
+        // in Spark 4.1 (other clients emit removeProperty, handled
+        // below): an empty comment IS no comment
+        if (set.property() == TableCatalog.PROP_COMMENT)
+          comment = Some(set.value()).filter(_.nonEmpty)
         else options += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
         require(!GraftCatalog.isStructuralProperty(rm.property())
@@ -480,6 +484,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             requireFoldChangeSafe(dir, ts, c, rm.property(),
               fields.fieldNames.zip(ids).toMap.get(c))
         }
+        // `COMMENT ON TABLE t IS NULL` arrives as
+        // removeProperty("comment") — the comment lives in its own
+        // field, so the options removal below would silently no-op
+        if (rm.property() == TableCatalog.PROP_COMMENT) comment = None
         options -= rm.property()
       case other => throw new UnsupportedOperationException(
         s"Unsupported table change: $other")

@@ -86,6 +86,10 @@ object GraftFunctions {
           if (input.isNullAt(0) || input.isNullAt(1)) return null
           val arr = input.getArray(0)
           val n = input.getInt(1)
+          // n < 1 would throw NegativeArraySizeException from inside an
+          // executor (n < 0) or emit total+1 EMPTY shingles (n == 0) —
+          // reject with the actual argument instead
+          require(n >= 1, s"word_shingles needs n >= 1, got $n")
           val total = arr.numElements()
           val m = math.max(total - n + 1, 0)
           val sep = UTF8String.fromString(" ")

@@ -72,17 +72,11 @@ class GraftRowLevelOperation(tableDir: Path, schema: TableSchema,
 class GraftReplaceBatchWrite(tableDir: Path, schema: TableSchema,
     plannedFiles: () => Seq[String]) extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
-    val baseSeq = sm.latestSnapshot.map(_.lastSequenceNumber + 1).getOrElse(1L)
-    GraftWriterFactory(tableDir.toString, schema.fields.json,
-      schema.partitionKeys, schema.trimmedPrimaryKeys,
-      schema.isPrimaryKeyTable, schema.numBuckets, baseSeq,
-      schema.options.getOrElse("file.format", "parquet"),
-      GraftDataWriter.spillRows(schema.options), schema.idMap,
-      GraftDataWriter.blockSize(schema.options),
-      ioSpec = schema.ioSpec)
-  }
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    // the ONE shared writer-factory recipe — a local copy here would
+    // silently drift from the append/streaming paths (the exact drift
+    // GraftWriteSupport.writerFactory's contract exists to prevent)
+    GraftWriteSupport.writerFactory(tableDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.collect { case m: GraftCommitMessage => m.files }.flatten

@@ -45,7 +45,13 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
   private var required: StructType =
     if (fullSchema != null) fullSchema else schema.fields
   private var limit: Option[Int] = None
-  private var pushedAgg: Option[(Seq[GraftAggScan.Spec], StructType)] = None
+  // (specs, output schema, snapshot the pushdown VALIDATED against —
+  // the agg scan executes on that same snapshot, so a commit racing
+  // the window between planning and execution can neither invalidate
+  // the COUNT(col) null-count check nor shift the answer off the
+  // planned state)
+  private var pushedAgg
+      : Option[(Seq[GraftAggScan.Spec], StructType, Option[Long])] = None
 
   /** Shapes `Values.evalExact` decides under Kleene 3VL. A conjunct of
     * such a shape referencing ONLY partition columns is enforced
@@ -80,7 +86,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     * PK tables can't play: pre-merge metadata counts overwritten rows.
     */
   private def toSpecs(agg: org.apache.spark.sql.connector.expressions
-      .aggregate.Aggregation): Option[(Seq[GraftAggScan.Spec], StructType)] = {
+      .aggregate.Aggregation)
+      : Option[(Seq[GraftAggScan.Spec], StructType, Option[Long])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (schema.isPrimaryKeyTable || changelogView || incremental.nonEmpty ||
@@ -106,19 +113,36 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
           if (dt == StringType || dt == BinaryType) None
           // partition columns have no per-file bounds; prunable later
           else if (schema.partitionKeys.contains(n)) None
+          // float→double WIDENED column: pre-widening files recorded
+          // stat strings from Float.toString, whose shortest decimal
+          // parses to a different double than the float it names
+          // widens to (0.1f.toDouble ≠ "0.1".toDouble) — an "exact"
+          // pushed MIN/MAX could return a value no row contains.
+          // evalRange survives this by widening bounds conservatively;
+          // an exact aggregate cannot, so refuse pushdown when the
+          // schema lineage shows a float era for this field id.
+          else if (dt == DoubleType && schema.idMap.get(n).exists(id =>
+            graft.core.TableSchema.listIds(tableDir).exists(sid =>
+              graft.core.TableSchema.loadById(tableDir, sid).exists { s =>
+                val i = s.ids.indexOf(id)
+                i >= 0 && s.fields.fields(i).dataType == FloatType
+              }))) None
           else Some(n -> dt)
         }
       case _ => None
     }
     // COUNT(col) needs exact per-file null counts for the column in
-    // EVERY live file (older files may predate null-count stats)
-    lazy val liveFiles: Seq[DataFileMeta] = {
-      val sm = new SnapshotManager(tableDir, io = graft.format.FileIO.resolve(schema.ioSpec))
-      pinnedSnapshot match {
-        case Some(id) => sm.liveFiles(sm.snapshotOrTagged(id))
-        case None => sm.liveFilesLatest
-      }
-    }
+    // EVERY live file (older files may predate null-count stats).
+    // The snapshot this validation reads is what the agg scan must
+    // EXECUTE on — re-resolving latest at execution would race
+    // concurrent commits whose files may lack the checked stats.
+    lazy val sm = new SnapshotManager(tableDir,
+      io = graft.format.FileIO.resolve(schema.ioSpec))
+    lazy val aggSnapshot: Option[Long] =
+      pinnedSnapshot.orElse(sm.latestSnapshotId)
+    lazy val liveFiles: Seq[DataFileMeta] =
+      aggSnapshot.map(id => sm.liveFiles(sm.snapshotOrTagged(id)))
+        .getOrElse(Seq.empty)
     def countable(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -145,9 +169,16 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     else {
       val groupFields = groupCols.map(c =>
         schema.fields(schema.fields.fieldIndex(c)).copy(nullable = true))
-      Some((groupCols.map(GraftAggScan.GroupBy.apply) ++
-        specs.flatten.map(_._1)) ->
-        StructType(groupFields ++ specs.flatten.map(_._2)))
+      // resolve the execution snapshot only when a spec actually needs
+      // per-file stats consistency; plain COUNT(*)/MIN/MAX over the
+      // latest state may keep execution-time resolution (None stays
+      // None on an empty table either way)
+      val needsPin = specs.flatten.map(_._1)
+        .exists(_.isInstanceOf[GraftAggScan.CountOf])
+      Some(((groupCols.map(GraftAggScan.GroupBy.apply) ++
+        specs.flatten.map(_._1)),
+        StructType(groupFields ++ specs.flatten.map(_._2)),
+        if (needsPin) aggSnapshot else pinnedSnapshot))
     }
   }
 
@@ -188,8 +219,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def build(): Scan = (pushedAgg, rowLevelOp) match {
-    case (Some((specs, aggSchema)), None) =>
-      new GraftAggScan(tableDir, schema, pinnedSnapshot, specs, aggSchema,
+    case (Some((specs, aggSchema, aggSnap)), None) =>
+      new GraftAggScan(tableDir, schema, aggSnap, specs, aggSchema,
         accepted)
     case (_, Some(op)) =>
       new GraftScan(tableDir, schema, required, filters, limit,
@@ -264,8 +295,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     * the two sides' KeyGroupedPartitionings via the catalog's `bucket`
     * function identity and zips bucket partitions directly
     * (spark.sql.sources.v2.bucketing.enabled=true). Partitioned PK
-    * tables keep UnknownPartitioning for now (their key would need the
-    * partition columns too).
+    * tables cluster by (partition identities..., bucket); append
+    * tables by partition values alone.
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
@@ -491,7 +522,28 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     }
   }
 
+  /** Memoized like [[prunedFiles]] (same runtime-filter key):
+    * outputPartitioning needs the partition COUNT and Spark separately
+    * plans the partitions, so the group-by + first-fit bin packing —
+    * O(files) work over potentially hundreds of thousands of files at
+    * the target scale — must not run once per caller.
+    */
+  @volatile private var partitionsCache
+      : Option[(Seq[Filter], Option[Set[String]], Array[InputPartition])] = None
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val k1 = runtimeFilters.toSeq
+    val k2 = runtimeFiles
+    partitionsCache match {
+      case Some((f1, f2, parts)) if f1 == k1 && f2 == k2 => parts
+      case _ =>
+        val parts = computePlannedPartitions()
+        partitionsCache = Some((k1, k2, parts))
+        parts
+    }
+  }
+
+  private def computePlannedPartitions(): Array[InputPartition] = {
     require(incremental.isEmpty || changelogView,
       "Incremental BATCH reads (fromSnapshot/toSnapshot) are served by " +
         "the $changelog view; the base table always reads a full snapshot " +
@@ -986,7 +1038,14 @@ final class GraftAggScan(tableDir: Path, schema: TableSchema,
           Values.parse(dt, gvals(groupCols.indexOf(c)))
         case GraftAggScan.CountStar => fs.map(_.rowCount).sum: java.lang.Long
         case GraftAggScan.CountOf(c) =>
-          fs.map(f => f.rowCount - f.nullCounts(c)).sum: java.lang.Long
+          // the pushdown validated + pinned the snapshot, so every file
+          // carries the stat; a missing one means the pin broke — fail
+          // with the cause, not a raw NoSuchElementException
+          fs.map(f => f.rowCount - f.nullCounts.getOrElse(c,
+            throw new IllegalStateException(
+              s"file ${f.fileName} lacks null-count stats for '$c' " +
+                "(commit raced the aggregate pushdown validation)")))
+            .sum: java.lang.Long
         case GraftAggScan.MinOf(c) => bound(fs, c, wantMin = true)
         case GraftAggScan.MaxOf(c) => bound(fs, c, wantMin = false)
       }.toArray

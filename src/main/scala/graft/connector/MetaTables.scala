@@ -40,11 +40,16 @@ object MetaTables {
 
   def snapshotRows(dir: Path, ioSpec: String = "local"): Seq[Array[Any]] = {
     val sm = new SnapshotManager(dir, io = graft.format.FileIO.resolve(ioSpec))
-    // listing-based, NOT (1..latest): expiry leaves gaps at the front
-    sm.existingSnapshotIds.map { id =>
-      val s = sm.snapshot(id)
-      Array[Any](s.id, s.schemaId, UTF8String.fromString(s.commitKind),
-        s.timeMillis * 1000L, s.totalRecordCount, s.manifests.size)
+    // listing-based, NOT (1..latest): expiry leaves gaps at the front.
+    // A snapshot expired between the listing and its read is skipped
+    // (same TOCTOU guard as the time-travel walk) — a metadata query
+    // racing expire_snapshots must not die on NoSuchFileException.
+    sm.existingSnapshotIds.flatMap { id =>
+      try {
+        val s = sm.snapshot(id)
+        Some(Array[Any](s.id, s.schemaId, UTF8String.fromString(s.commitKind),
+          s.timeMillis * 1000L, s.totalRecordCount, s.manifests.size))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
     }
   }
 
@@ -143,12 +148,15 @@ object MetaTables {
     */
   def manifestRows(dir: Path, ioSpec: String = "local"): Seq[Array[Any]] = {
     val sm = new SnapshotManager(dir, io = graft.format.FileIO.resolve(ioSpec))
-    sm.latestSnapshot.toSeq.flatMap(_.manifests).map { name =>
-      val entries = sm.readManifest(name)
-      val (adds, dels) = entries.partition(_.isAdd)
-      Array[Any](UTF8String.fromString(name),
-        adds.size.toLong, dels.size.toLong,
-        adds.map(_.file.rowCount).sum, dels.map(_.file.rowCount).sum)
+    sm.latestSnapshot.toSeq.flatMap(_.manifests).flatMap { name =>
+      // same expiry-race tolerance as snapshotRows
+      try {
+        val entries = sm.readManifest(name)
+        val (adds, dels) = entries.partition(_.isAdd)
+        Some(Array[Any](UTF8String.fromString(name),
+          adds.size.toLong, dels.size.toLong,
+          adds.map(_.file.rowCount).sum, dels.map(_.file.rowCount).sum))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
     }
   }
 

@@ -55,7 +55,14 @@ object Values {
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case d: java.time.LocalDate => d.toEpochDay.toInt
     case t: java.sql.Timestamp =>
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      // floorDiv, not /: getTime truncates toward zero while getNanos
+      // is always the non-negative sub-second part, so pre-epoch
+      // values with fractional seconds would otherwise shift +1s
+      // (same fix as ArrowSink.epochMicros; matches Spark's
+      // DateTimeUtils.fromJavaTimestamp)
+      Math.addExact(Math.multiplyExact(
+        Math.floorDiv(t.getTime, 1000L), 1000000L),
+        (t.getNanos / 1000L) % 1000000L)
     case t: java.time.Instant =>
       t.getEpochSecond * 1000000L + t.getNano / 1000
     case other => other
@@ -119,7 +126,14 @@ object Values {
       case In(c, vs) =>
         (dt(c), value(c)) match {
           case (Some(d), Some(cur)) if cur != null =>
-            Some(vs.exists(v => v != null && compare(d, cur, toInternal(d, v)) == 0))
+            if (vs.exists(v => v != null && compare(d, cur, toInternal(d, v)) == 0))
+              Some(true)
+            // SQL 3VL: `x IN (v..., NULL)` with no match is NULL, not
+            // false — returning Some(false) here would flip to TRUE
+            // under Not and make `p NOT IN (1, NULL)` prune (or
+            // metadata-DELETE) partitions SQL says must not qualify
+            else if (vs.contains(null)) None
+            else Some(false)
           case _ => None
         }
       case IsNull(c) => value(c).map(_ == null)

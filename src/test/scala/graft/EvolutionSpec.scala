@@ -168,6 +168,28 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 1)
   }
 
+  test("float->double widening refuses exact MIN/MAX pushdown (era stats)") {
+    // pre-widening files recorded Float.toString stat strings; "0.1"
+    // parses to a double no row contains (0.1f widens to
+    // 0.10000000149011612). The metadata-only aggregate must refuse
+    // the column and fall back to a real scan whose answer matches the
+    // rows actually stored.
+    spark.sql("CREATE TABLE graft.default.evo_fd (k INT, f FLOAT)")
+    spark.sql("INSERT INTO graft.default.evo_fd VALUES (1, CAST(0.1 AS FLOAT))")
+    spark.sql("ALTER TABLE graft.default.evo_fd ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("INSERT INTO graft.default.evo_fd VALUES (2, 0.5)")
+    val q = spark.sql("SELECT MIN(f) AS mn FROM graft.default.evo_fd")
+    assert(!q.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "widened float column must not serve metadata-only MIN/MAX")
+    assert(q.collect()(0).getDouble(0) == 0.1f.toDouble)
+    // a never-float double column still pushes down
+    spark.sql("CREATE TABLE graft.default.evo_dd (k INT, d DOUBLE)")
+    spark.sql("INSERT INTO graft.default.evo_dd VALUES (1, 0.25)")
+    val q2 = spark.sql("SELECT MIN(d) AS mn FROM graft.default.evo_dd")
+    assert(q2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(q2.collect()(0).getDouble(0) == 0.25)
+  }
+
   test("cross-family widening int->double: old files upcast at read, all formats") {
     for (fmt <- Seq("parquet", "orc", "avro")) {
       spark.sql(s"CREATE TABLE graft.default.evo_xf_$fmt (k INT, m INT, s SMALLINT) " +

@@ -235,6 +235,17 @@ class FunctionsSpec extends AnyFunSuite {
       spark.sql("SELECT gfn.sys.nope(1)").collect()
     }
     assert(e.getMessage.contains("nope"))
+    // n < 1 is rejected with the argument named, not a
+    // NegativeArraySizeException from inside an executor (n = -1) or a
+    // silent array of empty shingles (n = 0)
+    for (bad <- Seq(0, -1)) {
+      val eb = intercept[Exception](spark.sql(
+        s"SELECT gfn.sys.word_shingles(array('a','b'), $bad)").collect())
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.toString).toSeq
+      assert(chain(eb).exists(_.contains("n >= 1")), chain(eb).mkString("\n"))
+    }
   }
 
   test("minhash LSH finds planted near-duplicates in documents") {

@@ -430,6 +430,21 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq == Seq(16L))
   }
 
+  test("COMMENT ON TABLE ... IS NULL clears the comment") {
+    // Spark emits removeProperty(\"comment\") for a NULL comment; the
+    // comment lives in its own schema field, so the options-map removal
+    // alone would silently no-op
+    spark.sql("CREATE TABLE graft.default.cmt (k BIGINT) COMMENT 'hello'")
+    def comment(): Option[String] =
+      graft.core.TableSchema.load(warehouse.resolve("default.db/cmt"))
+        .get.comment
+    assert(comment().contains("hello"))
+    spark.sql("COMMENT ON TABLE graft.default.cmt IS 'world'")
+    assert(comment().contains("world"))
+    spark.sql("COMMENT ON TABLE graft.default.cmt IS NULL")
+    assert(comment().isEmpty, "NULL comment must clear the stored comment")
+  }
+
   test("manifest chain folds under compaction-heavy histories too") {
     // trigger-file-count=1 makes EVERY insert publish data + COMPACT
     // snapshots; 30 inserts = 60 commits, past the 50-manifest bound.

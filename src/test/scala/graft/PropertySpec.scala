@@ -354,4 +354,37 @@ class PropertySpec extends AnyFunSuite {
       assert(Values.parse(BooleanType, Values.encode(BooleanType, b)) == b)
     }
   }
+
+  test("toInternal: pre-epoch fractional timestamps floor-divide") {
+    // getTime truncates toward zero while getNanos is non-negative: a
+    // plain / shifted 1969-12-31T23:59:59.5Z (-500ms) to +500000us
+    val t = java.sql.Timestamp.from(
+      java.time.Instant.parse("1969-12-31T23:59:59.500Z"))
+    assert(Values.toInternal(TimestampType, t) == -500000L)
+    // post-epoch unchanged; Instant path agrees
+    val p = java.sql.Timestamp.from(
+      java.time.Instant.parse("1970-01-01T00:00:00.500Z"))
+    assert(Values.toInternal(TimestampType, p) == 500000L)
+    assert(Values.toInternal(TimestampType,
+      java.time.Instant.parse("1969-12-31T23:59:59.500Z")) == -500000L)
+  }
+
+  test("evalExact: In with a NULL in the value list is 3VL-correct") {
+    import org.apache.spark.sql.sources._
+    val dt: String => Option[DataType] = _ => Some(LongType)
+    def value(v: Any): String => Option[Any] = _ => Some(v)
+    // match present → TRUE even with a null in the list
+    assert(Values.evalExact(In("p", Array(1L, null)), dt, value(1L))
+      .contains(true))
+    // no match + null in list → UNKNOWN (so Not stays UNKNOWN: a
+    // Some(false) here would flip to TRUE and let
+    // `p NOT IN (1, NULL)` prune — or metadata-DELETE — partitions
+    // SQL says must not qualify)
+    assert(Values.evalExact(In("p", Array(1L, null)), dt, value(2L)).isEmpty)
+    assert(Values.evalExact(Not(In("p", Array(1L, null))), dt, value(2L))
+      .isEmpty)
+    // no null in list keeps the decisive answer
+    assert(Values.evalExact(In("p", Array(1L, 3L)), dt, value(2L))
+      .contains(false))
+  }
 }

@@ -43,6 +43,26 @@ class RowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("NOT IN with NULL deletes nothing (3VL on the metadata path)") {
+    // `p NOT IN (1, NULL)` is NULL (not TRUE) for every p != 1 — the
+    // partition-metadata DELETE path must not treat In's no-match as
+    // FALSE and flip it under Not (that would drop every other
+    // partition's files). Also pins the read side: the same predicate
+    // as a filter returns zero rows.
+    spark.sql("CREATE TABLE graft.default.rl_nin (p BIGINT, v BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.default.rl_nin VALUES (1, 10), (2, 20), (3, 30)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.default.rl_nin " +
+      "WHERE p NOT IN (1, NULL)").collect()(0).getLong(0) == 0L)
+    spark.sql("DELETE FROM graft.default.rl_nin WHERE p NOT IN (1, NULL)")
+    assert(spark.table("graft.default.rl_nin").count() == 3L,
+      "NOT IN (…, NULL) must delete nothing")
+    // sanity: without the NULL the delete behaves normally
+    spark.sql("DELETE FROM graft.default.rl_nin WHERE p NOT IN (1)")
+    assert(spark.sql("SELECT p FROM graft.default.rl_nin").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("row-level DELETE only rewrites affected files") {
     // the 2-file layout above: file1 had {1,2,3}, file2 {4,5}; both
     // contained a 'drop' so both rewritten; now delete from one only
