@@ -45,12 +45,18 @@ final class Catalog private (val spark: SparkSession, val warehouse: Path,
     val fieldsDdl = schema.fields.map(f =>
       s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     val partBy = if (schema.partitionKeys.nonEmpty)
-      s" PARTITIONED BY (${schema.partitionKeys.mkString(", ")})" else ""
+      s" PARTITIONED BY (${schema.partitionKeys.map(k => s"`$k`")
+        .mkString(", ")})" else ""
     val props = schema.options ++
       (if (schema.primaryKeys.nonEmpty)
         Map("primary-key" -> schema.primaryKeys.mkString(",")) else Map.empty)
+    // escape quotes like the comment below — an option value holding a
+    // quote (a path, a regex) must not break the DDL or inject extra
+    // properties past the parser
+    def q(s: String): String = s.replace("'", "''")
     val tblProps = if (props.nonEmpty)
-      " TBLPROPERTIES (" + props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+      " TBLPROPERTIES (" + props.map { case (k, v) => s"'${q(k)}'='${q(v)}'" }
+        .mkString(", ") + ")"
     else ""
     val commentDdl = schema.comment
       .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
@@ -185,19 +191,23 @@ final class GraftTableHandle(spark: SparkSession, catalogName: String,
     * listed by the `t$tags` system table.
     */
   def createTag(name: String, snapshotId: Option[Long] = None): Unit =
-    new SnapshotManager(tableDir,
-      io = graft.format.FileIO.resolve(tableSchema.ioSpec))
-      .createTag(name, snapshotId)
+    snapshotManager.createTag(name, snapshotId)
 
   /** Remove a tag; the snapshot's files become expirable again. */
   def deleteTag(name: String): Boolean =
-    new SnapshotManager(tableDir,
-      io = graft.format.FileIO.resolve(tableSchema.ioSpec)).deleteTag(name)
+    snapshotManager.deleteTag(name)
 
   def listTags(): Seq[(String, Long)] =
+    snapshotManager.listTags.map { case (n, s) => (n, s.id) }
+
+  /** The ONE SnapshotManager construction for this handle's table —
+    * every facade site routes through here so none can forget the
+    * ioSpec and silently fall back to local IO on an object-store
+    * table.
+    */
+  private[api] def snapshotManager: SnapshotManager =
     new SnapshotManager(tableDir,
       io = graft.format.FileIO.resolve(tableSchema.ioSpec))
-      .listTags.map { case (n, s) => (n, s.id) }
 
   private[api] def sqlName: String = s"$catalogName.$identifier"
 }
@@ -230,8 +240,14 @@ final class PredicateBuilder(schema: StructType) {
   def isNotIn(f: String, vs: Seq[Any]): Predicate = Predicate(!col(check(f)).isin(vs: _*))
   def between(f: String, lo: Any, hi: Any): Predicate =
     Predicate(col(check(f)).between(lit(lo), lit(hi)))
-  def and(ps: Seq[Predicate]): Predicate = Predicate(ps.map(_.column).reduce(_ && _))
-  def or(ps: Seq[Predicate]): Predicate = Predicate(ps.map(_.column).reduce(_ || _))
+  def and(ps: Seq[Predicate]): Predicate = {
+    require(ps.nonEmpty, "and() needs at least one predicate")
+    Predicate(ps.map(_.column).reduce(_ && _))
+  }
+  def or(ps: Seq[Predicate]): Predicate = {
+    require(ps.nonEmpty, "or() needs at least one predicate")
+    Predicate(ps.map(_.column).reduce(_ || _))
+  }
 }
 
 final case class Predicate(column: Column)
@@ -314,8 +330,7 @@ final class TableScan(table: GraftTableHandle,
       else ts.fields.fieldNames.toSeq.filterNot(ts.partitionKeys.contains)
     val keyTypes = statCols
       .map(k => k -> ts.fields(ts.fields.fieldIndex(k)).dataType).toMap
-    val files = new SnapshotManager(table.tableDir,
-      io = graft.format.FileIO.resolve(ts.ioSpec)).liveFilesLatest
+    val files = table.snapshotManager.liveFilesLatest
       .filter { f =>
         val pValue: String => Option[Any] = c =>
           ts.partitionKeys.indexOf(c) match {
@@ -416,6 +431,13 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     val ts = table.tableSchema
     val hasKind = df.schema.fieldNames.contains(RowKind.ColumnName)
     if (hasKind) {
+      // append tables store plain rows with no KV layout — the writer
+      // would silently DROP the kind column and a '-D' batch would
+      // read back as live inserts
+      require(ts.isPrimaryKeyTable,
+        s"${RowKind.ColumnName} requires a primary-key table: append " +
+          "tables have no changelog semantics (delete rows via " +
+          "DELETE FROM / overwrite instead)")
       val kdt = df.schema(RowKind.ColumnName).dataType
       // the writer reads the kind with getByte — an IntegerType column
       // (the natural lit(2)) would either ClassCastException or
@@ -449,8 +471,7 @@ final class BatchTableWrite(table: GraftTableHandle, spark: SparkSession) {
     val isPk = ts.isPrimaryKeyTable
     val numBuckets = ts.numBuckets
     val baseSeq = nextSeqBase.getOrElse(
-      new SnapshotManager(table.tableDir,
-        io = graft.format.FileIO.resolve(ts.ioSpec)).latestSnapshot
+      table.snapshotManager.latestSnapshot
         .map(_.lastSequenceNumber + 1).getOrElse(1L))
     val fmt = ts.options.getOrElse("file.format", "parquet")
     val spill = GraftDataWriter.spillRows(ts.options)
@@ -515,8 +536,7 @@ final class BatchTableCommit(table: GraftTableHandle,
       case None => FileStoreCommit.NoOverwrite
       case Some(m) => FileStoreCommit.StaticOverwrite(m)
     }
-    FileStoreCommit.commit(new SnapshotManager(table.tableDir,
-      io = graft.format.FileIO.resolve(table.tableSchema.ioSpec)),
+    FileStoreCommit.commit(table.snapshotManager,
       table.tableSchema.id, table.tableSchema.partitionKeys, messages, mode,
       resequence = graft.connector.GraftWriteSupport.resequenceInfo(
         table.tableDir, table.tableSchema),

@@ -397,6 +397,13 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
       }
     if (isPk) {
       stored.update(0, seq)
+      // a NULL kind must not silently read as byte 0 (+I): a partial
+      // `when(cond, lit(Delete)).cast("byte")` with no otherwise would
+      // turn intended deletes into inserts without a trace
+      if (rowKindIdx >= 0 && row.isNullAt(rowKindIdx))
+        throw new IllegalArgumentException(
+          s"${RowKind.ColumnName} must not be NULL (use " +
+            s"RowKind.Insert = ${RowKind.Insert} explicitly for inserts)")
       stored.update(1,
         if (rowKindIdx >= 0) row.getByte(rowKindIdx).toInt else RowKind.Insert.toInt)
       var i = 0

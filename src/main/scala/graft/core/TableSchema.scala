@@ -298,23 +298,10 @@ object TableSchema {
     if (Files.isRegularFile(p)) Some(fromJson(Files.readString(p))) else None
   }
 
-  def load(tableDir: Path): Option[TableSchema] = {
-    val dir = tableDir.resolve("schema")
-    if (!Files.isDirectory(dir)) return None
-    // close the listing stream (one leaked directory fd per call on a
-    // hot path otherwise — load runs on every table open); tolerate
-    // foreign files (schema-5.bak) via toLongOption like the snapshot
-    // listing does
-    val s = Files.list(dir)
-    val latest =
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("schema-"))
-        .flatMap(p => p.getFileName.toString.stripPrefix("schema-")
-          .toLongOption.map(_ -> p))
-        .toSeq.sortBy(_._1).lastOption
-      finally s.close()
-    latest.map { case (_, p) => fromJson(Files.readString(p)) }
-  }
+  def load(tableDir: Path): Option[TableSchema] =
+    // one listing implementation (listIds closes its stream and
+    // tolerates foreign files) — load is just "latest of the lineage"
+    listIds(tableDir).lastOption.flatMap(id => loadById(tableDir, id))
 
   def save(tableDir: Path, schema: TableSchema): Unit = {
     val dir = tableDir.resolve("schema")

@@ -162,7 +162,11 @@ case class Md5Split56(child: Expression)
 case class MinHashSigs(child: Expression, k: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
-  require(k >= 1, s"minhash_sigs needs k >= 1, got $k")
+  // upper bound 16: the Kirsch-Mitzenmacher fold relies on
+  // h1 + (k-1)*h2 staying below 2^60 (h1, h2 < 2^56) — k = 16 is the
+  // last value where the sum cannot wrap Long and break bit-equality
+  // with the oracle's non-wrapping explode + per-seed MIN formulation
+  require(k >= 1 && k <= 16, s"minhash_sigs needs 1 <= k <= 16, got $k")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions.sqrt
   * the build guidance (compose > Expression > plan rule > RDD).
   *
   * Accumulates in double, left-to-right — the same fold order as the
-  * HOF formulation it replaces.
+  * HOF formulation it replaces. Two documented divergences from that
+  * formulation, both dead at every call site: a length mismatch folds
+  * the common prefix (HOF: NULL) and a NULL ELEMENT reads as 0.0
+  * (HOF: NULL) — embeddings and centroid literals are fixed-width and
+  * null-free by construction (the embeddings table's vectors are
+  * non-null arrays; IVF/PQ literals are generated).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {

@@ -58,25 +58,40 @@ object Sessionize {
             open.foreach(o => out += close(key, o))
             state.remove()
           } else {
+            // LATE-session accumulator: consecutive late events within
+            // gap of each other merge into ONE emitted session (the
+            // batch gap rule would), instead of per-event singletons
+            var late: Option[Open] = None
+            def flushLate(): Unit = {
+              late.foreach(l => out += close(key, l))
+              late = None
+            }
             // within a batch the iterator is NOT time-ordered; sort
             // (bounded: one key's events in one micro-batch)
             evs.toSeq.sortBy(e => (e.ts.getTime, e.weight)).foreach { e =>
               val t = e.ts.getTime
               open match {
                 case Some(o) if t - o.lastMs > gapMs =>
+                  flushLate()
                   out += close(key, o)
                   open = Some(Open(t, t, 1, e.weight))
                 // LATE events (within the watermark, older than the
                 // open session): older than start-gap cannot merge
-                // under the batch gap rule — emit as a singleton
-                // session (best effort: the events that would have
-                // bridged it are already folded into the open
-                // session); within [start-gap, start) merges and
-                // EXTENDS the start, so session_start can never
-                // postdate an included event
+                // under the batch gap rule — accumulate into a late
+                // session that closes when its own gap breaks (best
+                // effort: the events that would have bridged it to the
+                // open session are already folded there); within
+                // [start-gap, start) merges and EXTENDS the start, so
+                // session_start can never postdate an included event
                 case Some(o) if o.startMs - t > gapMs =>
-                  out += Session(key, new Timestamp(t), new Timestamp(t),
-                    1, e.weight)
+                  late match {
+                    case Some(l) if t - l.lastMs <= gapMs =>
+                      late = Some(l.copy(lastMs = math.max(l.lastMs, t),
+                        n = l.n + 1, weight = l.weight + e.weight))
+                    case _ =>
+                      flushLate()
+                      late = Some(Open(t, t, 1, e.weight))
+                  }
                 case Some(o) =>
                   open = Some(o.copy(startMs = math.min(o.startMs, t),
                     lastMs = math.max(o.lastMs, t),
@@ -85,6 +100,7 @@ object Sessionize {
                   open = Some(Open(t, t, 1, e.weight))
               }
             }
+            flushLate()
             open.foreach { o =>
               state.update(o)
               // fire once the watermark proves no in-gap successor can come

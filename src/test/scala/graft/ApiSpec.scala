@@ -553,6 +553,47 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("1969-12-31T23:59:59.500Z", "1969-06-01")), got.toString)
   }
 
+  test("facade guards: kind column misuse, quoted options, empty and()") {
+    import spark.implicits._
+    // _row_kind on an APPEND table is rejected (the writer stores
+    // plain rows — a '-D' batch would silently read back as inserts)
+    catalog.createTable("default.g_app", Schema(
+      StructType(Seq(StructField("k", LongType)))))
+    val wApp = catalog.getTable("default.g_app")
+      .newBatchWriteBuilder().newWrite()
+    val e1 = intercept[IllegalArgumentException](wApp.write(
+      Seq(1L).toDF("k").withColumn(graft.core.RowKind.ColumnName,
+        org.apache.spark.sql.functions.lit(graft.core.RowKind.Delete)
+          .cast("byte"))))
+    assert(e1.getMessage.contains("primary-key table"), e1.getMessage)
+    // a NULL kind on a PK table fails loudly instead of writing +I
+    catalog.createTable("default.g_pk", Schema(
+      StructType(Seq(StructField("k", LongType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> "1")))
+    val wPk = catalog.getTable("default.g_pk")
+      .newBatchWriteBuilder().newWrite()
+    val e2 = intercept[Exception](wPk.write(
+      Seq(1L).toDF("k").withColumn(graft.core.RowKind.ColumnName,
+        org.apache.spark.sql.functions.lit(null).cast("byte"))))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    assert(chain(e2).exists(_.contains("must not be NULL")),
+      chain(e2).mkString("\n"))
+    // an option value with a quote survives the DDL round trip
+    catalog.createTable("default.g_q", Schema(
+      StructType(Seq(StructField("k", LongType))),
+      options = Map("write-only" -> "false", "comment-ish" -> "it's fine")))
+    assert(catalog.getTable("default.g_q").tableSchema
+      .options("comment-ish") == "it's fine")
+    // empty and()/or() is a clear error, not empty.reduceLeft
+    val pb = catalog.getTable("default.g_q").newReadBuilder()
+      .newPredicateBuilder()
+    assert(intercept[IllegalArgumentException](pb.and(Seq.empty))
+      .getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException](pb.or(Seq.empty))
+      .getMessage.contains("at least one"))
+  }
+
   test("writeArrow rejects malformed bytes with a clean error") {
     val t = catalog.getTable("default.arrow_dst")
     val w = t.newBatchWriteBuilder().newWrite()

@@ -145,6 +145,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.getLong(3) == 2 && first.getLong(4) == 13, first.toString)
   }
 
+  test("sessionization: consecutive too-late events merge into ONE " +
+      "late session") {
+    // two events an hour older than the open session's start, 5s
+    // apart: the batch gap rule would fold them into one session —
+    // per-event singletons would misreport n_events/sum_weight
+    spark.sql("CREATE TABLE graft.default.s_sess_late2 " +
+      "(ts TIMESTAMP, user_id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.default.s_sess_late2 VALUES " +
+      "(TIMESTAMP'2024-01-01 01:00:00', 1, 10)")
+    val ckpt = Files.createTempDirectory("graft-sess-late2-ckpt")
+    val sink = Files.createTempDirectory("graft-sess-late2-sink")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def run(): Unit = {
+      val in = spark.readStream.table("graft.default.s_sess_late2")
+        .withWatermark("ts", "4 hours")
+        .select(col("user_id"), col("ts"), col("v").as("weight"))
+        .as[graft.streaming.Sessionize.Ev]
+      val q = graft.streaming.Sessionize.sessions(in, gapSeconds = 600)
+        .writeStream.format("parquet").option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run() // opens the 01:00 session
+    spark.sql("INSERT INTO graft.default.s_sess_late2 VALUES " +
+      "(TIMESTAMP'2024-01-01 00:00:00', 1, 3), " +
+      "(TIMESTAMP'2024-01-01 00:00:05', 1, 4)")
+    run() // both too late to merge with 01:00 — ONE late session
+    val late = spark.read.parquet(sink.toString)
+      .orderBy("session_start").collect()
+    assert(late.length == 1, s"expected one merged late session: " +
+      late.mkString(";"))
+    assert(late(0).getLong(3) == 2 && late(0).getLong(4) == 7,
+      late(0).toString)
+    assert(late(0).getTimestamp(1).toString.startsWith("2024-01-01 00:00:00") &&
+      late(0).getTimestamp(2).toString.startsWith("2024-01-01 00:00:05"))
+  }
+
   test("QuotaCap carries the budget across commits and admits a prefix") {
     spark.sql("CREATE TABLE graft.default.s_quota (k STRING, id BIGINT, w BIGINT)")
     spark.sql("INSERT INTO graft.default.s_quota VALUES " +
