@@ -192,8 +192,13 @@ object Maintenance {
     * streams and changelog diffs skip the restatement (like OVERWRITE).
     */
   def rollbackTo(tableDir: Path, target: Long,
-      ioSpec: String = "local"): RollbackResult = {
-    val io = FileIO.resolve(ioSpec)
+      ioSpec: String = "local"): RollbackResult =
+    rollbackTo(tableDir, target, FileIO.resolve(ioSpec))
+
+  /** Variant taking a resolved [[FileIO]] — contract tests drive the
+    * expiry-race undo path through instrumented stores. */
+  def rollbackTo(tableDir: Path, target: Long,
+      io: FileIO): RollbackResult = {
     val sm = new SnapshotManager(tableDir, io = io)
     require(sm.latestSnapshotId.nonEmpty, "Cannot roll back an empty table")
     val targetSnap =

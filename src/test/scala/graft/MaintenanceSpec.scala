@@ -489,6 +489,63 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.default.alldel").count() == 1L)
   }
 
+  test("rollback racing expiry: the revert is undone and fails loudly") {
+    // simulate expiry reclaiming the target mid-rollback: the target's
+    // snapshot JSON vanishes exactly while the revert publishes (expiry
+    // deletes snapshot files first). rollbackTo must detect the lost
+    // pin post-publish, restore the pre-rollback state, and throw —
+    // never leave a latest snapshot whose manifests are being deleted.
+    spark.sql("CREATE TABLE graft.default.rb_race (k BIGINT)")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.rb_race VALUES ($i)"))
+    val dir = warehouse.resolve("default.db/rb_race")
+    val plain = graft.format.FileIO.local
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val io = new graft.format.FileIO {
+      def putIfAbsent(p: java.nio.file.Path, c: String): Boolean = {
+        if (p.getFileName.toString.startsWith("snapshot-") &&
+            fired.compareAndSet(false, true))
+          plain.delete(dir.resolve("snapshot").resolve("snapshot-1"))
+        plain.putIfAbsent(p, c)
+      }
+      def readString(p: java.nio.file.Path): String = plain.readString(p)
+      def readBytes(p: java.nio.file.Path): Array[Byte] = plain.readBytes(p)
+      def writeAtomic(p: java.nio.file.Path, b: Array[Byte]): Unit =
+        plain.writeAtomic(p, b)
+      def list(d: java.nio.file.Path): Seq[String] = plain.list(d)
+      def walk(d: java.nio.file.Path): Seq[graft.format.FileIO.FileEntry] =
+        plain.walk(d)
+      def exists(p: java.nio.file.Path): Boolean = plain.exists(p)
+      def delete(p: java.nio.file.Path): Boolean = plain.delete(p)
+      def size(p: java.nio.file.Path): Long = plain.size(p)
+      def createDirectories(d: java.nio.file.Path): Unit =
+        plain.createDirectories(d)
+      def stageForRead(p: java.nio.file.Path): java.nio.file.Path =
+        plain.stageForRead(p)
+      def unstage(o: java.nio.file.Path, s: java.nio.file.Path): Unit =
+        plain.unstage(o, s)
+      def publishFile(t: java.nio.file.Path, tg: java.nio.file.Path): Unit =
+        plain.publishFile(t, tg)
+    }
+    val e = intercept[IllegalStateException](
+      graft.format.Maintenance.rollbackTo(dir, 1L, io))
+    assert(e.getMessage.contains("lost a race"), e.getMessage)
+    assert(fired.get)
+    // the pre-rollback state is restored and fully readable
+    assert(spark.sql("SELECT k FROM graft.default.rb_race ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // the chain carries the revert AND its undo (monotone ids, nothing
+    // deleted by the rollback itself)
+    val sm = new SnapshotManager(dir)
+    assert(sm.latestSnapshotId.contains(5L),
+      s"expected revert(4)+undo(5): ${sm.existingSnapshotIds}")
+    // a NON-raced rollback to a still-pinned target works normally
+    val r = graft.format.Maintenance.rollbackTo(dir, 2L)
+    assert(r.targetSnapshotId == 2L)
+    assert(spark.sql("SELECT k FROM graft.default.rb_race ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("expiry retains each streaming query's newest identity snapshot") {
     // the replay guard (GraftStreamingWrite.lastCommittedEpoch) reads
     // "<queryId>/<epochId>" identities from the snapshot chain; if
