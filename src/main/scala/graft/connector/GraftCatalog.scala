@@ -240,6 +240,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return new StaticRowsTable(ident.toString, MetaTables.schemasSchema,
         () => MetaTables.schemaRows(dir))
     }
+    if (ident.name().endsWith("$consumers")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$consumers"))
+      val dir = tableDir(base)
+      val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(base))
+      return new StaticRowsTable(ident.toString, MetaTables.consumersSchema,
+        () => MetaTables.consumerRows(dir, ts.ioSpec))
+    }
     if (ident.name().endsWith("$manifests")) {
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("$manifests"))

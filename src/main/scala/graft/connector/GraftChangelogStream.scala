@@ -25,19 +25,25 @@ import scala.collection.mutable
   */
 class GraftChangelogStream(tableDir: Path, schema: TableSchema,
     required: StructType,
-    startSnapshot: Option[Long] = None)
+    startSnapshot: Option[Long] = None,
+    consumerId: Option[String] = None)
   extends MicroBatchStream with GraftAvailableNowStream {
 
-  private val sm = new SnapshotManager(tableDir,
-    io = graft.format.FileIO.resolve(schema.ioSpec))
+  private val io = graft.format.FileIO.resolve(schema.ioSpec)
+  private val sm = new SnapshotManager(tableDir, io = io)
 
   override protected def currentLatestSnapshotId: Long =
     sm.latestSnapshotId.getOrElse(0L)
 
+  // consumer seeding/advancement ≙ GraftMicroBatchStream: same offset
+  // space (snapshot ids), same consumers/ directory — a retraction
+  // stream and a plain stream under one consumer-id share progress
   override def initialOffset(): Offset = GraftOffset(startSnapshot match {
     case Some(-1L) => sm.latestSnapshotId.getOrElse(0L)
     case Some(id) => id
-    case None => 0L
+    case None => consumerId
+      .flatMap(graft.format.Consumers.get(tableDir, io, _))
+      .map(_.nextSnapshot - 1).getOrElse(0L)
   })
   // not called once SupportsAdmissionControl is implemented; Spark
   // routes through latestOffset(start, limit)
@@ -109,7 +115,22 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
       sortEngine = schema.options.getOrElse("sort-engine", "min-heap"))
   }
 
-  override def commit(end: Offset): Unit = ()
+  // ≙ GraftMicroBatchStream: durable progress arrives via the
+  // admission-control latestOffset (covers single-batch AvailableNow
+  // runs, which never see commit()), write-throttled to real advances
+  // or a minute-stale heartbeat
+  @volatile private var lastRecorded: (Long, Long) = (Long.MinValue, 0L)
+  override protected def onDurableProgress(consumedThrough: Long): Unit =
+    consumerId.foreach { id =>
+      val next = consumedThrough + 1
+      val now = System.currentTimeMillis()
+      if (next > lastRecorded._1 || now - lastRecorded._2 >= 60000L) {
+        graft.format.Consumers.record(tableDir, io, id, next)
+        lastRecorded = (math.max(next, lastRecorded._1), now)
+      }
+    }
+  override def commit(end: Offset): Unit =
+    onDurableProgress(end.asInstanceOf[GraftOffset].snapshotId)
   override def stop(): Unit = ()
 }
 

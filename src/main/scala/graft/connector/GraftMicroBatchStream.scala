@@ -20,6 +20,19 @@ trait GraftAvailableNowStream extends SupportsTriggerAvailableNow {
   /** Current latest committed snapshot id (0 when the table is empty). */
   protected def currentLatestSnapshotId: Long
 
+  /** Durable-progress hook for consumer files: `consumedThrough` is the
+    * snapshot id everything at or below which has been committed to
+    * the SINK. Fired from `latestOffset(start, …)` rather than
+    * `commit(end)` because Spark only calls the latter while
+    * constructing a FURTHER batch — a single-batch AvailableNow run
+    * (the common batch-ish pipeline shape) terminates without it,
+    * whereas its final "drained?" admission check still passes the
+    * committed offset through here. `start` can only lag true sink
+    * progress (first call passes the initial offset), so recording it
+    * UNDERSTATES — retention then over-retains, never under-retains.
+    */
+  protected def onDurableProgress(consumedThrough: Long): Unit = ()
+
   @volatile private var pinned: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -31,8 +44,10 @@ trait GraftAvailableNowStream extends SupportsTriggerAvailableNow {
     * live otherwise (micro-batch triggers also route through this once
     * the source implements SupportsAdmissionControl).
     */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    onDurableProgress(start.asInstanceOf[GraftOffset].snapshotId)
     GraftOffset(pinned.getOrElse(currentLatestSnapshotId))
+  }
 }
 
 /** Incremental streaming read over the snapshot chain: offsets are
@@ -59,11 +74,12 @@ final case class GraftOffset(snapshotId: Long) extends Offset {
 
 class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
     required: StructType,
-    startSnapshot: Option[Long] = None)
+    startSnapshot: Option[Long] = None,
+    consumerId: Option[String] = None)
   extends MicroBatchStream with GraftAvailableNowStream {
 
-  private val sm = new SnapshotManager(tableDir,
-    io = graft.format.FileIO.resolve(schema.ioSpec))
+  private val io = graft.format.FileIO.resolve(schema.ioSpec)
+  private val sm = new SnapshotManager(tableDir, io = io)
 
   override protected def currentLatestSnapshotId: Long =
     sm.latestSnapshotId.getOrElse(0L)
@@ -72,11 +88,18 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
     * "latest" (only new commits stream — the scan-from-now mode a
     * large table needs; replaying 100 TB of history is not a default
     * anyone wants by accident, but 0 preserves batch/stream parity).
+    * A registered consumer's recorded progress seeds a FRESH
+    * checkpoint (this method is only consulted when the checkpoint has
+    * no offsets) unless an explicit fromSnapshot overrides it — so a
+    * pipeline can relocate its checkpoint without replaying history,
+    * exactly what the consumer file is for.
     */
   override def initialOffset(): Offset = GraftOffset(startSnapshot match {
     case Some(-1L) => sm.latestSnapshotId.getOrElse(0L)
     case Some(id) => id
-    case None => 0L
+    case None => consumerId
+      .flatMap(graft.format.Consumers.get(tableDir, io, _))
+      .map(_.nextSnapshot - 1).getOrElse(0L)
   })
 
   // not called once SupportsAdmissionControl is implemented; Spark
@@ -125,7 +148,32 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
       required.json, merge = false, fieldIds = schema.idMap,
       ioSpec = schema.ioSpec, dropNonAdd = true)
 
-  override def commit(end: Offset): Unit = ()
+  /** Advance the consumer file so expiry stops waiting for snapshots
+    * this stream has drained (and keeps waiting for the ones it
+    * hasn't). Monotonic inside [[graft.format.Consumers.record]].
+    * An explicit `fromSnapshot` replay under an existing consumer-id
+    * never REWINDS the pin — rewinding is `CALL sys.reset_consumer`.
+    * Throttled: latestOffset fires once per trigger, and a tight
+    * ProcessingTime stream over an object-store table must not PUT the
+    * consumer file on every idle poll — write only when progress
+    * actually advanced or the heartbeat is a minute stale.
+    */
+  @volatile private var lastRecorded: (Long, Long) = (Long.MinValue, 0L)
+  override protected def onDurableProgress(consumedThrough: Long): Unit =
+    consumerId.foreach { id =>
+      val next = consumedThrough + 1
+      val now = System.currentTimeMillis()
+      if (next > lastRecorded._1 || now - lastRecorded._2 >= 60000L) {
+        graft.format.Consumers.record(tableDir, io, id, next)
+        lastRecorded = (math.max(next, lastRecorded._1), now)
+      }
+    }
+
+  // fires while a further batch is being constructed (not after an
+  // AvailableNow drain — onDurableProgress covers that); kept for the
+  // freshest possible pin on continuously-triggered streams
+  override def commit(end: Offset): Unit =
+    onDurableProgress(end.asInstanceOf[GraftOffset].snapshotId)
 
   override def stop(): Unit = ()
 }

@@ -22,7 +22,8 @@ import java.nio.file.Path
 object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "expire_snapshots", "vacuum",
-    "create_tag", "delete_tag", "list_tags", "rollback", "rollback_to_tag")
+    "create_tag", "delete_tag", "list_tags", "rollback", "rollback_to_tag",
+    "reset_consumer")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure =
     name match {
@@ -34,6 +35,7 @@ object GraftProcedures {
       case "list_tags" => new ListTags(catalog)
       case "rollback" => new Rollback(catalog)
       case "rollback_to_tag" => new RollbackToTag(catalog)
+      case "reset_consumer" => new ResetConsumer(catalog)
       case other => throw new IllegalArgumentException(
         s"Unknown procedure sys.$other (available: ${names.mkString(", ")})")
     }
@@ -167,6 +169,34 @@ object GraftProcedures {
         tags.map { case (n, s) =>
           Array[Any](UTF8String.fromString(n), s.id)
         })
+    }
+  }
+
+  /** Operator override of a streaming-read consumer (the retention
+    * pins `option("consumer-id", …)` streams maintain): rewind/advance
+    * it to an explicit next snapshot, or delete it (NULL next) so it
+    * stops pinning expiry. ≙ Paimon's `sys.reset_consumer`.
+    */
+  private final class ResetConsumer(catalog: GraftCatalog)
+      extends Base(catalog, "reset_consumer") {
+    override def description(): String =
+      "set a streaming consumer's next snapshot, or delete it (NULL)"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+      ProcedureParameter.in("consumer_id", StringType).build(),
+      ProcedureParameter.in("next_snapshot_id", LongType)
+        .defaultValue("NULL").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (dir, schema) = resolve(input)
+      val id = input.getUTF8String(1).toString
+      val next = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val changed = graft.format.Consumers.reset(dir,
+        graft.format.FileIO.resolve(schema.ioSpec), id, next)
+      result(StructType(Seq(
+        StructField("consumer_id", StringType),
+        StructField("next_snapshot_id", LongType),
+        StructField("changed", BooleanType))),
+        Seq(Array[Any](UTF8String.fromString(id),
+          next.map(Long.box).orNull, changed)))
     }
   }
 

@@ -35,7 +35,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     fullSchema: StructType = null,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     retractions: Boolean = false,
-    incremental: Option[(Long, Long)] = None)
+    incremental: Option[(Long, Long)] = None,
+    consumerId: Option[String] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -231,7 +232,7 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     case _ =>
       new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
         changelogView, retractions = retractions, incremental = incremental,
-        acceptedFilters = accepted)
+        acceptedFilters = accepted, consumerId = consumerId)
   }
 }
 
@@ -261,7 +262,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     retractions: Boolean = false,
     incremental: Option[(Long, Long)] = None,
-    acceptedFilters: Array[Filter] = Array.empty)
+    acceptedFilters: Array[Filter] = Array.empty,
+    consumerId: Option[String] = None)
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -377,7 +379,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
       require(schema.mergeSpec.isPlainDeduplicate,
         "retractions are only defined for merge-engine 'deduplicate' " +
           "without ignore-delete; read the raw $changelog instead")
-      new GraftChangelogStream(tableDir, schema, required, start)
+      new GraftChangelogStream(tableDir, schema, required, start,
+        consumerId = consumerId)
     }
     else {
       // the plain table stream's contract is "raw upsert rows, dedup
@@ -395,7 +398,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
           s"(table has merge-engine '${spec.engine}'" +
           spec.seqField.map(f => s", sequence.field '$f'").getOrElse("") +
           "); stream the $changelog view and fold with the engine's rules")
-      new GraftMicroBatchStream(tableDir, schema, required, start)
+      new GraftMicroBatchStream(tableDir, schema, required, start,
+        consumerId = consumerId)
     }
   }
 

@@ -145,7 +145,9 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
     new GraftScanBuilder(tableDir, tableSchema, pinnedSnapshot,
       changelogView, schema(),
       retractions = options.getBoolean("retractions", false),
-      incremental = fromSnap.map(f => (f, toSnap.getOrElse(Long.MaxValue))))
+      incremental = fromSnap.map(f => (f, toSnap.getOrElse(Long.MaxValue))),
+      consumerId = Option(options.get("consumer-id"))
+        .map(graft.format.Consumers.validateId))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

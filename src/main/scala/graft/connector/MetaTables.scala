@@ -134,6 +134,22 @@ object MetaTables {
       }
   }
 
+  val consumersSchema: StructType = StructType(Seq(
+    StructField("consumer_id", StringType, nullable = false),
+    StructField("next_snapshot_id", LongType, nullable = false),
+    StructField("last_heartbeat", TimestampType, nullable = false)))
+
+  /** ≙ `t$consumers`: registered streaming-read consumers — each pins
+    * retention from `next_snapshot_id` onward until its heartbeat ages
+    * past `consumer.retain-millis` ([[graft.format.Consumers]]).
+    */
+  def consumerRows(dir: Path, ioSpec: String = "local"): Seq[Array[Any]] =
+    graft.format.Consumers
+      .list(dir, graft.format.FileIO.resolve(ioSpec)).map { c =>
+        Array[Any](UTF8String.fromString(c.id), c.nextSnapshot,
+          c.tsMillis * 1000L)
+      }
+
   val manifestsSchema: StructType = StructType(Seq(
     StructField("manifest_name", StringType, nullable = false),
     StructField("num_added_files", LongType, nullable = false),

@@ -114,6 +114,16 @@ final case class TableSchema(
           s"Invalid bucket.rows-warning-threshold: '$v' " +
             "(expected a row count; <= 0 disables the warning)")
     }
+    // retention-pin TTLs must parse: a typo'd value silently falling
+    // back to the 7-day default would mis-state what expiry retains
+    Seq("consumer.retain-millis", "streaming.identity.retain-millis")
+      .foreach { k =>
+        options.get(k).foreach { v =>
+          if (v.trim.toLongOption.forall(_ < 0L))
+            throw new IllegalArgumentException(
+              s"Invalid $k: '$v' (expected a non-negative millisecond count)")
+        }
+      }
     options.get("source.split.target-size").foreach { v =>
       if (TableSchema.parseMemorySize(v).forall(_ <= 0L))
         throw new IllegalArgumentException(

@@ -60,8 +60,9 @@ object Maintenance {
     // down longer than that cannot resume coherently against ANY
     // source whose retention has passed, so the trade is explicit and
     // symmetric with source-retention semantics).
-    val identityTtl = graft.core.TableSchema.load(tableDir)
-      .flatMap(_.options.get("streaming.identity.retain-millis"))
+    val tableOpts = graft.core.TableSchema.load(tableDir).map(_.options)
+    val identityTtl = tableOpts
+      .flatMap(_.get("streaming.identity.retain-millis"))
       .flatMap(_.trim.toLongOption)
       .getOrElse(7L * 24 * 3600 * 1000)
     val newestPerQuery: Set[Long] = existing
@@ -73,8 +74,23 @@ object Maintenance {
         case (i, s) if i == id => s.timeMillis >= now - identityTtl
       }.getOrElse(false))
       .toSet
+    // Streaming-READ consumer pins (the mirror of the sink identity
+    // pins above): a stream registered via `option("consumer-id", …)`
+    // records its next-unconsumed snapshot in consumers/<id>; every
+    // snapshot at or beyond the minimum live consumer offset stays
+    // retained, so a slow reader's unread range cannot be expired out
+    // from under it. Age-bounded the same way — a consumer silent for
+    // `consumer.retain-millis` (default 7 days) stops pinning, since
+    // an abandoned id must not anchor the whole chain forever.
+    val consumerTtl = tableOpts
+      .flatMap(_.get("consumer.retain-millis"))
+      .flatMap(_.trim.toLongOption)
+      .getOrElse(Consumers.DefaultRetainMillis)
+    val consumerFloor: Long = Consumers
+      .minLiveNext(tableDir, io, consumerTtl, now)
+      .getOrElse(Long.MaxValue)
     def isRetained(id: Long, s: Snapshot): Boolean =
-      id >= cutoff || newestPerQuery.contains(id) ||
+      id >= cutoff || id >= consumerFloor || newestPerQuery.contains(id) ||
         olderThanMillis.exists(a => s.timeMillis >= now - a)
     // tagged snapshots are retention pins too: their manifests and live
     // files survive any retainLast (the snapshot JSON itself may still

@@ -680,4 +680,39 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
     assert(spark.table("graft.default.exp_race").count() == 3L)
   }
+
+  test("consumer progress is monotonic; a stale heartbeat stops " +
+      "pinning retention") {
+    spark.sql("CREATE TABLE graft.default.m_cons (f0 INT)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.m_cons VALUES ($i)"))
+    val dir = warehouse.resolve("default.db/m_cons")
+    val io = graft.format.FileIO.resolve("local")
+
+    graft.format.Consumers.record(dir, io, "lagger", 2L)
+    // a zombie incarnation replaying an old batch cannot rewind the
+    // pin (that would silently re-widen what expiry must retain)
+    graft.format.Consumers.record(dir, io, "lagger", 1L)
+    assert(graft.format.Consumers.get(dir, io, "lagger")
+      .get.nextSnapshot == 2L)
+
+    // live consumer: snapshots >= 2 survive retain_last = 1
+    graft.format.Maintenance.expireSnapshots(dir, 1)
+    assert(new SnapshotManager(dir).existingSnapshotIds == Seq(2L, 3L, 4L))
+
+    // heartbeat aged past consumer.retain-millis (default 7d): the pin
+    // lapses — an abandoned id must not anchor the chain forever
+    Files.writeString(dir.resolve("consumers").resolve("lagger"),
+      """{"nextSnapshot":2,"ts":1}""")
+    graft.format.Maintenance.expireSnapshots(dir, 1)
+    assert(new SnapshotManager(dir).existingSnapshotIds == Seq(4L))
+
+    // ids that cannot become file names are rejected at the door
+    intercept[IllegalArgumentException] {
+      graft.format.Consumers.record(dir, io, "a/b", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.format.Consumers.validateId(".hidden")
+    }
+  }
 }

@@ -605,4 +605,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sm.existingSnapshotIds.size == 2,
       s"expected 2 snapshots (epoch 0 + epoch 1), got ${sm.existingSnapshotIds}")
   }
+
+  test("consumer-id records progress, pins retention, and seeds fresh " +
+      "checkpoints; reset_consumer rewinds or deletes the pin") {
+    spark.sql("CREATE TABLE graft.default.s_cons (id BIGINT, v STRING)")
+    Seq("a", "b", "c").zipWithIndex.foreach { case (v, i) =>
+      spark.sql(s"INSERT INTO graft.default.s_cons VALUES (${i + 1}, '$v')")
+    }
+    // each drain uses a FRESH implicit checkpoint: resume comes from
+    // the consumer file alone, the relocated-checkpoint scenario
+    def drain(sink: String): Seq[String] = {
+      val q = spark.readStream
+        .option("consumer-id", "pipe1")
+        .table("graft.default.s_cons")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.sql(s"SELECT v FROM $sink ORDER BY v").collect()
+        .map(_.getString(0)).toSeq
+    }
+    assert(drain("s_cons_sink1") == Seq("a", "b", "c"))
+    def consumers(): Seq[(String, Long)] = spark.sql(
+      "SELECT consumer_id, next_snapshot_id FROM " +
+        "graft.default.`s_cons$consumers`").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(consumers() == Seq(("pipe1", 4L)),
+      s"drained through snapshot 3, expected nextSnapshot 4: ${consumers()}")
+
+    // retention would keep only snapshot 6, but the consumer floor (4)
+    // keeps the reader's unread range alive
+    Seq("d", "e", "f").zipWithIndex.foreach { case (v, i) =>
+      spark.sql(s"INSERT INTO graft.default.s_cons VALUES (${i + 4}, '$v')")
+    }
+    val expired = spark.sql(
+      "CALL graft.sys.expire_snapshots('default.s_cons', 1)")
+      .collect()(0).getInt(0)
+    assert(expired == 3, s"consumer floor 4 should expire only 1..3: $expired")
+    val ids = spark.sql("SELECT snapshot_id FROM " +
+      "graft.default.`s_cons$snapshots` ORDER BY 1").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids == Seq(4L, 5L, 6L))
+
+    // fresh checkpoint + same consumer-id: starts at the recorded
+    // offset — exactly the retained range, no expired-snapshot error
+    assert(drain("s_cons_sink2") == Seq("d", "e", "f"))
+    assert(consumers() == Seq(("pipe1", 7L)))
+
+    // operator rewind: replay from snapshot 5 into a fresh pipeline
+    spark.sql(
+      "CALL graft.sys.reset_consumer('default.s_cons', 'pipe1', 5)")
+    assert(drain("s_cons_sink3") == Seq("e", "f"))
+
+    // delete the consumer: the pin lapses and retention tightens
+    spark.sql("CALL graft.sys.reset_consumer('default.s_cons', 'pipe1')")
+    assert(consumers().isEmpty)
+    val expired2 = spark.sql(
+      "CALL graft.sys.expire_snapshots('default.s_cons', 1)")
+      .collect()(0).getInt(0)
+    assert(expired2 == 2, s"unpinned, 4 and 5 should expire: $expired2")
+  }
 }
