@@ -157,14 +157,27 @@ object Maintenance {
     // their live files join the reachable set) — never shrink them,
     // so the earlier computation stays valid as a lower bound.
     val lateTags = sm.listTags.map(_._2)
-    val lateKeep = keepManifests ++ lateTags.flatMap(_.manifests)
+    // Consumers get the same second listing: a stream that registered
+    // its consumer-id while this run computed reachability would be
+    // invisible to the early floor, and its first unread snapshots
+    // would be deleted right as it starts. A late-registered consumer
+    // can only LOWER the floor, i.e. rescue part of the expired set —
+    // those snapshots keep their JSONs, manifests and live files.
+    val lateFloor = Consumers.minLiveNext(tableDir, io, consumerTtl, now)
+      .getOrElse(Long.MaxValue)
+    val lateConsumerSnaps: Seq[Snapshot] =
+      if (lateFloor >= consumerFloor) Seq.empty
+      else expiredPairs.collect { case (id, s) if id >= lateFloor => s }
+    val lateConsumerIds = lateConsumerSnaps.map(_.id).toSet
+    val lateKeep = keepManifests ++ lateTags.flatMap(_.manifests) ++
+      lateConsumerSnaps.flatMap(_.manifests)
     val lateReachable = reachable ++
-      lateTags.flatMap(s => liveOf(s).map(_.fileName))
+      (lateTags ++ lateConsumerSnaps).flatMap(s => liveOf(s).map(_.fileName))
 
     val snapshotDir = tableDir.resolve("snapshot")
     val manifestDir = tableDir.resolve("manifest")
     var expired = 0
-    expiredIds.foreach { id =>
+    expiredIds.filterNot(lateConsumerIds).foreach { id =>
       if (io.delete(snapshotDir.resolve(s"snapshot-$id"))) expired += 1
     }
     var deletedManifests = 0

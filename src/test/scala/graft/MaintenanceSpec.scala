@@ -715,4 +715,57 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.format.Consumers.validateId(".hidden")
     }
   }
+
+  test("expiry re-lists consumers before deleting: one registered " +
+      "mid-run keeps its unread snapshots") {
+    spark.sql("CREATE TABLE graft.default.exp_crace (k BIGINT)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.exp_crace VALUES ($i)"))
+    val dir = warehouse.resolve("default.db/exp_crace")
+    val plain = graft.format.FileIO.local
+    // instrumented store: the first MANIFEST read — after expiry's
+    // initial consumer listing, while it computes reachability —
+    // registers a consumer at nextSnapshot=2, exactly the stream-
+    // starts-during-expiry interleaving the second listing closes
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val io = new graft.format.FileIO {
+      private def hook(p: java.nio.file.Path): Unit =
+        if (p.getParent != null &&
+            p.getParent.getFileName.toString == "manifest" &&
+            fired.compareAndSet(false, true))
+          graft.format.Consumers.record(dir, plain, "mid-run", 2L)
+      def readString(p: java.nio.file.Path): String = {
+        hook(p); plain.readString(p)
+      }
+      def readBytes(p: java.nio.file.Path): Array[Byte] = plain.readBytes(p)
+      def writeAtomic(p: java.nio.file.Path, b: Array[Byte]): Unit =
+        plain.writeAtomic(p, b)
+      def putIfAbsent(p: java.nio.file.Path, c: String): Boolean =
+        plain.putIfAbsent(p, c)
+      def list(d: java.nio.file.Path): Seq[String] = plain.list(d)
+      def walk(d: java.nio.file.Path): Seq[graft.format.FileIO.FileEntry] =
+        plain.walk(d)
+      def exists(p: java.nio.file.Path): Boolean = plain.exists(p)
+      def delete(p: java.nio.file.Path): Boolean = plain.delete(p)
+      def size(p: java.nio.file.Path): Long = plain.size(p)
+      def createDirectories(d: java.nio.file.Path): Unit =
+        plain.createDirectories(d)
+      def stageForRead(p: java.nio.file.Path): java.nio.file.Path =
+        plain.stageForRead(p)
+      def unstage(o: java.nio.file.Path, s: java.nio.file.Path): Unit =
+        plain.unstage(o, s)
+      def publishFile(t: java.nio.file.Path, tg: java.nio.file.Path): Unit =
+        plain.publishFile(t, tg)
+    }
+    graft.format.Maintenance.expireSnapshots(dir, retainLast = 1, io,
+      olderThanMillis = None)
+    assert(fired.get, "instrumentation never fired — test wiring broke")
+    // snapshots 2 and 3 were on the FIRST listing's delete list; only
+    // the late consumer floor saved them (1 expires as before)
+    assert(new SnapshotManager(dir).existingSnapshotIds == Seq(2L, 3L, 4L))
+    // and the rescued range is actually readable end-to-end
+    assert(spark.sql(
+      "SELECT k FROM graft.default.exp_crace VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
 }
