@@ -218,13 +218,24 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE TABLE graft.default.io_str (id BIGINT) " +
       "TBLPROPERTIES ('io'='memory:iow1')")
     spark.sql("INSERT INTO graft.default.io_str VALUES (1), (2)")
-    val q = spark.readStream.table("graft.default.io_str")
+    val q = spark.readStream.option("consumer-id", "iopipe")
+      .table("graft.default.io_str")
       .writeStream.format("memory").queryName("io_str_sink")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     assert(spark.sql("SELECT count(*) FROM io_str_sink")
       .collect()(0).getLong(0) == 2L)
+    // the consumer file took the seam too: progress is on the store
+    // (next unconsumed = 2), nothing but schema/ lands locally, and
+    // the $consumers system table reads it back through the ioSpec
+    val dir = warehouse.resolve("default.db").resolve("io_str")
+    assert(graft.format.Consumers
+      .get(dir, graft.format.FileIO.resolve("memory:iow1"), "iopipe")
+      .exists(_.nextSnapshot == 2L))
+    assert(spark.sql("SELECT next_snapshot_id FROM " +
+      "graft.default.`io_str$consumers`").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
     assertDataPlaneRemote("io_str")
   }
 
