@@ -38,9 +38,9 @@ object MergeFunction {
   val Engines: Seq[String] =
     Seq("deduplicate", "first-row", "partial-update", "aggregation")
 
-  val AggFunctions: Seq[String] = Seq("sum", "min", "max", "last_value",
-    "last_non_null_value", "first_value", "first_non_null_value",
-    "bool_and", "bool_or")
+  val AggFunctions: Seq[String] = Seq("sum", "product", "min", "max",
+    "last_value", "last_non_null_value", "first_value",
+    "first_non_null_value", "bool_and", "bool_or", "listagg")
 
   /** Engine spec extracted from table options (pre-validated).
     * `seqField`: LWW ordered by a DATA column instead of commit order
@@ -157,10 +157,46 @@ object MergeFunction {
       else if (isAnd) acc.asInstanceOf[Boolean] && v.asInstanceOf[Boolean]
       else acc.asInstanceOf[Boolean] || v.asInstanceOf[Boolean]
   }
+  /** Running product in the column's own type (nulls ignored; integer
+    * products wrap, mirroring [[Sum]]'s non-ANSI overflow contract).
+    */
+  final case class Product(dt: DataType) extends FieldAgg {
+    def fold(acc: Any, v: Any): Any =
+      if (v == null) acc
+      else if (acc == null) v
+      else dt match {
+        case ByteType => (acc.asInstanceOf[Byte] * v.asInstanceOf[Byte]).toByte
+        case ShortType => (acc.asInstanceOf[Short] * v.asInstanceOf[Short]).toShort
+        case IntegerType => acc.asInstanceOf[Int] * v.asInstanceOf[Int]
+        case LongType => acc.asInstanceOf[Long] * v.asInstanceOf[Long]
+        case FloatType => acc.asInstanceOf[Float] * v.asInstanceOf[Float]
+        case DoubleType => acc.asInstanceOf[Double] * v.asInstanceOf[Double]
+        case other => throw new IllegalArgumentException(s"product over $other")
+      }
+  }
+  /** Comma-delimited string accumulation in physical (key, sequence)
+    * order — deterministic because the merge feeds entries ascending.
+    * Nulls are skipped, never rendered. The accumulated value grows
+    * with every upsert of the key; like every per-key accumulator it
+    * is for value-bounded histories, and compaction keeps re-folding
+    * the partial so reads stay O(live rows).
+    */
+  case object ListAgg extends FieldAgg {
+    private val Delim =
+      org.apache.spark.unsafe.types.UTF8String.fromString(",")
+    def fold(acc: Any, v: Any): Any =
+      if (v == null) acc
+      else if (acc == null) v
+      else org.apache.spark.unsafe.types.UTF8String.concat(
+        acc.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], Delim,
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
 
   object FieldAgg {
     def of(name: String, dt: DataType): FieldAgg = name match {
       case "sum" => Sum(dt)
+      case "product" => Product(dt)
+      case "listagg" => ListAgg
       case "min" => MinMax(dt, wantMin = true)
       case "max" => MinMax(dt, wantMin = false)
       case "last_value" => LastValue
@@ -176,12 +212,13 @@ object MergeFunction {
 
     /** CREATE-time type check. */
     def validFor(name: String, dt: DataType): Boolean = name match {
-      case "sum" => dt match {
+      case "sum" | "product" => dt match {
         case ByteType | ShortType | IntegerType | LongType |
              FloatType | DoubleType => true
         case _ => false
       }
       case "bool_and" | "bool_or" => dt == BooleanType
+      case "listagg" => dt == StringType
       case _ => true
     }
   }

@@ -140,6 +140,51 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(_.commitKind == "COMPACT"))
   }
 
+  test("aggregation: product and listagg fold across commits and " +
+      "survive compaction re-folds") {
+    spark.sql("CREATE TABLE graft.default.me_agg2 " +
+      "(k BIGINT, factor BIGINT, tags STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'merge-engine'='aggregation', " +
+      "'fields.factor.aggregate-function'='product', " +
+      "'fields.tags.aggregate-function'='listagg', " +
+      "'compaction.trigger-file-count'='3')")
+    spark.sql("INSERT INTO graft.default.me_agg2 VALUES " +
+      "(1, 2, 'web'), (2, 10, 'pdf')")
+    spark.sql("INSERT INTO graft.default.me_agg2 VALUES (1, 3, 'books')")
+    assert(rows("SELECT factor, tags FROM graft.default.me_agg2 " +
+      "WHERE k = 1") == Seq(Seq(6L, "web,books")))
+    // cross the compaction trigger (folded partial must keep folding),
+    // null contributions are skipped, never rendered
+    spark.sql("INSERT INTO graft.default.me_agg2 VALUES (1, NULL, NULL)")
+    spark.sql("INSERT INTO graft.default.me_agg2 VALUES (1, 5, 'cc')")
+    assert(rows("SELECT factor, tags FROM graft.default.me_agg2 " +
+      "WHERE k = 1") == Seq(Seq(30L, "web,books,cc")))
+    assert(rows("SELECT factor, tags FROM graft.default.me_agg2 " +
+      "WHERE k = 2") == Seq(Seq(10L, "pdf")))
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/me_agg2"))
+    assert(sm.existingSnapshotIds.map(sm.snapshot)
+      .exists(_.commitKind == "COMPACT"))
+    // CREATE-time type checks for the new folds
+    def failing(ddl: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(ddl))
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+      assert(chain(e).exists(_.contains(needle)),
+        s"expected '$needle' in:\n${chain(e).mkString("\n")}")
+      spark.sql("DROP TABLE IF EXISTS graft.default.me_agg2bad")
+    }
+    failing("CREATE TABLE graft.default.me_agg2bad " +
+      "(k BIGINT, v STRING) TBLPROPERTIES ('primary-key'='k', " +
+      "'bucket'='1', 'merge-engine'='aggregation', " +
+      "'fields.v.aggregate-function'='product')", "does not support column")
+    failing("CREATE TABLE graft.default.me_agg2bad " +
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('primary-key'='k', " +
+      "'bucket'='1', 'merge-engine'='aggregation', " +
+      "'fields.v.aggregate-function'='listagg')", "does not support column")
+  }
+
   test("deduplicate + ignore-delete: RowKind deletes are ignored at merge " +
       "(reference DeduplicateMergeFunction(ignore_delete=True))") {
     val catalog = facade

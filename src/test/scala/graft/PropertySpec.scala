@@ -188,6 +188,29 @@ class PropertySpec extends AnyFunSuite {
           "fields.a.aggregate-function" -> "sum",
           "fields.b.aggregate-function" -> "max"), rows, nFiles) == agModel)
 
+        // aggregation: a=product (same null-skip/-D-clear frame as sum)
+        val prModel = byKey.flatMap { case (k, rs) =>
+          val st = rs.foldLeft(
+              Option.empty[(Option[Long], Option[Long])]) { (acc, r) =>
+            r._3 match {
+              case RowKind.UpdateBefore => acc
+              case RowKind.Delete => None
+              case _ =>
+                val (a0, b0) = acc.getOrElse((None, None))
+                Some((
+                  (a0, r._4) match {
+                    case (Some(x), Some(y)) => Some(x * y)
+                    case (x, y) => y.orElse(x)
+                  },
+                  r._5.orElse(b0)))
+            }
+          }
+          st.map(k -> _)
+        }
+        assert(runEngine(Map("merge-engine" -> "aggregation",
+          "fields.a.aggregate-function" -> "product"), rows, nFiles)
+          == prModel)
+
         // sequence.field on a: argmax by (a NULLS FIRST, then seq);
         // winner dropped if delete
         val sfModel = byKey.flatMap { case (k, rs) =>
