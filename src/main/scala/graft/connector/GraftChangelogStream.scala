@@ -35,15 +35,23 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
   override protected def currentLatestSnapshotId: Long =
     sm.latestSnapshotId.getOrElse(0L)
 
-  // consumer seeding/advancement ≙ GraftMicroBatchStream: same offset
-  // space (snapshot ids), same consumers/ directory — a retraction
-  // stream and a plain stream under one consumer-id share progress
+  // consumer seeding/advancement ≙ GraftMicroBatchStream (shared in
+  // GraftAvailableNowStream): same offset space (snapshot ids), same
+  // consumers/ directory. A consumer-id names ONE logical pipeline
+  // across its restarts — progress is a monotonic max, so two
+  // CONCURRENT streams sharing an id would let the faster one unpin
+  // the laggard's unread range; run each concurrent stream under its
+  // own id. Expiry keeps `floor - 1` precisely so this stream's
+  // pre-commit BASELINE (snapshot id-1 of the first unread id)
+  // survives retention.
+  override protected def consumerContext
+      : Option[(java.nio.file.Path, graft.format.FileIO, String)] =
+    consumerId.map(id => (tableDir, io, id))
+
   override def initialOffset(): Offset = GraftOffset(startSnapshot match {
     case Some(-1L) => sm.latestSnapshotId.getOrElse(0L)
     case Some(id) => id
-    case None => consumerId
-      .flatMap(graft.format.Consumers.get(tableDir, io, _))
-      .map(_.nextSnapshot - 1).getOrElse(0L)
+    case None => consumerSeed.getOrElse(0L)
   })
   // not called once SupportsAdmissionControl is implemented; Spark
   // routes through latestOffset(start, limit)
@@ -115,22 +123,6 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
       sortEngine = schema.options.getOrElse("sort-engine", "min-heap"))
   }
 
-  // ≙ GraftMicroBatchStream: durable progress arrives via the
-  // admission-control latestOffset (covers single-batch AvailableNow
-  // runs, which never see commit()), write-throttled to real advances
-  // or a minute-stale heartbeat
-  @volatile private var lastRecorded: (Long, Long) = (Long.MinValue, 0L)
-  override protected def onDurableProgress(consumedThrough: Long): Unit =
-    consumerId.foreach { id =>
-      val next = consumedThrough + 1
-      val now = System.currentTimeMillis()
-      if (next > lastRecorded._1 || now - lastRecorded._2 >= 60000L) {
-        graft.format.Consumers.record(tableDir, io, id, next)
-        lastRecorded = (math.max(next, lastRecorded._1), now)
-      }
-    }
-  override def commit(end: Offset): Unit =
-    onDurableProgress(end.asInstanceOf[GraftOffset].snapshotId)
   override def stop(): Unit = ()
 }
 

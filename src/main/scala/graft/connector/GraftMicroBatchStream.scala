@@ -20,18 +20,61 @@ trait GraftAvailableNowStream extends SupportsTriggerAvailableNow {
   /** Current latest committed snapshot id (0 when the table is empty). */
   protected def currentLatestSnapshotId: Long
 
+  /** `(tableDir, io, consumerId)` when this stream records consumer
+    * progress ([[graft.format.Consumers]]); None = no bookkeeping.
+    */
+  protected def consumerContext
+      : Option[(Path, graft.format.FileIO, String)] = None
+
   /** Durable-progress hook for consumer files: `consumedThrough` is the
     * snapshot id everything at or below which has been committed to
-    * the SINK. Fired from `latestOffset(start, …)` rather than
-    * `commit(end)` because Spark only calls the latter while
-    * constructing a FURTHER batch — a single-batch AvailableNow run
-    * (the common batch-ish pipeline shape) terminates without it,
-    * whereas its final "drained?" admission check still passes the
-    * committed offset through here. `start` can only lag true sink
-    * progress (first call passes the initial offset), so recording it
+    * the SINK. Fired from `latestOffset(start, …)` rather than only
+    * `commit(end)` because Spark calls the latter while constructing a
+    * FURTHER batch — a single-batch AvailableNow run (the common
+    * batch-ish pipeline shape) terminates without it, whereas its
+    * final "drained?" admission check still passes the committed
+    * offset through here. `start` can only lag true sink progress
+    * (first call passes the initial offset), so recording it
     * UNDERSTATES — retention then over-retains, never under-retains.
+    * (Caveat: under opt-in asyncProgressTrackingEnabled the offset log
+    * itself lags, `start` may exceed the DURABLE checkpoint, and a
+    * crash+restart can land before the pin — the failure is the loud
+    * expired-snapshot error, not silent data loss; consumer pins
+    * assume the default synchronous progress tracking.)
+    * Throttled: a tight ProcessingTime stream over an object-store
+    * table must not PUT the consumer file on every idle poll — write
+    * only on real advances or a minute-stale heartbeat. Monotonic
+    * inside [[graft.format.Consumers.record]]; an explicit
+    * `fromSnapshot` replay under an existing consumer-id never REWINDS
+    * the pin — rewinding is `CALL sys.reset_consumer`.
     */
-  protected def onDurableProgress(consumedThrough: Long): Unit = ()
+  @volatile private var lastRecorded: (Long, Long) = (Long.MinValue, 0L)
+  protected final def onDurableProgress(consumedThrough: Long): Unit =
+    consumerContext.foreach { case (dir, io, id) =>
+      val next = consumedThrough + 1
+      val now = System.currentTimeMillis()
+      if (next > lastRecorded._1 || now - lastRecorded._2 >= 60000L) {
+        graft.format.Consumers.record(dir, io, id, next)
+        lastRecorded = (math.max(next, lastRecorded._1), now)
+      }
+    }
+
+  /** Consumer-recorded start offset for a FRESH checkpoint (pipeline
+    * checkpoint relocation without history replay); None without a
+    * consumer or a recorded file.
+    */
+  protected final def consumerSeed: Option[Long] =
+    consumerContext.flatMap { case (dir, io, id) =>
+      graft.format.Consumers.get(dir, io, id).map(_.nextSnapshot - 1)
+    }
+
+  /** Fires only while a further batch is being constructed (never
+    * after an AvailableNow drain — onDurableProgress via latestOffset
+    * covers that); kept for the freshest possible pin on
+    * continuously-triggered streams.
+    */
+  def commit(end: Offset): Unit =
+    onDurableProgress(end.asInstanceOf[GraftOffset].snapshotId)
 
   @volatile private var pinned: Option[Long] = None
 
@@ -84,6 +127,10 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
   override protected def currentLatestSnapshotId: Long =
     sm.latestSnapshotId.getOrElse(0L)
 
+  override protected def consumerContext
+      : Option[(Path, graft.format.FileIO, String)] =
+    consumerId.map(id => (tableDir, io, id))
+
   /** First offset: 0 (full replay), a specific snapshot id, or -1 for
     * "latest" (only new commits stream — the scan-from-now mode a
     * large table needs; replaying 100 TB of history is not a default
@@ -97,9 +144,7 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
   override def initialOffset(): Offset = GraftOffset(startSnapshot match {
     case Some(-1L) => sm.latestSnapshotId.getOrElse(0L)
     case Some(id) => id
-    case None => consumerId
-      .flatMap(graft.format.Consumers.get(tableDir, io, _))
-      .map(_.nextSnapshot - 1).getOrElse(0L)
+    case None => consumerSeed.getOrElse(0L)
   })
 
   // not called once SupportsAdmissionControl is implemented; Spark
@@ -147,33 +192,6 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
       schema.trimmedPrimaryKeys, isPk = schema.isPrimaryKeyTable,
       required.json, merge = false, fieldIds = schema.idMap,
       ioSpec = schema.ioSpec, dropNonAdd = true)
-
-  /** Advance the consumer file so expiry stops waiting for snapshots
-    * this stream has drained (and keeps waiting for the ones it
-    * hasn't). Monotonic inside [[graft.format.Consumers.record]].
-    * An explicit `fromSnapshot` replay under an existing consumer-id
-    * never REWINDS the pin — rewinding is `CALL sys.reset_consumer`.
-    * Throttled: latestOffset fires once per trigger, and a tight
-    * ProcessingTime stream over an object-store table must not PUT the
-    * consumer file on every idle poll — write only when progress
-    * actually advanced or the heartbeat is a minute stale.
-    */
-  @volatile private var lastRecorded: (Long, Long) = (Long.MinValue, 0L)
-  override protected def onDurableProgress(consumedThrough: Long): Unit =
-    consumerId.foreach { id =>
-      val next = consumedThrough + 1
-      val now = System.currentTimeMillis()
-      if (next > lastRecorded._1 || now - lastRecorded._2 >= 60000L) {
-        graft.format.Consumers.record(tableDir, io, id, next)
-        lastRecorded = (math.max(next, lastRecorded._1), now)
-      }
-    }
-
-  // fires while a further batch is being constructed (not after an
-  // AvailableNow drain — onDurableProgress covers that); kept for the
-  // freshest possible pin on continuously-triggered streams
-  override def commit(end: Offset): Unit =
-    onDurableProgress(end.asInstanceOf[GraftOffset].snapshotId)
 
   override def stop(): Unit = ()
 }

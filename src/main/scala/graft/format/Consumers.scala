@@ -26,6 +26,15 @@ import java.nio.file.Path
   * the file would silently re-expand what expiry must retain, so
   * `record` keeps the max.
   *
+  * Registration contract: a consumer protects retention FROM THE
+  * MOMENT it is registered — expiry re-lists consumers immediately
+  * before its delete phase, so registering any time before that phase
+  * is honored; a registration racing the delete phase itself can
+  * still lose its first range, and the failure is the stream's loud
+  * expired-snapshot error, never silent data loss. One consumer id
+  * names ONE logical pipeline across restarts (progress is a
+  * monotonic max; concurrent streams need distinct ids).
+  *
   * Age bound: a consumer whose heartbeat is older than
   * `consumer.retain-millis` (default 7 days) no longer pins retention
   * — the same double-bound rationale as the sink identity pins: an
@@ -42,28 +51,34 @@ object Consumers {
 
   private def dir(tableDir: Path): Path = tableDir.resolve("consumers")
 
-  /** Consumer ids become file names: reject separators/control chars
-    * so an id can never escape the consumers directory or collide with
-    * metadata. Same shape tags enforce for the tag name.
+  /** Consumer ids become file names: whitelist the same portable shape
+    * tags enforce (letters, digits, `_` `.` `-`; not starting with
+    * `.`) so an id can never escape the consumers directory, collide
+    * with metadata, or need escaping on any store.
     */
   def validateId(id: String): String = {
-    require(id.nonEmpty && id.length <= 200 &&
-      !id.startsWith(".") &&
-      id.forall(c => c > ' ' && c != '/' && c != '\\' && c != 0x7f),
-      s"Invalid consumer-id '$id': expected a non-empty name without " +
-        "whitespace, slashes or control characters, not starting with '.'")
+    require(id.nonEmpty && id.length <= 200 && !id.startsWith(".") &&
+      id.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-'),
+      s"Invalid consumer-id '$id': expected letters, digits, '_', '.' " +
+        "or '-', not starting with '.'")
     id
   }
 
   private def render(nextSnapshot: Long, ts: Long): String =
     s"""{"nextSnapshot":$nextSnapshot,"ts":$ts}"""
 
-  private def parse(id: String, s: String): Option[Consumer] = for {
-    next <- "\"nextSnapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-      .map(_.group(1).toLong)
-    ts <- "\"ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-      .map(_.group(1).toLong)
-  } yield Consumer(id, next, ts)
+  // corrupted/hand-edited files (e.g. a number overflowing Long) are
+  // skipped like missing ones — one bad consumer file must not abort
+  // every expiry run and $consumers read for the table
+  private def parse(id: String, s: String): Option[Consumer] =
+    try for {
+      next <- "\"nextSnapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+      ts <- "\"ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+    } yield Consumer(id, next, ts)
+    catch { case _: NumberFormatException => None }
 
   def get(tableDir: Path, io: FileIO, id: String): Option[Consumer] = {
     val p = dir(tableDir).resolve(validateId(id))

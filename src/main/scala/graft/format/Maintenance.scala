@@ -86,11 +86,19 @@ object Maintenance {
       .flatMap(_.get("consumer.retain-millis"))
       .flatMap(_.trim.toLongOption)
       .getOrElse(Consumers.DefaultRetainMillis)
+    // `floor - 1`, not `floor`: the retraction changelog stream
+    // synthesizes each batch against the PRE-COMMIT state, i.e. it
+    // reads snapshot `nextSnapshot - 1` as the baseline of its first
+    // unread snapshot — retaining from the floor itself would wedge
+    // exactly the lagging reader the pin exists to protect. One extra
+    // snapshot whose live set overlaps the floor's is noise at any
+    // scale.
     val consumerFloor: Long = Consumers
       .minLiveNext(tableDir, io, consumerTtl, now)
       .getOrElse(Long.MaxValue)
     def isRetained(id: Long, s: Snapshot): Boolean =
-      id >= cutoff || id >= consumerFloor || newestPerQuery.contains(id) ||
+      id >= cutoff || id >= consumerFloor - 1 ||
+        newestPerQuery.contains(id) ||
         olderThanMillis.exists(a => s.timeMillis >= now - a)
     // tagged snapshots are retention pins too: their manifests and live
     // files survive any retainLast (the snapshot JSON itself may still
@@ -167,7 +175,7 @@ object Maintenance {
       .getOrElse(Long.MaxValue)
     val lateConsumerSnaps: Seq[Snapshot] =
       if (lateFloor >= consumerFloor) Seq.empty
-      else expiredPairs.collect { case (id, s) if id >= lateFloor => s }
+      else expiredPairs.collect { case (id, s) if id >= lateFloor - 1 => s }
     val lateConsumerIds = lateConsumerSnaps.map(_.id).toSet
     val lateKeep = keepManifests ++ lateTags.flatMap(_.manifests) ++
       lateConsumerSnaps.flatMap(_.manifests)

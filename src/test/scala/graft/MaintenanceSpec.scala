@@ -689,21 +689,28 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = warehouse.resolve("default.db/m_cons")
     val io = graft.format.FileIO.resolve("local")
 
-    graft.format.Consumers.record(dir, io, "lagger", 2L)
+    graft.format.Consumers.record(dir, io, "lagger", 3L)
     // a zombie incarnation replaying an old batch cannot rewind the
     // pin (that would silently re-widen what expiry must retain)
     graft.format.Consumers.record(dir, io, "lagger", 1L)
     assert(graft.format.Consumers.get(dir, io, "lagger")
-      .get.nextSnapshot == 2L)
+      .get.nextSnapshot == 3L)
 
-    // live consumer: snapshots >= 2 survive retain_last = 1
+    // live consumer at nextSnapshot=3: snapshots >= 2 survive (the
+    // floor MINUS ONE — the changelog stream's pre-commit baseline of
+    // the first unread snapshot must stay resolvable)
     graft.format.Maintenance.expireSnapshots(dir, 1)
     assert(new SnapshotManager(dir).existingSnapshotIds == Seq(2L, 3L, 4L))
 
     // heartbeat aged past consumer.retain-millis (default 7d): the pin
-    // lapses — an abandoned id must not anchor the chain forever
+    // lapses — an abandoned id must not anchor the chain forever. A
+    // CORRUPTED file (Long overflow) is skipped the same way instead
+    // of aborting the whole expiry run.
     Files.writeString(dir.resolve("consumers").resolve("lagger"),
-      """{"nextSnapshot":2,"ts":1}""")
+      """{"nextSnapshot":3,"ts":1}""")
+    Files.writeString(dir.resolve("consumers").resolve("corrupt"),
+      """{"nextSnapshot":99999999999999999999,"ts":1}""")
+    assert(graft.format.Consumers.list(dir, io).map(_.id) == Seq("lagger"))
     graft.format.Maintenance.expireSnapshots(dir, 1)
     assert(new SnapshotManager(dir).existingSnapshotIds == Seq(4L))
 
@@ -725,15 +732,16 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plain = graft.format.FileIO.local
     // instrumented store: the first MANIFEST read — after expiry's
     // initial consumer listing, while it computes reachability —
-    // registers a consumer at nextSnapshot=2, exactly the stream-
+    // registers a consumer at nextSnapshot=3, exactly the stream-
     // starts-during-expiry interleaving the second listing closes
+    // (floor 3 retains from 2 — the baseline snapshot included)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val io = new graft.format.FileIO {
       private def hook(p: java.nio.file.Path): Unit =
         if (p.getParent != null &&
             p.getParent.getFileName.toString == "manifest" &&
             fired.compareAndSet(false, true))
-          graft.format.Consumers.record(dir, plain, "mid-run", 2L)
+          graft.format.Consumers.record(dir, plain, "mid-run", 3L)
       def readString(p: java.nio.file.Path): String = {
         hook(p); plain.readString(p)
       }

@@ -633,18 +633,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"drained through snapshot 3, expected nextSnapshot 4: ${consumers()}")
 
     // retention would keep only snapshot 6, but the consumer floor (4)
-    // keeps the reader's unread range alive
+    // keeps the reader's unread range alive — from floor-1, so a
+    // retraction stream's pre-commit baseline stays resolvable too
     Seq("d", "e", "f").zipWithIndex.foreach { case (v, i) =>
       spark.sql(s"INSERT INTO graft.default.s_cons VALUES (${i + 4}, '$v')")
     }
     val expired = spark.sql(
       "CALL graft.sys.expire_snapshots('default.s_cons', 1)")
       .collect()(0).getInt(0)
-    assert(expired == 3, s"consumer floor 4 should expire only 1..3: $expired")
+    assert(expired == 2, s"consumer floor 4 should expire only 1..2: $expired")
     val ids = spark.sql("SELECT snapshot_id FROM " +
       "graft.default.`s_cons$snapshots` ORDER BY 1").collect()
       .map(_.getLong(0)).toSeq
-    assert(ids == Seq(4L, 5L, 6L))
+    assert(ids == Seq(3L, 4L, 5L, 6L))
 
     // fresh checkpoint + same consumer-id: starts at the recorded
     // offset — exactly the retained range, no expired-snapshot error
@@ -662,6 +663,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expired2 = spark.sql(
       "CALL graft.sys.expire_snapshots('default.s_cons', 1)")
       .collect()(0).getInt(0)
-    assert(expired2 == 2, s"unpinned, 4 and 5 should expire: $expired2")
+    assert(expired2 == 3, s"unpinned, 3..5 should expire: $expired2")
+  }
+
+  test("retraction changelog stream under a consumer-id survives expiry: " +
+      "the pre-commit baseline of its first unread snapshot is retained") {
+    spark.sql("CREATE TABLE graft.default.s_ccons (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.s_ccons VALUES (1, $i)"))
+    def drain(sink: String): Seq[(Int, Long)] = {
+      val q = spark.readStream
+        .option("retractions", "true").option("consumer-id", "cpipe")
+        .table("graft.default.`s_ccons$changelog`")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.sql(s"SELECT _row_kind, v FROM $sink ORDER BY _sequence_number," +
+        " _row_kind").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    }
+    // drains 1..3, records nextSnapshot=4
+    assert(drain("s_ccons_sink1").nonEmpty)
+    spark.sql("INSERT INTO graft.default.s_ccons VALUES (1, 9)")
+    spark.sql("INSERT INTO graft.default.s_ccons VALUES (1, 11)")
+    // retain_last=1 alone would keep only the tip; the consumer keeps
+    // everything from 3 — snapshot 3 being the BASELINE the next batch
+    // merges against (a trailing COMPACT snapshot may also exist)
+    spark.sql("CALL graft.sys.expire_snapshots('default.s_ccons', 1)")
+    val ids = spark.sql("SELECT snapshot_id FROM " +
+      "graft.default.`s_ccons$snapshots` ORDER BY 1").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.min == 3L && ids.contains(4L) && ids.contains(5L),
+      s"floor 4 must retain from 3 (the baseline): $ids")
+    // fresh checkpoint resumes from the consumer file and synthesizes
+    // the -U/+U pairs against the retained baseline (old value 3)
+    val got = drain("s_ccons_sink2")
+    assert(got == Seq((1, 3L), (2, 9L), (1, 9L), (2, 11L)),
+      s"expected -U old / +U new pairs for snapshots 4 and 5: $got")
   }
 }
