@@ -1146,6 +1146,66 @@ object ConnectorQ {
     // files, then read: the merged state is unchanged (idempotent, so
     // repeat runs in one JVM are safe); the require proves the history
     // is actually gone
+    // Streaming-read consumer lifecycle end-to-end: commits 1-2 are
+    // drained under a consumer-id, commit 3 lands while the pipeline
+    // is down, retention tightens to retain_last=1 — the consumer
+    // floor keeps the unread commit AND its pre-commit baseline
+    // (floor-1) alive — and a FRESH-checkpoint resume seeded by the
+    // consumer file reads EXACTLY commit 3, which DuckDB restates as
+    // the user_id % 3 = 2 slice of events.
+    QueryDef("c_consumer_pin",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val ns = st.ns
+        val tbl = s"graft_c.$ns.ev_consp"
+        val view = s"ev_consp_src_$ns"
+        t(s, dir, "events").createOrReplaceTempView(view)
+        val resumeSink = s"c_consumer_pin_resume_$ns"
+        ConnectorQ.synchronized {
+          if (!s.catalog.tableExists(tbl)) {
+            try {
+              s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT)")
+              def ins(k: Int): Unit = s.sql(s"""INSERT INTO $tbl
+                SELECT user_id, COUNT(*) FROM $view
+                WHERE user_id % 3 = $k GROUP BY user_id""")
+              def drain(sink: String): Unit = withStreamStateParts(s) {
+                val q = s.readStream.option("consumer-id", "pin")
+                  .table(tbl)
+                  .writeStream.format("memory").queryName(sink)
+                  .outputMode("append").trigger(Trigger.AvailableNow())
+                  .start()
+                q.awaitTermination()
+              }
+              ins(0); ins(1)
+              drain(s"c_consumer_pin_first_$ns") // through 2, next=3
+              ins(2) // snapshot 3, unread while "down"
+              val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
+              val cat = graft.api.Catalog.create(s,
+                Map("warehouse" -> wh, "catalog-name" -> "graft_c"))
+              cat.getTable(s"$ns.ev_consp").expireSnapshots(retainLast = 1)
+              val minId = s.table(s"graft_c.$ns.`ev_consp$$snapshots`")
+                .agg(org.apache.spark.sql.functions.min("snapshot_id"))
+                .collect()(0).getLong(0)
+              require(minId == 2L, s"consumer floor 3 must retain from " +
+                s"2 (the baseline); oldest retained was $minId")
+              val next = s.table(s"graft_c.$ns.`ev_consp$$consumers`")
+                .collect().map(_.getLong(1)).toSeq
+              require(next == Seq(3L),
+                s"expected consumer 'pin' at nextSnapshot 3, got $next")
+              drain(resumeSink) // fresh checkpoint, seeded at offset 2
+            } catch { case e: Throwable =>
+              try s.sql(s"DROP TABLE IF EXISTS $tbl")
+              catch { case _: Throwable => () }
+              throw e
+            }
+          }
+        }
+        s.sql(s"SELECT user_id, n FROM $resumeSink ORDER BY user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n FROM events
+        WHERE user_id % 3 = 2 GROUP BY user_id ORDER BY user_id""")),
+
     QueryDef("c_expire_vacuum",
       (s, dir) => {
         val st = setup(s, dir)
