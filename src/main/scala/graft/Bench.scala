@@ -15,7 +15,8 @@ object Bench {
     */
   def renderLine(results: Seq[(String, Double)], sfDir: String,
       noise: Seq[Double] = Nil,
-      passes: Int = 1, passTotals: Seq[Double] = Nil): String = {
+      passes: Int = 1, passTotals: Seq[Double] = Nil,
+      failed: Seq[String] = Nil): String = {
     def num(v: Double): String =
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
@@ -80,7 +81,13 @@ object Bench {
     val passJson =
       if (passes <= 1) ""
       else s""","passes":$passes,"pass_totals":${passTotals.map(num).mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$noiseJson$passJson,"sf":$sf}"""
+    // a failed query's recorded figure is its time-to-FAILURE (under
+    // passes:2, only when BOTH passes failed) — name it in the line so
+    // a fast error can never read as a speedup in the driver artifact
+    val failJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map(jstr).mkString("[", ",", "]")}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$noiseJson$passJson$failJson,"sf":$sf}"""
   }
 
   /** Untimed session hygiene between rows, mirroring what a real
@@ -470,21 +477,26 @@ object Bench {
     // GRAFT_BENCH_PASSES=1 keeps the cheap single pass for local
     // iteration on subsets.
     val singlePass = sys.env.get("GRAFT_BENCH_PASSES").contains("1")
-    val (results, passes, passTotals, probes) =
+    val (results, passes, passTotals, probes, failed) =
       if (singlePass)
         (pass1.map(r => r._1 -> r._2), 1, Seq(pass1.map(_._2).sum),
-          Seq(probeStart, probeMid).flatten)
+          Seq(probeStart, probeMid).flatten,
+          pass1.filter(!_._3).map(_._1))
       else {
         System.err.println(
           "[bench] running the second full pass (unconditional " +
             "minima-of-2 self-certification)")
         val pass2 = runPass()
         val probeEnd = tryProbe("end")
+        val bothFailed = pass1.zip(pass2).collect {
+          case ((n, _, false), (_, _, false)) => n
+        }
         (Bench.mergePasses(pass1, pass2), 2,
           Seq(pass1.map(_._2).sum, pass2.map(_._2).sum),
-          Seq(probeStart, probeMid, probeEnd).flatten)
+          Seq(probeStart, probeMid, probeEnd).flatten, bothFailed)
       }
-    val line = renderLine(results, sfDir, probes, passes, passTotals)
+    val line = renderLine(results, sfDir, probes, passes, passTotals,
+      failed)
     // Make the line the LAST output: stop Spark first so no shutdown
     // logging lands after it, and `Global / showSuccess := false`
     // keeps sbt quiet too.

@@ -1142,18 +1142,16 @@ object ConnectorQ {
         FROM cum WHERE run <= 100000
         GROUP BY event_type ORDER BY event_type""")),
 
-    // expire history down to the latest snapshot, vacuum unreferenced
-    // files, then read: the merged state is unchanged (idempotent, so
-    // repeat runs in one JVM are safe); the require proves the history
-    // is actually gone
     // Streaming-read consumer lifecycle end-to-end: commits 1-2 are
     // drained under a consumer-id, commit 3 lands while the pipeline
     // is down, retention tightens to retain_last=1 — the consumer
     // floor keeps the unread commit AND its pre-commit baseline
     // (floor-1) alive — and a FRESH-checkpoint resume seeded by the
     // consumer file reads EXACTLY commit 3, which DuckDB restates as
-    // the user_id % 3 = 2 slice of events.
-    QueryDef("c_consumer_pin",
+    // the user_id % 3 = 2 slice of events. (The "stream" in the row
+    // name opts it into Bench.cleanupAfter: the resume memory sink's
+    // collected rows are dropped after the timed window.)
+    QueryDef("c_stream_consumer_pin",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val st = setup(s, dir)
@@ -1161,7 +1159,7 @@ object ConnectorQ {
         val tbl = s"graft_c.$ns.ev_consp"
         val view = s"ev_consp_src_$ns"
         t(s, dir, "events").createOrReplaceTempView(view)
-        val resumeSink = s"c_consumer_pin_resume_$ns"
+        val resumeSink = s"c_stream_consumer_pin_resume_$ns"
         ConnectorQ.synchronized {
           if (!s.catalog.tableExists(tbl)) {
             try {
@@ -1169,16 +1167,21 @@ object ConnectorQ {
               def ins(k: Int): Unit = s.sql(s"""INSERT INTO $tbl
                 SELECT user_id, COUNT(*) FROM $view
                 WHERE user_id % 3 = $k GROUP BY user_id""")
-              def drain(sink: String): Unit = withStreamStateParts(s) {
-                val q = s.readStream.option("consumer-id", "pin")
-                  .table(tbl)
-                  .writeStream.format("memory").queryName(sink)
-                  .outputMode("append").trigger(Trigger.AvailableNow())
-                  .start()
-                q.awaitTermination()
-              }
+              // the first drain exists only to advance the consumer —
+              // a noop sink keeps its data-proportional rows off the
+              // driver heap; the resume drain's result IS the answer
+              def drain(sink: Option[String]): Unit =
+                withStreamStateParts(s) {
+                  val w = s.readStream.option("consumer-id", "pin")
+                    .table(tbl).writeStream
+                  val q = sink.fold(w.format("noop"))(n =>
+                      w.format("memory").queryName(n))
+                    .outputMode("append").trigger(Trigger.AvailableNow())
+                    .start()
+                  q.awaitTermination()
+                }
               ins(0); ins(1)
-              drain(s"c_consumer_pin_first_$ns") // through 2, next=3
+              drain(None) // through snapshot 2, consumer next=3
               ins(2) // snapshot 3, unread while "down"
               val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
               val cat = graft.api.Catalog.create(s,
@@ -1193,7 +1196,8 @@ object ConnectorQ {
                 .collect().map(_.getLong(1)).toSeq
               require(next == Seq(3L),
                 s"expected consumer 'pin' at nextSnapshot 3, got $next")
-              drain(resumeSink) // fresh checkpoint, seeded at offset 2
+              // fresh checkpoint, seeded at offset 2 by the consumer
+              drain(Some(resumeSink))
             } catch { case e: Throwable =>
               try s.sql(s"DROP TABLE IF EXISTS $tbl")
               catch { case _: Throwable => () }
@@ -1206,6 +1210,10 @@ object ConnectorQ {
       Some("""SELECT user_id, COUNT(*) AS n FROM events
         WHERE user_id % 3 = 2 GROUP BY user_id ORDER BY user_id""")),
 
+    // expire history down to the latest snapshot, vacuum unreferenced
+    // files, then read: the merged state is unchanged (idempotent, so
+    // repeat runs in one JVM are safe); the require proves the history
+    // is actually gone
     QueryDef("c_expire_vacuum",
       (s, dir) => {
         val st = setup(s, dir)

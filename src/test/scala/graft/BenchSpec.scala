@@ -64,6 +64,21 @@ class BenchSpec extends AnyFunSuite {
       .extract[Double](DefaultFormats, manifest[Double]) - 100.0) < 0.01)
   }
 
+  test("failed queries are named in the line; absent when all succeed") {
+    // a failed query's recorded figure is its time-to-FAILURE — the
+    // line must name it so a fast error never reads as a speedup
+    val line = Bench.renderLine(
+      Seq(("q_a", 1.2), ("q_b", 0.05)), "/root/testdata/sf0.01",
+      failed = Seq("q_b"))
+    val v = JsonMethods.parse(line)
+    val JArray(f) = (v \ "failed"): @unchecked
+    assert(f.map(_.extract[String](DefaultFormats, manifest[String]))
+      == List("q_b"))
+    val clean = Bench.renderLine(
+      Seq(("q_a", 1.2), ("q_b", 0.8)), "/root/testdata/sf0.01")
+    assert((JsonMethods.parse(clean) \ "failed") == JNothing)
+  }
+
   test("pass merge prefers successful measurements over fast failures") {
     // a query that throws records its time-to-failure — often a FAST
     // transient error — which must never win the min under passes:2
