@@ -188,4 +188,145 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("seeded lifecycle interleavings preserve model, history and tags (seed 41)") {
     runSeed(41, 34)
   }
+
+  /** Partitioned-PK variant: the walk additionally drives the
+    * partition-only metadata-DELETE path (the `NOT IN (…, NULL)` 3VL
+    * review finding lived exactly there), per-(partition,bucket)
+    * compaction, and expiry/vacuum/rollback over manifests that carry
+    * partition values.
+    */
+  private def runPartitionedSeed(seed: Int, steps: Int): Unit = {
+    val rnd = new Random(seed)
+    val tbl = s"fzp_s$seed"
+    val fq = s"graft.default.$tbl"
+    spark.sql(s"CREATE TABLE $fq (p INT, k BIGINT, v STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      "('primary-key'='p,k','bucket'='1'," +
+      "'compaction.trigger-file-count'='4')")
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    val table = catalog.getTable(s"default.$tbl")
+    val sm = new SnapshotManager(warehouse.resolve(s"default.db/$tbl"))
+
+    var model = Map.empty[(Int, Long), String]
+    var recorded = Vector.empty[(Long, Map[(Int, Long), String])]
+    var tags = Map.empty[String, Map[(Int, Long), String]]
+    var lastId = 0L
+
+    def read(sql: String): Map[(Int, Long), String] =
+      spark.sql(sql).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+
+    def retainedIds(): Set[Long] =
+      spark.sql(s"SELECT snapshot_id FROM graft.default.`$tbl$$snapshots`")
+        .collect().map(_.getLong(0)).toSet
+
+    def checkNow(step: Int, op: String): Unit = {
+      val got = read(s"SELECT p, k, v FROM $fq")
+      assert(got == model, s"seed=$seed step=$step after $op: read " +
+        s"${got.toSeq.sortBy(_._1)} != model ${model.toSeq.sortBy(_._1)}")
+      val id = sm.latestSnapshotId.getOrElse(0L)
+      assert(id >= lastId,
+        s"seed=$seed step=$step after $op: ids went backwards $lastId->$id")
+      lastId = id
+      if (recorded.lastOption.map(_._1) != Some(id))
+        recorded :+= (id -> model)
+    }
+
+    def sweep(step: Int, why: String): Unit = {
+      val live = retainedIds()
+      recorded = recorded.filter(pr => live(pr._1))
+      recorded.takeRight(12).foreach { case (sid, m) =>
+        val got = read(s"SELECT p, k, v FROM $fq VERSION AS OF $sid")
+        assert(got == m, s"seed=$seed step=$step ($why): VERSION AS OF " +
+          s"$sid diverged from the recorded state")
+      }
+      tags.foreach { case (name, m) =>
+        val got = read(s"SELECT p, k, v FROM $fq VERSION AS OF '$name'")
+        assert(got == m,
+          s"seed=$seed step=$step ($why): tag $name diverged")
+      }
+    }
+
+    val opCounts = scala.collection.mutable.Map.empty[String, Int]
+    (1 to steps).foreach { step =>
+      val roll = rnd.nextInt(100)
+      val op: String =
+        if (roll < 35 || model.isEmpty) {
+          val pairs = Seq.fill(1 + rnd.nextInt(4))(
+            (rnd.nextInt(4), rnd.nextInt(10).toLong)).distinct
+          val vals = pairs.map { case (p, k) => s"($p, $k, 'v${step}_${p}_$k')" }
+            .mkString(", ")
+          spark.sql(s"INSERT INTO $fq VALUES $vals")
+          model ++= pairs.map { case (p, k) => (p, k) -> s"v${step}_${p}_$k" }
+          "insert"
+        } else if (roll < 47) {
+          val (p, k) = model.keys.toSeq(rnd.nextInt(model.size))
+          spark.sql(s"UPDATE $fq SET v = 'u$step' WHERE p = $p AND k = $k")
+          model += ((p, k) -> s"u$step")
+          "update"
+        } else if (roll < 59) {
+          val (p, k) = model.keys.toSeq(rnd.nextInt(model.size))
+          spark.sql(s"DELETE FROM $fq WHERE p = $p AND k = $k")
+          model -= ((p, k))
+          "delete"
+        } else if (roll < 67) {
+          // partition-only predicate: the metadata-DELETE path (no
+          // rewrite, manifests drop the partition's files)
+          val p = model.keys.toSeq(rnd.nextInt(model.size))._1
+          spark.sql(s"DELETE FROM $fq WHERE p = $p")
+          model = model.filter(_._1._1 != p)
+          "partitionDelete"
+        } else if (roll < 77) {
+          table.compact()
+          "compact"
+        } else if (roll < 84) {
+          if (rnd.nextBoolean() || tags.isEmpty) {
+            val name = s"fz$step"
+            table.createTag(name)
+            tags += (name -> model)
+            "tag"
+          } else {
+            val name = tags.keys.toSeq(rnd.nextInt(tags.size))
+            table.deleteTag(name)
+            tags -= name
+            "deleteTag"
+          }
+        } else if (roll < 90) {
+          table.expireSnapshots(retainLast = 1 + rnd.nextInt(4))
+          "expire"
+        } else if (roll < 96 && recorded.size >= 2) {
+          val live = retainedIds()
+          recorded = recorded.filter(pr => live(pr._1))
+          val (sid, m) = recorded(rnd.nextInt(recorded.size))
+          spark.sql(s"CALL graft.sys.rollback('default.$tbl', $sid)")
+          model = m
+          "rollback"
+        } else {
+          table.vacuum(olderThanMillis = 0L)
+          sweep(step, "post-vacuum")
+          "vacuum"
+        }
+      opCounts(op) = opCounts.getOrElse(op, 0) + 1
+      checkNow(step, op)
+      if (step % 6 == 0) sweep(step, "periodic")
+    }
+    sweep(steps, "final")
+    table.vacuum(olderThanMillis = 0L)
+    opCounts("vacuum") = opCounts.getOrElse("vacuum", 0) + 1
+    sweep(steps, "final-vacuum")
+    val mustFire = Seq("insert", "update", "delete", "partitionDelete",
+      "compact", "tag", "expire", "rollback", "vacuum")
+    val missing = mustFire.filterNot(opCounts.contains)
+    assert(missing.isEmpty,
+      s"seed=$seed never exercised: $missing (counts: $opCounts)")
+  }
+
+  test("partitioned-PK lifecycle interleavings incl. metadata partition deletes (seed 13)") {
+    runPartitionedSeed(13, 34)
+  }
+
+  test("partitioned-PK lifecycle interleavings incl. metadata partition deletes (seed 97)") {
+    runPartitionedSeed(97, 34)
+  }
 }
