@@ -329,4 +329,146 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("partitioned-PK lifecycle interleavings incl. metadata partition deletes (seed 97)") {
     runPartitionedSeed(97, 34)
   }
+
+  /** Aggregation-engine variant: the model folds (sum, max) per key, so
+    * the walk checks that compaction, expiry of un-compacted runs,
+    * rollback and vacuum never change WHAT the fold computes — the
+    * history-reinterpretation family this round's fold-mutability guard
+    * closed, here exercised under random maintenance churn. DELETE
+    * routes copy-on-write on non-dedup engines and must clear the key's
+    * folded state entirely.
+    */
+  private def runAggregationSeed(seed: Int, steps: Int): Unit = {
+    val rnd = new Random(seed)
+    val tbl = s"fza_s$seed"
+    val fq = s"graft.default.$tbl"
+    spark.sql(s"CREATE TABLE $fq (k BIGINT, s BIGINT, c BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='aggregation'," +
+      "'fields.s.aggregate-function'='sum'," +
+      "'fields.c.aggregate-function'='max'," +
+      "'compaction.trigger-file-count'='4')")
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    val table = catalog.getTable(s"default.$tbl")
+    val sm = new SnapshotManager(warehouse.resolve(s"default.db/$tbl"))
+
+    var model = Map.empty[Long, (Long, Long)]
+    var recorded = Vector.empty[(Long, Map[Long, (Long, Long)])]
+    var tags = Map.empty[String, Map[Long, (Long, Long)]]
+    var lastId = 0L
+
+    def read(sql: String): Map[Long, (Long, Long)] =
+      spark.sql(sql).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    def retainedIds(): Set[Long] =
+      spark.sql(s"SELECT snapshot_id FROM graft.default.`$tbl$$snapshots`")
+        .collect().map(_.getLong(0)).toSet
+
+    def checkNow(step: Int, op: String): Unit = {
+      val got = read(s"SELECT k, s, c FROM $fq")
+      assert(got == model, s"seed=$seed step=$step after $op: read " +
+        s"${got.toSeq.sortBy(_._1)} != model ${model.toSeq.sortBy(_._1)}")
+      val id = sm.latestSnapshotId.getOrElse(0L)
+      assert(id >= lastId,
+        s"seed=$seed step=$step after $op: ids went backwards $lastId->$id")
+      lastId = id
+      if (recorded.lastOption.map(_._1) != Some(id))
+        recorded :+= (id -> model)
+    }
+
+    def sweep(step: Int, why: String): Unit = {
+      val live = retainedIds()
+      recorded = recorded.filter(pr => live(pr._1))
+      recorded.takeRight(12).foreach { case (sid, m) =>
+        val got = read(s"SELECT k, s, c FROM $fq VERSION AS OF $sid")
+        assert(got == m, s"seed=$seed step=$step ($why): VERSION AS OF " +
+          s"$sid diverged from the recorded folded state")
+      }
+      tags.foreach { case (name, m) =>
+        val got = read(s"SELECT k, s, c FROM $fq VERSION AS OF '$name'")
+        assert(got == m,
+          s"seed=$seed step=$step ($why): tag $name diverged")
+      }
+    }
+
+    val opCounts = scala.collection.mutable.Map.empty[String, Int]
+    (1 to steps).foreach { step =>
+      val roll = rnd.nextInt(100)
+      val op: String =
+        if (roll < 45 || model.isEmpty) {
+          val rows = Seq.fill(1 + rnd.nextInt(4))(
+            (rnd.nextInt(8).toLong, (rnd.nextInt(100) - 20).toLong,
+              rnd.nextInt(1000).toLong))
+          val vals = rows.map { case (k, ds, dc) => s"($k, $ds, $dc)" }
+            .mkString(", ")
+          spark.sql(s"INSERT INTO $fq VALUES $vals")
+          // intra-batch duplicates fold too, in order — same as the
+          // model's left fold
+          rows.foreach { case (k, ds, dc) =>
+            val (s0, c0) = model.getOrElse(k, (0L, Long.MinValue))
+            val merged =
+              if (model.contains(k)) (s0 + ds, math.max(c0, dc))
+              else (ds, dc)
+            model += (k -> merged)
+          }
+          "insert"
+        } else if (roll < 57) {
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          spark.sql(s"DELETE FROM $fq WHERE k = $k")
+          model -= k
+          "delete"
+        } else if (roll < 69) {
+          table.compact()
+          "compact"
+        } else if (roll < 78) {
+          if (rnd.nextBoolean() || tags.isEmpty) {
+            val name = s"fz$step"
+            table.createTag(name)
+            tags += (name -> model)
+            "tag"
+          } else {
+            val name = tags.keys.toSeq(rnd.nextInt(tags.size))
+            table.deleteTag(name)
+            tags -= name
+            "deleteTag"
+          }
+        } else if (roll < 87) {
+          table.expireSnapshots(retainLast = 1 + rnd.nextInt(4))
+          "expire"
+        } else if (roll < 95 && recorded.size >= 2) {
+          val live = retainedIds()
+          recorded = recorded.filter(pr => live(pr._1))
+          val (sid, m) = recorded(rnd.nextInt(recorded.size))
+          spark.sql(s"CALL graft.sys.rollback('default.$tbl', $sid)")
+          model = m
+          "rollback"
+        } else {
+          table.vacuum(olderThanMillis = 0L)
+          sweep(step, "post-vacuum")
+          "vacuum"
+        }
+      opCounts(op) = opCounts.getOrElse(op, 0) + 1
+      checkNow(step, op)
+      if (step % 6 == 0) sweep(step, "periodic")
+    }
+    sweep(steps, "final")
+    table.vacuum(olderThanMillis = 0L)
+    opCounts("vacuum") = opCounts.getOrElse("vacuum", 0) + 1
+    sweep(steps, "final-vacuum")
+    val mustFire = Seq("insert", "delete", "compact", "tag", "expire",
+      "rollback", "vacuum")
+    val missing = mustFire.filterNot(opCounts.contains)
+    assert(missing.isEmpty,
+      s"seed=$seed never exercised: $missing (counts: $opCounts)")
+  }
+
+  test("aggregation-engine lifecycle: folds survive maintenance churn (seed 23)") {
+    runAggregationSeed(23, 34)
+  }
+
+  test("aggregation-engine lifecycle: folds survive maintenance churn (seed 71)") {
+    runAggregationSeed(71, 34)
+  }
 }
