@@ -155,15 +155,25 @@ object Compactor extends Serializable {
       tableDir: Path, schema: graft.core.TableSchema,
       groups: Seq[((Seq[String], Int), Seq[DataFileMeta])]): Int = {
     if (groups.isEmpty) return 0
+    // Rewrite with the table's LATEST persisted schema, never the
+    // caller's cached handle: a long-lived handle (facade Table, a
+    // streaming sink's per-query GraftWrite) compacting after an
+    // ALTER TABLE ADD COLUMN would otherwise rewrite whole buckets
+    // THROUGH the pre-ADD schema and silently drop every committed
+    // value of the new column (caught by LifecycleFuzzSpec's evolve
+    // op, seed 7). The reload also stamps the compacted file with the
+    // current schema id, so later reads null-fill exactly the columns
+    // the rewrite did not carry.
+    val schemaNow = graft.core.TableSchema.load(tableDir).getOrElse(schema)
     val dirStr = tableDir.toString
-    val fieldsJson = schema.fields.json
-    val pks = schema.partitionKeys
-    val tpk = schema.trimmedPrimaryKeys
-    val isPk = schema.isPrimaryKeyTable
-    val fmt = schema.options.getOrElse("file.format", "parquet")
-    val fids = schema.idMap
-    val ioSpec = schema.ioSpec // string travels into the task closure
-    val mspec = schema.mergeSpec // compaction folds with the table's engine
+    val fieldsJson = schemaNow.fields.json
+    val pks = schemaNow.partitionKeys
+    val tpk = schemaNow.trimmedPrimaryKeys
+    val isPk = schemaNow.isPrimaryKeyTable
+    val fmt = schemaNow.options.getOrElse("file.format", "parquet")
+    val fids = schemaNow.idMap
+    val ioSpec = schemaNow.ioSpec // string travels into the task closure
+    val mspec = schemaNow.mergeSpec // compaction folds with the table's engine
     val work = groups.map { case ((part, bucket), fs) =>
       (part, bucket, fs.map(_.fileName))
     }
@@ -186,10 +196,10 @@ object Compactor extends Serializable {
     // fabricated 0/0 seq bounds would otherwise be ADDed and opened by
     // every later scan and recompaction of that bucket forever
     val (kept, empty) = adds.partition(_.rowCount > 0)
-    val fio = FileIO.resolve(schema.ioSpec)
+    val fio = FileIO.resolve(schemaNow.ioSpec)
     empty.foreach(f => fio.delete(tableDir.resolve(f.fileName)))
     commit(new SnapshotManager(tableDir, io = fio),
-      schema.id, kept, deleteNames, tableDir)
+      schemaNow.id, kept, deleteNames, tableDir)
     groups.size
   }
 

@@ -76,6 +76,36 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, "a", Some(7))), got.toSeq)
   }
 
+  test("compaction through a STALE handle after ADD COLUMN keeps the new column") {
+    // regression (found by LifecycleFuzzSpec seed 7): Compactor used
+    // the caller's cached TableSchema, so a facade handle created
+    // before an ALTER TABLE ADD COLUMN — or a long-running streaming
+    // sink's per-query write — compacted whole buckets THROUGH the
+    // pre-ADD schema and silently dropped every committed value of
+    // the new column. compactGroups must reload the latest persisted
+    // schema before rewriting.
+    spark.sql("CREATE TABLE graft.default.evo_cmp (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
+    spark.sql("INSERT INTO graft.default.evo_cmp VALUES (1,'a'), (2,'b')")
+    val stale = graft.api.Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+      .getTable("default.evo_cmp") // caches the pre-ADD schema
+    spark.sql("ALTER TABLE graft.default.evo_cmp ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO graft.default.evo_cmp VALUES (2,'B', 42)")
+    assert(stale.compact() == 1)
+    val got = spark.sql(
+      "SELECT k, v, w FROM graft.default.evo_cmp ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "B", Some(42L))),
+      got.toSeq)
+    // the compacted file is stamped with the evolved schema id, so
+    // later readers null-fill exactly the columns the rewrite lacked
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/evo_cmp"))
+    assert(sm.latestSnapshot.get.commitKind == "COMPACT")
+  }
+
   test("RENAME COLUMN: old files keep serving data under the new name") {
     spark.sql("CREATE TABLE graft.default.evo_rn (f0 INT, f1 STRING)")
     spark.sql("INSERT INTO graft.default.evo_rn VALUES (1,'a'), (2,'b')")

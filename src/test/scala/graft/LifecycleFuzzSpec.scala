@@ -62,22 +62,32 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val table = catalog.getTable(s"default.$tbl")
     val sm = new SnapshotManager(warehouse.resolve(s"default.db/$tbl"))
 
-    var model = Map.empty[Long, String]
+    // value = (v, w): w is None until the mid-walk ADD COLUMN and for
+    // every row not rewritten since — time travel reads with the
+    // LATEST schema (field-id mapping null-fills old files), so even
+    // pre-ADD recorded states compare against 3-column reads
+    var hasW = false
+    var model = Map.empty[Long, (String, Option[Long])]
     // (snapshotId, expected merged state at that snapshot)
-    var recorded = Vector.empty[(Long, Map[Long, String])]
-    var tags = Map.empty[String, Map[Long, String]]
+    var recorded = Vector.empty[(Long, Map[Long, (String, Option[Long])])]
+    var tags = Map.empty[String, Map[Long, (String, Option[Long])]]
     var lastId = 0L
 
-    def read(sql: String): Map[Long, String] =
-      spark.sql(sql).collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def read(sql: String): Map[Long, (String, Option[Long])] =
+      spark.sql(sql).collect().map { r =>
+        val w = if (r.schema.size > 2 && !r.isNullAt(2))
+          Some(r.getLong(2)) else None
+        r.getLong(0) -> ((r.getString(1), w))
+      }.toMap
+
+    def cols: String = if (hasW) "k, v, w" else "k, v"
 
     def retainedIds(): Set[Long] =
       spark.sql(s"SELECT snapshot_id FROM graft.default.`$tbl$$snapshots`")
         .collect().map(_.getLong(0)).toSet
 
     def checkNow(step: Int, op: String): Unit = {
-      val got = read(s"SELECT k, v FROM $fq")
+      val got = read(s"SELECT $cols FROM $fq")
       assert(got == model, s"seed=$seed step=$step after $op: read " +
         s"${got.toSeq.sortBy(_._1)} != model ${model.toSeq.sortBy(_._1)}")
       val id = sm.latestSnapshotId.getOrElse(0L)
@@ -94,13 +104,13 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the sweep cost is bounded: only the newest 12 retained states
       // are re-read every time (older ones were checked when newest)
       recorded.takeRight(12).foreach { case (sid, m) =>
-        val got = read(s"SELECT k, v FROM $fq VERSION AS OF $sid")
+        val got = read(s"SELECT $cols FROM $fq VERSION AS OF $sid")
         assert(got == m, s"seed=$seed step=$step ($why): VERSION AS OF " +
           s"$sid read ${got.toSeq.sortBy(_._1)} != recorded " +
           s"${m.toSeq.sortBy(_._1)}")
       }
       tags.foreach { case (name, m) =>
-        val got = read(s"SELECT k, v FROM $fq VERSION AS OF '$name'")
+        val got = read(s"SELECT $cols FROM $fq VERSION AS OF '$name'")
         assert(got == m,
           s"seed=$seed step=$step ($why): tag $name diverged")
       }
@@ -110,17 +120,35 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1 to steps).foreach { step =>
       val roll = rnd.nextInt(100)
       val op: String =
-        if (roll < 40 || model.isEmpty) {
+        if (step == steps / 2) {
+          // one-shot schema evolution mid-walk: every later op (and
+          // every sweep over PRE-ADD history) runs on the evolved
+          // schema, crossing evolution with expiry/rollback/vacuum
+          spark.sql(s"ALTER TABLE $fq ADD COLUMN w BIGINT")
+          hasW = true
+          "evolve"
+        } else if (roll < 40 || model.isEmpty) {
           val ks = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(20).toLong)
             .distinct
-          val vals = ks.map(k => s"($k, 'v${step}_$k')").mkString(", ")
+          val vals = ks.map { k =>
+            if (hasW) s"($k, 'v${step}_$k', ${k * 100 + step})"
+            else s"($k, 'v${step}_$k')"
+          }.mkString(", ")
           spark.sql(s"INSERT INTO $fq VALUES $vals")
-          model ++= ks.map(k => k -> s"v${step}_$k")
+          model ++= ks.map(k => k ->
+            ((s"v${step}_$k", if (hasW) Some(k * 100 + step) else None)))
           "insert"
         } else if (roll < 55) {
           val k = model.keys.toSeq(rnd.nextInt(model.size))
-          spark.sql(s"UPDATE $fq SET v = 'u$step' WHERE k = $k")
-          model += (k -> s"u$step")
+          if (hasW && rnd.nextBoolean()) {
+            // update the EVOLVED column on a possibly pre-ADD row: the
+            // rewritten row must carry v forward and w explicitly
+            spark.sql(s"UPDATE $fq SET w = $step WHERE k = $k")
+            model += (k -> ((model(k)._1, Some(step.toLong))))
+          } else {
+            spark.sql(s"UPDATE $fq SET v = 'u$step' WHERE k = $k")
+            model += (k -> ((s"u$step", model(k)._2)))
+          }
           "update"
         } else if (roll < 70) {
           val k = model.keys.toSeq(rnd.nextInt(model.size))
@@ -175,7 +203,7 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the schedule is deterministic per seed: every lifecycle op must
     // actually fire, or the walk has silently degraded to inserts-only
     val mustFire = Seq("insert", "update", "delete", "compact", "tag",
-      "expire", "rollback", "vacuum")
+      "expire", "rollback", "vacuum", "evolve")
     val missing = mustFire.filterNot(opCounts.contains)
     assert(missing.isEmpty,
       s"seed=$seed never exercised: $missing (counts: $opCounts)")
