@@ -67,6 +67,7 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // LATEST schema (field-id mapping null-fills old files), so even
     // pre-ADD recorded states compare against 3-column reads
     var hasW = false
+    var vCol = "v"
     var model = Map.empty[Long, (String, Option[Long])]
     // (snapshotId, expected merged state at that snapshot)
     var recorded = Vector.empty[(Long, Map[Long, (String, Option[Long])])]
@@ -80,7 +81,7 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(0) -> ((r.getString(1), w))
       }.toMap
 
-    def cols: String = if (hasW) "k, v, w" else "k, v"
+    def cols: String = if (hasW) s"k, $vCol, w" else s"k, $vCol"
 
     def retainedIds(): Set[Long] =
       spark.sql(s"SELECT snapshot_id FROM graft.default.`$tbl$$snapshots`")
@@ -127,6 +128,13 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           spark.sql(s"ALTER TABLE $fq ADD COLUMN w BIGINT")
           hasW = true
           "evolve"
+        } else if (step == (3 * steps) / 4) {
+          // one-shot RENAME late in the walk: old files keep serving
+          // the column by field id under the new name, through every
+          // later compact/rollback/time-travel sweep
+          spark.sql(s"ALTER TABLE $fq RENAME COLUMN $vCol TO ${vCol}r")
+          vCol = s"${vCol}r"
+          "rename"
         } else if (roll < 40 || model.isEmpty) {
           val ks = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(20).toLong)
             .distinct
@@ -146,7 +154,7 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             spark.sql(s"UPDATE $fq SET w = $step WHERE k = $k")
             model += (k -> ((model(k)._1, Some(step.toLong))))
           } else {
-            spark.sql(s"UPDATE $fq SET v = 'u$step' WHERE k = $k")
+            spark.sql(s"UPDATE $fq SET $vCol = 'u$step' WHERE k = $k")
             model += (k -> ((s"u$step", model(k)._2)))
           }
           "update"
@@ -203,7 +211,7 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the schedule is deterministic per seed: every lifecycle op must
     // actually fire, or the walk has silently degraded to inserts-only
     val mustFire = Seq("insert", "update", "delete", "compact", "tag",
-      "expire", "rollback", "vacuum", "evolve")
+      "expire", "rollback", "vacuum", "evolve", "rename")
     val missing = mustFire.filterNot(opCounts.contains)
     assert(missing.isEmpty,
       s"seed=$seed never exercised: $missing (counts: $opCounts)")
