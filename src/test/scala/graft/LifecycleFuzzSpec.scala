@@ -48,19 +48,22 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def runSeed(seed: Int, steps: Int): Unit = {
+  private def runSeed(seed: Int, steps: Int,
+      ioSpec: Option[String] = None): Unit = {
     val rnd = new Random(seed)
     val tbl = s"fz_s$seed"
     val fq = s"graft.default.$tbl"
     // auto-compaction at 4 files interleaves COMPACT snapshots into the
     // randomized schedule on top of the explicit compact op
+    val ioProp = ioSpec.map(s => s",'io'='$s'").getOrElse("")
     spark.sql(s"CREATE TABLE $fq (k BIGINT, v STRING) TBLPROPERTIES " +
       "('primary-key'='k','bucket'='1'," +
-      "'compaction.trigger-file-count'='4')")
+      s"'compaction.trigger-file-count'='4'$ioProp)")
     val catalog = Catalog.create(spark,
       Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
     val table = catalog.getTable(s"default.$tbl")
-    val sm = new SnapshotManager(warehouse.resolve(s"default.db/$tbl"))
+    val sm = new SnapshotManager(warehouse.resolve(s"default.db/$tbl"),
+      io = graft.format.FileIO.resolve(ioSpec.getOrElse("local")))
 
     // value = (v, w): w is None until the mid-walk ADD COLUMN and for
     // every row not rewritten since — time travel reads with the
@@ -223,6 +226,13 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("seeded lifecycle interleavings preserve model, history and tags (seed 41)") {
     runSeed(41, 34)
+  }
+
+  test("lifecycle walk on a remote data plane (io=memory: FileIO seam, seed 55)") {
+    // same walk, but snapshots/manifests/data ride the FileIO seam the
+    // object-store plane uses (only schema/ stays local) — maintenance
+    // churn, evolution and time travel all through remote IO
+    runSeed(55, 34, ioSpec = Some("memory:fuzz55"))
   }
 
   /** Partitioned-PK variant: the walk additionally drives the
