@@ -471,6 +471,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // already updated fields/ids when the SET is processed
             fields.fieldNames.zip(ids).toMap.get(c))
         }
+        GraftCatalog.fieldSeqGroupColumn(set.property()).foreach { c =>
+          val cur = ts.options.get(set.property()).map(_.trim)
+          if (!cur.contains(set.value().trim)) {
+            val inFlight = fields.fieldNames.zip(ids).toMap
+            // every involved column's history is reinterpreted by a
+            // group change: the version column, the NEW members, and
+            // any OLD member leaving the group (it reverts to the
+            // plain last-non-null fold)
+            val involved = (c +: (set.value().split(",").map(_.trim) ++
+              cur.toSeq.flatMap(_.split(",").map(_.trim)))
+                .filter(_.nonEmpty).toSeq).distinct
+            involved.foreach(col => requireFoldChangeSafe(dir, ts, col,
+              set.property(), inFlight.get(col)))
+          }
+        }
         // `COMMENT ON TABLE t IS NULL` arrives as SET comment -> ""
         // in Spark 4.1 (other clients emit removeProperty, handled
         // below): an empty comment IS no comment
@@ -491,6 +506,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (cur.exists(_ != "last_non_null_value"))
             requireFoldChangeSafe(dir, ts, c, rm.property(),
               fields.fieldNames.zip(ids).toMap.get(c))
+        }
+        GraftCatalog.fieldSeqGroupColumn(rm.property()).foreach { c =>
+          // UNSET dissolves the group: the version column and every
+          // member revert to plain folds over their committed history
+          ts.options.get(rm.property()).foreach { cur =>
+            val inFlight = fields.fieldNames.zip(ids).toMap
+            (c +: cur.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .distinct.foreach(col => requireFoldChangeSafe(dir, ts,
+                col, rm.property(), inFlight.get(col)))
+          }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as
         // removeProperty("comment") — the comment lives in its own
@@ -550,10 +575,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(safe,
       s"Cannot change table property '$prop': column '$col' has " +
         "committed history, and its un-compacted runs would be " +
-        "re-folded under the new aggregate-function on the next " +
-        "merge/compaction (silent history reinterpretation). Declare " +
-        "the function in CREATE TABLE, or set it immediately after " +
-        "ADD COLUMN before any write commits.")
+        "re-merged under the new rules on the next merge/compaction " +
+        "(silent history reinterpretation). Declare the option in " +
+        "CREATE TABLE, or set it immediately after ADD COLUMN before " +
+        "any write commits.")
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -620,6 +645,20 @@ object GraftCatalog {
   def fieldAggColumn(name: String): Option[String] = {
     val pre = "fields."
     val suf = ".aggregate-function"
+    if (name.startsWith(pre) && name.endsWith(suf) &&
+        name.length > pre.length + suf.length)
+      Some(name.stripPrefix(pre).stripSuffix(suf))
+    else None
+  }
+
+  /** The version column a `fields.<col>.sequence-group` property names,
+    * if the property is shaped so. Same data-aware mutability guard as
+    * the fold functions: changing a group re-merges every involved
+    * column's un-compacted runs under new rules.
+    */
+  def fieldSeqGroupColumn(name: String): Option[String] = {
+    val pre = "fields."
+    val suf = ".sequence-group"
     if (name.startsWith(pre) && name.endsWith(suf) &&
         name.length > pre.length + suf.length)
       Some(name.stripPrefix(pre).stripSuffix(suf))

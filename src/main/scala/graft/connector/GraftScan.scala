@@ -796,7 +796,11 @@ final case class GraftReaderFactory(
     val requiredData = dataFields.fields.map(_.name)
       .filter(n => required.fieldNames.contains(n) ||
         (needMerge && (trimmedPk.contains(n) ||
-          mergeSpec.seqField.contains(n))))
+          // columns the merge ORDERS by (sequence.field, every
+          // sequence-group version column) ride below the merge even
+          // when the projection prunes them — group folds are exact
+          // under member pruning, but never under version pruning
+          mergeSpec.orderingColumns.contains(n))))
     val wantsKv = required.fieldNames.exists(
       n => n == "_sequence_number" || n == "_row_kind") || dropNonAdd
     val readSchema = if (needMerge || (isPk && wantsKv)) StructType(

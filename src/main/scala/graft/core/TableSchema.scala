@@ -177,6 +177,46 @@ final case class TableSchema(
           s"sequence.field is only supported with merge-engine " +
             s"'deduplicate' (got '${mspec.engine}')")
     }
+    // sequence-groups (`fields.<g>.sequence-group=a,b`): per-group
+    // out-of-order partial updates, partial-update engine only. The
+    // group version column orders its members, so it needs the same
+    // comparable types as sequence.field; sets must be disjoint or the
+    // fold order between overlapping groups would be ambiguous.
+    if (mspec.seqGroups.nonEmpty && mspec.engine != "partial-update")
+      throw new IllegalArgumentException(
+        "'fields.<col>.sequence-group' is only supported with " +
+          s"merge-engine 'partial-update' (got '${mspec.engine}')")
+    mspec.seqGroups.foreach { case (g, members) =>
+      val k = s"fields.$g.sequence-group"
+      def checkCol(c: String, role: String): Unit = {
+        if (!names.contains(c)) throw new IllegalArgumentException(
+          s"The $role $c of '$k' is not in field list " +
+            fields.fieldNames.mkString("[", ", ", "]"))
+        if (primaryKeys.contains(c) || partitionKeys.contains(c))
+          throw new IllegalArgumentException(
+            s"'$k': key and partition columns cannot be in a sequence group")
+      }
+      checkCol(g, "sequence-group column")
+      if (members.isEmpty) throw new IllegalArgumentException(
+        s"'$k' must name at least one member column")
+      members.foreach(checkCol(_, "member"))
+      if (members.contains(g)) throw new IllegalArgumentException(
+        s"'$k': the group's version column $g cannot be its own member")
+      if (mspec.seqGroups.exists { case (g2, m2) =>
+          g2 != g && (m2.contains(g) || members.contains(g2) ||
+            members.exists(m2.contains))
+        })
+        throw new IllegalArgumentException(
+          s"'$k': sequence groups must be disjoint (no column may " +
+            "belong to two groups or version another group)")
+      val dt = fields(fields.fieldIndex(g)).dataType
+      if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType,
+          DateType, TimestampType).contains(dt))
+        throw new IllegalArgumentException(
+          s"sequence-group column $g has unsupported type " +
+            s"${dt.simpleString} (expected an integer, date, or " +
+            "timestamp column)")
+    }
     // specOf treats anything but 'true' as false — reject typos loudly
     options.get("ignore-delete").foreach { v =>
       if (!Seq("true", "false").contains(v.trim.toLowerCase))

@@ -47,12 +47,23 @@ object MergeFunction {
     * (`sequence.field` — the out-of-order-ingest knob: the row with
     * the largest field value wins no matter which commit carried it;
     * ties resolve to the later commit).
+    * `seqGroups` (`fields.<g>.sequence-group=a,b`; partial-update
+    * only): columns a,b form a group versioned by data column g — an
+    * incoming row's group columns apply only when its g is non-null
+    * and >= the accumulated g (ties → later entry), so each group
+    * absorbs out-of-order partial updates independently.
     */
   final case class Spec(engine: String, ignoreDelete: Boolean,
-      aggFns: Map[String, String], seqField: Option[String] = None) {
+      aggFns: Map[String, String], seqField: Option[String] = None,
+      seqGroups: Map[String, Seq[String]] = Map.empty) {
     /** The built-in fast path in SortMergeReader IS deduplicate. */
     def isPlainDeduplicate: Boolean =
       engine == "deduplicate" && !ignoreDelete && seqField.isEmpty
+    /** Data columns the merge itself orders by — the scan must retain
+      * them below the merge even when the projection prunes them.
+      */
+    def orderingColumns: Seq[String] =
+      seqField.toSeq ++ seqGroups.keys.toSeq
   }
 
   def specOf(options: Map[String, String]): Spec = Spec(
@@ -62,7 +73,12 @@ object MergeFunction {
         if k.startsWith("fields.") && k.endsWith(".aggregate-function") =>
       k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v.trim
     },
-    options.get("sequence.field").map(_.trim).filter(_.nonEmpty))
+    options.get("sequence.field").map(_.trim).filter(_.nonEmpty),
+    options.collect { case (k, v)
+        if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
+      k.stripPrefix("fields.").stripSuffix(".sequence-group") ->
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    })
 
   /** Build the merge function for a run over rows of `rowSchema`
     * (must contain `_SEQUENCE_NUMBER`/`_VALUE_KIND`; possibly
@@ -94,15 +110,32 @@ object MergeFunction {
       case "deduplicate" => new DeduplicateMerge(spec.ignoreDelete)
       case "first-row" => new FirstRowMerge
       case "partial-update" | "aggregation" =>
-        val fns: Array[FieldAgg] = valueIdx.zip(valueTypes).map {
-          case (i, dt) =>
-            if (spec.engine == "partial-update") LastNonNull
-            else FieldAgg.of(
-              spec.aggFns.getOrElse(rowSchema(i).name, "last_non_null_value"),
-              dt)
+        // sequence-group columns (the group's version column AND its
+        // members) leave the plain per-field fold: they apply together,
+        // gated by the group's version comparison
+        val groups: Array[(Int, DataType, Array[Int])] =
+          spec.seqGroups.toArray.sortBy(_._1).map { case (g, members) =>
+            require(rowSchema.fieldNames.contains(g),
+              s"sequence-group column $g missing from the merge schema " +
+                "(scan retention must keep it below the merge)")
+            val gi = rowSchema.fieldIndex(g)
+            (gi, rowSchema(gi).dataType,
+              // a member pruned from the projection simply isn't folded
+              // (group folds are member-local once the gate passes)
+              members.filter(rowSchema.fieldNames.contains)
+                .map(rowSchema.fieldIndex).toArray)
+          }
+        val grouped: Set[Int] =
+          groups.flatMap(g => g._1 +: g._3.toSeq).toSet
+        val plainIdx = valueIdx.filterNot(grouped.contains)
+        val fns: Array[FieldAgg] = plainIdx.map { i =>
+          if (spec.engine == "partial-update") LastNonNull
+          else FieldAgg.of(
+            spec.aggFns.getOrElse(rowSchema(i).name, "last_non_null_value"),
+            rowSchema(i).dataType)
         }
-        new AccumulatingMerge(rowSchema.fields.map(_.dataType), valueIdx,
-          fns, seqIdx, kindIdx, spec.ignoreDelete)
+        new AccumulatingMerge(rowSchema.fields.map(_.dataType), plainIdx,
+          fns, seqIdx, kindIdx, spec.ignoreDelete, groups)
       case other =>
         throw new IllegalArgumentException(s"Unsupported merge-engine: $other")
     }
@@ -293,7 +326,9 @@ object MergeFunction {
     */
   private final class AccumulatingMerge(types: Array[DataType],
       valueIdx: Array[Int], fns: Array[FieldAgg], seqIdx: Int, kindIdx: Int,
-      ignoreDelete: Boolean) extends MergeFunction {
+      ignoreDelete: Boolean,
+      groups: Array[(Int, DataType, Array[Int])] = Array.empty)
+      extends MergeFunction {
     private var acc: GenericInternalRow = _
     private var file: String = _
     def reset(): Unit = { acc = null; file = null }
@@ -322,6 +357,31 @@ object MergeFunction {
             acc.values(i),
             if (r.isNullAt(i)) null else r.get(i, types(i))))
           j += 1
+        }
+        // sequence-groups: a group's columns apply only when the
+        // incoming group-version is non-null and >= the accumulated one
+        // (>= because entries arrive in ascending physical sequence, so
+        // an equal version from a later entry wins, matching LWW ties);
+        // a stale or versionless partial update leaves the whole group
+        // untouched — including its non-null member values
+        var g = 0
+        while (g < groups.length) {
+          val (gi, gdt, members) = groups(g)
+          if (!r.isNullAt(gi)) {
+            val inV = r.get(gi, gdt)
+            val accV = acc.values(gi)
+            if (accV == null || Values.compare(gdt, inV, accV) >= 0) {
+              acc.update(gi, inV)
+              var m = 0
+              while (m < members.length) {
+                val i = members(m)
+                // partial within the group too: nulls never overwrite
+                if (!r.isNullAt(i)) acc.update(i, r.get(i, types(i)))
+                m += 1
+              }
+            }
+          }
+          g += 1
         }
         acc.update(seqIdx, seq)
       }

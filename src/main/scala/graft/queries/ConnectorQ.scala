@@ -359,6 +359,30 @@ object ConnectorQ {
               WHERE $where GROUP BY user_id"""))
           agIns(s"event_id <= $mid")
           agIns(s"event_id > $mid")
+        },
+
+        // partial-update + sequence-groups: (a) versioned by v1 and (b)
+        // by v2 absorb out-of-order updates INDEPENDENTLY — commits land
+        // in scrambled version order (i = 1, 2, 0), and per group the
+        // row with the largest version must win regardless. Versions
+        // are built ≡ i (mod 3), so no ties and the expected state is a
+        // pure per-group argmax the oracle restates with ARG_MAX.
+        () => {
+          s.sql(s"""CREATE TABLE graft_c.$ns.ev_pk_sg
+            (user_id BIGINT, v1 BIGINT, a BIGINT, v2 BIGINT, b BIGINT)
+            TBLPROPERTIES ('primary-key'='user_id', 'bucket'='4',
+              'merge-engine'='partial-update',
+              'fields.v1.sequence-group'='a',
+              'fields.v2.sequence-group'='b')""")
+          def sgIns(i: Int): Unit =
+            timed("insert ev_pk_sg")(s.sql(s"""INSERT INTO graft_c.$ns.ev_pk_sg
+              SELECT user_id,
+                3 * ((MAX(event_id) + $i * 17) % 1000) + $i,
+                MAX(event_id) * 10 + $i,
+                3 * ((MAX(event_id) * 7 + $i * 29) % 1000) + $i,
+                MAX(event_id) * 100 + $i
+              FROM ev_src GROUP BY user_id"""))
+          sgIns(1); sgIns(2); sgIns(0)
         })
       locally {
         import scala.concurrent.{Await, ExecutionContext, Future}
@@ -485,6 +509,29 @@ object ConnectorQ {
         s.sql(s"SELECT * FROM graft_c.${st.ns}.ev_pk_sf ORDER BY user_id")
       },
       Some(sqlArgmax.format(""))),
+
+    // partial-update + sequence-groups: group (v1 -> a) and (v2 -> b)
+    // each resolve to THEIR version's argmax although the three
+    // commits landed in scrambled order (1, 2, 0) — the oracle
+    // reconstructs the same three candidate rows per user and takes
+    // per-group ARG_MAX
+    QueryDef("c_pk_seq_group",
+      (s, dir) => {
+        val st = setup(s, dir)
+        s.sql(s"SELECT user_id, v1, a, v2, b " +
+          s"FROM graft_c.${st.ns}.ev_pk_sg ORDER BY user_id")
+      },
+      Some {
+        val cand = (0 to 2).map(i => s"""SELECT user_id,
+            3 * ((f + $i * 17) % 1000) + $i AS v1, f * 10 + $i AS a,
+            3 * ((f * 7 + $i * 29) % 1000) + $i AS v2, f * 100 + $i AS b
+          FROM m""").mkString(" UNION ALL ")
+        s"""WITH m AS (
+            SELECT user_id, MAX(event_id) AS f FROM events GROUP BY user_id)
+          SELECT user_id, MAX(v1) AS v1, ARG_MAX(a, v1) AS a,
+            MAX(v2) AS v2, ARG_MAX(b, v2) AS b
+          FROM ($cand) GROUP BY user_id ORDER BY user_id"""
+      }),
 
     // first-row engine: earliest committed row per key survives.
     // Setup wrote the SECOND half first, so per user: second-half

@@ -80,6 +80,103 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Seq("a9", "b1", 10L)))
   }
 
+  test("sequence-groups: each group absorbs out-of-order partial updates " +
+      "independently; ungrouped fields stay plain last-non-null") {
+    spark.sql("CREATE TABLE graft.default.me_sg " +
+      "(k BIGINT, g1 BIGINT, a STRING, b STRING, g2 BIGINT, c STRING, " +
+      "d STRING) TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'merge-engine'='partial-update', " +
+      "'fields.g1.sequence-group'='a,b', " +
+      "'fields.g2.sequence-group'='c')")
+    def q(sel: String, where: String = "") = rows(
+      s"SELECT $sel FROM graft.default.me_sg $where ORDER BY k")
+    spark.sql("INSERT INTO graft.default.me_sg VALUES " +
+      "(1, 10, 'a10', 'b10', 100, 'c100', NULL)")
+    // g1 STALE (5 < 10): a/b untouched despite non-null 'aSTALE';
+    // g2 advances (200 > 100): c updates; ungrouped d: non-null wins
+    spark.sql("INSERT INTO graft.default.me_sg VALUES " +
+      "(1, 5, 'aSTALE', 'bSTALE', 200, 'c200', 'd2')")
+    assert(q("k, g1, a, b, g2, c, d") ==
+      Seq(Seq(1L, 10L, "a10", "b10", 200L, "c200", "d2")))
+    // g1 EQUAL (10 = 10): a later entry with an equal version wins
+    // (LWW ties), but its NULL member never erases (partial within the
+    // group); g2 NULL: c untouched even though the incoming c is set
+    spark.sql("INSERT INTO graft.default.me_sg VALUES " +
+      "(1, 10, 'a10x', NULL, NULL, 'cIGNORED', NULL)")
+    assert(q("k, g1, a, b, g2, c, d") ==
+      Seq(Seq(1L, 10L, "a10x", "b10", 200L, "c200", "d2")))
+  }
+
+  test("sequence-groups: compaction folds the partial losslessly and a " +
+      "post-compaction stale update still loses") {
+    spark.sql("CREATE TABLE graft.default.me_sgc " +
+      "(k BIGINT, g BIGINT, a STRING, d STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'merge-engine'='partial-update', 'fields.g.sequence-group'='a')")
+    spark.sql("INSERT INTO graft.default.me_sgc VALUES (1, 20, 'a20', 'd1')")
+    spark.sql("INSERT INTO graft.default.me_sgc VALUES (1, 10, 'a10', 'd2')")
+    val t = facade.getTable("default.me_sgc")
+    assert(t.compact() == 1)
+    // the folded row carries g=20: a LATER stale update must still lose
+    spark.sql("INSERT INTO graft.default.me_sgc VALUES (1, 15, 'a15', NULL)")
+    assert(rows("SELECT k, g, a, d FROM graft.default.me_sgc") ==
+      Seq(Seq(1L, 20L, "a20", "d2")))
+    // and an advancing one wins
+    spark.sql("INSERT INTO graft.default.me_sgc VALUES (1, 25, 'a25', NULL)")
+    assert(rows("SELECT k, g, a, d FROM graft.default.me_sgc") ==
+      Seq(Seq(1L, 25L, "a25", "d2")))
+  }
+
+  test("sequence-groups: projection that prunes the version column still " +
+      "merges by it") {
+    // me_sg's final state from the first test: a = 'a10x' won at g1=10
+    // over the stale g1=5 'aSTALE'; reading ONLY a must see the same
+    // winner (the scan retains g1 below the merge)
+    assert(rows("SELECT a FROM graft.default.me_sg") == Seq(Seq("a10x")))
+    assert(rows("SELECT c FROM graft.default.me_sg") == Seq(Seq("c200")))
+  }
+
+  test("sequence-groups: CREATE validation and ALTER mutability guard") {
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    fails("CREATE TABLE graft.default.sg_bad1 (k BIGINT, g BIGINT, a STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'fields.g.sequence-group'='a')", "only supported with " +
+      "merge-engine 'partial-update'")
+    fails("CREATE TABLE graft.default.sg_bad2 (k BIGINT, g BIGINT, a STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='partial-update','fields.g.sequence-group'='nope')",
+      "is not in field list")
+    fails("CREATE TABLE graft.default.sg_bad3 " +
+      "(k BIGINT, g BIGINT, h BIGINT, a STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='partial-update'," +
+      "'fields.g.sequence-group'='a','fields.h.sequence-group'='a')",
+      "must be disjoint")
+    fails("CREATE TABLE graft.default.sg_bad4 (k BIGINT, g STRING, a STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='partial-update','fields.g.sequence-group'='a')",
+      "unsupported type")
+    // ALTER: free while empty; frozen once any involved column has
+    // committed history (same data-aware guard as aggregate-function)
+    spark.sql("CREATE TABLE graft.default.sg_alter " +
+      "(k BIGINT, g BIGINT, a STRING, b STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='partial-update','fields.g.sequence-group'='a')")
+    spark.sql("ALTER TABLE graft.default.sg_alter SET TBLPROPERTIES " +
+      "('fields.g.sequence-group'='a,b')") // empty table: allowed
+    spark.sql("INSERT INTO graft.default.sg_alter VALUES (1, 1, 'x', 'y')")
+    fails("ALTER TABLE graft.default.sg_alter SET TBLPROPERTIES " +
+      "('fields.g.sequence-group'='a')", "committed history")
+    fails("ALTER TABLE graft.default.sg_alter UNSET TBLPROPERTIES " +
+      "('fields.g.sequence-group')", "committed history")
+    // re-stating the stored value is a no-op and stays allowed
+    spark.sql("ALTER TABLE graft.default.sg_alter SET TBLPROPERTIES " +
+      "('fields.g.sequence-group'='a,b')")
+  }
+
   private lazy val facade: Catalog = Catalog.create(spark,
     Map("warehouse" -> warehouse.toString, "catalog-name" -> "gme"))
 
@@ -382,7 +479,7 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ALTER TABLE graft.default.me_evo " +
         "SET TBLPROPERTIES ('fields.hi.aggregate-function'='min')"))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(_.toString.contains("re-folded")))
+      .exists(_.toString.contains("re-merged under the new rules")))
   }
 
   test("fold configuration stays free while the table has no rows") {
@@ -405,7 +502,7 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ALTER TABLE graft.default.me_cfg " +
         "SET TBLPROPERTIES ('fields.v.aggregate-function'='max')"))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(_.toString.contains("re-folded")))
+      .exists(_.toString.contains("re-merged under the new rules")))
   }
 
   test("property: evolved aggregation folds ≡ SQL model across random " +
@@ -547,7 +644,7 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val e = intercept[Exception](spark.sql(sql))
       def chain(t: Throwable): Seq[String] =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
-      assert(chain(e).exists(_.contains("re-folded")),
+      assert(chain(e).exists(_.contains("re-merged under the new rules")),
         s"expected re-fold rejection for: $sql\n${chain(e).mkString("\n")}")
     }
     refoldRejected("ALTER TABLE graft.default.me_agg " +
