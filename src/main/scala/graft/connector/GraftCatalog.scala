@@ -472,18 +472,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             fields.fieldNames.zip(ids).toMap.get(c))
         }
         GraftCatalog.fieldSeqGroupColumn(set.property()).foreach { c =>
-          val cur = ts.options.get(set.property()).map(_.trim)
-          if (!cur.contains(set.value().trim)) {
+          import graft.format.MergeFunction.parseGroupMembers
+          val newM = parseGroupMembers(set.value())
+          val curM = ts.options.get(set.property()).map(parseGroupMembers)
+          // member lists are SETS — a re-statement in different order
+          // or spacing changes nothing and stays allowed
+          if (!curM.exists(_.toSet == newM.toSet)) {
             val inFlight = fields.fieldNames.zip(ids).toMap
             // every involved column's history is reinterpreted by a
             // group change: the version column, the NEW members, and
             // any OLD member leaving the group (it reverts to the
             // plain last-non-null fold)
-            val involved = (c +: (set.value().split(",").map(_.trim) ++
-              cur.toSeq.flatMap(_.split(",").map(_.trim)))
-                .filter(_.nonEmpty).toSeq).distinct
-            involved.foreach(col => requireFoldChangeSafe(dir, ts, col,
-              set.property(), inFlight.get(col)))
+            val involved =
+              (c +: (newM ++ curM.toSeq.flatten)).distinct
+            requireMergeRuleChangeSafe(dir, ts,
+              involved.map(col => col -> inFlight.get(col)),
+              set.property())
           }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as SET comment -> ""
@@ -512,9 +516,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // member revert to plain folds over their committed history
           ts.options.get(rm.property()).foreach { cur =>
             val inFlight = fields.fieldNames.zip(ids).toMap
-            (c +: cur.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              .distinct.foreach(col => requireFoldChangeSafe(dir, ts,
-                col, rm.property(), inFlight.get(col)))
+            val involved =
+              (c +: graft.format.MergeFunction.parseGroupMembers(cur))
+                .distinct
+            requireMergeRuleChangeSafe(dir, ts,
+              involved.map(col => col -> inFlight.get(col)),
+              rm.property())
           }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as
@@ -553,32 +560,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * could never resurrect.
     */
   private def requireFoldChangeSafe(dir: Path, ts: TableSchema,
-      col: String, prop: String, fieldId: Option[Int]): Unit = {
+      col: String, prop: String, fieldId: Option[Int]): Unit =
+    requireMergeRuleChangeSafe(dir, ts, Seq(col -> fieldId), prop)
+
+  /** Multi-column variant: ONE snapshot read and ONE schema-lineage
+    * walk guard every involved column (a sequence-group change touches
+    * the version column and each member — per-column walks would cost
+    * O(columns × schemas) remote reads on an object-store data plane).
+    */
+  private def requireMergeRuleChangeSafe(dir: Path, ts: TableSchema,
+      cols: Seq[(String, Option[Int])], prop: String): Unit = {
     val sm = new graft.format.SnapshotManager(dir,
       io = graft.format.FileIO.resolve(ts.ioSpec))
     val latest = sm.latestSnapshot
     if (latest.forall(_.totalRecordCount == 0L)) return // no committed rows
-    // An unknown column (no field id even in the in-flight ALTER view)
-    // is rejected by validate() below — nothing to guard here.
-    val fid = fieldId.getOrElse(return)
-    // First schema version that contains the column's FIELD ID; 0 =
-    // CREATE schema. Ids, not names: RENAME COLUMN keeps the id, so a
-    // renamed data-bearing column must NOT look like a fresh post-ADD
-    // one (its committed values serve under the new name via the id
-    // mapping — exactly the history a fold change would reinterpret).
-    // Id absent from every persisted schema ⇒ the column is being added
-    // in this very ALTER call — brand new, trivially safe.
-    val intro = TableSchema.listIds(dir)
-      .find(id => TableSchema.loadById(dir, id).exists(_.ids.contains(fid)))
-      .getOrElse(return)
-    val safe = intro > 0L && latest.exists(_.schemaId < intro)
-    require(safe,
-      s"Cannot change table property '$prop': column '$col' has " +
-        "committed history, and its un-compacted runs would be " +
-        "re-merged under the new rules on the next merge/compaction " +
-        "(silent history reinterpretation). Declare the option in " +
-        "CREATE TABLE, or set it immediately after ADD COLUMN before " +
-        "any write commits.")
+    // load the persisted schema lineage ONCE; 0 = CREATE schema
+    lazy val lineage = TableSchema.listIds(dir)
+      .flatMap(id => TableSchema.loadById(dir, id).map(id -> _))
+    cols.foreach { case (col, fieldId) =>
+      // An unknown column (no field id even in the in-flight ALTER
+      // view) is rejected by validate() below — nothing to guard here.
+      fieldId.foreach { fid =>
+        // First schema version that contains the column's FIELD ID.
+        // Ids, not names: RENAME COLUMN keeps the id, so a renamed
+        // data-bearing column must NOT look like a fresh post-ADD one
+        // (its committed values serve under the new name via the id
+        // mapping — exactly the history a rule change would
+        // reinterpret). Id absent from every persisted schema ⇒ the
+        // column is being added in this very ALTER call — brand new,
+        // trivially safe.
+        lineage.find(_._2.ids.contains(fid)).map(_._1).foreach { intro =>
+          val safe = intro > 0L && latest.exists(_.schemaId < intro)
+          require(safe,
+            s"Cannot change table property '$prop': column '$col' has " +
+              "committed history, and its un-compacted runs would be " +
+              "re-merged under the new rules on the next " +
+              "merge/compaction (silent history reinterpretation). " +
+              "Declare the option in CREATE TABLE, or set it " +
+              "immediately after ADD COLUMN before any write commits.")
+        }
+      }
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

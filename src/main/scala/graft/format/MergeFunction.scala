@@ -66,6 +66,13 @@ object MergeFunction {
       seqField.toSeq ++ seqGroups.keys.toSeq
   }
 
+  /** The ONE parser of a `fields.<g>.sequence-group` member list —
+    * specOf and the ALTER mutability guards share it so the option
+    * grammar cannot drift between the engine and the guard.
+    */
+  def parseGroupMembers(v: String): Seq[String] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   def specOf(options: Map[String, String]): Spec = Spec(
     options.getOrElse("merge-engine", "deduplicate"),
     options.get("ignore-delete").exists(_.trim.equalsIgnoreCase("true")),
@@ -77,7 +84,7 @@ object MergeFunction {
     options.collect { case (k, v)
         if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
       k.stripPrefix("fields.").stripSuffix(".sequence-group") ->
-        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        parseGroupMembers(v)
     })
 
   /** Build the merge function for a run over rows of `rowSchema`
@@ -101,7 +108,6 @@ object MergeFunction {
     // non-key value positions (seq/kind handled explicitly)
     val valueIdx = rowSchema.fields.indices.filter(i =>
       i != seqIdx && i != kindIdx && !keySet.contains(i)).toArray
-    val valueTypes = valueIdx.map(i => rowSchema(i).dataType)
     spec.engine match {
       case "deduplicate" if spec.seqField.isDefined =>
         val i = rowSchema.fieldIndex(spec.seqField.get)
@@ -348,6 +354,20 @@ object MergeFunction {
             else if (r.isNullAt(i)) null
             else r.get(i, types(i)))
           i += 1
+        }
+        // the version gate applies to the FIRST entry of a run too
+        // (including the entry after a DELETE reset): a versionless
+        // row must leave its group empty, or merge results would
+        // depend on whether the versionless update happened to arrive
+        // first — the commit-order dependence groups exist to remove
+        var g = 0
+        while (g < groups.length) {
+          val (gi, _, members) = groups(g)
+          if (r.isNullAt(gi)) {
+            var m = 0
+            while (m < members.length) { acc.update(members(m), null); m += 1 }
+          }
+          g += 1
         }
       } else {
         var j = 0

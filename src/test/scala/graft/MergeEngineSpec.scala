@@ -129,11 +129,45 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("sequence-groups: projection that prunes the version column still " +
       "merges by it") {
-    // me_sg's final state from the first test: a = 'a10x' won at g1=10
-    // over the stale g1=5 'aSTALE'; reading ONLY a must see the same
-    // winner (the scan retains g1 below the merge)
-    assert(rows("SELECT a FROM graft.default.me_sg") == Seq(Seq("a10x")))
-    assert(rows("SELECT c FROM graft.default.me_sg") == Seq(Seq("c200")))
+    spark.sql("CREATE TABLE graft.default.me_sgp " +
+      "(k BIGINT, g BIGINT, a STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'merge-engine'='partial-update', 'fields.g.sequence-group'='a')")
+    spark.sql("INSERT INTO graft.default.me_sgp VALUES (1, 10, 'win')")
+    spark.sql("INSERT INTO graft.default.me_sgp VALUES (1, 5, 'stale')")
+    // reading ONLY a must still see the g-argmax winner: the scan
+    // retains g below the merge although the projection prunes it
+    assert(rows("SELECT a FROM graft.default.me_sgp") == Seq(Seq("win")))
+  }
+
+  test("sequence-groups: a versionless update never touches the group — " +
+      "even as the first entry of a run — so merges are order-independent") {
+    def mk(name: String): String = {
+      spark.sql(s"CREATE TABLE graft.default.$name " +
+        "(k BIGINT, g BIGINT, a STRING, d STRING) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+        "'merge-engine'='partial-update', 'fields.g.sequence-group'='a')")
+      s"graft.default.$name"
+    }
+    // same two logical updates in BOTH commit orders: the versionless
+    // row's member must never apply (not even via the first-entry
+    // accumulator copy), so both histories converge
+    val t1 = mk("me_sg_ord1")
+    spark.sql(s"INSERT INTO $t1 VALUES (1, NULL, 'vless', 'd1')")
+    spark.sql(s"INSERT INTO $t1 VALUES (1, 5, NULL, NULL)")
+    val t2 = mk("me_sg_ord2")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 5, NULL, NULL)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, NULL, 'vless', 'd1')")
+    val expected = Seq(Seq(1L, 5L, null, "d1"))
+    assert(rows(s"SELECT k, g, a, d FROM $t1") == expected)
+    assert(rows(s"SELECT k, g, a, d FROM $t2") == expected)
+    // two versionless updates: the group stays empty entirely, while
+    // the ungrouped column folds last-non-null as usual
+    val t3 = mk("me_sg_ord3")
+    spark.sql(s"INSERT INTO $t3 VALUES (1, NULL, 'x', 'd1')")
+    spark.sql(s"INSERT INTO $t3 VALUES (1, NULL, 'y', 'd2')")
+    assert(rows(s"SELECT k, g, a, d FROM $t3") ==
+      Seq(Seq(1L, null, null, "d2")))
   }
 
   test("sequence-groups: CREATE validation and ALTER mutability guard") {
@@ -172,9 +206,12 @@ class MergeEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "('fields.g.sequence-group'='a')", "committed history")
     fails("ALTER TABLE graft.default.sg_alter UNSET TBLPROPERTIES " +
       "('fields.g.sequence-group')", "committed history")
-    // re-stating the stored value is a no-op and stays allowed
+    // re-stating the stored value is a no-op and stays allowed — the
+    // member list is a SET, so order/spacing differences are no-ops too
     spark.sql("ALTER TABLE graft.default.sg_alter SET TBLPROPERTIES " +
       "('fields.g.sequence-group'='a,b')")
+    spark.sql("ALTER TABLE graft.default.sg_alter SET TBLPROPERTIES " +
+      "('fields.g.sequence-group'='b, a')")
   }
 
   private lazy val facade: Catalog = Catalog.create(spark,
