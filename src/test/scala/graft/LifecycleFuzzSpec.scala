@@ -517,4 +517,191 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("aggregation-engine lifecycle: folds survive maintenance churn (seed 71)") {
     runAggregationSeed(71, 34)
   }
+
+  /** Sequence-group variant: partial-update with one group (g → a) and
+    * an ungrouped column d. The model folds the gate exactly — a row's
+    * a applies only when its g is non-null and ≥ the accumulated g; a
+    * versionless row leaves the group alone (even as the first entry);
+    * nulls never overwrite — so the walk checks the gate survives
+    * compaction re-folds, expiry of un-compacted runs, rollback and
+    * COW DML under random schedules.
+    */
+  private def runSeqGroupSeed(seed: Int, steps: Int): Unit = {
+    val rnd = new Random(seed)
+    val tbl = s"fzg_s$seed"
+    val fq = s"graft.default.$tbl"
+    spark.sql(s"CREATE TABLE $fq (k BIGINT, g BIGINT, a BIGINT, d STRING) " +
+      "TBLPROPERTIES ('primary-key'='k','bucket'='1'," +
+      "'merge-engine'='partial-update'," +
+      "'fields.g.sequence-group'='a'," +
+      "'compaction.trigger-file-count'='4')")
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    val table = catalog.getTable(s"default.$tbl")
+    val sm = new SnapshotManager(warehouse.resolve(s"default.db/$tbl"))
+
+    // (g, a, d) — all optional; the group is (g gates a)
+    type V = (Option[Long], Option[Long], Option[String])
+    var model = Map.empty[Long, V]
+    var recorded = Vector.empty[(Long, Map[Long, V])]
+    var tags = Map.empty[String, Map[Long, V]]
+    var lastId = 0L
+
+    def read(sql: String): Map[Long, V] =
+      spark.sql(sql).collect().map { r =>
+        def ol(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((ol(1), ol(2),
+          if (r.isNullAt(3)) None else Some(r.getString(3))))
+      }.toMap
+
+    def retainedIds(): Set[Long] =
+      spark.sql(s"SELECT snapshot_id FROM graft.default.`$tbl$$snapshots`")
+        .collect().map(_.getLong(0)).toSet
+
+    def checkNow(step: Int, op: String): Unit = {
+      val got = read(s"SELECT k, g, a, d FROM $fq")
+      assert(got == model, s"seed=$seed step=$step after $op: read " +
+        s"${got.toSeq.sortBy(_._1)} != model ${model.toSeq.sortBy(_._1)}")
+      val id = sm.latestSnapshotId.getOrElse(0L)
+      assert(id >= lastId,
+        s"seed=$seed step=$step after $op: ids went backwards $lastId->$id")
+      lastId = id
+      if (recorded.lastOption.map(_._1) != Some(id))
+        recorded :+= (id -> model)
+    }
+
+    def sweep(step: Int, why: String): Unit = {
+      val live = retainedIds()
+      recorded = recorded.filter(pr => live(pr._1))
+      recorded.takeRight(12).foreach { case (sid, m) =>
+        val got = read(s"SELECT k, g, a, d FROM $fq VERSION AS OF $sid")
+        assert(got == m, s"seed=$seed step=$step ($why): VERSION AS OF " +
+          s"$sid diverged from the recorded gated state")
+      }
+      tags.foreach { case (name, m) =>
+        val got = read(s"SELECT k, g, a, d FROM $fq VERSION AS OF '$name'")
+        assert(got == m,
+          s"seed=$seed step=$step ($why): tag $name diverged")
+      }
+    }
+
+    // the engine's documented fold, mirrored exactly
+    def fold(cur: Option[V], g: Option[Long], a: Option[Long],
+        d: Option[String]): V = cur match {
+      case None =>
+        // first entry: the gate applies here too — a versionless row
+        // leaves the group empty
+        if (g.isDefined) (g, a, d) else (None, None, d)
+      case Some((g0, a0, d0)) =>
+        val dd = d.orElse(d0)
+        if (g.isDefined && g0.forall(g.get >= _))
+          (g, a.orElse(a0), dd)
+        else (g0, a0, dd)
+    }
+
+    def lit(v: Option[Long]) = v.map(_.toString)
+      .getOrElse("CAST(NULL AS BIGINT)")
+    def slit(v: Option[String]) = v.map(s => s"'$s'")
+      .getOrElse("CAST(NULL AS STRING)")
+
+    val opCounts = scala.collection.mutable.Map.empty[String, Int]
+    (1 to steps).foreach { step =>
+      val roll = rnd.nextInt(100)
+      val op: String =
+        if (step == steps - 3 && recorded.size >= 2) {
+          // one guaranteed rollback near the end of the walk: the
+          // 6%-weighted random op can easily never fire in 34 steps,
+          // and the gate × revert-commit cross is this walk's point
+          val live = retainedIds()
+          recorded = recorded.filter(pr => live(pr._1))
+          val (sid, m) = recorded(rnd.nextInt(recorded.size))
+          spark.sql(s"CALL graft.sys.rollback('default.$tbl', $sid)")
+          model = m
+          "rollback"
+        } else if (roll < 45 || model.isEmpty) {
+          // distinct keys per batch: two rows of one commit share a
+          // sequence number, so their intra-batch order (and thus the
+          // fold) would be undefined
+          val rows = Seq.fill(1 + rnd.nextInt(3)) {
+            val k = rnd.nextInt(8).toLong
+            val g = if (rnd.nextInt(5) == 0) None
+              else Some(rnd.nextInt(50).toLong)
+            val a = if (rnd.nextInt(4) == 0) None
+              else Some(rnd.nextInt(1000).toLong)
+            val d = if (rnd.nextInt(4) == 0) None
+              else Some(s"d${step}_$k")
+            (k, g, a, d)
+          }.distinctBy(_._1)
+          val vals = rows.map { case (k, g, a, d) =>
+            s"($k, ${lit(g)}, ${lit(a)}, ${slit(d)})" }.mkString(", ")
+          spark.sql(s"INSERT INTO $fq VALUES $vals")
+          rows.foreach { case (k, g, a, d) =>
+            model += (k -> fold(model.get(k), g, a, d))
+          }
+          "insert"
+        } else if (roll < 55) {
+          // COW UPDATE of the ungrouped column: rewrites the merged
+          // row, group state unchanged
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          spark.sql(s"UPDATE $fq SET d = 'u$step' WHERE k = $k")
+          val (g0, a0, _) = model(k)
+          model += (k -> ((g0, a0, Some(s"u$step"))))
+          "update"
+        } else if (roll < 65) {
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          spark.sql(s"DELETE FROM $fq WHERE k = $k")
+          model -= k
+          "delete"
+        } else if (roll < 75) {
+          table.compact()
+          "compact"
+        } else if (roll < 82) {
+          if (rnd.nextBoolean() || tags.isEmpty) {
+            val name = s"fz$step"
+            table.createTag(name)
+            tags += (name -> model)
+            "tag"
+          } else {
+            val name = tags.keys.toSeq(rnd.nextInt(tags.size))
+            table.deleteTag(name)
+            tags -= name
+            "deleteTag"
+          }
+        } else if (roll < 89) {
+          table.expireSnapshots(retainLast = 1 + rnd.nextInt(4))
+          "expire"
+        } else if (roll < 95 && recorded.size >= 2) {
+          val live = retainedIds()
+          recorded = recorded.filter(pr => live(pr._1))
+          val (sid, m) = recorded(rnd.nextInt(recorded.size))
+          spark.sql(s"CALL graft.sys.rollback('default.$tbl', $sid)")
+          model = m
+          "rollback"
+        } else {
+          table.vacuum(olderThanMillis = 0L)
+          sweep(step, "post-vacuum")
+          "vacuum"
+        }
+      opCounts(op) = opCounts.getOrElse(op, 0) + 1
+      checkNow(step, op)
+      if (step % 6 == 0) sweep(step, "periodic")
+    }
+    sweep(steps, "final")
+    table.vacuum(olderThanMillis = 0L)
+    opCounts("vacuum") = opCounts.getOrElse("vacuum", 0) + 1
+    sweep(steps, "final-vacuum")
+    val mustFire = Seq("insert", "update", "delete", "compact", "tag",
+      "expire", "rollback", "vacuum")
+    val missing = mustFire.filterNot(opCounts.contains)
+    assert(missing.isEmpty,
+      s"seed=$seed never exercised: $missing (counts: $opCounts)")
+  }
+
+  test("sequence-group lifecycle: the version gate survives maintenance churn (seed 29)") {
+    runSeqGroupSeed(29, 34)
+  }
+
+  test("sequence-group lifecycle: the version gate survives maintenance churn (seed 83)") {
+    runSeqGroupSeed(83, 34)
+  }
 }
