@@ -483,34 +483,41 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
       else schema.fields.fieldNames.toSeq.filterNot(schema.partitionKeys.contains)
     val keyTypes = statCols
       .map(k => k -> schema.fields(schema.fields.fieldIndex(k)).dataType).toMap
+    def statsAdmit(f: DataFileMeta): Boolean =
+      filters.forall(flt =>
+        Values.evalRange(flt, keyTypes.get,
+          c => f.keyStats.get(c)).getOrElse(true)) &&
+        (schema.isPrimaryKeyTable || filters.forall {
+          // exact null counts (top-level conjuncts only; nested shapes
+          // fall through to true — pruning is an optimization)
+          case org.apache.spark.sql.sources.IsNull(c) =>
+            f.nullCounts.get(c).forall(_ > 0)
+          case org.apache.spark.sql.sources.IsNotNull(c) =>
+            f.nullCounts.get(c).forall(_ < f.rowCount)
+          case _ => true
+        })
     // A PK COPY-ON-WRITE rewrite scan re-merges and REPLACES whole
     // (partition, bucket) groups: FILE-granular zone-map pruning here
     // would drop group-mates holding OTHER keys' newest versions from
     // the re-merge, while the replacement rows carry fresh top
     // sequences — the pruned files' newer rows would silently lose the
     // read-time merge forever after (sequence rewind = data loss;
-    // caught by the lifecycle fuzz's sequence-group walks). Only
-    // whole-group pruning is sound for such scans: partitions (stage
-    // 1), buckets (stage 3), and the _file runtime filter widened to
-    // merge groups (stage 4). Plain reads keep file-granular pruning —
-    // the merge winner for any surviving key never lives in a file the
+    // caught by the lifecycle fuzz's sequence-group walks;
+    // CowGroupRewriteSpec). Such scans prune at GROUP granularity
+    // instead: a (partition, bucket) group survives when ANY member
+    // file's stats admit the predicate, and it survives or drops as a
+    // unit — so a key-predicated COW DML still skips every untouched
+    // group even when Spark's runtime _file group filter is disabled
+    // or its filter shape doesn't arrive, without ever re-merging a
+    // subset of a group. Plain reads keep file-granular pruning — the
+    // merge winner for any surviving key never lives in a file the
     // key predicate pruned.
     val afterStats =
-      if (rowLevelOp.isDefined && schema.isPrimaryKeyTable) afterPartition
-      else afterPartition.filter { f =>
-        filters.forall(flt =>
-          Values.evalRange(flt, keyTypes.get,
-            c => f.keyStats.get(c)).getOrElse(true)) &&
-          (schema.isPrimaryKeyTable || filters.forall {
-            // exact null counts (top-level conjuncts only; nested shapes
-            // fall through to true — pruning is an optimization)
-            case org.apache.spark.sql.sources.IsNull(c) =>
-              f.nullCounts.get(c).forall(_ > 0)
-            case org.apache.spark.sql.sources.IsNotNull(c) =>
-              f.nullCounts.get(c).forall(_ < f.rowCount)
-            case _ => true
-          })
-      }
+      if (rowLevelOp.isDefined && schema.isPrimaryKeyTable) {
+        val keep = afterPartition.filter(statsAdmit)
+          .map(f => (f.partition, f.bucket)).toSet
+        afterPartition.filter(f => keep.contains((f.partition, f.bucket)))
+      } else afterPartition.filter(statsAdmit)
 
     // 3. bucket pruning: all trimmed-pk fields fixed by EqualTo conjuncts
     val eqs = topLevelEqualities(filters)

@@ -72,4 +72,31 @@ class CowGroupRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getString(3))).toSeq
     assert(got2 == Seq((4L, 13L, 300L, "w"), (5L, 2L, 7L, "u5")), got2)
   }
+
+  test("group-granular zone maps still skip untouched groups on COW DML") {
+    // partitioned PK table: a range predicate (no bucket or partition
+    // pruning applies) must rewrite only the groups whose key stats
+    // admit it — the other partition's file survives BYTE-identical,
+    // not re-merged (at 100 TB a point DML must not rewrite the table
+    // when the runtime _file group filter doesn't arrive)
+    spark.sql("CREATE TABLE graft.default.cowp " +
+      "(p INT, k BIGINT, v STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('primary-key'='p,k','bucket'='1'," +
+      "'merge-engine'='first-row')")
+    spark.sql("INSERT INTO graft.default.cowp VALUES " +
+      "(1, 10, 'a'), (1, 11, 'b')")
+    spark.sql("INSERT INTO graft.default.cowp VALUES " +
+      "(2, 90, 'c'), (2, 91, 'd')")
+    val sm = new graft.format.SnapshotManager(
+      warehouse.resolve("default.db/cowp"))
+    val before = sm.liveFilesLatest.map(_.fileName).toSet
+    // k >= 90 admits only partition 2's group by key stats
+    spark.sql("DELETE FROM graft.default.cowp WHERE k >= 91")
+    val after = sm.liveFilesLatest.map(_.fileName).toSet
+    val p1Files = before.filter(_.startsWith("p=1"))
+    assert(p1Files.nonEmpty && p1Files.subsetOf(after),
+      s"partition 1's group must survive unrewritten: $before -> $after")
+    assert(spark.sql("SELECT k FROM graft.default.cowp ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 11L, 90L))
+  }
 }
