@@ -460,7 +460,17 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             model += (k -> merged)
           }
           "insert"
-        } else if (roll < 57) {
+        } else if (roll < 52) {
+          // COW UPDATE on the aggregation engine: the rewrite
+          // materializes the engine-merged row first and sets s on it
+          // (group-granular rewrite path); later inserts fold from the
+          // rewritten base
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          val x = rnd.nextInt(500).toLong
+          spark.sql(s"UPDATE $fq SET s = $x WHERE k = $k")
+          model += (k -> ((x, model(k)._2)))
+          "update"
+        } else if (roll < 60) {
           val k = model.keys.toSeq(rnd.nextInt(model.size))
           spark.sql(s"DELETE FROM $fq WHERE k = $k")
           model -= k
@@ -503,8 +513,8 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     table.vacuum(olderThanMillis = 0L)
     opCounts("vacuum") = opCounts.getOrElse("vacuum", 0) + 1
     sweep(steps, "final-vacuum")
-    val mustFire = Seq("insert", "delete", "compact", "tag", "expire",
-      "rollback", "vacuum")
+    val mustFire = Seq("insert", "update", "delete", "compact", "tag",
+      "expire", "rollback", "vacuum")
     val missing = mustFire.filterNot(opCounts.contains)
     assert(missing.isEmpty,
       s"seed=$seed never exercised: $missing (counts: $opCounts)")
