@@ -392,6 +392,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var highest = ts.maxFieldId
     var options = ts.options
     var comment = ts.comment
+    // merge-rule changes that passed their data-aware guard below; the
+    // schema save for these is fenced with a marker snapshot (see
+    // publishMergeRuleMarker) so a concurrently-committing writer
+    // cannot slip old-fold data between check and save
+    val fenced = scala.collection.mutable.LinkedHashSet
+      .empty[(String, Option[Int])]
+    var fencedProp: Option[String] = None
     def structural(name: String): Boolean =
       ts.partitionKeys.contains(name) || ts.primaryKeys.contains(name)
     changes.foreach {
@@ -466,10 +473,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // default while unconfigured (config-management pushes)
           val noop = cur.contains(set.value().trim) ||
             (cur.isEmpty && set.value().trim == "last_non_null_value")
-          if (!noop) requireFoldChangeSafe(dir, ts, c, set.property(),
+          if (!noop) {
             // the in-flight name→id view: a same-call ADD or RENAME has
             // already updated fields/ids when the SET is processed
-            fields.fieldNames.zip(ids).toMap.get(c))
+            val fid = fields.fieldNames.zip(ids).toMap.get(c)
+            requireFoldChangeSafe(dir, ts, c, set.property(), fid)
+            fenced += (c -> fid); fencedProp = Some(set.property())
+          }
         }
         GraftCatalog.fieldSeqGroupColumn(set.property()).foreach { c =>
           import graft.format.MergeFunction.parseGroupMembers
@@ -485,9 +495,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // plain last-non-null fold)
             val involved =
               (c +: (newM ++ curM.toSeq.flatten)).distinct
-            requireMergeRuleChangeSafe(dir, ts,
-              involved.map(col => col -> inFlight.get(col)),
-              set.property())
+            val pairs = involved.map(col => col -> inFlight.get(col))
+            requireMergeRuleChangeSafe(dir, ts, pairs, set.property())
+            fenced ++= pairs; fencedProp = Some(set.property())
           }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as SET comment -> ""
@@ -507,9 +517,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // changes nothing and stays allowed (idempotent config removal)
         GraftCatalog.fieldAggColumn(rm.property()).foreach { c =>
           val cur = ts.options.get(rm.property()).map(_.trim)
-          if (cur.exists(_ != "last_non_null_value"))
-            requireFoldChangeSafe(dir, ts, c, rm.property(),
-              fields.fieldNames.zip(ids).toMap.get(c))
+          if (cur.exists(_ != "last_non_null_value")) {
+            val fid = fields.fieldNames.zip(ids).toMap.get(c)
+            requireFoldChangeSafe(dir, ts, c, rm.property(), fid)
+            fenced += (c -> fid); fencedProp = Some(rm.property())
+          }
         }
         GraftCatalog.fieldSeqGroupColumn(rm.property()).foreach { c =>
           // UNSET dissolves the group: the version column and every
@@ -519,9 +531,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             val involved =
               (c +: graft.format.MergeFunction.parseGroupMembers(cur))
                 .distinct
-            requireMergeRuleChangeSafe(dir, ts,
-              involved.map(col => col -> inFlight.get(col)),
-              rm.property())
+            val pairs = involved.map(col => col -> inFlight.get(col))
+            requireMergeRuleChangeSafe(dir, ts, pairs, rm.property())
+            fenced ++= pairs; fencedProp = Some(rm.property())
           }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as
@@ -535,7 +547,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val next = TableSchema(ts.id + 1, fields, ts.partitionKeys,
       ts.primaryKeys, options, comment, ids, highest).validate()
     TableSchema.save(dir, next)
+    if (fenced.nonEmpty)
+      publishMergeRuleMarker(dir, next, fenced.toSeq,
+        fencedProp.getOrElse(""))
     new GraftTable(ident, dir, next)
+  }
+
+  /** ALTER-side half of the merge-rule fence (see
+    * [[graft.format.MergeRuleFence]] for the full protocol). After the
+    * merge-rule-changing schema is saved, publish a `SCHEMA` marker
+    * snapshot through the same create-exclusive publish data commits
+    * use, RE-VALIDATING the no-committed-history guard on every
+    * attempt. The marker serializes the ALTER against concurrent
+    * writers: a data commit that slipped in between the pre-save guard
+    * and the schema save either (a) takes the next snapshot id first,
+    * so our publish attempt loses, the revalidation sees its rows and
+    * the ALTER aborts — deleting the saved schema, which no snapshot
+    * references yet — or (b) publishes after our marker, in which case
+    * its own commit-time fence sees the advanced lineage and rejects
+    * it. `SCHEMA` snapshots carry the base's manifests verbatim (zero
+    * file delta), so changelog/incremental readers — which act on
+    * APPEND kinds only — skip them by construction.
+    */
+  private def publishMergeRuleMarker(dir: Path, next: TableSchema,
+      cols: Seq[(String, Option[Int])], prop: String): Unit = {
+    import graft.format.{FileIO, Snapshot, SnapshotManager}
+    def revert(): Unit =
+      try Files.deleteIfExists(
+        dir.resolve("schema").resolve(s"schema-${next.id}"))
+      catch { case _: Throwable => () }
+    GraftCatalog.alterFenceTestHook()
+    val sm = new SnapshotManager(dir, io = FileIO.resolve(next.ioSpec))
+    var attempt = 0
+    while (attempt < 100) {
+      try mergeRuleGuard(dir, next.ioSpec, cols, prop)
+      catch { case t: Throwable => revert(); throw t }
+      val base = sm.latestSnapshot
+      val snap = Snapshot(
+        id = base.map(_.id + 1).getOrElse(1L),
+        schemaId = next.id,
+        commitKind = "SCHEMA",
+        timeMillis = System.currentTimeMillis(),
+        manifests = base.map(_.manifests).getOrElse(Seq.empty),
+        lastSequenceNumber = base.map(_.lastSequenceNumber).getOrElse(0L),
+        totalRecordCount = base.map(_.totalRecordCount).getOrElse(0L))
+      if (sm.tryCommitSnapshot(snap)) return
+      attempt += 1
+    }
+    revert()
+    throw new IllegalStateException(
+      s"ALTER fence: gave up publishing the merge-rule marker snapshot " +
+        s"for '$prop' after 100 attempts (commit storm); the schema " +
+        "change was rolled back")
   }
 
   /** Guard against silent history reinterpretation: changing (or
@@ -550,11 +613,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *     committed file null-fills the column, and every fold maps
     *     all-null history identically.
     *
-    * TOCTOU caveat: a write committing between this check and the
-    * schema save can still slip data under the old fold (schema
-    * publication is not fenced against snapshot publication — the same
-    * window the format family has). Operationally: reconfigure folds
-    * while no writer is live. DROP COLUMN + re-ADD of the same name is
+    * The historical TOCTOU window (a write committing between this
+    * check and the schema save) is CLOSED by the two-sided fence: the
+    * ALTER publishes a `SCHEMA` marker snapshot with per-attempt
+    * revalidation ([[publishMergeRuleMarker]]) and every commit rejects
+    * when the schema lineage gained a merge-rule change after the write
+    * began ([[graft.format.MergeRuleFence]]). DROP COLUMN + re-ADD of the same name is
     * conservatively rejected too (the lineage walk finds the retired
     * era's schema), though field-id retirement means the old values
     * could never resurrect.
@@ -569,9 +633,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * O(columns × schemas) remote reads on an object-store data plane).
     */
   private def requireMergeRuleChangeSafe(dir: Path, ts: TableSchema,
+      cols: Seq[(String, Option[Int])], prop: String): Unit =
+    mergeRuleGuard(dir, ts.ioSpec, cols, prop)
+
+  /** The guard body, ioSpec-keyed so the marker publisher can re-run it
+    * against the post-save table state on every publish attempt.
+    */
+  private def mergeRuleGuard(dir: Path, ioSpec: String,
       cols: Seq[(String, Option[Int])], prop: String): Unit = {
     val sm = new graft.format.SnapshotManager(dir,
-      io = graft.format.FileIO.resolve(ts.ioSpec))
+      io = graft.format.FileIO.resolve(ioSpec))
     val latest = sm.latestSnapshot
     if (latest.forall(_.totalRecordCount == 0L)) return // no committed rows
     // load the persisted schema lineage ONCE; 0 = CREATE schema
@@ -664,28 +735,22 @@ object GraftCatalog {
   /** The column a `fields.<col>.aggregate-function` property names, if
     * the property is shaped so.
     */
-  def fieldAggColumn(name: String): Option[String] = {
-    val pre = "fields."
-    val suf = ".aggregate-function"
-    if (name.startsWith(pre) && name.endsWith(suf) &&
-        name.length > pre.length + suf.length)
-      Some(name.stripPrefix(pre).stripSuffix(suf))
-    else None
-  }
+  def fieldAggColumn(name: String): Option[String] =
+    graft.core.MergeRuleProps.aggColumn(name)
+
+  /** Test seam for the ALTER/commit merge-rule fence: runs between the
+    * schema save and the marker-snapshot publish, where a concurrent
+    * commit is hardest to fence. Production value is a no-op.
+    */
+  private[graft] var alterFenceTestHook: () => Unit = () => ()
 
   /** The version column a `fields.<col>.sequence-group` property names,
     * if the property is shaped so. Same data-aware mutability guard as
     * the fold functions: changing a group re-merges every involved
     * column's un-compacted runs under new rules.
     */
-  def fieldSeqGroupColumn(name: String): Option[String] = {
-    val pre = "fields."
-    val suf = ".sequence-group"
-    if (name.startsWith(pre) && name.endsWith(suf) &&
-        name.length > pre.length + suf.length)
-      Some(name.stripPrefix(pre).stripSuffix(suf))
-    else None
-  }
+  def fieldSeqGroupColumn(name: String): Option[String] =
+    graft.core.MergeRuleProps.seqGroupColumn(name)
 
   /** A SET of a structural property is a semantic no-op — and therefore
     * allowed — when it re-states the stored value, or states the

@@ -38,6 +38,7 @@ object FileStoreCommit {
     var attempt = 0
     var files = newFiles
     while (attempt < 100) {
+      MergeRuleFence.check(sm.tableDir, schemaId)
       val base = sm.latestSnapshot
       val live = base.map(sm.liveFiles).getOrElse(Seq.empty)
 
@@ -173,6 +174,7 @@ object FileStoreCommit {
       deleteNames: Set[String]): Snapshot = {
     var attempt = 0
     while (attempt < 100) {
+      MergeRuleFence.check(sm.tableDir, schemaId)
       val base = sm.latestSnapshot.getOrElse(
         throw new IllegalStateException("DELETE on empty table"))
       val live = sm.liveFiles(base)
@@ -193,6 +195,61 @@ object FileStoreCommit {
       attempt += 1
     }
     throw new IllegalStateException("DELETE commit conflict")
+  }
+}
+
+/** Commit-time half of the merge-rule ALTER fence.
+  *
+  * Hazard: a write that began under schema W folds its rows assuming
+  * W's `fields.<col>.aggregate-function` / `.sequence-group` rules; if
+  * an ALTER lands a merge-rule change (schema W+k) between the write's
+  * planning and its commit, the committed rows would silently re-fold
+  * under rules the writer never saw on the next merge/compaction. The
+  * catalog's data-aware ALTER guard alone is check-then-act against an
+  * independent location (schema dir vs snapshot dir) — unfenceable by
+  * itself. The fence closes the window by serializing both sides
+  * through the snapshot chain's create-exclusive publish:
+  *
+  *  - the ALTER publishes a `SCHEMA` marker snapshot after saving the
+  *    schema, re-validating its no-committed-history guard on every
+  *    publish attempt ([[graft.connector.GraftCatalog]]);
+  *  - every data/DML/compaction commit attempt calls [[check]]: if the
+  *    persisted schema lineage advanced past the writer's schema with a
+  *    merge-rule-bearing diff, the commit is rejected — whether or not
+  *    the marker has landed yet (the lineage, not the marker, is the
+  *    tripwire; the marker exists so a commit that slips in BEFORE the
+  *    schema save forces the ALTER's revalidation to see it and abort).
+  *
+  * Every interleaving then resolves: whichever side publishes its
+  * snapshot first wins, and the loser's next attempt (commit retry or
+  * ALTER revalidation) observes it and aborts.
+  *
+  * Fast path costs one local schema-dir listing per attempt; schema
+  * bodies are only read when the lineage actually advanced.
+  */
+object MergeRuleFence {
+  import graft.core.{MergeRuleProps, TableSchema}
+
+  def check(tableDir: java.nio.file.Path, writerSchemaId: Long): Unit = {
+    val ids = TableSchema.listIds(tableDir)
+    if (ids.isEmpty || ids.last <= writerSchemaId) return
+    // conservative on a missing writer schema (never happens in a
+    // healthy table): an empty base flags any later fold as a change
+    var prev = TableSchema.loadById(tableDir, writerSchemaId)
+      .map(_.options).getOrElse(Map.empty[String, String])
+    ids.filter(_ > writerSchemaId).foreach { id =>
+      TableSchema.loadById(tableDir, id).foreach { s =>
+        val changed = MergeRuleProps.changedBetween(prev, s.options)
+        if (changed.nonEmpty) throw new IllegalStateException(
+          s"Commit fenced: merge-rule propert" +
+            s"${if (changed.size == 1) "y" else "ies"} " +
+            s"${changed.mkString(", ")} changed in schema $id after this " +
+            s"write began (schema $writerSchemaId). The write's rows would " +
+            "fold under rules the writer never saw — re-run the write " +
+            "against the current schema.")
+        prev = s.options
+      }
+    }
   }
 }
 

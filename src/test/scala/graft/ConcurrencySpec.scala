@@ -391,4 +391,166 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(ids == (ids.min to ids.max), s"holes in chain: $ids")
     } finally spark.stop()
   }
+
+  test("merge-rule ALTER fence: in-flight old-schema commits are rejected") {
+    // the r15 TOCTOU: a write planned under schema 0's fold rules
+    // commits AFTER an ALTER changed the fold — its rows would re-fold
+    // under rules the writer never saw. The fence must reject it.
+    val warehouse = Files.createTempDirectory("graft-fence-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      spark.sql("CREATE TABLE graft.c.fence1 (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+        "'merge-engine'='aggregation')")
+      val dir = warehouse.resolve("c.db/fence1")
+      val sm = new graft.format.SnapshotManager(dir)
+      // a writer snapshots schema 0 (fold = default last_non_null_value)
+      // and starts producing files...
+      val inFlight = graft.format.DataFileMeta("bucket-0/f.parquet", 10L,
+        3L, Seq.empty, 0, 0L, 2L, Map.empty)
+      // ...meanwhile the fold changes (legal: no committed history) —
+      // schema 1 lands plus a SCHEMA marker snapshot
+      spark.sql("ALTER TABLE graft.c.fence1 SET TBLPROPERTIES " +
+        "('fields.v.aggregate-function'='sum')")
+      assert(graft.core.TableSchema.listIds(dir) == Seq(0L, 1L))
+      assert(sm.latestSnapshot.exists(s =>
+        s.commitKind == "SCHEMA" && s.schemaId == 1L))
+      // the stale writer's commit must be fenced, not silently land
+      val e = intercept[IllegalStateException] {
+        graft.format.FileStoreCommit.commit(sm, schemaId = 0L,
+          partitionKeys = Seq.empty, newFiles = Seq(inFlight),
+          mode = graft.format.FileStoreCommit.NoOverwrite)
+      }
+      assert(e.getMessage.contains("Commit fenced"))
+      assert(e.getMessage.contains("fields.v.aggregate-function"))
+      // whereas a NON-merge-rule schema advance (ADD COLUMN) does not
+      // fence stale writers — that's ordinary schema evolution
+      spark.sql("ALTER TABLE graft.c.fence1 ADD COLUMN w BIGINT")
+      assert(graft.core.TableSchema.listIds(dir) == Seq(0L, 1L, 2L))
+      val snap = graft.format.FileStoreCommit.commit(sm, schemaId = 2L,
+        partitionKeys = Seq.empty, newFiles = Seq(inFlight),
+        mode = graft.format.FileStoreCommit.NoOverwrite)
+      assert(snap.commitKind == "APPEND")
+    } finally spark.stop()
+  }
+
+  test("merge-rule ALTER fence: a commit racing the schema save aborts the ALTER") {
+    // the reverse interleaving: the writer's fence check passed BEFORE
+    // the ALTER saved its schema, and its snapshot publishes first. The
+    // ALTER's marker-publish revalidation must then see the new rows,
+    // delete the saved schema, and fail — old-fold data stays valid.
+    val warehouse = Files.createTempDirectory("graft-fence2-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      spark.sql("CREATE TABLE graft.c.fence2 (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+        "'merge-engine'='aggregation')")
+      val dir = warehouse.resolve("c.db/fence2")
+      val sm = new graft.format.SnapshotManager(dir)
+      // hook between schema save and marker publish: a racing commit
+      // (fence check already passed at schema 0) publishes its snapshot
+      // directly — exactly what a writer that won the snapshot-id race
+      // looks like to the ALTER
+      graft.connector.GraftCatalog.alterFenceTestHook = () => {
+        val meta = graft.format.DataFileMeta("bucket-0/r.parquet", 10L,
+          2L, Seq.empty, 0, 0L, 1L, Map.empty)
+        val mf = sm.writeManifest(
+          Seq(graft.format.ManifestEntry("ADD", meta)))
+        assert(sm.tryCommitSnapshot(graft.format.Snapshot(1L, 0L,
+          "APPEND", timeMillis = 1L, manifests = Seq(mf),
+          lastSequenceNumber = 1L, totalRecordCount = 2L)))
+      }
+      try {
+        val e = intercept[Exception] {
+          spark.sql("ALTER TABLE graft.c.fence2 SET TBLPROPERTIES " +
+            "('fields.v.aggregate-function'='sum')")
+        }
+        assert(e.getMessage.contains("committed history"),
+          s"unexpected: ${e.getMessage}")
+      } finally graft.connector.GraftCatalog.alterFenceTestHook = () => ()
+      // the ALTER rolled back: schema lineage is back to the CREATE
+      // schema, the fold is not configured, the racer's data is latest
+      assert(graft.core.TableSchema.listIds(dir) == Seq(0L))
+      assert(!graft.core.TableSchema.load(dir).get.options
+        .contains("fields.v.aggregate-function"))
+      assert(sm.latestSnapshot.exists(s =>
+        s.commitKind == "APPEND" && s.totalRecordCount == 2L))
+    } finally spark.stop()
+  }
+
+  test("merge-rule ALTER vs concurrent commits: exactly one side wins") {
+    // free-running race, many rounds: an honest writer (planned at
+    // schema 0) and a fold ALTER start together; the fence must let
+    // exactly one through in every interleaving
+    val warehouse = Files.createTempDirectory("graft-fence3-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      val rnd = new scala.util.Random(42)
+      (0 until 8).foreach { i =>
+        spark.sql(s"CREATE TABLE graft.c.race$i (k BIGINT, v BIGINT) " +
+          "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+          "'merge-engine'='aggregation')")
+        val dir = warehouse.resolve(s"c.db/race$i")
+        val sm = new graft.format.SnapshotManager(dir)
+        val aJitter = rnd.nextInt(4)
+        val bJitter = rnd.nextInt(4)
+        val alter = Future {
+          Thread.sleep(aJitter)
+          try {
+            spark.sql(s"ALTER TABLE graft.c.race$i SET TBLPROPERTIES " +
+              "('fields.v.aggregate-function'='sum')")
+            true
+          } catch { case _: Exception => false }
+        }
+        val commit = Future {
+          Thread.sleep(bJitter)
+          try {
+            graft.format.FileStoreCommit.commit(sm, schemaId = 0L,
+              partitionKeys = Seq.empty,
+              newFiles = Seq(graft.format.DataFileMeta(
+                "bucket-0/c.parquet", 10L, 2L, Seq.empty, 0, 0L, 1L,
+                Map.empty)),
+              mode = graft.format.FileStoreCommit.NoOverwrite)
+            true
+          } catch { case _: IllegalStateException => false }
+        }
+        val (alterOk, commitOk) = Await.result(
+          alter.zip(commit), 60.seconds)
+        assert(alterOk != commitOk,
+          s"round $i: alterOk=$alterOk commitOk=$commitOk (must be " +
+            "exactly one)")
+        // loser left no trace: fold configured iff the ALTER won
+        val folded = graft.core.TableSchema.load(dir).get.options
+          .contains("fields.v.aggregate-function")
+        assert(folded == alterOk)
+        // data present iff the commit won
+        val rows = sm.latestSnapshot.map(_.totalRecordCount).getOrElse(0L)
+        assert((rows == 2L) == commitOk)
+      }
+    } finally spark.stop()
+  }
 }
