@@ -103,6 +103,18 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
         nr.fieldNames()(0)
       case _ => return None
     }
+    // the persisted schema lineage, loaded AT MOST ONCE per pushdown
+    // attempt: the float-era test below runs per DOUBLE column, and
+    // re-walking the lineage inside it would cost O(schemas × columns)
+    // driver file reads per planning — the exact cost the merge-rule
+    // guard's single-walk design avoids
+    lazy val lineageSchemas: Seq[graft.core.TableSchema] =
+      graft.core.TableSchema.listIds(tableDir)
+        .flatMap(sid => graft.core.TableSchema.loadById(tableDir, sid))
+    def hadFloatEra(fieldId: Int): Boolean = lineageSchemas.exists { s =>
+      val i = s.ids.indexOf(fieldId)
+      i >= 0 && s.fields.fields(i).dataType == FloatType
+    }
     def col(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -122,12 +134,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
           // evalRange survives this by widening bounds conservatively;
           // an exact aggregate cannot, so refuse pushdown when the
           // schema lineage shows a float era for this field id.
-          else if (dt == DoubleType && schema.idMap.get(n).exists(id =>
-            graft.core.TableSchema.listIds(tableDir).exists(sid =>
-              graft.core.TableSchema.loadById(tableDir, sid).exists { s =>
-                val i = s.ids.indexOf(id)
-                i >= 0 && s.fields.fields(i).dataType == FloatType
-              }))) None
+          else if (dt == DoubleType &&
+            schema.idMap.get(n).exists(hadFloatEra)) None
           else Some(n -> dt)
         }
       case _ => None

@@ -101,6 +101,18 @@ object Consumers {
   /** Record progress: `nextSnapshot` = first unconsumed id. Monotonic —
     * an older offset refreshes the heartbeat but never rewinds the
     * file (rewinding is an operator action: [[reset]]).
+    *
+    * Monotonicity is best-effort, not atomic: the max is a read-then-
+    * writeAtomic, so a lagging ZOMBIE incarnation of the same consumer
+    * id (two streams misconfigured onto one id, or a hung executor
+    * reviving) can read before a newer write lands and still publish
+    * the older offset. The consequence is bounded: the pin retains a
+    * few extra snapshots until the live incarnation's next heartbeat
+    * re-advances it — never data loss, since pins only ever HOLD
+    * history. Serializing writers per id (create-exclusive generation
+    * files) would add a commit round-trip per batch on an object store
+    * for a window that costs at most one heartbeat of over-retention —
+    * deliberately not taken.
     */
   def record(tableDir: Path, io: FileIO, id: String,
       nextSnapshot: Long): Consumer = {

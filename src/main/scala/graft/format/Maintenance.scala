@@ -67,7 +67,11 @@ object Maintenance {
       .getOrElse(7L * 24 * 3600 * 1000)
     val newestPerQuery: Set[Long] = existing
       .flatMap { case (id, s) =>
-        s.commitIdentifier.map(ci => ci.take(ci.lastIndexOf('/').max(0)) -> id)
+        // only `<queryId>/<epoch>`-shaped identifiers pin: a '/'-less
+        // identifier (no batch path sets one today) must not pool every
+        // such snapshot under one "" pseudo-query identity
+        s.commitIdentifier.filter(_.lastIndexOf('/') > 0)
+          .map(ci => ci.take(ci.lastIndexOf('/')) -> id)
       }
       .groupBy(_._1).values.map(_.map(_._2).max)
       .filter(id => existing.collectFirst {
@@ -285,18 +289,41 @@ object Maintenance {
           sm.existingSnapshotIds.contains(target) ||
             sm.listTags.exists(_._2.id == target)
         if (stillPinned) return RollbackResult(latest.id, target, snap.id)
-        sm.tryCommitSnapshot(Snapshot(
-          id = snap.id + 1,
-          schemaId = latest.schemaId,
-          commitKind = "ROLLBACK",
-          timeMillis = System.currentTimeMillis(),
-          manifests = latest.manifests,
-          lastSequenceNumber = snap.lastSequenceNumber,
-          totalRecordCount = latest.totalRecordCount))
+        // The compensating commit must not be fire-and-forget: if IT
+        // loses a publish race, claiming "state restored" would be a
+        // lie — latest could still be the unreadable revert, or a
+        // foreign commit built on top of it. Retry while the revert is
+        // still the chain head; the moment someone else published on
+        // top, stop WITHOUT clobbering their commit and report what
+        // actually happened so the operator knows latest may be
+        // unreadable.
+        var restored = false
+        var preempted = false
+        var undoAttempt = 0
+        while (!restored && !preempted && undoAttempt < 100) {
+          if (sm.latestSnapshotId.exists(_ != snap.id)) preempted = true
+          else {
+            restored = sm.tryCommitSnapshot(Snapshot(
+              id = snap.id + 1,
+              schemaId = latest.schemaId,
+              commitKind = "ROLLBACK",
+              timeMillis = System.currentTimeMillis(),
+              manifests = latest.manifests,
+              lastSequenceNumber = snap.lastSequenceNumber,
+              totalRecordCount = latest.totalRecordCount))
+            undoAttempt += 1
+          }
+        }
         throw new IllegalStateException(
           s"Rollback to $target lost a race with snapshot expiry (the " +
-            "target was reclaimed mid-rollback); state restored to " +
-            s"snapshot ${latest.id}. Tag the target to pin it, then retry.")
+            "target was reclaimed mid-rollback); " +
+            (if (restored)
+              s"state restored to snapshot ${latest.id}."
+            else
+              "the compensating restore did NOT land (a concurrent " +
+                "commit took the chain head first) — the current head " +
+                "may reference reclaimed manifests and be unreadable.") +
+            " Tag the target to pin it, then retry.")
       }
       attempt += 1
     }
