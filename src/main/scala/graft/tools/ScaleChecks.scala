@@ -433,6 +433,61 @@ object ScaleChecks {
       f"5x vectors cost ${tAnnB / tAnnS}%.1f x — candidate set is not " +
         "cell-bounded (bound 12x)")
 
+    println("== COW rewrite-amplification canary: point DML rewrites " +
+      "exactly one (partition, bucket) group")
+    // scale proof for the r15 group-granular pruning fix: on a
+    // many-group COW table (non-dedup engine => key-predicated DML
+    // rewrites whole merge groups), a point DELETE must plan and
+    // rewrite ONE group out of 32 — both with Spark's runtime _file
+    // group filter (the default) and with it disabled, where only the
+    // scan's own partition/bucket/zone-map group pruning bounds the
+    // rewrite. At 100 TB the difference is rewriting ~1/32 of a
+    // partition vs the whole table per point DML.
+    spark.sql("CREATE TABLE graft.d.cow (p INT, k BIGINT, v STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('primary-key'='p,k'," +
+      "'bucket'='4','merge-engine'='first-row')")
+    timed("write 10M rows across 8 partitions x 4 buckets") {
+      spark.sql("INSERT INTO graft.d.cow SELECT CAST(id % 8 AS INT), " +
+        "id, CAST(id AS STRING) FROM range(0, 10000000)")
+    }
+    val cowSm = new graft.format.SnapshotManager(wh.resolve("d.db/cow"))
+    def cowGroups(): Map[(Seq[String], Int), Set[String]] =
+      cowSm.liveFilesLatest
+        .groupBy(f => (f.partition, f.bucket))
+        .map { case (g, fs) => g -> fs.map(_.fileName).toSet }
+    def touched(before: Map[(Seq[String], Int), Set[String]],
+        after: Map[(Seq[String], Int), Set[String]])
+        : Set[(Seq[String], Int)] =
+      (before.keySet ++ after.keySet)
+        .filter(g => before.get(g) != after.get(g))
+    require(cowGroups().size == 32, s"expected 32 groups, got " +
+      s"${cowGroups().size}")
+    def pointDelete(p: Int, k: Long, tag: String)
+        : Set[(Seq[String], Int)] = {
+      val before = cowGroups()
+      timed(s"point DELETE p=$p k=$k ($tag)") {
+        spark.sql(s"DELETE FROM graft.d.cow WHERE p = $p AND k = $k")
+      }
+      touched(before, cowGroups())
+    }
+    val g1 = pointDelete(3, 1234563L, "runtime _file group filter ON")
+    require(g1.size == 1 && g1.head._1 == Seq("3"),
+      s"expected one rewritten group in partition 3, got $g1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled",
+      "false")
+    val g2 =
+      try pointDelete(5, 1000005L, "runtime _file group filter OFF")
+      finally spark.conf.set(
+        "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled",
+        "true")
+    require(g2.size == 1 && g2.head._1 == Seq("5"),
+      s"expected one rewritten group in partition 5 without the " +
+        s"runtime filter, got $g2")
+    val cowRows = spark.table("graft.d.cow").count()
+    require(cowRows == 9999998L, s"expected 9999998 rows, got $cowRows")
+    println(s"  both DMLs rewrote exactly 1 of 32 groups; rows=$cowRows")
+
     spark.stop()
     // the 10M-row canary warehouse and the streamed-aggregation source
     // are ~600 MB+ — repeated runs must not accumulate them in the
