@@ -714,4 +714,206 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sequence-group lifecycle: the version gate survives maintenance churn (seed 83)") {
     runSeqGroupSeed(83, 34)
   }
+
+  /** Consumer-pin variant: the walk interleaves register/advance
+    * ([[graft.format.Consumers.record]], what a committed micro-batch
+    * does) and operator resets (`CALL sys.reset_consumer`, rewind and
+    * delete forms) with DML, COW rewrites, compaction, expiry, rollback
+    * and vacuum, against a driver-side model of every consumer's
+    * offset. Checked invariants on top of the base walk's:
+    *   - a consumer file always equals the model (record is a monotonic
+    *     max; reset is exact; delete removes the pin),
+    *   - expiry never removes a snapshot at or beyond the minimum live
+    *     consumer floor minus one (the changelog baseline),
+    *   - vacuum never reclaims files of retained pinned snapshots (the
+    *     base sweep covers this once pins keep the ids retained).
+    * The deterministic versions of these live in StreamingSpec /
+    * MaintenanceSpec; here they run under random schedules.
+    */
+  private def runConsumerSeed(seed: Int, steps: Int): Unit = {
+    val rnd = new Random(seed)
+    val tbl = s"fzc_s$seed"
+    val fq = s"graft.default.$tbl"
+    spark.sql(s"CREATE TABLE $fq (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('primary-key'='k','bucket'='1'," +
+      "'compaction.trigger-file-count'='4')")
+    val catalog = Catalog.create(spark,
+      Map("warehouse" -> warehouse.toString, "catalog-name" -> "graft"))
+    val table = catalog.getTable(s"default.$tbl")
+    val tableDir = warehouse.resolve(s"default.db/$tbl")
+    val io = graft.format.FileIO.local
+    val sm = new SnapshotManager(tableDir)
+
+    var model = Map.empty[Long, String]
+    var consumers = Map.empty[String, Long] // id -> expected nextSnapshot
+    var recorded = Vector.empty[(Long, Map[Long, String])]
+    var lastId = 0L
+
+    def floor: Option[Long] =
+      if (consumers.isEmpty) None else Some(consumers.values.min)
+
+    def read(sql: String): Map[Long, String] =
+      spark.sql(sql).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    def retainedIds(): Set[Long] =
+      spark.sql(s"SELECT snapshot_id FROM graft.default.`$tbl$$snapshots`")
+        .collect().map(_.getLong(0)).toSet
+
+    def checkConsumers(step: Int, op: String): Unit = {
+      val onDisk = graft.format.Consumers.list(tableDir, io)
+        .map(c => c.id -> c.nextSnapshot).toMap
+      assert(onDisk == consumers,
+        s"seed=$seed step=$step after $op: consumers $onDisk != model " +
+          s"$consumers")
+    }
+
+    def checkNow(step: Int, op: String): Unit = {
+      val got = read(s"SELECT k, v FROM $fq")
+      assert(got == model, s"seed=$seed step=$step after $op: read " +
+        s"${got.toSeq.sortBy(_._1)} != model ${model.toSeq.sortBy(_._1)}")
+      val id = sm.latestSnapshotId.getOrElse(0L)
+      assert(id >= lastId,
+        s"seed=$seed step=$step after $op: ids went backwards $lastId->$id")
+      lastId = id
+      if (recorded.lastOption.map(_._1) != Some(id))
+        recorded :+= (id -> model)
+      checkConsumers(step, op)
+    }
+
+    def sweep(step: Int, why: String): Unit = {
+      val live = retainedIds()
+      recorded = recorded.filter(p => live(p._1))
+      recorded.takeRight(12).foreach { case (sid, m) =>
+        val got = read(s"SELECT k, v FROM $fq VERSION AS OF $sid")
+        assert(got == m, s"seed=$seed step=$step ($why): VERSION AS OF " +
+          s"$sid diverged from the recorded state")
+      }
+    }
+
+    val opCounts = scala.collection.mutable.Map.empty[String, Int]
+    var resets = 0
+    (1 to steps).foreach { step =>
+      val roll = rnd.nextInt(100)
+      val op: String =
+        if (step == steps - 5) {
+          // guaranteed near-end consumer ops: the 7%/6%-weighted random
+          // branches can easily miss one form in a 44-step walk, and
+          // the pin × expiry cross needs all three exercised per seed
+          val id = s"pipe${rnd.nextInt(3)}"
+          graft.format.Consumers.record(tableDir, io, id, lastId max 1L)
+          consumers += (id ->
+            math.max(lastId max 1L, consumers.getOrElse(id, Long.MinValue)))
+          "consumerRecord"
+        } else if (step == steps - 3 && consumers.nonEmpty) {
+          val id = consumers.keys.toSeq(rnd.nextInt(consumers.size))
+          val n = 1L + rnd.nextInt((lastId max 1L).toInt)
+          spark.sql(
+            s"CALL graft.sys.reset_consumer('default.$tbl', '$id', $n)")
+          consumers += (id -> n)
+          "consumerReset"
+        } else if (step == steps - 1 && consumers.nonEmpty) {
+          val id = consumers.keys.toSeq(rnd.nextInt(consumers.size))
+          spark.sql(
+            s"CALL graft.sys.reset_consumer('default.$tbl', '$id')")
+          consumers -= id
+          "consumerDelete"
+        } else if (roll < 30 || model.isEmpty) {
+          val ks = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(20).toLong)
+            .distinct
+          val vals = ks.map(k => s"($k, 'v${step}_$k')").mkString(", ")
+          spark.sql(s"INSERT INTO $fq VALUES $vals")
+          model ++= ks.map(k => k -> s"v${step}_$k")
+          "insert"
+        } else if (roll < 42) {
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          spark.sql(s"UPDATE $fq SET v = 'u$step' WHERE k = $k")
+          model += (k -> s"u$step")
+          "update"
+        } else if (roll < 52) {
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          spark.sql(s"DELETE FROM $fq WHERE k = $k")
+          model -= k
+          "delete"
+        } else if (roll < 60) {
+          table.compact()
+          "compact"
+        } else if (roll < 74) {
+          // what a committed micro-batch does: record progress for one
+          // of three pipelines, anywhere in [1, latest+2] — record is a
+          // monotonic MAX, so a lagging zombie write must not rewind
+          val id = s"pipe${rnd.nextInt(3)}"
+          val target = 1L + rnd.nextInt((lastId max 1L).toInt + 2)
+          graft.format.Consumers.record(tableDir, io, id, target)
+          consumers += (id ->
+            math.max(target, consumers.getOrElse(id, Long.MinValue)))
+          "consumerRecord"
+        } else if (roll < 81 && consumers.nonEmpty) {
+          val id = consumers.keys.toSeq(rnd.nextInt(consumers.size))
+          // alternate the two reset forms instead of coin-flipping so
+          // both fire whenever the branch is reached at least twice
+          resets += 1
+          if (resets % 2 == 1) {
+            // operator rewind: the ONE path allowed to regress a pin
+            val n = 1L + rnd.nextInt((lastId max 1L).toInt)
+            spark.sql(
+              s"CALL graft.sys.reset_consumer('default.$tbl', '$id', $n)")
+            consumers += (id -> n)
+            "consumerReset"
+          } else {
+            spark.sql(
+              s"CALL graft.sys.reset_consumer('default.$tbl', '$id')")
+            consumers -= id
+            "consumerDelete"
+          }
+        } else if (roll < 90) {
+          // THE invariant this walk exists for: expiry must not remove
+          // any snapshot at or beyond (min live consumer floor - 1) —
+          // the -1 being the retraction changelog's pre-commit baseline
+          val before = sm.existingSnapshotIds.toSet
+          table.expireSnapshots(retainLast = 1 + rnd.nextInt(3))
+          val removed = before -- sm.existingSnapshotIds.toSet
+          floor.foreach { f =>
+            val violated = removed.filter(_ >= f - 1)
+            assert(violated.isEmpty,
+              s"seed=$seed step=$step: expiry removed $violated at/beyond " +
+                s"consumer floor $f - 1 (consumers: $consumers)")
+          }
+          "expire"
+        } else if (roll < 95 && recorded.size >= 2) {
+          val live = retainedIds()
+          recorded = recorded.filter(p => live(p._1))
+          val (sid, m) = recorded(rnd.nextInt(recorded.size))
+          spark.sql(s"CALL graft.sys.rollback('default.$tbl', $sid)")
+          model = m
+          "rollback"
+        } else {
+          table.vacuum(olderThanMillis = 0L)
+          sweep(step, "post-vacuum")
+          "vacuum"
+        }
+      opCounts(op) = opCounts.getOrElse(op, 0) + 1
+      checkNow(step, op)
+      if (step % 6 == 0) sweep(step, "periodic")
+    }
+    sweep(steps, "final")
+    table.vacuum(olderThanMillis = 0L)
+    opCounts("vacuum") = opCounts.getOrElse("vacuum", 0) + 1
+    sweep(steps, "final-vacuum")
+    checkConsumers(steps, "final")
+    val mustFire = Seq("insert", "update", "delete", "compact",
+      "consumerRecord", "consumerReset", "consumerDelete", "expire",
+      "rollback", "vacuum")
+    val missing = mustFire.filterNot(opCounts.contains)
+    assert(missing.isEmpty,
+      s"seed=$seed never exercised: $missing (counts: $opCounts)")
+  }
+
+  test("consumer-pin lifecycle: pins gate expiry under random churn (seed 19)") {
+    runConsumerSeed(19, 44)
+  }
+
+  test("consumer-pin lifecycle: pins gate expiry under random churn (seed 67)") {
+    runConsumerSeed(67, 44)
+  }
 }
