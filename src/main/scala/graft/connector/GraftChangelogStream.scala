@@ -26,7 +26,8 @@ import scala.collection.mutable
 class GraftChangelogStream(tableDir: Path, schema: TableSchema,
     required: StructType,
     startSnapshot: Option[Long] = None,
-    consumerId: Option[String] = None)
+    consumerId: Option[String] = None,
+    maxPerTrigger: Option[Long] = None)
   extends MicroBatchStream with GraftAvailableNowStream {
 
   private val io = graft.format.FileIO.resolve(schema.ioSpec)
@@ -34,6 +35,8 @@ class GraftChangelogStream(tableDir: Path, schema: TableSchema,
 
   override protected def currentLatestSnapshotId: Long =
     sm.latestSnapshotId.getOrElse(0L)
+
+  override protected def maxSnapshotsPerTrigger: Option[Long] = maxPerTrigger
 
   // consumer seeding/advancement ≙ GraftMicroBatchStream (shared in
   // GraftAvailableNowStream): same offset space (snapshot ids), same

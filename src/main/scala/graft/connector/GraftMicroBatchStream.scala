@@ -83,13 +83,30 @@ trait GraftAvailableNowStream extends SupportsTriggerAvailableNow {
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** `max-snapshots-per-trigger` read option: cap each micro-batch at
+    * this many snapshot ids past its start. At scale a catch-up read
+    * over a long snapshot history must not plan one giant batch (task
+    * count and shuffle state proportional to the WHOLE backlog);
+    * capping turns the drain into bounded batches, each committing its
+    * own offset — which also makes an AvailableNow drain multi-batch,
+    * with per-batch durable consumer progress instead of
+    * all-or-nothing. None = drain everything (the default).
+    */
+  protected def maxSnapshotsPerTrigger: Option[Long] = None
+
   /** Admission-control latestOffset: the pinned id under AvailableNow,
     * live otherwise (micro-batch triggers also route through this once
-    * the source implements SupportsAdmissionControl).
+    * the source implements SupportsAdmissionControl), capped by
+    * [[maxSnapshotsPerTrigger]].
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    onDurableProgress(start.asInstanceOf[GraftOffset].snapshotId)
-    GraftOffset(pinned.getOrElse(currentLatestSnapshotId))
+    val s = start.asInstanceOf[GraftOffset].snapshotId
+    onDurableProgress(s)
+    val target = pinned.getOrElse(currentLatestSnapshotId)
+    GraftOffset(maxSnapshotsPerTrigger match {
+      case Some(k) if s + k < target => s + k
+      case _ => target
+    })
   }
 }
 
@@ -118,7 +135,8 @@ final case class GraftOffset(snapshotId: Long) extends Offset {
 class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
     required: StructType,
     startSnapshot: Option[Long] = None,
-    consumerId: Option[String] = None)
+    consumerId: Option[String] = None,
+    maxPerTrigger: Option[Long] = None)
   extends MicroBatchStream with GraftAvailableNowStream {
 
   private val io = graft.format.FileIO.resolve(schema.ioSpec)
@@ -126,6 +144,8 @@ class GraftMicroBatchStream(tableDir: Path, schema: TableSchema,
 
   override protected def currentLatestSnapshotId: Long =
     sm.latestSnapshotId.getOrElse(0L)
+
+  override protected def maxSnapshotsPerTrigger: Option[Long] = maxPerTrigger
 
   override protected def consumerContext
       : Option[(Path, graft.format.FileIO, String)] =

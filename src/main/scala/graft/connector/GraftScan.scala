@@ -36,7 +36,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     retractions: Boolean = false,
     incremental: Option[(Long, Long)] = None,
-    consumerId: Option[String] = None)
+    consumerId: Option[String] = None,
+    maxSnapshotsPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -240,7 +241,8 @@ class GraftScanBuilder(tableDir: Path, schema: TableSchema,
     case _ =>
       new GraftScan(tableDir, schema, required, filters, limit, pinnedSnapshot,
         changelogView, retractions = retractions, incremental = incremental,
-        acceptedFilters = accepted, consumerId = consumerId)
+        acceptedFilters = accepted, consumerId = consumerId,
+        maxSnapshotsPerTrigger = maxSnapshotsPerTrigger)
   }
 }
 
@@ -271,7 +273,8 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
     retractions: Boolean = false,
     incremental: Option[(Long, Long)] = None,
     acceptedFilters: Array[Filter] = Array.empty,
-    consumerId: Option[String] = None)
+    consumerId: Option[String] = None,
+    maxSnapshotsPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -388,7 +391,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
         "retractions are only defined for merge-engine 'deduplicate' " +
           "without ignore-delete; read the raw $changelog instead")
       new GraftChangelogStream(tableDir, schema, required, start,
-        consumerId = consumerId)
+        consumerId = consumerId, maxPerTrigger = maxSnapshotsPerTrigger)
     }
     else {
       // the plain table stream's contract is "raw upsert rows, dedup
@@ -407,7 +410,7 @@ class GraftScan(tableDir: Path, schema: TableSchema, required: StructType,
           spec.seqField.map(f => s", sequence.field '$f'").getOrElse("") +
           "); stream the $changelog view and fold with the engine's rules")
       new GraftMicroBatchStream(tableDir, schema, required, start,
-        consumerId = consumerId)
+        consumerId = consumerId, maxPerTrigger = maxSnapshotsPerTrigger)
     }
   }
 

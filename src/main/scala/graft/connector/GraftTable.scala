@@ -147,7 +147,14 @@ class GraftTable(ident: Identifier, val tableDir: Path, val tableSchema: TableSc
       retractions = options.getBoolean("retractions", false),
       incremental = fromSnap.map(f => (f, toSnap.getOrElse(Long.MaxValue))),
       consumerId = Option(options.get("consumer-id"))
-        .map(graft.format.Consumers.validateId))
+        .map(graft.format.Consumers.validateId),
+      maxSnapshotsPerTrigger =
+        Option(options.get("max-snapshots-per-trigger")).map { v =>
+          val n = v.toLongOption.getOrElse(-1L)
+          require(n > 0,
+            s"max-snapshots-per-trigger must be a positive integer, got '$v'")
+          n
+        })
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -666,6 +666,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expired2 == 3, s"unpinned, 3..5 should expire: $expired2")
   }
 
+  test("max-snapshots-per-trigger splits an AvailableNow drain into " +
+      "batches; consumer progress lands per batch, not only at the end") {
+    // commit() never fires on a single-batch AvailableNow run (Spark
+    // calls it only while constructing a FURTHER batch), which is why
+    // durable progress hooks latestOffset(start). This drives the
+    // multi-batch shape: 3 committed snapshots drained one per batch
+    // must record the consumer pin on EVERY batch boundary — a crash
+    // mid-drain then resumes from the last finished batch instead of
+    // replaying the whole backlog.
+    spark.sql("CREATE TABLE graft.default.s_multi (id BIGINT, v STRING)")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.default.s_multi VALUES ($i, 'v$i')"))
+    val tableDir = warehouse.resolve("default.db/s_multi")
+    val io = graft.format.FileIO.local
+    def pin: Option[Long] =
+      graft.format.Consumers.get(tableDir, io, "mb").map(_.nextSnapshot)
+    val observed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream
+      .option("consumer-id", "mb")
+      .option("max-snapshots-per-trigger", "1")
+      .table("graft.default.s_multi")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the pin visible WHILE batch `id` runs was recorded at this
+        // batch's admission — durable before the batch completes
+        observed.synchronized { observed += ((id, pin.getOrElse(-1L))) }
+        df.count(); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val byBatch = observed.sortBy(_._1).toSeq
+    assert(byBatch.map(_._1) == Seq(0L, 1L, 2L),
+      s"expected 3 one-snapshot batches, got $byBatch")
+    // batch N drains snapshot N+1; its admission recorded next = N+1
+    // (the start offset's progress — understates, never overstates)
+    assert(byBatch.map(_._2) == Seq(1L, 2L, 3L),
+      s"consumer pin must advance at every batch boundary: $byBatch")
+    // the final drained admission check records the full progress
+    assert(pin.contains(4L), s"final pin: $pin")
+    val drained = spark.sql("SELECT count(*) FROM graft.default.s_multi")
+      .collect()(0).getLong(0)
+    assert(drained == 3L)
+  }
+
   test("retraction changelog stream under a consumer-id survives expiry: " +
       "the pre-commit baseline of its first unread snapshot is retained") {
     spark.sql("CREATE TABLE graft.default.s_ccons (k BIGINT, v BIGINT) " +
