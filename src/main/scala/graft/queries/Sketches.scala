@@ -476,40 +476,37 @@ object Sketches {
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag"),
             cents(col("l_extendedprice")).as("v"))
+        // NOT persisted although two subtrees consume it: the
+        // recompute is one codegen'd scan+agg, cheaper than the cache
+        // round-trip (sf0.1 QueryTimer: no-persist 7.4 s cold / 1.0 s
+        // warm vs MEMORY_AND_DISK persist 10.1 s / 1.5 s)
         val perFlag = li
           .select(col("l_returnflag"), expr(qBucketSpark("v")).as("b"))
           .groupBy("l_returnflag", "b").agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val merged = perFlag.groupBy("b").agg(sum("n").as("n"))
-          val direct = li.select(expr(qBucketSpark("v")).as("b"))
-            .groupBy("b").agg(count(lit(1)).as("n"))
-          def estOf(hist: org.apache.spark.sql.DataFrame, name: String) = {
-            // unpartitioned window by design — KB-scale histogram input
-            // (same bound + logger note as q_quantile_sketch above)
-            val cum = hist.withColumn("cum",
-              sum("n").over(Window.orderBy("b")))
-            val totals = hist.agg(sum("n").as("n_total"))
-            s.range(1).select(explode(typedLit(Seq(50L, 90L, 99L))).as("p"))
-              .crossJoin(totals)
-              .withColumn("rank", expr(qRankSpark("n_total", "p")))
-              .join(cum, col("cum") >= col("rank"))
-              .groupBy("p").agg(min("b").as("bq"))
-              .select(col("p"), expr(qLowerSpark("bq")).as(name))
-          }
-          val nMerged = perFlag.select(countDistinct("l_returnflag")
-            .as("n_sketches_merged"))
-          val out = estOf(merged, "est_merged_cents")
-            .join(estOf(direct, "est_direct_cents"), Seq("p"))
-            .crossJoin(nMerged)
-            .select("p", "n_sketches_merged", "est_merged_cents",
-              "est_direct_cents")
-            .orderBy("p")
-          // materialization bound: 3 rows; safe to collect to release
-          // the per-flag persist deterministically
-          val rows = out.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-        } finally perFlag.unpersist(blocking = true)
+        val merged = perFlag.groupBy("b").agg(sum("n").as("n"))
+        val direct = li.select(expr(qBucketSpark("v")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n"))
+        def estOf(hist: org.apache.spark.sql.DataFrame, name: String) = {
+          // unpartitioned window by design — KB-scale histogram input
+          // (same bound + logger note as q_quantile_sketch above)
+          val cum = hist.withColumn("cum",
+            sum("n").over(Window.orderBy("b")))
+          val totals = hist.agg(sum("n").as("n_total"))
+          s.range(1).select(explode(typedLit(Seq(50L, 90L, 99L))).as("p"))
+            .crossJoin(totals)
+            .withColumn("rank", expr(qRankSpark("n_total", "p")))
+            .join(cum, col("cum") >= col("rank"))
+            .groupBy("p").agg(min("b").as("bq"))
+            .select(col("p"), expr(qLowerSpark("bq")).as(name))
+        }
+        val nMerged = perFlag.select(countDistinct("l_returnflag")
+          .as("n_sketches_merged"))
+        estOf(merged, "est_merged_cents")
+          .join(estOf(direct, "est_direct_cents"), Seq("p"))
+          .crossJoin(nMerged)
+          .select("p", "n_sketches_merged", "est_merged_cents",
+            "est_direct_cents")
+          .orderBy("p")
       },
       Some {
         val vc = sqlCents("l_extendedprice")
