@@ -443,7 +443,30 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1 to steps).foreach { step =>
       val roll = rnd.nextInt(100)
       val op: String =
-        if (roll < 45 || model.isEmpty) {
+        if (step == steps - 2 &&
+            sm.latestSnapshot.exists(_.totalRecordCount > 0)) {
+          // guaranteed mid-churn fold-change attempt: with committed
+          // rows the data-aware guard must reject it, publish NO
+          // schema and NO marker snapshot, and leave the walk's fold
+          // semantics untouched (the commit-side fence is exercised
+          // separately in ConcurrencySpec — here we pin that a FAILED
+          // ALTER is trace-free under arbitrary prior maintenance)
+          val schemaBefore = graft.core.TableSchema
+            .listIds(warehouse.resolve(s"default.db/$tbl")).max
+          val snapBefore = sm.latestSnapshotId
+          val e = intercept[Exception] {
+            spark.sql(s"ALTER TABLE $fq SET TBLPROPERTIES " +
+              "('fields.s.aggregate-function'='max')")
+          }
+          assert(e.getMessage.contains("committed history"),
+            s"seed=$seed: unexpected ALTER failure: ${e.getMessage}")
+          assert(graft.core.TableSchema
+            .listIds(warehouse.resolve(s"default.db/$tbl")).max ==
+            schemaBefore, s"seed=$seed: rejected ALTER left a schema")
+          assert(sm.latestSnapshotId == snapBefore,
+            s"seed=$seed: rejected ALTER left a marker snapshot")
+          "alterFoldRejected"
+        } else if (roll < 45 || model.isEmpty) {
           val rows = Seq.fill(1 + rnd.nextInt(4))(
             (rnd.nextInt(8).toLong, (rnd.nextInt(100) - 20).toLong,
               rnd.nextInt(1000).toLong))
