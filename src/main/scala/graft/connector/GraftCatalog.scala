@@ -546,9 +546,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val next = TableSchema(ts.id + 1, fields, ts.partitionKeys,
       ts.primaryKeys, options, comment, ids, highest).validate()
+    // fence baseline: the newest snapshot the pre-save guard could have
+    // seen — the marker revalidation treats anything beyond it as a
+    // racing commit and judges it by ITS schema id
+    val preSaveSnapId =
+      if (fenced.isEmpty) 0L
+      else new graft.format.SnapshotManager(dir,
+        io = graft.format.FileIO.resolve(ts.ioSpec))
+        .latestSnapshotId.getOrElse(0L)
     TableSchema.save(dir, next)
     if (fenced.nonEmpty)
-      publishMergeRuleMarker(dir, next, fenced.toSeq,
+      publishMergeRuleMarker(dir, next, preSaveSnapId,
         fencedProp.getOrElse(""))
     new GraftTable(ident, dir, next)
   }
@@ -570,18 +578,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * APPEND kinds only — skip them by construction.
     */
   private def publishMergeRuleMarker(dir: Path, next: TableSchema,
-      cols: Seq[(String, Option[Int])], prop: String): Unit = {
+      preSaveSnapId: Long, prop: String): Unit = {
     import graft.format.{FileIO, Snapshot, SnapshotManager}
-    def revert(): Unit =
-      try Files.deleteIfExists(
-        dir.resolve("schema").resolve(s"schema-${next.id}"))
-      catch { case _: Throwable => () }
     GraftCatalog.alterFenceTestHook()
     val sm = new SnapshotManager(dir, io = FileIO.resolve(next.ioSpec))
+    // Racing commits are judged by the schema they WROTE UNDER, not by
+    // the column-history guard (which cannot tell a new-rules writer
+    // from an old-rules one): a snapshot beyond the pre-save baseline
+    // carrying an OLDER schema id slipped past the commit fence (its
+    // lineage check ran before our save), so the ALTER must yield; one
+    // carrying OUR schema id (or newer) already writes under the new
+    // rules and is no conflict. ROLLBACK snapshots fail the check too,
+    // correctly: a restore resurrects committed history the new rules
+    // would reinterpret.
+    def requireNoOldRuleRacers(): Unit = {
+      val racers = sm.existingSnapshotIds.filter(_ > preSaveSnapId)
+        .flatMap(id =>
+          try Some(id -> sm.snapshot(id))
+          catch { case _: java.nio.file.NoSuchFileException =>
+            None // expired between listing and read — not a live racer
+          })
+      val violators = racers.filter(_._2.schemaId < next.id)
+      if (violators.nonEmpty) {
+        // roll the schema back — unless a commit already references it,
+        // in which case deleting it would dangle that snapshot's
+        // evolution mapping; the fold conflict then needs an operator
+        // (both a pre-ALTER and a post-ALTER writer landed inside the
+        // publish window)
+        val referenced = racers.exists(_._2.schemaId >= next.id)
+        if (!referenced)
+          try Files.deleteIfExists(
+            dir.resolve("schema").resolve(s"schema-${next.id}"))
+          catch { case _: Throwable => () }
+        throw new IllegalStateException(
+          s"Cannot change table property '$prop': commit(s) " +
+            s"${violators.map(_._1).mkString(", ")} landed under the " +
+            "previous merge rules while this ALTER was publishing — " +
+            "their rows carry committed history the new rules would " +
+            "reinterpret. " +
+            (if (referenced)
+              "A newer-schema commit also landed, so the schema could " +
+                "NOT be rolled back; resolve manually (compact, then " +
+                "re-check the fold configuration)."
+            else
+              "The schema change was rolled back; retry when no " +
+                "writer is racing it."))
+      }
+    }
     var attempt = 0
     while (attempt < 100) {
-      try mergeRuleGuard(dir, next.ioSpec, cols, prop)
-      catch { case t: Throwable => revert(); throw t }
+      requireNoOldRuleRacers()
       val base = sm.latestSnapshot
       val snap = Snapshot(
         id = base.map(_.id + 1).getOrElse(1L),
@@ -594,11 +640,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (sm.tryCommitSnapshot(snap)) return
       attempt += 1
     }
-    revert()
+    // a 100-round storm: every id was taken by someone else, and the
+    // LAST winner postdates the last in-loop check — re-judge before
+    // concluding. A clean final check means every racer wrote under
+    // the new schema; the lineage alone then fences any still-in-
+    // flight old-schema writer (each commit attempt re-reads it), so
+    // the schema stands and only the marker is abandoned.
+    requireNoOldRuleRacers()
     throw new IllegalStateException(
       s"ALTER fence: gave up publishing the merge-rule marker snapshot " +
         s"for '$prop' after 100 attempts (commit storm); the schema " +
-        "change was rolled back")
+        "change stands — every racing commit wrote under it")
   }
 
   /** Guard against silent history reinterpretation: changing (or

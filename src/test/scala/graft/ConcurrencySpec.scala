@@ -494,6 +494,77 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("merge-rule ALTER fence: racers judged by the schema they wrote under") {
+    // A commit racing the marker publish that already carries the NEW
+    // schema id is a writer that loaded the saved schema — no conflict,
+    // the ALTER must succeed (and must NOT delete a schema that commit
+    // references). If an old-schema commit slipped in TOO, the ALTER
+    // fails but the schema stays, because rolling it back would dangle
+    // the new-schema snapshot's evolution mapping.
+    val warehouse = Files.createTempDirectory("graft-fence4-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      def snapOf(sm: graft.format.SnapshotManager, id: Long, schemaId: Long,
+          tag: String): graft.format.Snapshot = {
+        val meta = graft.format.DataFileMeta(s"bucket-0/$tag.parquet", 10L,
+          2L, Seq.empty, 0, 0L, 1L, Map.empty)
+        val mf = sm.writeManifest(
+          Seq(graft.format.ManifestEntry("ADD", meta)))
+        graft.format.Snapshot(id, schemaId, "APPEND", timeMillis = 1L,
+          manifests = Seq(mf), lastSequenceNumber = 1L,
+          totalRecordCount = 2L)
+      }
+
+      // case 1: new-schema racer only -> ALTER succeeds
+      spark.sql("CREATE TABLE graft.c.fence4 (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+        "'merge-engine'='aggregation')")
+      val dir4 = warehouse.resolve("c.db/fence4")
+      val sm4 = new graft.format.SnapshotManager(dir4)
+      graft.connector.GraftCatalog.alterFenceTestHook =
+        () => assert(sm4.tryCommitSnapshot(snapOf(sm4, 1L, 1L, "new")))
+      try spark.sql("ALTER TABLE graft.c.fence4 SET TBLPROPERTIES " +
+        "('fields.v.aggregate-function'='sum')")
+      finally graft.connector.GraftCatalog.alterFenceTestHook = () => ()
+      assert(graft.core.TableSchema.listIds(dir4) == Seq(0L, 1L))
+      assert(graft.core.TableSchema.load(dir4).get.options
+        .get("fields.v.aggregate-function").contains("sum"))
+      // the marker landed ON TOP of the racer
+      assert(sm4.latestSnapshot.exists(s =>
+        s.id == 2L && s.commitKind == "SCHEMA" && s.schemaId == 1L))
+
+      // case 2: both an old-schema and a new-schema racer -> ALTER
+      // fails but the referenced schema stays
+      spark.sql("CREATE TABLE graft.c.fence5 (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+        "'merge-engine'='aggregation')")
+      val dir5 = warehouse.resolve("c.db/fence5")
+      val sm5 = new graft.format.SnapshotManager(dir5)
+      graft.connector.GraftCatalog.alterFenceTestHook = () => {
+        assert(sm5.tryCommitSnapshot(snapOf(sm5, 1L, 0L, "old")))
+        assert(sm5.tryCommitSnapshot(snapOf(sm5, 2L, 1L, "new")))
+      }
+      try {
+        val e = intercept[Exception] {
+          spark.sql("ALTER TABLE graft.c.fence5 SET TBLPROPERTIES " +
+            "('fields.v.aggregate-function'='sum')")
+        }
+        assert(e.getMessage.contains("could NOT be rolled back"),
+          s"unexpected: ${e.getMessage}")
+      } finally graft.connector.GraftCatalog.alterFenceTestHook = () => ()
+      assert(graft.core.TableSchema.listIds(dir5) == Seq(0L, 1L),
+        "schema referenced by the new-schema racer must survive")
+    } finally spark.stop()
+  }
+
   test("merge-rule ALTER vs concurrent commits: exactly one side wins") {
     // free-running race, many rounds: an honest writer (planned at
     // schema 0) and a fold ALTER start together; the fence must let
