@@ -268,6 +268,39 @@ class IoWiringSpec extends AnyFunSuite with BeforeAndAfterAll {
       .flatMap(_.commitIdentifier).nonEmpty)
   }
 
+  test("merge-rule ALTER fence rides the FileIO seam (marker remote, " +
+      "schema local)") {
+    // the fence's two halves touch different planes: the SCHEMA marker
+    // snapshot must publish through the table's FileIO (remote), while
+    // the lineage the commit fence reads stays in the local schema/ dir
+    spark.sql("CREATE TABLE graft.default.iow_fence (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'merge-engine'='aggregation', 'io'='memory:iow1')")
+    spark.sql("ALTER TABLE graft.default.iow_fence SET TBLPROPERTIES " +
+      "('fields.v.aggregate-function'='sum')")
+    val dir = warehouse.resolve("default.db/iow_fence")
+    val io = graft.format.FileIO.resolve("memory:iow1")
+    val sm = new graft.format.SnapshotManager(dir, io = io)
+    assert(sm.latestSnapshot.exists(s =>
+      s.commitKind == "SCHEMA" && s.schemaId == 1L))
+    assertDataPlaneRemote("iow_fence") // the marker did NOT land locally
+    // a stale writer (schema 0) is fenced on the remote table too
+    val e = intercept[IllegalStateException] {
+      graft.format.FileStoreCommit.commit(sm, schemaId = 0L,
+        partitionKeys = Seq.empty,
+        newFiles = Seq(graft.format.DataFileMeta("bucket-0/x.parquet",
+          10L, 1L, Seq.empty, 0, 0L, 0L, Map.empty)),
+        mode = graft.format.FileStoreCommit.NoOverwrite)
+    }
+    assert(e.getMessage.contains("Commit fenced"))
+    // a current-schema write proceeds normally through the seam
+    spark.sql("INSERT INTO graft.default.iow_fence VALUES (1, 5), (1, 7)")
+    val got = spark.sql(
+      "SELECT v FROM graft.default.iow_fence WHERE k = 1")
+      .collect()(0).getLong(0)
+    assert(got == 12L, s"sum fold through the seam: $got")
+  }
+
   test("tags pin remote snapshots through the seam") {
     spark.sql("CREATE TABLE graft.default.io_tag (k BIGINT) " +
       "TBLPROPERTIES ('io'='memory:iow1')")
