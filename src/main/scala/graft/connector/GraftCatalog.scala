@@ -387,6 +387,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(ident))
+    // fence baseline, captured BEFORE any data-aware guard reads the
+    // snapshot state: every snapshot beyond it is a racing commit the
+    // marker revalidation judges by its schema id. Capturing it after
+    // the guards (the first cut did) left a gap — a commit landing
+    // between a guard's snapshot read and the baseline read would be
+    // inside the baseline and escape revalidation entirely.
+    val preSaveSnapId = new graft.format.SnapshotManager(dir,
+      io = graft.format.FileIO.resolve(ts.ioSpec))
+      .latestSnapshotId.getOrElse(0L)
     var fields = ts.fields
     var ids = ts.ids
     var highest = ts.maxFieldId
@@ -398,7 +407,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // cannot slip old-fold data between check and save
     val fenced = scala.collection.mutable.LinkedHashSet
       .empty[(String, Option[Int])]
-    var fencedProp: Option[String] = None
+    val fencedProps = scala.collection.mutable.LinkedHashSet.empty[String]
     def structural(name: String): Boolean =
       ts.partitionKeys.contains(name) || ts.primaryKeys.contains(name)
     changes.foreach {
@@ -478,7 +487,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // already updated fields/ids when the SET is processed
             val fid = fields.fieldNames.zip(ids).toMap.get(c)
             requireFoldChangeSafe(dir, ts, c, set.property(), fid)
-            fenced += (c -> fid); fencedProp = Some(set.property())
+            fenced += (c -> fid); fencedProps += set.property()
           }
         }
         GraftCatalog.fieldSeqGroupColumn(set.property()).foreach { c =>
@@ -497,7 +506,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               (c +: (newM ++ curM.toSeq.flatten)).distinct
             val pairs = involved.map(col => col -> inFlight.get(col))
             requireMergeRuleChangeSafe(dir, ts, pairs, set.property())
-            fenced ++= pairs; fencedProp = Some(set.property())
+            fenced ++= pairs; fencedProps += set.property()
           }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as SET comment -> ""
@@ -520,7 +529,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (cur.exists(_ != "last_non_null_value")) {
             val fid = fields.fieldNames.zip(ids).toMap.get(c)
             requireFoldChangeSafe(dir, ts, c, rm.property(), fid)
-            fenced += (c -> fid); fencedProp = Some(rm.property())
+            fenced += (c -> fid); fencedProps += rm.property()
           }
         }
         GraftCatalog.fieldSeqGroupColumn(rm.property()).foreach { c =>
@@ -533,7 +542,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 .distinct
             val pairs = involved.map(col => col -> inFlight.get(col))
             requireMergeRuleChangeSafe(dir, ts, pairs, rm.property())
-            fenced ++= pairs; fencedProp = Some(rm.property())
+            fenced ++= pairs; fencedProps += rm.property()
           }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as
@@ -546,18 +555,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val next = TableSchema(ts.id + 1, fields, ts.partitionKeys,
       ts.primaryKeys, options, comment, ids, highest).validate()
-    // fence baseline: the newest snapshot the pre-save guard could have
-    // seen — the marker revalidation treats anything beyond it as a
-    // racing commit and judges it by ITS schema id
-    val preSaveSnapId =
-      if (fenced.isEmpty) 0L
-      else new graft.format.SnapshotManager(dir,
-        io = graft.format.FileIO.resolve(ts.ioSpec))
-        .latestSnapshotId.getOrElse(0L)
     TableSchema.save(dir, next)
     if (fenced.nonEmpty)
-      publishMergeRuleMarker(dir, next, preSaveSnapId,
-        fencedProp.getOrElse(""))
+      publishMergeRuleMarker(dir, ts, next, preSaveSnapId,
+        fencedProps.mkString(", "))
     new GraftTable(ident, dir, next)
   }
 
@@ -565,23 +566,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[graft.format.MergeRuleFence]] for the full protocol). After the
     * merge-rule-changing schema is saved, publish a `SCHEMA` marker
     * snapshot through the same create-exclusive publish data commits
-    * use, RE-VALIDATING the no-committed-history guard on every
-    * attempt. The marker serializes the ALTER against concurrent
-    * writers: a data commit that slipped in between the pre-save guard
-    * and the schema save either (a) takes the next snapshot id first,
-    * so our publish attempt loses, the revalidation sees its rows and
-    * the ALTER aborts — deleting the saved schema, which no snapshot
-    * references yet — or (b) publishes after our marker, in which case
-    * its own commit-time fence sees the advanced lineage and rejects
-    * it. `SCHEMA` snapshots carry the base's manifests verbatim (zero
-    * file delta), so changelog/incremental readers — which act on
-    * APPEND kinds only — skip them by construction.
+    * use, re-judging racing commits on every attempt. The marker
+    * serializes the ALTER against concurrent writers: a data commit
+    * that slipped in between the pre-save guard and the schema save
+    * either (a) takes the next snapshot id first, so our publish
+    * attempt loses and the revalidation sees it, or (b) publishes
+    * after our marker, in which case its own commit-time fence sees
+    * the advanced lineage and rejects it. `SCHEMA` snapshots carry the
+    * base's manifests verbatim (zero file delta), so changelog/
+    * incremental readers — which act on APPEND kinds only — skip them
+    * by construction.
+    *
+    * Aborting NEVER deletes the saved schema file (schema files are
+    * immutable and never deleted — an in-flight writer may have loaded
+    * it, and deleting would dangle its snapshot's evolution mapping
+    * and let a later ALTER reuse the id with different contents).
+    * Instead the abort appends a COUNTER-SCHEMA restoring the
+    * pre-ALTER rules: the racer's old-rule rows are valid again under
+    * the restored rules, and any writer that loaded the retracted
+    * schema is fenced by the counter-schema's own lineage diff.
     */
-  private def publishMergeRuleMarker(dir: Path, next: TableSchema,
-      preSaveSnapId: Long, prop: String): Unit = {
+  private def publishMergeRuleMarker(dir: Path, ts: TableSchema,
+      next: TableSchema, preSaveSnapId: Long, prop: String): Unit = {
     import graft.format.{FileIO, Snapshot, SnapshotManager}
     GraftCatalog.alterFenceTestHook()
     val sm = new SnapshotManager(dir, io = FileIO.resolve(next.ioSpec))
+    def marker(base: Option[Snapshot], schemaId: Long): Snapshot = Snapshot(
+      id = base.map(_.id + 1).getOrElse(1L),
+      schemaId = schemaId,
+      commitKind = "SCHEMA",
+      timeMillis = System.currentTimeMillis(),
+      manifests = base.map(_.manifests).getOrElse(Seq.empty),
+      lastSequenceNumber = base.map(_.lastSequenceNumber).getOrElse(0L),
+      totalRecordCount = base.map(_.totalRecordCount).getOrElse(0L))
     // Racing commits are judged by the schema they WROTE UNDER, not by
     // the column-history guard (which cannot tell a new-rules writer
     // from an old-rules one): a snapshot beyond the pre-save baseline
@@ -600,44 +617,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           })
       val violators = racers.filter(_._2.schemaId < next.id)
       if (violators.nonEmpty) {
-        // roll the schema back — unless a commit already references it,
-        // in which case deleting it would dangle that snapshot's
-        // evolution mapping; the fold conflict then needs an operator
-        // (both a pre-ALTER and a post-ALTER writer landed inside the
-        // publish window)
-        val referenced = racers.exists(_._2.schemaId >= next.id)
-        if (!referenced)
-          try Files.deleteIfExists(
-            dir.resolve("schema").resolve(s"schema-${next.id}"))
-          catch { case _: Throwable => () }
+        // counter-schema: the ORIGINAL fields/options under a fresh id
+        // (field-id allocations of the aborted ALTER stay burned so a
+        // later ADD COLUMN can never reuse an id a racer's files may
+        // carry), then a best-effort marker so in-flight writers under
+        // the retracted schema re-read the lineage and reject
+        val counter = TableSchema(
+          TableSchema.listIds(dir).max + 1, ts.fields, ts.partitionKeys,
+          ts.primaryKeys, ts.options, ts.comment, ts.ids, next.maxFieldId)
+        TableSchema.save(dir, counter)
+        var a = 0
+        var landed = false
+        while (!landed && a < 100) {
+          landed = sm.tryCommitSnapshot(
+            marker(sm.latestSnapshot, counter.id))
+          a += 1
+        }
+        val newRacers = racers.filter(_._2.schemaId >= next.id)
         throw new IllegalStateException(
           s"Cannot change table property '$prop': commit(s) " +
             s"${violators.map(_._1).mkString(", ")} landed under the " +
             "previous merge rules while this ALTER was publishing — " +
             "their rows carry committed history the new rules would " +
-            "reinterpret. " +
-            (if (referenced)
-              "A newer-schema commit also landed, so the schema could " +
-                "NOT be rolled back; resolve manually (compact, then " +
-                "re-check the fold configuration)."
-            else
-              "The schema change was rolled back; retry when no " +
-                "writer is racing it."))
+            "reinterpret. The change was rolled back by schema " +
+            s"${counter.id} restoring the previous rules." +
+            (if (newRacers.nonEmpty)
+              s" WARNING: commit(s) ${newRacers.map(_._1).mkString(", ")} " +
+                "already wrote under the retracted rules; compact and " +
+                "re-check the affected columns before retrying."
+            else " Retry when no writer is racing it."))
       }
     }
     var attempt = 0
     while (attempt < 100) {
       requireNoOldRuleRacers()
-      val base = sm.latestSnapshot
-      val snap = Snapshot(
-        id = base.map(_.id + 1).getOrElse(1L),
-        schemaId = next.id,
-        commitKind = "SCHEMA",
-        timeMillis = System.currentTimeMillis(),
-        manifests = base.map(_.manifests).getOrElse(Seq.empty),
-        lastSequenceNumber = base.map(_.lastSequenceNumber).getOrElse(0L),
-        totalRecordCount = base.map(_.totalRecordCount).getOrElse(0L))
-      if (sm.tryCommitSnapshot(snap)) return
+      if (sm.tryCommitSnapshot(marker(sm.latestSnapshot, next.id))) return
       attempt += 1
     }
     // a 100-round storm: every id was taken by someone else, and the

@@ -298,17 +298,19 @@ object Compactor extends Serializable {
       tableDir: Path, kind: String = "COMPACT"): Boolean = {
     var attempt = 0
     while (attempt < 100) {
+      val base = sm.latestSnapshot.getOrElse(
+        throw new IllegalStateException("Compaction on empty table"))
       // merge-rule ALTER fence: compaction re-folds committed runs
       // under the schema it LOADED; if a fold/sequence-group change
       // landed since, the output would bake in stale rules. Abort like
       // the inputs-vanished path — a rerun picks up the new schema.
+      // Checked AFTER the base read (see FileStoreCommit.commit for
+      // why the ordering matters).
       try MergeRuleFence.check(sm.tableDir, schemaId)
       catch { case _: IllegalStateException =>
         adds.foreach(f => sm.io.delete(tableDir.resolve(f.fileName)))
         return false
       }
-      val base = sm.latestSnapshot.getOrElse(
-        throw new IllegalStateException("Compaction on empty table"))
       val live = sm.liveFiles(base)
       val liveNames = live.map(_.fileName).toSet
       if (!deleteNames.subsetOf(liveNames)) {

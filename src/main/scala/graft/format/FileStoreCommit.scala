@@ -38,8 +38,14 @@ object FileStoreCommit {
     var attempt = 0
     var files = newFiles
     while (attempt < 100) {
-      MergeRuleFence.check(sm.tableDir, schemaId)
       val base = sm.latestSnapshot
+      // fence AFTER the base read, never before: the ALTER saves its
+      // schema BEFORE publishing the marker, so once the marker is in
+      // `base` the schema is guaranteed visible to this check — while
+      // a check-then-read ordering would let a complete ALTER (save +
+      // marker) land between the two and publish this commit on top
+      // of the marker unfenced
+      MergeRuleFence.check(sm.tableDir, schemaId)
       val live = base.map(sm.liveFiles).getOrElse(Seq.empty)
 
       // Conflict re-sequencing: if a concurrent commit landed first
@@ -174,9 +180,10 @@ object FileStoreCommit {
       deleteNames: Set[String]): Snapshot = {
     var attempt = 0
     while (attempt < 100) {
-      MergeRuleFence.check(sm.tableDir, schemaId)
       val base = sm.latestSnapshot.getOrElse(
         throw new IllegalStateException("DELETE on empty table"))
+      // base read first, fence second — see commit() for the ordering
+      MergeRuleFence.check(sm.tableDir, schemaId)
       val live = sm.liveFiles(base)
       val doomed = live.filter(f => deleteNames.contains(f.fileName))
       val manifest = sm.writeManifest(doomed.map(f => ManifestEntry("DELETE", f)))

@@ -484,13 +484,30 @@ class ConcurrencySpec extends AnyFunSuite {
         assert(e.getMessage.contains("committed history"),
           s"unexpected: ${e.getMessage}")
       } finally graft.connector.GraftCatalog.alterFenceTestHook = () => ()
-      // the ALTER rolled back: schema lineage is back to the CREATE
-      // schema, the fold is not configured, the racer's data is latest
-      assert(graft.core.TableSchema.listIds(dir) == Seq(0L))
-      assert(!graft.core.TableSchema.load(dir).get.options
-        .contains("fields.v.aggregate-function"))
+      // the ALTER rolled back by COUNTER-SCHEMA (schema files are
+      // immutable — deletion would dangle any in-flight writer that
+      // loaded the retracted id): lineage gained the retracted schema 1
+      // AND the restoring schema 2, the effective options carry no
+      // fold, the racer's data survives, and the counter's own marker
+      // is the chain head so late retracted-schema writers re-read the
+      // lineage and reject
+      assert(graft.core.TableSchema.listIds(dir) == Seq(0L, 1L, 2L))
+      val eff = graft.core.TableSchema.load(dir).get
+      assert(eff.id == 2L &&
+        !eff.options.contains("fields.v.aggregate-function"))
       assert(sm.latestSnapshot.exists(s =>
-        s.commitKind == "APPEND" && s.totalRecordCount == 2L))
+        s.commitKind == "SCHEMA" && s.schemaId == 2L &&
+          s.totalRecordCount == 2L))
+      // a writer that loaded the RETRACTED schema 1 is fenced by the
+      // counter-schema's lineage diff
+      val e2 = intercept[IllegalStateException] {
+        graft.format.FileStoreCommit.commit(sm, schemaId = 1L,
+          partitionKeys = Seq.empty,
+          newFiles = Seq(graft.format.DataFileMeta("bucket-0/w2.parquet",
+            10L, 1L, Seq.empty, 0, 2L, 2L, Map.empty)),
+          mode = graft.format.FileStoreCommit.NoOverwrite)
+      }
+      assert(e2.getMessage.contains("Commit fenced"))
     } finally spark.stop()
   }
 
@@ -557,11 +574,15 @@ class ConcurrencySpec extends AnyFunSuite {
           spark.sql("ALTER TABLE graft.c.fence5 SET TBLPROPERTIES " +
             "('fields.v.aggregate-function'='sum')")
         }
-        assert(e.getMessage.contains("could NOT be rolled back"),
-          s"unexpected: ${e.getMessage}")
+        assert(e.getMessage.contains("already wrote under the retracted " +
+          "rules"), s"unexpected: ${e.getMessage}")
       } finally graft.connector.GraftCatalog.alterFenceTestHook = () => ()
-      assert(graft.core.TableSchema.listIds(dir5) == Seq(0L, 1L),
-        "schema referenced by the new-schema racer must survive")
+      // the retracted schema 1 SURVIVES (the new-schema racer's
+      // snapshot references it) and the counter-schema 2 restores the
+      // original rules
+      assert(graft.core.TableSchema.listIds(dir5) == Seq(0L, 1L, 2L))
+      assert(!graft.core.TableSchema.load(dir5).get.options
+        .contains("fields.v.aggregate-function"))
     } finally spark.stop()
   }
 
