@@ -594,6 +594,105 @@ object Text {
           FROM p, st
           WHERE $score > 0
           ORDER BY score_micro DESC, doc_id LIMIT 20"""
-      })
+      }),
+
+    // DSIR-style importance selection (Xie et al.: data selection by
+    // importance resampling): score every document by how much more
+    // likely its hashed n-gram features are under a TARGET distribution
+    // (here the lang='en' slice) than under the raw corpus, then keep
+    // the target-like docs. Features are md5-bucketed word unigrams
+    // (64 buckets, add-one smoothed); the log-likelihood ratio uses
+    // the integer floor(log2) both engines compute identically as
+    // `length(bin(x))` — the HLL rank trick — as SUMS of per-count
+    // logs (never a log of products, so nothing overflows at any
+    // corpus size). 100 TB shape: both bucket tables are 64 rows
+    // (broadcast); the per-doc score is one explode + broadcast join +
+    // map-side-combined sum — no corpus-wide window, no pair join.
+    QueryDef("t_dsir_select",
+      (s, dir) => {
+        val B = 64
+        val docs = t(s, dir, "documents")
+        val toks = docs
+          .select(col("doc_id"), col("lang"), explode(tokens).as("w"))
+          .withColumn("b", h60s(col("w")) % B)
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("nt"))
+        val raw = toks.groupBy("b").agg(count(lit(1)).as("nr"))
+        // 64-bucket spine so add-one smoothing covers empty buckets
+        // identically in both engines
+        val spine = s.range(B).select(col("id").as("b"))
+        val wtab = spine
+          .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+          .select(col("b"),
+            (coalesce(col("nt"), lit(0L)) + 1L).as("nt1"),
+            (coalesce(col("nr"), lit(0L)) + 1L).as("nr1"))
+        val totals = wtab.agg(sum("nt1").as("ttot"), sum("nr1").as("rtot"))
+        val weights = wtab.crossJoin(broadcast(totals))
+          .select(col("b"),
+            // log2(nt1/ttot) - log2(nr1/rtot), floor-log2 per term
+            (expr("length(bin(nt1)) - length(bin(nr1))") +
+              expr("length(bin(rtot)) - length(bin(ttot))"))
+              .cast("long").as("wgt"))
+        // the per-lang rollup aggregates the SCORED (token-bearing)
+        // docs straight down to L rows and joins the tiny per-lang doc
+        // count — NOT a doc_id join back to the corpus (the first cut
+        // did, and the plan showed a corpus-wide sort-merge join that
+        // a 100 TB table cannot afford); token-less docs count in
+        // n_docs and nothing else
+        val perDoc = toks
+          .join(broadcast(weights), Seq("b"))
+          .groupBy("doc_id", "lang").agg(sum("wgt").as("weight"))
+        val scored = perDoc.groupBy("lang")
+          .agg(sum(when(col("weight") > 0L, 1L).otherwise(0L))
+            .as("n_selected"),
+            sum("weight").as("sum_weight"),
+            max("weight").as("max_weight"))
+        docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .join(broadcast(scored), Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+            coalesce(col("sum_weight"), lit(0L)).as("sum_weight"),
+            coalesce(col("max_weight"), lit(0L)).as("max_weight"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, lang, unnest($sqlTokens) AS w FROM documents),
+        tb AS (
+          SELECT doc_id, lang, ${sqlH60s("w")} % 64 AS b FROM toks),
+        tgt AS (
+          SELECT b, COUNT(*) AS nt FROM tb WHERE lang = 'en' GROUP BY 1),
+        raw AS (
+          SELECT b, COUNT(*) AS nr FROM tb GROUP BY 1),
+        spine AS (SELECT unnest(range(0, 64)) AS b),
+        wtab AS (
+          SELECT spine.b,
+            COALESCE(nt, 0) + 1 AS nt1, COALESCE(nr, 0) + 1 AS nr1
+          FROM spine LEFT JOIN tgt ON spine.b = tgt.b
+            LEFT JOIN raw ON spine.b = raw.b),
+        totals AS (
+          SELECT CAST(SUM(nt1) AS BIGINT) AS ttot,
+            CAST(SUM(nr1) AS BIGINT) AS rtot FROM wtab),
+        weights AS (
+          SELECT b, CAST(length(bin(nt1)) - length(bin(nr1))
+            + length(bin(rtot)) - length(bin(ttot)) AS BIGINT) AS wgt
+          FROM wtab, totals),
+        per_doc AS (
+          SELECT tb.doc_id, tb.lang, CAST(SUM(wgt) AS BIGINT) AS weight
+          FROM tb JOIN weights ON tb.b = weights.b GROUP BY 1, 2),
+        scored AS (
+          SELECT lang,
+            CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_selected,
+            CAST(SUM(weight) AS BIGINT) AS sum_weight,
+            CAST(MAX(weight) AS BIGINT) AS max_weight
+          FROM per_doc GROUP BY 1),
+        counts AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        SELECT counts.lang, n_docs,
+          COALESCE(n_selected, 0) AS n_selected,
+          COALESCE(sum_weight, 0) AS sum_weight,
+          COALESCE(max_weight, 0) AS max_weight
+        FROM counts LEFT JOIN scored ON counts.lang = scored.lang
+        ORDER BY 1"""))
   )
 }
