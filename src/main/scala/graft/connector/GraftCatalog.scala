@@ -392,10 +392,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // marker revalidation judges by its schema id. Capturing it after
     // the guards (the first cut did) left a gap — a commit landing
     // between a guard's snapshot read and the baseline read would be
-    // inside the baseline and escape revalidation entirely.
-    val preSaveSnapId = new graft.format.SnapshotManager(dir,
-      io = graft.format.FileIO.resolve(ts.ioSpec))
-      .latestSnapshotId.getOrElse(0L)
+    // inside the baseline and escape revalidation entirely. Only taken
+    // when the statement actually names a merge-rule property: every
+    // other ALTER shape (rename, comment, ADD COLUMN, …) must not pay
+    // a snapshot-dir listing on a remote data plane for a fence it
+    // can never arm.
+    val mayFence = changes.exists {
+      case set: TableChange.SetProperty =>
+        graft.core.MergeRuleProps.isMergeRuleProp(set.property())
+      case rm: TableChange.RemoveProperty =>
+        graft.core.MergeRuleProps.isMergeRuleProp(rm.property())
+      case _ => false
+    }
+    val preSaveSnapId =
+      if (!mayFence) 0L
+      else new graft.format.SnapshotManager(dir,
+        io = graft.format.FileIO.resolve(ts.ioSpec))
+        .latestSnapshotId.getOrElse(0L)
     var fields = ts.fields
     var ids = ts.ids
     var highest = ts.maxFieldId
@@ -633,7 +646,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             marker(sm.latestSnapshot, counter.id))
           a += 1
         }
-        val newRacers = racers.filter(_._2.schemaId >= next.id)
+        // re-list AFTER the counter save for the warning: once the
+        // counter is persisted, a retracted-schema writer nets against
+        // it and rejects, so this listing is the complete set of
+        // commits that ever wrote under the retracted rules (the
+        // pre-abort `racers` would miss one landing between the first
+        // listing and the save)
+        val newRacers = sm.existingSnapshotIds.filter(_ > preSaveSnapId)
+          .flatMap(id =>
+            try Some(id -> sm.snapshot(id))
+            catch { case _: java.nio.file.NoSuchFileException => None })
+          .filter(_._2.schemaId >= next.id)
         throw new IllegalStateException(
           s"Cannot change table property '$prop': commit(s) " +
             s"${violators.map(_._1).mkString(", ")} landed under the " +
@@ -645,7 +668,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s" WARNING: commit(s) ${newRacers.map(_._1).mkString(", ")} " +
                 "already wrote under the retracted rules; compact and " +
                 "re-check the affected columns before retrying."
-            else " Retry when no writer is racing it."))
+            else
+              " The racing rows now count as committed history, so " +
+                "re-applying the change is subject to the usual guard " +
+                "(allowed only on an empty table or a freshly added " +
+                "column)."))
       }
     }
     var attempt = 0

@@ -353,19 +353,36 @@ object TableSchema {
     // tolerates foreign files) — load is just "latest of the lineage"
     listIds(tableDir).lastOption.flatMap(id => loadById(tableDir, id))
 
+  /** Create-EXCLUSIVE publish (hard-link, the AtomicPublisher.local
+    * pattern): every save writes a brand-new id — CREATE writes
+    * schema-0, each ALTER appends the next id — so a collision always
+    * means a concurrent DDL computed the same id from the same loaded
+    * base. A replacing rename here would let the loser silently
+    * overwrite the winner's contents while both DDLs report success
+    * (and the winner's marker snapshot would vouch for options its
+    * ALTER never wrote); failing loudly makes the loser reload and
+    * retry on the advanced lineage.
+    */
   def save(tableDir: Path, schema: TableSchema): Unit = {
     val dir = tableDir.resolve("schema")
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, ".schema", ".tmp")
     try {
       Files.writeString(tmp, schema.toJson)
-      Files.move(tmp, dir.resolve(s"schema-${schema.id}"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case t: Throwable =>
-      // a failed write/move (disk full, interrupt) must not strand
-      // .schema*.tmp files in the schema dir forever
-      try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
-      throw t
+      Files.createLink(dir.resolve(s"schema-${schema.id}"), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+        throw new IllegalStateException(
+          s"schema-${schema.id} already exists: a concurrent DDL " +
+            "published the same schema version first — reload the " +
+            "table and retry the statement")
+      case t: Throwable =>
+        // a failed write/link (disk full, interrupt) must not strand
+        // .schema*.tmp files in the schema dir forever
+        try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+        throw t
     }
   }
 }

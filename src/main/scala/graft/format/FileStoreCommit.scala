@@ -240,23 +240,29 @@ object MergeRuleFence {
   def check(tableDir: java.nio.file.Path, writerSchemaId: Long): Unit = {
     val ids = TableSchema.listIds(tableDir)
     if (ids.isEmpty || ids.last <= writerSchemaId) return
-    // conservative on a missing writer schema (never happens in a
-    // healthy table): an empty base flags any later fold as a change
-    var prev = TableSchema.loadById(tableDir, writerSchemaId)
+    // NET comparison — the writer's schema vs the CURRENT one, not a
+    // pairwise walk of the lineage: this writer's rows assume exactly
+    // its own schema's fold rules, so the only exposure is a
+    // difference between those and the rules the table folds with
+    // NOW. A flip-flopped intermediate (an aborted ALTER's
+    // retracted + counter-schema pair) must NOT fence a writer whose
+    // net rules are unchanged; writers that loaded the retracted
+    // intermediate itself still differ from the counter and reject.
+    // Conservative on a missing writer schema (never happens in a
+    // healthy table): an empty base flags any current fold as changed.
+    val writerOpts = TableSchema.loadById(tableDir, writerSchemaId)
       .map(_.options).getOrElse(Map.empty[String, String])
-    ids.filter(_ > writerSchemaId).foreach { id =>
-      TableSchema.loadById(tableDir, id).foreach { s =>
-        val changed = MergeRuleProps.changedBetween(prev, s.options)
-        if (changed.nonEmpty) throw new IllegalStateException(
-          s"Commit fenced: merge-rule propert" +
-            s"${if (changed.size == 1) "y" else "ies"} " +
-            s"${changed.mkString(", ")} changed in schema $id after this " +
-            s"write began (schema $writerSchemaId). The write's rows would " +
-            "fold under rules the writer never saw — re-run the write " +
-            "against the current schema.")
-        prev = s.options
-      }
-    }
+    val currentOpts = TableSchema.loadById(tableDir, ids.last)
+      .map(_.options).getOrElse(Map.empty[String, String])
+    val changed = MergeRuleProps.changedBetween(writerOpts, currentOpts)
+    if (changed.nonEmpty) throw new IllegalStateException(
+      s"Commit fenced: merge-rule propert" +
+        s"${if (changed.size == 1) "y" else "ies"} " +
+        s"${changed.mkString(", ")} changed after this write began " +
+        s"(write planned under schema $writerSchemaId, table is at " +
+        s"schema ${ids.last}). The write's rows would fold under rules " +
+        "the writer never saw — re-run the write against the current " +
+        "schema.")
   }
 }
 

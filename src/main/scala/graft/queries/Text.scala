@@ -615,14 +615,18 @@ object Text {
         val toks = docs
           .select(col("doc_id"), col("lang"), explode(tokens).as("w"))
           .withColumn("b", h60s(col("w")) % B)
-        val tgt = toks.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("nt"))
-        val raw = toks.groupBy("b").agg(count(lit(1)).as("nr"))
+        // target and raw bucket counts in ONE corpus pass (conditional
+        // aggregation) — separate tgt/raw aggregates would tokenize
+        // the corpus twice, since Spark does not dedupe common
+        // subplans
+        val counts = toks.groupBy("b").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+          count(lit(1)).as("nr"))
         // 64-bucket spine so add-one smoothing covers empty buckets
         // identically in both engines
         val spine = s.range(B).select(col("id").as("b"))
         val wtab = spine
-          .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+          .join(counts, Seq("b"), "left")
           .select(col("b"),
             (coalesce(col("nt"), lit(0L)) + 1L).as("nt1"),
             (coalesce(col("nr"), lit(0L)) + 1L).as("nr1"))
@@ -659,16 +663,17 @@ object Text {
           SELECT doc_id, lang, unnest($sqlTokens) AS w FROM documents),
         tb AS (
           SELECT doc_id, lang, ${sqlH60s("w")} % 64 AS b FROM toks),
-        tgt AS (
-          SELECT b, COUNT(*) AS nt FROM tb WHERE lang = 'en' GROUP BY 1),
-        raw AS (
-          SELECT b, COUNT(*) AS nr FROM tb GROUP BY 1),
+        bcounts AS (
+          SELECT b,
+            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nt,
+            COUNT(*) AS nr
+          FROM tb GROUP BY 1),
         spine AS (SELECT unnest(range(0, 64)) AS b),
         wtab AS (
           SELECT spine.b,
             COALESCE(nt, 0) + 1 AS nt1, COALESCE(nr, 0) + 1 AS nr1
-          FROM spine LEFT JOIN tgt ON spine.b = tgt.b
-            LEFT JOIN raw ON spine.b = raw.b),
+          FROM spine LEFT JOIN bcounts ON spine.b = bcounts.b),
         totals AS (
           SELECT CAST(SUM(nt1) AS BIGINT) AS ttot,
             CAST(SUM(nr1) AS BIGINT) AS rtot FROM wtab),

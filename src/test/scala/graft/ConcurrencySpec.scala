@@ -508,6 +508,17 @@ class ConcurrencySpec extends AnyFunSuite {
           mode = graft.format.FileStoreCommit.NoOverwrite)
       }
       assert(e2.getMessage.contains("Commit fenced"))
+      // ...but a long-running writer still planned under the ORIGINAL
+      // schema 0 commits fine: the fence compares NET rules (schema 0
+      // vs the counter schema 2 — identical), so the aborted ALTER's
+      // retracted+counter pair in the lineage fences nobody whose
+      // rules didn't actually change
+      val ok = graft.format.FileStoreCommit.commit(sm, schemaId = 0L,
+        partitionKeys = Seq.empty,
+        newFiles = Seq(graft.format.DataFileMeta("bucket-0/w0.parquet",
+          10L, 1L, Seq.empty, 0, 3L, 3L, Map.empty)),
+        mode = graft.format.FileStoreCommit.NoOverwrite)
+      assert(ok.commitKind == "APPEND")
     } finally spark.stop()
   }
 
