@@ -597,6 +597,43 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("concurrent DDLs computing the same schema id: loser fails loudly") {
+    // TableSchema.save is create-exclusive: two ALTERs that loaded the
+    // same base schema both compute id N+1 — a replacing save would
+    // let the loser silently overwrite the winner's contents while
+    // both report success
+    val warehouse = Files.createTempDirectory("graft-ddl-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      spark.sql("CREATE TABLE graft.c.ddl (k BIGINT, v BIGINT)")
+      val dir = warehouse.resolve("c.db/ddl")
+      // both "ALTERs" loaded schema 0 and computed id 1; the second
+      // save must fail loudly, not replace the winner's contents
+      val ts = graft.core.TableSchema.load(dir).get
+      graft.core.TableSchema.save(dir,
+        ts.copy(id = 1L, comment = Some("winner")))
+      val e = intercept[IllegalStateException] {
+        graft.core.TableSchema.save(dir,
+          ts.copy(id = 1L, comment = Some("loser")))
+      }
+      assert(e.getMessage.contains("concurrent DDL"),
+        s"unexpected: ${e.getMessage}")
+      val after = graft.core.TableSchema.load(dir).get
+      assert(after.id == 1L && after.comment.contains("winner"))
+      // and the public ALTER path simply builds on the winner (id 2)
+      spark.sql("ALTER TABLE graft.c.ddl ADD COLUMN w BIGINT")
+      assert(graft.core.TableSchema.load(dir).get.id == 2L)
+    } finally spark.stop()
+  }
+
   test("merge-rule ALTER vs concurrent commits: exactly one side wins") {
     // free-running race, many rounds: an honest writer (planned at
     // schema 0) and a fold ALTER start together; the fence must let
