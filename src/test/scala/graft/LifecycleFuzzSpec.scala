@@ -939,4 +939,36 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("consumer-pin lifecycle: pins gate expiry under random churn (seed 67)") {
     runConsumerSeed(67, 44)
   }
+
+  /** Env-gated soak: arbitrarily long walks of any variant without
+    * recompiling — `GRAFT_FUZZ_SOAK=<variant>:<seed>:<steps>[,…]` with
+    * variant ∈ base|part|agg|seqgroup|consumer. Cancelled (not passed)
+    * when unset, so CI time is unaffected; run before a release or
+    * after lifecycle changes, e.g.
+    * {{{ GRAFT_FUZZ_SOAK=agg:101:120,consumer:102:120 sbt \
+    *     "testOnly graft.LifecycleFuzzSpec -- -z soak" }}}
+    */
+  test("env-gated soak: long lifecycle walks (GRAFT_FUZZ_SOAK)") {
+    sys.env.get("GRAFT_FUZZ_SOAK") match {
+      case None | Some("") => cancel(
+        "set GRAFT_FUZZ_SOAK=<variant>:<seed>:<steps>[,...] " +
+          "(variant: base|part|agg|seqgroup|consumer) to run")
+      case Some(spec) =>
+        spec.split(',').map(_.trim).filter(_.nonEmpty).foreach { one =>
+          one.split(':') match {
+            case Array(variant, seed, steps) =>
+              val (sd, st) = (seed.toInt, steps.toInt)
+              variant match {
+                case "base" => runSeed(sd, st)
+                case "part" => runPartitionedSeed(sd, st)
+                case "agg" => runAggregationSeed(sd, st)
+                case "seqgroup" => runSeqGroupSeed(sd, st)
+                case "consumer" => runConsumerSeed(sd, st)
+                case other => fail(s"unknown soak variant '$other'")
+              }
+            case _ => fail(s"bad soak spec '$one' (want variant:seed:steps)")
+          }
+        }
+    }
+  }
 }
