@@ -387,28 +387,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val ts = TableSchema.load(dir).getOrElse(throw new NoSuchTableException(ident))
-    // fence baseline, captured BEFORE any data-aware guard reads the
-    // snapshot state: every snapshot beyond it is a racing commit the
-    // marker revalidation judges by its schema id. Capturing it after
-    // the guards (the first cut did) left a gap — a commit landing
-    // between a guard's snapshot read and the baseline read would be
-    // inside the baseline and escape revalidation entirely. Only taken
-    // when the statement actually names a merge-rule property: every
-    // other ALTER shape (rename, comment, ADD COLUMN, …) must not pay
-    // a snapshot-dir listing on a remote data plane for a fence it
-    // can never arm.
-    val mayFence = changes.exists {
-      case set: TableChange.SetProperty =>
-        graft.core.MergeRuleProps.isMergeRuleProp(set.property())
-      case rm: TableChange.RemoveProperty =>
-        graft.core.MergeRuleProps.isMergeRuleProp(rm.property())
-      case _ => false
-    }
-    val preSaveSnapId =
-      if (!mayFence) 0L
-      else new graft.format.SnapshotManager(dir,
+    // fence baseline, captured BEFORE the first data-aware guard reads
+    // the snapshot state: every snapshot beyond it is a racing commit
+    // the marker revalidation judges by its schema id. Capturing it
+    // after the guards (the first cut did) left a gap — a commit
+    // landing between a guard's snapshot read and the baseline read
+    // would be inside the baseline and escape revalidation entirely.
+    // Armed lazily by the guard branches themselves (each calls
+    // armFenceBaseline() before its snapshot read), so only statements
+    // that actually change a merge rule — not renames, comments, ADD
+    // COLUMNs, or no-op restatements of the stored fold — pay a
+    // snapshot-dir listing on a remote data plane.
+    var preSaveSnapId = 0L
+    var fenceArmed = false
+    def armFenceBaseline(): Unit = if (!fenceArmed) {
+      fenceArmed = true
+      preSaveSnapId = new graft.format.SnapshotManager(dir,
         io = graft.format.FileIO.resolve(ts.ioSpec))
         .latestSnapshotId.getOrElse(0L)
+    }
     var fields = ts.fields
     var ids = ts.ids
     var highest = ts.maxFieldId
@@ -496,6 +493,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val noop = cur.contains(set.value().trim) ||
             (cur.isEmpty && set.value().trim == "last_non_null_value")
           if (!noop) {
+            armFenceBaseline()
             // the in-flight name→id view: a same-call ADD or RENAME has
             // already updated fields/ids when the SET is processed
             val fid = fields.fieldNames.zip(ids).toMap.get(c)
@@ -517,6 +515,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // plain last-non-null fold)
             val involved =
               (c +: (newM ++ curM.toSeq.flatten)).distinct
+            armFenceBaseline()
             val pairs = involved.map(col => col -> inFlight.get(col))
             requireMergeRuleChangeSafe(dir, ts, pairs, set.property())
             fenced ++= pairs; fencedProps += set.property()
@@ -540,6 +539,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftCatalog.fieldAggColumn(rm.property()).foreach { c =>
           val cur = ts.options.get(rm.property()).map(_.trim)
           if (cur.exists(_ != "last_non_null_value")) {
+            armFenceBaseline()
             val fid = fields.fieldNames.zip(ids).toMap.get(c)
             requireFoldChangeSafe(dir, ts, c, rm.property(), fid)
             fenced += (c -> fid); fencedProps += rm.property()
@@ -553,6 +553,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             val involved =
               (c +: graft.format.MergeFunction.parseGroupMembers(cur))
                 .distinct
+            armFenceBaseline()
             val pairs = involved.map(col => col -> inFlight.get(col))
             requireMergeRuleChangeSafe(dir, ts, pairs, rm.property())
             fenced ++= pairs; fencedProps += rm.property()
@@ -571,7 +572,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     TableSchema.save(dir, next)
     if (fenced.nonEmpty)
       publishMergeRuleMarker(dir, ts, next, preSaveSnapId,
-        fencedProps.mkString(", "))
+        fencedProps.toSet)
     new GraftTable(ident, dir, next)
   }
 
@@ -600,7 +601,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * schema is fenced by the counter-schema's own lineage diff.
     */
   private def publishMergeRuleMarker(dir: Path, ts: TableSchema,
-      next: TableSchema, preSaveSnapId: Long, prop: String): Unit = {
+      next: TableSchema, preSaveSnapId: Long,
+      changedProps: Set[String]): Unit = {
+    val prop = changedProps.mkString(", ")
     import graft.format.{FileIO, Snapshot, SnapshotManager}
     GraftCatalog.alterFenceTestHook()
     val sm = new SnapshotManager(dir, io = FileIO.resolve(next.ioSpec))
@@ -621,41 +624,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // rules and is no conflict. ROLLBACK snapshots fail the check too,
     // correctly: a restore resurrects committed history the new rules
     // would reinterpret.
-    def requireNoOldRuleRacers(): Unit = {
-      val racers = sm.existingSnapshotIds.filter(_ > preSaveSnapId)
+    // zero-delta SCHEMA markers carry no data: they are neither
+    // violators (nothing to reinterpret) nor retracted-rules writers
+    // worth warning about
+    def racersBeyondBaseline(): Seq[(Long, Snapshot)] =
+      sm.existingSnapshotIds.filter(_ > preSaveSnapId)
         .flatMap(id =>
           try Some(id -> sm.snapshot(id))
           catch { case _: java.nio.file.NoSuchFileException =>
             None // expired between listing and read — not a live racer
           })
-      val violators = racers.filter(_._2.schemaId < next.id)
+        .filter(_._2.commitKind != "SCHEMA")
+    def requireNoOldRuleRacers(): Unit = {
+      val violators = racersBeyondBaseline().filter(_._2.schemaId < next.id)
       if (violators.nonEmpty) {
-        // counter-schema: the ORIGINAL fields/options under a fresh id
-        // (field-id allocations of the aborted ALTER stay burned so a
-        // later ADD COLUMN can never reuse an id a racer's files may
-        // carry), then a best-effort marker so in-flight writers under
-        // the retracted schema re-read the lineage and reject
-        val counter = TableSchema(
-          TableSchema.listIds(dir).max + 1, ts.fields, ts.partitionKeys,
-          ts.primaryKeys, ts.options, ts.comment, ts.ids, next.maxFieldId)
-        TableSchema.save(dir, counter)
+        // Counter-schema: restore the PRE-ALTER value of every
+        // merge-rule property this statement changed, on top of the
+        // CURRENT latest schema — not on top of the stale `ts`: a
+        // concurrent DDL may have built on the retracted schema (new
+        // columns, higher field ids), and rebuilding from `ts` would
+        // silently revert its changes and re-lower maxFieldId under
+        // ids it allocated. Non-merge-rule parts of THIS statement are
+        // preserved too (they reinterpret nothing). The save retries
+        // on same-id DDL collisions like every other contention site.
+        var counterId = -1L
+        var saved = false
         var a = 0
+        while (!saved && a < 100) {
+          val cur = TableSchema.load(dir).getOrElse(ts)
+          // restore ONLY the properties THIS statement changed — a
+          // concurrent DDL may have legitimately changed a different
+          // merge-rule property in the meantime
+          val restored = changedProps
+            .foldLeft(cur.options) { (opts, k) =>
+              ts.options.get(k) match {
+                case Some(v) => opts + (k -> v)
+                case None => opts - k
+              }
+            }
+          val counter = cur.copy(id = cur.id + 1, options = restored)
+          counterId = counter.id
+          try { TableSchema.save(dir, counter); saved = true }
+          catch { case _: IllegalStateException => a += 1 } // id taken
+        }
+        if (!saved) throw new IllegalStateException(
+          s"Cannot change table property '$prop': commit(s) " +
+            s"${violators.map(_._1).mkString(", ")} landed under the " +
+            "previous merge rules while this ALTER was publishing, AND " +
+            "the restoring counter-schema lost 100 consecutive DDL " +
+            "races — the retracted rules are still current. Stop " +
+            "concurrent DDL and unset the property manually.")
         var landed = false
+        a = 0
         while (!landed && a < 100) {
           landed = sm.tryCommitSnapshot(
-            marker(sm.latestSnapshot, counter.id))
+            marker(sm.latestSnapshot, counterId))
           a += 1
         }
         // re-list AFTER the counter save for the warning: once the
         // counter is persisted, a retracted-schema writer nets against
         // it and rejects, so this listing is the complete set of
         // commits that ever wrote under the retracted rules (the
-        // pre-abort `racers` would miss one landing between the first
-        // listing and the save)
-        val newRacers = sm.existingSnapshotIds.filter(_ > preSaveSnapId)
-          .flatMap(id =>
-            try Some(id -> sm.snapshot(id))
-            catch { case _: java.nio.file.NoSuchFileException => None })
+        // pre-abort listing would miss one landing in between)
+        val newRacers = racersBeyondBaseline()
           .filter(_._2.schemaId >= next.id)
         throw new IllegalStateException(
           s"Cannot change table property '$prop': commit(s) " +
@@ -663,7 +694,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "previous merge rules while this ALTER was publishing — " +
             "their rows carry committed history the new rules would " +
             "reinterpret. The change was rolled back by schema " +
-            s"${counter.id} restoring the previous rules." +
+            s"$counterId restoring the previous rules." +
             (if (newRacers.nonEmpty)
               s" WARNING: commit(s) ${newRacers.map(_._1).mkString(", ")} " +
                 "already wrote under the retracted rules; compact and " +

@@ -366,10 +366,23 @@ object TableSchema {
   def save(tableDir: Path, schema: TableSchema): Unit = {
     val dir = tableDir.resolve("schema")
     Files.createDirectories(dir)
+    val target = dir.resolve(s"schema-${schema.id}")
     val tmp = Files.createTempFile(dir, ".schema", ".tmp")
     try {
       Files.writeString(tmp, schema.toJson)
-      Files.createLink(dir.resolve(s"schema-${schema.id}"), tmp)
+      try Files.createLink(target, tmp)
+      catch { case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException
+          if !Files.exists(target) =>
+        // no-hard-link filesystem (CIFS/FAT/some FUSE): fall back to
+        // O_EXCL creation — same create-exclusive guarantee, at the
+        // cost of non-atomic CONTENT (a reader racing the single
+        // write of this KB-scale JSON may see a partial file; the
+        // link path has no such window)
+        Files.write(target, Files.readAllBytes(tmp),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      }
       Files.deleteIfExists(tmp)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>

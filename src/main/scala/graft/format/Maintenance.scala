@@ -261,6 +261,20 @@ object Maintenance {
       // revert would just burn retention slots)
       if (latest.id == target || latest.manifests == targetSnap.manifests)
         return RollbackResult(latest.id, target, latest.id)
+      // merge-rule fence, same net comparison as data commits: the
+      // restored rows assume the fold rules of the TARGET's schema —
+      // if a fold/sequence-group change landed since, the resurrected
+      // history would silently re-fold under rules it never saw on the
+      // next merge/compaction. Checked per attempt, after the latest
+      // read (the commit-side ordering argument applies here too).
+      try MergeRuleFence.check(sm.tableDir, targetSnap.schemaId)
+      catch { case e: IllegalStateException =>
+        throw new IllegalStateException(
+          s"Cannot roll back to snapshot $target: the table's merge " +
+            "rules changed after it was committed, so the restored " +
+            "rows would re-fold under rules they never saw. Restore " +
+            s"the previous rules first. (${e.getMessage})")
+      }
       require(target < latest.id,
         s"Cannot roll back forward to $target (latest is ${latest.id})")
       val snap = Snapshot(

@@ -546,6 +546,40 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("rollback across a merge-rule change is fenced") {
+    // the one path that can resurrect committed history: rows written
+    // under the old fold, all deleted (so the fold ALTER legitimately
+    // passes its no-committed-history guard), then a rollback to the
+    // pre-delete snapshot — the restored rows would silently re-fold
+    // under the new rules on the next merge/compaction. The rollback
+    // must refuse with the net-rule fence.
+    spark.sql("CREATE TABLE graft.default.rb_fence (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'merge-engine'='aggregation')")
+    spark.sql("INSERT INTO graft.default.rb_fence VALUES (1, 10), (2, 20)")
+    val dir = warehouse.resolve("default.db/rb_fence")
+    val dataSnap = new SnapshotManager(dir).latestSnapshotId.get
+    spark.sql("DELETE FROM graft.default.rb_fence WHERE k IN (1, 2)")
+    assert(spark.table("graft.default.rb_fence").count() == 0L)
+    // legal: zero committed rows remain
+    spark.sql("ALTER TABLE graft.default.rb_fence SET TBLPROPERTIES " +
+      "('fields.v.aggregate-function'='sum')")
+    val e = intercept[IllegalStateException](
+      graft.format.Maintenance.rollbackTo(dir, dataSnap))
+    assert(e.getMessage.contains("Cannot roll back"), e.getMessage)
+    assert(e.getMessage.contains("merge"), e.getMessage)
+    // state unchanged: still empty, still at the marker head
+    assert(spark.table("graft.default.rb_fence").count() == 0L)
+    // rollback to a snapshot COMMITTED UNDER the new rules stays legal
+    spark.sql("INSERT INTO graft.default.rb_fence VALUES (3, 5)")
+    val newSnap = new SnapshotManager(dir).latestSnapshotId.get
+    spark.sql("INSERT INTO graft.default.rb_fence VALUES (3, 7)")
+    val r = graft.format.Maintenance.rollbackTo(dir, newSnap)
+    assert(r.targetSnapshotId == newSnap)
+    assert(spark.sql("SELECT v FROM graft.default.rb_fence WHERE k = 3")
+      .collect()(0).getLong(0) == 5L)
+  }
+
   test("expiry retains each streaming query's newest identity snapshot") {
     // the replay guard (GraftStreamingWrite.lastCommittedEpoch) reads
     // "<queryId>/<epochId>" identities from the snapshot chain; if
