@@ -411,12 +411,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var highest = ts.maxFieldId
     var options = ts.options
     var comment = ts.comment
-    // merge-rule changes that passed their data-aware guard below; the
-    // schema save for these is fenced with a marker snapshot (see
-    // publishMergeRuleMarker) so a concurrently-committing writer
+    // merge-rule properties whose change passed their data-aware guard
+    // below; the schema save for these is fenced with a marker snapshot
+    // (see publishMergeRuleMarker) so a concurrently-committing writer
     // cannot slip old-fold data between check and save
-    val fenced = scala.collection.mutable.LinkedHashSet
-      .empty[(String, Option[Int])]
     val fencedProps = scala.collection.mutable.LinkedHashSet.empty[String]
     def structural(name: String): Boolean =
       ts.partitionKeys.contains(name) || ts.primaryKeys.contains(name)
@@ -498,7 +496,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // already updated fields/ids when the SET is processed
             val fid = fields.fieldNames.zip(ids).toMap.get(c)
             requireFoldChangeSafe(dir, ts, c, set.property(), fid)
-            fenced += (c -> fid); fencedProps += set.property()
+            fencedProps += set.property()
           }
         }
         GraftCatalog.fieldSeqGroupColumn(set.property()).foreach { c =>
@@ -518,7 +516,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             armFenceBaseline()
             val pairs = involved.map(col => col -> inFlight.get(col))
             requireMergeRuleChangeSafe(dir, ts, pairs, set.property())
-            fenced ++= pairs; fencedProps += set.property()
+            fencedProps += set.property()
           }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as SET comment -> ""
@@ -542,7 +540,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             armFenceBaseline()
             val fid = fields.fieldNames.zip(ids).toMap.get(c)
             requireFoldChangeSafe(dir, ts, c, rm.property(), fid)
-            fenced += (c -> fid); fencedProps += rm.property()
+            fencedProps += rm.property()
           }
         }
         GraftCatalog.fieldSeqGroupColumn(rm.property()).foreach { c =>
@@ -556,7 +554,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             armFenceBaseline()
             val pairs = involved.map(col => col -> inFlight.get(col))
             requireMergeRuleChangeSafe(dir, ts, pairs, rm.property())
-            fenced ++= pairs; fencedProps += rm.property()
+            fencedProps += rm.property()
           }
         }
         // `COMMENT ON TABLE t IS NULL` arrives as
@@ -570,7 +568,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val next = TableSchema(ts.id + 1, fields, ts.partitionKeys,
       ts.primaryKeys, options, comment, ids, highest).validate()
     TableSchema.save(dir, next)
-    if (fenced.nonEmpty)
+    if (fencedProps.nonEmpty)
       publishMergeRuleMarker(dir, ts, next, preSaveSnapId,
         fencedProps.toSet)
     new GraftTable(ident, dir, next)
@@ -682,10 +680,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           a += 1
         }
         // re-list AFTER the counter save for the warning: once the
-        // counter is persisted, a retracted-schema writer nets against
-        // it and rejects, so this listing is the complete set of
-        // commits that ever wrote under the retracted rules (the
-        // pre-abort listing would miss one landing in between)
+        // counter SCHEMA is persisted, a retracted-schema writer nets
+        // against it and rejects, so this listing is the complete set
+        // of commits that ever wrote under the retracted rules (the
+        // pre-abort listing would miss one landing in between). The
+        // completeness claim needs only the counter-SCHEMA save above
+        // (every commit attempt re-reads the lineage), but when the
+        // marker-publish loop ALSO exhausted its attempts the table is
+        // under a commit storm and this single listing may itself race
+        // a still-landing retracted-rules writer — present it as
+        // possibly incomplete then instead of authoritative.
         val newRacers = racersBeyondBaseline()
           .filter(_._2.schemaId >= next.id)
         throw new IllegalStateException(
@@ -695,15 +699,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "their rows carry committed history the new rules would " +
             "reinterpret. The change was rolled back by schema " +
             s"$counterId restoring the previous rules." +
+            (if (!landed)
+              " NOTE: the counter-schema's marker snapshot lost 100 " +
+                "consecutive publish races (commit storm); the restored " +
+                "rules stand via the schema lineage, but the racer " +
+                "listing below may be incomplete." else "") +
             (if (newRacers.nonEmpty)
               s" WARNING: commit(s) ${newRacers.map(_._1).mkString(", ")} " +
+                (if (landed) "" else "(possibly among others) ") +
                 "already wrote under the retracted rules; compact and " +
                 "re-check the affected columns before retrying."
-            else
+            else if (landed)
               " The racing rows now count as committed history, so " +
                 "re-applying the change is subject to the usual guard " +
                 "(allowed only on an empty table or a freshly added " +
-                "column)."))
+                "column)."
+            else
+              " No commit under the retracted rules was observed, but " +
+                "under the storm one may still land — re-check before " +
+                "retrying the change."))
       }
     }
     var attempt = 0

@@ -21,14 +21,44 @@ object MergeRuleProps {
   def isMergeRuleProp(name: String): Boolean =
     aggColumn(name).isDefined || seqGroupColumn(name).isDefined
 
-  /** Merge-rule property keys whose value differs between two persisted
-    * option maps — a SET, an UNSET, or a value change all count. Used to
-    * decide whether a schema-lineage advance re-interprets merge rules.
+  /** The ONE parser of a `fields.<g>.sequence-group` member list —
+    * the merge engine (`MergeFunction.specOf`), the ALTER mutability
+    * guards, and the commit-time fence all share it so the option
+    * grammar cannot drift between the engine and its guards.
+    */
+  def parseGroupMembers(v: String): Seq[String] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Merge-rule property keys whose SEMANTIC value differs between two
+    * persisted option maps. Used to decide whether a schema-lineage
+    * advance re-interprets merge rules (the commit-time fence).
+    *
+    * Compared normalized, mirroring the catalog's ALTER noop logic and
+    * the engine's `specOf` parse — NOT as raw strings: alterTable
+    * persists the literal option spelling even for changes its guard
+    * deemed semantic no-ops (re-stating the engine-default fold on an
+    * unconfigured column, re-stating a group's members in a different
+    * order or spacing), and a raw comparison would let such a
+    * config-management push spuriously fence every in-flight writer.
+    *   - `aggregate-function`: absent ≡ the engine default
+    *     `last_non_null_value`; values compare trimmed.
+    *   - `sequence-group`: member lists are SETS; absent ≢ present
+    *     (dissolving a group is a real rule change even if empty).
     */
   def changedBetween(a: Map[String, String],
       b: Map[String, String]): Set[String] =
-    (a.keySet ++ b.keySet)
-      .filter(k => isMergeRuleProp(k) && a.get(k) != b.get(k))
+    (a.keySet ++ b.keySet).filter { k =>
+      if (aggColumn(k).isDefined) normAgg(a.get(k)) != normAgg(b.get(k))
+      else if (seqGroupColumn(k).isDefined)
+        normGroup(a.get(k)) != normGroup(b.get(k))
+      else false
+    }
+
+  private def normAgg(v: Option[String]): String =
+    v.map(_.trim).getOrElse("last_non_null_value")
+
+  private def normGroup(v: Option[String]): Option[Set[String]] =
+    v.map(parseGroupMembers(_).toSet)
 
   private def shaped(name: String, suf: String): Option[String] = {
     val pre = "fields."

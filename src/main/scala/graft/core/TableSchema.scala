@@ -345,7 +345,24 @@ object TableSchema {
     */
   def loadById(tableDir: Path, id: Long): Option[TableSchema] = {
     val p = tableDir.resolve("schema").resolve(s"schema-$id")
-    if (Files.isRegularFile(p)) Some(fromJson(Files.readString(p))) else None
+    if (!Files.isRegularFile(p)) return None
+    // save()'s no-hard-link fallback writes content non-atomically: a
+    // reader racing that single write can observe partial JSON. Schema
+    // files are immutable once fully written and the create-exclusive
+    // protocol guarantees the content converges to exactly one value,
+    // so a parse failure here is transient — retry briefly before
+    // treating the file as genuinely corrupt.
+    var last: Throwable = null
+    var a = 0
+    while (a < 20) {
+      try return Some(fromJson(Files.readString(p)))
+      catch { case scala.util.control.NonFatal(t) =>
+        last = t; a += 1; Thread.sleep(25) }
+    }
+    throw new IllegalStateException(
+      s"schema-$id unparseable after 20 attempts over 500ms — not a " +
+        "racing writer (content converges under the create-exclusive " +
+        "protocol); the schema file is corrupt", last)
   }
 
   def load(tableDir: Path): Option[TableSchema] =

@@ -66,12 +66,12 @@ object MergeFunction {
       seqField.toSeq ++ seqGroups.keys.toSeq
   }
 
-  /** The ONE parser of a `fields.<g>.sequence-group` member list —
-    * specOf and the ALTER mutability guards share it so the option
-    * grammar cannot drift between the engine and the guard.
+  /** Member-list parser, shared with the ALTER guards and the
+    * commit-time fence — lives in [[graft.core.MergeRuleProps]] so the
+    * fence (core) can normalize without a format-package dependency.
     */
   def parseGroupMembers(v: String): Seq[String] =
-    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.core.MergeRuleProps.parseGroupMembers(v)
 
   def specOf(options: Map[String, String]): Spec = Spec(
     options.getOrElse("merge-engine", "deduplicate"),

@@ -442,6 +442,75 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("merge-rule ALTER fence: a semantic no-op SET fences nobody") {
+    // A config-management push that re-states the engine default on an
+    // unconfigured column, or re-spells a sequence-group's member list,
+    // is deemed a noop by the catalog's guard — but the option spelling
+    // is still persisted, so the schema id bumps. The commit-time fence
+    // compares NORMALIZED rules, so the bump must not fence in-flight
+    // writers, abort compactions, or block rollback.
+    val warehouse = Files.createTempDirectory("graft-fence-noop-wh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.connector.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql("CREATE NAMESPACE graft.c")
+      spark.sql("CREATE TABLE graft.c.fnoop (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+        "'merge-engine'='aggregation')")
+      spark.sql("INSERT INTO graft.c.fnoop VALUES (1, 10)")
+      val dir = warehouse.resolve("c.db/fnoop")
+      val sm = new graft.format.SnapshotManager(dir)
+      // a writer plans under schema 0 while a noop ALTER lands (bumps
+      // the schema id; allowed despite committed history precisely
+      // because the guard deems it a no-op)
+      spark.sql("ALTER TABLE graft.c.fnoop SET TBLPROPERTIES " +
+        "('fields.v.aggregate-function'='last_non_null_value')")
+      assert(graft.core.TableSchema.listIds(dir) == Seq(0L, 1L))
+      // the stale writer's commit sails through — net rules unchanged
+      val snap = graft.format.FileStoreCommit.commit(sm, schemaId = 0L,
+        partitionKeys = Seq.empty,
+        newFiles = Seq(graft.format.DataFileMeta("bucket-0/n.parquet",
+          10L, 1L, Seq.empty, 0, 100L, 100L, Map.empty)),
+        mode = graft.format.FileStoreCommit.NoOverwrite)
+      assert(snap.commitKind == "APPEND")
+      // UNSET of the explicitly-stored default is the symmetric noop
+      // and fences nobody either
+      spark.sql("ALTER TABLE graft.c.fnoop UNSET TBLPROPERTIES " +
+        "('fields.v.aggregate-function')")
+      val ok = graft.format.FileStoreCommit.commit(sm, schemaId = 0L,
+        partitionKeys = Seq.empty,
+        newFiles = Seq(graft.format.DataFileMeta("bucket-0/n2.parquet",
+          10L, 1L, Seq.empty, 0, 101L, 101L, Map.empty)),
+        mode = graft.format.FileStoreCommit.NoOverwrite)
+      assert(ok.commitKind == "APPEND")
+      // sequence-group member lists are SETS: a respelling in different
+      // order/spacing persists the new spelling (schema bump) but must
+      // not fence a stale writer either
+      spark.sql("CREATE TABLE graft.c.fnoop2 (k BIGINT, g BIGINT, " +
+        "a BIGINT, b BIGINT) TBLPROPERTIES ('primary-key'='k', " +
+        "'bucket'='1', 'merge-engine'='partial-update', " +
+        "'fields.g.sequence-group'='a,b')")
+      spark.sql("INSERT INTO graft.c.fnoop2 VALUES (1, 1, 1, 1)")
+      val dir2 = warehouse.resolve("c.db/fnoop2")
+      spark.sql("ALTER TABLE graft.c.fnoop2 SET TBLPROPERTIES " +
+        "('fields.g.sequence-group'='b, a')")
+      assert(graft.core.TableSchema.listIds(dir2) == Seq(0L, 1L))
+      val sm2 = new graft.format.SnapshotManager(dir2)
+      val ok2 = graft.format.FileStoreCommit.commit(sm2, schemaId = 0L,
+        partitionKeys = Seq.empty,
+        newFiles = Seq(graft.format.DataFileMeta("bucket-0/n3.parquet",
+          10L, 1L, Seq.empty, 0, 100L, 100L, Map.empty)),
+        mode = graft.format.FileStoreCommit.NoOverwrite)
+      assert(ok2.commitKind == "APPEND")
+    } finally spark.stop()
+  }
+
   test("merge-rule ALTER fence: a commit racing the schema save aborts the ALTER") {
     // the reverse interleaving: the writer's fence check passed BEFORE
     // the ALTER saved its schema, and its snapshot publishes first. The

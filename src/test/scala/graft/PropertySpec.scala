@@ -410,4 +410,35 @@ class PropertySpec extends AnyFunSuite {
     assert(Values.evalExact(In("p", Array(1L, 3L)), dt, value(2L))
       .contains(false))
   }
+
+  test("changedBetween: semantic comparison, not raw option strings") {
+    import graft.core.MergeRuleProps.changedBetween
+    val agg = "fields.v.aggregate-function"
+    val grp = "fields.g.sequence-group"
+    // absent ≡ the engine default: a config push that re-states
+    // last_non_null_value on an unconfigured column is a no-op and
+    // must NOT fence in-flight writers (the catalog persists the
+    // option spelling even when its guard deems the SET a noop)
+    assert(changedBetween(Map.empty,
+      Map(agg -> "last_non_null_value")).isEmpty)
+    assert(changedBetween(Map(agg -> "last_non_null_value"),
+      Map.empty).isEmpty)
+    // values compare trimmed (specOf trims at parse)
+    assert(changedBetween(Map(agg -> "sum"), Map(agg -> " sum ")).isEmpty)
+    // real fold changes still trip
+    assert(changedBetween(Map(agg -> "sum"), Map(agg -> "max")) ==
+      Set(agg))
+    assert(changedBetween(Map.empty, Map(agg -> "sum")) == Set(agg))
+    assert(changedBetween(Map(agg -> "sum"), Map.empty) == Set(agg))
+    // sequence-group member lists are SETS: order/spacing respellings
+    // are no-ops, membership changes are not, and dissolving the
+    // group (absent) differs from any present value
+    assert(changedBetween(Map(grp -> "a,b"), Map(grp -> "b, a")).isEmpty)
+    assert(changedBetween(Map(grp -> "a,b"), Map(grp -> "a,b,c")) ==
+      Set(grp))
+    assert(changedBetween(Map(grp -> "a,b"), Map.empty) == Set(grp))
+    // non-merge-rule options never count
+    assert(changedBetween(Map("bucket" -> "1"), Map("bucket" -> "4"))
+      .isEmpty)
+  }
 }
