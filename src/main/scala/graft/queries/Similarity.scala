@@ -286,6 +286,16 @@ object Similarity {
     // the PQ codebook is derived from the same codes: driver-side
     // constants only, but its lifetime follows the model's
     pqMemo.clear()
+    // the persisted corpus PQ-encode follows the model too
+    val pit = pqCodesMemo.entrySet().iterator()
+    while (pit.hasNext) {
+      val enc = pit.next().getValue
+      try {
+        if (!enc.sparkSession.sparkContext.isStopped)
+          enc.unpersist(blocking = true)
+      } catch { case _: Throwable => () }
+      pit.remove()
+    }
   }
 
   /** Map-only int8 quantization of the embedding corpus (same
@@ -572,6 +582,36 @@ object Similarity {
           m -> cs.sortBy(_._2).map(t => t._2 -> t._3) }
     })
 
+  /** The corpus PQ-ENCODE — every vector's argmin codebook centroid
+    * per subspace, wide form `(vec_id, c0..c{M-1})` — persisted per
+    * (session, dir). A real PQ index computes these once at build time
+    * and STORES them (M bytes per vector, the whole point of PQ's
+    * memory budget); re-deriving them per search would re-scan the
+    * int8 codes and redo M×K distance argmins for every query batch.
+    * The wide form is the stored representation (1 row per vector);
+    * consumers explode to `(cand_id, m, cid)` map-side, which is free
+    * codegen. Lifetime follows the IVF model
+    * ([[releaseAllIvfModels]]).
+    */
+  private val pqCodesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.DataFrame]()
+
+  private def pqEncodedCodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    pqCodesMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val book = pqCodebook(s, dir)
+      val sub = pqSubvectors(ivfModel(s, dir).codes)
+      val enc = sub.select(col("vec_id") +: (0 until PqM).map(m =>
+          array_min(pqDistArr(m, book(m.toLong))).getField("cid")
+            .as(s"c$m")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try enc.count() // materialize: the encode is part of the index
+      catch { case t: Throwable =>
+        enc.unpersist(blocking = false); throw t
+      }
+      enc
+    })
+
   /** One Lloyd round of per-subspace k-means over the memoized int8
     * codes — the PQ codebook trainer. Same distributed shape as the
     * IVF trainer: centroids travel as literals (constant-size driver
@@ -616,11 +656,9 @@ object Similarity {
       dir: String): org.apache.spark.sql.DataFrame = {
     val model = ivfModel(s, dir)
     val book = pqCodebook(s, dir)
-    // PQ-encode the corpus: (cand_id, m, code), M rows per vector
-    val sub = pqSubvectors(model.codes)
-    val codeCols = (0 until PqM).map(m =>
-      array_min(pqDistArr(m, book(m.toLong))).getField("cid").as(s"c$m"))
-    val codesLong = sub.select(col("vec_id") +: codeCols: _*)
+    // the STORED corpus codes (see pqEncodedCodes): M rows per vector
+    // in long form, derived map-only from the persisted wide encode
+    val codesLong = pqEncodedCodes(s, dir)
       .select(col("vec_id").as("cand_id"),
         explode(array((0 until PqM).map(m =>
           struct(lit(m.toLong).as("m"), col(s"c$m").as("cid"))): _*)).as("e"))
