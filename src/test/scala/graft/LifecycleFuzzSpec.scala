@@ -940,6 +940,32 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     runConsumerSeed(67, 44)
   }
 
+  // Medium walks — one per variant, in the DEFAULT suite so fence and
+  // lifecycle regressions are caught without the soak env flag. Sized
+  // to keep the whole block under ~2 min (sweep cost grows faster than
+  // linearly with walk length: 300-step walks measured ~75 s each,
+  // 120-step ~39 s, 72-step fits the budget); the env-gated soak below
+  // remains the deep-coverage path.
+  test("medium lifecycle walk, base variant (seed 211, 72 steps)") {
+    runSeed(211, 72)
+  }
+
+  test("medium lifecycle walk, partitioned-PK variant (seed 223, 72 steps)") {
+    runPartitionedSeed(223, 72)
+  }
+
+  test("medium lifecycle walk, aggregation variant (seed 227, 72 steps)") {
+    runAggregationSeed(227, 72)
+  }
+
+  test("medium lifecycle walk, sequence-group variant (seed 229, 72 steps)") {
+    runSeqGroupSeed(229, 72)
+  }
+
+  test("medium lifecycle walk, consumer-pin variant (seed 233, 72 steps)") {
+    runConsumerSeed(233, 72)
+  }
+
   /** Env-gated soak: arbitrarily long walks of any variant without
     * recompiling — `GRAFT_FUZZ_SOAK=<variant>:<seed>:<steps>[,…]` with
     * variant ∈ base|part|agg|seqgroup|consumer. Cancelled (not passed)
