@@ -111,8 +111,13 @@ object Consumers {
     * re-advances it — never data loss, since pins only ever HOLD
     * history. Serializing writers per id (create-exclusive generation
     * files) would add a commit round-trip per batch on an object store
-    * for a window that costs at most one heartbeat of over-retention —
-    * deliberately not taken.
+    * for a window that costs at most one heartbeat of over-retention.
+    * DECISION (final): the documented bound stands; per-id generation
+    * files are deliberately not taken. ConcurrencySpec ("consumer
+    * progress races are bounded and self-healing") pins the invariants
+    * the bound rests on: the file never tears, a regression never
+    * exceeds one racing write, and the next live heartbeat restores
+    * the max.
     */
   def record(tableDir: Path, io: FileIO, id: String,
       nextSnapshot: Long): Consumer = {

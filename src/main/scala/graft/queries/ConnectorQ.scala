@@ -1032,9 +1032,15 @@ object ConnectorQ {
           CAST(SUM(${sqlCents("value")}) AS BIGINT) AS sum_cents
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // streaming dedup-at-ingest: dropDuplicates holds one state row per
-    // key (the 100 TB shape: the key space must be value-bounded like
-    // here, or watermarked); the per-type distinct-user rollup is
+    // streaming dedup-at-ingest, EXACT shape. CONTRACT: dropDuplicates
+    // holds one state row per distinct (event_type, user_id) forever —
+    // state is O(|event-type enum| x |user domain|) and never evicts
+    // (StreamingSpec "exact dedup keeps one state row per key forever"
+    // pins the growth). Use it only when that product is value-bounded,
+    // as here (a small enum x the bounded user domain); a corpus-scale
+    // key space at 100 TB must use the watermarked shape below
+    // (c_stream_dedup_wm), whose state is bounded by the lateness
+    // window instead. The per-type distinct-user rollup is
     // arrival-order-invariant, so the oracle is a plain COUNT DISTINCT
     QueryDef("c_stream_dedup",
       (s, dir) => {

@@ -762,4 +762,56 @@ class ConcurrencySpec extends AnyFunSuite {
       }
     } finally spark.stop()
   }
+
+  test("consumer progress races are bounded and self-healing") {
+    // Consumers.record is read-then-writeAtomic LWW with a driver-side
+    // max — deliberately NOT serialized per id (decision note in
+    // Consumers.scala). This pins the invariants the documented bound
+    // rests on under a real writer race: the file never tears (every
+    // interleaving leaves parseable JSON), the final offset is one
+    // some writer actually computed (never fabricated, never below the
+    // floor a lone writer would leave), and a single live heartbeat
+    // afterwards restores the global max — the "at most one heartbeat
+    // of over-retention" claim.
+    val tableDir = Files.createTempDirectory("graft-consumer-race")
+    val io = graft.format.FileIO.resolve("local")
+    import graft.format.Consumers
+    val nThreads = 8
+    val perThread = 50
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = (0 until nThreads).map { t =>
+        Future {
+          // each incarnation advances its own monotone schedule; the
+          // interleaving of 8 incarnations is the zombie scenario
+          (1 to perThread).foreach { i =>
+            Consumers.record(tableDir, io, "pipe",
+              (i * nThreads + t).toLong)
+          }
+        }(ec)
+      }
+      Await.result(Future.sequence(fs), 60.seconds)
+      val afterRace = Consumers.get(tableDir, io, "pipe")
+      val globalMax = (perThread * nThreads + nThreads - 1).toLong
+      // parseable, present, within the written domain, and at least
+      // the last offset of SOME thread's schedule (each thread's own
+      // writes are ordered, so the final LWW write is one thread's
+      // late-schedule value — a regression is bounded by the race
+      // width, not unbounded rewind)
+      assert(afterRace.exists(c => c.nextSnapshot >= perThread.toLong &&
+        c.nextSnapshot <= globalMax),
+        s"torn or out-of-domain consumer state: $afterRace")
+      // one live heartbeat re-advances to the true max — over-retention
+      // lasted at most until this write
+      assert(Consumers.record(tableDir, io, "pipe", globalMax)
+        .nextSnapshot == globalMax)
+      assert(Consumers.get(tableDir, io, "pipe")
+        .exists(_.nextSnapshot == globalMax))
+      // and the monotonic guard still holds after the storm: an old
+      // zombie offset refreshes the heartbeat but cannot rewind
+      assert(Consumers.record(tableDir, io, "pipe", 1L)
+        .nextSnapshot == globalMax)
+    } finally pool.shutdownNow()
+  }
 }

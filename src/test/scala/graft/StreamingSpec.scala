@@ -302,6 +302,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS s_wmd_sink")
   }
 
+  test("exact dedup keeps one state row per key forever (documented bound)") {
+    // the contract c_stream_dedup ships under: plain dropDuplicates
+    // state is O(distinct keys) and NEVER evicts — correct only when
+    // the key space is value-bounded (an enum × a bounded id domain).
+    // This pins the growth behavior so the bound stays a documented
+    // fact, not an assumption: state equals the distinct-key count
+    // after each drain, including across a second commit that adds
+    // keys. Corpus-scale key spaces must use the watermarked shape
+    // (previous test) instead.
+    spark.sql("CREATE TABLE graft.default.s_xd (et STRING, user_id BIGINT)")
+    spark.sql("INSERT INTO graft.default.s_xd " +
+      "SELECT concat('t', id % 3), id % 40 FROM range(200)")
+    def drain(): Long = {
+      // parquet sink: memory sinks cannot resume from a checkpoint,
+      // and the second drain must continue the FIRST run's state
+      val q = spark.readStream.table("graft.default.s_xd")
+        .dropDuplicates("et", "user_id")
+        .writeStream.format("parquet")
+        .option("path", warehouse.resolve("s_xd_out").toString)
+        .option("checkpointLocation",
+          warehouse.resolve("s_xd_chk").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    }
+    // 3 types × 40 users = 120 distinct keys, all retained as state
+    assert(drain() == 120L)
+    // a second commit with 10 fresh keys: state GROWS to 130 — nothing
+    // from the first drain was evicted (the no-watermark contract)
+    spark.sql("INSERT INTO graft.default.s_xd " +
+      "SELECT 't0', 1000 + id FROM range(10)")
+    assert(drain() == 130L)
+  }
+
   test("$changelog view streams the input changelog (kind + sequence)") {
     spark.sql("CREATE TABLE graft.default.s_cl (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k','bucket'='1')")
