@@ -26,6 +26,7 @@ object Dedup {
   private val R = 4 // rows per LSH band -> B = K/R = 4 bands
 
   private val SpanW = 12 // d_dup_spans window width in tokens
+  private val SubK = 40 // d_substring_spans window width in CHARS
   // the oracle's 12-term concat_ws(' ', toks[i], toks[i+1], …)
   private val sqlSpanTerms =
     (0 until SpanW).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
@@ -695,6 +696,81 @@ object Dedup {
             AS n_kept_tokens
         FROM tok LEFT JOIN cov USING (doc_id)
         GROUP BY source ORDER BY source""")),
+
+    // CHARACTER-level exact-substring spans — the ExactSubstr
+    // semantics of suffix-array dedup ("Deduplicating Training Data
+    // Makes Language Models Better", Lee et al. 2022: a byte is
+    // duplicated iff it lies inside some length->=k substring that
+    // occurs twice in the corpus), re-expressed shuffle-native: a char
+    // position is covered iff its k=40-char window's hash occurs >= 2
+    // times anywhere (cross- OR intra-document — the suffix array
+    // doesn't care which), and covered positions gap-merge into
+    // maximal spans per doc (sessionize, merge while starts are <= k
+    // apart so overlapping AND adjacent windows fuse). Equivalent
+    // coverage to the suffix-array scan without its global sort: any
+    // repeated substring of length >= k contributes all its windows,
+    // so its bytes are exactly the union the spans report. Differs
+    // from d_dup_span_trim by granularity (bytes, not token windows)
+    // and output (per-doc maximal spans, not per-source trim totals).
+    // Scale shape: positional explode (O(corpus bytes) rows), hash
+    // map-side to 8 bytes so the occurrence-count shuffle never moves
+    // the 40-char grams, then the narrow covered-positions shuffle on
+    // doc_id. Integer math end-to-end.
+    QueryDef("d_substring_spans",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = SubK
+        val st = tBalanced(s, dir, "documents")
+          .filter(length(col("text")) >= k)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), length(col("text")) - lit(k - 1)))
+              .as("p"))
+          .select(col("doc_id"), col("p"),
+            h60s(expr(s"substring(text, p, $k)")).as("h"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("n") >= 2)
+          .select(col("doc_id"), col("p"))
+        val wSeq = Window.partitionBy("doc_id").orderBy("p")
+        st.withColumn("brk",
+            when(col("p") > lag("p", 1, -k).over(wSeq) + k, 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum("brk").over(
+            wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "grp")
+          .agg(min("p").as("s"), (max("p") + lit(k - 1)).as("e"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s") + 1).as("dup_chars"),
+            max(col("e") - col("s") + 1).cast("long").as("max_span_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pos AS (
+          SELECT doc_id, p, ${sqlH60s(s"substr(text, p, $SubK)")} AS h
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, length(text) - ${SubK - 1}))
+                    AS p
+                FROM documents WHERE length(text) >= $SubK) u),
+        st AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS n
+            FROM pos) c WHERE n >= 2),
+        gb AS (
+          SELECT doc_id, p,
+            CASE WHEN p > COALESCE(LAG(p) OVER w, -$SubK) + $SubK
+                 THEN 1 ELSE 0 END AS brk
+          FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        gm AS (
+          SELECT doc_id, p,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS grp
+          FROM gb),
+        sp AS (
+          SELECT doc_id, grp, MIN(p) AS s, MAX(p) + ${SubK - 1} AS e
+          FROM gm GROUP BY doc_id, grp)
+        SELECT doc_id, COUNT(*) AS n_dup_spans,
+          CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+          CAST(MAX(e - s + 1) AS BIGINT) AS max_span_len
+        FROM sp GROUP BY doc_id ORDER BY doc_id""")),
 
     // MinHash estimator-quality eval: for every VERIFIED near-dup pair,
     // the K=16 signature-agreement Jaccard estimate vs the exact

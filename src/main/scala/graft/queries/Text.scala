@@ -135,6 +135,51 @@ object Text {
           AS n_bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // Tokenizer fertility per language — BPE tokens per word and chars
+    // per BPE token, the budgeting stats a multilingual pipeline uses
+    // to spot languages the tokenizer fragments (high fertility = more
+    // compute per word, shorter effective context). Shape: one corpus
+    // scan, all three counts computed map-side in codegen, ONE partial-
+    // agged shuffle on the small lang enum; ratios are single DOUBLE
+    // divisions of exact BIGINT sums, so DuckDB replays them bit-exact.
+    // NULLIF guards empty languages on both sides. Scale: at 100 TB
+    // this is the same map-reduce as a word count — no join, no
+    // per-doc state, partial aggregation absorbs the fan-in.
+    QueryDef("t_tokenizer_fertility",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"),
+          size(tokens).as("words"),
+          expr("""size(regexp_extract_all(lower(text),
+            "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+", 0))""")
+            .as("bpe"),
+          length(col("text")).as("chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("bpe").as("n_bpe_tokens"),
+          sum("words").as("n_words"),
+          sum("chars").as("n_chars"),
+          (sum("bpe").cast("double") / nullif(sum("words"), lit(0)))
+            .as("fertility"),
+          (sum("chars").cast("double") / nullif(sum("bpe"), lit(0)))
+            .as("chars_per_token"))
+        .orderBy("lang"),
+      Some(s"""WITH per AS (
+          SELECT lang, len($sqlTokens) AS words,
+            len(regexp_extract_all(lower(text),
+              '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+              AS bpe,
+            length(text) AS chars
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(words) AS BIGINT) AS n_words,
+          CAST(SUM(chars) AS BIGINT) AS n_chars,
+          CAST(SUM(bpe) AS DOUBLE) / NULLIF(CAST(SUM(words) AS BIGINT), 0)
+            AS fertility,
+          CAST(SUM(chars) AS DOUBLE) / NULLIF(CAST(SUM(bpe) AS BIGINT), 0)
+            AS chars_per_token
+        FROM per GROUP BY lang ORDER BY lang""")),
+
     QueryDef("t_word_freq_top20",
       (s, dir) => t(s, dir, "documents")
         .select(explode(tokens).as("word"))
