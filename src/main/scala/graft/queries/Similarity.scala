@@ -599,17 +599,29 @@ object Similarity {
   private def pqEncodedCodes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     pqCodesMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val model = ivfModel(s, dir)
       val book = pqCodebook(s, dir)
-      val sub = pqSubvectors(ivfModel(s, dir).codes)
+      val sub = pqSubvectors(model.codes)
       val enc = sub.select(col("vec_id") +: (0 until PqM).map(m =>
           array_min(pqDistArr(m, book(m.toLong))).getField("cid")
             .as(s"c$m")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try enc.count() // materialize: the encode is part of the index
-      catch { case t: Throwable =>
-        enc.unpersist(blocking = false); throw t
+      // the usual small-SF persist gate: below ~1M vectors the encode
+      // recomputes from the already-persisted int8 codes faster than
+      // the cache round-trip costs (measured +0.3 s on the search row
+      // at sf0.1), so the memo holds just the plan; above the gate the
+      // codes are materialized once and stored — the real-index
+      // economics the memo exists for. cells is persisted, so the
+      // gate count is a cheap cached-side count.
+      if (model.cells.count() < 1000000L) enc
+      else {
+        val p = enc
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try p.count() // materialize: the encode is part of the index
+        catch { case t: Throwable =>
+          p.unpersist(blocking = false); throw t
+        }
+        p
       }
-      enc
     })
 
   /** One Lloyd round of per-subspace k-means over the memoized int8
