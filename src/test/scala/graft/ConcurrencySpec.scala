@@ -479,6 +479,14 @@ class ConcurrencySpec extends AnyFunSuite {
           10L, 1L, Seq.empty, 0, 100L, 100L, Map.empty)),
         mode = graft.format.FileStoreCommit.NoOverwrite)
       assert(snap.commitKind == "APPEND")
+      // and rollback to a PRE-noop-SET snapshot stays allowed — the
+      // rollback fence does the same net-rule comparison, so a config
+      // push can no longer permanently wall off earlier history
+      val preSetSnap = 1L // the INSERT's snapshot, planned at schema 0
+      graft.format.Maintenance.rollbackTo(dir, preSetSnap,
+        graft.format.FileIO.resolve("local"))
+      assert(spark.sql("SELECT v FROM graft.c.fnoop WHERE k = 1")
+        .collect()(0).getLong(0) == 10L)
       // UNSET of the explicitly-stored default is the symmetric noop
       // and fences nobody either
       spark.sql("ALTER TABLE graft.c.fnoop UNSET TBLPROPERTIES " +
