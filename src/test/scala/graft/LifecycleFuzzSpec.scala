@@ -466,6 +466,20 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(sm.latestSnapshotId == snapBefore,
             s"seed=$seed: rejected ALTER left a marker snapshot")
           "alterFoldRejected"
+        } else if (step == steps / 3) {
+          // one-shot NO-OP fold restatement mid-churn (the config-
+          // management push): re-stating the STORED fold bumps the
+          // schema id but is semantically inert, so it must succeed
+          // despite committed history, publish no marker snapshot, and
+          // leave every later read, compaction, time-travel sweep and
+          // rollback in this walk unaffected (the commit/rollback
+          // fences compare NORMALIZED rules)
+          val snapBefore = sm.latestSnapshotId
+          spark.sql(s"ALTER TABLE $fq SET TBLPROPERTIES " +
+            "('fields.s.aggregate-function'='sum')")
+          assert(sm.latestSnapshotId == snapBefore,
+            s"seed=$seed: noop restatement published a marker snapshot")
+          "alterNoopRestate"
         } else if (roll < 45 || model.isEmpty) {
           val rows = Seq.fill(1 + rnd.nextInt(4))(
             (rnd.nextInt(8).toLong, (rnd.nextInt(100) - 20).toLong,
