@@ -485,11 +485,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(baked into the existing data layout / merge semantics) " +
             "and cannot change")
         GraftCatalog.fieldAggColumn(set.property()).foreach { c =>
-          val cur = ts.options.get(set.property()).map(_.trim)
+          import graft.core.MergeRuleProps.normAgg
           // no-op: re-stating the stored fold, or stating the engine
-          // default while unconfigured (config-management pushes)
-          val noop = cur.contains(set.value().trim) ||
-            (cur.isEmpty && set.value().trim == "last_non_null_value")
+          // default while unconfigured (config-management pushes) —
+          // the SAME normalization the commit/rollback fence compares
+          // by (MergeRuleProps.changedBetween), so guard and fence
+          // can never disagree on what a no-op is
+          val noop = normAgg(ts.options.get(set.property())) ==
+            normAgg(Some(set.value()))
           if (!noop) {
             armFenceBaseline()
             // the in-flight name→id view: a same-call ADD or RENAME has
@@ -500,12 +503,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         }
         GraftCatalog.fieldSeqGroupColumn(set.property()).foreach { c =>
-          import graft.format.MergeFunction.parseGroupMembers
+          import graft.core.MergeRuleProps.{normGroup, parseGroupMembers}
           val newM = parseGroupMembers(set.value())
           val curM = ts.options.get(set.property()).map(parseGroupMembers)
           // member lists are SETS — a re-statement in different order
-          // or spacing changes nothing and stays allowed
-          if (!curM.exists(_.toSet == newM.toSet)) {
+          // or spacing changes nothing and stays allowed (normGroup:
+          // the same comparison the fence uses)
+          if (normGroup(ts.options.get(set.property())) !=
+              normGroup(Some(set.value()))) {
             val inFlight = fields.fieldNames.zip(ids).toMap
             // every involved column's history is reinterpreted by a
             // group change: the version column, the NEW members, and
@@ -535,8 +540,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // no-op: unsetting a stored value that IS the engine default
         // changes nothing and stays allowed (idempotent config removal)
         GraftCatalog.fieldAggColumn(rm.property()).foreach { c =>
-          val cur = ts.options.get(rm.property()).map(_.trim)
-          if (cur.exists(_ != "last_non_null_value")) {
+          import graft.core.MergeRuleProps.normAgg
+          if (normAgg(ts.options.get(rm.property())) != normAgg(None)) {
             armFenceBaseline()
             val fid = fields.fieldNames.zip(ids).toMap.get(c)
             requireFoldChangeSafe(dir, ts, c, rm.property(), fid)
@@ -690,8 +695,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // under a commit storm and this single listing may itself race
         // a still-landing retracted-rules writer — present it as
         // possibly incomplete then instead of authoritative.
+        // retracted-rules writers only: schemaId >= counterId means the
+        // commit loaded the restoring counter schema (or later) and
+        // wrote under the RESTORED rules — listing it would tell the
+        // operator to remediate a commit that needs nothing
         val newRacers = racersBeyondBaseline()
-          .filter(_._2.schemaId >= next.id)
+          .filter(r => r._2.schemaId >= next.id &&
+            r._2.schemaId < counterId)
         throw new IllegalStateException(
           s"Cannot change table property '$prop': commit(s) " +
             s"${violators.map(_._1).mkString(", ")} landed under the " +

@@ -54,10 +54,23 @@ object MergeRuleProps {
       else false
     }
 
-  private def normAgg(v: Option[String]): String =
-    v.map(_.trim).getOrElse("last_non_null_value")
+  /** The engine-default fold — the value an absent
+    * `fields.<col>.aggregate-function` means (MergeFunction's
+    * getOrElse default). One spelling, shared by the fence AND the
+    * catalog's ALTER noop checks so they can never drift.
+    */
+  val DefaultAgg = "last_non_null_value"
 
-  private def normGroup(v: Option[String]): Option[Set[String]] =
+  /** Semantic value of an aggregate-function option: absent ≡ the
+    * engine default, values compare trimmed (specOf trims at parse).
+    */
+  def normAgg(v: Option[String]): String =
+    v.map(_.trim).getOrElse(DefaultAgg)
+
+  /** Semantic value of a sequence-group option: member lists are SETS
+    * (order/spacing-free); absent stays distinct from present.
+    */
+  def normGroup(v: Option[String]): Option[Set[String]] =
     v.map(parseGroupMembers(_).toSet)
 
   private def shaped(name: String, suf: String): Option[String] = {

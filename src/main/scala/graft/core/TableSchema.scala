@@ -343,6 +343,16 @@ object TableSchema {
     * written — callers walking the lineage must tolerate gaps never
     * existing, since ids are dense by construction).
     */
+  /** A schema file that stayed unparseable past the torn-read retry
+    * window. Deliberately NOT IllegalStateException: the fence and
+    * maintenance paths catch ISE as "merge rules changed / commit
+    * conflict" and would silently absorb or misdiagnose real
+    * corruption (compaction would quietly disable itself; rollback
+    * would tell the operator to restore merge rules).
+    */
+  final class CorruptSchemaException(msg: String, cause: Throwable)
+      extends RuntimeException(msg, cause)
+
   def loadById(tableDir: Path, id: Long): Option[TableSchema] = {
     val p = tableDir.resolve("schema").resolve(s"schema-$id")
     if (!Files.isRegularFile(p)) return None
@@ -350,16 +360,21 @@ object TableSchema {
     // reader racing that single write can observe partial JSON. Schema
     // files are immutable once fully written and the create-exclusive
     // protocol guarantees the content converges to exactly one value,
-    // so a parse failure here is transient — retry briefly before
-    // treating the file as genuinely corrupt.
+    // so a PARSE failure here is transient — retry briefly before
+    // treating the file as genuinely corrupt. IO errors are not
+    // retried: a vanished file (concurrent DROP TABLE) is a missing
+    // schema like before, and any other IO failure propagates as-is.
     var last: Throwable = null
     var a = 0
     while (a < 20) {
-      try return Some(fromJson(Files.readString(p)))
+      val body =
+        try Files.readString(p)
+        catch { case _: java.nio.file.NoSuchFileException => return None }
+      try return Some(fromJson(body))
       catch { case scala.util.control.NonFatal(t) =>
         last = t; a += 1; Thread.sleep(25) }
     }
-    throw new IllegalStateException(
+    throw new CorruptSchemaException(
       s"schema-$id unparseable after 20 attempts over 500ms — not a " +
         "racing writer (content converges under the create-exclusive " +
         "protocol); the schema file is corrupt", last)

@@ -137,7 +137,8 @@ object MergeFunction {
         val fns: Array[FieldAgg] = plainIdx.map { i =>
           if (spec.engine == "partial-update") LastNonNull
           else FieldAgg.of(
-            spec.aggFns.getOrElse(rowSchema(i).name, "last_non_null_value"),
+            spec.aggFns.getOrElse(rowSchema(i).name,
+              graft.core.MergeRuleProps.DefaultAgg),
             rowSchema(i).dataType)
         }
         new AccumulatingMerge(rowSchema.fields.map(_.dataType), plainIdx,

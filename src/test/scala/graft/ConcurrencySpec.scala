@@ -803,13 +803,15 @@ class ConcurrencySpec extends AnyFunSuite {
       val afterRace = Consumers.get(tableDir, io, "pipe")
       val globalMax = (perThread * nThreads + nThreads - 1).toLong
       // parseable, present, within the written domain, and at least
-      // the last offset of SOME thread's schedule (each thread's own
-      // writes are ordered, so the final LWW write is one thread's
-      // late-schedule value — a regression is bounded by the race
-      // width, not unbounded rewind)
-      assert(afterRace.exists(c => c.nextSnapshot >= perThread.toLong &&
-        c.nextSnapshot <= globalMax),
-        s"torn or out-of-domain consumer state: $afterRace")
+      // the FINAL offset of some thread's schedule: each thread's own
+      // writes are sequential, so the chronologically last write is
+      // some thread's i=perThread value (>= perThread*nThreads), and
+      // record's max() can only raise it — a rewind past one race
+      // width would mean the monotonic guard broke
+      assert(afterRace.exists(c =>
+        c.nextSnapshot >= (perThread * nThreads).toLong &&
+          c.nextSnapshot <= globalMax),
+        s"torn, out-of-domain, or rewound consumer state: $afterRace")
       // one live heartbeat re-advances to the true max — over-retention
       // lasted at most until this write
       assert(Consumers.record(tableDir, io, "pipe", globalMax)
