@@ -411,6 +411,24 @@ class PropertySpec extends AnyFunSuite {
       .contains(false))
   }
 
+  test("loadById: corrupt schema throws its own type, vanished reads None") {
+    import graft.core.TableSchema
+    val dir = java.nio.file.Files.createTempDirectory("graft-schema-corrupt")
+    java.nio.file.Files.createDirectories(dir.resolve("schema"))
+    // a permanently truncated file (crashed no-hard-link fallback
+    // write) must surface as CorruptSchemaException — NOT
+    // IllegalStateException, which fence/maintenance catch sites
+    // absorb as "merge rules changed / commit conflict"
+    java.nio.file.Files.writeString(
+      dir.resolve("schema").resolve("schema-0"), "{\"id\": 0, \"fiel")
+    val e = intercept[TableSchema.CorruptSchemaException] {
+      TableSchema.loadById(dir, 0L)
+    }
+    assert(e.getMessage.contains("corrupt"))
+    // a missing id stays a plain None, as ever
+    assert(TableSchema.loadById(dir, 1L).isEmpty)
+  }
+
   test("changedBetween: semantic comparison, not raw option strings") {
     import graft.core.MergeRuleProps.changedBetween
     val agg = "fields.v.aggregate-function"
