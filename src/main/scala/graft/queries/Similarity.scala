@@ -516,6 +516,7 @@ object Similarity {
   private val PqM = 8
   private val PqD = 8
   private val PqK = 16
+  private val PqRerankR = 20 // ADC shortlist size the exact re-rank reads
 
   /** The corpus codes with their M subvector slices projected once per
     * row (each subspace's 16 centroid distances then read one slice).
@@ -665,6 +666,16 @@ object Similarity {
     * Integer end-to-end, so the oracle replays the ranks bit-exactly.
     */
   private[graft] def pqSearchTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    topKBy(pqAdcScores(s, dir), 5, Seq(col("adist"), col("cand_id")))
+      .select(col("query_id"), col("rank"), col("cand_id"))
+      .orderBy("query_id", "rank")
+
+  /** The ADC scoring stage shared by `s_pq_search` (ranks it directly)
+    * and `s_pq_rerank` (shortlists from it, then re-ranks exactly):
+    * (query_id, cand_id, adist) for every IVF-routed candidate.
+    */
+  private def pqAdcScores(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val model = ivfModel(s, dir)
     val book = pqCodebook(s, dir)
@@ -697,12 +708,41 @@ object Similarity {
     val dtab = dtabRows.toDF("query_id", "m", "cid", "d")
     val cands = ivfCandidates(model)
     // ADC: M lookups per (probe, candidate), summed
-    val adc = cands.join(codesLong, "cand_id")
+    cands.join(codesLong, "cand_id")
       .join(broadcast(dtab), Seq("query_id", "m", "cid"))
       .groupBy("query_id", "cand_id")
       .agg(sum("d").as("adist"))
-    topKBy(adc, 5, Seq(col("adist"), col("cand_id")))
-      .select(col("query_id"), col("rank"), col("cand_id"))
+  }
+
+  /** Two-stage PQ serving: ADC shortlist (top-[[PqRerankR]] per probe,
+    * approximate, reads M bytes per candidate) then EXACT int8
+    * squared-L2 re-rank of the shortlist only — the standard
+    * refinement step of IVF-PQ systems (Jégou et al. §V: re-rank a
+    * short list with exact distances to undo quantization error). At
+    * 100 TB the economics are the point: the exact distance touches
+    * probes × R vectors instead of the corpus, fetched by a broadcast
+    * semi-join of the tiny shortlist against the codes.
+    */
+  private[graft] def pqRerankTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val model = ivfModel(s, dir)
+    val short = topKBy(pqAdcScores(s, dir), PqRerankR,
+      Seq(col("adist"), col("cand_id")))
+      .select(col("query_id"), col("cand_id"))
+    // exact distances for shortlist members only: broadcast the
+    // shortlist pairs (probes × R rows) and the probe codes; the
+    // corpus codes stream past once
+    val probeCodes = model.codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("pqv"))
+    val exact = model.codes
+      .join(broadcast(short.withColumnRenamed("cand_id", "vec_id")),
+        Seq("vec_id"))
+      .join(broadcast(probeCodes), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        graft.functions.VectorFunctions.vec_sql2_int(
+          col("qv"), col("pqv")).as("dist"))
+    topKBy(exact, 5, Seq(col("dist"), col("cand_id")))
+      .select(col("query_id"), col("rank"), col("cand_id"), col("dist"))
       .orderBy("query_id", "rank")
   }
 
@@ -756,10 +796,7 @@ object Similarity {
     * (`pdist` = `pd2` restricted to probes), candidate cells from the
     * IVF route, approximate distance = sum of M lookups.
     */
-  private val sqlPqSearch = s"""WITH $sqlIvfTrainCtes,
-        $sqlIvfRouteCtes,
-        $sqlPqCtes,
-        pcode AS (
+  private val sqlPqAdcCtes = s"""pcode AS (
           SELECT vec_id, m, cid AS code FROM (
             SELECT vec_id, m, cid,
               ROW_NUMBER() OVER (PARTITION BY vec_id, m
@@ -779,13 +816,45 @@ object Similarity {
           JOIN pcode pc ON pc.vec_id = pq_cands.cand_id
           JOIN pdist pd ON pd.query_id = pq_cands.query_id
                        AND pd.m = pc.m AND pd.cid = pc.code
-          GROUP BY 1, 2)
+          GROUP BY 1, 2)"""
+
+  private val sqlPqSearch = s"""WITH $sqlIvfTrainCtes,
+        $sqlIvfRouteCtes,
+        $sqlPqCtes,
+        $sqlPqAdcCtes
         SELECT query_id, rank, cand_id FROM (
           SELECT query_id, cand_id,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY adist, cand_id) AS rank
           FROM adc) q2
         WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** The two-stage serving oracle: ADC shortlist (rank <= R over
+    * [[sqlPqAdcCtes]]'s `adc`), then exact int8 squared-L2 over the
+    * quantize CTE's `q` for shortlist members only.
+    */
+  private val sqlPqRerank = s"""WITH $sqlIvfTrainCtes,
+        $sqlIvfRouteCtes,
+        $sqlPqCtes,
+        $sqlPqAdcCtes,
+        short AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist, cand_id) AS rank
+            FROM adc) q2 WHERE rank <= $PqRerankR),
+        ex2 AS (
+          SELECT s.query_id, s.cand_id,
+            CAST(SUM((cq.q - pq.q) * (cq.q - pq.q)) AS BIGINT) AS dist
+          FROM short s
+          JOIN q cq ON cq.vec_id = s.cand_id
+          JOIN q pq ON pq.vec_id = s.query_id AND pq.dim = cq.dim
+          GROUP BY 1, 2)
+        SELECT query_id, rank, cand_id, dist FROM (
+          SELECT query_id, cand_id, dist,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dist, cand_id) AS rank
+          FROM ex2) r WHERE rank <= 5 ORDER BY query_id, rank"""
 
   val defs: Seq[QueryDef] = Seq(
     // Brute-force cosine top-k for 5 probe vectors against the corpus.
@@ -1225,6 +1294,22 @@ object Similarity {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
-      Some(sqlPqSearch))
+      Some(sqlPqSearch)),
+
+    // Two-stage IVF-PQ serving: ADC shortlist (top-20 per probe over
+    // the stored one-byte codes) -> EXACT int8 re-rank of the
+    // shortlist only (see pqRerankTopK) — the refinement pass real PQ
+    // systems run to undo quantization error without touching the
+    // corpus vectors. Integer end-to-end; the output carries the exact
+    // distance so the oracle checks the re-rank arithmetic, not just
+    // the order.
+    QueryDef("s_pq_rerank",
+      (s, dir) => {
+        val out = pqRerankTopK(s, dir)
+        // <= 50 rows; materialized eagerly — constant-size output
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      Some(sqlPqRerank))
   )
 }

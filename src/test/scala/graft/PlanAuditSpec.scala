@@ -178,6 +178,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.queries.Similarity.releaseAllIvfModels()
   }
 
+  test("s_pq_rerank: exact re-rank reads only bounded broadcast sides") {
+    try {
+      val df = graft.queries.Similarity.pqRerankTopK(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"re-rank must stay equi-join shaped:\n$p")
+      // forced broadcasts: probe-bounded sides (vec_id < 10), the
+      // driver-built ADC table (LocalRelation), and the SHORTLIST —
+      // bounded to probes x R rows by its rank <= R filter even though
+      // its lineage includes corpus scans. The corpus code side itself
+      // must never carry a broadcast hint.
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.nonEmpty, s"bounded sides must carry hints:\n$p")
+      hints.foreach { h =>
+        val txt = h.child.toString
+        val probeBounded =
+          """vec_id#\d+L? < (cast\()?10""".r.findFirstIn(txt).isDefined
+        val localTable = h.child.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        val shortlistBounded =
+          """(rank|lr)#\d+ <= 20""".r.findFirstIn(txt).isDefined
+        assert(probeBounded || localTable || shortlistBounded,
+          s"a forced-broadcast side is neither probe-bounded, a " +
+            s"constant-size local table, nor the rank-bounded " +
+            s"shortlist — corpus broadcast?\n$txt")
+      }
+    } finally graft.queries.Similarity.releaseAllIvfModels()
+  }
+
   test("q_hll_distinct_users: register build is one aggregation pass") {
     val p = plan("q_hll_distinct_users")
     assert(!p.contains("CartesianProduct") &&
