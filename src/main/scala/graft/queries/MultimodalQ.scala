@@ -63,6 +63,47 @@ object MultimodalQ {
                   FROM documents WHERE doc_id % 3 = 2) d
             CROSS JOIN (SELECT unnest(range(0, 4)) AS f) fr) q) z""")),
 
+    // Resize/batch-shape planning — the preprocessing step before
+    // batched image inference: fit each decoded image's long side to
+    // 224 preserving aspect (integer math end-to-end), then bucket
+    // assets by identical TARGET shape so the inference runner knows
+    // its batch shapes and per-bucket volume. Scale shape: the decode
+    // is the same map-only per-partition pass as mm_feature_profile
+    // (no shuffle, scan parallelism); the rollup shuffles only the
+    // (tw, th) bucket keys — a bounded enum (both sides <= 224).
+    // The stub decode's dims are integer functions of the first two
+    // bytes, so DuckDB replays the whole plan bit-exactly.
+    QueryDef("mm_resize_plan",
+      (s, dir) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.blobsFromDocuments(s, dir))
+          .filter(col("mediaType") === "image")
+        feats.selectExpr(
+            "CAST(CASE WHEN width >= height THEN 224 ELSE " +
+              "(CAST(width AS BIGINT) * 224) DIV height END AS INT) AS tw",
+            "CAST(CASE WHEN height >= width THEN 224 ELSE " +
+              "(CAST(height AS BIGINT) * 224) DIV width END AS INT) AS th",
+            "width", "height")
+          .groupBy("tw", "th")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(expr("CAST(width AS BIGINT) * height"))
+              .as("sum_src_pixels"))
+          .orderBy("tw", "th")
+      },
+      Some("""WITH img AS (
+          SELECT 64 + (CASE WHEN length(text) = 0 THEN 0
+                       ELSE ascii(substr(text, 1, 1)) % 192 END) AS w,
+                 64 + (CASE WHEN length(text) < 2 THEN 0
+                       ELSE ascii(substr(text, 2, 1)) % 128 END) AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        pl AS (
+          SELECT CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS tw,
+                 CASE WHEN h >= w THEN 224 ELSE (h * 224) // w END AS th,
+                 w, h FROM img)
+        SELECT tw, th, COUNT(*) AS n_assets,
+          CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_src_pixels
+        FROM pl GROUP BY tw, th ORDER BY tw, th""")),
+
     // Binary metadata profile is SQL-expressible → full oracle.
     QueryDef("mm_bytes_by_type",
       (s, dir) => t(s, dir, "documents")
