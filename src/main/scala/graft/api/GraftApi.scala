@@ -25,15 +25,25 @@ final class Catalog private (val spark: SparkSession, val warehouse: Path,
 
   def createDatabase(name: String, ignoreIfExists: Boolean = false): Unit = {
     val ifNot = if (ignoreIfExists) "IF NOT EXISTS " else ""
-    spark.sql(s"CREATE NAMESPACE $ifNot$catalogName.$name")
+    spark.sql(s"CREATE NAMESPACE $ifNot$catalogName.${Catalog.bq(name)}")
   }
 
   /** `db.table` split with a clear error — a dot-less identifier used
-    * to surface as an opaque scala.MatchError.
+    * to surface as an opaque scala.MatchError. Components are also the
+    * table's DIRECTORY names under the warehouse, so path separators
+    * and dot-components are rejected — a name must never escape the
+    * warehouse root.
     */
   private def splitIdent(identifier: String): (String, String) =
     identifier.split("\\.", 2) match {
-      case Array(db, tbl) if db.nonEmpty && tbl.nonEmpty => (db, tbl)
+      case Array(db, tbl) if db.nonEmpty && tbl.nonEmpty =>
+        Seq(db, tbl).foreach { part =>
+          require(!part.contains("/") && !part.contains("\\") &&
+            part != "." && part != ".." &&
+            !part.split("\\.", -1).exists(c => c == "" || c == "."),
+            s"Invalid identifier component '$part'")
+        }
+        (db, tbl)
       case _ => throw new IllegalArgumentException(
         s"Invalid table identifier '$identifier' (expected database.table)")
     }
@@ -41,11 +51,10 @@ final class Catalog private (val spark: SparkSession, val warehouse: Path,
   def createTable(identifier: String, schema: Schema,
       ignoreIfExists: Boolean = false): Unit = {
     val (db, tbl) = splitIdent(identifier)
-    if (ignoreIfExists && tableExists(identifier)) return
     val fieldsDdl = schema.fields.map(f =>
-      s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      s"${Catalog.bq(f.name)} ${f.dataType.sql}").mkString(", ")
     val partBy = if (schema.partitionKeys.nonEmpty)
-      s" PARTITIONED BY (${schema.partitionKeys.map(k => s"`$k`")
+      s" PARTITIONED BY (${schema.partitionKeys.map(Catalog.bq)
         .mkString(", ")})" else ""
     val props = schema.options ++
       (if (schema.primaryKeys.nonEmpty)
@@ -59,9 +68,13 @@ final class Catalog private (val spark: SparkSession, val warehouse: Path,
         .mkString(", ") + ")"
     else ""
     val commentDdl = schema.comment
-      .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
-    spark.sql(
-      s"CREATE TABLE $catalogName.$db.$tbl ($fieldsDdl)$commentDdl$partBy$tblProps")
+      .map(c => s" COMMENT '${q(c)}'").getOrElse("")
+    // DDL-level IF NOT EXISTS, not a check-then-act probe: two
+    // concurrent ignoreIfExists creators must both succeed (the loser
+    // of a pre-check race would throw despite asking to ignore)
+    val ifNot = if (ignoreIfExists) "IF NOT EXISTS " else ""
+    spark.sql(s"CREATE TABLE $ifNot$catalogName.${Catalog.bq(db)}" +
+      s".${Catalog.bq(tbl)} ($fieldsDdl)$commentDdl$partBy$tblProps")
   }
 
   def tableExists(identifier: String): Boolean = {
@@ -79,6 +92,13 @@ final class Catalog private (val spark: SparkSession, val warehouse: Path,
 }
 
 object Catalog {
+  /** Backtick-quote one DDL identifier component (embedded backticks
+    * doubled) — generated DDL must survive reserved words (`order`)
+    * and punctuation in names, the same way option values are escaped.
+    */
+  private[api] def bq(ident: String): String =
+    "`" + ident.replace("`", "``") + "`"
+
   /** ≙ `Catalog.create({'warehouse': dir})` — also registers the DSv2
     * catalog in the session so SQL and facade views coincide.
     */

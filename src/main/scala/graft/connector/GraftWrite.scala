@@ -419,6 +419,14 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
       }
     }
     seq += 1
+    // the per-task sequence slot is 2^32 wide (seqStart = baseSeq +
+    // pid << 32): a task writing past it would silently bleed into the
+    // next partition's range and produce duplicate sequence numbers on
+    // a PK table — fail loudly instead of corrupting merge order
+    if (seq - seqStart >= (1L << 32)) throw new IllegalStateException(
+      "Task sequence slot exhausted: one write task produced 2^32 rows " +
+        "(would collide with the next partition's sequence range) — " +
+        "repartition the input so no single task writes that many rows")
     val bucket =
       if (isPk) {
         keyIdxInData.foreach { i =>

@@ -44,8 +44,12 @@ object QuotaCap {
           var cum = state.getOption.getOrElse(0L)
           val out = Seq.newBuilder[Admitted]
           // within a batch the iterator is NOT id-ordered; sort
-          // (bounded: one key's rows in one micro-batch)
-          it.toSeq.sortBy(_.id).foreach { r =>
+          // (bounded: one key's rows in one micro-batch). weight as
+          // tiebreaker: equal-id rows otherwise keep nondeterministic
+          // shuffle order, and when the budget boundary falls between
+          // them the admitted SET differs run to run (same reason
+          // Sessionize's in-batch sort carries one)
+          it.toSeq.sortBy(r => (r.id, r.weight)).foreach { r =>
             cum += r.weight
             if (cum <= budget) out += Admitted(key, r.id, r.weight)
           }

@@ -103,8 +103,21 @@ object Sessionize {
             flushLate()
             open.foreach { o =>
               state.update(o)
-              // fire once the watermark proves no in-gap successor can come
-              state.setTimeoutTimestamp(o.lastMs + gapMs)
+              // fire once the watermark proves no in-gap successor can
+              // come. CLAMPED above the current watermark as defense in
+              // depth: Spark REJECTS a timeout at or below the watermark
+              // with an IllegalArgumentException that kills the whole
+              // query. Spark 4.1's FlatMapGroupsWithStateExec drops
+              // below-watermark input rows before the function (pinned
+              // in StreamingSpec "a below-watermark event is dropped"),
+              // which makes every surviving event satisfy
+              // t + gap > watermark — but that pre-filter is an operator
+              // implementation detail, not an API contract, and the
+              // clamp's only effect in edge cases is firing the trailing
+              // close at the next watermark advance, when it was due
+              // anyway.
+              state.setTimeoutTimestamp(math.max(o.lastMs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
           }
           out.result().iterator

@@ -49,6 +49,27 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.tableSchema.fields.fieldNames.toSeq == Seq("f0", "f1"))
   }
 
+  test("identifiers: reserved words quoted, path escapes rejected") {
+    // generated DDL backtick-quotes identifier components, so reserved
+    // words and punctuation work like any other name
+    catalog.createTable("default.order", simpleSchema)
+    assert(catalog.tableExists("default.order"))
+    val t = catalog.getTable("default.order")
+    assert(t.tableSchema.fields.fieldNames.toSeq == Seq("f0", "f1"))
+    // components double as warehouse directory names: separators and
+    // dot-components must never escape the warehouse root
+    Seq("default.a/b", "de/fault.t", "default...", "..\\x.t")
+      .foreach { bad =>
+        intercept[IllegalArgumentException] {
+          catalog.createTable(bad, simpleSchema)
+        }
+      }
+    // ignoreIfExists is DDL-level (IF NOT EXISTS), so a pre-existing
+    // table is a clean no-op even without the exists probe
+    catalog.createTable("default.order", simpleSchema,
+      ignoreIfExists = true)
+  }
+
   test("two-phase write then read round-trip") {
     import spark.implicits._
     val t = catalog.getTable("default.simple")

@@ -185,6 +185,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       late(0).getTimestamp(2).toString.startsWith("2024-01-01 00:00:05"))
   }
 
+  test("sessionization: a below-watermark event is dropped, never a crash") {
+    // Pins the operator semantics Sessionize's timeout clamp documents:
+    // Spark 4.1's FlatMapGroupsWithStateExec drops input rows BELOW the
+    // event-time watermark before the function runs (they neither crash
+    // the query via a below-watermark setTimeoutTimestamp — an
+    // IllegalArgumentException that kills the stream — nor resurrect
+    // closed sessions). Batch 1 advances the watermark ~10 hours past
+    // key 1's territory; batch 2 delivers key 1 an event 9 hours below
+    // the watermark.
+    spark.sql("CREATE TABLE graft.default.s_sess_wmcl " +
+      "(ts TIMESTAMP, user_id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.default.s_sess_wmcl VALUES " +
+      "(TIMESTAMP'2024-01-01 00:00:00', 1, 1), " +
+      "(TIMESTAMP'2024-01-01 10:00:00', 2, 1)")
+    val ckpt = Files.createTempDirectory("graft-sess-wmcl-ckpt")
+    val sink = Files.createTempDirectory("graft-sess-wmcl-sink")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def run(): Unit = {
+      val in = spark.readStream.table("graft.default.s_sess_wmcl")
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("ts"), col("v").as("weight"))
+        .as[graft.streaming.Sessionize.Ev]
+      val q = graft.streaming.Sessionize.sessions(in, gapSeconds = 600)
+        .writeStream.format("parquet").option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // a swallowed stream exception would make this a false pass
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    }
+    run() // watermark now ~09:50; key 1's 00:00 session times out
+    spark.sql("INSERT INTO graft.default.s_sess_wmcl VALUES " +
+      "(TIMESTAMP'2024-01-01 01:00:00', 1, 5)")
+    run() // 9h-late event: dropped by the operator, query stays healthy
+    spark.sql("INSERT INTO graft.default.s_sess_wmcl VALUES " +
+      "(TIMESTAMP'2024-01-01 11:00:00', 2, 1)")
+    run() // watermark advances again; no zombie state fires
+    val k1 = spark.read.parquet(sink.toString)
+      .filter(col("user_id") === 1).collect()
+    // exactly the original session closed; the dropped event created
+    // no session and resurrected none
+    assert(k1.length == 1 && k1(0).getLong(3) == 1 &&
+      k1(0).getLong(4) == 1, s"unexpected k1 sessions: ${k1.mkString(";")}")
+  }
+
   test("QuotaCap carries the budget across commits and admits a prefix") {
     spark.sql("CREATE TABLE graft.default.s_quota (k STRING, id BIGINT, w BIGINT)")
     spark.sql("INSERT INTO graft.default.s_quota VALUES " +
