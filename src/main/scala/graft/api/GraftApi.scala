@@ -24,6 +24,10 @@ final class Catalog private (val spark: SparkSession, val warehouse: Path,
     val catalogName: String) {
 
   def createDatabase(name: String, ignoreIfExists: Boolean = false): Unit = {
+    // the database name becomes a warehouse directory name — same
+    // component rules as splitIdent, or "../evil" would quote-parse and
+    // create (then later cascade-drop) a directory outside the warehouse
+    graft.connector.GraftCatalog.requirePathSafeComponent(name, "database name")
     val ifNot = if (ignoreIfExists) "IF NOT EXISTS " else ""
     spark.sql(s"CREATE NAMESPACE $ifNot$catalogName.${Catalog.bq(name)}")
   }

@@ -107,11 +107,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def dbDir(ns: Array[String]): Path = {
     require(ns.length == 1, s"Only single-level namespaces supported, got ${ns.mkString(".")}")
+    GraftCatalog.requirePathSafeComponent(ns(0), "namespace")
     warehouse.resolve(ns(0) + ".db")
   }
 
-  private def tableDir(ident: Identifier): Path =
+  private def tableDir(ident: Identifier): Path = {
+    GraftCatalog.requirePathSafeComponent(ident.name(), "table name")
     dbDir(ident.namespace()).resolve(ident.name())
+  }
 
   // ----- namespaces ------------------------------------------------------
 
@@ -864,6 +867,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+  /** Identifier components double as warehouse DIRECTORY names, so a
+    * component holding a path separator or a dot-walk (`..`) would
+    * resolve outside the warehouse root — `createNamespace("../evil")`
+    * would create (and a later cascade drop would DELETE) a directory
+    * the catalog doesn't own. Enforced at the single choke point every
+    * path-building verb goes through ([[GraftCatalog.dbDir]] /
+    * `tableDir`), so backticked SQL identifiers can't bypass it either.
+    */
+  private[graft] def requirePathSafeComponent(part: String, what: String): Unit =
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+      part != "." && part != "..",
+      s"Invalid $what '$part': identifier components become warehouse " +
+        "directory names and must not be empty, contain path separators, " +
+        "or be '.'/'..'")
+
   /** Options baked into existing data — layout (`bucket`, `io`,
     * `primary-key`) and merge semantics (`merge-engine`,
     * `sequence.field`, `ignore-delete`,

@@ -380,6 +380,18 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
   private val metas = mutable.ArrayBuffer.empty[DataFileMeta]
 
   override def write(row: InternalRow): Unit = {
+    // the per-task sequence slot is 2^32 wide (seqStart = baseSeq +
+    // pid << 32): a row numbered past it would silently bleed into the
+    // next partition's range and produce duplicate sequence numbers on
+    // a PK table — fail loudly instead of corrupting merge order.
+    // Checked BEFORE consuming the value so exactly 2^32 rows succeed
+    // (the last uses seqStart + 2^32 - 1, still inside the slot) and
+    // only the 2^32+1-th row fails.
+    if (seq - seqStart >= (1L << 32)) throw new IllegalStateException(
+      "Task sequence slot exhausted: one write task already produced " +
+        "2^32 rows; the next row's sequence number would collide with " +
+        "the next partition's range — repartition the input so no " +
+        "single task writes that many rows")
     val part = partIdx.zip(partTypes).map { case (i, dt) =>
       Values.encodeField(row, i, dt)
     }
@@ -419,14 +431,6 @@ class GraftDataWriter(tableDir: Path, fields: StructType,
       }
     }
     seq += 1
-    // the per-task sequence slot is 2^32 wide (seqStart = baseSeq +
-    // pid << 32): a task writing past it would silently bleed into the
-    // next partition's range and produce duplicate sequence numbers on
-    // a PK table — fail loudly instead of corrupting merge order
-    if (seq - seqStart >= (1L << 32)) throw new IllegalStateException(
-      "Task sequence slot exhausted: one write task produced 2^32 rows " +
-        "(would collide with the next partition's sequence range) — " +
-        "repartition the input so no single task writes that many rows")
     val bucket =
       if (isPk) {
         keyIdxInData.foreach { i =>

@@ -371,8 +371,30 @@ object TableSchema {
         try Files.readString(p)
         catch { case _: java.nio.file.NoSuchFileException => return None }
       try return Some(fromJson(body))
-      catch { case scala.util.control.NonFatal(t) =>
-        last = t; a += 1; Thread.sleep(25) }
+      catch {
+        // only malformed-JSON failures are consistent with a torn read
+        // (a truncated prefix of valid JSON never parses); anything
+        // else — a MappingException from an incompatible field, a
+        // MatchError from an unknown enum — is deterministic and would
+        // just burn the full 500ms window before failing identically
+        case t: com.fasterxml.jackson.core.JsonProcessingException =>
+          last = t; a += 1
+          try Thread.sleep(25)
+          catch { case ie: InterruptedException =>
+            // a read path must not swallow cancellation: restore the
+            // flag and surface the (possibly transient) parse failure
+            Thread.currentThread().interrupt()
+            throw new CorruptSchemaException(
+              s"schema-$id unparseable and retry interrupted after " +
+                s"$a attempts (parse failure may be a transient torn " +
+                "read)", last)
+          }
+        case scala.util.control.NonFatal(t) =>
+          throw new CorruptSchemaException(
+            s"schema-$id parsed as JSON but failed schema decoding — " +
+              "not a torn read (truncated content never parses); the " +
+              "file is corrupt or version-incompatible", t)
+      }
     }
     throw new CorruptSchemaException(
       s"schema-$id unparseable after 20 attempts over 500ms — not a " +

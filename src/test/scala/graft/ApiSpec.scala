@@ -68,6 +68,20 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // table is a clean no-op even without the exists probe
     catalog.createTable("default.order", simpleSchema,
       ignoreIfExists = true)
+    // createDatabase takes the same validation: its name becomes a
+    // warehouse directory, so "../evil" must be rejected before the
+    // backtick quoting lets it parse (and before createNamespace would
+    // mkdir outside the warehouse root)
+    Seq("../evil", "a/b", "..", ".", "", "x\\y").foreach { bad =>
+      intercept[IllegalArgumentException] { catalog.createDatabase(bad) }
+    }
+    assert(!Files.exists(warehouse.getParent.resolve("evil.db")))
+    // the connector itself is reachable via backticked SQL — the choke
+    // point in dbDir/tableDir must hold there too
+    intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gapi.`../evil2`")
+    }
+    assert(!Files.exists(warehouse.getParent.resolve("evil2.db")))
   }
 
   test("two-phase write then read round-trip") {

@@ -459,4 +459,63 @@ class PropertySpec extends AnyFunSuite {
     assert(changedBetween(Map("bucket" -> "1"), Map("bucket" -> "4"))
       .isEmpty)
   }
+
+  test("loadById: decodable-shape failures fail fast, no 500ms retry") {
+    import graft.core.TableSchema
+    val dir = java.nio.file.Files.createTempDirectory("graft-schema-shape")
+    java.nio.file.Files.createDirectories(dir.resolve("schema"))
+    // valid JSON with an incompatible shape: deterministic, so it must
+    // NOT burn the 20x25ms torn-read window before failing
+    java.nio.file.Files.writeString(
+      dir.resolve("schema").resolve("schema-0"), "{\"id\": \"zero\"}")
+    val t0 = System.nanoTime()
+    val e = intercept[TableSchema.CorruptSchemaException] {
+      TableSchema.loadById(dir, 0L)
+    }
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(e.getMessage.contains("version-incompatible") ||
+      e.getMessage.contains("schema decoding"), e.getMessage)
+    assert(ms < 400, s"deterministic failure took ${ms}ms — retried?")
+  }
+
+  test("loadById: interrupt during torn-read retry preserves the flag") {
+    import graft.core.TableSchema
+    val dir = java.nio.file.Files.createTempDirectory("graft-schema-intr")
+    java.nio.file.Files.createDirectories(dir.resolve("schema"))
+    java.nio.file.Files.writeString(
+      dir.resolve("schema").resolve("schema-0"), "{\"id\": 0, \"fiel")
+    Thread.currentThread().interrupt()
+    try {
+      val e = intercept[TableSchema.CorruptSchemaException] {
+        TableSchema.loadById(dir, 0L)
+      }
+      assert(e.getMessage.contains("interrupted"), e.getMessage)
+      // cancellation must survive the read path, not be swallowed
+      assert(Thread.currentThread().isInterrupted)
+    } finally {
+      // clear so later tests on this thread aren't poisoned
+      Thread.interrupted()
+    }
+  }
+
+  test("sequence slot: exactly 2^32 rows fit, the next row fails") {
+    import graft.connector.GraftDataWriter
+    import org.apache.spark.sql.catalyst.InternalRow
+    val dir = java.nio.file.Files.createTempDirectory("graft-seqslot")
+    val schema = StructType(Seq(StructField("v", LongType, nullable = false)))
+    val w = new GraftDataWriter(dir, schema, Nil, Nil, isPk = false,
+      numBuckets = 1, seqStart = 0L, writeSchema = schema,
+      hasRowKindCol = false)
+    // forge the counter to the slot's last value — the 2^32-th row
+    // uses seqStart + 2^32 - 1 (still inside the slot) and must pass;
+    // only the 2^32+1-th row may fail
+    val f = classOf[GraftDataWriter].getDeclaredFields
+      .find(_.getName.endsWith("seq")).get
+    f.setAccessible(true)
+    f.setLong(w, (1L << 32) - 1)
+    w.write(InternalRow(1L))
+    val e = intercept[IllegalStateException] { w.write(InternalRow(2L)) }
+    assert(e.getMessage.contains("slot exhausted"))
+    w.abort()
+  }
 }
