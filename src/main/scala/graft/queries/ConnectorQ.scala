@@ -35,7 +35,7 @@ object ConnectorQ {
   // gets its own temp warehouse), not inherit a Setup built on another
   // session's conf.
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Setup]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Setup]()
 
   /** Spark-SQL exact-cents of `value` — same expression as sqlCents. */
   private val C = "CAST(ROUND(value*100, 0) AS BIGINT)"
@@ -77,10 +77,10 @@ object ConnectorQ {
   /** Test hook: the live namespace a (session, dir) setup owns. */
   private[graft] def activeNamespace(s: SparkSession,
       dir: String): Option[String] =
-    Option(memo.get((System.identityHashCode(s), dir))).map(_.ns)
+    Option(memo.get((SessionKey.id(s), dir))).map(_.ns)
 
   def release(s: SparkSession, dir: String): Unit =
-    Option(memo.remove((System.identityHashCode(s), dir))).foreach { st =>
+    Option(memo.remove((SessionKey.id(s), dir))).foreach { st =>
       try s.sql(s"DROP NAMESPACE IF EXISTS graft_c.${st.ns} CASCADE")
       catch { case _: Throwable => () } // already-stopped session
       // stream checkpoints + file-sink output are keyed by ns too: a
@@ -105,7 +105,7 @@ object ConnectorQ {
     }
 
   private def setup(s: SparkSession, dir: String): Setup =
-    memo.computeIfAbsent((System.identityHashCode(s), dir),
+    memo.computeIfAbsent((SessionKey.id(s), dir),
         _ => ConnectorQ.synchronized {
       if (!s.conf.getOption("spark.sql.catalog.graft_c").exists(_.nonEmpty)) {
         val wh = java.nio.file.Files.createTempDirectory("graft-qwh")
@@ -116,11 +116,12 @@ object ConnectorQ {
         s.conf.set("spark.sql.catalog.graft_c", "graft.connector.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_c.warehouse", wh.toString)
       }
-      // floorMod, not math.abs (abs(Int.MinValue) is negative and
-      // would produce an unparseable identifier); the session hash
-      // keeps two sessions SHARING a warehouse (inherited catalog
-      // conf) out of each other's tables, matching the memo key
-      val ns = s"c${math.floorMod(System.identityHashCode(s), 1 << 20)}" +
+      // the session token keeps two sessions SHARING a warehouse
+      // (inherited catalog conf) out of each other's tables, matching
+      // the memo key — and unlike an identity hash it is never reused
+      // after a session dies, so a successor can't collide into a
+      // dead session's namespace
+      val ns = s"c${SessionKey.shortId(s)}" +
         s"_${math.floorMod(dir.hashCode, 1 << 30)}"
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_c.$ns")
       setupBody(s, dir, ns)

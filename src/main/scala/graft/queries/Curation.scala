@@ -144,7 +144,7 @@ object Curation {
     * constants only (BpeRounds strings); nothing to release.
     */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), Seq[(Long, String, Long)]]()
+    (String, String), Seq[(Long, String, Long)]]()
 
   /** Vocabulary-size gate between the driver merge loop and the
     * distributed rounds. Injectable so CurationSpec can force the
@@ -160,7 +160,7 @@ object Curation {
 
   private def bpeMerges(s: SparkSession,
       dir: String): Seq[(Long, String, Long)] =
-    bpeMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    bpeMemo.computeIfAbsent((SessionKey.id(s), dir), _ => {
       val base = tBalanced(s, dir, "documents")
         .select(explode(tokens).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))

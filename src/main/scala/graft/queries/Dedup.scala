@@ -38,10 +38,10 @@ object Dedup {
     * the pair set is a few KB).
     */
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent((System.identityHashCode(s), dir),
+    pairsMemo.computeIfAbsent((SessionKey.id(s), dir),
       _ => computeNearDupPairs(s, dir))
 
   /** Release the memoized pair frame for (session, dir): a long-lived
@@ -50,9 +50,9 @@ object Dedup {
     * doesn't accumulate across dirs. Safe to call twice; the next
     * [[nearDupPairs]] for the same dir simply recomputes. */
   def releaseNearDupPairs(s: SparkSession, dir: String): Unit = {
-    Option(pairsMemo.remove((System.identityHashCode(s), dir)))
+    Option(pairsMemo.remove((SessionKey.id(s), dir)))
       .foreach(safeUnpersist)
-    Option(estPerDocMemo.remove((System.identityHashCode(s), dir)))
+    Option(estPerDocMemo.remove((SessionKey.id(s), dir)))
       .foreach(safeUnpersist)
   }
 
@@ -74,7 +74,7 @@ object Dedup {
     * bounded pair set however large the corpus.
     */
   private val estPerDocMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   /** A memo entry can outlive its session (the owner stopped without
     * releasing); unpersisting against a stopped context NPEs, and there
@@ -795,7 +795,7 @@ object Dedup {
         // from the (tiny) persist, so the whole eval is TWO joins on
         // the KB-scale pair frame instead of the previous four
         val perDoc = estPerDocMemo.computeIfAbsent(
-          (System.identityHashCode(s), dir), _ =>
+          (SessionKey.id(s), dir), _ =>
             tBalanced(s, dir, "documents")
               .join(broadcast(verts), Seq("doc_id"), "left_semi")
               .select(col("doc_id"), tokens.as("toks"))

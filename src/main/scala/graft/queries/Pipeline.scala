@@ -21,16 +21,16 @@ object Pipeline {
     * a dir so its blocks don't outlive their usefulness.
     */
   private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.DataFrame]()
+    (String, String), org.apache.spark.sql.DataFrame]()
 
   private[graft] def dupClusterLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    labelsMemo.computeIfAbsent((System.identityHashCode(s), dir),
+    labelsMemo.computeIfAbsent((SessionKey.id(s), dir),
       _ => computeDupClusterLabels(s, dir))
 
   def releaseDupClusterLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    Option(labelsMemo.remove((System.identityHashCode(s), dir)))
+    Option(labelsMemo.remove((SessionKey.id(s), dir)))
       .foreach(freeCheckpoint)
 
   def releaseAllDupClusterLabels(): Unit = {

@@ -32,8 +32,14 @@ object Similarity {
     * per distinct probe plan instead of inside every (timed) query
     * invocation.
     */
+  // memo keys use sessionUUID, never System.identityHashCode ([[SessionKey]]): an
+  // identity hash can be reused after the session is GC'd, so a new
+  // session could inherit a dead session's entry (for the cap set
+  // that would skip a correctness guard; for the model memos it would
+  // hand out a DataFrame bound to a stopped session). UUIDs are never
+  // reused for the JVM's lifetime.
   private val probeCapOk =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
   /** Exact brute-force cosine scoring of `probes` (columns `query_id`,
     * `qv`, `qn`, extras allowed) against `corpus` (`cand_id`, `cv`,
@@ -46,7 +52,7 @@ object Similarity {
     */
   private[graft] def bruteForceCosine(corpus: org.apache.spark.sql.DataFrame,
       probes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val key = (System.identityHashCode(probes.sparkSession),
+    val key = (SessionKey.id(probes.sparkSession),
       probes.queryExecution.logical.semanticHash())
     if (!probeCapOk.contains(key)) {
       val n = probes.limit(MaxBruteForceProbes + 1).count()
@@ -244,11 +250,30 @@ object Similarity {
       cells: org.apache.spark.sql.DataFrame)
 
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), IvfModel]()
+    (String, String), IvfModel]()
+
+  /** Drop memo entries whose owning session's context has stopped — a
+    * long-lived JVM cycling sessions must not pin dead-session plans
+    * (their persisted blocks died with the context; nothing to
+    * unpersist). Runs on memo misses, so steady-state hits pay nothing.
+    */
+  private def sweepDeadSessions(): Unit = {
+    val it = ivfMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.codes.sparkSession.sparkContext.isStopped) {
+        it.remove()
+        pqMemo.keySet.removeIf(_._1 == e.getKey._1)
+      }
+    }
+    pqCodesMemo.entrySet().removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+  }
 
   private def ivfModel(s: org.apache.spark.sql.SparkSession,
       dir: String): IvfModel =
-    ivfMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    ivfMemo.computeIfAbsent((SessionKey.id(s), dir), _ => {
+      sweepDeadSessions()
       val qv = ivfQuantizedCodes(s, dir)
       try {
         val cents = ivfTrainCentroids(qv)
@@ -270,6 +295,10 @@ object Similarity {
         qv.unpersist(blocking = false); throw t
       }
     })
+
+  /** Test hook: live model-memo entry count (MemoLifecycleSpec pins
+    * per-session isolation — one entry per (session, dir)). */
+  private[graft] def ivfMemoSize: Int = ivfMemo.size
 
   def releaseAllIvfModels(): Unit = {
     val it = ivfMemo.entrySet().iterator()
@@ -540,11 +569,11 @@ object Similarity {
     * shared by `s_pq_train` and `s_pq_search`.
     */
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), Map[Long, Seq[(Long, Seq[Int])]]]()
+    (String, String), Map[Long, Seq[(Long, Seq[Int])]]]()
 
   private def pqCodebook(s: org.apache.spark.sql.SparkSession,
       dir: String): Map[Long, Seq[(Long, Seq[Int])]] =
-    pqMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    pqMemo.computeIfAbsent((SessionKey.id(s), dir), _ => {
       val codes = ivfModel(s, dir).codes
       val sub = pqSubvectors(codes)
       // deterministic seeds: centroid j of every subspace = vec_id j's
@@ -595,11 +624,11 @@ object Similarity {
     * ([[releaseAllIvfModels]]).
     */
   private val pqCodesMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.DataFrame]()
+    (String, String), org.apache.spark.sql.DataFrame]()
 
   private def pqEncodedCodes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    pqCodesMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    pqCodesMemo.computeIfAbsent((SessionKey.id(s), dir), _ => {
       val model = ivfModel(s, dir)
       val book = pqCodebook(s, dir)
       val sub = pqSubvectors(model.codes)

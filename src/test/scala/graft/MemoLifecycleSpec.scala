@@ -127,6 +127,45 @@ class MemoLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.queries.ConnectorQ.release(spark, dir)
   }
 
+  test("session tokens are stable per session and never shared") {
+    import graft.queries.SessionKey
+    // memo keys use SessionKey, not System.identityHashCode: identity
+    // hashes can be REUSED after a session is GC'd, handing a
+    // recreated session a dead session's entries (a DataFrame bound to
+    // a stopped session, or a skipped brute-force cap validation)
+    val s2 = spark.newSession()
+    val s3 = spark.newSession()
+    assert(SessionKey.id(spark) == SessionKey.id(spark), "stable")
+    assert(Set(SessionKey.id(spark), SessionKey.id(s2), SessionKey.id(s3))
+      .size == 3, "three sessions, three tokens")
+    assert(SessionKey.shortId(s2).matches("[0-9a-f]{12}"),
+      "shortId must be identifier-safe hex")
+    assert(SessionKey.shortId(s2) != SessionKey.shortId(s3))
+  }
+
+  test("a recreated session computes its own ivf model, never inherits") {
+    val d1 = "/root/testdata/sf0.001"
+    graft.queries.Similarity.releaseAllIvfModels()
+    try {
+      val s2 = spark.newSession()
+      assert(SparkEntry.queries("s_ivf_train")(s2, d1).count() >= 1)
+      assert(graft.queries.Similarity.ivfMemoSize == 1)
+      // a session created LATER (after s2 is out of use — in
+      // production, GC'd and its identity hash reusable) must get its
+      // OWN memo entry rather than being served s2's (shared-context
+      // block reuse via the CacheManager is fine; key collision is not)
+      val s3 = spark.newSession()
+      assert(graft.queries.SessionKey.id(s3) !=
+        graft.queries.SessionKey.id(s2))
+      assert(SparkEntry.queries("s_ivf_train")(s3, d1).count() >= 1)
+      assert(graft.queries.Similarity.ivfMemoSize == 2,
+        "s3 must have built its own memo entry, not inherited s2's")
+    } finally {
+      graft.queries.Similarity.releaseAllIvfModels()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("dup-cluster label memo releases its checkpoint storage") {
     val d1 = "/root/testdata/sf0.001"
     assert(SparkEntry.queries("d_dup_clusters")(spark, d1).count() == 1)
