@@ -27,6 +27,38 @@ object Dedup {
 
   private val SpanW = 12 // d_dup_spans window width in tokens
   private val SubK = 40 // d_substring_spans window width in CHARS
+
+  /** Positions-per-Generate bound for [[windowPositions]]: one
+    * `sequence(1, len-k+1)` over a pathological multi-hundred-MB
+    * document would materialize O(doc chars) ints as a single array in
+    * one task before the Generate streams it — chunking caps any
+    * materialized position array at this many elements (512 KB of
+    * ints) regardless of document length. At normal document sizes
+    * every doc is a single chunk, so the plan shape is unchanged.
+    */
+  private[graft] val SubChunk = 65536
+
+  /** Character positions `1..len(text)-k+1` for every document, built
+    * in chunks of at most `chunk` positions per Generate row (outer
+    * explode = chunk ids, inner explode = positions within the chunk).
+    * Exactly equivalent to one big `sequence(1, len-k+1)` — same rows,
+    * no overlap, no gap — but no single array ever exceeds `chunk`
+    * elements, so one giant document can't blow a task's memory.
+    * Returns `(doc_id, text, p)`.
+    */
+  private[graft] def windowPositions(docs: org.apache.spark.sql.DataFrame,
+      k: Int, chunk: Int): org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        // SQL `div` yields BIGINT — int() keeps p's type the plain INT
+        // a single sequence(1, len-k+1) produced (len is int, so every
+        // position fits)
+        explode(expr(s"sequence(0, int((length(text) - $k) div $chunk))"))
+          .as("ck"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(ck * $chunk + 1, " +
+          s"least(ck * $chunk + $chunk, length(text) - ${k - 1}))"))
+          .as("p"))
   // the oracle's 12-term concat_ws(' ', toks[i], toks[i+1], …)
   private val sqlSpanTerms =
     (0 until SpanW).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
@@ -712,19 +744,19 @@ object Dedup {
     // so its bytes are exactly the union the spans report. Differs
     // from d_dup_span_trim by granularity (bytes, not token windows)
     // and output (per-doc maximal spans, not per-source trim totals).
-    // Scale shape: positional explode (O(corpus bytes) rows), hash
-    // map-side to 8 bytes so the occurrence-count shuffle never moves
-    // the 40-char grams, then the narrow covered-positions shuffle on
-    // doc_id. Integer math end-to-end.
+    // Scale shape: positional explode (O(corpus bytes) rows — the
+    // problem's intrinsic cost class; a suffix array is also
+    // O(corpus)), CHUNKED per [[windowPositions]] so one pathological
+    // multi-hundred-MB document never materializes more than SubChunk
+    // positions in a task; hash map-side to 8 bytes so the
+    // occurrence-count shuffle never moves the 40-char grams, then the
+    // narrow covered-positions shuffle on doc_id. Integer math
+    // end-to-end. Measured shuffle bytes at sf0.1 in PLANS.md.
     QueryDef("d_substring_spans",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val k = SubK
-        val st = tBalanced(s, dir, "documents")
-          .filter(length(col("text")) >= k)
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(1), length(col("text")) - lit(k - 1)))
-              .as("p"))
+        val st = windowPositions(tBalanced(s, dir, "documents"), k, SubChunk)
           .select(col("doc_id"), col("p"),
             h60s(expr(s"substring(text, p, $k)")).as("h"))
           .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))

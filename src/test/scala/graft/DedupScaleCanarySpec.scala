@@ -114,4 +114,30 @@ class DedupScaleCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("windowPositions: chunked generation == one big sequence, all edges") {
+    import spark.implicits._
+    // lengths straddling every boundary of (k=3, chunk=5): below k,
+    // exactly k (1 position), position count exactly at / one under /
+    // one over a chunk multiple, and several chunks with a remainder
+    val k = 3; val chunk = 5
+    val docs = Seq(2, 3, 4, 7, 8, 9, 12, 13, 17, 23).zipWithIndex.map {
+      case (len, i) => (i.toLong, "x" * len)
+    }.toDF("doc_id", "text")
+    val got = graft.queries.Dedup.windowPositions(docs, k, chunk)
+      .select("doc_id", "p").as[(Long, Int)].collect().toSeq
+    // no chunk may carry more than `chunk` positions (the memory bound
+    // the chunking exists for)
+    val perChunk = got.groupBy { case (d, p) => (d, (p - 1) / chunk) }
+      .values.map(_.size)
+    assert(perChunk.nonEmpty && perChunk.forall(_ <= chunk))
+    val want = Seq(2, 3, 4, 7, 8, 9, 12, 13, 17, 23).zipWithIndex.flatMap {
+      case (len, i) => (1 to (len - k + 1)).map(p => (i.toLong, p))
+    }
+    assert(got.sorted == want.sorted,
+      s"chunked positions diverged: got ${got.sorted} want ${want.sorted}")
+    // the production chunk width keeps small docs in ONE chunk (plan
+    // shape unchanged at normal document sizes)
+    assert(graft.queries.Dedup.SubChunk >= 65536)
+  }
 }
