@@ -92,6 +92,61 @@ class BenchSpec extends AnyFunSuite {
       Bench.mergePasses(Seq(("a", 1.0, true)), Seq(("b", 1.0, true))))
   }
 
+  test("retried certification line fits the window and stamps verdict") {
+    // worst case: 3 attempts x 2 passes -> 6 pass totals, 3 probes,
+    // certified:false — the longest fixed-field suffix the line can
+    // carry must still leave the heaviest queries individually visible
+    val results = (1 to 200).map(i =>
+      (f"q_some_rather_long_query_name_$i%03d", i * 0.037))
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1",
+      noise = Seq(0.40, 0.80, 0.44), passes = 6,
+      passTotals = Seq(115.62, 92.24, 88.61, 84.99, 90.12, 83.03),
+      failed = Seq("q_some_rather_long_query_name_007"),
+      certified = Some(false), attempts = 3)
+    assert(line.length < 1999, s"line is ${line.length} chars")
+    val v = JsonMethods.parse(line)
+    assert((v \ "certified").extract[Boolean](DefaultFormats,
+      manifest[Boolean]) == false)
+    assert((v \ "attempts").extract[Int](DefaultFormats,
+      manifest[Int]) == 3)
+    assert((v \ "passes").extract[Int](DefaultFormats, manifest[Int]) == 6)
+    // a quiet run stamps true
+    val quiet = Bench.renderLine(Seq(("q_a", 1.0)), "/root/testdata/sf0.1",
+      noise = Seq(0.40, 0.42, 0.44), passes = 2,
+      passTotals = Seq(1.2, 1.0), certified = Some(true), attempts = 1)
+    assert((JsonMethods.parse(quiet) \ "certified")
+      .extract[Boolean](DefaultFormats, manifest[Boolean]) == true)
+    // single-pass local iteration carries no certification claim
+    val single = Bench.renderLine(Seq(("q_a", 1.0)), "/root/testdata/sf0.1")
+    assert((JsonMethods.parse(single) \ "certified") == JNothing)
+  }
+
+  test("mergeAllPasses: minima over all attempts' successful passes") {
+    val (merged, failed) = Bench.mergeAllPasses(Seq(
+      Seq(("a", 1.2, true), ("b", 0.05, false)),
+      Seq(("a", 1.5, true), ("b", 1.1, true)),
+      Seq(("a", 0.9, true), ("b", 0.03, false)),
+      Seq(("a", 1.1, true), ("b", 1.4, true))))
+    // a: min over 4 ok; b: min over the two OK passes only — the fast
+    // failures (0.05/0.03) must never win
+    assert(merged == Seq("a" -> 0.9, "b" -> 1.1))
+    assert(failed.isEmpty)
+    val (m2, f2) = Bench.mergeAllPasses(Seq(
+      Seq(("x", 0.5, false)), Seq(("x", 0.2, false))))
+    assert(m2 == Seq("x" -> 0.2) && f2 == Seq("x"))
+    intercept[IllegalArgumentException](Bench.mergeAllPasses(Seq(
+      Seq(("a", 1.0, true)), Seq(("b", 1.0, true)))))
+  }
+
+  test("spreadPct: worst pairwise drift; None without two probes") {
+    assert(Bench.spreadPct(Seq(0.40, 0.80, 0.44)).exists(
+      s => math.abs(s - 100.0) < 0.01))
+    assert(Bench.spreadPct(Seq(0.5)).isEmpty)
+    assert(Bench.spreadPct(Nil).isEmpty)
+    assert(Bench.spreadPct(Seq(0.0, 1.0)).isEmpty) // degenerate probe
+    assert(Bench.spreadPct(Seq(0.40, 0.44)).exists(_ < Bench.CertifySpreadPct))
+  }
+
   test("small inventory emits every query with no folding") {
     val line = Bench.renderLine(
       Seq(("q_a", 1.234), ("q_b", 0.001), ("q_c", 12.0)), "/root/testdata/sf0.01")
