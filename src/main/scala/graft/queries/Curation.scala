@@ -178,7 +178,11 @@ object Curation {
         // rounds stay on the cluster. Both paths share Java `replace`
         // left-to-right non-overlap semantics, which DuckDB's
         // `replace` matches — the oracle replays either.
-        if (base.count() <= bpeDriverGate) {
+        val nTypes = base.count()
+        System.err.println(s"[gate] BPE vocab: $nTypes types " +
+          (if (nTypes <= bpeDriverGate) s"<= $bpeDriverGate -> driver merge rounds"
+           else s"> $bpeDriverGate -> distributed merge rounds"))
+        if (nTypes <= bpeDriverGate) {
           var vocab = base.select(col("n"), col("sym")).collect()
             .map(r => (r.getLong(0), r.getString(1)))
           val merges = Seq.newBuilder[(Long, String, Long)]

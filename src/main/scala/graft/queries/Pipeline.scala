@@ -78,8 +78,18 @@ object Pipeline {
   private def computeDupClusterLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val pairs = Dedup.nearDupPairs(s, dir)
-    if (pairs.count() <= MaxDriverEdges) driverUnionFind(s, pairs)
-    else starContractionCC(pairs)._1
+    val n = pairs.count()
+    // branch selection is part of the scale evidence — log it so a
+    // gate-crossing run proves the distributed path ran naturally
+    if (n <= MaxDriverEdges) {
+      System.err.println(
+        s"[gate] dup-cluster CC: $n edges <= $MaxDriverEdges -> driverUnionFind")
+      driverUnionFind(s, pairs)
+    } else {
+      System.err.println(
+        s"[gate] dup-cluster CC: $n edges > $MaxDriverEdges -> starContractionCC")
+      starContractionCC(pairs)._1
+    }
   }
 
   /** Min-label connected components of a small edge set, on the

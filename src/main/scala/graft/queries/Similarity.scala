@@ -387,7 +387,12 @@ object Similarity {
     */
   private def ivfAssignment(qv: org.apache.spark.sql.DataFrame,
       cents: Seq[(Long, Seq[Int])]): org.apache.spark.sql.DataFrame =
-    qv.withColumn("best", array_min(ivfDistArray(cents)))
+    // the corpus-side hot loop: one compact argmin kernel
+    // ([[graft.functions.IntVectorArgminSqL2]]) instead of
+    // array_min over K inlined (sql2, cid) structs — identical
+    // (dist, cid) lexicographic minimum, ~30x less generated code
+    qv.withColumn("best",
+        graft.functions.VectorFunctions.vec_argmin_sql2(col("qv"), cents))
       .select(col("vec_id"), col("qv"),
         col("best.cid").as("cid"), col("best.dist").as("dist"))
 
@@ -590,7 +595,9 @@ object Similarity {
       // k-means checkpoint
       val assigned1 = sub.select(col("vec_id") +:
         (0 until PqM).flatMap(m => Seq(col(s"sv$m"),
-          array_min(pqDistArr(m, seeds(m))).getField("cid").as(s"c$m"))): _*)
+          graft.functions.VectorFunctions
+            .vec_argmin_sql2(col(s"sv$m"), seeds(m))
+            .getField("cid").as(s"c$m"))): _*)
       val dimSums = (0 until PqD).map(d =>
         sum(element_at(col("sv"), d + 1).cast("long")).as(s"s$d"))
       val c1 = assigned1
@@ -633,8 +640,9 @@ object Similarity {
       val book = pqCodebook(s, dir)
       val sub = pqSubvectors(model.codes)
       val enc = sub.select(col("vec_id") +: (0 until PqM).map(m =>
-          array_min(pqDistArr(m, book(m.toLong))).getField("cid")
-            .as(s"c$m")): _*)
+          graft.functions.VectorFunctions
+            .vec_argmin_sql2(col(s"sv$m"), book(m.toLong))
+            .getField("cid").as(s"c$m")): _*)
       // the usual small-SF persist gate: below ~1M vectors the encode
       // recomputes from the already-persisted int8 codes faster than
       // the cache round-trip costs (measured +0.3 s on the search row
@@ -642,7 +650,11 @@ object Similarity {
       // codes are materialized once and stored — the real-index
       // economics the memo exists for. cells is persisted, so the
       // gate count is a cheap cached-side count.
-      if (model.cells.count() < 1000000L) enc
+      val nVecs = model.cells.count()
+      System.err.println(s"[gate] PQ encode: $nVecs vectors " +
+        (if (nVecs < 1000000L) "< 1000000 -> plan-only memo"
+         else ">= 1000000 -> persisted code table"))
+      if (nVecs < 1000000L) enc
       else {
         val p = enc
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -672,7 +684,9 @@ object Similarity {
     // re-assign under the updated codebook; constant-size rollup
     sub.select(explode(array((0 until PqM).map(m =>
         struct(lit(m.toLong).as("m"),
-          array_min(pqDistArr(m, book(m.toLong))).as("best"))): _*)).as("e"))
+          graft.functions.VectorFunctions
+            .vec_argmin_sql2(col(s"sv$m"), book(m.toLong))
+            .as("best"))): _*)).as("e"))
       .select(col("e.m").as("m"), col("e.best.cid").as("cid"),
         col("e.best.dist").as("dist"))
       .groupBy("m", "cid")

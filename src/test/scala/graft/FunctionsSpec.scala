@@ -58,6 +58,43 @@ class FunctionsSpec extends AnyFunSuite {
       .isNullAt(0))
   }
 
+  test("IntVectorArgminSqL2 ≡ array_min over (sql2, cid) structs") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 16 centroids incl. planted TIES: centroids 3 and 7 identical, so
+    // the lexicographic (dist, cid) minimum must pick cid 3 whenever
+    // they win — the contract the compact kernel must preserve
+    val base = Seq.fill(16)(Seq.fill(8)(rnd.nextInt(256)))
+    val cents: Seq[(Long, Seq[Int])] = base.zipWithIndex
+      .map { case (cv, i) => i.toLong -> (if (i == 7) base(3) else cv) }
+    val df = Seq.fill(300)(Array.fill(8)(rnd.nextInt(256))).toDF("sv")
+    val composed = df.select(org.apache.spark.sql.functions.array_min(
+      org.apache.spark.sql.functions.array(cents.map { case (cid, cv) =>
+        org.apache.spark.sql.functions.struct(
+          vec_sql2_int(col("sv"),
+            org.apache.spark.sql.functions.typedLit(cv)).as("dist"),
+          org.apache.spark.sql.functions.lit(cid).as("cid"))
+      }: _*)).as("best")).select("best.dist", "best.cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kernel = df.select(
+      graft.functions.VectorFunctions.vec_argmin_sql2(col("sv"), cents)
+        .as("best")).select("best.dist", "best.cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kernel.toSeq == composed.toSeq)
+    // some row must actually have hit the tie pair for the test to bite
+    assert(kernel.exists(_._2 == 3L) || composed.forall(_._2 != 7L))
+    assert(!kernel.exists(_._2 == 7L), "tie must break to the lower cid")
+    // null vector propagates
+    val withNull = Seq(Option.empty[Array[Int]]).toDF("sv")
+    assert(withNull.select(graft.functions.VectorFunctions
+      .vec_argmin_sql2(col("sv"), cents)).collect()(0).isNullAt(0))
+    // descending cids are a call-site bug, refused loudly
+    intercept[IllegalArgumentException](
+      graft.functions.VectorFunctions.vec_argmin_sql2(
+        col("sv"), Seq(2L -> Seq(1), 1L -> Seq(2))))
+  }
+
   test("md5 kernels ≡ conv(substring(md5)) hex definitions") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
