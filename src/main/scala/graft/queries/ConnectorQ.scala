@@ -104,6 +104,51 @@ object ConnectorQ {
       } catch { case _: Throwable => () }
     }
 
+  /** Guarded, failure-atomic seed of the `doc_fp` fingerprint STORE
+    * (the durable PK table the ingest-dedup story hinges on): batch A
+    * (even doc_ids) seeds commit 1, batch B (odd) admits its unseen
+    * fps in commit 2 — so the final store holds every distinct corpus
+    * fingerprint with first_doc provenance. A half-seeded store
+    * (CREATE + first INSERT ok, second INSERT thrown) must not survive
+    * the guard — later runs in this JVM would silently reuse it and
+    * report zero late admissions; same contract as the setup memo's
+    * "computeIfAbsent stores nothing on throw". Shared by
+    * `c_dedup_ingest` and `c_stream_changelog_dedup`. Returns
+    * (store table, per-doc fingerprint view).
+    */
+  private def seededDocFpStore(s: SparkSession, dir: String,
+      ns: String): (String, String) = {
+    val tbl = s"graft_c.$ns.doc_fp"
+    val view = s"docs_fp_$ns"
+    locally {
+      import org.apache.spark.sql.functions.col
+      t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .createOrReplaceTempView(view)
+    }
+    ConnectorQ.synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        try {
+          s.sql(s"""CREATE TABLE $tbl (fp STRING, first_doc BIGINT)
+            TBLPROPERTIES ('primary-key'='fp', 'bucket'='2')""")
+          s.sql(s"""INSERT INTO $tbl
+            SELECT fp, MIN(doc_id) FROM $view
+            WHERE doc_id % 2 = 0 GROUP BY fp""")
+          s.sql(s"""INSERT INTO $tbl
+            SELECT fp, MIN(doc_id) FROM $view
+            WHERE doc_id % 2 = 1
+              AND fp NOT IN (SELECT fp FROM $tbl)
+            GROUP BY fp""")
+        } catch { case t: Throwable =>
+          try s.sql(s"DROP TABLE IF EXISTS $tbl")
+          catch { case _: Throwable => () }
+          throw t
+        }
+      }
+    }
+    (tbl, view)
+  }
+
   private def setup(s: SparkSession, dir: String): Setup =
     memo.computeIfAbsent((SessionKey.id(s), dir),
         _ => ConnectorQ.synchronized {
@@ -1337,39 +1382,7 @@ object ConnectorQ {
     QueryDef("c_dedup_ingest",
       (s, dir) => {
         val st = setup(s, dir)
-        val tbl = s"graft_c.${st.ns}.doc_fp"
-        val view = s"docs_fp_${st.ns}"
-        locally {
-          import org.apache.spark.sql.functions.col
-          t(s, dir, "documents")
-            .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-            .createOrReplaceTempView(view)
-        }
-        ConnectorQ.synchronized {
-          // failure-atomic seeding: a half-seeded store (CREATE + first
-          // INSERT ok, second INSERT thrown) must not survive the guard
-          // — later runs in this JVM would silently reuse it and report
-          // zero late admissions. Same contract as the setup memo's
-          // "computeIfAbsent stores nothing on throw".
-          if (!s.catalog.tableExists(tbl)) {
-            try {
-              s.sql(s"""CREATE TABLE $tbl (fp STRING, first_doc BIGINT)
-                TBLPROPERTIES ('primary-key'='fp', 'bucket'='2')""")
-              s.sql(s"""INSERT INTO $tbl
-                SELECT fp, MIN(doc_id) FROM $view
-                WHERE doc_id % 2 = 0 GROUP BY fp""")
-              s.sql(s"""INSERT INTO $tbl
-                SELECT fp, MIN(doc_id) FROM $view
-                WHERE doc_id % 2 = 1
-                  AND fp NOT IN (SELECT fp FROM $tbl)
-                GROUP BY fp""")
-            } catch { case t: Throwable =>
-              try s.sql(s"DROP TABLE IF EXISTS $tbl")
-              catch { case _: Throwable => () }
-              throw t
-            }
-          }
-        }
+        val (tbl, view) = seededDocFpStore(s, dir, st.ns)
         s.sql(s"""SELECT
             (SELECT COUNT(*) FROM $tbl) AS n_store_fps,
             (SELECT COUNT(*) FROM $tbl WHERE first_doc % 2 = 0) AS n_seeded,
@@ -1391,6 +1404,89 @@ object ConnectorQ {
           (SELECT COUNT(*) FROM nw) AS n_admitted_late,
           (SELECT COUNT(*) FROM b) - (SELECT COUNT(*) FROM nw)
             AS n_rejected_dupes""")),
+
+    // INCREMENTAL dedup over the changelog STREAM — the marriage of the
+    // streaming layer with d_exact's durable PK store: two "crawl"
+    // commits land in a raw PK table (batch 1 re-crawls the even half,
+    // mutating every 3rd doc; batch 2 the odd half, with overlap into
+    // batch 1's mutations), a consumer streams the table's $changelog,
+    // fingerprints map-side, anti-joins the seeded doc_fp STORE
+    // (stream-static join — the store is the durable dedup state, not
+    // stream state), and folds min(batch) per new fingerprint. Output:
+    // how many genuinely-new fingerprints each crawl batch contributed.
+    // Arrival-order invariant (min(batch), not first-seen), so DuckDB
+    // restates it without seeing the stream. Scale contract: the
+    // streaming state is one row per NEW fingerprint (complete-mode
+    // agg) — value-bounded here; a corpus-scale keyspace writes
+    // admitted fps back to the store per epoch (foreachBatch MERGE)
+    // instead of holding them in state, exactly what the store's
+    // PK merge engine is for (see c_dedup_ingest).
+    QueryDef("c_stream_changelog_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val st = setup(s, dir)
+        val (store, _) = seededDocFpStore(s, dir, st.ns)
+        val raw = s"graft_c.${st.ns}.doc_raw"
+        val srcView = s"docs_raw_src_${st.ns}"
+        t(s, dir, "documents").createOrReplaceTempView(srcView)
+        ConnectorQ.synchronized {
+          // failure-atomic like the store seed: a half-built raw table
+          // must not survive for later runs to misread
+          if (!s.catalog.tableExists(raw)) {
+            try {
+              s.sql(s"""CREATE TABLE $raw (doc_id BIGINT, batch INT,
+                  text STRING)
+                TBLPROPERTIES ('primary-key'='doc_id', 'bucket'='2')""")
+              s.sql(s"""INSERT INTO $raw
+                SELECT doc_id + 10000000, 1,
+                  CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                       ELSE text END
+                FROM $srcView WHERE doc_id % 2 = 0""")
+              s.sql(s"""INSERT INTO $raw
+                SELECT doc_id + 20000000, 2,
+                  CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                       WHEN doc_id % 3 = 1 THEN text || ' v3'
+                       ELSE text END
+                FROM $srcView WHERE doc_id % 2 = 1""")
+            } catch { case t: Throwable =>
+              try s.sql(s"DROP TABLE IF EXISTS $raw")
+              catch { case _: Throwable => () }
+              throw t
+            }
+          }
+        }
+        val sink = s"c_stream_cl_dedup_${st.ns}"
+        withStreamStateParts(s) {
+          val q = s.readStream
+            .table(s"graft_c.${st.ns}.`doc_raw$$changelog`")
+            .withColumn("fp", fingerprint(col("text")))
+            .join(s.table(store).select("fp"), Seq("fp"), "left_anti")
+            .groupBy("fp").agg(min("batch").as("first_batch"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.table(sink).groupBy("first_batch")
+          .agg(count(lit(1)).as("n_new_fps"))
+          .orderBy("first_batch")
+      },
+      Some(s"""WITH f AS (
+          SELECT doc_id, ${sqlFingerprint("text")} AS fp FROM documents),
+        store AS (SELECT DISTINCT fp FROM f),
+        raw AS (
+          SELECT 1 AS batch, ${sqlFingerprint(
+            "CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END")} AS fp
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 2 AS batch, ${sqlFingerprint(
+            "CASE WHEN doc_id % 3 = 0 THEN text || ' v2' " +
+              "WHEN doc_id % 3 = 1 THEN text || ' v3' ELSE text END")} AS fp
+          FROM documents WHERE doc_id % 2 = 1),
+        nw AS (SELECT fp, MIN(batch) AS first_batch FROM raw
+          WHERE fp NOT IN (SELECT fp FROM store) GROUP BY fp)
+        SELECT first_batch, COUNT(*) AS n_new_fps FROM nw
+        GROUP BY first_batch ORDER BY first_batch""")),
 
     // Metadata system tables as a driver-checked row: $schemas walks
     // ev_evo's full lineage (CREATE + ADD + RENAME + TYPE = ids 0..3),

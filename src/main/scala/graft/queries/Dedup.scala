@@ -27,6 +27,14 @@ object Dedup {
 
   private val SpanW = 12 // d_dup_spans window width in tokens
   private val SubK = 40 // d_substring_spans window width in CHARS
+  private val ParaW = 15 // d_paragraph_neardup paragraph width in tokens
+
+  /** Paragraph-id packing width for `d_paragraph_neardup`'s scalar key
+    * `doc_id * ParaCap + p`: paragraphs past the cap are dropped (a doc
+    * would need ~1M tokens to reach it) so two documents can never
+    * collide into one key.
+    */
+  private val ParaCap = 65536L
 
   /** Positions-per-Generate bound for [[windowPositions]]: one
     * `sequence(1, len-k+1)` over a pathological multi-hundred-MB
@@ -145,31 +153,34 @@ object Dedup {
       r
     } else f
 
-  private def computeNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    // Serialized + spill-to-disk: this cache is roughly corpus-sized
-    // (one string array per doc), so deserialized MEMORY_ONLY would
-    // evict under pressure and force a 4x shingle recompute — at 100 TB
-    // the only viable levels are the spillable serialized ones.
-    val shingled = tBalanced(s, dir, "documents")
-      .select(col("doc_id"), tokens.as("toks"))
-      .select(col("doc_id"), array_distinct(
-        graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle split
-    // into two 56-bit halves h1/h2; seed i's hash is h1 + i*h2
-    // (max 2^56 + 15*2^56 = 2^60 — no 64-bit overflow, so DuckDB's
-    // checked BIGINT arithmetic computes the identical value). The
-    // codegen MinHashSigs kernel folds ALL K per-seed mins inside the
-    // task holding the shingle set — map-side, replacing the previous
-    // explode → md5 → K-column min-aggregate (a corpus×shingles
-    // shuffle input and the largest generated-code stage in the
-    // pipeline); bit-identical to the oracle's conv(substr(md5))
-    // per-seed MIN fold (FunctionsSpec pins it).
+  /** MinHash signatures → LSH band hashes → bucket-guarded candidate
+    * self-join → exact shingle-Jaccard verification, over a (persisted)
+    * `(k, sh)` frame — the pair machinery shared by the doc-granular
+    * pipeline ([[computeNearDupPairs]], k = doc_id) and the
+    * paragraph-granular `d_paragraph_neardup` row (k = packed
+    * (doc_id, paragraph) key). One definition so the two granularities
+    * cannot drift.
+    *
+    * Kirsch-Mitzenmacher double hashing: ONE md5 per shingle split
+    * into two 56-bit halves h1/h2; seed i's hash is h1 + i*h2
+    * (max 2^56 + 15*2^56 = 2^60 — no 64-bit overflow, so DuckDB's
+    * checked BIGINT arithmetic computes the identical value). The
+    * codegen MinHashSigs kernel folds ALL K per-seed mins inside the
+    * task holding the shingle set — map-side, replacing the previous
+    * explode → md5 → K-column min-aggregate (a corpus×shingles
+    * shuffle input and the largest generated-code stage in the
+    * pipeline); bit-identical to the oracle's conv(substr(md5))
+    * per-seed MIN fold (FunctionsSpec pins it).
+    *
+    * Returns (verified pairs `(a, b)` with a < b, the PERSISTED band
+    * frame) — the caller must materialize the pairs and then unpersist
+    * the band handle (and its own shingle cache).
+    */
+  private def lshVerifiedPairs(shingled: DataFrame): (DataFrame, DataFrame) = {
     val sigs = shingled
-      .select(col("doc_id"),
+      .select(col("k"),
         graft.functions.HashFunctions.minhash_sigs(col("sh"), K).as("ms"))
-      .select(col("doc_id") +:
+      .select(col("k") +:
         (0 until K).map(i => element_at(col("ms"), i + 1).as(s"m$i")): _*)
     // band hash over its R signature slots — no arrays, pure codegen
     val bandCols = (0 until K / R).map { b =>
@@ -181,10 +192,10 @@ object Dedup {
     // scan and both sides of the self-join), and Catalyst does not
     // dedupe common subtrees across join branches — uncached, the
     // expensive upstream (shingle explode + md5 + 16-way min agg) runs
-    // 3x. Four fixed-width rows per doc, far smaller than the corpus.
+    // 3x. Four fixed-width rows per key, far smaller than the corpus.
     val allBands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+      .select(col("k"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("k"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // skew guard: anti-join away the (few) mega-buckets before the
     // self-join — the over-limit set is small by construction, so it
@@ -197,8 +208,8 @@ object Dedup {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bhash") === col("y.bhash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        col("x.k") < col("y.k"))
+      .select(col("x.k").as("a"), col("y.k").as("b"))
       .distinct()
     // verify candidates with exact shingle-set Jaccard
     // array_intersect is hash-based O(n+m) codegen (and sh is already
@@ -206,15 +217,30 @@ object Dedup {
     // previous filter+array_contains lambda was O(n*m) interpreted and
     // dominated the verify stage.
     val pairs = cand
-      .join(shingled.as("ta"), col("a") === col("ta.doc_id"))
-      .join(shingled.as("tb"), col("b") === col("tb.doc_id"))
+      .join(shingled.as("ta"), col("a") === col("ta.k"))
+      .join(shingled.as("tb"), col("b") === col("tb.k"))
       .withColumn("inter",
         size(array_intersect(col("ta.sh"), col("tb.sh"))))
       .withColumn("uni",
         size(col("ta.sh")) + size(col("tb.sh")) - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= 0.5)
       .select(col("a"), col("b"))
-      .persist()
+    (pairs, allBands)
+  }
+
+  private def computeNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // Serialized + spill-to-disk: this cache is roughly corpus-sized
+    // (one string array per doc), so deserialized MEMORY_ONLY would
+    // evict under pressure and force a 4x shingle recompute — at 100 TB
+    // the only viable levels are the spillable serialized ones.
+    val shingled = tBalanced(s, dir, "documents")
+      .select(col("doc_id").as("k"), tokens.as("toks"))
+      .select(col("k"), array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val (rawPairs, allBands) = lshVerifiedPairs(shingled)
+    val pairs = rawPairs.persist()
     // Materialize the (KB-scale) pair set NOW so the heavy per-doc
     // shingle cache can be released — otherwise `shingled` (one string
     // array per document, the largest intermediate in the repo) stays
@@ -242,31 +268,31 @@ object Dedup {
     * `d_minhash_lsh` and `d_dup_clusters` oracles. Ends with a
     * `pairs(a, b)` CTE of verified near-duplicate pairs.
     */
-  val sqlPairsCte: String = {
-    s"""tok AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
-      FROM documents),
-    shing AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
-      FROM tok WHERE len(toks) >= 3),
-    ex AS (SELECT doc_id, unnest(sh) AS g FROM shing),
+  /** The LSH pipeline as DuckDB CTEs over a `($key, sh)` shingle
+    * relation `$rel` — the SQL mirror of [[lshVerifiedPairs]], shared by
+    * the doc-granular ([[sqlPairsCte]]) and paragraph-granular
+    * (`d_paragraph_neardup`) oracles so the two granularities cannot
+    * drift. Emits ex/exh/seeds/sig/bands/big/small/cand/pairs with
+    * `pairs(a, b)` keyed by `$key`.
+    */
+  private def sqlLshCtes(rel: String, key: String): String =
+    s"""ex AS (SELECT $key, unnest(sh) AS g FROM $rel),
     exh AS (
-      SELECT doc_id,
+      SELECT $key,
         CAST('0x' || substr(md5(g), 1, 14) AS BIGINT) AS h1,
         CAST('0x' || substr(md5(g), 15, 14) AS BIGINT) AS h2
       FROM ex),
     seeds AS (SELECT unnest(range(0, $K)) AS seed),
     sig AS (
-      SELECT doc_id, seed, MIN(h1 + seed * h2) AS m
-      FROM exh CROSS JOIN seeds GROUP BY doc_id, seed),
+      SELECT $key, seed, MIN(h1 + seed * h2) AS m
+      FROM exh CROSS JOIN seeds GROUP BY $key, seed),
     bands AS (
-      SELECT doc_id, band,
+      SELECT $key, band,
         ${sqlH60s("string_agg(CAST(m AS VARCHAR), '#' ORDER BY seed)" +
           " || '#' || CAST(band AS VARCHAR)")} AS bhash
-      FROM (SELECT doc_id, seed, m, CAST(seed // $R AS INTEGER) AS band
+      FROM (SELECT $key, seed, m, CAST(seed // $R AS INTEGER) AS band
             FROM sig) s
-      GROUP BY doc_id, band),
+      GROUP BY $key, band),
     big AS (
       SELECT band, bhash FROM bands GROUP BY band, bhash
       HAVING COUNT(*) > $MaxBucket),
@@ -275,16 +301,26 @@ object Dedup {
         SELECT 1 FROM big
         WHERE big.band = bands.band AND big.bhash = bands.bhash)),
     cand AS (
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      SELECT DISTINCT x.$key AS a, y.$key AS b
       FROM small x JOIN small y
-        ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+        ON x.band = y.band AND x.bhash = y.bhash AND x.$key < y.$key),
     pairs AS (
       SELECT a, b FROM cand
-      JOIN shing sa ON cand.a = sa.doc_id
-      JOIN shing sb ON cand.b = sb.doc_id
+      JOIN $rel sa ON cand.a = sa.$key
+      JOIN $rel sb ON cand.b = sb.$key
       WHERE CAST(len(list_filter(sa.sh, g -> list_contains(sb.sh, g))) AS DOUBLE)
             / (len(sa.sh) + len(sb.sh)
                - len(list_filter(sa.sh, g -> list_contains(sb.sh, g)))) >= 0.5)"""
+
+  val sqlPairsCte: String = {
+    s"""tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents),
+    shing AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM tok WHERE len(toks) >= 3),
+    ${sqlLshCtes("shing", "doc_id")}"""
   }
 
   /** The d_cross_source_overlap frames: the lazy pair/Jaccard result
@@ -392,6 +428,96 @@ object Dedup {
         FROM f JOIN k USING (fp)
         GROUP BY source ORDER BY source""")),
 
+    // URL-canonicalized dedup keys — the CCNet-style normalization pass
+    // every crawl pipeline runs BEFORE content dedup: scheme, leading
+    // 'www.', default port, query string, fragment, trailing slash and
+    // case are presentation noise, so raw URLs that differ only there
+    // must collapse to one canonical key, and keep-first picks the
+    // lowest doc_id per key. The documents table carries no URL column,
+    // so the raw URLs are SYNTHESIZED in-query (deterministically, four
+    // presentation variants per canonical group of 4 doc_ids) — both
+    // engines derive the same bytes, so the differential checks the
+    // CANONICALIZATION, which is the operator. Scale shape: map-side
+    // regex chain, one window shuffle on the canonical key (the dedup
+    // key — exactly the shuffle the operator exists to key), one
+    // per-source rollup.
+    QueryDef("d_url_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val urls = tBalanced(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("host", expr(
+            "concat('example', CAST((doc_id DIV 4) % 977 AS STRING), '.com')"))
+          .withColumn("pth", expr(
+            "concat('/docs/', CAST((doc_id DIV 4) DIV 977 AS STRING))"))
+          .withColumn("url", expr("""CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN concat('https://', host, pth)
+            WHEN 1 THEN concat('HTTP://WWW.', upper(host), pth, '/')
+            WHEN 2 THEN concat('https://', host, ':443', pth,
+              '?utm_source=feed&ref=x')
+            ELSE concat('http://www.', host, pth, '#section-2') END"""))
+        // order matters: fragment and query go first (a '#'/'?' can
+        // hide a port or slash), then scheme/www/port, then the
+        // trailing slash. replace() for ports (no regex groups — the
+        // replacement syntax differs between Java and RE2); anchored
+        // regexes elsewhere, so replace-first (DuckDB) == replace-all
+        // (Spark).
+        val canon0 = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
+            lower(col("url")), "#.*$", ""), "\\?.*$", ""),
+          "^https?://", ""), "^www\\.", ""), "/$", "")
+        val w = Window.partitionBy("canon")
+        urls
+          .withColumn("canon0", canon0)
+          .withColumn("canon",
+            regexp_replace(expr("replace(canon0, ':443/', '/')"),
+              ":(?:443|80)$", ""))
+          .withColumn("keeper", min("doc_id").over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct("canon").as("n_canonical"),
+            sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("doc_id") === col("keeper"), 0L).otherwise(1L))
+              .as("n_dup_dropped"))
+          .orderBy("source")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id, source,
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN concat('https://', host, pth)
+              WHEN 1 THEN concat('HTTP://WWW.', upper(host), pth, '/')
+              WHEN 2 THEN concat('https://', host, ':443', pth,
+                '?utm_source=feed&ref=x')
+              ELSE concat('http://www.', host, pth, '#section-2') END AS url
+          FROM (SELECT doc_id, source,
+              concat('example', CAST((doc_id // 4) % 977 AS VARCHAR),
+                '.com') AS host,
+              concat('/docs/', CAST((doc_id // 4) // 977 AS VARCHAR)) AS pth
+            FROM documents) b),
+        c AS (
+          SELECT doc_id, source,
+            regexp_replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(lower(url), '#.*$', ''),
+                '\?.*$', ''),
+                '^https?://', ''),
+                '^www\.', ''),
+                '/$', ''),
+              ':443/', '/'), ':(?:443|80)$', '') AS canon
+          FROM u),
+        k AS (
+          SELECT doc_id, source, canon,
+            MIN(doc_id) OVER (PARTITION BY canon) AS keeper
+          FROM c)
+        SELECT source, COUNT(*) AS n_urls,
+          COUNT(DISTINCT canon) AS n_canonical,
+          CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(SUM(CASE WHEN doc_id = keeper THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_dup_dropped
+        FROM k GROUP BY source ORDER BY source""")),
+
     // MinHash + LSH banding, hashed with the engine-portable md5-derived
     // h60 → the whole pipeline (shingle → per-seed min → band → bucket
     // join → Jaccard verify) replays in DuckDB as the oracle.
@@ -401,6 +527,101 @@ object Dedup {
         .agg(count(lit(1)).as("n_neardup_pairs")),
       Some(s"""WITH RECURSIVE $sqlPairsCte
         SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs FROM pairs""")),
+
+    // PARAGRAPH-granular near-dup — the granularity production corpus
+    // cleaning actually runs (boilerplate paragraphs repeat across
+    // pages whose documents as a whole are distinct, so doc-level
+    // MinHash misses them). Paragraph = non-overlapping 15-token
+    // window; the pair machinery is the SAME [[lshVerifiedPairs]] the
+    // doc pipeline uses, keyed by the packed (doc_id, paragraph)
+    // scalar, so the two granularities cannot drift. Only CROSS-doc
+    // pairs mark a paragraph as duplicated (same-doc repetition is
+    // d_dup_spans' business). Scale shape: paragraphs multiply the key
+    // count by ~docs/4 but every stage stays the LSH pipeline's —
+    // map-side signatures, band equi-join with the bucket guard, pair
+    // verify on the KB-scale candidate set; the rollup output is one
+    // row per source. Output collected (bounded: |sources| rows) so
+    // the paragraph shingle cache can be released eagerly.
+    QueryDef("d_paragraph_neardup",
+      (s, dir) => {
+        val paras = tBalanced(s, dir, "documents")
+          .select(col("doc_id"), col("source"), tokens.as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), col("source"), col("toks"),
+            explode(expr(s"sequence(0, int((size(toks) - 1) div $ParaW))"))
+              .as("p"))
+          .filter(col("p") < ParaCap)
+          .select(col("doc_id"), col("source"), col("p"),
+            expr(s"slice(toks, p * $ParaW + 1, $ParaW)").as("chunk"))
+          .filter(size(col("chunk")) >= 3)
+          .select(col("doc_id"), col("source"),
+            (col("doc_id") * ParaCap + col("p")).as("k"),
+            array_distinct(graft.functions.TextFunctions
+              .word_shingles(col("chunk"), 3)).as("sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val (pairs, bands) = lshVerifiedPairs(paras.select("k", "sh"))
+          try {
+            val cross = pairs.filter(expr(s"a DIV $ParaCap <> b DIV $ParaCap"))
+            val dup = cross.select(col("a").as("k"))
+              .union(cross.select(col("b").as("k"))).distinct()
+            val marked = paras.select("k", "doc_id", "source")
+              .join(dup, Seq("k"), "left_semi")
+            val rows = paras.groupBy("source")
+              .agg(count(lit(1)).as("n_paras"),
+                countDistinct("doc_id").as("n_docs"))
+              .join(marked.groupBy("source")
+                  .agg(count(lit(1)).as("nd"),
+                    countDistinct("doc_id").as("ndd")),
+                Seq("source"), "left")
+              .select(col("source"), col("n_paras"),
+                coalesce(col("nd"), lit(0L)).as("n_dup_paras"),
+                coalesce(col("ndd"), lit(0L)).as("n_dup_docs"),
+                floor(lit(1000) * coalesce(col("nd"), lit(0L))
+                  / col("n_paras")).as("milli_dup"))
+              .orderBy("source")
+              .collect().toSeq
+              .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                r.getLong(3), r.getLong(4)))
+            val s2 = s
+            import s2.implicits._
+            rows.toDF("source", "n_paras", "n_dup_paras", "n_dup_docs",
+              "milli_dup")
+          } finally safeUnpersist(bands)
+        } finally safeUnpersist(paras)
+      },
+      Some(s"""WITH RECURSIVE paras AS (
+          SELECT doc_id, source, doc_id * $ParaCap + p AS k,
+            list_distinct(list_transform(range(1, len(chunk) - 1),
+              i -> concat_ws(' ', chunk[i], chunk[i+1], chunk[i+2]))) AS sh
+          FROM (
+            SELECT doc_id, source, p,
+              toks[p * $ParaW + 1 : p * $ParaW + $ParaW] AS chunk
+            FROM (SELECT doc_id, source, toks,
+                    unnest(range(0,
+                      CAST((len(toks) - 1) // $ParaW AS BIGINT) + 1)) AS p
+                  FROM (SELECT doc_id, source,
+                          regexp_extract_all(lower(text), '[a-z]+') AS toks
+                        FROM documents) t
+                  WHERE len(toks) >= 3) u
+            WHERE p < $ParaCap) c
+          WHERE len(chunk) >= 3),
+        ${sqlLshCtes("paras", "k")},
+        crossp AS (
+          SELECT a, b FROM pairs WHERE a // $ParaCap <> b // $ParaCap),
+        dup AS (SELECT DISTINCT k FROM (
+          SELECT a AS k FROM crossp UNION ALL SELECT b AS k FROM crossp) u),
+        tot AS (SELECT source, COUNT(*) AS n_paras,
+            COUNT(DISTINCT doc_id) AS n_docs
+          FROM paras GROUP BY source),
+        mk AS (SELECT source, COUNT(*) AS nd, COUNT(DISTINCT doc_id) AS ndd
+          FROM paras JOIN dup USING (k) GROUP BY source)
+        SELECT tot.source, n_paras,
+          COALESCE(nd, 0) AS n_dup_paras,
+          COALESCE(ndd, 0) AS n_dup_docs,
+          CAST(FLOOR(1000.0 * COALESCE(nd, 0) / n_paras) AS BIGINT)
+            AS milli_dup
+        FROM tot LEFT JOIN mk USING (source) ORDER BY tot.source""")),
 
     // SimHash: 60-bit signature from per-token hash bit votes —
     // explode + 60 codegen'd conditional sums, one shuffle on doc_id.
