@@ -55,18 +55,38 @@ object Dedup {
     * Returns `(doc_id, text, p)`.
     */
   private[graft] def windowPositions(docs: org.apache.spark.sql.DataFrame,
-      k: Int, chunk: Int): org.apache.spark.sql.DataFrame =
-    docs.filter(length(col("text")) >= k)
+      k: Int, chunk: Int): org.apache.spark.sql.DataFrame = {
+    val chunks = docs.filter(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
         // SQL `div` yields BIGINT — int() keeps p's type the plain INT
         // a single sequence(1, len-k+1) produced (len is int, so every
         // position fits)
         explode(expr(s"sequence(0, int((length(text) - $k) div $chunk))"))
           .as("ck"))
+    // The per-position consumer pays ~one md5 PER CHARACTER of text —
+    // orders of magnitude more map CPU per input byte than the
+    // tokenize-class kernels tBalanced's byte gate was measured on. If
+    // the scan planned fewer splits than half the cores (one small file
+    // → ONE task doing the whole corpus's per-char hashing serially —
+    // measured 2.2 s of a 3.1 s row at sf0.1), spread the chunk rows
+    // across the cluster first; the exchange moves each text once per
+    // 64 KiB chunk, trivially amortized by the downstream work (guide
+    // §2.5 "input skew", §1.2 step 1). At scale the scan plans
+    // thousands of splits and this is a no-op. Deterministic hash key
+    // (doc_id, ck) — never rand() — so retried tasks re-produce the
+    // same placement (guide §2.5, SPARK-38388).
+    val spark = docs.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val spread =
+      if (chunks.rdd.getNumPartitions * 2 < parallelism)
+        chunks.repartition(parallelism, col("doc_id"), col("ck"))
+      else chunks
+    spread
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(ck * $chunk + 1, " +
           s"least(ck * $chunk + $chunk, length(text) - ${k - 1}))"))
           .as("p"))
+  }
   // the oracle's 12-term concat_ws(' ', toks[i], toks[i+1], …)
   private val sqlSpanTerms =
     (0 until SpanW).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
@@ -563,21 +583,35 @@ object Dedup {
           val (pairs, bands) = lshVerifiedPairs(paras.select("k", "sh"))
           try {
             val cross = pairs.filter(expr(s"a DIV $ParaCap <> b DIV $ParaCap"))
-            val dup = cross.select(col("a").as("k"))
-              .union(cross.select(col("b").as("k"))).distinct()
-            val marked = paras.select("k", "doc_id", "source")
-              .join(dup, Seq("k"), "left_semi")
-            val rows = paras.groupBy("source")
-              .agg(count(lit(1)).as("n_paras"),
-                countDistinct("doc_id").as("n_docs"))
-              .join(marked.groupBy("source")
-                  .agg(count(lit(1)).as("nd"),
-                    countDistinct("doc_id").as("ndd")),
-                Seq("source"), "left")
+            // ONE reference to the (un-persisted) pair subtree: explode
+            // emits both endpoints map-side — the previous
+            // union(cross.a, cross.b) planned the whole verify-join
+            // tail TWICE (Catalyst does not dedupe common subtrees
+            // across union branches), doubling the candidate-join work
+            // and its AQE stage cascade (guide §2.4/§7.2; measured
+            // 3.5 s -> 2.6 s warm on this row at sf0.1).
+            val dup = cross
+              .select(explode(array(col("a"), col("b"))).as("k")).distinct()
+              .withColumn("is_dup", lit(1))
+            // Rollup in ONE aggregation chain instead of two aggregates
+            // joined: mark each paragraph via the KB-scale dup set
+            // (broadcast left join), fold per (source, doc) first, then
+            // per source — two narrow exchanges, no distinct-rewrite
+            // Expand, no agg-agg join (guide §2.4). Identical output:
+            // nd counts marked paragraphs, ndd counts docs with any
+            // marked paragraph.
+            val rows = paras.select("k", "doc_id", "source")
+              .join(broadcast(dup), Seq("k"), "left")
+              .groupBy("source", "doc_id")
+              .agg(count(lit(1)).as("np"), count(col("is_dup")).as("ndp"))
+              .groupBy("source")
+              .agg(sum("np").as("n_paras"),
+                sum("ndp").as("n_dup_paras"),
+                sum(when(col("ndp") > 0, 1L).otherwise(0L)).as("n_dup_docs"))
               .select(col("source"), col("n_paras"),
-                coalesce(col("nd"), lit(0L)).as("n_dup_paras"),
-                coalesce(col("ndd"), lit(0L)).as("n_dup_docs"),
-                floor(lit(1000) * coalesce(col("nd"), lit(0L))
+                col("n_dup_paras"),
+                col("n_dup_docs"),
+                floor(lit(1000) * col("n_dup_paras")
                   / col("n_paras")).as("milli_dup"))
               .orderBy("source")
               .collect().toSeq

@@ -264,6 +264,7 @@ object Similarity {
       if (e.getValue.codes.sparkSession.sparkContext.isStopped) {
         it.remove()
         pqMemo.keySet.removeIf(_._1 == e.getKey._1)
+        adcTabMemo.keySet.removeIf(_._1 == e.getKey._1)
       }
     }
     pqCodesMemo.entrySet().removeIf(
@@ -312,9 +313,11 @@ object Similarity {
       } catch { case _: Throwable => () }
       it.remove()
     }
-    // the PQ codebook is derived from the same codes: driver-side
-    // constants only, but its lifetime follows the model's
+    // the PQ codebook (and the ADC tables derived from it) are
+    // driver-side constants only, but their lifetime follows the
+    // model's
     pqMemo.clear()
+    adcTabMemo.clear()
     // the persisted corpus PQ-encode follows the model too
     val pit = pqCodesMemo.entrySet().iterator()
     while (pit.hasNext) {
@@ -718,10 +721,42 @@ object Similarity {
     * and `s_pq_rerank` (shortlists from it, then re-ranks exactly):
     * (query_id, cand_id, adist) for every IVF-routed candidate.
     */
+  /** Per-probe ADC distance tables (probes × M × K rows, driver-side
+    * integer fold of the collected probe codes against the codebook),
+    * memoized per (session, dir) like the codebook itself: the table
+    * is part of the built index (constant-size), and without the memo
+    * both ADC consumers (`s_pq_search`, `s_pq_rerank`) re-ran the
+    * probe-code collect job per invocation (guide §1.2 — don't
+    * recompute what the algorithm defines as built-once).
+    */
+  private val adcTabMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Long, Long, Long, Long)]]()
+
+  private def adcTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Long, Long, Long)] =
+    adcTabMemo.computeIfAbsent((SessionKey.id(s), dir), _ => {
+      val model = ivfModel(s, dir)
+      val book = pqCodebook(s, dir)
+      val probeRows = model.codes.filter(col("vec_id") < 10)
+        .orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+      for {
+        (qid, qv) <- probeRows.toSeq
+        m <- 0 until PqM
+        (cid, cv) <- book(m.toLong)
+      } yield {
+        var d = 0L
+        var i = 0
+        while (i < PqD) {
+          val x = qv(m * PqD + i) - cv(i); d += (x * x).toLong; i += 1
+        }
+        (qid, m.toLong, cid, d)
+      }
+    })
+
   private def pqAdcScores(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val model = ivfModel(s, dir)
-    val book = pqCodebook(s, dir)
     // the STORED corpus codes (see pqEncodedCodes): M rows per vector
     // in long form, derived map-only from the persisted wide encode
     val codesLong = pqEncodedCodes(s, dir)
@@ -729,26 +764,8 @@ object Similarity {
         explode(array((0 until PqM).map(m =>
           struct(lit(m.toLong).as("m"), col(s"c$m").as("cid"))): _*)).as("e"))
       .select(col("cand_id"), col("e.m").as("m"), col("e.cid").as("cid"))
-    // per-probe ADC tables: driver-side integer fold over the collected
-    // probe codes x the codebook (probes × M × K rows — broadcast-size
-    // by construction)
-    val probeRows = model.codes.filter(col("vec_id") < 10)
-      .orderBy("vec_id").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
-    val dtabRows = for {
-      (qid, qv) <- probeRows.toSeq
-      m <- 0 until PqM
-      (cid, cv) <- book(m.toLong)
-    } yield {
-      var d = 0L
-      var i = 0
-      while (i < PqD) {
-        val x = qv(m * PqD + i) - cv(i); d += (x * x).toLong; i += 1
-      }
-      (qid, m.toLong, cid, d)
-    }
     import s.implicits._
-    val dtab = dtabRows.toDF("query_id", "m", "cid", "d")
+    val dtab = adcTable(s, dir).toDF("query_id", "m", "cid", "d")
     val cands = ivfCandidates(model)
     // ADC: M lookups per (probe, candidate), summed
     cands.join(codesLong, "cand_id")
@@ -784,7 +801,15 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         graft.functions.VectorFunctions.vec_sql2_int(
           col("qv"), col("pqv")).as("dist"))
-    topKBy(exact, 5, Seq(col("dist"), col("cand_id")))
+    // SINGLE-window top-k here, not the salted two-level [[topKBy]]:
+    // the re-rank input is BOUNDED at probes × R rows by construction
+    // (the shortlist semi-join caps it at any corpus size), so the
+    // two-level shape's extra exchange+sort bought nothing at any
+    // scale — one hop less in the serving chain (guide §2.4). Same
+    // (dist, cand_id) order ⇒ identical ranks.
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("dist"), col("cand_id"))
+    exact.withColumn("rank", row_number().over(wq)).filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("cand_id"), col("dist"))
       .orderBy("query_id", "rank")
   }

@@ -12,13 +12,17 @@ object QueryTimer {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val doExplain = args.contains("explain")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // diagnostic A/B: how much of a query's wall time is AQE's
+    // per-stage replanning cascade vs real work (GRAFT_NO_AQE=1)
+    if (sys.env.get("GRAFT_NO_AQE").contains("1"))
+      builder.config("spark.sql.adaptive.enabled", "false")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
@@ -38,8 +42,26 @@ object QueryTimer {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // GRAFT_STAGE_TIMING=1: per-stage wall time + task count + callsite
+    // for the LAST run — the empirical "where does the time go" readout
+    // guide §1.1 asks for when no UI is available.
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val logStages = sys.env.get("GRAFT_STAGE_TIMING").contains("1")
+    if (logStages) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val s = e.stageInfo
+          val ms = (for {a <- s.completionTime; b <- s.submissionTime}
+            yield a - b).getOrElse(-1L)
+          stageLog.add(f"stage ${s.stageId}%4d sub=${s.submissionTime
+            .getOrElse(0L) % 1000000}%6d ${ms / 1000.0}%6.2f s " +
+            f"${s.numTasks}%4d tasks  ${s.name.linesIterator.next()}")
+        }
+      })
     (1 to 3).foreach { i =>
       shufWrite.set(0); shufRead.set(0)
+      if (i == 3) stageLog.clear()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -50,6 +72,10 @@ object QueryTimer {
       println(f"run $i: $sec%.2f s, $n rows, " +
         f"shuffle write ${shufWrite.get() / 1048576.0}%.1f MiB / " +
         f"read ${shufRead.get() / 1048576.0}%.1f MiB")
+    }
+    if (logStages) {
+      println("=== stages of run 3 ===")
+      stageLog.forEach(println(_))
     }
     spark.stop()
   }
