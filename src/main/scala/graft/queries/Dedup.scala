@@ -373,7 +373,9 @@ object Dedup {
     */
   private[graft] def crossSourceOverlapAgg(s: SparkSession,
       dir: String): DataFrame =
-    tBalanced(s, dir, "documents")
+    // tSpreadHeavy: h60s (md5) per 5-gram shingle ≈ md5 per token —
+    // the serial one-split map stage measured 0.5-1.7 s of this row
+    tSpreadHeavy(s, dir, "documents", "doc_id")
       .select(col("source"), tokens.as("toks"))
       .select(col("source"), explode(array_distinct(
         graft.functions.TextFunctions.word_shingles(col("toks"), 5)))
@@ -564,7 +566,9 @@ object Dedup {
     // the paragraph shingle cache can be released eagerly.
     QueryDef("d_paragraph_neardup",
       (s, dir) => {
-        val paras = tBalanced(s, dir, "documents")
+        // tSpreadHeavy: same rationale as computeNearDupPairs — the
+        // paragraph cache feeds the md5-heavy MinHash/band pipeline
+        val paras = tSpreadHeavy(s, dir, "documents", "doc_id")
           .select(col("doc_id"), col("source"), tokens.as("toks"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), col("source"), col("toks"),
@@ -661,7 +665,8 @@ object Dedup {
     // explode + 60 codegen'd conditional sums, one shuffle on doc_id.
     QueryDef("d_simhash",
       (s, dir) => {
-        val docs = tBalanced(s, dir, "documents")
+        // tSpreadHeavy: h60s (md5) per token map-side
+        val docs = tSpreadHeavy(s, dir, "documents", "doc_id")
         val toks = docs
           .select(col("doc_id"), explode(tokens).as("w"))
           .select(col("doc_id"), h60s(col("w")).as("h"))

@@ -390,32 +390,48 @@ object Sketches {
         // the q_quantile_union measurement, same shape).
         val li = t(s, dir, "lineitem")
           .select(cents(col("l_extendedprice")).as("v"))
-        val hist = li.select(expr(qBucketSpark("v")).as("b"))
+        // The histogram is BOUNDED (≤ 64 × 256 log-buckets regardless
+        // of corpus size — the sketch's whole point), so collect it
+        // once and fold cum/totals/rank/crossing-bucket on the DRIVER
+        // with the same integer math, instead of re-deriving them
+        // through a ~12-stage chain of windows and self-joins whose
+        // every hop re-planned the KB-scale frame (the plan referenced
+        // the un-persisted `hist` subtree 4×, re-scanning lineitem each
+        // time — guide §2.4, §5 "bounded final outputs"). One scan
+        // builds the histogram; the only other corpus pass left is the
+        // exact-readout refinement below. Measured 3.1 s → ~1.1 s warm
+        // at sf0.1.
+        val histRows = li.select(expr(qBucketSpark("v")).as("b"))
           .groupBy("b").agg(count(lit(1)).as("n"))
+          .orderBy("b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val nTotal = histRows.map(_._2).sum
+        val nBuckets = histRows.length.toLong
+        // per p: ceil-rank, crossing bucket (min b with cum >= rank),
+        // rows strictly below it, bucket lower bound + width shift —
+        // bit-identical to qRankSpark/qLowerSpark's integer formulas
+        val crRows = if (nBuckets == 0) Seq.empty[
+          (Long, Long, Long, Long, Long, Long, Int)]
+        else Seq(50L, 90L, 99L).map { p =>
+          val rank = (nTotal * p + 99L) / 100L
+          var cum = 0L
+          var i = 0
+          while (i < histRows.length && cum + histRows(i)._2 < rank) {
+            cum += histRows(i)._2; i += 1
+          }
+          val bq = histRows(i)._1
+          val est = (bq % QM) << (bq / QM)
+          (p, rank, nTotal, nBuckets, cum, est, (bq / QM).toInt)
+        }
         locally {
-          // Unpartitioned window BY DESIGN: `hist` is the aggregated
-          // histogram (≤ a few thousand log-buckets regardless of
-          // corpus size), so the single-partition running sum moves KB,
-          // not data. Spark's WindowExec WARN for this shape is quieted
-          // in the harnesses (Bench main / test log4j2.properties).
-          val cum = hist.withColumn("cum",
-            sum("n").over(Window.orderBy("b")))
-          val totals = hist.agg(sum("n").as("n_total"),
-            count(lit(1)).as("n_buckets"))
-          val ranked = s.range(1)
-            .select(explode(typedLit(Seq(50L, 90L, 99L))).as("p"))
-            .crossJoin(totals)
-            .withColumn("rank", expr(qRankSpark("n_total", "p")))
-          // crossing bucket per p + rows strictly below it
-          val cr = ranked.join(cum, col("cum") >= col("rank"))
-            .groupBy("p", "rank", "n_total", "n_buckets")
-            .agg(min("b").as("bq"))
-            .join(cum.select(col("b"), col("n"), col("cum")),
-              col("bq") === col("b"))
-            .select(col("p"), col("rank"), col("n_total"), col("n_buckets"),
-              (col("cum") - col("n")).as("below"),
-              expr(qLowerSpark("bq")).as("est_cents"),
-              expr(s"CAST(bq div $QM AS INT)").as("shift"))
+          import s.implicits._
+          val cr = crRows
+            .toDF("p", "rank", "n_total", "n_buckets", "below",
+              "est_cents", "shift")
+          // exact readout unchanged: sketch-guided refinement — one
+          // scan filtered to the 3 crossing buckets (range filters,
+          // pushdown-friendly), per-p value-count window bounded by the
+          // bucket's VALUE RANGE, pick the (rank − below)-th value
           val exact = li
             .join(broadcast(cr), col("v") >= col("est_cents") &&
               col("v") - col("est_cents") < expr("shiftleft(1L, shift)"))
@@ -480,31 +496,52 @@ object Sketches {
         // recompute is one codegen'd scan+agg, cheaper than the cache
         // round-trip (sf0.1 QueryTimer: no-persist 7.4 s cold / 1.0 s
         // warm vs MEMORY_AND_DISK persist 10.1 s / 1.5 s)
-        val perFlag = li
+        // Two INDEPENDENT one-pass scans stay (per-flag sketches vs the
+        // directly-built union — computing both is the row's
+        // losslessness proof), but each histogram is BOUNDED (flags ×
+        // ≤64×256 buckets), so the cum/rank/crossing-bucket derivation
+        // folds on the DRIVER over the collected rows instead of a
+        // window + self-join chain per side (same rewrite + rationale
+        // as q_quantile_sketch above; ~8 exchanges removed).
+        // ONE action for both scans (a NULL flag tags the direct side):
+        // two sequential collects would serialize the scans, a union
+        // lets Spark run both branches of the same job concurrently
+        val allRows = li
           .select(col("l_returnflag"), expr(qBucketSpark("v")).as("b"))
           .groupBy("l_returnflag", "b").agg(count(lit(1)).as("n"))
-        val merged = perFlag.groupBy("b").agg(sum("n").as("n"))
-        val direct = li.select(expr(qBucketSpark("v")).as("b"))
-          .groupBy("b").agg(count(lit(1)).as("n"))
-        def estOf(hist: org.apache.spark.sql.DataFrame, name: String) = {
-          // unpartitioned window by design — KB-scale histogram input
-          // (same bound + logger note as q_quantile_sketch above)
-          val cum = hist.withColumn("cum",
-            sum("n").over(Window.orderBy("b")))
-          val totals = hist.agg(sum("n").as("n_total"))
-          s.range(1).select(explode(typedLit(Seq(50L, 90L, 99L))).as("p"))
-            .crossJoin(totals)
-            .withColumn("rank", expr(qRankSpark("n_total", "p")))
-            .join(cum, col("cum") >= col("rank"))
-            .groupBy("p").agg(min("b").as("bq"))
-            .select(col("p"), expr(qLowerSpark("bq")).as(name))
+          .unionByName(li
+            .select(lit(null).cast("string").as("l_returnflag"),
+              expr(qBucketSpark("v")).as("b"))
+            .groupBy("l_returnflag", "b").agg(count(lit(1)).as("n")))
+          .collect()
+          .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+            r.getLong(1), r.getLong(2)))
+        val perFlagRows = allRows.filter(_._1 != null)
+        val directRows = allRows.filter(_._1 == null)
+          .map(t3 => (t3._2, t3._3))
+        val mergedRows = perFlagRows.groupBy(_._2).view
+          .mapValues(_.map(_._3).sum).toArray.sortBy(_._1)
+        // bit-identical to qRankSpark/qLowerSpark's integer formulas
+        def estOf(hist: Array[(Long, Long)]): Seq[(Long, Long)] = {
+          val nTotal = hist.map(_._2).sum
+          if (nTotal == 0) return Seq.empty
+          Seq(50L, 90L, 99L).map { p =>
+            val rank = (nTotal * p + 99L) / 100L
+            var cum = 0L
+            var i = 0
+            while (i < hist.length && cum + hist(i)._2 < rank) {
+              cum += hist(i)._2; i += 1
+            }
+            val bq = hist(i)._1
+            p -> ((bq % QM) << (bq / QM))
+          }
         }
-        val nMerged = perFlag.select(countDistinct("l_returnflag")
-          .as("n_sketches_merged"))
-        estOf(merged, "est_merged_cents")
-          .join(estOf(direct, "est_direct_cents"), Seq("p"))
-          .crossJoin(nMerged)
-          .select("p", "n_sketches_merged", "est_merged_cents",
+        val nMerged = perFlagRows.map(_._1).distinct.length.toLong
+        val dEst = estOf(directRows.sortBy(_._1)).toMap
+        import s.implicits._
+        estOf(mergedRows)
+          .map { case (p, m) => (p, nMerged, m, dEst(p)) }
+          .toDF("p", "n_sketches_merged", "est_merged_cents",
             "est_direct_cents")
           .orderBy("p")
       },
@@ -612,29 +649,30 @@ object Sketches {
         val merged = perSeg.select("pos").distinct()
         val direct = cust.filter(inSeg)
           .select(bloomPos(col("c_custkey")).as("pos")).distinct()
-        // the heaviest intermediate (all-customer exploded position
-        // set) feeds BOTH probe passes — persist once, release before
-        // return (1-row bounded collect, the quantile pattern)
+        // ONE probe pass answers BOTH filters: the two (≤4096-position,
+        // broadcastable at any scale) filter sets left-join the same
+        // exploded probe frame side by side, so the all-customer
+        // position set is scanned once instead of twice — which also
+        // removes the persist it existed to amortize (the subtree now
+        // has exactly one consumer; guide §2.4, §5 "cache only what is
+        // reused"). Both filters are still built independently (the
+        // merge-losslessness proof is unchanged).
         val probes = cust
           .select(col("c_custkey").as("k"), bloomPos(col("c_custkey")).as("pos"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          def yes(filter: org.apache.spark.sql.DataFrame, name: String) =
-            probes
-              .join(broadcast(filter.withColumn("present", lit(1))),
-                Seq("pos"), "left")
-              .groupBy("k")
-              .agg((count(lit(1)) === count(col("present"))).as("y"))
-              .agg(sum(when(col("y"), 1L).otherwise(0L)).as(name))
-          val out = yes(merged, "n_yes_merged")
-            .crossJoin(yes(direct, "n_yes_direct"))
-            .crossJoin(perSeg.agg(
-              countDistinct("seg").as("n_sketches_merged")))
-            .select("n_sketches_merged", "n_yes_merged", "n_yes_direct")
-          val rows = out.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-        } finally probes.unpersist(blocking = true)
+        val out = probes
+          .join(broadcast(merged.withColumn("pm", lit(1))), Seq("pos"), "left")
+          .join(broadcast(direct.withColumn("pd", lit(1))), Seq("pos"), "left")
+          .groupBy("k")
+          .agg((count(lit(1)) === count(col("pm"))).as("ym"),
+            (count(lit(1)) === count(col("pd"))).as("yd"))
+          .agg(sum(when(col("ym"), 1L).otherwise(0L)).as("n_yes_merged"),
+            sum(when(col("yd"), 1L).otherwise(0L)).as("n_yes_direct"))
+          .crossJoin(perSeg.agg(
+            countDistinct("seg").as("n_sketches_merged")))
+          .select("n_sketches_merged", "n_yes_merged", "n_yes_direct")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       Some {
         val key = "CAST(c_custkey AS VARCHAR)"

@@ -78,6 +78,29 @@ object Tables {
     if (bigEnough) df.repartition(parallelism) else df
   }
 
+  /** [[t]] spread to cluster parallelism whenever the scan planned
+    * fewer splits than half the cores — NO byte gate, unlike
+    * [[tBalanced]]. For md5-class consumers only (MinHash signatures,
+    * fingerprints, per-window hashing): their per-byte map CPU is
+    * 1–2 orders of magnitude above the tokenize-class kernels the
+    * tBalanced byte gate was measured on, so a serial map stage costs
+    * seconds where the rebalance exchange costs the move of sub-MB
+    * raw text once (measured: the LSH pipeline build's
+    * tokenize+shingle+sign stage 1.5 s serial → ~0.2 s spread at
+    * sf0.1; guide §2.5 "input skew", §1.2 step 1). At scale the scan
+    * plans thousands of splits and this is a no-op. Deterministic
+    * hash key (never rand/round-robin) so retried tasks reproduce
+    * their placement (SPARK-38388).
+    */
+  def tSpreadHeavy(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < parallelism)
+      df.repartition(parallelism, col(key))
+    else df
+  }
+
   /** Exact bigint cents of a double money column: ROUND(x*100) as long. */
   /** Whitespace-normalized md5 document fingerprint — THE document
     * identity the exact-dedup / ingest-dedup / fingerprint-banding

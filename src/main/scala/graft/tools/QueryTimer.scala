@@ -59,6 +59,26 @@ object QueryTimer {
             f"${s.numTasks}%4d tasks  ${s.name.linesIterator.next()}")
         }
       })
+    // ...and per-micro-batch progress for streaming rows: durationMs
+    // breakdown (addBatch/getBatch/commitOffsets/walCommit/...) per
+    // batch, the streaming counterpart of the stage log.
+    if (logStages) spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          stageLog.add(s"batch ${p.batchId}: rows=${p.numInputRows} " +
+            s"durations=$d")
+        }
+      })
     (1 to 3).foreach { i =>
       shufWrite.set(0); shufRead.set(0)
       if (i == 3) stageLog.clear()
@@ -72,6 +92,12 @@ object QueryTimer {
       println(f"run $i: $sec%.2f s, $n rows, " +
         f"shuffle write ${shufWrite.get() / 1048576.0}%.1f MiB / " +
         f"read ${shufRead.get() / 1048576.0}%.1f MiB")
+      if (logStages && i == 1) {
+        // streaming rows do all their work in run 1 (later runs replay
+        // a completed checkpoint): dump batch progress now
+        println("=== run 1 batches ===")
+        stageLog.forEach(println(_))
+      }
     }
     if (logStages) {
       println("=== stages of run 3 ===")
