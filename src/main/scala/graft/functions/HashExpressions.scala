@@ -67,6 +67,55 @@ object HashKernels {
     new GenericArrayData(Array[Any](h1, h2))
   }
 
+  /** The whole 60-bit SimHash signature of a token ARRAY in one
+    * map-side pass: per token, vote +1/−1 on each bit of its
+    * [[md5Prefix60]] hash; bit b of the signature is set iff its vote
+    * total is >= 0. Identical values to exploding the array, hashing
+    * each token, and folding 60 conditional SUMs per doc — minus the
+    * explode, the 60-column aggregation stage, and its hash-agg probe
+    * loop: the signature never leaves the task that tokenized the
+    * document (the [[minHashSigs]] economics, for SimHash). Token
+    * MULTIPLICITY counts (votes weigh repeats), matching the exploded
+    * formulation. Returns null for an empty (or all-null) array — the
+    * exploded form emits no row for such a doc, so callers filter
+    * nulls to keep the two shapes row-identical.
+    */
+  def simHash60(arr: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    val md = tl.get()
+    var hashed = 0
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = {
+          val d = md.digest(arr.getUTF8String(j).getBytes)
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          (v << 4) | ((d(7) & 0xff) >>> 4)
+        }
+        var b = 0
+        while (b < 60) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        hashed += 1
+      }
+      j += 1
+    }
+    if (hashed == 0) null
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < 60) {
+        if (votes(b) >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+  }
+
   /** The whole K-seed MinHash signature of a shingle SET in one
     * map-side pass: sig[i] = min over shingles g of h1(g) + i*h2(g)
     * (Kirsch-Mitzenmacher over [[md5Split56]]'s halves; h1 + 15*h2 <
@@ -184,6 +233,33 @@ case class MinHashSigs(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `simhash60(tokens)`: the 60-bit SimHash of a token array, computed
+  * map-side — see [[HashKernels.simHash60]]. Nullable: null for an
+  * empty/all-null array (the exploded formulation emits no row there).
+  */
+case class SimHash60(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simHash60(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = graft.functions.HashKernels.simHash60($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Long) r).longValue(); }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** 60-bit md5-prefix hash of a string column (codegen). */
   def md5_prefix60(c: Column): Column =
@@ -196,4 +272,8 @@ object HashFunctions {
   /** K-seed map-side MinHash signature of an array<string> column. */
   def minhash_sigs(c: Column, k: Int): Column =
     GraftShims.column(MinHashSigs(GraftShims.expression(c), k))
+
+  /** Map-side 60-bit SimHash of an array<string> token column. */
+  def simhash60(c: Column): Column =
+    GraftShims.column(SimHash60(GraftShims.expression(c)))
 }

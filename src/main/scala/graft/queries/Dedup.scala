@@ -665,19 +665,21 @@ object Dedup {
     // explode + 60 codegen'd conditional sums, one shuffle on doc_id.
     QueryDef("d_simhash",
       (s, dir) => {
-        // tSpreadHeavy: h60s (md5) per token map-side
+        // Whole signature in ONE map-side codegen kernel
+        // ([[graft.functions.SimHash60]]): the previous explode +
+        // md5-per-token + 60-conditional-SUM aggregate shipped
+        // O(corpus tokens) rows into a hash agg to compute a value
+        // that never needs to leave the task holding the document
+        // (guide §1.2 step 2, §2.3 "aggregate before you shuffle" taken
+        // to its limit — no aggregate at all). Null signature = empty
+        // token array = the exploded form's absent doc; the filter
+        // keeps the two shapes row-identical (FunctionsSpec pins
+        // kernel ≡ exploded-fold equality).
+        // tSpreadHeavy: md5 per token map-side, serial otherwise.
         val docs = tSpreadHeavy(s, dir, "documents", "doc_id")
-        val toks = docs
-          .select(col("doc_id"), explode(tokens).as("w"))
-          .select(col("doc_id"), h60s(col("w")).as("h"))
-        val bitSums = (0 until 60).map(b =>
-          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-        val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"),
-            (0 until 60).map(b =>
-              when(col(s"b$b") >= 0, expr(s"CAST(${1L << b} AS BIGINT)"))
-                .otherwise(0L))
-              .reduce(_ + _).as("simhash"))
+        val sig = docs.select(col("doc_id"),
+            graft.functions.HashFunctions.simhash60(tokens).as("simhash"))
+          .filter(col("simhash").isNotNull)
         sig.groupBy(expr("simhash & 65535").as("band16"))
           .agg(count(lit(1)).as("n"))
           .filter(col("n") > 1)

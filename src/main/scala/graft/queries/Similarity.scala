@@ -1295,15 +1295,28 @@ object Similarity {
         val exact = topKByCos(bruteForceCosine(corpus, probes), 5)
           .select("query_id", "cand_id")
         val ivf = ivfSearchTopK(s, dir).select("query_id", "cand_id")
-        val out = exact.join(ivf, Seq("query_id", "cand_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-          .join(probes.select("query_id"), Seq("query_id"), "right")
-          .select(col("query_id"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-          .orderBy("query_id")
-        // <= 10 rows; materialized eagerly — constant-size output
-        val rows = out.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        // All three sides are BOUNDED by construction (probes×5, ×5,
+        // ×1 rows at ANY corpus size), so collect them in ONE tagged
+        // union — the branches run concurrently inside one job — and
+        // fold the semi-join + per-probe hit count + right-join on the
+        // driver, instead of a 5-exchange chain over ≤50-row frames
+        // (guide §2.4, §5 "bounded final outputs").
+        val tagged = exact.withColumn("t", lit("e"))
+          .unionByName(ivf.withColumn("t", lit("i")))
+          .unionByName(probes.select(col("query_id"),
+            lit(null).cast("long").as("cand_id"), lit("p").as("t")))
+          .collect()
+        val exactSet = tagged.filter(_.getString(2) == "e")
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ivfSet = tagged.filter(_.getString(2) == "i")
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hits = exactSet.intersect(ivfSet).groupBy(_._1).view
+          .mapValues(_.size.toLong).toMap
+        import s.implicits._
+        tagged.filter(_.getString(2) == "p").map(_.getLong(0))
+          .distinct.sorted
+          .map(q => (q, hits.getOrElse(q, 0L))).toSeq
+          .toDF("query_id", "n_hits")
       },
       Some(s"""WITH $sqlIvfTrainCtes,
         $sqlIvfSearchCtes,

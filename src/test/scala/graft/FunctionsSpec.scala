@@ -169,6 +169,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(allNull(0).getSeq[Long](0).isEmpty)
   }
 
+  test("simhash60 ≡ explode + md5-per-token + 60-bit vote fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 50).map { i =>
+      // repeats on purpose: token MULTIPLICITY must weigh the votes
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString))
+    }
+    val df = docs.toDF("doc_id", "toks")
+    val got = df.select(col("doc_id"),
+      graft.functions.HashFunctions.simhash60(col("toks")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the exploded formulation d_simhash ran before the
+    // kernel — h60s per token, 60 conditional SUM votes, bit rebuild
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val ref = df.select(col("doc_id"), explode(col("toks")).as("w"))
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.md5_prefix60(col("w")).as("h"))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"b$b") >= 0, expr(s"CAST(${1L << b} AS BIGINT)"))
+            .otherwise(0L)).reduce(_ + _).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    // empty array -> null (the exploded form emits no row); null
+    // input propagates; all-null elements -> null
+    val edge = Seq((1L, Some(Seq.empty[String])), (2L, None))
+      .toDF("doc_id", "toks")
+      .select(graft.functions.HashFunctions.simhash60(col("toks")))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).isNullAt(0))
+    val allNull = spark.sql("SELECT array(CAST(NULL AS STRING)) AS toks")
+      .select(graft.functions.HashFunctions.simhash60(col("toks")))
+      .collect()
+    assert(allNull(0).isNullAt(0))
+  }
+
   test("cross-source pair expansion ≡ all unordered pairs of the sorted set") {
     // the nested transform/slice expression in Dedup.crossSourceOverlap:
     // for a SORTED array it must emit exactly the C(n,2) pairs (x, y)
