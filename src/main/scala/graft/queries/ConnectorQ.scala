@@ -1134,7 +1134,21 @@ object ConnectorQ {
         // below stays idempotent within a JVM.
         val wh = s.conf.get("spark.sql.catalog.graft_c.warehouse")
         val out = s"$wh/_streams/dedup_wm_${st.ns}"
-        withStreamStateParts(s) {
+        // Skip the trailing NO-DATA micro-batch (measured 0.69 s of
+        // pure machinery: state-store reload+commit × partitions,
+        // empty sink commit). It exists to evict state eagerly after
+        // the watermark advances — dedup in append mode emits
+        // first-seen rows IMMEDIATELY, so the no-data batch never
+        // contributes an output row, and a terminal AvailableNow run
+        // discards its state at termination anyway. A long-running
+        // production stream keeps the default (eager eviction bounds
+        // state between data batches); rows whose OUTPUT depends on
+        // the no-data batch (append-mode windowed aggs emit final
+        // windows there — c_stream_window) must never set this.
+        val prevNoData =
+          s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try withStreamStateParts(s) {
           val q = s.readStream.table(s"graft_c.${st.ns}.ev_ts")
             .withWatermark("ts", "365 days")
             .withColumn("hour_start", date_trunc("hour", col("ts")))
@@ -1145,7 +1159,8 @@ object ConnectorQ {
             .option("checkpointLocation", s"$out/chk")
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-        }
+        } finally s.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         s.read.parquet(s"$out/data").groupBy("hour_start")
           .agg(count(lit(1)).as("n_distinct_users"))
           .orderBy("hour_start")

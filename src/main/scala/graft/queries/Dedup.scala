@@ -676,10 +676,18 @@ object Dedup {
         // keeps the two shapes row-identical (FunctionsSpec pins
         // kernel ≡ exploded-fold equality).
         // tSpreadHeavy: md5 per token map-side, serial otherwise.
+        // Filter on the CHEAP size(tokens) > 0 predicate, not on
+        // simhash IS NOT NULL (equivalent: the kernel is null iff the
+        // token array is empty): a filter referencing the kernel's
+        // output gets pushed below the spread exchange and the
+        // optimizer then evaluates the whole md5-vote loop TWICE per
+        // row — once in the pushed filter, once in the projection
+        // (guide §4.4). The size predicate duplicates only the
+        // tokenizer below the exchange; the kernel runs exactly once.
         val docs = tSpreadHeavy(s, dir, "documents", "doc_id")
-        val sig = docs.select(col("doc_id"),
+        val sig = docs.filter(size(tokens) > 0)
+          .select(col("doc_id"),
             graft.functions.HashFunctions.simhash60(tokens).as("simhash"))
-          .filter(col("simhash").isNotNull)
         sig.groupBy(expr("simhash & 65535").as("band16"))
           .agg(count(lit(1)).as("n"))
           .filter(col("n") > 1)
