@@ -1398,14 +1398,19 @@ object ConnectorQ {
       (s, dir) => {
         val st = setup(s, dir)
         val (tbl, view) = seededDocFpStore(s, dir, st.ns)
-        s.sql(s"""SELECT
-            (SELECT COUNT(*) FROM $tbl) AS n_store_fps,
-            (SELECT COUNT(*) FROM $tbl WHERE first_doc % 2 = 0) AS n_seeded,
-            (SELECT COUNT(*) FROM $tbl WHERE first_doc % 2 = 1)
-              AS n_admitted_late,
-            (SELECT COUNT(DISTINCT fp) FROM $view WHERE doc_id % 2 = 1)
-              - (SELECT COUNT(*) FROM $tbl WHERE first_doc % 2 = 1)
-              AS n_rejected_dupes""")
+        // ONE conditional-aggregate scan of the store instead of four
+        // scalar-subquery scans (each planned its own merge-on-read
+        // pass over the PK table), plus the one odd-batch distinct
+        // count over the source view (guide §2.4 — same rows out).
+        s.sql(s"""SELECT n_store_fps, n_seeded, n_admitted_late,
+            n_odd_fps - n_admitted_late AS n_rejected_dupes
+          FROM (SELECT COUNT(*) AS n_store_fps,
+                  COUNT(CASE WHEN first_doc % 2 = 0 THEN 1 END) AS n_seeded,
+                  COUNT(CASE WHEN first_doc % 2 = 1 THEN 1 END)
+                    AS n_admitted_late
+                FROM $tbl) st
+          CROSS JOIN (SELECT COUNT(DISTINCT fp) AS n_odd_fps
+                      FROM $view WHERE doc_id % 2 = 1) src""")
       },
       Some(s"""WITH f AS (
           SELECT doc_id, ${sqlFingerprint("text")} AS fp
