@@ -139,7 +139,7 @@ object Dedup {
   /** A memo entry can outlive its session (the owner stopped without
     * releasing); unpersisting against a stopped context NPEs, and there
     * is nothing left to release then anyway. */
-  private[queries] def safeUnpersist(df: DataFrame): Unit =
+  private[graft] def safeUnpersist(df: DataFrame): Unit =
     try {
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = true)
     } catch { case _: Throwable => () } // racing stop: storage already gone
@@ -148,17 +148,20 @@ object Dedup {
     * MinHash + LSH banding + exact verification.
     *
     * One shingle pass, persisted: the plan references the shingle set
-    * four times (two self-join branches, two verify sides) and Catalyst
-    * does not dedupe common subtrees across join branches — without the
-    * persist the shingle construction runs 4x. The cached set is one
-    * array per doc.
+    * twice (the band chain and the verify join — see
+    * [[lshVerifiedPairs]]) and Catalyst does not dedupe common subtrees
+    * across branches — without the persist the shingle construction
+    * runs once per reference. The cached set is one array per doc, and
+    * the verify reference depends on the band chain's output, so the
+    * cache population is never raced (exactly one computation).
     *
     * Skew guard: band buckets larger than [[MaxBucket]] are excluded
     * from pair generation — at corpus scale a boilerplate-heavy shingle
     * profile can collapse thousands of docs into one bucket and turn
-    * the self-join quadratic; such groups are exactly the ones exact
-    * dedup (`d_exact`) already catches, so dropping them loses little
-    * recall while bounding the join (standard LSH practice).
+    * the in-bucket pair space quadratic; such groups are exactly the
+    * ones exact dedup (`d_exact`) already catches, so dropping them
+    * loses little recall while bounding the join (standard LSH
+    * practice).
     */
   private val MaxBucket = 1000
 
@@ -174,7 +177,7 @@ object Dedup {
     } else f
 
   /** MinHash signatures → LSH band hashes → bucket-guarded candidate
-    * self-join → exact shingle-Jaccard verification, over a (persisted)
+    * generation → exact shingle-Jaccard verification, over a (persisted)
     * `(k, sh)` frame — the pair machinery shared by the doc-granular
     * pipeline ([[computeNearDupPairs]], k = doc_id) and the
     * paragraph-granular `d_paragraph_neardup` row (k = packed
@@ -192,11 +195,36 @@ object Dedup {
     * pipeline); bit-identical to the oracle's conv(substr(md5))
     * per-seed MIN fold (FunctionsSpec pins it).
     *
-    * Returns (verified pairs `(a, b)` with a < b, the PERSISTED band
-    * frame) — the caller must materialize the pairs and then unpersist
-    * the band handle (and its own shingle cache).
+    * Plan shape (guide §2.4 — every branch consumed ONCE, so nothing
+    * needs a persist and nothing races a cache population):
+    *
+    *  - the band rows flow into ONE exchange keyed (band, bhash);
+    *    the bucket-size skew guard is a count window over that same
+    *    partitioning and in-bucket pairs come from a sorted
+    *    collect_list + pair expansion (arrays bounded ≤ [[MaxBucket]]
+    *    by the guard BEFORE collection) — this replaces the previous
+    *    persisted band frame with THREE consumers (count-agg for the
+    *    mega-bucket guard, both sides of a bucket self-join), whose
+    *    AQE leaf stages raced the cache population and re-computed
+    *    the md5-heavy signature subtree per branch;
+    *  - verification references the shingle cache ONCE: each
+    *    candidate pair explodes to its two endpoints, joins the
+    *    shingle frame a single time, and the pair's two shingle sets
+    *    meet again in a pair-keyed aggregate (candidate-scale rows —
+    *    KB–MB — cross that exchange, never the corpus). The previous
+    *    two-sided join planned the corpus-scale shingle scan twice.
+    *
+    * Scale note: a degenerate bucket (≫ MaxBucket rows under one band
+    * hash) is handled by the window's external sort on one task —
+    * slower than the old map-side partial count for that one bucket,
+    * but spill-safe and bounded; such corpora have quadratic exact-dup
+    * structure that `d_exact` removes upstream anyway.
+    *
+    * Returns verified pairs `(a, b)` with a < b — the caller
+    * materializes the pairs and then unpersists its own shingle cache.
     */
-  private def lshVerifiedPairs(shingled: DataFrame): (DataFrame, DataFrame) = {
+  private def lshVerifiedPairs(shingled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = shingled
       .select(col("k"),
         graft.functions.HashFunctions.minhash_sigs(col("sh"), K).as("ms"))
@@ -208,34 +236,35 @@ object Dedup {
       struct(lit(b).as("band"),
         h60s(concat_ws("#", slots :+ lit(b).cast("string"): _*)).as("bhash"))
     }
-    // persist: the band set feeds THREE plan branches (the big-bucket
-    // scan and both sides of the self-join), and Catalyst does not
-    // dedupe common subtrees across join branches — uncached, the
-    // expensive upstream (shingle explode + md5 + 16-way min agg) runs
-    // 3x. Four fixed-width rows per key, far smaller than the corpus.
     val allBands = sigs
       .select(col("k"), explode(array(bandCols: _*)).as("bb"))
       .select(col("k"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // skew guard: anti-join away the (few) mega-buckets before the
-    // self-join — the over-limit set is small by construction, so it
-    // broadcasts; keeping the small buckets would not
-    val bigBuckets = allBands.groupBy("band", "bhash")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > MaxBucket)
-      .select(col("band"), col("bhash"))
-    val bands = allBands.join(broadcast(bigBuckets),
-      Seq("band", "bhash"), "left_anti")
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.bhash") === col("y.bhash") &&
-        col("x.k") < col("y.k"))
-      .select(col("x.k").as("a"), col("y.k").as("b"))
+    // one exchange: bucket size via count window (same partitioning as
+    // the collect), skew guard BEFORE collection bounds every array at
+    // MaxBucket; sorted list ⇒ positional pairs are value-ordered a < b
+    val cand = allBands
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bhash")))
+      .filter(col("bn") > 1 && col("bn") <= MaxBucket)
+      .groupBy("band", "bhash")
+      .agg(array_sort(collect_list(col("k"))).as("ks"))
+      .select(explode(expr(
+        """flatten(transform(ks, (x, i) ->
+             transform(slice(ks, i + 2, size(ks)),
+               y -> named_struct('a', x, 'b', y))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // verify candidates with exact shingle-set Jaccard
     // array_intersect is hash-based O(n+m) codegen (and sh is already
     // distinct, so set semantics match the oracle's list_filter); the
     // previous filter+array_contains lambda was O(n*m) interpreted and
-    // dominated the verify stage.
+    // dominated the verify stage. Both verify references read the
+    // shingle cache but are GATED on the broadcast of `cand` (which
+    // depends on the band chain), so neither races the cache
+    // population — the band chain is the plan's only leaf. A
+    // single-reference variant (explode endpoints → one join →
+    // collect_list per pair) was measured WORSE at sf0.1: it shuffles
+    // every candidate's shingle ARRAY (~18 MiB vs 0) where the
+    // broadcast joins stream the cache in place.
     val pairs = cand
       .join(shingled.as("ta"), col("a") === col("ta.k"))
       .join(shingled.as("tb"), col("b") === col("tb.k"))
@@ -245,22 +274,33 @@ object Dedup {
         size(col("ta.sh")) + size(col("tb.sh")) - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= 0.5)
       .select(col("a"), col("b"))
-    (pairs, allBands)
+    pairs
   }
+
+  /** The per-doc distinct shingle sets (un-persisted plan). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    tBalanced(s, dir, "documents")
+      .select(col("doc_id").as("k"), tokens.as("toks"))
+      .select(col("k"), array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** The UN-memoized doc-level pair-pipeline plan — PlanPair evidence
+    * hook (the production path is [[nearDupPairs]], which persists,
+    * materializes and memoizes; its explain shows only the cache).
+    */
+  private[graft] def lshPairsPlanForDump(s: SparkSession,
+      dir: String): DataFrame =
+    lshVerifiedPairs(docShingles(s, dir))
 
   private def computeNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     // Serialized + spill-to-disk: this cache is roughly corpus-sized
     // (one string array per doc), so deserialized MEMORY_ONLY would
     // evict under pressure and force a 4x shingle recompute — at 100 TB
     // the only viable levels are the spillable serialized ones.
-    val shingled = tBalanced(s, dir, "documents")
-      .select(col("doc_id").as("k"), tokens.as("toks"))
-      .select(col("k"), array_distinct(
-        graft.functions.TextFunctions.word_shingles(col("toks"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val shingled = docShingles(s, dir)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val (rawPairs, allBands) = lshVerifiedPairs(shingled)
-    val pairs = rawPairs.persist()
+    val pairs = lshVerifiedPairs(shingled).persist()
     // Materialize the (KB-scale) pair set NOW so the heavy per-doc
     // shingle cache can be released — otherwise `shingled` (one string
     // array per document, the largest intermediate in the repo) stays
@@ -271,15 +311,77 @@ object Dedup {
     try ptimed("pairs.count (whole pipeline)")(pairs.count())
     catch { case t: Throwable =>
       pairs.unpersist(blocking = false); throw t
-    } finally ptimed("release shingle/band caches") {
+    } finally ptimed("release shingle cache") {
       // blocking: the next query in a bench run starts immediately,
       // and an async release lets this corpus-scale cache contend with
       // (and evict) the caches that query builds — the r6
       // d_dup_clusters 4.4x regression was exactly this contention.
       shingled.unpersist(blocking = true)
-      allBands.unpersist(blocking = true)
     }
     pairs
+  }
+
+  /** The distributed rollup behind `d_paragraph_neardup` (one row per
+    * source, ready to collect) plus the persisted paragraph shingle
+    * cache backing it. Exposed `private[graft]` so PlanPair can dump
+    * the real distributed plan — the QueryDef itself returns a local
+    * relation after the driver fold, whose `explain` shows only a
+    * LocalTableScan. The caller MUST materialize the returned frame
+    * and then [[safeUnpersist]] the cache handle.
+    */
+  private[graft] def paragraphNeardupAgg(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    // tSpreadHeavy: same rationale as computeNearDupPairs — the
+    // paragraph cache feeds the md5-heavy MinHash/band pipeline
+    val paras = tSpreadHeavy(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("source"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(expr(s"sequence(0, int((size(toks) - 1) div $ParaW))"))
+          .as("p"))
+      .filter(col("p") < ParaCap)
+      .select(col("doc_id"), col("source"), col("p"),
+        expr(s"slice(toks, p * $ParaW + 1, $ParaW)").as("chunk"))
+      .filter(size(col("chunk")) >= 3)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") * ParaCap + col("p")).as("k"),
+        array_distinct(graft.functions.TextFunctions
+          .word_shingles(col("chunk"), 3)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val pairs = lshVerifiedPairs(paras.select("k", "sh"))
+    val cross = pairs.filter(expr(s"a DIV $ParaCap <> b DIV $ParaCap"))
+    // ONE reference to the (un-persisted) pair subtree: explode
+    // emits both endpoints map-side — the previous
+    // union(cross.a, cross.b) planned the whole verify-join
+    // tail TWICE (Catalyst does not dedupe common subtrees
+    // across union branches), doubling the candidate-join work
+    // and its AQE stage cascade (guide §2.4/§7.2; measured
+    // 3.5 s -> 2.6 s warm on this row at sf0.1).
+    val dup = cross
+      .select(explode(array(col("a"), col("b"))).as("k")).distinct()
+      .withColumn("is_dup", lit(1))
+    // Rollup in ONE aggregation chain instead of two aggregates
+    // joined: mark each paragraph via the KB-scale dup set
+    // (broadcast left join), fold per (source, doc) first, then
+    // per source — two narrow exchanges, no distinct-rewrite
+    // Expand, no agg-agg join (guide §2.4). Identical output:
+    // nd counts marked paragraphs, ndd counts docs with any
+    // marked paragraph.
+    val agg = paras.select("k", "doc_id", "source")
+      .join(broadcast(dup), Seq("k"), "left")
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("np"), count(col("is_dup")).as("ndp"))
+      .groupBy("source")
+      .agg(sum("np").as("n_paras"),
+        sum("ndp").as("n_dup_paras"),
+        sum(when(col("ndp") > 0, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_paras"),
+        col("n_dup_paras"),
+        col("n_dup_docs"),
+        floor(lit(1000) * col("n_dup_paras")
+          / col("n_paras")).as("milli_dup"))
+      .orderBy("source")
+    (agg, paras)
   }
 
   /** The whole MinHash+LSH pair pipeline as DuckDB CTEs (same
@@ -566,66 +668,15 @@ object Dedup {
     // the paragraph shingle cache can be released eagerly.
     QueryDef("d_paragraph_neardup",
       (s, dir) => {
-        // tSpreadHeavy: same rationale as computeNearDupPairs — the
-        // paragraph cache feeds the md5-heavy MinHash/band pipeline
-        val paras = tSpreadHeavy(s, dir, "documents", "doc_id")
-          .select(col("doc_id"), col("source"), tokens.as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), col("source"), col("toks"),
-            explode(expr(s"sequence(0, int((size(toks) - 1) div $ParaW))"))
-              .as("p"))
-          .filter(col("p") < ParaCap)
-          .select(col("doc_id"), col("source"), col("p"),
-            expr(s"slice(toks, p * $ParaW + 1, $ParaW)").as("chunk"))
-          .filter(size(col("chunk")) >= 3)
-          .select(col("doc_id"), col("source"),
-            (col("doc_id") * ParaCap + col("p")).as("k"),
-            array_distinct(graft.functions.TextFunctions
-              .word_shingles(col("chunk"), 3)).as("sh"))
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val (agg, paras) = paragraphNeardupAgg(s, dir)
         try {
-          val (pairs, bands) = lshVerifiedPairs(paras.select("k", "sh"))
-          try {
-            val cross = pairs.filter(expr(s"a DIV $ParaCap <> b DIV $ParaCap"))
-            // ONE reference to the (un-persisted) pair subtree: explode
-            // emits both endpoints map-side — the previous
-            // union(cross.a, cross.b) planned the whole verify-join
-            // tail TWICE (Catalyst does not dedupe common subtrees
-            // across union branches), doubling the candidate-join work
-            // and its AQE stage cascade (guide §2.4/§7.2; measured
-            // 3.5 s -> 2.6 s warm on this row at sf0.1).
-            val dup = cross
-              .select(explode(array(col("a"), col("b"))).as("k")).distinct()
-              .withColumn("is_dup", lit(1))
-            // Rollup in ONE aggregation chain instead of two aggregates
-            // joined: mark each paragraph via the KB-scale dup set
-            // (broadcast left join), fold per (source, doc) first, then
-            // per source — two narrow exchanges, no distinct-rewrite
-            // Expand, no agg-agg join (guide §2.4). Identical output:
-            // nd counts marked paragraphs, ndd counts docs with any
-            // marked paragraph.
-            val rows = paras.select("k", "doc_id", "source")
-              .join(broadcast(dup), Seq("k"), "left")
-              .groupBy("source", "doc_id")
-              .agg(count(lit(1)).as("np"), count(col("is_dup")).as("ndp"))
-              .groupBy("source")
-              .agg(sum("np").as("n_paras"),
-                sum("ndp").as("n_dup_paras"),
-                sum(when(col("ndp") > 0, 1L).otherwise(0L)).as("n_dup_docs"))
-              .select(col("source"), col("n_paras"),
-                col("n_dup_paras"),
-                col("n_dup_docs"),
-                floor(lit(1000) * col("n_dup_paras")
-                  / col("n_paras")).as("milli_dup"))
-              .orderBy("source")
-              .collect().toSeq
-              .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-                r.getLong(3), r.getLong(4)))
-            val s2 = s
-            import s2.implicits._
-            rows.toDF("source", "n_paras", "n_dup_paras", "n_dup_docs",
-              "milli_dup")
-          } finally safeUnpersist(bands)
+          val rows = agg.collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+          val s2 = s
+          import s2.implicits._
+          rows.toDF("source", "n_paras", "n_dup_paras", "n_dup_docs",
+            "milli_dup")
         } finally safeUnpersist(paras)
       },
       Some(s"""WITH RECURSIVE paras AS (

@@ -236,6 +236,14 @@ object Similarity {
     */
   private val IvfNProbe = 2
 
+  /** Every driver-side constant the model build and the serving rows
+    * share is collected ONCE: vec_id < [[SeedMax]] covers the IVF
+    * k-means seeds (< IvfK=8), the PQ codebook seeds (< PqK=16) and
+    * the probe set (< 10) — three separate bounded collect jobs in the
+    * old shape, one row filter now (guide §2.4 / §5 bounded outputs).
+    */
+  private val SeedMax = 16
+
   /** Trained IVF model: the persisted int8 codes (the index build
     * input) plus the post-Lloyd centroids. Memoized per (session,
     * dir) — a real pipeline trains the coarse quantizer ONCE and both
@@ -243,11 +251,39 @@ object Similarity {
     * queries share one training pass, same pattern as
     * [[Pipeline.dupClusterLabels]]. Release via [[releaseAllIvfModels]]
     * (the bench does this at the `s` family boundary).
+    *
+    * `seedCodes` / `seedEmb` are the quantized codes and raw float
+    * embeddings of the vec_id < [[SeedMax]] rows — constant-size
+    * driver-side parts of the built index. The serving rows broadcast
+    * probe relations built from them as LOCAL frames
+    * ([[localSeedCodes]] / [[localSeedEmb]]), so a probe broadcast
+    * costs no cluster job at any corpus size.
     */
   private[graft] case class IvfModel(
       codes: org.apache.spark.sql.DataFrame,
       cents: Seq[(Long, Seq[Int])],
-      cells: org.apache.spark.sql.DataFrame)
+      cells: org.apache.spark.sql.DataFrame,
+      seedCodes: Seq[(Long, Seq[Int])],
+      seedEmb: Seq[(Long, Seq[Float])])
+
+  /** LOCAL (driver-built) frame of the model's probe codes `(id, qv)`
+    * for vec_id < `below` — a LocalTableScan, so broadcasting it never
+    * schedules a distributed scan of the code cache.
+    */
+  private def localSeedCodes(m: IvfModel, below: Long,
+      idName: String, qvName: String): org.apache.spark.sql.DataFrame = {
+    val s = m.codes.sparkSession
+    import s.implicits._
+    m.seedCodes.filter(_._1 < below).toDF(idName, qvName)
+  }
+
+  /** LOCAL frame of the model's probe float embeddings. */
+  private def localSeedEmb(m: IvfModel, below: Long,
+      idName: String, embName: String): org.apache.spark.sql.DataFrame = {
+    val s = m.codes.sparkSession
+    import s.implicits._
+    m.seedEmb.filter(_._1 < below).toDF(idName, embName)
+  }
 
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), IvfModel]()
@@ -275,9 +311,10 @@ object Similarity {
       dir: String): IvfModel =
     ivfMemo.computeIfAbsent((SessionKey.id(s), dir), _ => {
       sweepDeadSessions()
-      val qv = ivfQuantizedCodes(s, dir)
+      val (qv, seedEmb, seedCodes) = ivfQuantizedCodes(s, dir)
       try {
-        val cents = ivfTrainCentroids(qv)
+        val cents = ivfTrainCentroids(qv,
+          seedCodes.filter(_._1 < IvfK))
         // the INDEX: every vector's trained cell, built once and
         // persisted (2 longs per vector — far smaller than the codes)
         // — the Flat search, the PQ/ADC search, and the recall eval
@@ -289,7 +326,7 @@ object Similarity {
         catch { case t: Throwable =>
           cells.unpersist(blocking = false); throw t
         }
-        IvfModel(qv, cents, cells)
+        IvfModel(qv, cents, cells, seedCodes, seedEmb)
       } catch { case t: Throwable =>
         // failed training must not leave the codes pinned — the memo
         // never got the handle
@@ -300,6 +337,11 @@ object Similarity {
   /** Test hook: live model-memo entry count (MemoLifecycleSpec pins
     * per-session isolation — one entry per (session, dir)). */
   private[graft] def ivfMemoSize: Int = ivfMemo.size
+
+  /** Test hook: the trained model (FunctionsSpec pins the driver-side
+    * seed-quantize fold against the distributed qv rows). */
+  private[graft] def modelForTest(s: org.apache.spark.sql.SparkSession,
+      dir: String): IvfModel = ivfModel(s, dir)
 
   def releaseAllIvfModels(): Unit = {
     val it = ivfMemo.entrySet().iterator()
@@ -335,21 +377,53 @@ object Similarity {
     * the codes once per Lloyd round and search reads them again for
     * cell assignment. Codes are 1/4 the float size, so this is the
     * cheapest representation to pin. Owned by [[ivfModel]]'s memo.
+    *
+    * Returns (qv frame, seed raw embeddings, seed quantized codes for
+    * vec_id < [[SeedMax]]). ONE tagged-union job collects the per-dim
+    * min/max stats AND the bounded seed rows (both constant-size at
+    * any corpus scale); the seed CODES fold on the driver with the
+    * identical double arithmetic as the distributed quantize
+    * expression (SimilaritySpec pins the equality), replacing the
+    * separate seed-collect job the old shape ran against the qv cache
+    * (guide §2.4 — fewer sequential driver sync points).
     */
   private def ivfQuantizedCodes(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): (org.apache.spark.sql.DataFrame,
+        Seq[(Long, Seq[Float])], Seq[(Long, Seq[Int])]) = {
     val emb = tBalanced(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    // per-dim min/max: one partial-agged explode, 64-row collect
-    val statRows = emb
+    val statsSide = emb
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-      .orderBy("dim").collect()
+      .select(lit(0).as("tag"), col("dim").cast("long").as("id"),
+        array(col("mn"), col("mx")).as("arr"))
+    val seedSide = emb.filter(col("vec_id") < SeedMax)
+      .select(lit(1).as("tag"), col("vec_id").as("id"),
+        col("embedding").as("arr"))
+    val rows = statsSide.unionByName(seedSide).collect()
+    val stats = rows.filter(_.getInt(0) == 0)
+      .map(r => r.getLong(1) ->
+        (r.getSeq[Float](2)(0), r.getSeq[Float](2)(1)))
+      .sortBy(_._1).map(_._2)
+    val mn = stats.map(_._1.toDouble).toIndexedSeq
+    val mx = stats.map(_._2.toDouble).toIndexedSeq
+    val seedEmb = rows.filter(_.getInt(0) == 1)
+      .map(r => r.getLong(1) -> r.getSeq[Float](2).toSeq)
+      .sortBy(_._1).toSeq
+    // driver replica of the quantize expression below — same double
+    // arithmetic, same floor-then-cast-then-clamp order, so the seed
+    // codes are bit-identical to the corresponding distributed qv rows
+    def q(x: Float, d: Int): Int =
+      if (mx(d) == mn(d)) 0
+      else math.min(255, math.max(0,
+        math.floor((x.toDouble - mn(d)) * 255.0 / (mx(d) - mn(d))).toInt))
+    val seedCodes = seedEmb.map { case (id, e) =>
+      id -> e.zipWithIndex.map { case (x, d) => q(x, d) } }
     // single array-literal nodes (not 64 element literals each): the
     // quantize expression's tree size was analysis/codegen cost
-    val mnLit = typedLit(statRows.toIndexedSeq.map(_.getFloat(1).toDouble))
-    val mxLit = typedLit(statRows.toIndexedSeq.map(_.getFloat(2).toDouble))
-    emb
+    val mnLit = typedLit(mn)
+    val mxLit = typedLit(mx)
+    val qv = emb
       .withColumn("mn", mnLit).withColumn("mx", mxLit)
       .withColumn("qv", expr(
         """transform(embedding, (x, i) ->
@@ -360,6 +434,7 @@ object Similarity {
           END)"""))
       .select(col("vec_id"), col("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (qv, seedEmb, seedCodes)
   }
 
   /** `(dist, cid)` struct per centroid, squared-L2 of the centroid
@@ -400,16 +475,15 @@ object Similarity {
         col("best.cid").as("cid"), col("best.dist").as("dist"))
 
   /** Deterministic coarse-quantizer training: seed with the quantized
-    * vectors of the `IvfK` lowest vec_ids, then one Lloyd update
-    * (centroid = floor of per-dim mean). The ONLY driver traffic is
-    * the k×64-int centroid table — the standard k-means sync point,
-    * independent of corpus size.
+    * vectors of the `IvfK` lowest vec_ids (folded on the driver by
+    * [[ivfQuantizedCodes]] — no separate seed-collect job), then one
+    * Lloyd update (centroid = floor of per-dim mean). The ONLY driver
+    * traffic is the k×64-int centroid table — the standard k-means
+    * sync point, independent of corpus size.
     */
   private def ivfTrainCentroids(
-      qv: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Int])] = {
-    val c0: Seq[(Long, Seq[Int])] = qv.filter(col("vec_id") < IvfK)
-      .orderBy("vec_id").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toSeq
+      qv: org.apache.spark.sql.DataFrame,
+      c0: Seq[(Long, Seq[Int])]): Seq[(Long, Seq[Int])] = {
     ivfAssignment(qv, c0)
       .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
       .groupBy("cid", "dim")
@@ -510,7 +584,10 @@ object Similarity {
     */
   private def ivfCandidates(m: IvfModel): org.apache.spark.sql.DataFrame = {
     val cells = m.cells
-    val probeCells = m.codes.filter(col("vec_id") < 10)
+    // probe routing over the LOCAL seed-code frame (same Catalyst
+    // expressions, LocalTableScan input): broadcasting it no longer
+    // schedules a distributed scan of the code cache per serving row
+    val probeCells = localSeedCodes(m, 10, "vec_id", "qv")
       .withColumn("pc",
         slice(array_sort(ivfDistArray(m.cents)), 1, IvfNProbe))
       .select(col("vec_id").as("query_id"),
@@ -532,10 +609,11 @@ object Similarity {
     val cands = ivfCandidates(m)
     val scored = cands
       // broadcast ONLY the probe vectors' floats (vec_id < 10) — the
-      // unfiltered corpus side must never build a broadcast relation
-      .join(broadcast(embF.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"),
-          col("embedding").as("qe"), col("nrm").as("qn"))), "query_id")
+      // unfiltered corpus side must never build a broadcast relation.
+      // LOCAL frame off the model's seed embeddings: same values, no
+      // distributed probe scan per serving row
+      .join(broadcast(localSeedEmb(m, 10, "query_id", "qe")
+        .withColumn("qn", vec_norm(col("qe")))), "query_id")
       .join(embF.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
       .withColumn("cos",
@@ -543,6 +621,23 @@ object Similarity {
     topKByCos(scored, 5)
       .select(col("query_id"), col("rank"), col("cand_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The tagged bounded union `s_ivf_recall` collects (exact top-5,
+    * IVF top-5 and the probe list in one job) — exposed so PlanPair
+    * can dump the real distributed plan; the QueryDef folds the
+    * set-intersection on the driver.
+    */
+  private[graft] def ivfRecallTagged(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (probes, corpus) = probeCorpus(t(s, dir, "embeddings"), 10)
+    val exact = topKByCos(bruteForceCosine(corpus, probes), 5)
+      .select("query_id", "cand_id")
+    val ivf = ivfSearchTopK(s, dir).select("query_id", "cand_id")
+    exact.withColumn("t", lit("e"))
+      .unionByName(ivf.withColumn("t", lit("i")))
+      .unionByName(probes.select(col("query_id"),
+        lit(null).cast("long").as("cand_id"), lit("p").as("t")))
   }
 
   /** Product-quantization geometry: M subspaces × D dims each over the
@@ -582,12 +677,12 @@ object Similarity {
   private def pqCodebook(s: org.apache.spark.sql.SparkSession,
       dir: String): Map[Long, Seq[(Long, Seq[Int])]] =
     pqMemo.computeIfAbsent((SessionKey.id(s), dir), _ => {
-      val codes = ivfModel(s, dir).codes
-      val sub = pqSubvectors(codes)
+      val model = ivfModel(s, dir)
+      val sub = pqSubvectors(model.codes)
       // deterministic seeds: centroid j of every subspace = vec_id j's
-      // subvector (the PqK lowest vec_ids, like the IVF seeding)
-      val seedRows = codes.filter(col("vec_id") < PqK).orderBy("vec_id")
-        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+      // subvector (the PqK lowest vec_ids, like the IVF seeding) —
+      // already on the driver in the model (no collect job)
+      val seedRows = model.seedCodes.filter(_._1 < PqK)
       val seeds: Seq[Seq[(Long, Seq[Int])]] = (0 until PqM).map(m =>
         seedRows.toSeq.map { case (cid, qv) =>
           cid -> qv.slice(m * PqD, (m + 1) * PqD) })
@@ -737,9 +832,9 @@ object Similarity {
     adcTabMemo.computeIfAbsent((SessionKey.id(s), dir), _ => {
       val model = ivfModel(s, dir)
       val book = pqCodebook(s, dir)
-      val probeRows = model.codes.filter(col("vec_id") < 10)
-        .orderBy("vec_id").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+      // probe codes are part of the model's driver-side seed rows —
+      // the old per-(session,dir) collect job is gone
+      val probeRows = model.seedCodes.filter(_._1 < 10)
       for {
         (qid, qv) <- probeRows.toSeq
         m <- 0 until PqM
@@ -790,10 +885,10 @@ object Similarity {
       Seq(col("adist"), col("cand_id")))
       .select(col("query_id"), col("cand_id"))
     // exact distances for shortlist members only: broadcast the
-    // shortlist pairs (probes × R rows) and the probe codes; the
-    // corpus codes stream past once
-    val probeCodes = model.codes.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("qv").as("pqv"))
+    // shortlist pairs (probes × R rows) and the probe codes (a LOCAL
+    // frame off the model's seed rows); the corpus codes stream past
+    // once
+    val probeCodes = localSeedCodes(model, 10, "query_id", "pqv")
     val exact = model.codes
       .join(broadcast(short.withColumnRenamed("cand_id", "vec_id")),
         Seq("vec_id"))
@@ -1291,21 +1386,13 @@ object Similarity {
     // oracle compares engine-portable ints.
     QueryDef("s_ivf_recall",
       (s, dir) => {
-        val (probes, corpus) = probeCorpus(t(s, dir, "embeddings"), 10)
-        val exact = topKByCos(bruteForceCosine(corpus, probes), 5)
-          .select("query_id", "cand_id")
-        val ivf = ivfSearchTopK(s, dir).select("query_id", "cand_id")
         // All three sides are BOUNDED by construction (probes×5, ×5,
         // ×1 rows at ANY corpus size), so collect them in ONE tagged
         // union — the branches run concurrently inside one job — and
         // fold the semi-join + per-probe hit count + right-join on the
         // driver, instead of a 5-exchange chain over ≤50-row frames
         // (guide §2.4, §5 "bounded final outputs").
-        val tagged = exact.withColumn("t", lit("e"))
-          .unionByName(ivf.withColumn("t", lit("i")))
-          .unionByName(probes.select(col("query_id"),
-            lit(null).cast("long").as("cand_id"), lit("p").as("t")))
-          .collect()
+        val tagged = ivfRecallTagged(s, dir).collect()
         val exactSet = tagged.filter(_.getString(2) == "e")
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val ivfSet = tagged.filter(_.getString(2) == "i")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import Tables._
 
 /** Engine-portable probabilistic sketches — THE profiling tools a
@@ -639,6 +639,41 @@ object Sketches {
     // directly, proven by probing every customer key through both.
     QueryDef("q_bloom_union",
       (s, dir) => {
+        val out = bloomUnionAgg(s, dir)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      Some {
+        val key = "CAST(c_custkey AS VARCHAR)"
+        s"""WITH pseg AS (
+            SELECT DISTINCT c_mktsegment AS seg, ${sqlBloomPos(key)} AS pos
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+              AND c_custkey % 10 = 1),
+          merged AS (SELECT DISTINCT pos FROM pseg),
+          probes AS (
+            SELECT DISTINCT c_custkey AS k, ${sqlBloomPos(key)} AS pos
+            FROM customer),
+          per AS (
+            SELECT k, COUNT(*) = COUNT(m.pos) AS y
+            FROM probes p LEFT JOIN merged m USING (pos)
+            GROUP BY 1)
+          SELECT
+            (SELECT COUNT(DISTINCT seg) FROM pseg) AS n_sketches_merged,
+            CAST((SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) FROM per)
+              AS BIGINT) AS n_yes_merged,
+            CAST((SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) FROM per)
+              AS BIGINT) AS n_yes_direct"""
+      })
+  )
+
+  /** The distributed aggregation `q_bloom_union` collects (3 scalar
+    * columns) — exposed for PlanPair so the committed plan evidence
+    * shows the real probe-pass shape, not the post-collect local
+    * relation.
+    */
+  private[graft] def bloomUnionAgg(s: SparkSession,
+      dir: String): DataFrame = {
         val cust = t(s, dir, "customer")
         val segs = Seq("BUILDING", "MACHINERY")
         val inSeg = col("c_mktsegment").isin(segs: _*) &&
@@ -671,30 +706,6 @@ object Sketches {
           .crossJoin(perSeg.agg(
             countDistinct("seg").as("n_sketches_merged")))
           .select("n_sketches_merged", "n_yes_merged", "n_yes_direct")
-        val rows = out.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      },
-      Some {
-        val key = "CAST(c_custkey AS VARCHAR)"
-        s"""WITH pseg AS (
-            SELECT DISTINCT c_mktsegment AS seg, ${sqlBloomPos(key)} AS pos
-            FROM customer
-            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
-              AND c_custkey % 10 = 1),
-          merged AS (SELECT DISTINCT pos FROM pseg),
-          probes AS (
-            SELECT DISTINCT c_custkey AS k, ${sqlBloomPos(key)} AS pos
-            FROM customer),
-          per AS (
-            SELECT k, COUNT(*) = COUNT(m.pos) AS y
-            FROM probes p LEFT JOIN merged m USING (pos)
-            GROUP BY 1)
-          SELECT
-            (SELECT COUNT(DISTINCT seg) FROM pseg) AS n_sketches_merged,
-            CAST((SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) FROM per)
-              AS BIGINT) AS n_yes_merged,
-            CAST((SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) FROM per)
-              AS BIGINT) AS n_yes_direct"""
-      })
-  )
+        out
+  }
 }

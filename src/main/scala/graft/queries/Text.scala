@@ -524,20 +524,38 @@ object Text {
             .orderBy(col("cnt").desc, col("tok"))))
           .filter(col("rk") <= 20)
           .select("plang", "tok")
-        val overlap = docs.filter(col("is_test"))
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
+        // Predict WITHOUT the corpus-side left join the old shape paid
+        // (both join inputs exchanged + sorted): every test doc
+        // contributes one SENTINEL row (flag=1, plang NULL — the
+        // sentinel branch never tokenizes, its scan prunes to
+        // (doc_id, lang)) unioned with the profile-overlap rows, so
+        // zero-overlap docs surface as 'unknown' inside the same
+        // aggregate. One exchange keyed doc_id serves both aggregation
+        // levels (hashpartitioning(doc_id) satisfies both clusterings),
+        // and min_by over the (flag, -n_overlap, plang) struct replaces
+        // the rank-1 window — no sort, same deterministic tie-break
+        // (any real overlap beats the sentinel, then max overlap, then
+        // lexicographically first language). `lang` rides along
+        // (functionally dependent on doc_id), so the confusion matrix
+        // needs no join back to the corpus (guide §2.4).
+        val overlapRows = docs.filter(col("is_test"))
+          .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
           .join(broadcast(profile), Seq("tok"))
-          .groupBy("doc_id", "plang").agg(count(lit(1)).as("n_overlap"))
-        val pred = overlap
-          .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
-            .orderBy(col("n_overlap").desc, col("plang"))))
-          .filter(col("rk") === 1)
-          .select(col("doc_id"), col("plang").as("lang_pred"))
-        docs.filter(col("is_test"))
-          .join(pred, Seq("doc_id"), "left")
-          .select(col("lang"),
-            coalesce(col("lang_pred"), lit("unknown")).as("lang_pred"))
-          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+          .select(col("doc_id"), col("lang"), col("plang"),
+            lit(0).as("flag"))
+        val sentinelRows = docs.filter(col("is_test"))
+          .select(col("doc_id"), col("lang"),
+            lit(null).cast("string").as("plang"), lit(1).as("flag"))
+        val pred = overlapRows.unionByName(sentinelRows)
+          .repartition(col("doc_id"))
+          .groupBy("doc_id", "lang", "plang", "flag")
+          .agg(count(lit(1)).as("n_overlap"))
+          .groupBy("doc_id", "lang")
+          .agg(min_by(
+            when(col("flag") === 1, lit("unknown")).otherwise(col("plang")),
+            struct(col("flag"), (-col("n_overlap")).as("neg"),
+              col("plang"))).as("lang_pred"))
+        pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
           .orderBy("lang", "lang_pred")
       },
       Some(s"""WITH d AS (

@@ -37,19 +37,29 @@ object PlanPair {
       println(s"dumped $name")
     }
     val direct = Seq("d_substring_spans", "d_simhash", "q_quantile_sketch",
-      "d_dup_spans", "d_dup_span_trim", "q_quantile_union", "q_bloom_union",
-      "s_ivf_recall", "d_paragraph_neardup")
+      "d_dup_spans", "d_dup_span_trim", "q_quantile_union",
+      "t_langid_eval", "q_hll_distinct_users", "q_hll_union")
     direct.foreach { n =>
       try dump(n, graft.SparkEntry.queries(n)(spark, dir))
       catch { case t: Throwable =>
         println(s"SKIP $n: ${t.getClass.getSimpleName}: ${t.getMessage}")
       }
     }
-    // eagerly-materializing rows whose interesting plan is internal
+    // eagerly-materializing / driver-folding rows whose interesting
+    // plan is the INTERNAL distributed frame (the QueryDef's own
+    // explain shows only the post-collect local relation)
     dump("s_pq_rerank", graft.queries.Similarity.pqRerankTopK(spark, dir))
     dump("s_pq_search", graft.queries.Similarity.pqSearchTopK(spark, dir))
+    dump("s_ivf_recall", graft.queries.Similarity.ivfRecallTagged(spark, dir))
     dump("d_cross_source_overlap",
       graft.queries.Dedup.crossSourceOverlapAgg(spark, dir))
+    dump("q_bloom_union", graft.queries.Sketches.bloomUnionAgg(spark, dir))
+    dump("d_minhash_lsh", graft.queries.Dedup.lshPairsPlanForDump(spark, dir))
+    locally {
+      val (agg, paras) = graft.queries.Dedup.paragraphNeardupAgg(spark, dir)
+      dump("d_paragraph_neardup", agg)
+      graft.queries.Dedup.safeUnpersist(paras)
+    }
     graft.queries.Pipeline.releaseAllDupClusterLabels()
     graft.queries.Dedup.releaseAllNearDupPairs()
     graft.queries.Similarity.releaseAllIvfModels()

@@ -239,6 +239,76 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket pairgen (window guard + sorted collect) ≡ guarded self-join") {
+    // the single-exchange pair generation in Dedup.lshVerifiedPairs:
+    // count window as the bucket-size guard, array_sort(collect_list)
+    // + the nested transform/slice expansion — must emit exactly the
+    // pair set of the previous shape (count-agg mega-bucket anti-join
+    // + bucket self-join on k < k'), for bucket sizes 0..beyond the
+    // guard, same guard value on both sides
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val maxB = 4 // stand-in for MaxBucket; both shapes use it
+    val rnd = new scala.util.Random(11)
+    // buckets of size 1..7 across two band ids, some sharing bhash
+    val rows = for {
+      b <- 0 until 2
+      h <- 0 until 12
+      k <- 0 until (rnd.nextInt(7) + 1)
+    } yield (rnd.nextLong().abs % 1000000, b, h.toLong)
+    val bands = rows.distinct.toDF("k", "band", "bhash")
+    val windowed = bands
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band", "bhash")))
+      .filter(col("bn") > 1 && col("bn") <= maxB)
+      .groupBy("band", "bhash")
+      .agg(array_sort(collect_list(col("k"))).as("ks"))
+      .selectExpr("""explode(flatten(transform(ks, (x, i) ->
+        transform(slice(ks, i + 2, size(ks)),
+          y -> named_struct('a', x, 'b', y))))) AS p""")
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val big = bands.groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxB)
+      .select("band", "bhash")
+    val guarded = bands.join(big, Seq("band", "bhash"), "left_anti")
+    val selfJoin = guarded.as("x").join(guarded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bhash") === col("y.bhash") &&
+        col("x.k") < col("y.k"))
+      .select(col("x.k").as("a"), col("y.k").as("b"))
+      .distinct()
+    val got = windowed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = selfJoin.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "test data must generate candidate pairs")
+    assert(got == want,
+      s"windowed pairgen diverged: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("IVF seed codes folded on the driver ≡ distributed quantize rows") {
+    // Similarity.ivfQuantizedCodes replicates the Catalyst quantize
+    // expression in Scala for the bounded seed rows (vec_id < SeedMax)
+    // — the fold must be bit-identical to the distributed qv rows it
+    // replaced a collect job for, and the raw seed embeddings must
+    // match the parquet values
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.queries.Similarity.modelForTest(spark, dir)
+    try {
+      val distributed = m.codes
+        .filter(col("vec_id") < 16).orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toSeq
+      assert(m.seedCodes == distributed,
+        "driver-side seed quantize must equal the distributed qv rows")
+      val rawEmb = spark.read
+        .parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 16)
+        .orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      assert(m.seedEmb.map { case (id, e) => id -> e.toSeq } == rawEmb,
+        "seed embeddings must match the parquet values")
+    } finally graft.queries.Similarity.releaseAllIvfModels()
+  }
+
   test("word_shingles matches the HOF formulation") {
     import spark.implicits._
     import graft.functions.TextFunctions.word_shingles
